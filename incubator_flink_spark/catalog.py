@@ -1,0 +1,43 @@
+"""Table loading for the driver-generated parquet testdata.
+
+Mirrors the reference's filesystem table connector
+(flink-table/flink-table-runtime/.../filesystem/FileSystemTableFactory.java)
+in spirit: a table is a directory/file of parquet, read through Spark's
+vectorized scan so Catalyst can push filters and prune columns down to
+the footer level.  At 100TB these would be partitioned directories; the
+reader code path is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one table. Plain parquet scan — vectorized, prunable."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view so ``spark.sql`` queries and the
+    DataFrame API see the same catalog (the reference's
+    GenericInMemoryCatalog equivalent)."""
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,48 @@
+"""SparkSession factory with 100TB-scale-oriented defaults.
+
+The reference engine hand-tunes managed memory, operator chaining and
+two-phase aggregation (taskmanager.memory.managed.fraction in
+flink-end-to-end-tests/test-scripts/test_tpch.sh:42); on Spark the
+equivalents are AQE, partial aggregation and whole-stage codegen, which
+are free as long as plans stay declarative.  This module only sets the
+knobs that matter:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- shuffle partitions sized for the local[32] harness; on a real cluster
+  AQE coalescing makes the initial number a ceiling, not a constant
+- Arrow enabled so every pandas-UDF boundary is vectorized
+- UTC session timezone (event-time semantics must not depend on host tz)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "incubator_flink_spark", shuffle_partitions: str | None = None) -> SparkSession:
+    """Return (or create) the engine SparkSession.
+
+    On the test harness this is ``local[N]``; the config set here is the
+    same one we would ship to a 1000-executor cluster, minus driver memory.
+    """
+    builder = (
+        SparkSession.builder.master(f"local[{DEFAULT_SHUFFLE_PARTITIONS}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
