@@ -31,7 +31,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read one table. Plain parquet scan — vectorized, prunable."""
+    """Read one table. Plain parquet scan — vectorized, prunable.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as int64 nanos (legacy conf, runtime-
+    settable) and convert to a microsecond TimestampType — the same
+    coercion DuckDB applies, so oracle comparisons line up. The testdata
+    is micro-aligned (no sub-microsecond components), so the conversion
+    is lossless.
+    """
+    if table == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
