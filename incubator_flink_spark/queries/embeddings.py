@@ -1,0 +1,132 @@
+"""Similarity-search coverage over the ``embeddings`` table
+(array<float> x 64): brute-force cosine top-k (baseline), threshold
+near-pairs, and the hyperplane-LSH bucketed variant (scale path).
+
+The LSH oracle replicates the bucket assignment with the same fixed
+hyperplane constants (inlined as a 512-row VALUES table) — bucket bits are
+sign tests on O(1)-magnitude dots, so engine-order float differences
+cannot realistically flip them; cosines are rounded to 6 decimals in both
+engines before compare/rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.catalog import load
+from incubator_flink_spark.operators.similarity import (
+    HYPERPLANES,
+    brute_force_topk,
+    lsh_topk,
+    near_pairs,
+)
+from incubator_flink_spark.queries.registry import register
+
+_COS_CTE = """
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.embedding AS qe, c.embedding AS ce
+  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q, embeddings c
+  WHERE q.vec_id <> c.vec_id),
+elems AS (
+  SELECT query_id, neighbor_id,
+         CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+  FROM pairs),
+cos AS (
+  SELECT query_id, neighbor_id,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM elems GROUP BY query_id, neighbor_id)
+"""
+
+ANN_TOPK_ORACLE = f"""
+WITH {_COS_CTE}
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM cos) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register("ann_cosine_topk", ANN_TOPK_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return (
+        brute_force_topk(e, q, 5)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+NEAR_PAIRS_ORACLE = """
+WITH elems AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x, CAST(unnest(b.embedding) AS DOUBLE) AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+FROM elems GROUP BY id_a, id_b
+HAVING ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+@register("embedding_near_pairs", NEAR_PAIRS_ORACLE)
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return near_pairs(e, 0.35).orderBy("id_a", "id_b")
+
+
+def _planes_values_sql() -> str:
+    rows = []
+    for b, plane in enumerate(HYPERPLANES):
+        for d, w in enumerate(plane):
+            rows.append(f"({b},{d},{w!r})")
+    return ", ".join(rows)
+
+
+LSH_TOPK_ORACLE = f"""
+WITH planes(b, d, wt) AS (VALUES {_planes_values_sql()}),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+dots AS (
+  SELECT e.vec_id, p.b, SUM(e.x * p.wt) AS dot
+  FROM e JOIN planes p ON e.d = p.d GROUP BY e.vec_id, p.b),
+buckets AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20),
+elems AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x, CAST(unnest(b.embedding) AS DOUBLE) AS y
+  FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id),
+cos AS (
+  SELECT query_id, neighbor_id,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM elems GROUP BY query_id, neighbor_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM cos) t
+WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+@register("embedding_lsh_topk", LSH_TOPK_ORACLE)
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return (
+        lsh_topk(e, q, 3)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )

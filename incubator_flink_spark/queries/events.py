@@ -1,0 +1,310 @@
+"""Event-time operator coverage on the ``events`` table — the batch forms
+of the reference's streaming SQL operators (SURVEY.md §2.3-2.5, §2.9).
+The streaming executions of the same operators (readStream + watermark)
+are exercised by tests/test_streaming.py; these registry entries prove the
+window/join/dedup semantics against the DuckDB oracle.
+
+Operator ↔ reference mapping:
+- tumble/hop windows  → StreamExecWindowAggregate + SliceAssigners
+  (tumbling:60, hopping:76)
+- session windows     → EventTimeSessionWindows + MergingWindowAssigner
+- cumulate windows    → SliceAssigners.cumulative:93 (custom operator)
+- count windows       → KeyedStream.countWindow:696 (custom operator)
+- interval join       → TimeIntervalJoin (flink-table-runtime/.../join/
+  interval/TimeIntervalJoin.java:51)
+- as-of temporal join → TemporalRowTimeJoinOperator.java:78
+- window top-n        → StreamExecWindowRank.java:67
+- streaming OVER agg  → RowTimeRangeBoundedPrecedingFunction.java (range
+  frame over event time, batch form)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.catalog import load
+from incubator_flink_spark.operators.asof import asof_join
+from incubator_flink_spark.operators.windows import count_window, cumulate, hop, session_col, tumble
+from incubator_flink_spark.queries.registry import register
+from incubator_flink_spark.queries.tpch import dsum
+
+# DuckDB helper: epoch-aligned bucket start of width `w` seconds.
+# (to_timestamp yields TIMESTAMPTZ; session TimeZone is UTC, cast back.)
+
+
+WINDOW_TUMBLE_ORACLE = """
+SELECT CAST(to_timestamp((epoch_us(ts) // 600000000) * 600) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp((epoch_us(ts) // 600000000) * 600 + 600) AS TIMESTAMP) AS window_end,
+       event_type,
+       COUNT(*) AS cnt,
+       SUM(CAST(value AS DECIMAL(30,8))) AS total
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+@register("window_tumble", WINDOW_TUMBLE_ORACLE)
+def window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tumble(load(spark, sf_dir, "events"), "ts", 600)
+    return (
+        e.groupBy("window_start", "window_end", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("total"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+WINDOW_HOP_ORACLE = """
+SELECT CAST(to_timestamp(start_s) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(start_s + 600) AS TIMESTAMP) AS window_end,
+       COUNT(*) AS cnt,
+       SUM(CAST(value AS DECIMAL(30,8))) AS total
+FROM (
+  SELECT e.*, (epoch_us(ts) // 300000000 - i.i) * 300 AS start_s
+  FROM events e, (SELECT unnest([0, 1]) AS i) i
+  WHERE epoch_us(ts) >= (epoch_us(ts) // 300000000 - i.i) * 300 * 1000000
+    AND epoch_us(ts) <  ((epoch_us(ts) // 300000000 - i.i) * 300 + 600) * 1000000
+) t
+GROUP BY 1, 2
+ORDER BY window_start
+"""
+
+
+@register("window_hop", WINDOW_HOP_ORACLE)
+def window_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = hop(load(spark, sf_dir, "events"), "ts", 600, 300)
+    return (
+        e.groupBy("window_start", "window_end")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("total"))
+        .orderBy("window_start")
+    )
+
+
+WINDOW_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 300 SECOND AS session_end,
+       COUNT(*) AS cnt,
+       SUM(CAST(value AS DECIMAL(30,8))) AS total
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@register("window_session", WINDOW_SESSION_ORACLE)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(session_col("ts", 300).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+            "total",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+WINDOW_CUMULATE_ORACLE = """
+SELECT CAST(to_timestamp(bucket_s) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(bucket_s + k * 300) AS TIMESTAMP) AS window_end,
+       COUNT(*) AS cnt,
+       SUM(CAST(value AS DECIMAL(30,8))) AS total
+FROM (
+  SELECT e.*, (epoch_us(ts) // 1200000000) * 1200 AS bucket_s, k.k
+  FROM events e, (SELECT unnest([1, 2, 3, 4]) AS k) k
+  WHERE epoch_us(ts) < ((epoch_us(ts) // 1200000000) * 1200 + k.k * 300) * 1000000
+) t
+GROUP BY 1, 2
+ORDER BY window_start, window_end
+"""
+
+
+@register("window_cumulate", WINDOW_CUMULATE_ORACLE)
+def window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = cumulate(load(spark, sf_dir, "events"), "ts", 300, 1200)
+    return (
+        e.groupBy("window_start", "window_end")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("total"))
+        .orderBy("window_start", "window_end")
+    )
+
+
+COUNT_WINDOW_ORACLE = """
+SELECT user_id, window_id, COUNT(*) AS cnt,
+       SUM(CAST(value AS DECIMAL(30,8))) AS total,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM (
+  SELECT user_id, value, event_id,
+         CAST((ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 5 AS BIGINT) AS window_id
+  FROM events
+) t
+GROUP BY user_id, window_id
+ORDER BY user_id, window_id
+"""
+
+
+@register("count_window_agg", COUNT_WINDOW_ORACLE)
+def count_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = count_window(load(spark, sf_dir, "events"), "user_id", order_by=["ts", "event_id"], size=5)
+    return (
+        e.groupBy("user_id", "window_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("value")).alias("total"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("user_id", "window_id")
+    )
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT a.event_id AS click_id, b.event_id AS next_id, a.user_id, b.event_type AS next_type
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type IN ('purchase', 'signup')
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 600 SECOND
+ORDER BY click_id, next_id
+"""
+
+
+@register("interval_join", INTERVAL_JOIN_ORACLE)
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-bounded two-stream join (TimeIntervalJoin.java:51). Batch plan:
+    # equi-join on user_id + residual time-range predicate; in streaming
+    # the same condition bounds state retention via watermarks.
+    e = load(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("a_ts")
+    )
+    b = e.where(F.col("event_type").isin("purchase", "signup")).select(
+        F.col("event_id").alias("next_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("next_type"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 600 SECOND")),
+        )
+        .select("click_id", "next_id", "user_id", "next_type")
+        .orderBy("click_id", "next_id")
+    )
+
+
+ASOF_JOIN_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, s.event_id AS version_id, s.value AS version_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+ORDER BY p.event_id
+"""
+
+
+@register("asof_temporal_join", ASOF_JOIN_ORACLE)
+def asof_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Event-time temporal join (TemporalRowTimeJoinOperator.java:78):
+    # purchases probe the signup stream as a versioned table. The DuckDB
+    # oracle uses its native ASOF JOIN — an independent implementation.
+    e = load(spark, sf_dir, "events")
+    probe = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    build = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_event_id"), F.col("user_id"), F.col("ts").alias("s_ts"), F.col("value")
+    )
+    return (
+        asof_join(
+            probe,
+            build,
+            keys=["user_id"],
+            probe_ts="ts",
+            build_ts="s_ts",
+            payload={"s_event_id": "version_id", "value": "version_value"},
+        )
+        .select("event_id", "user_id", "ts", "version_id", "version_value")
+        .orderBy("event_id")
+    )
+
+
+WINDOW_TOPN_EVENTS_ORACLE = """
+SELECT window_start, user_id, event_id, value, rn FROM (
+  SELECT CAST(to_timestamp((epoch_us(ts) // 3600000000) * 3600) AS TIMESTAMP) AS window_start,
+         user_id, event_id, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY (epoch_us(ts) // 3600000000), user_id
+           ORDER BY value DESC, event_id) AS rn
+  FROM events
+) t WHERE rn <= 2
+ORDER BY window_start, user_id, rn
+"""
+
+
+@register("window_topn_events", WINDOW_TOPN_EVENTS_ORACLE)
+def window_topn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window rank / top-n per window (StreamExecWindowRank.java:67): after a
+    # tumbling window closes, emit the top 2 events per (window, user).
+    e = tumble(load(spark, sf_dir, "events"), "ts", 3600)
+    w = W.partitionBy("window_start", "user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("window_start", "user_id", "event_id", "value", "rn")
+        .orderBy("window_start", "user_id", "rn")
+    )
+
+
+OVER_RANGE_TIME_ORACLE = """
+SELECT event_id, user_id, ts,
+       SUM(CAST(value AS DECIMAL(30,8))) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS sum_10m,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS cnt_10m
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("over_range_time", OVER_RANGE_TIME_ORACLE)
+def over_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Event-time RANGE OVER aggregation, the batch form of
+    # RowTimeRangeBoundedPrecedingFunction.java:296 (10-minute preceding
+    # frame per key). Range frame keyed on epoch micros.
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, W.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(F.col("value").cast("decimal(30,8)")).over(w).alias("sum_10m"),
+            F.count(F.lit(1)).over(w).alias("cnt_10m"),
+        )
+        .orderBy("event_id")
+    )
