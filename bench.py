@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop sink (full column
+materialization, no driver collect). First a warmup pass on sf0.001
+amortizes JVM/codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from incubator_flink_spark import get_spark
+from incubator_flink_spark.queries import REGISTRY
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q18",
+    "window_tumble",
+    "window_hop",
+    "window_session",
+    "window_cumulate",
+    "interval_join",
+    "asof_temporal_join",
+    "over_range_time",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "token_count",
+    "ann_cosine_topk",
+    "embedding_lsh_topk",
+]
+
+
+def run(sf_dir: str) -> dict:
+    spark = get_spark("bench")
+    # warmup: touch the whole stack (scan, shuffle, window, pandas UDF)
+    for name in ("tpch_q1", "window_tumble"):
+        REGISTRY[name].fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    timings = run(sf_dir)
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,9 +58,12 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     under each permutation). Aggregation is a single hash-shuffle on doc id
     with map-side partial mins."""
     ds = doc_shingle_set(docs, id_col, text_col, k)
-    h = hash64(F.col("shingle"))
+    # materialize the md5 hash once per shingle so the per-permutation
+    # aggregates reuse it instead of re-hashing NUM_MINHASHES times
+    hashed = ds.select(id_col, hash64(F.col("shingle")).alias("__h"))
+    h = F.col("__h")
     aggs = [F.min(minhash_expr(h, i)).alias(f"minhash_{i}") for i in range(NUM_MINHASHES)]
-    return ds.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -107,9 +110,18 @@ def verify_jaccard(
     index; only candidate pairs are scored."""
     ds = doc_shingle_set(docs, id_col, text_col, k)
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # Candidate-first join order: restrict the inverted index to candidate
+    # docs BEFORE the shingle self-join, so the quadratic blow-up on
+    # frequent shingles never materializes — cand is small (LSH output),
+    # Catalyst broadcasts it.
+    ds_a = ds.select(F.col(id_col).alias("id_a"), "shingle").join(
+        cand.select("id_a").distinct(), "id_a", "left_semi"
+    )
+    ds_b = ds.select(F.col(id_col).alias("id_b"), "shingle").join(
+        cand.select("id_b").distinct(), "id_b", "left_semi"
+    )
     inter = (
-        ds.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(ds.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        ds_a.join(ds_b, "shingle")
         .join(cand, ["id_a", "id_b"], "left_semi")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -130,12 +142,14 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     """60-bit SimHash per doc: bit j set iff more shingle hashes have bit
     j set than not (strict majority; ties clear the bit)."""
     ds = doc_shingle_set(docs, id_col, text_col, k)
-    h = hash64(F.col("shingle"))
+    # hash once per shingle; the 60 bit-sum aggregates read the column
+    hashed = ds.select(id_col, hash64(F.col("shingle")).alias("__h"))
+    h = F.col("__h")
     bit_sums = [
         F.sum(F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
-    agg = ds.groupBy(id_col).agg(*bit_sums)
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
     sim = None
     for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))

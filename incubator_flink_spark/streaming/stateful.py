@@ -1,0 +1,178 @@
+"""Custom keyed stateful streaming operators (SURVEY.md §7 Phase 3),
+built on ``applyInPandasWithState`` (Arrow-batched keyed state — the
+Spark analog of the reference's keyed ValueState + KeyedProcessOperator).
+
+Implemented here:
+
+- ``keep_last_dedup`` — keep-latest row per key, emitting only on change.
+  Reference: StreamExecDeduplicate.java:70 keep-last /
+  StreamExecChangelogNormalize.java:61 (upsert normalization).
+  State per key: (ts_us, tiebreak) of the current winner — O(1).
+  A change can only be caused by a row in the current batch, so the
+  emitted row is always available from the batch itself; state never
+  stores the payload.
+
+- ``streaming_topn`` — per-key top-N by value with retract-tagged deltas
+  (`__rowkind`: +I inserted entry, -D retracted entry), the
+  RetractableTopNFunction analog (flink-table-runtime/.../rank/
+  RetractableTopNFunction.java, 469 LoC). State per key: the N
+  (value, id) pairs — O(N), independent of stream length.
+
+- ``count_window_counts`` — tumbling count windows per key
+  (KeyedStream.countWindow:696 + CountTrigger): emits a row per closed
+  window; a partial window stays in state until filled. State: count +
+  running aggregate of the open window.
+
+Scale: state is per-key O(1)/O(N); Structured Streaming shards keys
+across partitions (state store per shuffle partition), so 100TB key
+cardinality scales horizontally exactly like the reference's keyed state
+backends. Output rows per batch ∝ changes, not state size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _ts_us(series: pd.Series) -> pd.Series:
+    return series.astype("int64") // 1000  # datetime64[ns] → micros
+
+
+def keep_last_dedup(df: DataFrame, keys: list[str], ts_col: str, tiebreak: str) -> DataFrame:
+    """Emit the new latest row per key whenever it changes (update
+    semantics). Output schema == input schema."""
+    out_schema = df.schema
+    state_schema = T.StructType(
+        [T.StructField("ts_us", T.LongType()), T.StructField("tb", T.LongType())]
+    )
+    key_fields = [f.name for f in out_schema.fields if f.name in keys]
+    assert len(key_fields) == len(keys)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        best_ts, best_tb = state.get if state.exists else (-(1 << 62), -(1 << 62))
+        winner = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.assign(__ts_us=_ts_us(pdf[ts_col]))
+            pdf = pdf.sort_values(["__ts_us", tiebreak]).tail(1)
+            ts_v = int(pdf["__ts_us"].iloc[0])
+            tb_v = int(pdf[tiebreak].iloc[0])
+            if (ts_v, tb_v) > (best_ts, best_tb):
+                best_ts, best_tb = ts_v, tb_v
+                winner = pdf.drop(columns="__ts_us")
+        if winner is not None:
+            state.update((best_ts, best_tb))
+            yield winner
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def topn_output_schema(key_fields: list[T.StructField]) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("__rowkind", T.StringType()),
+            *key_fields,
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+
+def streaming_topn(df: DataFrame, keys: list[str], id_col: str, value_col: str, n: int) -> DataFrame:
+    """Per-key top-N by value (desc, id asc tiebreak) with retract-tagged
+    delta output: on each change, -D rows retract displaced entries and
+    +I rows insert new ones (consumers reconstruct the ranked list)."""
+    key_fields = [f for f in df.schema.fields if f.name in keys]
+    out_schema = topn_output_schema(key_fields)
+    state_schema = T.StructType(
+        [T.StructField("vals", T.ArrayType(T.DoubleType())), T.StructField("ids", T.ArrayType(T.LongType()))]
+    )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        vals, ids = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        old = list(zip(vals, ids))
+        entries = {(v, i) for v, i in old}
+        for pdf in pdfs:
+            for v, i in zip(pdf[value_col].astype(float), pdf[id_col].astype(int)):
+                entries.add((float(v), int(i)))
+        new = sorted(entries, key=lambda e: (-e[0], e[1]))[:n]
+        if new == old:
+            return
+        state.update(([v for v, _ in new], [i for _, i in new]))
+        out: list[dict[str, Any]] = []
+        old_set, new_set = set(old), set(new)
+        for rank, (v, i) in enumerate(old, start=1):
+            if (v, i) not in new_set:
+                out.append({"__rowkind": "-D", "rank": rank, "id": i, "value": v})
+        for rank, (v, i) in enumerate(new, start=1):
+            if (v, i) not in old_set or old[rank - 1 : rank] != [(v, i)]:
+                out.append({"__rowkind": "+I", "rank": rank, "id": i, "value": v})
+        res = pd.DataFrame(out)
+        for f, kv in zip(key_fields, key):
+            res[f.name] = kv
+        yield res[[c.name for c in out_schema.fields]]
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def count_window_counts(df: DataFrame, keys: list[str], ts_col: str, tiebreak: str, value_col: str, size: int) -> DataFrame:
+    """Tumbling count windows per key: emit (key, window_id, cnt, total)
+    when a window fills. Rows are processed in (ts, tiebreak) order within
+    each batch (cross-batch order follows arrival, as in the reference's
+    processing-time count windows)."""
+    key_fields = [f for f in df.schema.fields if f.name in keys]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField("window_id", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("open_cnt", T.LongType()),
+            T.StructField("open_total", T.DoubleType()),
+        ]
+    )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        n_seen, open_cnt, open_total = state.get if state.exists else (0, 0, 0.0)
+        closed: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values([ts_col, tiebreak])
+            for v in pdf[value_col].astype(float):
+                open_cnt += 1
+                open_total += float(v)
+                if open_cnt == size:
+                    closed.append(
+                        {"window_id": n_seen // size, "cnt": open_cnt, "total": round(open_total, 9)}
+                    )
+                    n_seen += size
+                    open_cnt, open_total = 0, 0.0
+        state.update((n_seen, open_cnt, open_total))
+        if closed:
+            res = pd.DataFrame(closed)
+            for f, kv in zip(key_fields, key):
+                res[f.name] = kv
+            yield res[[c.name for c in out_schema.fields]]
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

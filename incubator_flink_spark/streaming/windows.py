@@ -1,0 +1,63 @@
+"""Watermarked streaming window aggregations (reference:
+StreamExecWindowAggregate / WatermarkAssignerOperator — SURVEY.md §2.4,
+§2.9). These are thin declarative wrappers: Structured Streaming owns
+watermark propagation (global min across partitions, the engine-side
+equivalent of StatusWatermarkValve) and state cleanup."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay_s: int) -> DataFrame:
+    """WATERMARK FOR ts AS ts - INTERVAL delay (bounded out-of-orderness,
+    reference BoundedOutOfOrdernessWatermarks)."""
+    return df.withWatermark(ts_col, f"{delay_s} seconds")
+
+
+def tumble_agg(
+    df: DataFrame, ts_col: str, size_s: int, delay_s: int, keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    w = with_watermark(df, ts_col, delay_s)
+    return w.groupBy(F.window(F.col(ts_col), f"{size_s} seconds").alias("w"), *keys).agg(*aggs).select(
+        F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *keys,
+        *[F.col(c) for c in _agg_names(aggs)],
+    )
+
+
+def hop_agg(
+    df: DataFrame, ts_col: str, size_s: int, slide_s: int, delay_s: int, keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    w = with_watermark(df, ts_col, delay_s)
+    return (
+        w.groupBy(F.window(F.col(ts_col), f"{size_s} seconds", f"{slide_s} seconds").alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *keys,
+            *[F.col(c) for c in _agg_names(aggs)],
+        )
+    )
+
+
+def session_agg(
+    df: DataFrame, ts_col: str, gap_s: int, delay_s: int, keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    w = with_watermark(df, ts_col, delay_s)
+    return (
+        w.groupBy(F.session_window(F.col(ts_col), f"{gap_s} seconds").alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *keys,
+            *[F.col(c) for c in _agg_names(aggs)],
+        )
+    )
+
+
+def _agg_names(aggs: list[Column]) -> list[str]:
+    # aliased agg columns expose their name via the expression string
+    names = []
+    for c in aggs:
+        s = c._jc.toString()
+        names.append(s.split(" AS ")[-1].strip("`") if " AS " in s else s)
+    return names

@@ -1,0 +1,82 @@
+"""Operator unit tests on hermetic inline fixtures (FIXTURES.md §3 style,
+mirroring the reference's operator test harnesses — SURVEY.md §5.1)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.operators.asof import asof_join
+from incubator_flink_spark.operators.dedup import normalize_text
+from incubator_flink_spark.operators.similarity import brute_force_topk
+from incubator_flink_spark.operators.windows import count_window, cumulate, tumble
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_tumble_assignment(spark):
+    df = spark.createDataFrame([(1, ts("2024-01-01 00:04:00")), (2, ts("2024-01-01 00:05:00"))], "id INT, t TIMESTAMP")
+    rows = {r.id: (r.window_start, r.window_end) for r in tumble(df, "t", 300).collect()}
+    assert rows[1] == (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:05:00"))
+    assert rows[2] == (ts("2024-01-01 00:05:00"), ts("2024-01-01 00:10:00"))
+
+
+def test_cumulate_assignment(spark):
+    # step=60s max=240s → event at 00:02:30 lands in windows ending 03:00, 04:00
+    df = spark.createDataFrame([(1, ts("2024-01-01 00:02:30"))], "id INT, t TIMESTAMP")
+    out = sorted((r.window_start, r.window_end) for r in cumulate(df, "t", 60, 240).collect())
+    assert out == [
+        (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:03:00")),
+        (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:04:00")),
+    ]
+
+
+def test_count_window_ids(spark):
+    rows = [(1, i, ts(f"2024-01-01 00:00:{i:02d}")) for i in range(7)]
+    df = spark.createDataFrame(rows, "k INT, i INT, t TIMESTAMP")
+    out = {r.i: r.window_id for r in count_window(df, "k", order_by=["t", "i"], size=3).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 2}
+
+
+def test_asof_join_basic_and_tie(spark):
+    build = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00"), 10.0, 100),
+            (1, ts("2024-01-01 00:05:00"), 20.0, 101),
+            (2, ts("2024-01-01 00:01:00"), 5.0, 102),
+        ],
+        "k INT, t TIMESTAMP, v DOUBLE, ver INT",
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:04:59"), "a"),
+            (1, ts("2024-01-01 00:05:00"), "b"),  # tie: build at same ts wins (<=)
+            (2, ts("2024-01-01 00:00:30"), "c"),  # before any version → null
+        ],
+        "k INT, t TIMESTAMP, tag STRING",
+    )
+    out = {
+        r.tag: (r.version_v, r.version_id)
+        for r in asof_join(
+            probe, build, keys=["k"], probe_ts="t", build_ts="t",
+            payload={"v": "version_v", "ver": "version_id"}, tiebreak="ver",
+        ).collect()
+    }
+    assert out["a"] == (10.0, 100)
+    assert out["b"] == (20.0, 101)
+    assert out["c"] == (None, None)
+
+
+def test_brute_force_topk_deterministic(spark):
+    vecs = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<FLOAT>")
+    out = brute_force_topk(df, df.where(F.col("vec_id") == 0), 2)
+    rows = [(r.neighbor_id, r.cos) for r in out.orderBy("rank").collect()]
+    # all non-self cosines are 0.0 → ties broken by neighbor_id
+    assert rows == [(1, 0.0), (2, 0.0)]
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([("  Hello,   WORLD!! 42 ",)], "s STRING")
+    assert df.select(normalize_text(F.col("s")).alias("n")).first().n == "hello world 42"

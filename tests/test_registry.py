@@ -1,0 +1,44 @@
+"""Registry contract tests: every query runs at sf0.001 with a stable
+schema; every oracle is valid DuckDB SQL; column names line up (the
+driver sorts columns by name before hashing, so a name mismatch is an
+automatic correctness failure)."""
+
+import duckdb
+import pytest
+
+from incubator_flink_spark.catalog import TABLES
+from incubator_flink_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", list(REGISTRY))
+def test_query_runs_and_matches_oracle_columns(spark, duck, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, SF)
+    scols = sorted(df.columns)
+    assert len(scols) == len(set(scols)), f"{name}: duplicate column names"
+    df.limit(5).collect()  # executes the plan
+    if q.oracle is not None:
+        res = duck.execute(q.oracle)
+        dcols = sorted(d[0] for d in res.description)
+        assert scols == dcols, f"{name}: spark={scols} duck={dcols}"
+
+
+def test_entry_contract(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    assert len(m.entry(spark).collect()) > 0
+    assert set(m.oracle_sql()) <= set(m.queries())

@@ -1,0 +1,175 @@
+"""Structured Streaming semantics tests (the reference's stream ITCase
+analog — SURVEY.md §5.3): replay the events table as an ordered file
+stream, run watermarked windows / stateful operators, and compare the
+final state against the batch ground truth."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.catalog import load
+from incubator_flink_spark.operators.windows import tumble
+from incubator_flink_spark.streaming.source import replay_table
+from incubator_flink_spark.streaming.stateful import (
+    count_window_counts,
+    keep_last_dedup,
+    streaming_topn,
+)
+from incubator_flink_spark.streaming.windows import tumble_agg
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def replay_dir():
+    d = tempfile.mkdtemp(prefix="replay_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def run_to_completion(stream_df, collect, mode="update"):
+    """Drive a streaming query with availableNow, folding each micro-batch
+    into `collect(batch_df, batch_id)`."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .foreachBatch(lambda bdf, bid: collect(bdf, bid))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+
+def test_streaming_tumble_agg_matches_batch(spark, replay_dir):
+    stream = replay_table(spark, SF, "events", replay_dir + "/tumble", n_files=4)
+    agg = tumble_agg(
+        stream, "ts", 600, 120, ["event_type"],
+        [F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("total")],
+    )
+    state = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            state[(r.window_start, r.window_end, r.event_type)] = (r.cnt, round(r.total, 6))
+
+    run_to_completion(agg, collect, mode="update")
+
+    batch = (
+        tumble(load(spark, SF, "events"), "ts", 600)
+        .groupBy("window_start", "window_end", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("total"))
+    )
+    expected = {
+        (r.window_start, r.window_end, r.event_type): (r.cnt, round(r.total, 6)) for r in batch.collect()
+    }
+    assert state == expected
+
+
+def test_streaming_append_mode_drops_open_windows(spark, replay_dir):
+    # In append mode only watermark-closed windows emit; the final windows
+    # (beyond max event time - delay) must be absent.
+    stream = replay_table(spark, SF, "events", replay_dir + "/append", n_files=4)
+    agg = tumble_agg(stream, "ts", 600, 120, [], [F.count(F.lit(1)).alias("cnt")])
+    emitted = []
+
+    def collect(bdf, _bid):
+        emitted.extend(bdf.collect())
+
+    run_to_completion(agg, collect, mode="append")
+    max_ts = load(spark, SF, "events").agg(F.max("ts")).first()[0]
+    assert emitted, "append mode should emit closed windows"
+    assert all(r.window_end <= max_ts for r in emitted)
+    # closed windows match batch counts exactly
+    batch = {
+        (r.window_start, r.window_end): r.cnt
+        for r in tumble(load(spark, SF, "events"), "ts", 600)
+        .groupBy("window_start", "window_end")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in emitted:
+        assert batch[(r.window_start, r.window_end)] == r.cnt
+
+
+def test_keep_last_dedup_stream_matches_batch(spark, replay_dir):
+    stream = replay_table(spark, SF, "events", replay_dir + "/dedup", n_files=4)
+    dedup = keep_last_dedup(stream, ["user_id", "event_type"], "ts", "event_id")
+    state = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            state[(r.user_id, r.event_type)] = r.event_id
+
+    run_to_completion(dedup, collect, mode="update")
+
+    e = load(spark, SF, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expected = {
+        (r.user_id, r.event_type): r.event_id
+        for r in e.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
+    }
+    assert state == expected
+
+
+def test_streaming_topn_deltas_reconstruct_batch_topn(spark, replay_dir):
+    stream = replay_table(spark, SF, "events", replay_dir + "/topn", n_files=4)
+    deltas = streaming_topn(stream, ["user_id"], "event_id", "value", 3)
+    state = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            if r["__rowkind"] == "+I":
+                state[(r.user_id, r.id)] = r.value
+            elif r["__rowkind"] == "-D":
+                state.pop((r.user_id, r.id), None)
+
+    run_to_completion(deltas, collect, mode="update")
+
+    e = load(spark, SF, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    expected = {
+        (r.user_id, r.event_id): r.value
+        for r in e.withColumn("rn", F.row_number().over(w)).where("rn <= 3").collect()
+    }
+    assert state == expected
+
+
+def test_count_window_stream_counts(spark, replay_dir):
+    stream = replay_table(spark, SF, "events", replay_dir + "/cw", n_files=4)
+    out = count_window_counts(stream, ["user_id"], "ts", "event_id", "value", 5)
+    rows = []
+
+    def collect(bdf, _bid):
+        rows.extend(bdf.collect())
+
+    run_to_completion(out, collect, mode="append")
+    # every closed window has exactly `size` rows, and the number of closed
+    # windows per user equals floor(user_rows/5)
+    assert rows and all(r.cnt == 5 for r in rows)
+    per_user = load(spark, SF, "events").groupBy("user_id").count().collect()
+    expected_windows = {r.user_id: r["count"] // 5 for r in per_user}
+    got: dict = {}
+    for r in rows:
+        got[r.user_id] = got.get(r.user_id, 0) + 1
+    assert got == {u: n for u, n in expected_windows.items() if n > 0}
+
+
+def test_stream_static_join(spark, replay_dir):
+    # stream-static broadcast join (reference lookup-join shape)
+    stream = replay_table(spark, SF, "events", replay_dir + "/ss", n_files=2)
+    users = load(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+    )
+    joined = stream.join(F.broadcast(users), "user_id", "left")
+    seen = []
+
+    def collect(bdf, _bid):
+        seen.extend(bdf.collect())
+
+    run_to_completion(joined, collect, mode="append")
+    n_events = load(spark, SF, "events").count()
+    assert len(seen) == n_events
