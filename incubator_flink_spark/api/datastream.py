@@ -1,0 +1,132 @@
+"""DataStream API facade (reference: DataStream.java / KeyedStream.java and
+the Python mirror pyflink/datastream/data_stream.py:232-686 — map,
+flat_map, filter, key_by, reduce, union, window, process, sinks).
+
+Element-wise transforms run as Arrow-batched pandas functions, never
+per-row Python loops in Spark's hot path.  ``key_by`` returns a
+KeyedStream whose ``reduce``/``process``/``count_window`` mirror the
+reference's keyed operators; on a streaming DataFrame, ``process`` maps
+to the stateful operators in streaming/stateful.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.operators.windows import count_window as _batch_count_window
+from incubator_flink_spark.operators.windows import tumble as _tumble
+
+
+def _col(e):
+    return F.expr(e) if isinstance(e, str) else e
+
+
+class DataStream:
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # --- stateless transforms ------------------------------------------------
+    def map(self, fn: Callable, output_schema: str) -> "DataStream":
+        """fn: pandas.DataFrame -> pandas.DataFrame (vectorized MapFunction)."""
+
+        def gen(batches):
+            for pdf in batches:
+                yield fn(pdf)
+
+        return DataStream(self._df.mapInPandas(gen, output_schema))
+
+    flat_map = map  # fan-out controlled by fn's output length
+
+    def filter(self, predicate: str | Column) -> "DataStream":
+        return DataStream(self._df.where(_col(predicate)))
+
+    def select(self, *exprs) -> "DataStream":
+        return DataStream(self._df.select(*[_col(e) for e in exprs]))
+
+    def union(self, *others: "DataStream") -> "DataStream":
+        df = self._df
+        for o in others:
+            df = df.unionByName(o._df)
+        return DataStream(df)
+
+    # --- partitioning (DataStream.keyBy:291 / rebalance:469 / broadcast:420) --
+    def key_by(self, *keys: str) -> "KeyedStream":
+        return KeyedStream(self._df, list(keys))
+
+    def rebalance(self, n: int) -> "DataStream":
+        return DataStream(self._df.repartition(n))
+
+    def partition_custom(self, *exprs) -> "DataStream":
+        return DataStream(self._df.repartition(*[_col(e) for e in exprs]))
+
+    # --- watermarks / sinks ---------------------------------------------------
+    def assign_timestamps_and_watermarks(self, ts_col: str, delay_s: int) -> "DataStream":
+        return DataStream(self._df.withWatermark(ts_col, f"{delay_s} seconds"))
+
+    def execute_and_collect(self):
+        return self._df.collect()
+
+    def to_df(self) -> DataFrame:
+        return self._df
+
+    def print(self, n: int = 20) -> None:
+        self._df.show(n)
+
+
+class KeyedStream:
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self._df = df
+        self._keys = keys
+
+    def reduce(self, *aggs: Column) -> DataStream:
+        """Keyed reduce → groupBy aggregation (partial/final combine is
+        Catalyst's, matching the reference's combiner chain)."""
+        return DataStream(self._df.groupBy(*self._keys).agg(*aggs))
+
+    def process(self, fn: Callable, output_schema: str) -> DataStream:
+        """KeyedProcessFunction equivalent for batch: per-key pandas
+        transform (multi-row output allowed). Streaming stateful
+        processing lives in streaming/stateful.py."""
+        return DataStream(self._df.groupBy(*self._keys).applyInPandas(fn, output_schema))
+
+    def tumbling_window(self, ts_col: str, size_s: int) -> "WindowedStream":
+        return WindowedStream(_tumble(self._df, ts_col, size_s), self._keys)
+
+    def count_window(self, ts_col: str, tiebreak: str, size: int) -> "WindowedStream":
+        win = _batch_count_window(self._df, *self._keys, order_by=[ts_col, tiebreak], size=size)
+        return WindowedStream(win, self._keys, window_cols=["window_id"])
+
+
+class WindowedStream:
+    def __init__(self, df: DataFrame, keys: list[str], window_cols: list[str] | None = None):
+        self._df = df
+        self._keys = keys
+        self._window_cols = window_cols or ["window_start", "window_end"]
+
+    def aggregate(self, *aggs: Column) -> DataStream:
+        return DataStream(self._df.groupBy(*self._window_cols, *self._keys).agg(*aggs))
+
+    def apply(self, fn: Callable, output_schema: str) -> DataStream:
+        """WindowFunction with the whole window's rows (coGroup-style)."""
+        return DataStream(
+            self._df.groupBy(*self._window_cols, *self._keys).applyInPandas(fn, output_schema)
+        )
+
+
+class StreamExecutionEnvironment:
+    """Execution entry point (reference StreamExecutionEnvironment)."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def from_collection(self, rows, schema: str) -> DataStream:
+        return DataStream(self._spark.createDataFrame(rows, schema))
+
+    def from_sequence(self, start: int, end: int) -> DataStream:
+        return DataStream(self._spark.range(start, end + 1).withColumnRenamed("id", "value"))
+
+    def from_dataframe(self, df: DataFrame) -> DataStream:
+        return DataStream(df)
