@@ -1,0 +1,138 @@
+"""CEP tests mirroring the reference's pattern-matching test families
+(flink-cep NFA/Pattern tests; MatchRecognizeITCase shapes)."""
+
+from datetime import datetime
+
+from incubator_flink_spark.cep import Pattern, match_pattern
+from incubator_flink_spark.cep.nfa import find_matches
+
+
+def ev(t, typ, v=0.0, i=0):
+    return {"ts": datetime.fromisoformat(t), "event_type": typ, "value": v, "event_id": i}
+
+
+SEQ = [
+    ev("2024-01-01 00:00:00", "a", 1.0, 0),
+    ev("2024-01-01 00:00:10", "b", 2.0, 1),
+    ev("2024-01-01 00:00:20", "x", 0.0, 2),
+    ev("2024-01-01 00:00:30", "b", 3.0, 3),
+    ev("2024-01-01 00:00:40", "c", 4.0, 4),
+]
+
+
+def test_strict_next():
+    p = Pattern.begin("s").where(lambda e: e["event_type"] == "a").next("t").where(
+        lambda e: e["event_type"] == "b"
+    )
+    m = find_matches(p, SEQ)
+    assert len(m) == 1  # only the adjacent a->b (idx 0,1)
+    assert m[0]["s"][0]["event_id"] == 0 and m[0]["t"][0]["event_id"] == 1
+
+
+def test_followed_by_relaxed():
+    p = Pattern.begin("s").where(lambda e: e["event_type"] == "a").followed_by("t").where(
+        lambda e: e["event_type"] == "c"
+    )
+    m = find_matches(p, SEQ)
+    assert len(m) == 1 and m[0]["t"][0]["event_id"] == 4
+
+
+def test_times_quantifier_greedy_range():
+    p = Pattern.begin("bs").where(lambda e: e["event_type"] == "b").times(1, 2)
+    m = find_matches(p, SEQ)
+    captured = sorted(tuple(e["event_id"] for e in match["bs"]) for match in m)
+    # relaxed repeats: (1,), (1,3), (3,)
+    assert captured == [(1,), (1, 3), (3,)]
+
+
+def test_one_or_more_and_within():
+    p = (
+        Pattern.begin("bs")
+        .where(lambda e: e["event_type"] == "b")
+        .one_or_more()
+        .within(15)  # b@10 and b@30 are 20s apart → no combined match
+    )
+    m = find_matches(p, SEQ)
+    captured = sorted(tuple(e["event_id"] for e in match["bs"]) for match in m)
+    assert captured == [(1,), (3,)]
+
+
+def test_optional_stage():
+    p = (
+        Pattern.begin("s")
+        .where(lambda e: e["event_type"] == "a")
+        .followed_by("mid")
+        .where(lambda e: e["event_type"] == "x")
+        .optional()
+        .followed_by("t")
+        .where(lambda e: e["event_type"] == "c")
+    )
+    m = find_matches(p, SEQ)
+    shapes = sorted(tuple(sorted(k for k in match if match[k])) for match in m)
+    assert ("mid", "s", "t") in shapes and ("s", "t") in shapes
+
+
+def test_not_followed_by():
+    p = (
+        Pattern.begin("s")
+        .where(lambda e: e["event_type"] == "a")
+        .not_followed_by("nx")
+        .where(lambda e: e["event_type"] == "x")
+        .followed_by("t")
+        .where(lambda e: e["event_type"] == "b")
+    )
+    m = find_matches(p, SEQ)
+    # a->b@1 ok (no x between); a->b@3 blocked by x@2
+    assert len(m) == 1 and m[0]["t"][0]["event_id"] == 1
+
+
+def test_skip_past_last_event():
+    events = [ev(f"2024-01-01 00:00:{i:02d}", "a", float(i), i) for i in range(4)]
+    p = Pattern.begin("s").where(lambda e: e["event_type"] == "a").times(2)
+    assert len(find_matches(p, events)) > 2  # NO_SKIP: overlapping pairs
+    p2 = (
+        Pattern.begin("s").where(lambda e: e["event_type"] == "a").times(2).after_match_skip_past_last_event()
+    )
+    m = find_matches(p2, events)
+    assert [tuple(e["event_id"] for e in match["s"]) for match in m] == [(0, 1), (2, 3)]
+
+
+def test_or_predicate():
+    p = Pattern.begin("s").where(lambda e: e["event_type"] == "a").or_(lambda e: e["event_type"] == "c")
+    m = find_matches(p, SEQ)
+    assert sorted(match["s"][0]["event_id"] for match in m) == [0, 4]
+
+
+def test_distributed_match_pattern(spark):
+    # funnel: signup → purchase within 7 days, per user, on real events
+    from incubator_flink_spark.catalog import load
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    p = (
+        Pattern.begin("signup")
+        .where(lambda e: e["event_type"] == "signup")
+        .followed_by("purchase")
+        .where(lambda e: e["event_type"] == "purchase")
+        .within(7 * 86400)
+        .after_match_skip_past_last_event()
+    )
+
+    def select(key, match):
+        return {
+            "user_id": int(key["user_id"]),
+            "signup_id": int(match["signup"][0]["event_id"]),
+            "purchase_id": int(match["purchase"][0]["event_id"]),
+        }
+
+    out = match_pattern(
+        events, ["user_id"], "ts", p, select,
+        "user_id BIGINT, signup_id BIGINT, purchase_id BIGINT", tiebreak="event_id",
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # every emitted pair is ordered correctly in the source data
+    src = {r.event_id: r for r in events.collect()}
+    for r in rows:
+        assert src[r.signup_id].event_type == "signup"
+        assert src[r.purchase_id].event_type == "purchase"
+        assert src[r.signup_id].ts <= src[r.purchase_id].ts
