@@ -288,3 +288,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feature extraction (decode kernel stubbed — see operators/multimodal).
     d = attach_binary_payload(load(spark, sf_dir, "documents"))
     return extract_features(d).orderBy("doc_id")
+
+
+# --- word count (the canonical Correlate → groupBy pipeline) -----------------
+
+WORD_COUNT_ORACLE = f"""
+SELECT word, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest({tokens_sql("text")}) AS word FROM documents) t
+GROUP BY word
+HAVING COUNT(*) >= 50
+ORDER BY cnt DESC, word
+"""
+
+
+@register("word_count", WORD_COUNT_ORACLE)
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode → groupBy: Catalyst plans Generate + partial/final hash agg
+    # (reference: the flatMap+groupBy WordCount that is Flink's hello-world).
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.countDistinct("doc_id").alias("doc_freq"))
+        .where(F.col("cnt") >= 50)
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+    )
+
+
+TOP_WORDS_PER_LANG_ORACLE = f"""
+SELECT lang, word, cnt, rn FROM (
+  SELECT lang, word, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS INTEGER) AS rn
+  FROM (
+    SELECT lang, word, COUNT(*) AS cnt FROM (
+      SELECT lang, unnest({tokens_sql("text")}) AS word FROM documents) e
+    GROUP BY lang, word) a
+) r WHERE rn <= 5
+ORDER BY lang, rn
+"""
+
+
+@register("top_words_per_lang", TOP_WORDS_PER_LANG_ORACLE)
+def top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 5)
+        .orderBy("lang", "rn")
+    )
