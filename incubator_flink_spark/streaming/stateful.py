@@ -176,3 +176,150 @@ def count_window_counts(df: DataFrame, keys: list[str], ts_col: str, tiebreak: s
     return df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_over_range(
+    df: DataFrame, keys: list[str], ts_col: str, id_col: str, value_col: str, range_s: int
+) -> DataFrame:
+    """Event-time RANGE OVER aggregation per key: for each row, the
+    sum/count of values in (row_ts - range_s, row_ts] — the streaming form
+    of RowTimeRangeBoundedPrecedingFunction.java:296.
+
+    State per key: the buffer of (ts_us, value) pairs still inside the
+    range horizon — pruned on every row, so state is O(rows-in-range),
+    matching the reference's retention cleanup. Rows are processed in
+    (ts, id) order within each batch; cross-batch order follows arrival
+    (exact under ordered replay; the reference additionally buffers
+    out-of-order rows until the watermark — documented divergence).
+    """
+    key_fields = [f for f in df.schema.fields if f.name in keys]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("sum_range", T.DoubleType()),
+            T.StructField("cnt_range", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_buf", T.ArrayType(T.LongType())),
+            T.StructField("val_buf", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    horizon_us = range_s * 1_000_000
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        ts_buf, val_buf = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values([ts_col, id_col])
+            for ts_us, rid, v in zip(_ts_us(pdf[ts_col]), pdf[id_col].astype(int), pdf[value_col].astype(float)):
+                ts_us = int(ts_us)
+                ts_buf.append(ts_us)
+                val_buf.append(float(v))
+                lo = ts_us - horizon_us
+                while ts_buf and ts_buf[0] < lo:
+                    ts_buf.pop(0)
+                    val_buf.pop(0)
+                out.append(
+                    {
+                        "id": int(rid),
+                        "ts": pd.Timestamp(ts_us * 1000),
+                        "sum_range": round(sum(val_buf), 9),
+                        "cnt_range": len(val_buf),
+                    }
+                )
+        state.update((ts_buf, val_buf))
+        if out:
+            res = pd.DataFrame(out)
+            for f, kv in zip(key_fields, key):
+                res[f.name] = kv
+            yield res[[c.name for c in out_schema.fields]]
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def temporal_join_stream(
+    tagged: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    side_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming event-time temporal join (TemporalRowTimeJoinOperator.java:78)
+    over a tagged union of the probe and build streams (side_col: 'probe' /
+    'build' — Spark stateful ops are single-input, so the two-input
+    operator becomes union + dispatch, the same trick as CoProcess).
+
+    Build rows append (ts, id, value) versions to per-key state; probe rows
+    emit the version valid at their timestamp (latest build_ts <= probe_ts;
+    ties: build processed first). State grows with version count — at
+    100TB, pair with TTL/version GC on the watermark as the reference does.
+    """
+    key_fields = [f for f in tagged.schema.fields if f.name in keys]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField("probe_id", T.LongType()),
+            T.StructField("probe_ts", T.TimestampType()),
+            T.StructField("version_id", T.LongType()),
+            T.StructField("version_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("v_ts", T.ArrayType(T.LongType())),
+            T.StructField("v_id", T.ArrayType(T.LongType())),
+            T.StructField("v_val", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        v_ts, v_id, v_val = (
+            (list(state.get[0]), list(state.get[1]), list(state.get[2])) if state.exists else ([], [], [])
+        )
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.assign(__us=_ts_us(pdf[ts_col]), __b=(pdf[side_col] == "build").astype(int))
+            # build rows first at equal timestamps (inclusive <= semantics)
+            pdf = pdf.sort_values(["__us", "__b", id_col], ascending=[True, False, True])
+            for us, side, rid, v in zip(
+                pdf["__us"], pdf[side_col], pdf[id_col].astype(int), pdf[value_col].astype(float)
+            ):
+                us = int(us)
+                if side == "build":
+                    pos = bisect.bisect_right(v_ts, us)
+                    v_ts.insert(pos, us)
+                    v_id.insert(pos, int(rid))
+                    v_val.insert(pos, float(v))
+                else:
+                    pos = bisect.bisect_right(v_ts, us) - 1
+                    out.append(
+                        {
+                            "probe_id": int(rid),
+                            "probe_ts": pd.Timestamp(us * 1000),
+                            "version_id": int(v_id[pos]) if pos >= 0 else None,
+                            "version_value": float(v_val[pos]) if pos >= 0 else None,
+                        }
+                    )
+        state.update((v_ts, v_id, v_val))
+        if out:
+            res = pd.DataFrame(out)
+            for f, kv in zip(key_fields, key):
+                res[f.name] = kv
+            yield res[[c.name for c in out_schema.fields]]
+
+    return tagged.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

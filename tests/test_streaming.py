@@ -173,3 +173,67 @@ def test_stream_static_join(spark, replay_dir):
     run_to_completion(joined, collect, mode="append")
     n_events = load(spark, SF, "events").count()
     assert len(seen) == n_events
+
+
+def test_streaming_over_range_matches_batch(spark, replay_dir):
+    from incubator_flink_spark.streaming.stateful import streaming_over_range
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/over", n_files=4)
+    out = streaming_over_range(stream, ["user_id"], "ts", "event_id", "value", 600)
+    got = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            got[r.id] = (round(r.sum_range, 6), r.cnt_range)
+
+    run_to_completion(out, collect, mode="append")
+
+    # batch ground truth: RANGE OVER 10 minutes preceding (events replay is
+    # globally ts-ordered, so per-key arrival order == event-time order)
+    e = load(spark, SF, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, W.currentRow)
+    )
+    expected = {
+        r.event_id: (round(r.s, 6), r.c)
+        for r in e.select(
+            "event_id",
+            F.round(F.sum("value").over(w), 6).alias("s"),
+            F.count(F.lit(1)).over(w).alias("c"),
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_temporal_join_stream_matches_batch_asof(spark, replay_dir):
+    from incubator_flink_spark.operators.asof import asof_join
+    from incubator_flink_spark.streaming.stateful import temporal_join_stream
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/temporal", n_files=4)
+    tagged = stream.where(F.col("event_type").isin("purchase", "signup")).withColumn(
+        "side", F.when(F.col("event_type") == "signup", "build").otherwise("probe")
+    )
+    out = temporal_join_stream(tagged, ["user_id"], "ts", "side", "event_id", "value")
+    got = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            got[r.probe_id] = r.version_id
+
+    run_to_completion(out, collect, mode="append")
+
+    e = load(spark, SF, "events")
+    probe = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    build = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_event_id"), F.col("user_id"), F.col("ts").alias("s_ts"), F.col("value")
+    )
+    expected = {
+        r.event_id: r.version_id
+        for r in asof_join(
+            probe, build, keys=["user_id"], probe_ts="ts", build_ts="s_ts",
+            payload={"s_event_id": "version_id"},
+        ).collect()
+    }
+    assert got == expected
