@@ -1,0 +1,63 @@
+"""Source/sink/format round-trip tests (SURVEY.md §2.1: filesystem
+connector with csv/json/parquet/orc formats, partitioned layout,
+datagen/blackhole utility tables)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.catalog import load
+from incubator_flink_spark.sources import blackhole, datagen, read_table, write_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_format_roundtrip(spark, fmt):
+    src = load(spark, SF, "nation")
+    path = tempfile.mkdtemp(prefix=f"rt_{fmt}_")
+    write_table(src, path, fmt)
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    back = read_table(spark, path, fmt, schema=schema)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(tuple(r) for r in src.collect())
+
+
+def test_partitioned_write_and_pruning(spark):
+    src = load(spark, SF, "customer")
+    path = tempfile.mkdtemp(prefix="part_")
+    write_table(src, path, "parquet", partition_by=["c_nationkey"])
+    back = read_table(spark, path, "parquet")
+    assert back.count() == src.count()
+    # partition pruning: filter on the partition column reads a subset of dirs
+    one = back.where(F.col("c_nationkey") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() == src.where(F.col("c_nationkey") == 3).count()
+
+
+def test_streaming_file_source_roundtrip(spark):
+    src = load(spark, SF, "nation")
+    path = tempfile.mkdtemp(prefix="streamsrc_")
+    write_table(src, path, "json")
+    stream = read_table(
+        spark, path, "json", schema="n_nationkey INT, n_name STRING, n_regionkey INT", streaming=True
+    )
+    assert stream.isStreaming
+    rows = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: rows.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(rows) == 25
+
+
+def test_datagen_and_blackhole(spark):
+    batch = datagen(spark, streaming=False, n_rows=50)
+    assert batch.count() == 50 and batch.columns == ["id", "timestamp", "value"]
+    blackhole(batch)  # must fully evaluate without error
+    stream = datagen(spark, rows_per_second=10, streaming=True)
+    assert stream.isStreaming
