@@ -1,0 +1,51 @@
+"""Plan-property tests — the golden-plan suite replacement (SURVEY.md
+§5.2): pin the scale-relevant physical properties of headline queries."""
+
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.catalog import load
+from incubator_flink_spark.plans import audit_plan
+from incubator_flink_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q6_prunes_columns_and_pushes_filters(spark):
+    rep = audit_plan(REGISTRY["tpch_q6"].fn(spark, SF))
+    cols = rep.read_columns(0)
+    assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+    assert rep.scans_with_pushed_filters >= 1
+
+
+def test_q5_broadcasts_dims_no_smj(spark):
+    rep = audit_plan(REGISTRY["tpch_q5"].fn(spark, SF))
+    # supplier/nation/region are hint-broadcast; remaining joins resolve
+    # to broadcast or SMJ by stats, but never nested-loop
+    assert rep.broadcast_hash_joins >= 3
+    assert rep.nested_loop_joins == 0
+
+
+def test_q1_single_agg_shuffle(spark):
+    rep = audit_plan(REGISTRY["tpch_q1"].fn(spark, SF))
+    # partial+final agg → exactly one data shuffle plus the sort for ORDER BY
+    assert rep.exchanges <= 2
+
+
+def test_broadcast_join_stays_broadcast_when_hinted(spark):
+    c = load(spark, SF, "customer")
+    n = load(spark, SF, "nation")
+    rep = audit_plan(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    assert rep.broadcast_hash_joins == 1 and rep.exchanges == 0
+
+
+def test_codegen_covers_hot_path_after_execution(spark):
+    rep = audit_plan(REGISTRY["tpch_q1"].fn(spark, SF), execute=True)
+    assert rep.codegen_blocks >= 2  # scan+partial agg, final agg fused
+
+
+def test_minhash_verify_is_candidate_first(spark):
+    # the expensive shingle self-join must be gated behind the candidate
+    # semi-joins (see operators/dedup.verify_jaccard) — if someone reorders
+    # it, the full inverted-index join reappears as an extra big SMJ
+    rep = audit_plan(REGISTRY["dedup_minhash_lsh"].fn(spark, SF))
+    assert rep.sort_merge_joins <= 4
