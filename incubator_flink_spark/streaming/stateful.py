@@ -323,3 +323,53 @@ def temporal_join_stream(
     return tagged.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def keep_last_dedup_ttl(
+    df: DataFrame, keys: list[str], ts_col: str, tiebreak: str, ttl_s: int
+) -> DataFrame:
+    """keep_last_dedup with event-time state TTL (reference StateTtlConfig
+    + StreamExecDeduplicate's state retention): a key's winner state is
+    dropped once the watermark passes last_update + ttl. On expiry a
+    tombstone row is emitted (key columns set, ``tiebreak`` = -1) so
+    downstream upsert sinks can retract the key — and so the cleanup is
+    observable/testable.
+
+    Requires ``df.withWatermark(ts_col, ...)`` upstream (the event-time
+    timeout clock is the stream's watermark, the same clock the reference
+    uses for state cleanup)."""
+    out_schema = df.schema
+    state_schema = T.StructType(
+        [T.StructField("ts_us", T.LongType()), T.StructField("tb", T.LongType())]
+    )
+    key_fields = [f for f in out_schema.fields if f.name in keys]
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # TTL cleanup — forget the winner
+            tomb = {f.name: None for f in out_schema.fields}
+            for f, kv in zip(key_fields, key):
+                tomb[f.name] = kv
+            tomb[tiebreak] = -1
+            yield pd.DataFrame([tomb])[[f.name for f in out_schema.fields]]
+            return
+        best_ts, best_tb = state.get if state.exists else (-(1 << 62), -(1 << 62))
+        winner = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.assign(__ts_us=_ts_us(pdf[ts_col]))
+            pdf = pdf.sort_values(["__ts_us", tiebreak]).tail(1)
+            ts_v = int(pdf["__ts_us"].iloc[0])
+            tb_v = int(pdf[tiebreak].iloc[0])
+            if (ts_v, tb_v) > (best_ts, best_tb):
+                best_ts, best_tb = ts_v, tb_v
+                winner = pdf.drop(columns="__ts_us")
+        if winner is not None:
+            state.update((best_ts, best_tb))
+            state.setTimeoutTimestamp(best_ts // 1000 + ttl_s * 1000)  # epoch ms
+            yield winner
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+    )

@@ -1,0 +1,69 @@
+"""DDL layer tests (reference: SqlCreateTable/SqlWatermark DDL surface)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.sources.ddl import execute_ddl, parse_create_table
+
+SF = "/root/testdata/sf0.001"
+
+
+DDL = f"""
+CREATE TABLE my_events (
+  event_id BIGINT,
+  ts TIMESTAMP,
+  user_id BIGINT,
+  event_type STRING,
+  value DOUBLE,
+  props STRING,
+  value_cents AS CAST(value * 100 AS BIGINT),
+  PRIMARY KEY (event_id) NOT ENFORCED,
+  WATERMARK FOR ts AS ts - INTERVAL '30' SECOND
+) WITH (
+  'connector' = 'filesystem',
+  'path' = '{SF}/events.parquet',
+  'format' = 'parquet'
+)
+"""
+
+
+def test_parse_create_table():
+    t = parse_create_table(DDL)
+    assert t.name == "my_events"
+    assert ("event_id", "BIGINT") in t.columns and len(t.columns) == 6
+    assert t.computed == [("value_cents", "CAST(value * 100 AS BIGINT)")]
+    assert t.watermark == ("ts", 30)
+    assert t.primary_key == ["event_id"]
+    assert t.options["connector"] == "filesystem"
+
+
+def test_execute_ddl_batch_registers_view(spark):
+    # parquet supplies the schema; DDL columns are declarative (as in the
+    # reference, where the connector validates them)
+    df = execute_ddl(spark, DDL)
+    assert df.count() == 1000
+    assert "value_cents" in df.columns
+    row = spark.sql("SELECT value, value_cents FROM my_events ORDER BY event_id LIMIT 1").first()
+    assert row.value_cents == int(round(row.value * 100))
+
+
+def test_execute_ddl_streaming_with_watermark(spark):
+    ddl = DDL.replace("'format' = 'parquet'", "'format' = 'parquet',\n  'mode' = 'streaming'")
+    df = execute_ddl(spark, ddl)
+    assert df.isStreaming
+    # watermark node present in the logical plan
+    assert "EventTimeWatermark" in df._jdf.queryExecution().logical().toString()
+
+
+def test_execute_ddl_datagen(spark):
+    df = execute_ddl(
+        spark,
+        "CREATE TABLE gen (id BIGINT, timestamp TIMESTAMP, value DOUBLE) "
+        "WITH ('connector' = 'datagen', 'number-of-rows' = '25')",
+    )
+    assert df.count() == 25
+
+
+def test_execute_ddl_rejects_unknown_connector(spark):
+    with pytest.raises(ValueError, match="unsupported connector"):
+        execute_ddl(spark, "CREATE TABLE t (a INT) WITH ('connector' = 'kinesis')")

@@ -237,3 +237,43 @@ def test_temporal_join_stream_matches_batch_asof(spark, replay_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_keep_last_dedup_ttl_expires_state(spark, replay_dir):
+    # file 0: key 1 winner at 10:00. file 1: another key at 13:00 pushes
+    # the watermark past 10:00+TTL(30min) → key 1's state expires and a
+    # tombstone (id=-1) is emitted on the next trigger. Key 2's TTL
+    # deadline (13:30) stays beyond the final watermark → no tombstone.
+    from incubator_flink_spark.streaming.stateful import keep_last_dedup_ttl
+
+    base = replay_dir + "/ttl"
+    schema = "k BIGINT, ts TIMESTAMP, id BIGINT"
+
+    def write_file(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(f"{base}/__file={i}")
+
+    from datetime import datetime
+
+    t = datetime.fromisoformat
+    write_file(0, [(1, t("2024-01-01 10:00:00"), 100)])
+    write_file(1, [(2, t("2024-01-01 13:00:00"), 200)])  # advances watermark past 10:30
+    write_file(2, [(2, t("2024-01-01 13:10:00"), 201)])  # extra trigger so the timer fires
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/__file=*")
+        .withWatermark("ts", "1 second")
+    )
+    out = keep_last_dedup_ttl(stream, ["k"], "ts", "id", ttl_s=1800)
+    emitted = []
+
+    def collect(bdf, bid):
+        emitted.extend((bid, r.k, r.id) for r in bdf.collect())
+
+    run_to_completion(out, collect, mode="update")
+    key1_ids = [i for _, k, i in emitted if k == 1]
+    key2_ids = [i for _, k, i in emitted if k == 2]
+    assert 100 in key1_ids  # original winner emitted
+    assert -1 in key1_ids, f"TTL tombstone not observed: {emitted}"  # state expired
+    assert -1 not in key2_ids  # key 2 never expired
