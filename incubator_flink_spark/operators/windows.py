@@ -87,3 +87,24 @@ def count_window(df: DataFrame, *keys: str, order_by: list[str], size: int) -> D
 
     w = W.partitionBy(*keys).orderBy(*order_by)
     return df.withColumn("window_id", ((F.row_number().over(w) - 1) / size).cast("bigint"))
+
+
+def window_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    size_s: int,
+    fn,
+    output_schema: str,
+) -> DataFrame:
+    """Windowed coGroup (reference: CoGroupedStreams.java — tagged-union
+    into a WindowOperator handing both sides' buffers to the user
+    function). Spark form: assign windows to both sides, then
+    ``cogroup().applyInPandas`` on (window, keys) — fn(left_pdf,
+    right_pdf) sees every row of each side for the group, including
+    groups present on only one side (the coGroup/full-outer contract)."""
+    lw = tumble(left, ts_col, size_s)
+    rw = tumble(right, ts_col, size_s)
+    group_cols = ["window_start", *keys]
+    return lw.groupBy(*group_cols).cogroup(rw.groupBy(*group_cols)).applyInPandas(fn, output_schema)

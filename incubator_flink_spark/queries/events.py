@@ -308,3 +308,35 @@ def over_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+WINDOW_JOIN_ORACLE = """
+WITH w AS (
+  SELECT *, (epoch_us(ts) // 3600000000) * 3600 AS win_s FROM events
+)
+SELECT CAST(to_timestamp(a.win_s) AS TIMESTAMP) AS window_start,
+       a.user_id, a.event_id AS view_id, b.event_id AS click_id
+FROM (SELECT * FROM w WHERE event_type = 'view') a
+JOIN (SELECT * FROM w WHERE event_type = 'click') b
+  ON a.win_s = b.win_s AND a.user_id = b.user_id
+ORDER BY window_start, a.user_id, view_id, click_id
+"""
+
+
+@register("window_join", WINDOW_JOIN_ORACLE)
+def window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window join (reference StreamExecWindowJoin.java:58 → WindowJoinOperator):
+    # both sides in the same tumbling window; the join key is
+    # (window, user) so state/shuffle are bounded per window.
+    e = tumble(load(spark, sf_dir, "events"), "ts", 3600)
+    a = e.where(F.col("event_type") == "view").select(
+        F.col("window_start"), F.col("user_id"), F.col("event_id").alias("view_id")
+    )
+    b = e.where(F.col("event_type") == "click").select(
+        F.col("window_start").alias("b_ws"), F.col("user_id").alias("b_user"), F.col("event_id").alias("click_id")
+    )
+    return (
+        a.join(b, (F.col("window_start") == F.col("b_ws")) & (F.col("user_id") == F.col("b_user")))
+        .select("window_start", "user_id", "view_id", "click_id")
+        .orderBy("window_start", "user_id", "view_id", "click_id")
+    )
