@@ -82,7 +82,11 @@ def minhash_lsh_pairs(
     (1-(1-t^r)^b — ≥0.99998 at t=0.94 with 4 bands x 2 rows).
     """
     rows = NUM_MINHASHES // bands
-    sig = minhash_signatures(docs, id_col, text_col, k)
+    # persist: the banded signature table feeds BOTH sides of the
+    # candidate self-join — without it the whole shingle+hash+agg subtree
+    # runs twice. Doc-level (one row per doc), so memory ∝ corpus size
+    # not shingle count; at very large scale swap for a checkpoint.
+    sig = minhash_signatures(docs, id_col, text_col, k).persist()
     band_cols = [
         F.concat_ws("_", *[F.col(f"minhash_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
         for b in range(bands)
@@ -164,7 +168,7 @@ def simhash_pairs(
     hamming<=15-bit-band-count-1 shares at least one exact band by
     pigeonhole when distance < number of bands), verified by
     bit_count(xor) <= max_hamming."""
-    sig = simhash_signatures(docs, id_col, text_col, k)
+    sig = simhash_signatures(docs, id_col, text_col, k).persist()  # feeds both join sides
     bands_long = sig.select(
         F.col(id_col),
         F.col("simhash"),

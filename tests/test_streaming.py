@@ -277,3 +277,43 @@ def test_keep_last_dedup_ttl_expires_state(spark, replay_dir):
     assert 100 in key1_ids  # original winner emitted
     assert -1 in key1_ids, f"TTL tombstone not observed: {emitted}"  # state expired
     assert -1 not in key2_ids  # key 2 never expired
+
+
+def test_checkpoint_recovery_resumes_state(spark, replay_dir):
+    # the reference's recovery e2e analog: stop a stateful query, append
+    # more input, restart from the SAME checkpoint — state must carry
+    # over (no re-emission of already-processed winners, correct final state)
+    import os
+    from datetime import datetime
+
+    base = replay_dir + "/ckptrec"
+    ckpt = replay_dir + "/ckptrec_ckpt"
+    schema = "k BIGINT, ts TIMESTAMP, id BIGINT"
+    t = datetime.fromisoformat
+
+    def write_file(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(f"{base}/__file={i}")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(base + "/__file=*")
+        out = keep_last_dedup(stream, ["k"], "ts", "id")
+        emitted = []
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda b, i: emitted.extend((r.k, r.id) for r in b.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(240)
+        return emitted
+
+    write_file(0, [(1, t("2024-01-01 10:00:00"), 100), (2, t("2024-01-01 10:00:00"), 200)])
+    first = run_once()
+    assert set(first) == {(1, 100), (2, 200)}
+
+    # append: newer winner for k=1, OLDER row for k=2 (must lose to
+    # state recovered from the checkpoint, not re-emit)
+    write_file(1, [(1, t("2024-01-01 11:00:00"), 101), (2, t("2024-01-01 09:00:00"), 199)])
+    second = run_once()
+    assert set(second) == {(1, 101)}  # k=2's older row suppressed by recovered state
