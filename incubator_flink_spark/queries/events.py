@@ -340,3 +340,45 @@ def window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "user_id", "view_id", "click_id")
         .orderBy("window_start", "user_id", "view_id", "click_id")
     )
+
+
+SESSION_DYNAMIC_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 600 ELSE 300 END AS gap_s
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) > epoch_us(lag(ts) OVER w) + lag(gap_s) OVER w * 1000000
+                 THEN 1 ELSE 0 END AS new_session
+  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts + gap_s * INTERVAL 1 SECOND) AS session_end,
+       COUNT(*) AS cnt
+FROM numbered GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@register("window_session_dynamic", SESSION_DYNAMIC_ORACLE)
+def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dynamic-gap session windows (reference DynamicEventTimeSessionWindows
+    # / SessionWindowTimeGapExtractor): gap is a per-row expression.
+    e = load(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", F.lit("600 seconds")).otherwise(F.lit("300 seconds"))
+    return (
+        e.groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+        )
+        .orderBy("user_id", "session_start")
+    )

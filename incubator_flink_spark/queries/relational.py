@@ -714,3 +714,55 @@ def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * FROM VALUES (1, 'tumble'), (2, 'hop'), (3, 'session'), (4, 'cumulate') AS t(id, kind) ORDER BY id"
     )
+
+
+AGG_PERCENTILES_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("agg_percentiles", AGG_PERCENTILES_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact interpolated percentiles (reference: percentile via sort-agg;
+    # both engines use the same linear-interpolation definition)
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 6).alias("median_qty"),
+            F.round(F.percentile(F.col("l_quantity"), F.lit(0.9)), 6).alias("p90_qty"),
+            F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.25)), 6).alias("p25_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_MULTISET_ORACLE = """
+SELECT n_regionkey,
+       array_to_string(list_sort(list_transform(
+         map_entries(histogram(n_name)),
+         e -> e.key || ':' || CAST(e.value AS VARCHAR))), ',') AS name_multiset
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+@register("agg_multiset", AGG_MULTISET_ORACLE)
+def agg_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MULTISET/COLLECT (reference CollectAggFunction; SURVEY §1.5 maps
+    # MULTISET to a count-map convention). Serialized as sorted k:v list
+    # so the comparison is engine-agnostic.
+    n = load(spark, sf_dir, "nation")
+    counts = n.groupBy("n_regionkey", "n_name").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("n_regionkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.concat_ws(":", F.col("n_name"), F.col("c")))), ","
+            ).alias("name_multiset")
+        )
+        .orderBy("n_regionkey")
+    )
