@@ -317,3 +317,47 @@ def test_checkpoint_recovery_resumes_state(spark, replay_dir):
     write_file(1, [(1, t("2024-01-01 11:00:00"), 101), (2, t("2024-01-01 09:00:00"), 199)])
     second = run_once()
     assert set(second) == {(1, 101)}  # k=2's older row suppressed by recovered state
+
+
+def test_streaming_hop_and_session_match_batch(spark, replay_dir):
+    from incubator_flink_spark.operators.windows import hop
+    from incubator_flink_spark.streaming.windows import hop_agg, session_agg
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/hop", n_files=3)
+    agg = hop_agg(stream, "ts", 600, 300, 120, [], [F.count(F.lit(1)).alias("cnt")])
+    got = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            got[(r.window_start, r.window_end)] = r.cnt
+
+    run_to_completion(agg, collect, mode="update")
+    expected = {
+        (r.window_start, r.window_end): r.cnt
+        for r in hop(load(spark, SF, "events"), "ts", 600, 300)
+        .groupBy("window_start", "window_end")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expected
+
+    # session windows: update mode is rejected by Spark — append emits
+    # closed sessions only; every emission must match the batch session set
+    stream2 = replay_table(spark, SF, "events", replay_dir + "/sess", n_files=3)
+    sagg = session_agg(stream2, "ts", 300, 120, ["user_id"], [F.count(F.lit(1)).alias("cnt")])
+    got2 = {}
+
+    def collect2(bdf, _bid):
+        for r in bdf.collect():
+            got2[(r.user_id, r.window_start)] = (r.window_end, r.cnt)
+
+    run_to_completion(sagg, collect2, mode="append")
+    expected2 = {
+        (r.user_id, r["w"]["start"]): (r["w"]["end"], r.cnt)
+        for r in load(spark, SF, "events")
+        .groupBy(F.session_window("ts", "300 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got2 and set(got2) <= set(expected2)
+    assert all(expected2[k] == v for k, v in got2.items())
