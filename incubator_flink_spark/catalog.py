@@ -42,10 +42,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     if table == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # nanos-encoded files surface ts as int64 under the legacy conf;
+        # files already written with micros timestamps need no conversion
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -42,3 +42,19 @@ def test_entry_contract(spark):
     spec.loader.exec_module(m)
     assert len(m.entry(spark).collect()) > 0
     assert set(m.oracle_sql()) <= set(m.queries())
+
+
+def test_events_load_handles_micros_encoding(spark, tmp_path):
+    # catalog.load must read both nanos-encoded (driver testdata) and
+    # plain micros-encoded events files (e.g. engine-written copies)
+    from pyspark.sql import types as T
+
+    from incubator_flink_spark.catalog import load
+
+    src = load(spark, SF, "events")
+    out = str(tmp_path / "sfcopy")
+    src.write.parquet(out + "/events.parquet")
+    back = load(spark, out, "events")
+    assert isinstance(back.schema["ts"].dataType, T.TimestampType)
+    assert back.count() == src.count()
+    assert back.agg({"ts": "min"}).first()[0] == src.agg({"ts": "min"}).first()[0]
