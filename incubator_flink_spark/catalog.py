@@ -40,6 +40,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     is micro-aligned (no sub-microsecond components), so the conversion
     is lossless.
     """
+    # Event-time semantics must not depend on the host/session timezone
+    # (the driver supplies its own SparkSession): pin UTC so timestamp
+    # rendering, date_trunc, year() etc. match the DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
