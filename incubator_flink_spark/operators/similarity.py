@@ -91,3 +91,78 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_i
     scored = pairs.select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def kmeans_centroids(
+    corpus: DataFrame, n_clusters: int = 8, iters: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer:
+    init = the first n_clusters vectors by id (deterministic), then
+    `iters` assign/average rounds. Each round is one distributed pass
+    (assignment via cosine against broadcast centroids + groupBy average);
+    only the k centroid vectors ever reach the driver."""
+    init = (
+        corpus.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(id_col), F.col(vec_col), _nearest_centroid(F.col(vec_col), centroids).alias("cluster")
+        )
+        dim = len(centroids[0])
+        sums = assigned.groupBy("cluster").agg(
+            *[F.sum(F.col(vec_col).getItem(d).cast("double")).alias(f"s{d}") for d in range(dim)],
+            F.count(F.lit(1)).alias("n"),
+        )
+        rows = {r["cluster"]: r for r in sums.collect()}
+        centroids = [
+            [rows[c][f"s{d}"] / rows[c]["n"] for d in range(dim)] if c in rows else centroids[c]
+            for c in range(n_clusters)
+        ]
+    return centroids
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid by dot product (vectors ~unit norm)."""
+    best_idx, best_dot = F.lit(0), _dot(vec, F.array(*[F.lit(w) for w in centroids[0]]))
+    for i, c in enumerate(centroids[1:], start=1):
+        d = _dot(vec, F.array(*[F.lit(w) for w in c]))
+        cond = d > best_dot
+        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+        best_dot = F.when(cond, d).otherwise(best_dot)
+    return best_idx
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, corpus bucketed by
+    nearest centroid, queries probe their n_probe nearest cells, exact
+    cosine rank within the probed cells. The candidate join is an equi-join
+    on cluster id — the IVF scale path (cross product / n_clusters *
+    n_probe expected work)."""
+    from pyspark.sql import Window as W
+
+    centroids = kmeans_centroids(corpus, n_clusters, id_col=id_col, vec_col=vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
+    )
+    # query probes its n_probe closest centroids
+    probe_sets = []
+    for i, cen in enumerate(centroids):
+        probe_sets.append(F.struct(_dot(F.col(vec_col), F.array(*[F.lit(w) for w in cen])).alias("d"), F.lit(i).alias("c")))
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.slice(F.reverse(F.array_sort(F.array(*probe_sets))), 1, n_probe).alias("cells"),
+    ).select("query_id", "q_vec", F.explode(F.col("cells.c")).alias("cluster"))
+    pairs = probes.join(c, "cluster").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

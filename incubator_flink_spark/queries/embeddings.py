@@ -130,3 +130,19 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
         .orderBy("query_id", "rank")
     )
+
+
+@register("embedding_ivf_topk", oracle=None)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer + n_probe cells). Rows-only check:
+    iterative clustering is not ANSI-SQL-expressible; recall vs the
+    brute-force baseline is asserted in tests/test_operators.py."""
+    from incubator_flink_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return (
+        ivf_topk(e, q, 5, n_clusters=8, n_probe=2)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )

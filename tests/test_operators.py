@@ -80,3 +80,27 @@ def test_brute_force_topk_deterministic(spark):
 def test_normalize_text(spark):
     df = spark.createDataFrame([("  Hello,   WORLD!! 42 ",)], "s STRING")
     assert df.select(normalize_text(F.col("s")).alias("n")).first().n == "hello world 42"
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, q, 5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, 5, n_clusters=8, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # determinism: second run identical
+    approx2 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, 5, n_clusters=8, n_probe=3).collect()
+    }
+    assert approx == approx2
