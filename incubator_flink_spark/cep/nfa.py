@@ -9,8 +9,10 @@ Semantics implemented (mirroring the reference's documented behavior):
   multi-`times` stage the repeats are also contiguous.
 - RELAXED contiguity: any number of non-matching events may be skipped
   before each accepted event.
-- Quantifiers: times(n,m) greedy, one_or_more greedy-unbounded,
-  optional.
+- Quantifiers: times(n,m), one_or_more (unbounded), optional. Under
+  NO_SKIP every repetition count is emitted; under SKIP_PAST_LAST_EVENT
+  the earliest-starting, shortest match wins — the reference's reluctant
+  default (greedy() is opt-in there and not implemented here).
 - Negated stages (notNext / notFollowedBy): no matching event may occur
   at the required position (strict) / anywhere before the next stage's
   match (relaxed). A trailing notFollowedBy is checked to end-of-stream.

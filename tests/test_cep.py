@@ -136,3 +136,43 @@ def test_distributed_match_pattern(spark):
         assert src[r.signup_id].event_type == "signup"
         assert src[r.purchase_id].event_type == "purchase"
         assert src[r.signup_id].ts <= src[r.purchase_id].ts
+
+
+def test_match_recognize_shim(spark):
+    # V-shape price pattern per user (the canonical MATCH_RECOGNIZE demo):
+    # strictly decreasing run then strictly increasing run — approximated
+    # here with typed stages over events
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.cep.match_recognize import match_recognize, parse_pattern
+
+    p = parse_pattern("A B+ C?", {"A": lambda e: True})
+    assert [s.name for s in p.stages] == ["A", "B", "C"]
+    assert p.stages[1].max_times == -1 and p.stages[2].optional
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    out = match_recognize(
+        events,
+        partition_by=["user_id"],
+        order_by="ts",
+        pattern="V C{2}",
+        define={
+            "V": lambda e: e["event_type"] == "view",
+            "C": lambda e: e["event_type"] == "click",
+        },
+        measures=lambda key, m: {
+            "user_id": int(key["user_id"]),
+            "view_id": int(m["V"][0]["event_id"]),
+            "first_click": int(m["C"][0]["event_id"]),
+            "second_click": int(m["C"][1]["event_id"]),
+        },
+        output_schema="user_id BIGINT, view_id BIGINT, first_click BIGINT, second_click BIGINT",
+        within=86400,
+        tiebreak="event_id",
+    )
+    rows = out.collect()
+    assert rows
+    src = {r.event_id: r for r in events.collect()}
+    for r in rows:
+        assert src[r.view_id].event_type == "view"
+        assert src[r.first_click].event_type == "click"
+        assert src[r.first_click].ts <= src[r.second_click].ts
