@@ -361,3 +361,63 @@ def test_streaming_hop_and_session_match_batch(spark, replay_dir):
     }
     assert got2 and set(got2) <= set(expected2)
     assert all(expected2[k] == v for k, v in got2.items())
+
+
+def test_streaming_cep_matches_batch_closed_region(spark, replay_dir):
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.cep import Pattern
+    from incubator_flink_spark.cep.nfa import find_matches
+    from incubator_flink_spark.streaming.cep_stream import match_pattern_stream
+
+    def make_pattern():
+        return (
+            Pattern.begin("signup")
+            .where(lambda e: e["event_type"] == "signup")
+            .followed_by("purchase")
+            .where(lambda e: e["event_type"] == "purchase")
+            .within(3600)
+        )
+
+    stream = (
+        replay_table(spark, SF, "events", replay_dir + "/cep", n_files=4)
+        .withWatermark("ts", "120 seconds")
+    )
+
+    def select(key, m):
+        return {
+            "user_id": int(key["user_id"]),
+            "signup_id": int(m["signup"][0]["event_id"]),
+            "purchase_id": int(m["purchase"][0]["event_id"]),
+        }
+
+    out = match_pattern_stream(
+        stream, ["user_id"], "ts", make_pattern(), select,
+        "user_id BIGINT, signup_id BIGINT, purchase_id BIGINT", tiebreak="event_id",
+    )
+    got = set()
+
+    def collect(bdf, _bid):
+        got.update((r.user_id, r.signup_id, r.purchase_id) for r in bdf.collect())
+
+    run_to_completion(out, collect, mode="append")
+
+    # batch ground truth restricted to matches closed by the final watermark
+    e = load(spark, SF, "events")
+    rows = e.collect()
+    max_ts = max(r.ts for r in rows)
+    import pandas as pd
+
+    final_wm = max_ts - pd.Timedelta(seconds=120)
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(
+            {"ts": r.ts, "event_type": r.event_type, "event_id": r.event_id}
+        )
+    expected = set()
+    for uid, evs in per_user.items():
+        evs.sort(key=lambda x: (x["ts"], x["event_id"]))
+        for m in find_matches(make_pattern(), evs, ts_key="ts"):
+            last = max(x["ts"] for v in m.values() for x in v)
+            if last <= final_wm:
+                expected.add((uid, m["signup"][0]["event_id"], m["purchase"][0]["event_id"]))
+    assert got == expected and len(expected) > 0
