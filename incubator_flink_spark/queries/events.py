@@ -382,3 +382,73 @@ def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# A deterministic CDC interpretation of the events table so the changelog
+# operators get oracle-checked (signup→+I, error→-D, other→+U).
+_CDC_SELECT = """
+SELECT user_id AS k, ts, event_id,
+       value,
+       CASE event_type WHEN 'signup' THEN '+I' WHEN 'error' THEN '-D' ELSE '+U' END AS __rowkind
+FROM events
+"""
+
+CHANGELOG_NORMALIZE_ORACLE = f"""
+WITH cdc AS ({_CDC_SELECT}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn
+  FROM cdc WHERE __rowkind <> '-U'
+)
+SELECT k, ts, event_id, value
+FROM ranked WHERE rn = 1 AND __rowkind <> '-D'
+ORDER BY k
+"""
+
+
+@register("changelog_normalize_batch", CHANGELOG_NORMALIZE_ORACLE)
+def changelog_normalize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ChangelogNormalize (StreamExecChangelogNormalize.java:61): current
+    # state of an upsert/CDC stream — latest row per key, deleted keys gone.
+    from incubator_flink_spark.streaming.changelog import changelog_normalize
+
+    e = load(spark, sf_dir, "events")
+    cdc = e.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "+I")
+        .when(F.col("event_type") == "error", "-D")
+        .otherwise("+U")
+        .alias("__rowkind"),
+    )
+    return changelog_normalize(cdc, ["k"], "ts", "event_id").orderBy("k")
+
+
+RETRACT_AGG_ORACLE = f"""
+WITH cdc AS ({_CDC_SELECT})
+SELECT k,
+       SUM(CAST((CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) * value AS DECIMAL(30,8))) AS sum_value,
+       CAST(SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) AS BIGINT) AS live_rows
+FROM cdc
+GROUP BY k
+HAVING SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) > 0
+ORDER BY k
+"""
+
+
+@register("retract_aggregate_batch", RETRACT_AGG_ORACLE)
+def retract_aggregate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Retractable aggregation (GroupAggFunction.java:43): signed
+    # contributions with empty-group elimination, exact decimal sums.
+    e = load(spark, sf_dir, "events")
+    sign = F.when(F.col("event_type") == "error", F.lit(-1)).otherwise(F.lit(1))
+    return (
+        e.groupBy(F.col("user_id").alias("k"))
+        .agg(
+            F.sum((sign * F.col("value")).cast("decimal(30,8)")).alias("sum_value"),
+            F.sum(sign).cast("bigint").alias("live_rows"),
+        )
+        .where(F.col("live_rows") > 0)
+        .orderBy("k")
+    )
