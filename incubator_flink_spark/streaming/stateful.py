@@ -373,3 +373,54 @@ def keep_last_dedup_ttl(
     return df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def keep_last_dedup_tws(df: DataFrame, keys: list[str], ts_col: str, tiebreak: str, ttl_ms: int | None = None) -> DataFrame:
+    """keep_last_dedup on the Spark 4 ``transformWithStateInPandas`` API
+    (StatefulProcessor + typed ValueState with native per-state TTL — the
+    closest analog to the reference's ValueState + StateTtlConfig;
+    SURVEY.md §2.9 keyed-state row). Functionally identical to
+    keep_last_dedup; kept as the forward-looking implementation since
+    applyInPandasWithState is the legacy path.
+
+    Requires a working google.protobuf (the TWS state protocol runs over
+    protobuf); environments without it should use keep_last_dedup."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf; use keep_last_dedup instead"
+        ) from e
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = df.schema
+    state_schema = T.StructType([T.StructField("ts_us", T.LongType()), T.StructField("tb", T.LongType())])
+
+    class KeepLast(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.winner = handle.getValueState("winner", state_schema, ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            best = self.winner.get() if self.winner.exists() else None
+            best_ts, best_tb = (best[0], best[1]) if best else (-(1 << 62), -(1 << 62))
+            winner = None
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                pdf = pdf.assign(__ts_us=_ts_us(pdf[ts_col]))
+                pdf = pdf.sort_values(["__ts_us", tiebreak]).tail(1)
+                ts_v = int(pdf["__ts_us"].iloc[0])
+                tb_v = int(pdf[tiebreak].iloc[0])
+                if (ts_v, tb_v) > (best_ts, best_tb):
+                    best_ts, best_tb = ts_v, tb_v
+                    winner = pdf.drop(columns="__ts_us")
+            if winner is not None:
+                self.winner.update((best_ts, best_tb))
+                yield winner
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(*keys).transformWithStateInPandas(
+        KeepLast(), out_schema, "update", "None"
+    )

@@ -421,3 +421,36 @@ def test_streaming_cep_matches_batch_closed_region(spark, replay_dir):
             if last <= final_wm:
                 expected.add((uid, m["signup"][0]["event_id"], m["purchase"][0]["event_id"]))
     assert got == expected and len(expected) > 0
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_protobuf(), reason="transformWithStateInPandas needs google.protobuf")
+def test_keep_last_dedup_tws_matches_legacy(spark, replay_dir):
+    # the transformWithStateInPandas implementation must agree with the
+    # applyInPandasWithState one (and therefore with batch keep-last)
+    from incubator_flink_spark.streaming.stateful import keep_last_dedup_tws
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/tws", n_files=3)
+    out = keep_last_dedup_tws(stream, ["user_id", "event_type"], "ts", "event_id")
+    state = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            state[(r.user_id, r.event_type)] = r.event_id
+
+    run_to_completion(out, collect, mode="update")
+    e = load(spark, SF, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expected = {
+        (r.user_id, r.event_type): r.event_id
+        for r in e.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
+    }
+    assert state == expected
