@@ -284,3 +284,40 @@ def scalar_collection_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.slice(toks, 1, 5)).alias("min_of_first5"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
     ).orderBy("doc_id")
+
+
+SCALAR_STRING2_ORACLE = """
+SELECT event_id,
+       regexp_extract('https://example.com:8443/docs/page?q=spark&lang=en', 'https?://([^/:]+)', 1) AS url_host,
+       regexp_extract('https://example.com:8443/docs/page?q=spark&lang=en', '\\?(.*)$', 1) AS url_query,
+       regexp_extract('https://example.com:8443/docs/page?q=spark&lang=en', '[?&]q=([^&]*)', 1) AS url_q_param,
+       array_to_string(list_sort(list_transform(string_split('a=1;b=2;c=3', ';'), kv -> kv)), ',') AS kv_pairs,
+       substring('abcdefgh', 1, 2) || 'XY' || substring('abcdefgh', 5) AS overlaid,
+       position('rk' IN 'spark-engine') AS pos_rk,
+       strpos(props, 'k') AS pos_in_props
+FROM events WHERE event_id < 100 ORDER BY event_id
+"""
+
+
+@register("scalar_string_funcs2", SCALAR_STRING2_ORACLE)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PARSE_URL / STR_TO_MAP / OVERLAY / POSITION parity (reference
+    # BuiltInFunctionDefinitions PARSE_URL, STR_TO_MAP, OVERLAY, POSITION).
+    # Spark uses its native functions; the oracle replicates via regexp /
+    # split so results — not implementations — are compared.
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 100)
+    url = F.lit("https://example.com:8443/docs/page?q=spark&lang=en")
+    kv = F.str_to_map(F.lit("a=1;b=2;c=3"), F.lit(";"), F.lit("="))
+    kv_str = F.array_join(
+        F.array_sort(F.transform(F.map_entries(kv), lambda x: F.concat_ws("=", x["key"], x["value"]))), ","
+    )
+    return e.select(
+        "event_id",
+        F.parse_url(url, F.lit("HOST")).alias("url_host"),
+        F.parse_url(url, F.lit("QUERY")).alias("url_query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("url_q_param"),
+        kv_str.alias("kv_pairs"),
+        F.overlay(F.lit("abcdefgh"), F.lit("XY"), 3, 2).alias("overlaid"),
+        F.instr(F.lit("spark-engine"), "rk").cast("bigint").alias("pos_rk"),
+        F.instr(F.col("props"), "k").cast("bigint").alias("pos_in_props"),
+    ).orderBy("event_id")

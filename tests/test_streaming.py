@@ -454,3 +454,33 @@ def test_keep_last_dedup_tws_matches_legacy(spark, replay_dir):
         for r in e.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
     }
     assert state == expected
+
+
+def test_upsert_sink_materializes_latest_table(spark, replay_dir):
+    import tempfile as tf
+
+    from incubator_flink_spark.streaming.sinks import upsert_sink
+    from incubator_flink_spark.streaming.stateful import keep_last_dedup
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/upsert", n_files=3)
+    latest = keep_last_dedup(stream, ["user_id", "event_type"], "ts", "event_id")
+    table_path = replay_dir + "/upsert_table"
+    q = (
+        upsert_sink(latest, table_path, ["user_id", "event_type"])
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tf.mkdtemp())
+        .start()
+    )
+    q.awaitTermination(240)
+
+    # the materialized parquet table equals batch keep-last
+    got = {
+        (r.user_id, r.event_type): r.event_id for r in spark.read.parquet(table_path).collect()
+    }
+    e = load(spark, SF, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expected = {
+        (r.user_id, r.event_type): r.event_id
+        for r in e.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
+    }
+    assert got == expected
