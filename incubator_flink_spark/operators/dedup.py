@@ -53,11 +53,14 @@ def doc_shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, ds: DataFrame | None = None
+) -> DataFrame:
     """One row per doc: minhash_0..minhash_{n-1} (min over shingle hashes
     under each permutation). Aggregation is a single hash-shuffle on doc id
     with map-side partial mins."""
-    ds = doc_shingle_set(docs, id_col, text_col, k)
+    if ds is None:
+        ds = doc_shingle_set(docs, id_col, text_col, k)
     # materialize the md5 hash once per shingle so the per-permutation
     # aggregates reuse it instead of re-hashing NUM_MINHASHES times
     hashed = ds.select(id_col, hash64(F.col("shingle")).alias("__h"))
@@ -82,11 +85,15 @@ def minhash_lsh_pairs(
     (1-(1-t^r)^b — ≥0.99998 at t=0.94 with 4 bands x 2 rows).
     """
     rows = NUM_MINHASHES // bands
-    # persist: the banded signature table feeds BOTH sides of the
-    # candidate self-join — without it the whole shingle+hash+agg subtree
-    # runs twice. Doc-level (one row per doc), so memory ∝ corpus size
-    # not shingle count; at very large scale swap for a checkpoint.
-    sig = minhash_signatures(docs, id_col, text_col, k).persist()
+    # The shingle set feeds the signature build AND the jaccard verify;
+    # persist it once (MEMORY_AND_DISK) instead of recomputing the
+    # tokenize+shingle+distinct subtree twice. At very large scale swap
+    # for a disk checkpoint. The doc-level signature table likewise feeds
+    # both sides of the candidate self-join.
+    from pyspark.storagelevel import StorageLevel
+
+    ds = doc_shingle_set(docs, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(docs, id_col, text_col, k, ds=ds).persist()
     band_cols = [
         F.concat_ws("_", *[F.col(f"minhash_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
         for b in range(bands)
@@ -104,15 +111,22 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return verify_jaccard(docs, cand, id_col, text_col, k, threshold)
+    return verify_jaccard(docs, cand, id_col, text_col, k, threshold, ds=ds)
 
 
 def verify_jaccard(
-    docs: DataFrame, cand: DataFrame, id_col: str, text_col: str, k: int, threshold: float
+    docs: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+    ds: DataFrame | None = None,
 ) -> DataFrame:
     """Exact jaccard for candidate (id_a, id_b) pairs via the inverted
     index; only candidate pairs are scored."""
-    ds = doc_shingle_set(docs, id_col, text_col, k)
+    if ds is None:
+        ds = doc_shingle_set(docs, id_col, text_col, k)
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     # Candidate-first join order: restrict the inverted index to candidate
     # docs BEFORE the shingle self-join, so the quadratic blow-up on
