@@ -252,6 +252,7 @@ def temporal_join_stream(
     side_col: str,
     id_col: str,
     value_col: str,
+    version_ttl_s: int | None = None,
 ) -> DataFrame:
     """Streaming event-time temporal join (TemporalRowTimeJoinOperator.java:78)
     over a tagged union of the probe and build streams (side_col: 'probe' /
@@ -260,8 +261,14 @@ def temporal_join_stream(
 
     Build rows append (ts, id, value) versions to per-key state; probe rows
     emit the version valid at their timestamp (latest build_ts <= probe_ts;
-    ties: build processed first). State grows with version count — at
-    100TB, pair with TTL/version GC on the watermark as the reference does.
+    ties: build processed first).
+
+    Version GC (the reference's watermark-driven cleanup,
+    TemporalRowTimeJoinOperator.java cleanup logic): with
+    ``version_ttl_s`` set, versions older than (max event time seen -
+    ttl) are pruned EXCEPT the newest such version — probes always need
+    the version valid at the horizon, so exactly one pre-horizon version
+    survives. State is then O(versions inside the horizon) per key.
     """
     key_fields = [f for f in tagged.schema.fields if f.name in keys]
     out_schema = T.StructType(
@@ -287,6 +294,7 @@ def temporal_join_stream(
         v_ts, v_id, v_val = (
             (list(state.get[0]), list(state.get[1]), list(state.get[2])) if state.exists else ([], [], [])
         )
+        max_us_seen = v_ts[-1] if v_ts else -(1 << 62)
         out: list[dict[str, Any]] = []
         for pdf in pdfs:
             if pdf.empty:
@@ -298,6 +306,7 @@ def temporal_join_stream(
                 pdf["__us"], pdf[side_col], pdf[id_col].astype(int), pdf[value_col].astype(float)
             ):
                 us = int(us)
+                max_us_seen = max(max_us_seen, us)
                 if side == "build":
                     pos = bisect.bisect_right(v_ts, us)
                     v_ts.insert(pos, us)
@@ -313,6 +322,14 @@ def temporal_join_stream(
                             "version_value": float(v_val[pos]) if pos >= 0 else None,
                         }
                     )
+        if version_ttl_s is not None and v_ts:
+            horizon = max_us_seen - version_ttl_s * 1_000_000
+            cut = bisect.bisect_right(v_ts, horizon)
+            if cut > 1:
+                # prune pre-horizon versions, keeping the newest of them
+                # (still the valid version for probes at the horizon)
+                drop = cut - 1
+                del v_ts[:drop], v_id[:drop], v_val[:drop]
         state.update((v_ts, v_id, v_val))
         if out:
             res = pd.DataFrame(out)

@@ -484,3 +484,37 @@ def test_upsert_sink_materializes_latest_table(spark, replay_dir):
         for r in e.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
     }
     assert got == expected
+
+
+def test_temporal_join_version_gc(spark, replay_dir):
+    # with version_ttl_s, old versions are pruned but the newest
+    # pre-horizon version survives so probe results are unchanged
+    from incubator_flink_spark.operators.asof import asof_join
+    from incubator_flink_spark.streaming.stateful import temporal_join_stream
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/tgc", n_files=4)
+    tagged = stream.where(F.col("event_type").isin("purchase", "signup")).withColumn(
+        "side", F.when(F.col("event_type") == "signup", "build").otherwise("probe")
+    )
+    out = temporal_join_stream(tagged, ["user_id"], "ts", "side", "event_id", "value", version_ttl_s=3600)
+    got = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            got[r.probe_id] = r.version_id
+
+    run_to_completion(out, collect, mode="append")
+
+    e = load(spark, SF, "events")
+    probe = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    build = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_event_id"), F.col("user_id"), F.col("ts").alias("s_ts"), F.col("value")
+    )
+    expected = {
+        r.event_id: r.version_id
+        for r in asof_join(
+            probe, build, keys=["user_id"], probe_ts="ts", build_ts="s_ts",
+            payload={"s_event_id": "version_id"},
+        ).collect()
+    }
+    assert got == expected
