@@ -146,3 +146,35 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
         .orderBy("query_id", "rank")
     )
+
+
+DOC_EMBEDDING_JOIN_ORACLE = """
+SELECT e.label,
+       COUNT(*) AS n_docs,
+       SUM(CAST(d.n_chars AS DECIMAL(30,8))) AS total_chars,
+       CAST(SUM(CAST(d.n_chars AS DECIMAL(30,8))) AS DOUBLE) / COUNT(d.n_chars) AS avg_chars,
+       array_to_string(list_sort(list(DISTINCT d.lang)), ',') AS langs
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY e.label
+ORDER BY e.label
+"""
+
+
+@register("doc_embedding_join", DOC_EMBEDDING_JOIN_ORACLE)
+def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality join: text metadata x embedding cluster label (the
+    documents/embeddings tables share the id space) — the join shape of a
+    multimodal training-data pipeline."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(30,8)")).alias("total_chars"),
+            (F.sum(F.col("n_chars").cast("decimal(30,8)")).cast("double") / F.count("n_chars")).alias("avg_chars"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        )
+        .orderBy("label")
+    )
