@@ -26,6 +26,7 @@ HEADLINE = [
     "tpch_q9",
     "tpch_q13",
     "tpch_q18",
+    "tpch_q21",
     "window_tumble",
     "window_hop",
     "window_session",

@@ -6,8 +6,16 @@ test-scripts/test-data/tpch/sink/q1.sql..q22.sql).  The driver testdata is a
 TPC-H-ish subset: no ``partsupp`` table, and several columns are missing
 (l_commitdate/l_receiptdate/l_shipmode/l_shipinstruct, o_shippriority,
 c_address/c_phone, p_mfgr/p_container).  Queries needing those are adapted
-(noted per query); q2/q11/q16/q20/q21 require partsupp/receiptdate and are
-out of testdata scope.
+(noted per query).  q2/q11/q16/q20/q21 originally require partsupp and
+q12/q21 require l_commitdate/l_receiptdate/l_shipmode; those five are
+implemented as *shape-preserving adaptations*: the part-supplier relation
+is derived from lineitem (``DISTINCT (l_partkey, l_suppkey)`` with
+aggregated quantity/unit-cost standing in for ps_availqty/ps_supplycost),
+and "late delivery" is ``l_shipdate > o_orderdate + N days``.  Each keeps
+the original query's operator skeleton (correlated min subquery, HAVING
+over a scalar subquery, conditional aggregation, distinct-count with
+anti-join exclusion, nested semi-joins, multi-EXISTS self-join) so the
+same plan features are exercised — full 22/22 suite coverage.
 
 Every query is a declarative DataFrame plan: Catalyst chooses
 broadcast-hash joins for the small dims (region/nation/supplier/part at
@@ -638,4 +646,302 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntry"))
         .agg(F.count(F.lit(1)).alias("numcust"), dsum(F.col("c_acctbal")).alias("totacctbal"))
         .orderBy("cntry")
+    )
+
+
+# --- Q2: minimum cost supplier (adapted: part-supplier relation derived
+#     from lineitem; unit cost MIN(l_extendedprice/l_quantity) stands in
+#     for ps_supplycost.  Shape preserved: region-filtered multi-join with
+#     a correlated per-part MIN subquery) --------------------------------
+
+PS_CTE = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+         SUM(CAST(l_quantity AS DECIMAL(30,8))) AS ps_availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+Q2_ORACLE = f"""
+WITH ps AS ({PS_CTE})
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part p
+JOIN ps ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size = 15 AND p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def _part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem-derived stand-in for the missing partsupp table."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        dsum(F.col("l_quantity")).alias("ps_availqty"),
+    )
+
+
+@register("tpch_q2", Q2_ORACLE)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    p = load(spark, sf_dir, "part").where((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    # Correlated MIN subquery -> regional ps + per-part window min: one
+    # shuffle on ps_partkey instead of a rescan per outer row.
+    regional = (
+        _part_supplier(spark, sf_dir)
+        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn("min_cost", F.min("ps_supplycost").over(W.partitionBy("ps_partkey")))
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+    )
+    return (
+        regional.join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- Q11: important stock identification (adapted: value = sum of
+#     extendedprice per (part, supplier) from lineitem; nation filter.
+#     Shape preserved: GROUP BY + HAVING over a scalar subquery of the
+#     same aggregation) ---------------------------------------------------
+
+Q11_ORACLE = f"""
+WITH ps AS ({PS_CTE}),
+nat_ps AS (
+  SELECT ps_partkey, CAST(ps_supplycost * CAST(ps_availqty AS DOUBLE) AS DECIMAL(30,8)) AS value
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_1')
+SELECT ps_partkey, SUM(value) AS value
+FROM nat_ps
+GROUP BY ps_partkey
+HAVING CAST(SUM(value) AS DOUBLE) > (
+  SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM nat_ps)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+@register("tpch_q11", Q11_ORACLE)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    nat_ps = (
+        _part_supplier(spark, sf_dir)
+        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty").cast("double"))
+            .cast("decimal(30,8)")
+            .alias("value"),
+        )
+    )
+    per_part = nat_ps.groupBy("ps_partkey").agg(F.sum("value").alias("value"))
+    total = nat_ps.agg((F.sum("value").cast("double") * F.lit(0.001)).alias("threshold"))
+    # Scalar subquery -> 1-row broadcast cross join (no driver collect).
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value").cast("double") > F.col("threshold"))
+        .select("ps_partkey", "value")
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+# --- Q12: shipping priority classes (adapted: l_returnflag stands in for
+#     l_shipmode; "late" = shipped after order date.  Shape preserved:
+#     join + conditional aggregation on order priority) -------------------
+
+Q12_ORACLE = """
+SELECT l_returnflag AS shipmode,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l_returnflag IN ('R', 'A')
+  AND l_shipdate > o_orderdate
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY shipmode
+"""
+
+
+@register("tpch_q12", Q12_ORACLE)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate))
+        .groupBy(F.col("l_returnflag").alias("shipmode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("shipmode")
+    )
+
+
+# --- Q16: parts/supplier relationship (adapted: part-supplier pairs from
+#     lineitem; suppliers with negative account balance stand in for the
+#     '%Customer%Complaints%' exclusion.  Shape preserved: anti-join
+#     exclusion + COUNT(DISTINCT) per part attribute group) ---------------
+
+Q16_ORACLE = """
+WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#11' AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("tpch_q16", Q16_ORACLE)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sizes = [1, 9, 14, 19, 23, 36, 45, 49]
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey"))
+        .distinct()
+    )
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#11")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(sizes)
+    )
+    bad = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# --- Q20: potential part promotion (adapted: available quantity per
+#     (part, supplier) from lineitem totals; 'red%' parts, 1996 shipments.
+#     Shape preserved: nested IN subqueries -> chained semi-joins) ---------
+
+Q20_ORACLE = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(30,8))) AS total_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey)
+SELECT s_name, s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_2'
+  AND s.s_suppkey IN (
+    SELECT l_suppkey FROM shipped
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND CAST(total_qty AS DOUBLE) > 50.0)
+ORDER BY s_name
+"""
+
+
+@register("tpch_q20", Q20_ORACLE)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = load(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select("p_partkey")
+    shipped = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty").cast("double") > 50.0)
+    )
+    qualifying = shipped.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# --- Q21: suppliers who kept orders waiting (adapted: "late" =
+#     l_shipdate > o_orderdate + 60 days.  Shape preserved: EXISTS
+#     (another supplier on the order) + NOT EXISTS (another *late*
+#     supplier), implemented as one per-order distinct-count aggregate
+#     instead of two correlated rescans of lineitem) ----------------------
+
+Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_name = 'NATION_3'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("tpch_q21", Q21_ORACLE)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    # One shuffle on orderkey computes both EXISTS conditions:
+    #   EXISTS other supplier          <=> n_supp >= 2
+    #   NOT EXISTS other late supplier <=> n_late_supp = 1 (l1 itself late)
+    lines = l.join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate", late.alias("is_late")
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        lines.where(F.col("is_late"))
+        .join(per_order.where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)), "l_orderkey", "left_semi")
+        .join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
     )
