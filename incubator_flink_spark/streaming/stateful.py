@@ -245,6 +245,63 @@ def streaming_over_range(
     )
 
 
+def streaming_over_rows(
+    df: DataFrame, keys: list[str], ts_col: str, id_col: str, value_col: str, n: int
+) -> DataFrame:
+    """Event-time ROWS OVER aggregation per key: for each row, the
+    sum/count over itself and the (n-1) preceding rows in (ts, id) order —
+    the streaming form of RowTimeRowsBoundedPrecedingFunction.java (the
+    ROWS sibling of the RANGE variant above; flink-table-runtime/.../over/).
+
+    State per key: ring buffer of the last (n-1) values — O(n), matching
+    the reference's retract-list cleanup. Rows are processed in (ts, id)
+    order within each batch; cross-batch order follows arrival (exact
+    under ordered replay; the reference buffers out-of-order rows until
+    the watermark — documented divergence, same as streaming_over_range).
+    """
+    key_fields = [f for f in df.schema.fields if f.name in keys]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("sum_rows", T.DoubleType()),
+            T.StructField("cnt_rows", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("val_buf", T.ArrayType(T.DoubleType()))])
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        buf = list(state.get[0]) if state.exists else []
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values([ts_col, id_col])
+            for ts_us, rid, v in zip(_ts_us(pdf[ts_col]), pdf[id_col].astype(int), pdf[value_col].astype(float)):
+                buf.append(float(v))
+                if len(buf) > n:
+                    buf.pop(0)
+                out.append(
+                    {
+                        "id": int(rid),
+                        "ts": pd.Timestamp(int(ts_us) * 1000),
+                        "sum_rows": round(sum(buf), 9),
+                        "cnt_rows": len(buf),
+                    }
+                )
+        state.update((buf[max(0, len(buf) - (n - 1)) :] if n > 1 else [],))
+        if out:
+            res = pd.DataFrame(out)
+            for f, kv in zip(key_fields, key):
+                res[f.name] = kv
+            yield res[[c.name for c in out_schema.fields]]
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def temporal_join_stream(
     tagged: DataFrame,
     keys: list[str],

@@ -1,0 +1,206 @@
+"""Trigger / evictor / allowed-lateness operator tests (SURVEY.md §2.9
+"Triggers", "Evictors", "Allowed lateness + late side output" rows) —
+the reference's WindowOperatorTest-style harness scenarios: drive ordered
+(and deliberately late) elements through the operator and assert the
+fired records per kind."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from incubator_flink_spark.catalog import load
+from incubator_flink_spark.operators.windows import tumble
+from incubator_flink_spark.streaming.source import replay_table
+from incubator_flink_spark.streaming.triggers import (
+    early_firing_tumble_agg,
+    tumble_agg_with_lateness,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def replay_dir():
+    d = tempfile.mkdtemp(prefix="trig_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def run_to_completion(stream_df, collect, mode="append"):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .foreachBatch(lambda bdf, bid: collect(bdf, bid))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+
+def batch_tumble_truth(spark, size_s):
+    return {
+        (r.window_start, r.window_end, r.event_type): (r.cnt, round(r.total, 6))
+        for r in (
+            tumble(load(spark, SF, "events"), "ts", size_s)
+            .groupBy("window_start", "window_end", "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("total"))
+        ).collect()
+    }
+
+
+def test_early_firing_count_trigger_matches_batch_finals(spark, replay_dir):
+    stream = replay_table(spark, SF, "events", replay_dir + "/early", n_files=4).withWatermark("ts", "2 minutes")
+    out = early_firing_tumble_agg(stream, ["event_type"], "ts", "event_id", "value", 86400, every_n=3)
+    finals, earlies = {}, []
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            if r.fire_kind == "final":
+                finals[(r.window_start, r.window_end, r.event_type)] = (r.cnt, round(r.total, 6))
+            else:
+                earlies.append(r)
+
+    run_to_completion(out, collect)
+
+    expected = batch_tumble_truth(spark, 86400)
+    # final fires must exactly match batch truth on the watermark-closed
+    # region; open tail windows never fire
+    assert finals
+    for k, v in finals.items():
+        assert expected[k] == v
+    # count trigger produced early partials (every 5th row), each a prefix
+    # of its window's final aggregate
+    assert earlies
+    for r in earlies:
+        assert r.cnt % 3 == 0
+        k = (r.window_start, r.window_end, r.event_type)
+        if k in finals:
+            assert r.cnt <= finals[k][0]
+
+
+def test_count_evictor_final_aggregates_last_n(spark, replay_dir):
+    n = 3
+    stream = replay_table(spark, SF, "events", replay_dir + "/evict", n_files=4).withWatermark("ts", "2 minutes")
+    out = early_firing_tumble_agg(
+        stream, ["event_type"], "ts", "event_id", "value", 86400, every_n=10**9, evict_last_n=n
+    )
+    finals = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            if r.fire_kind == "final":
+                finals[(r.window_start, r.window_end, r.event_type)] = (r.cnt, round(r.total, 6))
+
+    run_to_completion(out, collect)
+
+    # ground truth: last N rows of each window by (ts, event_id)
+    e = load(spark, SF, "events")
+    from pyspark.sql import Window as W
+
+    w = tumble(e, "ts", 86400)
+    ranked = w.withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy("window_start", "event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        ),
+    ).where(F.col("__rn") <= n)
+    expected = {
+        (r.window_start, r.window_end, r.event_type): (r.cnt, round(r.total, 6))
+        for r in ranked.groupBy("window_start", "window_end", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("total"))
+        .collect()
+    }
+    assert finals
+    for k, v in finals.items():
+        assert expected[k] == v
+
+
+def test_allowed_lateness_updates_and_side_output(spark, replay_dir, tmp_path):
+    # Hand-built scenario (harness style): key A, 600s windows, watermark
+    # delay 0 via far-future flusher rows on key B.
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    raw_schema = "k string, ts_s string, event_id long, value double"
+    d = str(tmp_path / "late_src")
+    base = "2024-01-01 00:"
+
+    def write_file(i, rows):
+        spark.createDataFrame(
+            [(k, f"{base}{mm}:{ss}", eid, v) for (k, mm, ss, eid, v) in rows], schema=raw_schema
+        ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "event_id", "value").coalesce(
+            1
+        ).write.mode(
+            "append"
+        ).parquet(
+            d + f"/__file={i}"
+        )
+
+    # Window [00:00,10:00), lateness 1200s => purge horizon 30:00. The
+    # watermark only advances BETWEEN micro-batches (computed from the
+    # previous batch's data), so each phase gets its own file:
+    write_file(0, [("A", "00", "10", 1, 1.0), ("A", "01", "00", 2, 2.0), ("A", "02", "00", 3, 3.0)])
+    write_file(1, [("B", "20", "00", 90, 0.0)])  # data max -> 20:00 (wm still 02:00)
+    write_file(2, [("B", "20", "01", 91, 0.0)])  # wm=20:00 -> A's timer fires final (cnt 3)
+    write_file(3, [("A", "05", "00", 4, 4.0)])  # within lateness -> late_update (cnt 4)
+    write_file(4, [("B", "59", "00", 92, 0.0)])  # data max -> 59:00
+    write_file(5, [("B", "59", "30", 93, 0.0)])  # wm=59:00 -> A's purge timer fires
+    write_file(6, [("A", "06", "00", 5, 5.0)])  # beyond lateness -> side output
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d + "/__file=*")
+    out = tumble_agg_with_lateness(
+        stream, ["k"], "ts", "event_id", "value", 600, lateness_s=1200, side_slack_s=3600
+    )
+    fired = []
+
+    def collect(bdf, _bid):
+        fired.extend(bdf.collect())
+
+    run_to_completion(out, collect)
+
+    a = [r for r in fired if r.k == "A"]
+    kinds = [r.fire_kind for r in sorted(a, key=lambda r: (r.window_start, r.fire_kind != "final"))]
+    finals = [r for r in a if r.fire_kind == "final"]
+    updates = [r for r in a if r.fire_kind == "late_update"]
+    dropped = [r for r in a if r.fire_kind == "late_dropped"]
+    assert len(finals) == 1 and finals[0].cnt == 3 and round(finals[0].total, 6) == 6.0
+    assert len(updates) == 1 and updates[0].cnt == 4 and round(updates[0].total, 6) == 10.0
+    assert len(dropped) == 1 and round(dropped[0].total, 6) == 5.0 and dropped[0].cnt == 1
+    assert kinds  # sanity
+
+
+def test_streaming_over_rows_matches_batch(spark, replay_dir):
+    from pyspark.sql import Window as W
+
+    from incubator_flink_spark.streaming.stateful import streaming_over_rows
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/rows", n_files=4)
+    out = streaming_over_rows(stream, ["user_id"], "ts", "event_id", "value", 5)
+    got = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            got[r.id] = (round(r.sum_rows, 6), r.cnt_rows)
+
+    run_to_completion(out, collect)
+
+    e = load(spark, SF, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, W.currentRow)
+    expected = {
+        r.event_id: (round(r.s, 6), r.c)
+        for r in e.select(
+            "event_id",
+            F.round(F.sum("value").over(w), 6).alias("s"),
+            F.count(F.lit(1)).over(w).alias("c"),
+        ).collect()
+    }
+    assert got == expected
