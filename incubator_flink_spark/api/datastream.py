@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from incubator_flink_spark.operators.windows import count_window as _batch_count_window
+from incubator_flink_spark.operators.windows import hop as _hop
+from incubator_flink_spark.operators.windows import session_col as _session_col
 from incubator_flink_spark.operators.windows import tumble as _tumble
 
 
@@ -62,9 +64,25 @@ class DataStream:
     def partition_custom(self, *exprs) -> "DataStream":
         return DataStream(self._df.repartition(*[_col(e) for e in exprs]))
 
+    def broadcast(self) -> "DataStream":
+        """DataStream.broadcast:420 — mark this (small) stream for
+        replication to every task: joins against it become broadcast-hash
+        joins instead of shuffles."""
+        return DataStream(F.broadcast(self._df))
+
+    # --- two-input (DataStream.connect:254 → ConnectedStreams) ----------------
+    def connect(self, other: "DataStream") -> "ConnectedStreams":
+        return ConnectedStreams(self, other)
+
     # --- watermarks / sinks ---------------------------------------------------
     def assign_timestamps_and_watermarks(self, ts_col: str, delay_s: int) -> "DataStream":
         return DataStream(self._df.withWatermark(ts_col, f"{delay_s} seconds"))
+
+    def add_sink(self, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+        """Batch sink (DataStream.addSink / sinkTo for bounded streams)."""
+        self._df.write.mode(mode).format(fmt).save(path)
+
+    sink_to = add_sink
 
     def execute_and_collect(self):
         return self._df.collect()
@@ -95,25 +113,100 @@ class KeyedStream:
     def tumbling_window(self, ts_col: str, size_s: int) -> "WindowedStream":
         return WindowedStream(_tumble(self._df, ts_col, size_s), self._keys)
 
+    def sliding_window(self, ts_col: str, size_s: int, slide_s: int) -> "WindowedStream":
+        return WindowedStream(_hop(self._df, ts_col, size_s, slide_s), self._keys)
+
+    def session_window(self, ts_col: str, gap_s: int) -> "WindowedStream":
+        # session windows merge only as a grouping expression, so the
+        # window column goes into the groupBy itself (extracted after agg)
+        return WindowedStream(
+            self._df, self._keys, group_exprs=[_session_col(ts_col, gap_s).alias("__sw")]
+        )
+
     def count_window(self, ts_col: str, tiebreak: str, size: int) -> "WindowedStream":
         win = _batch_count_window(self._df, *self._keys, order_by=[ts_col, tiebreak], size=size)
         return WindowedStream(win, self._keys, window_cols=["window_id"])
 
 
 class WindowedStream:
-    def __init__(self, df: DataFrame, keys: list[str], window_cols: list[str] | None = None):
+    def __init__(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        window_cols: list[str] | None = None,
+        group_exprs: list[Column] | None = None,
+    ):
         self._df = df
         self._keys = keys
         self._window_cols = window_cols or ["window_start", "window_end"]
+        self._group_exprs = group_exprs  # e.g. a session_window grouping col
+
+    def _grouping(self):
+        if self._group_exprs is not None:
+            return [*self._group_exprs, *self._keys]
+        return [*self._window_cols, *self._keys]
+
+    def _flatten(self, df: DataFrame) -> DataFrame:
+        if self._group_exprs is not None:
+            df = (
+                df.withColumn("window_start", F.col("__sw.start"))
+                .withColumn("window_end", F.col("__sw.end"))
+                .drop("__sw")
+            )
+        return df
 
     def aggregate(self, *aggs: Column) -> DataStream:
-        return DataStream(self._df.groupBy(*self._window_cols, *self._keys).agg(*aggs))
+        return DataStream(self._flatten(self._df.groupBy(*self._grouping()).agg(*aggs)))
 
     def apply(self, fn: Callable, output_schema: str) -> DataStream:
         """WindowFunction with the whole window's rows (coGroup-style)."""
         return DataStream(
-            self._df.groupBy(*self._window_cols, *self._keys).applyInPandas(fn, output_schema)
+            self._df.groupBy(*self._grouping()).applyInPandas(fn, output_schema)
         )
+
+
+class ConnectedStreams:
+    """DataStream.connect:254 → CoMap/CoProcess. Spark transforms are
+    single-input, so the two streams run as a tagged union (`__side` =
+    'left'/'right') through one function — the same dispatch trick the
+    streaming temporal join uses (SURVEY.md §2.9 CoProcess row)."""
+
+    def __init__(self, left: DataStream, right: DataStream):
+        self._left = left
+        self._right = right
+
+    def _tagged(self) -> DataFrame:
+        l, r = self._left.to_df(), self._right.to_df()
+        cols = set(l.columns) | set(r.columns)
+
+        def pad(df):
+            for c in sorted(cols):
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None))
+            return df.select(*sorted(cols))
+
+        return pad(l).withColumn("__side", F.lit("left")).unionByName(
+            pad(r).withColumn("__side", F.lit("right"))
+        )
+
+    def map(self, fn1: Callable, fn2: Callable, output_schema: str) -> DataStream:
+        """CoMapFunction: fn1 on left batches, fn2 on right batches."""
+
+        def gen(batches):
+            for pdf in batches:
+                left = pdf[pdf["__side"] == "left"]
+                right = pdf[pdf["__side"] == "right"]
+                if len(left):
+                    yield fn1(left.drop(columns="__side"))
+                if len(right):
+                    yield fn2(right.drop(columns="__side"))
+
+        return DataStream(self._tagged().mapInPandas(gen, output_schema))
+
+    def key_by(self, *keys: str) -> "KeyedStream":
+        """Keyed co-process: fn sees each key's rows from BOTH sides with
+        the `__side` tag column (KeyedCoProcessFunction equivalent)."""
+        return KeyedStream(self._tagged(), list(keys))
 
 
 class StreamExecutionEnvironment:

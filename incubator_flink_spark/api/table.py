@@ -141,6 +141,37 @@ class Table:
         per-group pandas transform that may emit multiple rows."""
         return Table(self._df.groupBy(*keys).applyInPandas(fn, output_schema))
 
+    # --- group windows (Table.window(Tumble/Slide/Session...) — reference
+    #     Table.java window(GroupWindow) / pyflink Tumble.over(...).on(...)) --
+    def window(self, w: "GroupWindow") -> "WindowedTable":
+        return WindowedTable(self._df, w)
+
+    # --- over windows (Table.over_window — reference OverWindow spec;
+    #     frames map to pyspark Window rows/rangeBetween) ---------------------
+    def over_window(self, ow: "Over") -> "OverWindowedTable":
+        return OverWindowedTable(self._df, ow)
+
+    # --- lateral correlate (Table.joinLateral:544-756 — UDTF join) ------------
+    def join_lateral(self, fn: Callable, output_schema: str) -> "Table":
+        """Correlate with an arbitrary table function: ``fn`` receives each
+        Arrow batch (pandas DataFrame) and returns the laterally-joined
+        rows (input columns it wants to keep + generated columns, any
+        fan-out). Array-typed columns are cheaper via
+        ``select('*', F.explode(...))`` — use this only for real UDTFs."""
+
+        def gen(batches):
+            for pdf in batches:
+                yield fn(pdf)
+
+        return Table(self._df.mapInPandas(gen, output_schema))
+
+    left_outer_join_lateral = join_lateral  # fn controls empty-match rows
+
+    def execute_insert(self, path: str, mode: str = "overwrite", fmt: str = "parquet") -> None:
+        """Table.executeInsert equivalent: write the plan to a filesystem
+        table (the reference's INSERT INTO filesystem connector)."""
+        self._df.write.mode(mode).format(fmt).save(path)
+
     # --- execution -----------------------------------------------------------
     def to_df(self) -> DataFrame:
         return self._df
@@ -168,6 +199,165 @@ class GroupedTable:
         return Table(self._df.groupBy(*self._keys).agg(*[_col(a) for a in aggs]))
 
     agg = select
+
+
+# --- group-window descriptors (reference Tumble/Slide/Session classes in
+#     flink-table-api-java/.../api/: Tumble.over(...).on(...).as(...)) -------
+
+
+class GroupWindow:
+    """Base descriptor; ``column()`` yields the Spark window expression."""
+
+    def __init__(self):
+        self._on: str | None = None
+        self._alias = "w"
+
+    def on(self, ts_col: str) -> "GroupWindow":
+        self._on = ts_col
+        return self
+
+    def alias(self, name: str) -> "GroupWindow":
+        self._alias = name
+        return self
+
+    def column(self) -> Column:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class Tumble(GroupWindow):
+    @staticmethod
+    def over(size_s: int) -> "Tumble":
+        w = Tumble()
+        w._size = size_s
+        return w
+
+    def column(self) -> Column:
+        return F.window(F.col(self._on), f"{self._size} seconds")
+
+
+class Slide(GroupWindow):
+    @staticmethod
+    def over(size_s: int) -> "Slide":
+        w = Slide()
+        w._size = size_s
+        return w
+
+    def every(self, slide_s: int) -> "Slide":
+        self._slide = slide_s
+        return self
+
+    def column(self) -> Column:
+        return F.window(F.col(self._on), f"{self._size} seconds", f"{self._slide} seconds")
+
+
+class Session(GroupWindow):
+    @staticmethod
+    def with_gap(gap_s: int) -> "Session":
+        w = Session()
+        w._gap = gap_s
+        return w
+
+    def column(self) -> Column:
+        return F.session_window(F.col(self._on), f"{self._gap} seconds")
+
+
+class WindowedTable:
+    """``table.window(Tumble.over(600).on('ts').alias('w')).group_by('w',
+    'k').select(...)`` — the window alias resolves to the Spark window
+    struct; its bounds surface as ``<alias>_start`` / ``<alias>_end``
+    (the TUMBLE_START/TUMBLE_END auxiliaries)."""
+
+    def __init__(self, df: DataFrame, w: GroupWindow):
+        self._df = df
+        self._w = w
+
+    def group_by(self, *keys: str | Column) -> GroupedTable:
+        a = self._w._alias
+        plain = [_col(k) for k in keys if not (isinstance(k, str) and k == a)]
+        # the window expression must be a grouping expression directly —
+        # session windows only merge inside the grouped aggregation
+        win_key = self._w.column().alias(a)
+
+        class _WindowedGrouped(GroupedTable):
+            def select(self, *aggs):
+                t = GroupedTable.select(self, *aggs)
+                return Table(
+                    t.to_df()
+                    .withColumn(f"{a}_start", F.col(f"{a}.start"))
+                    .withColumn(f"{a}_end", F.col(f"{a}.end"))
+                    .drop(a)
+                )
+
+            agg = select
+
+        return _WindowedGrouped(self._df, [win_key, *plain])
+
+
+# --- over-window descriptor (reference Over.partitionBy(...).orderBy(...)
+#     .preceding(...).as(...) — frames are pyspark Window frames) ------------
+
+
+class Over:
+    UNBOUNDED = object()
+
+    def __init__(self):
+        self._partition: list[str | Column] = []
+        self._order: list[str | Column] = []
+        self._rows: tuple | None = None
+        self._range: tuple | None = None
+
+    @staticmethod
+    def partition_by(*cols: str | Column) -> "Over":
+        ow = Over()
+        ow._partition = list(cols)
+        return ow
+
+    def order_by(self, *cols: str | Column) -> "Over":
+        self._order = list(cols)
+        return self
+
+    def rows_preceding(self, n) -> "Over":
+        from pyspark.sql import Window as W
+
+        lo = W.unboundedPreceding if n is Over.UNBOUNDED else -int(n)
+        self._rows = (lo, W.currentRow)
+        return self
+
+    def range_preceding(self, n) -> "Over":
+        from pyspark.sql import Window as W
+
+        lo = W.unboundedPreceding if n is Over.UNBOUNDED else -int(n)
+        self._range = (lo, W.currentRow)
+        return self
+
+    @property
+    def spec(self):
+        from pyspark.sql import Window as W
+
+        s = W.partitionBy(*[_col(c) for c in self._partition]).orderBy(
+            *[_col(c) for c in self._order]
+        )
+        if self._rows is not None:
+            s = s.rowsBetween(*self._rows)
+        elif self._range is not None:
+            s = s.rangeBetween(*self._range)
+        return s
+
+    def apply(self, agg: str | Column) -> Column:
+        """Evaluate an aggregate over this window (pyflink's
+        ``col.sum.over(w)``)."""
+        return _col(agg).over(self.spec)
+
+
+class OverWindowedTable:
+    def __init__(self, df: DataFrame, ow: Over):
+        self._df = df
+        self._ow = ow
+
+    def select(self, *exprs: str | Column) -> Table:
+        """Plain columns pass through; use ``ow.apply(F.sum('v')).alias(...)``
+        for the windowed aggregates."""
+        return Table(self._df.select(*[_col(e) for e in exprs]))
 
 
 class TableEnvironment:

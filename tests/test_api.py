@@ -92,3 +92,140 @@ def test_datastream_process_function(spark):
     rows = out.execute_and_collect()
     n_users = load(spark, SF, "events").select("user_id").distinct().count()
     assert len(rows) == n_users and all(r.max_gap >= 0 for r in rows)
+
+
+def test_table_group_windows(spark):
+    from incubator_flink_spark.api.table import Session, Slide, TableEnvironment, Tumble
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.operators.windows import tumble as tumble_op
+
+    t_env = TableEnvironment(spark, SF)
+    t = t_env.from_path("events")
+
+    got = (
+        t.window(Tumble.over(3600).on("ts").alias("w"))
+        .group_by("w", "event_type")
+        .select(F.count(F.lit(1)).alias("cnt"))
+        .to_df()
+    )
+    expected = (
+        tumble_op(load(spark, SF, "events"), "ts", 3600)
+        .groupBy("window_start", "window_end", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert sorted(got.columns) == sorted(["w_start", "w_end", "event_type", "cnt"])
+    assert got.count() == expected.count()
+
+    slide = (
+        t.window(Slide.over(3600).every(1800).on("ts").alias("w"))
+        .group_by("w")
+        .select(F.count(F.lit(1)).alias("cnt"))
+        .to_df()
+    )
+    assert slide.count() > got.select("w_start", "w_end").distinct().count()
+
+    sess = (
+        t.window(Session.with_gap(600).on("ts").alias("w"))
+        .group_by("w", "user_id")
+        .select(F.count(F.lit(1)).alias("cnt"))
+        .to_df()
+    )
+    # sessions must be merged: no two windows for the same user overlap
+    import itertools
+
+    rows = sorted(sess.collect(), key=lambda r: (r.user_id, r.w_start))
+    for a, b in itertools.pairwise(rows):
+        if a.user_id == b.user_id:
+            assert a.w_end <= b.w_start
+
+
+def test_table_over_window_and_lateral(spark):
+    from incubator_flink_spark.api.table import Over, TableEnvironment
+    from pyspark.sql import Window as W
+
+    t_env = TableEnvironment(spark, SF)
+    t = t_env.from_path("events")
+    ow = Over.partition_by("user_id").order_by("ts", "event_id").rows_preceding(2)
+    got = t.over_window(ow).select(
+        "event_id", ow.apply(F.sum("value")).alias("s3")
+    ).to_df()
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
+    expected = t.to_df().select("event_id", F.sum("value").over(w).alias("s3"))
+    assert {r.event_id: round(r.s3, 6) for r in got.collect()} == {
+        r.event_id: round(r.s3, 6) for r in expected.collect()
+    }
+
+    def dup(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.loc[pdf.index.repeat(2), ["event_id"]].reset_index(drop=True)
+        out["copy_nr"] = [i % 2 for i in range(len(out))]
+        return out
+
+    lat = t.join_lateral(dup, "event_id BIGINT, copy_nr INT").to_df()
+    assert lat.count() == 2 * t.to_df().count()
+
+
+def test_table_execute_insert(spark, tmp_path):
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    t_env = TableEnvironment(spark, SF)
+    p = str(tmp_path / "ins")
+    t_env.from_path("nation").execute_insert(p)
+    assert spark.read.parquet(p).count() == 25
+
+
+def test_datastream_connect_and_windows(spark):
+    from incubator_flink_spark.catalog import load
+
+    events = DataStream(load(spark, SF, "events"))
+    clicks = events.filter("event_type = 'click'")
+    views = events.filter("event_type = 'view'")
+
+    def label(tag):
+        def f(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"event_id": pdf["event_id"], "src": tag})
+
+        return f
+
+    out = clicks.connect(views).map(label("c"), label("v"), "event_id BIGINT, src STRING")
+    rows = out.execute_and_collect()
+    assert len(rows) == clicks.to_df().count() + views.to_df().count()
+    assert {r.src for r in rows} == {"c", "v"}
+
+    # keyed co-process sees both sides per key
+    def both_sides(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[:1],
+                "n_sides": [pdf["__side"].nunique()],
+            }
+        )
+
+    co = clicks.connect(views).key_by("user_id").process(both_sides, "user_id BIGINT, n_sides INT")
+    assert all(r.n_sides >= 1 for r in co.execute_and_collect())
+
+    # session windows merge (no overlapping windows per user)
+    sess = (
+        events.key_by("user_id")
+        .session_window("ts", 600)
+        .aggregate(F.count(F.lit(1)).alias("cnt"))
+        .to_df()
+    )
+    import itertools
+
+    rows = sorted(sess.collect(), key=lambda r: (r.user_id, r.window_start))
+    for a, b in itertools.pairwise(rows):
+        if a.user_id == b.user_id:
+            assert a.window_end <= b.window_start
+
+    slide = (
+        events.key_by("event_type")
+        .sliding_window("ts", 3600, 1800)
+        .aggregate(F.count(F.lit(1)).alias("cnt"))
+        .to_df()
+    )
+    assert slide.count() > 0
+
+    # broadcast marks the plan for broadcast join
+    dim = DataStream(load(spark, SF, "nation")).broadcast()
+    joined = events.to_df().join(dim.to_df(), events.to_df().user_id % 25 == dim.to_df().n_nationkey)
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
