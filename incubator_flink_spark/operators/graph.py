@@ -1,0 +1,89 @@
+"""Graph operators: the DataSet-iteration / Gelly slice that the rest of
+the engine's scope actually needs (SURVEY.md §2.10 IterativeDataSet /
+DeltaIteration -> driver-side loop; §2.11 Gelly Graph.degrees /
+vertex-centric iteration as DataFrame self-joins).
+
+Reference anchors: flink-java/.../operators/IterativeDataSet (bulk
+iteration driving Gelly's ScatterGatherIteration), and
+flink-libraries/flink-gelly/.../library/ConnectedComponents.java (min-id
+label propagation) — re-expressed as a driver loop over declarative
+DataFrame steps, Spark's idiomatic replacement for Flink's native
+iterations (each step is one Catalyst-optimized join+agg; the driver only
+checks convergence counts, never touches row data).
+
+The flagship consumer is near-duplicate CLUSTERING: connected components
+over the MinHash-LSH pair graph turns pairwise matches into dedup groups
+(pick min doc_id per component as the canonical document).
+
+Scale: every iteration is one shuffle of (edges ⋈ labels) keyed on vertex
+id — the standard MapReduce CC pattern. Iteration count is bounded by the
+component diameter (tiny for dedup clusters; for adversarial long-chain
+graphs switch to large-star/small-star which converges in O(log n)
+rounds — same loop skeleton, different step). Labels persist per round
+and the previous round is unpersisted, so lineage stays O(1) deep
+(no recursive plan growth — the driver loop IS the iteration barrier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex undirected degree (Gelly Graph.getDegrees)."""
+    u = edges.select(F.col(src).alias("vertex"))
+    v = edges.select(F.col(dst).alias("vertex"))
+    return u.union(v).groupBy("vertex").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Min-id label propagation to a fixpoint: returns (vertex, component)
+    where component = min vertex id reachable. Deterministic: the fixpoint
+    is unique, independent of iteration order/count.
+
+    One shuffle per round (neighbor-min join + per-vertex min agg);
+    convergence checked with a cheap changed-count per round.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
+    labels = e.select("u").distinct().select("u", F.col("u").alias("component")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels.select(F.col("u").alias("v"), "component"), "v")
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("component"), F.coalesce("nbr_component", "component")).alias(
+                    "component"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.select(F.col("u").alias("vertex"), "component")
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Near-duplicate clusters from a pair list: (doc_id, cluster_id)
+    with cluster_id = min doc_id of the connected component — the
+    standard "keep one representative per duplicate group" reduction."""
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    return cc.select(F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id"))

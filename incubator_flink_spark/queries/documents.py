@@ -88,6 +88,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, threshold=0.8).orderBy("id_a", "id_b")
 
 
+# --- near-dup clustering: connected components over the pair graph ------------
+# (iterative driver-loop algorithm — SURVEY §2.10 IterativeDataSet / §2.11
+# Gelly ConnectedComponents; oracle = DuckDB recursive CTE reachability)
+
+_PAIR_GRAPH_SQL = DEDUP_MINHASH_ORACLE.strip().rstrip().removesuffix("ORDER BY id_a, id_b")
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_PAIR_GRAPH_SQL}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
+SELECT u AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
+@register("dedup_clusters", DEDUP_CLUSTERS_ORACLE)
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from incubator_flink_spark.operators.graph import dedup_clusters
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.8)
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
 # --- SimHash near-dedup (oracle = all-pairs hamming; banding is lossless
 #     for hamming <= bands-1 by pigeonhole) -----------------------------------
 

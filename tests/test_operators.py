@@ -104,3 +104,24 @@ def test_ivf_topk_recall_vs_brute_force(spark):
         for r in ivf_topk(emb, q, 5, n_clusters=8, n_probe=3).collect()
     }
     assert approx == approx2
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from incubator_flink_spark.operators.graph import connected_components, dedup_clusters, degrees
+
+    # two components: a 5-chain (worst-case diameter) and a triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10)],
+        "src BIGINT, dst BIGINT",
+    )
+    cc = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+    deg = {r.vertex: r.degree for r in degrees(edges).collect()}
+    assert deg[1] == 1 and deg[2] == 2 and deg[10] == 2
+
+    clusters = dedup_clusters(
+        edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    assert n_clusters == 2
