@@ -46,9 +46,20 @@ def normalize_text(col):
 
 
 def doc_shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the inverted-index base."""
+    """(doc_id, shingle-hash) distinct pairs — the inverted-index base.
+
+    Shingles are reduced to their 60-bit hash BEFORE the distinct shuffle
+    and every downstream join: an 8-byte long key instead of a ~10-40 byte
+    string shrinks shuffle/state volume severalfold at 100TB. The DuckDB
+    oracles hash identically (functions/hashing.hash64_sql), so exactness
+    is preserved engine-vs-oracle even in the (astronomically unlikely)
+    event of a hash collision — both engines see the same collision."""
     return (
-        docs.select(F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"))
+        docs.select(
+            F.col(id_col),
+            F.explode(shingles(tokens(F.col(text_col)), k)).alias("__s"),
+        )
+        .select(id_col, hash64(F.col("__s")).alias("shingle"))
         .distinct()
     )
 
@@ -61,12 +72,9 @@ def minhash_signatures(
     with map-side partial mins."""
     if ds is None:
         ds = doc_shingle_set(docs, id_col, text_col, k)
-    # materialize the md5 hash once per shingle so the per-permutation
-    # aggregates reuse it instead of re-hashing NUM_MINHASHES times
-    hashed = ds.select(id_col, hash64(F.col("shingle")).alias("__h"))
-    h = F.col("__h")
+    h = F.col("shingle")  # already the 60-bit hash
     aggs = [F.min(minhash_expr(h, i)).alias(f"minhash_{i}") for i in range(NUM_MINHASHES)]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return ds.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -160,14 +168,12 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     """60-bit SimHash per doc: bit j set iff more shingle hashes have bit
     j set than not (strict majority; ties clear the bit)."""
     ds = doc_shingle_set(docs, id_col, text_col, k)
-    # hash once per shingle; the 60 bit-sum aggregates read the column
-    hashed = ds.select(id_col, hash64(F.col("shingle")).alias("__h"))
-    h = F.col("__h")
+    h = F.col("shingle")  # already the 60-bit hash
     bit_sums = [
         F.sum(F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
-    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    agg = ds.groupBy(id_col).agg(*bit_sums)
     sim = None
     for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))

@@ -42,7 +42,12 @@ from incubator_flink_spark.operators.multimodal import attach_binary_payload, ex
 from incubator_flink_spark.queries.registry import register
 
 _SHINGLES_SQL = shingles_sql(tokens_sql("text"))
-_DS_CTE = f"SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents"
+# shingles reduced to their 60-bit hash before the distinct (same reduction
+# as operators/dedup.doc_shingle_set — keys are 8-byte longs in both engines)
+_DS_CTE = (
+    f"SELECT DISTINCT doc_id, {hash64_sql('__s')} AS shingle FROM "
+    f"(SELECT doc_id, unnest({_SHINGLES_SQL}) AS __s FROM documents)"
+)
 _NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
 # --- exact dedup -------------------------------------------------------------
@@ -119,7 +124,7 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash near-dedup (oracle = all-pairs hamming; banding is lossless
 #     for hamming <= bands-1 by pigeonhole) -----------------------------------
 
-_H = hash64_sql("shingle")
+_H = "shingle"  # ds.shingle is already the 60-bit hash
 _BIT_SUMS = ",\n       ".join(
     f"SUM(CASE WHEN ({_H} & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS b{j}" for j in range(SIMHASH_BITS)
 )
