@@ -54,6 +54,12 @@ def run(sf_dir: str) -> dict:
         REGISTRY[name].fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # Isolate each measurement: the query functions persist shared
+        # subtrees (shingle sets, signature tables) that are scoped to one
+        # query run; stale entries from the warmup/previous queries distort
+        # the storage-memory balance and can graft mismatched cached
+        # fragments into later plans.
+        spark.catalog.clearCache()
         t0 = time.time()
         REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)

@@ -30,6 +30,21 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure a scan feeds at least cluster-parallelism partitions.
+
+    A small table stored as one parquet file scans as ONE split, which
+    serializes any expensive per-row derivation (shingling, hashing,
+    vector math) on a single core. Round-robin repartition to the default
+    parallelism when the scan is narrower than the cluster; at 100TB the
+    scan already has thousands of splits and this is a no-op (no shuffle
+    is added on the big-data path)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one table. Plain parquet scan — vectorized, prunable.
 

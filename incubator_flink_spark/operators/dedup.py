@@ -53,9 +53,15 @@ def doc_shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     string shrinks shuffle/state volume severalfold at 100TB. The DuckDB
     oracles hash identically (functions/hashing.hash64_sql), so exactness
     is preserved engine-vs-oracle even in the (astronomically unlikely)
-    event of a hash collision — both engines see the same collision."""
+    event of a hash collision — both engines see the same collision.
+
+    The input is spread to cluster parallelism first: the explode+hash
+    below is the CPU-heavy stage of every dedup pipeline and must not be
+    bound to the scan's split count (one small file = one task)."""
+    from incubator_flink_spark.catalog import spread
+
     return (
-        docs.select(
+        spread(docs).select(
             F.col(id_col),
             F.explode(shingles(tokens(F.col(text_col)), k)).alias("__s"),
         )
