@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from incubator_flink_spark.catalog import spread
+
 NUM_PLANES = 8
 DIM = 64
 
@@ -48,7 +50,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int, id_col: str 
     """Exact top-k neighbors per query by cosine (query_id, neighbor_id,
     cos, rank). Ties broken by neighbor id for determinism."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
     pairs = F.broadcast(q).crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -58,7 +60,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int, id_col: str 
 def near_pairs(corpus: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold. O(n^2) — the
     correctness baseline; use lsh_topk for scale."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    a = spread(corpus).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
         a.crossJoin(b)
@@ -84,7 +86,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_i
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), lsh_bucket(F.col(vec_col)).alias("bucket")
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"), lsh_bucket(F.col(vec_col)).alias("bucket")
     )
     pairs = q.join(c, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
@@ -105,6 +107,7 @@ def kmeans_centroids(
         corpus.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
     )
     centroids = [[float(x) for x in r[0]] for r in init]
+    corpus = spread(corpus)  # per-row centroid assignment is the heavy map stage
     for _ in range(iters):
         assigned = corpus.select(
             F.col(id_col), F.col(vec_col), _nearest_centroid(F.col(vec_col), centroids).alias("cluster")
@@ -150,7 +153,7 @@ def ivf_topk(
     from pyspark.sql import Window as W
 
     centroids = kmeans_centroids(corpus, n_clusters, id_col=id_col, vec_col=vec_col)
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"),
         _nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
     )
