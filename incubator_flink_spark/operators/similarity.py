@@ -107,7 +107,10 @@ def kmeans_centroids(
         corpus.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
     )
     centroids = [[float(x) for x in r[0]] for r in init]
-    corpus = spread(corpus)  # per-row centroid assignment is the heavy map stage
+    # per-row centroid assignment is the heavy map stage: spread it, and
+    # persist so the `iters` assignment passes + the caller's final
+    # assignment re-read cached vectors instead of re-running scan+shuffle
+    corpus = spread(corpus).persist()
     for _ in range(iters):
         assigned = corpus.select(
             F.col(id_col), F.col(vec_col), _nearest_centroid(F.col(vec_col), centroids).alias("cluster")
@@ -126,14 +129,15 @@ def kmeans_centroids(
 
 
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """Index of the nearest centroid by dot product (vectors ~unit norm)."""
-    best_idx, best_dot = F.lit(0), _dot(vec, F.array(*[F.lit(w) for w in centroids[0]]))
-    for i, c in enumerate(centroids[1:], start=1):
-        d = _dot(vec, F.array(*[F.lit(w) for w in c]))
-        cond = d > best_dot
-        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-        best_dot = F.when(cond, d).otherwise(best_dot)
-    return best_idx
+    """Index of the nearest centroid by dot product (vectors ~unit norm).
+
+    Expressed as array argmax (first index on ties) so every dot subtree
+    appears exactly ONCE in the plan. The previous chained-when form
+    nested each running best inside the next comparison, doubling the
+    expression tree per centroid — 2^k codegen blowup that dominated
+    wall time as Janino compile, not data work."""
+    dots = F.array(*[_dot(vec, F.array(*[F.lit(w) for w in c])) for c in centroids])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
 def ivf_topk(
