@@ -39,6 +39,8 @@ def spread(df: DataFrame) -> DataFrame:
     parallelism when the scan is narrower than the cluster; at 100TB the
     scan already has thousands of splits and this is a no-op (no shuffle
     is added on the big-data path)."""
+    if df.isStreaming:  # partition introspection is undefined on streams
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
