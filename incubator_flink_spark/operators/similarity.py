@@ -35,6 +35,20 @@ HYPERPLANES: list[list[float]] = [
     [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(DIM)] for _ in range(NUM_PLANES)
 ]
 
+# Banded LSH for threshold near-pair mining (near_pairs_lsh): NUM_BANDS
+# independent bands of BAND_BITS sign-bits each.  A pair is a candidate if
+# it agrees on ALL bits of at least one band; candidates are verified with
+# the exact cosine.  16 bands x 4 bits gives ~0.91 theoretical recall at
+# cos >= 0.35 (p = 1 - theta/pi = 0.614 per bit) with a 6.25% random
+# collision rate per band.  Deterministic constants so the DuckDB oracle
+# replicates the banding exactly.
+BAND_BITS = 4
+NUM_BANDS = 16
+_rng_b = random.Random(11)
+BAND_PLANES: list[list[float]] = [
+    [round(_rng_b.uniform(-1.0, 1.0), 6) for _ in range(DIM)] for _ in range(BAND_BITS * NUM_BANDS)
+]
+
 
 def _dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -65,6 +79,56 @@ def near_pairs(corpus: DataFrame, threshold: float, id_col: str = "vec_id", vec_
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def band_signature(vec_col: Column, band: int) -> Column:
+    """Signature of `band` (0..NUM_BANDS-1): BAND_BITS sign-bits packed."""
+    sig = F.lit(0)
+    for i in range(BAND_BITS):
+        plane = BAND_PLANES[band * BAND_BITS + i]
+        dot = _dot(vec_col, F.array(*[F.lit(w) for w in plane]))
+        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def near_pairs_lsh(
+    corpus: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Banded-LSH near-pair mining: all pairs (id_a < id_b) that collide in
+    at least one sign-bit band AND have exact cosine >= threshold.
+
+    This is the 100TB shape (mirrors dedup.minhash_lsh_pairs): candidate
+    generation is an equi-join on (band, signature) — work proportional to
+    colliding pairs, never the cross product; the exact-cosine verify gives
+    precision 1.0 within the candidate set.  Recall is the banding's
+    (tunable via NUM_BANDS/BAND_BITS); the brute-force ``near_pairs``
+    stays as the small-data baseline."""
+    sigs = spread(corpus).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_signature(F.col(vec_col), b).alias("sig"))
+                for b in range(NUM_BANDS)
+            ])
+        ).alias("bs"),
+    ).select("_id", "_vec", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    left = sigs.select(F.col("_id").alias("id_a"), F.col("band"), F.col("sig"))
+    right = sigs.select(F.col("_id").alias("id_b"), F.col("band"), F.col("sig"))
+    cand = (
+        left.join(right, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
@@ -108,23 +172,41 @@ def kmeans_centroids(
     )
     centroids = [[float(x) for x in r[0]] for r in init]
     # per-row centroid assignment is the heavy map stage: spread it, and
-    # persist so the `iters` assignment passes + the caller's final
-    # assignment re-read cached vectors instead of re-running scan+shuffle
+    # persist so the `iters` assignment passes re-read cached vectors
+    # instead of re-running scan+shuffle.  Unpersisted in `finally` so
+    # library callers don't leak cached partitions for the session; the
+    # caller's final assignment re-derives the (cheap) scan once.
     corpus = spread(corpus).persist()
-    for _ in range(iters):
-        assigned = corpus.select(
-            F.col(id_col), F.col(vec_col), _nearest_centroid(F.col(vec_col), centroids).alias("cluster")
-        )
+    try:
         dim = len(centroids[0])
-        sums = assigned.groupBy("cluster").agg(
-            *[F.sum(F.col(vec_col).getItem(d).cast("double")).alias(f"s{d}") for d in range(dim)],
-            F.count(F.lit(1)).alias("n"),
-        )
-        rows = {r["cluster"]: r for r in sums.collect()}
-        centroids = [
-            [rows[c][f"s{d}"] / rows[c]["n"] for d in range(dim)] if c in rows else centroids[c]
-            for c in range(n_clusters)
-        ]
+        for _ in range(iters):
+            assigned = corpus.select(
+                F.col(id_col), F.col(vec_col), _nearest_centroid(F.col(vec_col), centroids).alias("cluster")
+            )
+            # centroid means are decimal-exact sums (order-independent
+            # across partial aggregation) divided as IEEE doubles, so an
+            # independent engine (the DuckDB oracle) reproduces the
+            # centroids bit-for-bit: float(exact decimal) / int is the
+            # correctly-rounded double division on both sides.
+            # posexplode keeps the aggregate NARROW (one decimal sum over
+            # (cluster, dim) keys) instead of `dim` wide agg columns whose
+            # codegen dominates wall time; only k*dim+k rows hit the driver.
+            sums = (
+                assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("d", "x"))
+                .groupBy("cluster", "d")
+                .agg(F.sum(F.col("x").cast("double").cast("decimal(30,8)")).alias("s"))
+                .collect()
+            )
+            counts = {r["cluster"]: r["n"] for r in assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()}
+            coord: dict[int, list] = {}
+            for r in sums:
+                coord.setdefault(r["cluster"], [None] * dim)[r["d"]] = r["s"]
+            centroids = [
+                [float(coord[c][d]) / counts[c] for d in range(dim)] if c in coord else centroids[c]
+                for c in range(n_clusters)
+            ]
+    finally:
+        corpus.unpersist()
     return centroids
 
 

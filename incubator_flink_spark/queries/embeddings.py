@@ -132,11 +132,101 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_ivf_topk", oracle=None)
+def _ivf_oracle(n_clusters: int = 8, n_probe: int = 2, iters: int = 5, k: int = 5) -> str:
+    """Unrolled Lloyd's k-means + IVF probe as DuckDB SQL.
+
+    Replicates operators/similarity.py ``ivf_topk`` bit-for-bit:
+    - init = first ``n_clusters`` vectors by id;
+    - assignment = argmax dot product, ties to the smallest cluster id
+      (Spark: first index of array_max); dots are sequential left-folds in
+      both engines (Spark ``F.aggregate``; DuckDB ``list_inner_product`` —
+      verified bit-identical);
+    - centroid update = decimal(30,8)-exact coordinate sums divided as
+      IEEE doubles (empty clusters keep the previous centroid);
+    - probes = top ``n_probe`` centroids by dot, ties to the LARGER
+      cluster id (Spark sorts (dot, c) structs ascending then reverses);
+    - final scoring = cosine rounded to 6 decimals, row_number ties by
+      neighbor id.
+    """
+    parts = [
+        f"""WITH earr AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+init AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_clusters}) t),
+carr0 AS (
+  SELECT i.c, ea.v AS cv FROM init i JOIN earr ea ON ea.vec_id = i.vec_id)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT ea.vec_id, c.c, list_inner_product(ea.v, c.cv) AS dot
+  FROM earr ea CROSS JOIN carr{t} c),
+b{t} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+    FROM a{t}) t WHERE rn = 1),
+m{t} AS (
+  SELECT b.c, e.d, CAST(SUM(CAST(e.x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS val
+  FROM b{t} b JOIN e ON e.vec_id = b.vec_id GROUP BY b.c, e.d),
+carr{t + 1} AS (
+  SELECT p.c, COALESCE(n.cv, p.cv) AS cv
+  FROM carr{t} p LEFT JOIN (
+    SELECT c, list(val ORDER BY d) AS cv FROM m{t} GROUP BY c) n ON n.c = p.c)"""
+        )
+    parts.append(
+        f""",
+final_assign AS (
+  SELECT vec_id, c FROM (
+    SELECT ea.vec_id, c.c,
+           ROW_NUMBER() OVER (PARTITION BY ea.vec_id
+                              ORDER BY list_inner_product(ea.v, c.cv) DESC, c.c) AS rn
+    FROM earr ea CROSS JOIN carr{iters} c) t WHERE rn = 1),
+cells AS (
+  SELECT query_id, c FROM (
+    SELECT ea.vec_id AS query_id, c.c,
+           ROW_NUMBER() OVER (PARTITION BY ea.vec_id
+                              ORDER BY list_inner_product(ea.v, c.cv) DESC, c.c DESC) AS rn
+    FROM earr ea CROSS JOIN carr{iters} c WHERE ea.vec_id < 20) t WHERE rn <= {n_probe}),
+cand AS (
+  SELECT cells.query_id, fa.vec_id AS neighbor_id
+  FROM cells JOIN final_assign fa ON fa.c = cells.c
+  WHERE fa.vec_id <> cells.query_id),
+elems AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x, CAST(unnest(b.embedding) AS DOUBLE) AS y
+  FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id),
+cos AS (
+  SELECT query_id, neighbor_id,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM elems GROUP BY query_id, neighbor_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM cos) t
+WHERE rank <= {k}
+ORDER BY query_id, rank"""
+    )
+    return "".join(parts)
+
+
+@register("embedding_ivf_topk", _ivf_oracle())
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (k-means coarse quantizer + n_probe cells). Rows-only check:
-    iterative clustering is not ANSI-SQL-expressible; recall vs the
-    brute-force baseline is asserted in tests/test_operators.py."""
+    """IVF ANN (k-means coarse quantizer + n_probe cells).
+
+    Oracle-checked: the quantizer is deterministic (fixed init, fixed
+    iteration count, decimal-exact centroid means, sequential-fold dots),
+    so the DuckDB oracle unrolls the same 5 Lloyd iterations and must
+    reproduce the exact same cells, candidates, and ranking.  Recall vs
+    the brute-force baseline is additionally asserted in
+    tests/test_operators.py."""
     from incubator_flink_spark.operators.similarity import ivf_topk
 
     e = load(spark, sf_dir, "embeddings")
@@ -151,8 +241,8 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_EMBEDDING_JOIN_ORACLE = """
 SELECT e.label,
        COUNT(*) AS n_docs,
-       SUM(CAST(d.n_chars AS DECIMAL(30,8))) AS total_chars,
-       CAST(SUM(CAST(d.n_chars AS DECIMAL(30,8))) AS DOUBLE) / COUNT(d.n_chars) AS avg_chars,
+       CAST(SUM(CAST(d.n_chars AS DECIMAL(30,8))) AS DOUBLE) AS total_chars,
+       CAST(CAST(SUM(CAST(d.n_chars AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE) / COUNT(d.n_chars) AS avg_chars,
        array_to_string(list_sort(list(DISTINCT d.lang)), ',') AS langs
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 GROUP BY e.label
@@ -172,7 +262,7 @@ def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("n_chars").cast("decimal(30,8)")).alias("total_chars"),
+            F.sum(F.col("n_chars").cast("decimal(30,8)")).cast("double").alias("total_chars"),
             (F.sum(F.col("n_chars").cast("decimal(30,8)")).cast("double") / F.count("n_chars")).alias("avg_chars"),
             F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
         )

@@ -288,7 +288,7 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_GROUPING_SETS_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,
-       COUNT(*) AS cnt, SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS total
+       COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
@@ -303,7 +303,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus, o_orderpriority,
                CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
                CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
-               COUNT(*) AS cnt, SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS total
+               COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
         FROM v_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
@@ -374,13 +374,13 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_STATS_ORACLE = """
 SELECT l_returnflag,
-       SQRT((CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,8))) AS DOUBLE)
-             - CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
-               * CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_quantity))
+       SQRT((CAST(CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE)
+             - CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE)
+               * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE) / COUNT(l_quantity))
             / (COUNT(l_quantity) - 1)) AS stddev_qty,
-       (CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,8))) AS DOUBLE)
-        - CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
-          * CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_quantity))
+       (CAST(CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE)
+        - CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE)
+          * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE) / COUNT(l_quantity))
        / (COUNT(l_quantity) - 1) AS var_qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
@@ -423,8 +423,8 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_PIVOT_ORACLE = """
 SELECT l_returnflag,
-       SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(30,8))) AS F,
-       SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(30,8))) AS O
+       CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(30,8))) AS DOUBLE) AS F,
+       CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(30,8))) AS DOUBLE) AS O
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -497,9 +497,9 @@ def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_RUNNING_ORACLE = """
 SELECT o_custkey, o_orderkey,
-       SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
        COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
 FROM orders WHERE o_custkey < 100
@@ -519,7 +519,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.sum(F.col("o_totalprice").cast("decimal(30,8)")).over(w).alias("running_total"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)")).over(w).cast("double").alias("running_total"),
             F.count(F.lit(1)).over(w).alias("running_cnt"),
         )
         .orderBy("o_custkey", "o_orderkey")
@@ -528,12 +528,12 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_SLIDING_ORACLE = """
 SELECT o_custkey, o_orderkey,
-       SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sliding_sum,
-       SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS ahead_sum
+               ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS DOUBLE) AS ahead_sum
 FROM orders WHERE o_custkey < 100
 ORDER BY o_custkey, o_orderkey
 """
@@ -548,8 +548,8 @@ def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.sum(dec).over(base.rowsBetween(-2, W.currentRow)).alias("sliding_sum"),
-            F.sum(dec).over(base.rowsBetween(1, 2)).alias("ahead_sum"),
+            F.sum(dec).over(base.rowsBetween(-2, W.currentRow)).cast("double").alias("sliding_sum"),
+            F.sum(dec).over(base.rowsBetween(1, 2)).cast("double").alias("ahead_sum"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )

@@ -148,9 +148,9 @@ SELECT o_orderkey,
        o_orderdate - INTERVAL 1 HOUR AS minus1h,
        CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since,
        epoch_us(o_orderdate) AS us,
-       last_day(CAST(o_orderdate AS DATE)) AS ld,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS ld,
        strftime(o_orderdate, '%Y-%m-%d') AS fmt,
-       CAST(o_orderdate AS DATE) AS d
+       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d
 FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
 """
 
@@ -172,9 +172,12 @@ def scalar_temporal_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d - F.expr("INTERVAL 1 HOUR")).alias("minus1h"),
         F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since"),
         F.unix_micros(d.cast("timestamp")).alias("us"),
-        F.last_day(d.cast("date")).alias("ld"),
+        # DATE results are final-cast to TIMESTAMP: the driver's pandas
+        # compare turns DuckDB DATE into datetime64 but Spark DATE into
+        # python date objects, which would hash-mismatch (values equal).
+        F.last_day(d.cast("date")).cast("timestamp").alias("ld"),
         F.date_format(d, "yyyy-MM-dd").alias("fmt"),
-        d.cast("date").alias("d"),
+        d.cast("date").cast("timestamp").alias("d"),
     ).orderBy("o_orderkey")
 
 
