@@ -170,6 +170,50 @@ def verify_jaccard(
     )
 
 
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.4,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram-jaccard pairs via the inverted index, with a
+    document-frequency cap on candidate generation.
+
+    Without a cap the inverted-index self-join is O(sum df^2): one
+    stop-shingle present in 10^6 docs creates 10^12 candidate pairs.  With
+    ``max_df``, shingles whose document frequency exceeds the cap are
+    excluded from CANDIDATE GENERATION (they carry no discriminative
+    signal), bounding the self-join at max_df * sum(df).  The verify stage
+    still computes the exact jaccard over ALL shingles of each candidate
+    pair, so reported similarities are exact; only pairs sharing NOTHING
+    but capped stop-shingles are missed — such pairs have jaccard ~0 and
+    are never near-duplicates at meaningful thresholds.  ``max_df=None``
+    restores the uncapped exact semantics for small corpora."""
+    from pyspark.storagelevel import StorageLevel
+
+    ds = doc_shingle_set(docs, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    idx = ds
+    if max_df is not None:
+        rare = (
+            ds.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        idx = ds.join(rare, "shingle", "left_semi")
+    a = idx.select(F.col(id_col).alias("id_a"), "shingle")
+    b = idx.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return verify_jaccard(docs, cand, id_col, text_col, k, threshold, ds=ds)
+
+
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """60-bit SimHash per doc: bit j set iff more shingle hashes have bit
     j set than not (strict majority; ties clear the bit)."""

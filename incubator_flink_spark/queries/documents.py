@@ -33,6 +33,7 @@ from incubator_flink_spark.functions.text import (
 )
 from incubator_flink_spark.operators.dedup import (
     doc_shingle_set,
+    jaccard_pairs,
     minhash_lsh_pairs,
     normalize_text,
     simhash_pairs,
@@ -154,12 +155,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact n-gram jaccard pairs (inverted-index join) -------------------------
 
+_JACCARD_MAX_DF = 100
+
 NGRAM_JACCARD_ORACLE = f"""
 WITH ds AS ({_DS_CTE}),
+rare AS (SELECT shingle FROM ds GROUP BY shingle HAVING COUNT(*) <= {_JACCARD_MAX_DF}),
+idx AS (SELECT ds.doc_id, ds.shingle FROM ds JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
 cnt AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
   FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b, ROUND(n * 1.0 / (ca.sz + cb.sz - n), 6) AS jaccard
 FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
@@ -170,16 +179,12 @@ ORDER BY id_a, id_b
 
 @register("ngram_jaccard_pairs", NGRAM_JACCARD_ORACLE)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-jaccard near-dup pairs with a document-frequency cap on
+    candidate generation (stop-shingles with df > 100 never enter the
+    inverted-index self-join); the oracle applies the same cap.  See
+    operators/dedup.jaccard_pairs for the scale argument."""
     d = load(spark, sf_dir, "documents")
-    ds = doc_shingle_set(d)
-    cand = (
-        ds.select(F.col("doc_id").alias("id_a"), "shingle")
-        .join(ds.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return verify_jaccard(d, cand, "doc_id", "text", 3, 0.4).orderBy("id_a", "id_b")
+    return jaccard_pairs(d, threshold=0.4, max_df=_JACCARD_MAX_DF).orderBy("id_a", "id_b")
 
 
 # --- text quality scoring ------------------------------------------------------

@@ -125,3 +125,33 @@ def test_connected_components_chain_and_clusters(spark):
     )
     n_clusters = clusters.select("cluster_id").distinct().count()
     assert n_clusters == 2
+
+
+def test_jaccard_df_cap_bounds_stop_shingle_blowup(spark):
+    # a stop-shingle present in every doc must not quadratically explode
+    # candidate generation (operators/dedup.jaccard_pairs max_df cap)
+    from pyspark.sql import functions as F
+
+    from incubator_flink_spark.operators.dedup import doc_shingle_set, jaccard_pairs
+
+    stop = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, f"{stop} unique words number {i} alpha beta gamma delta {i}") for i in range(30)]
+    rows.append((100, "identical payload text copy one two three four five six seven " + stop))
+    rows.append((101, "identical payload text copy one two three four five six seven " + stop))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ds = doc_shingle_set(docs)
+
+    def cand_count(idx):
+        a = idx.select(F.col("doc_id").alias("id_a"), "shingle")
+        b = idx.select(F.col("doc_id").alias("id_b"), "shingle")
+        return (
+            a.join(b, "shingle").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct().count()
+        )
+
+    uncapped = cand_count(ds)
+    rare = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 3).select("shingle")
+    capped = cand_count(ds.join(rare, "shingle", "left_semi"))
+    assert uncapped == 32 * 31 // 2  # stop phrase pairs every doc with every other
+    assert capped < uncapped / 10  # cap prunes the stop-shingle fanout
+    out = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, threshold=0.4, max_df=3).collect()}
+    assert (100, 101) in out  # true near-dups still found (rare shingles)

@@ -49,3 +49,23 @@ def test_minhash_verify_is_candidate_first(spark):
     # it, the full inverted-index join reappears as an extra big SMJ
     rep = audit_plan(REGISTRY["dedup_minhash_lsh"].fn(spark, SF))
     assert rep.sort_merge_joins <= 4
+
+
+def test_near_pairs_lsh_no_cartesian(spark):
+    # the scale path for threshold near-pairs must generate candidates via
+    # an equi-join on (band, signature) — never a cross product
+    # (round-1 registered the O(n^2) crossJoin; this pins the fix)
+    rep = audit_plan(REGISTRY["embedding_near_pairs"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
+
+
+def test_near_pairs_lsh_recall(spark):
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.operators.similarity import near_pairs, near_pairs_lsh
+
+    e = load(spark, SF, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in near_pairs(e, 0.35).collect()}
+    banded = {(r.id_a, r.id_b) for r in near_pairs_lsh(e, 0.35).collect()}
+    assert banded <= exact  # precision 1.0: verify stage is exact cosine
+    assert len(exact & banded) / len(exact) >= 0.8  # banding recall
