@@ -34,6 +34,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,6 +44,80 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def _ts_us(series: pd.Series) -> pd.Series:
     return series.astype("int64") // 1000  # datetime64[ns] → micros
+
+
+# --- vectorized per-batch kernels -------------------------------------------
+# The stateful over/count-window operators process each Arrow batch with
+# numpy (cumulative sums in extended precision + searchsorted window
+# bounds) instead of per-row Python loops: throughput is array-speed, the
+# carried state contract is unchanged.  tests/test_kernels.py pins both
+# the semantics (vs a naive loop) and the >=5x speedup on a 100k batch.
+
+
+def over_rows_kernel(
+    vals: np.ndarray, buf: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW sums/counts for a sorted
+    batch `vals` continuing carried window `buf` (<= n-1 values).
+    Returns (sums, cnts, new_buf)."""
+    c = np.concatenate([buf, vals])
+    s = np.concatenate([[0.0], np.cumsum(c, dtype=np.longdouble)])
+    gi = np.arange(len(buf), len(c))
+    start = np.maximum(gi - (n - 1), 0)
+    sums = np.round((s[gi + 1] - s[start]).astype(np.float64), 9)
+    cnts = (gi + 1 - start).astype(np.int64)
+    new_buf = c[max(0, len(c) - (n - 1)) :] if n > 1 else c[:0]
+    return sums, cnts, new_buf
+
+
+def over_range_kernel(
+    ts_us: np.ndarray, vals: np.ndarray, buf_ts: np.ndarray, buf_vals: np.ndarray, horizon_us: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """RANGE [ts - horizon, ts] sums/counts for a ts-sorted batch
+    continuing the carried in-horizon buffer (assumes ordered replay, the
+    operator's documented contract).  Returns
+    (sums, cnts, new_buf_ts, new_buf_vals)."""
+    cts = np.concatenate([buf_ts, ts_us])
+    cvs = np.concatenate([buf_vals, vals])
+    s = np.concatenate([[0.0], np.cumsum(cvs, dtype=np.longdouble)])
+    gi = np.arange(len(buf_ts), len(cts))
+    start = np.searchsorted(cts, cts[gi] - horizon_us, side="left")
+    sums = np.round((s[gi + 1] - s[start]).astype(np.float64), 9)
+    cnts = (gi + 1 - start).astype(np.int64)
+    keep = int(np.searchsorted(cts, cts[-1] - horizon_us, side="left")) if len(cts) else 0
+    return sums, cnts, cts[keep:], cvs[keep:]
+
+
+def count_window_kernel(
+    vals: np.ndarray, open_cnt: int, open_total: float, n_seen: int, size: int
+) -> tuple[np.ndarray, np.ndarray, int, float, int]:
+    """Tumbling count windows over a sorted batch continuing an open
+    window of (open_cnt, open_total).  Returns
+    (window_ids, totals, new_open_cnt, new_open_total, new_n_seen) —
+    one entry per window CLOSED inside this batch."""
+    m = len(vals)
+    s = np.concatenate([[0.0], np.cumsum(vals, dtype=np.longdouble)])
+    closes = np.arange(size - open_cnt - 1, m, size)
+    if len(closes) == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.float64),
+            open_cnt + m,
+            float(open_total + float(s[m])),
+            n_seen,
+        )
+    totals = np.diff(np.concatenate([[0.0], s[closes + 1]])).astype(np.float64)
+    totals[0] += open_total
+    totals = np.round(totals, 9)
+    wids = n_seen // size + np.arange(len(closes), dtype=np.int64)
+    last = int(closes[-1]) + 1
+    return (
+        wids,
+        totals,
+        m - last,
+        float(s[m] - s[last]),
+        n_seen + size * len(closes),
+    )
 
 
 def keep_last_dedup(df: DataFrame, keys: list[str], ts_col: str, tiebreak: str) -> DataFrame:
@@ -152,23 +227,28 @@ def count_window_counts(df: DataFrame, keys: list[str], ts_col: str, tiebreak: s
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         n_seen, open_cnt, open_total = state.get if state.exists else (0, 0, 0.0)
-        closed: list[dict[str, Any]] = []
+        wid_parts: list[np.ndarray] = []
+        tot_parts: list[np.ndarray] = []
         for pdf in pdfs:
             if pdf.empty:
                 continue
             pdf = pdf.sort_values([ts_col, tiebreak])
-            for v in pdf[value_col].astype(float):
-                open_cnt += 1
-                open_total += float(v)
-                if open_cnt == size:
-                    closed.append(
-                        {"window_id": n_seen // size, "cnt": open_cnt, "total": round(open_total, 9)}
-                    )
-                    n_seen += size
-                    open_cnt, open_total = 0, 0.0
+            vals = pdf[value_col].to_numpy(np.float64)
+            wids, totals, open_cnt, open_total, n_seen = count_window_kernel(
+                vals, open_cnt, open_total, n_seen, size
+            )
+            if len(wids):
+                wid_parts.append(wids)
+                tot_parts.append(totals)
         state.update((n_seen, open_cnt, open_total))
-        if closed:
-            res = pd.DataFrame(closed)
+        if wid_parts:
+            res = pd.DataFrame(
+                {
+                    "window_id": np.concatenate(wid_parts),
+                    "total": np.concatenate(tot_parts),
+                }
+            )
+            res["cnt"] = size
             for f, kv in zip(key_fields, key):
                 res[f.name] = kv
             yield res[[c.name for c in out_schema.fields]]
@@ -211,31 +291,33 @@ def streaming_over_range(
     horizon_us = range_s * 1_000_000
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        ts_buf, val_buf = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
-        out: list[dict[str, Any]] = []
+        if state.exists:
+            buf_ts = np.asarray(state.get[0], np.int64)
+            buf_vals = np.asarray(state.get[1], np.float64)
+        else:
+            buf_ts = np.empty(0, np.int64)
+            buf_vals = np.empty(0, np.float64)
+        parts: list[pd.DataFrame] = []
         for pdf in pdfs:
             if pdf.empty:
                 continue
             pdf = pdf.sort_values([ts_col, id_col])
-            for ts_us, rid, v in zip(_ts_us(pdf[ts_col]), pdf[id_col].astype(int), pdf[value_col].astype(float)):
-                ts_us = int(ts_us)
-                ts_buf.append(ts_us)
-                val_buf.append(float(v))
-                lo = ts_us - horizon_us
-                while ts_buf and ts_buf[0] < lo:
-                    ts_buf.pop(0)
-                    val_buf.pop(0)
-                out.append(
+            ts_us = _ts_us(pdf[ts_col]).to_numpy(np.int64)
+            vals = pdf[value_col].to_numpy(np.float64)
+            sums, cnts, buf_ts, buf_vals = over_range_kernel(ts_us, vals, buf_ts, buf_vals, horizon_us)
+            parts.append(
+                pd.DataFrame(
                     {
-                        "id": int(rid),
-                        "ts": pd.Timestamp(ts_us * 1000),
-                        "sum_range": round(sum(val_buf), 9),
-                        "cnt_range": len(val_buf),
+                        "id": pdf[id_col].to_numpy(np.int64),
+                        "ts": pd.to_datetime(ts_us, unit="us"),
+                        "sum_range": sums,
+                        "cnt_range": cnts,
                     }
                 )
-        state.update((ts_buf, val_buf))
-        if out:
-            res = pd.DataFrame(out)
+            )
+        state.update(([int(t) for t in buf_ts], [float(v) for v in buf_vals]))
+        if parts:
+            res = pd.concat(parts, ignore_index=True)
             for f, kv in zip(key_fields, key):
                 res[f.name] = kv
             yield res[[c.name for c in out_schema.fields]]
@@ -272,27 +354,27 @@ def streaming_over_rows(
     state_schema = T.StructType([T.StructField("val_buf", T.ArrayType(T.DoubleType()))])
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        buf = list(state.get[0]) if state.exists else []
-        out: list[dict[str, Any]] = []
+        buf = np.asarray(state.get[0], np.float64) if state.exists else np.empty(0, np.float64)
+        parts: list[pd.DataFrame] = []
         for pdf in pdfs:
             if pdf.empty:
                 continue
             pdf = pdf.sort_values([ts_col, id_col])
-            for ts_us, rid, v in zip(_ts_us(pdf[ts_col]), pdf[id_col].astype(int), pdf[value_col].astype(float)):
-                buf.append(float(v))
-                if len(buf) > n:
-                    buf.pop(0)
-                out.append(
+            vals = pdf[value_col].to_numpy(np.float64)
+            sums, cnts, buf = over_rows_kernel(vals, buf, n)
+            parts.append(
+                pd.DataFrame(
                     {
-                        "id": int(rid),
-                        "ts": pd.Timestamp(int(ts_us) * 1000),
-                        "sum_rows": round(sum(buf), 9),
-                        "cnt_rows": len(buf),
+                        "id": pdf[id_col].to_numpy(np.int64),
+                        "ts": pd.to_datetime(_ts_us(pdf[ts_col]).to_numpy(np.int64), unit="us"),
+                        "sum_rows": sums,
+                        "cnt_rows": cnts,
                     }
                 )
-        state.update((buf[max(0, len(buf) - (n - 1)) :] if n > 1 else [],))
-        if out:
-            res = pd.DataFrame(out)
+            )
+        state.update(([float(v) for v in buf],))
+        if parts:
+            res = pd.concat(parts, ignore_index=True)
             for f, kv in zip(key_fields, key):
                 res[f.name] = kv
             yield res[[c.name for c in out_schema.fields]]

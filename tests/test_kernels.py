@@ -1,0 +1,120 @@
+"""Vectorized stateful-kernel tests: semantics vs a naive per-row loop,
+plus the throughput contract (>=5x on a 100k-row batch) that motivated
+vectorizing streaming/stateful.py's over/count-window operators."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from incubator_flink_spark.streaming.stateful import (
+    count_window_kernel,
+    over_range_kernel,
+    over_rows_kernel,
+)
+
+
+def _naive_over_rows(vals, buf, n):
+    buf = list(buf)
+    sums, cnts = [], []
+    for v in vals:
+        buf.append(float(v))
+        if len(buf) > n:
+            buf.pop(0)
+        sums.append(round(sum(buf), 9))
+        cnts.append(len(buf))
+    return sums, cnts, buf[max(0, len(buf) - (n - 1)) :] if n > 1 else []
+
+
+def _naive_over_range(ts_us, vals, buf_ts, buf_vals, horizon):
+    buf_ts, buf_vals = list(buf_ts), list(buf_vals)
+    sums, cnts = [], []
+    for t, v in zip(ts_us, vals):
+        buf_ts.append(int(t))
+        buf_vals.append(float(v))
+        lo = t - horizon
+        while buf_ts and buf_ts[0] < lo:
+            buf_ts.pop(0)
+            buf_vals.pop(0)
+        sums.append(round(sum(buf_vals), 9))
+        cnts.append(len(buf_vals))
+    return sums, cnts, buf_ts, buf_vals
+
+
+def _naive_count_window(vals, open_cnt, open_total, n_seen, size):
+    wids, totals = [], []
+    for v in vals:
+        open_cnt += 1
+        open_total += float(v)
+        if open_cnt == size:
+            wids.append(n_seen // size)
+            totals.append(round(open_total, 9))
+            n_seen += size
+            open_cnt, open_total = 0, 0.0
+    return wids, totals, open_cnt, open_total, n_seen
+
+
+def _rand(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0.0, 100.0, n)
+
+
+def test_over_rows_kernel_matches_naive():
+    vals = _rand(5000)
+    buf = _rand(3, seed=1)
+    s, c, nb = over_rows_kernel(vals, buf, 4)
+    es, ec, eb = _naive_over_rows(vals, buf, 4)
+    assert np.allclose(s, es, atol=1e-6) and list(c) == ec
+    assert np.allclose(nb, eb)
+
+
+def test_over_range_kernel_matches_naive():
+    ts = np.cumsum(np.random.default_rng(2).integers(1, 50, 5000)).astype(np.int64)
+    vals = _rand(5000, seed=3)
+    s, c, nbt, nbv = over_range_kernel(ts, vals, np.empty(0, np.int64), np.empty(0, np.float64), 500)
+    es, ec, ebt, ebv = _naive_over_range(ts, vals, [], [], 500)
+    assert np.allclose(s, es, atol=1e-6) and list(c) == ec
+    assert list(nbt) == ebt and np.allclose(nbv, ebv)
+
+
+def test_count_window_kernel_matches_naive_across_batches():
+    vals = _rand(5003, seed=4)
+    # split into ragged batches to exercise the carried open window
+    state = (0, 0.0, 0)  # open_cnt, open_total, n_seen
+    got_w, got_t = [], []
+    exp_w, exp_t = [], []
+    estate = (0, 0.0, 0)
+    for lo, hi in [(0, 7), (7, 1009), (1009, 3501), (3501, 5003)]:
+        w, t, oc, ot, ns = count_window_kernel(vals[lo:hi], state[0], state[1], state[2], 5)
+        got_w += list(w)
+        got_t += list(t)
+        state = (oc, ot, ns)
+        ew, et, eoc, eot, ens = _naive_count_window(vals[lo:hi], estate[0], estate[1], estate[2], 5)
+        exp_w += ew
+        exp_t += et
+        estate = (eoc, eot, ens)
+    assert got_w == exp_w
+    assert np.allclose(got_t, exp_t, atol=1e-6)
+    assert state[0] == estate[0] and state[2] == estate[2]
+    assert abs(state[1] - estate[1]) < 1e-6
+
+
+def test_kernels_beat_naive_loop_5x_on_100k():
+    vals = _rand(100_000, seed=5)
+    ts = np.cumsum(np.random.default_rng(6).integers(1, 20, 100_000)).astype(np.int64)
+    empty_i, empty_f = np.empty(0, np.int64), np.empty(0, np.float64)
+
+    t0 = time.perf_counter()
+    over_rows_kernel(vals, empty_f, 50)
+    over_range_kernel(ts, vals, empty_i, empty_f, 1000)
+    count_window_kernel(vals, 0, 0.0, 0, 50)
+    fast = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _naive_over_rows(vals, [], 50)
+    _naive_over_range(ts, vals, [], [], 1000)
+    _naive_count_window(vals, 0, 0.0, 0, 50)
+    slow = time.perf_counter() - t0
+
+    assert slow / fast >= 5, f"vectorized kernels only {slow / fast:.1f}x faster"
