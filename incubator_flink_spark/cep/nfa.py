@@ -10,20 +10,58 @@ Semantics implemented (mirroring the reference's documented behavior):
 - RELAXED contiguity: any number of non-matching events may be skipped
   before each accepted event.
 - Quantifiers: times(n,m), one_or_more (unbounded), optional. Under
-  NO_SKIP every repetition count is emitted; under SKIP_PAST_LAST_EVENT
-  the earliest-starting, shortest match wins — the reference's reluctant
-  default (greedy() is opt-in there and not implemented here).
+  NO_SKIP every repetition count is emitted (reluctant default); with
+  greedy() a looping stage consumes maximally per run and shorter
+  prefixes of that run are not emitted (like the reference, greedy does
+  not backtrack when the maximal consumption starves later stages).
+- until(cond): the looping stage stops scanning at the first event where
+  the condition fires; that event is not consumed
+  (Pattern.java:500 untilCondition).
+- Iterative conditions: predicates registered with where_iterative get
+  (event, ctx); ctx.get_events_for_pattern(name) returns the events
+  accepted so far in this partial match for stage `name`, including
+  earlier repeats of the stage being evaluated
+  (conditions/IterativeCondition.java:63 getEventsForPattern).
 - Negated stages (notNext / notFollowedBy): no matching event may occur
   at the required position (strict) / anywhere before the next stage's
   match (relaxed). A trailing notFollowedBy is checked to end-of-stream.
 - within: last_event.ts - first_event.ts <= window.
-- After-match skip: NO_SKIP emits every match combination;
-  SKIP_PAST_LAST_EVENT restarts after the previous match's last index.
+- After-match skip (nfa/aftermatch/AfterMatchSkipStrategy.java):
+  NO_SKIP emits every match combination; SKIP_PAST_LAST_EVENT restarts
+  after the previous match's last index; SKIP_TO_FIRST(p)/SKIP_TO_LAST(p)
+  discard matches starting before the first/last event mapped to stage p
+  of the previously emitted match.
 """
 
 from __future__ import annotations
 
-from incubator_flink_spark.cep.pattern import NO_SKIP, RELAXED, STRICT, Pattern, Stage
+from incubator_flink_spark.cep.pattern import (
+    NO_SKIP,
+    RELAXED,
+    SKIP_PAST_LAST_EVENT,
+    SKIP_TO_FIRST,
+    SKIP_TO_LAST,
+    STRICT,
+    Pattern,
+    Stage,
+)
+
+
+class Context:
+    """IterativeCondition.Context analog: read access to the events
+    accepted so far in the current partial match."""
+
+    __slots__ = ("_capture", "_stage_name", "_stage_taken")
+
+    def __init__(self, capture: dict, stage_name: str, stage_taken: list[dict]):
+        self._capture = capture
+        self._stage_name = stage_name
+        self._stage_taken = stage_taken
+
+    def get_events_for_pattern(self, name: str) -> list[dict]:
+        if name == self._stage_name:
+            return list(self._capture.get(name, [])) + list(self._stage_taken)
+        return list(self._capture.get(name, []))
 
 
 def _stage_matches(
@@ -34,6 +72,7 @@ def _stage_matches(
     first_ts,
     within_s: float | None,
     ts_key: str,
+    capture: dict,
 ):
     """Yield (next_idx, captured) for stage si starting at start_idx.
     captured: list of event indices taken by this stage."""
@@ -44,6 +83,9 @@ def _stage_matches(
         if within_s is None or ref is None:
             return True
         return (events[idx][ts_key] - ref).total_seconds() <= within_s
+
+    def ctx_for(taken: list[int]) -> Context:
+        return Context(capture, stage.name, [events[i] for i in taken])
 
     if stage.negated:
         # negative stage captures nothing; it constrains the region between
@@ -61,30 +103,54 @@ def _stage_matches(
         taken: list[int] = []
         idx = start_idx
         ref = None
-        while idx < len(events) and len(taken) < max_t and stage.accepts(events[idx]) and in_window(idx, ref):
+        collected = []
+        while idx < len(events) and len(taken) < max_t and in_window(idx, ref):
+            ctx = ctx_for(taken)
+            if stage.until_fires(events[idx], ctx) or not stage.accepts(events[idx], ctx):
+                break
             taken.append(idx)
             if ref is None:
                 ref = events[taken[0]][ts_key]
             idx += 1
             if len(taken) >= stage.min_times:
-                yield (idx, list(taken))
+                collected.append((idx, list(taken)))
+        if stage.greedy and collected:
+            yield collected[-1]  # maximal consumption only
+        else:
+            yield from collected
     else:
-        # relaxed: choose any first index >= start_idx; repeats may skip
+        # relaxed: choose any first index >= start_idx; between repeats the
+        # loop skips NON-matching events only (the reference's relaxed
+        # consuming strategy) unless allow_combinations() opts into
+        # skipping matching events too (SKIP_TILL_ANY). greedy: only the
+        # maximal extension of each run is yielded. until: the scan for
+        # further repeats stops at the first event where the until
+        # condition fires.
         def extend(taken: list[int], idx: int):
             ref = events[taken[0]][ts_key]
-            if len(taken) >= stage.min_times:
+            extended = False
+            if len(taken) < max_t:
+                j = idx
+                while j < len(events):
+                    ctx = ctx_for(taken)
+                    if stage.until_fires(events[j], ctx):
+                        break
+                    if stage.accepts(events[j], ctx):
+                        if in_window(j, ref):
+                            extended = True
+                            yield from extend(taken + [j], j + 1)
+                        if not stage.combinations:
+                            break  # a matching event cannot be skipped
+                    j += 1
+            if len(taken) >= stage.min_times and not (stage.greedy and extended):
                 yield (taken[-1] + 1, list(taken))
-            if len(taken) >= max_t:
-                return
-            j = idx
-            while j < len(events):
-                if stage.accepts(events[j]) and in_window(j, ref):
-                    yield from extend(taken + [j], j + 1)
-                j += 1
 
         j = start_idx
         while j < len(events):
-            if stage.accepts(events[j]) and in_window(j):
+            ctx = ctx_for([])
+            if stage.until_fires(events[j], ctx):
+                break
+            if stage.accepts(events[j], ctx) and in_window(j):
                 yield from extend([j], j + 1)
             j += 1
 
@@ -102,19 +168,21 @@ def find_matches(pattern: Pattern, events: list[dict], ts_key: str = "ts") -> li
     """All matches of `pattern` over time-sorted `events`; each match maps
     stage name → captured events (in order)."""
     stages = pattern.stages
-    matches: list[tuple[int, int, dict]] = []  # (first_idx, last_idx, capture)
+    matches: list[tuple[int, int, dict, dict]] = []  # (first, last, capture, stage_idxs)
 
-    def search(si: int, start_idx: int, first_ts, capture: dict, last_idx: int):
+    def search(si: int, start_idx: int, first_ts, capture: dict, stage_idxs: dict, last_idx: int):
         if si == len(stages):
-            idxs = capture.get("__idx", [])
+            idxs = [i for v in stage_idxs.values() for i in v]
             if idxs:
-                matches.append((min(idxs), max(idxs), dict(capture)))
+                matches.append((min(idxs), max(idxs), dict(capture), dict(stage_idxs)))
             return
         stage = stages[si]
         if stage.negated:
-            search_negated(si, start_idx, first_ts, capture, last_idx)
+            search_negated(si, start_idx, first_ts, capture, stage_idxs, last_idx)
             return
-        for nxt, taken in _stage_matches(stages, si, events, start_idx, first_ts, pattern.within_s, ts_key):
+        for nxt, taken in _stage_matches(
+            stages, si, events, start_idx, first_ts, pattern.within_s, ts_key, capture
+        ):
             f_ts = first_ts
             if taken and f_ts is None:
                 f_ts = events[taken[0]][ts_key]
@@ -122,20 +190,23 @@ def find_matches(pattern: Pattern, events: list[dict], ts_key: str = "ts") -> li
                 continue
             cap = dict(capture)
             cap[stage.name] = [events[i] for i in taken]
-            cap.setdefault("__idx", []).extend(taken)
-            search(si + 1, nxt, f_ts, cap, taken[-1] if taken else last_idx)
+            sidx = dict(stage_idxs)
+            sidx[stage.name] = list(taken)
+            search(si + 1, nxt, f_ts, cap, sidx, taken[-1] if taken else last_idx)
 
-    def search_negated(si: int, start_idx: int, first_ts, capture: dict, last_idx: int):
+    def search_negated(si: int, start_idx: int, first_ts, capture: dict, stage_idxs: dict, last_idx: int):
         neg = stages[si]
         rest = si + 1
         if rest == len(stages):
             # trailing negation: forbidden anywhere to end of stream
             if not _violates_negation(neg, events, start_idx, len(events), start_idx):
-                search(rest, start_idx, first_ts, capture, last_idx)
+                search(rest, start_idx, first_ts, capture, stage_idxs, last_idx)
             return
         # find each match of the remaining pattern and check the gap region
         nxt_stage = stages[rest]
-        for nxt, taken in _stage_matches(stages, rest, events, start_idx, first_ts, pattern.within_s, ts_key):
+        for nxt, taken in _stage_matches(
+            stages, rest, events, start_idx, first_ts, pattern.within_s, ts_key, capture
+        ):
             if not taken:
                 continue
             region_hi = taken[0]
@@ -144,28 +215,39 @@ def find_matches(pattern: Pattern, events: list[dict], ts_key: str = "ts") -> li
             f_ts = first_ts if first_ts is not None else events[taken[0]][ts_key]
             cap = dict(capture)
             cap[nxt_stage.name] = [events[i] for i in taken]
-            cap.setdefault("__idx", []).extend(taken)
-            search(rest + 1, nxt, f_ts, cap, taken[-1])
+            sidx = dict(stage_idxs)
+            sidx[nxt_stage.name] = list(taken)
+            search(rest + 1, nxt, f_ts, cap, sidx, taken[-1])
 
-    search(0, 0, None, {}, -1)
+    search(0, 0, None, {}, {}, -1)
 
     # deduplicate identical captures (relaxed enumeration can revisit)
     seen = set()
     uniq = []
-    for first_i, last_i, cap in matches:
-        key = tuple(sorted((k, tuple(id(e) for e in v)) for k, v in cap.items() if k != "__idx"))
+    for first_i, last_i, cap, sidx in matches:
+        key = tuple(sorted((k, tuple(v)) for k, v in sidx.items()))
         if key not in seen:
             seen.add(key)
-            uniq.append((first_i, last_i, cap))
+            uniq.append((first_i, last_i, cap, sidx))
     uniq.sort(key=lambda m: (m[0], m[1]))
 
     if pattern.skip_strategy == NO_SKIP:
-        return [{k: v for k, v in cap.items() if k != "__idx"} for _, _, cap in uniq]
-    # SKIP_PAST_LAST_EVENT: greedily take non-overlapping matches in order
+        return [cap for _, _, cap, _ in uniq]
+
+    # prune runs per AfterMatchSkipStrategy: discard matches starting
+    # before the cursor; emitted matches advance the cursor.
     out = []
-    cursor = -1
-    for first_i, last_i, cap in uniq:
-        if first_i > cursor:
-            out.append({k: v for k, v in cap.items() if k != "__idx"})
-            cursor = last_i
+    cursor = 0
+    for first_i, last_i, cap, sidx in uniq:
+        if first_i < cursor:
+            continue
+        out.append(cap)
+        if pattern.skip_strategy == SKIP_PAST_LAST_EVENT:
+            cursor = last_i + 1
+        elif pattern.skip_strategy == SKIP_TO_FIRST:
+            idxs = sidx.get(pattern.skip_stage, [])
+            cursor = max(cursor, min(idxs)) if idxs else cursor
+        elif pattern.skip_strategy == SKIP_TO_LAST:
+            idxs = sidx.get(pattern.skip_stage, [])
+            cursor = max(cursor, max(idxs)) if idxs else cursor
     return out

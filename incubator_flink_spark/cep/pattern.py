@@ -1,6 +1,7 @@
 """Pattern combinator API (reference: flink-cep/.../pattern/Pattern.java:
 begin:128, where:180, next:288, followedBy:316, notNext/notFollowedBy,
-times:427, oneOrMore:391, optional:369, greedy:380, within:543).
+times:427, oneOrMore:391, optional:369, greedy:380, until:500, within:543;
+conditions/IterativeCondition.java; nfa/aftermatch/AfterMatchSkipStrategy.java).
 
 A pattern is a linear sequence of stages; each stage has a name, a
 predicate over the event (a callable on a dict-like row), a contiguity
@@ -8,38 +9,74 @@ mode relative to the previous stage (STRICT for next(), RELAXED for
 followed_by()), and a quantifier (times(n[, m]), one_or_more, optional).
 ``within(seconds)`` bounds first-to-last event time.
 
-Differences from the reference (documented divergence): predicates are
-simple (non-iterative) conditions; contiguity NOT_NEXT/NOT_FOLLOWED_BY
-is supported as a stage-level negation lookahead; after-match skip
-supports NO_SKIP (default, all matches) and SKIP_PAST_LAST_EVENT.
+Round-2 additions mirroring the reference:
+- ``where_iterative(pred)`` — IterativeCondition: the predicate receives
+  ``(event, ctx)`` where ``ctx.get_events_for_pattern(name)`` returns the
+  events already accepted for stage ``name`` in this partial match
+  (including earlier repeats of the current stage), like
+  IterativeCondition.Context.getEventsForPattern.
+- ``greedy()`` — the looping stage consumes as many matching events as it
+  can per run; shorter prefixes of the same run are not emitted
+  (Pattern.java:380; like the reference, greedy does not backtrack when a
+  longer consumption starves later stages — documented limitation).
+- ``until(pred)`` — stops the looping stage's acceptance at the first
+  event where the condition fires (Pattern.java:500); the until event is
+  not consumed.
+- ``after_match_skip_to_first(name)`` / ``after_match_skip_to_last(name)``
+  — AfterMatchSkipStrategy.skipToFirst/skipToLast: after emitting a
+  match, discard matches starting before the first/last event mapped to
+  stage ``name``.
+
+Remaining divergence (documented): contiguity NOT_NEXT/NOT_FOLLOWED_BY is
+supported as a stage-level negation lookahead.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from typing import Any
 
 STRICT = "strict"  # next()
 RELAXED = "relaxed"  # followedBy()
 
 NO_SKIP = "no_skip"
 SKIP_PAST_LAST_EVENT = "skip_past_last_event"
+SKIP_TO_FIRST = "skip_to_first"
+SKIP_TO_LAST = "skip_to_last"
 
 Predicate = Callable[[dict], bool]
+
+
+@dataclass
+class Cond:
+    pred: Callable[..., bool]
+    iterative: bool = False  # iterative preds receive (event, ctx)
 
 
 @dataclass
 class Stage:
     name: str
     contiguity: str = RELAXED
-    predicates: list[Predicate] = field(default_factory=list)
+    conditions: list[Cond] = field(default_factory=list)
     min_times: int = 1
     max_times: int = 1  # -1 → unbounded (oneOrMore)
     optional: bool = False
     negated: bool = False  # notNext/notFollowedBy
+    greedy: bool = False
+    combinations: bool = False  # allowCombinations(): loop repeats may skip matching events
+    until_cond: Cond | None = None
 
-    def accepts(self, event: dict) -> bool:
-        return all(p(event) for p in self.predicates)
+    def accepts(self, event: dict, ctx: Any = None) -> bool:
+        return all(
+            c.pred(event, ctx) if c.iterative else c.pred(event) for c in self.conditions
+        )
+
+    def until_fires(self, event: dict, ctx: Any = None) -> bool:
+        if self.until_cond is None:
+            return False
+        c = self.until_cond
+        return c.pred(event, ctx) if c.iterative else c.pred(event)
 
 
 class Pattern:
@@ -49,6 +86,7 @@ class Pattern:
         self.stages: list[Stage] = [first_stage]
         self.within_s: float | None = None
         self.skip_strategy: str = NO_SKIP
+        self.skip_stage: str | None = None  # for SKIP_TO_FIRST/SKIP_TO_LAST
 
     # --- constructors ---------------------------------------------------------
     @staticmethod
@@ -57,17 +95,28 @@ class Pattern:
 
     # --- predicates -----------------------------------------------------------
     def where(self, pred: Predicate) -> "Pattern":
-        self.stages[-1].predicates.append(pred)
+        self.stages[-1].conditions.append(Cond(pred))
+        return self
+
+    def where_iterative(self, pred: Callable[[dict, Any], bool]) -> "Pattern":
+        """IterativeCondition: pred(event, ctx);
+        ctx.get_events_for_pattern(name) -> accepted events of a stage."""
+        self.stages[-1].conditions.append(Cond(pred, iterative=True))
         return self
 
     def or_(self, pred: Predicate) -> "Pattern":
         """OR with the previous predicate (Pattern.or)."""
         stage = self.stages[-1]
-        if not stage.predicates:
-            stage.predicates.append(pred)
+        if not stage.conditions:
+            stage.conditions.append(Cond(pred))
             return self
-        prev = stage.predicates.pop()
-        stage.predicates.append(lambda e, a=prev, b=pred: a(e) or b(e))
+        prev = stage.conditions.pop()
+        if prev.iterative:
+            stage.conditions.append(
+                Cond(lambda e, ctx, a=prev.pred, b=pred: a(e, ctx) or b(e), iterative=True)
+            )
+        else:
+            stage.conditions.append(Cond(lambda e, a=prev.pred, b=pred: a(e) or b(e)))
         return self
 
     # --- sequencing -----------------------------------------------------------
@@ -102,6 +151,29 @@ class Pattern:
         self.stages[-1].optional = True
         return self
 
+    def greedy(self) -> "Pattern":
+        """Looping stage consumes maximally per run (Pattern.java:380)."""
+        self.stages[-1].greedy = True
+        return self
+
+    def allow_combinations(self) -> "Pattern":
+        """Non-deterministic relaxed looping: repeats may also skip
+        MATCHING events (Pattern.java allowCombinations / Quantifier
+        ConsumingStrategy.SKIP_TILL_ANY).  The default relaxed loop skips
+        only non-matching events between repeats, like the reference."""
+        self.stages[-1].combinations = True
+        return self
+
+    def until(self, pred: Predicate) -> "Pattern":
+        """Stop the looping stage at the first event where pred fires
+        (Pattern.java:500); the until event is not consumed."""
+        self.stages[-1].until_cond = Cond(pred)
+        return self
+
+    def until_iterative(self, pred: Callable[[dict, Any], bool]) -> "Pattern":
+        self.stages[-1].until_cond = Cond(pred, iterative=True)
+        return self
+
     # --- window / skip --------------------------------------------------------
     def within(self, seconds: float) -> "Pattern":
         self.within_s = seconds
@@ -109,4 +181,17 @@ class Pattern:
 
     def after_match_skip_past_last_event(self) -> "Pattern":
         self.skip_strategy = SKIP_PAST_LAST_EVENT
+        return self
+
+    def after_match_skip_to_first(self, stage_name: str) -> "Pattern":
+        """AfterMatchSkipStrategy.skipToFirst(stage): discard matches
+        starting before the first event of `stage` in the emitted match."""
+        self.skip_strategy = SKIP_TO_FIRST
+        self.skip_stage = stage_name
+        return self
+
+    def after_match_skip_to_last(self, stage_name: str) -> "Pattern":
+        """AfterMatchSkipStrategy.skipToLast(stage)."""
+        self.skip_strategy = SKIP_TO_LAST
+        self.skip_stage = stage_name
         return self

@@ -176,3 +176,123 @@ def test_match_recognize_shim(spark):
         assert src[r.view_id].event_type == "view"
         assert src[r.first_click].event_type == "click"
         assert src[r.first_click].ts <= src[r.second_click].ts
+
+
+# --- round-2 additions: iterative conditions, greedy, until, skip-to ---------
+# (reference: flink-cep conditions/IterativeCondition.java, Pattern.java:380
+# greedy / :500 until, nfa/aftermatch/AfterMatchSkipStrategy.java)
+
+
+def test_iterative_condition_aggregating():
+    # accept b's while the running sum of accepted b values stays < 6
+    # (the funnel-analytics "sum of amounts in this pattern so far" shape)
+    p = (
+        Pattern.begin("bs")
+        .where(lambda e: e["event_type"] == "b")
+        .where_iterative(
+            lambda e, ctx: sum(x["value"] for x in ctx.get_events_for_pattern("bs")) + e["value"] < 6
+        )
+        .one_or_more()
+    )
+    m = find_matches(p, SEQ)
+    captured = sorted(tuple(e["event_id"] for e in match["bs"]) for match in m)
+    # b@1 (2.0) alone ok; b@1+b@3 = 5.0 < 6 ok; b@3 (3.0) alone ok
+    assert captured == [(1,), (1, 3), (3,)]
+    p6 = (
+        Pattern.begin("bs")
+        .where(lambda e: e["event_type"] == "b")
+        .where_iterative(
+            lambda e, ctx: sum(x["value"] for x in ctx.get_events_for_pattern("bs")) + e["value"] < 5
+        )
+        .one_or_more()
+    )
+    m = find_matches(p6, SEQ)
+    captured = sorted(tuple(e["event_id"] for e in match["bs"]) for match in m)
+    assert captured == [(1,), (3,)]  # 2.0+3.0 = 5.0 not < 5 → no combined
+
+
+def test_iterative_condition_refers_to_earlier_stage():
+    # second stage must exceed the first stage's value
+    p = (
+        Pattern.begin("first")
+        .where(lambda e: e["event_type"] == "b")
+        .followed_by("bigger")
+        .where_iterative(lambda e, ctx: e["value"] > ctx.get_events_for_pattern("first")[0]["value"])
+    )
+    m = find_matches(p, SEQ)
+    pairs = sorted(
+        (match["first"][0]["event_id"], match["bigger"][0]["event_id"]) for match in m
+    )
+    # first=b@1(2.0): bigger candidates b@3(3.0), c@4(4.0); first=b@3(3.0): c@4(4.0)
+    assert pairs == [(1, 3), (1, 4), (3, 4)]
+
+
+def test_greedy_one_or_more():
+    p = (
+        Pattern.begin("bs")
+        .where(lambda e: e["event_type"] == "b")
+        .one_or_more()
+        .greedy()
+        .followed_by("end")
+        .where(lambda e: e["event_type"] == "c")
+    )
+    m = find_matches(p, SEQ)
+    captured = sorted(tuple(e["event_id"] for e in match["bs"]) for match in m)
+    # greedy: each run consumes maximally — the run starting at b@1 takes
+    # b@1,b@3 (no (1,)-only match); the run starting at b@3 takes (3,)
+    assert captured == [(1, 3), (3,)]
+
+
+def test_until_stops_loop():
+    p = (
+        Pattern.begin("bs")
+        .where(lambda e: e["event_type"] in ("a", "b"))
+        .one_or_more()
+        .until(lambda e: e["event_type"] == "x")  # x@2 closes the loop
+    )
+    m = find_matches(p, SEQ)
+    captured = sorted(tuple(e["event_id"] for e in match["bs"]) for match in m)
+    # only events before x@2 can loop: a@0, b@1 — b@3 after the until event
+    # can still START a run? No: the scan stops at the until event, so runs
+    # starting after it are produced from later start positions the same
+    # way — the reference stops the looping state entirely at until.
+    assert captured == [(0,), (0, 1), (1,)]
+
+
+def test_skip_to_first():
+    # classic AfterMatchSkipITCase shape: a+ b over a1 a2 a3 b
+    seq = [
+        ev("2024-01-01 00:00:00", "a", 1.0, 0),
+        ev("2024-01-01 00:00:01", "a", 1.0, 1),
+        ev("2024-01-01 00:00:02", "a", 1.0, 2),
+        ev("2024-01-01 00:00:03", "b", 0.0, 3),
+    ]
+
+    def pat():
+        return (
+            Pattern.begin("as")
+            .where(lambda e: e["event_type"] == "a")
+            .one_or_more()
+            .greedy()
+            .followed_by("end")
+            .where(lambda e: e["event_type"] == "b")
+        )
+
+    no_skip = find_matches(pat(), seq)
+    assert sorted(tuple(e["event_id"] for e in m["as"]) for m in no_skip) == [
+        (0, 1, 2),
+        (1, 2),
+        (2,),
+    ]
+    # SKIP_TO_FIRST(as): after emitting the (0,1,2) match, cursor moves to
+    # first 'as' event (0) — subsequent matches start at 1,2 >= 0 so all
+    # still emit (skip-to-first on the first stage is a no-op, as in the
+    # reference where it guards against no-progress configs)
+    stf = find_matches(pat().after_match_skip_to_first("as"), seq)
+    assert len(stf) == 3
+    # SKIP_TO_LAST(as): after (0,1,2) cursor -> 2, discarding the (1,2) run
+    stl = find_matches(pat().after_match_skip_to_last("as"), seq)
+    assert sorted(tuple(e["event_id"] for e in m["as"]) for m in stl) == [(0, 1, 2), (2,)]
+    # SKIP_PAST_LAST_EVENT: cursor past b@3 — single match
+    spl = find_matches(pat().after_match_skip_past_last_event(), seq)
+    assert [tuple(e["event_id"] for e in m["as"]) for m in spl] == [(0, 1, 2)]
