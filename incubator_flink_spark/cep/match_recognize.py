@@ -7,29 +7,88 @@ Calcite pattern grammar).
     match_recognize(
         df, partition_by=["user_id"], order_by="ts",
         pattern="A B+ C?",                  # quantifiers: + * ? {n} {n,m}
-        define={"A": lambda e: ..., "B": ...},   # omitted name = always true
-        measures=lambda key, match: {...},  # one output row per match
+        define={"A": lambda e: ..., "B": lambda e, ctx: ...},
+        measures=lambda key, m: {...},      # m: MatchAccess (FINAL semantics)
         output_schema="...", within=3600, after_match_skip=True)
 
 Pattern grammar (linear, like the reference's supported core): variables
 separated by spaces, each optionally quantified. All steps use relaxed
-(followedBy) contiguity, matching MATCH_RECOGNIZE semantics where
-non-matching rows between pattern rows are not allowed — NOTE: strict SQL
-MATCH_RECOGNIZE is contiguous over the partition's rows; pass
-``strict=True`` for that behavior (next() contiguity).
+(followedBy) contiguity by default; pass ``strict=True`` for SQL-strict
+row contiguity (next() semantics).
+
+Measures semantics (StreamExecMatch.java:90, MatchCodeGenerator.scala):
+
+- DEFINE conditions may take ``(row)`` or ``(row, ctx)``; the two-arg form
+  gets RUNNING semantics — ``ctx.get_events_for_pattern(var)`` is the
+  rows matched to ``var`` so far (LAST(A.x) ≡ ctx.get_events_for_pattern
+  ("A")[-1]), and ``ctx.prev(n)`` / ``ctx.ahead(n)`` are the PREV/NEXT
+  partition-row navigation functions.
+- ONE ROW PER MATCH (default): ``measures(key, m)`` where ``m`` is a
+  ``MatchAccess`` — a dict (variable → rows) extended with FINAL-semantics
+  helpers: ``first/last(var, field)``, ``classifier()`` (variable of the
+  final row), ``count/sum_/min_/max_(var, field)``.
+- ALL ROWS PER MATCH: pass ``all_rows=True``; ``measures(key, running,
+  final, row, classifier)`` is called once per matched row in match
+  order, where ``running`` is the match restricted to rows up to and
+  including the current one (RUNNING aggregates) and ``final`` the whole
+  match (FINAL aggregates).
 """
 
 from __future__ import annotations
 
+import inspect
 import re
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame
 
-from incubator_flink_spark.cep.executor import match_pattern
+from incubator_flink_spark.cep.nfa import find_matches
 from incubator_flink_spark.cep.pattern import Pattern
 
-_TOKEN = re.compile(r"^(\w+)(\+|\*|\?|\{(\d+)(?:,(\d+))?\})?$")
+_TOKEN = re.compile(r"^(\w+)(\+\??|\*\??|\?|\{(\d+)(?:,(\d+))?\})?$")
+
+
+class MatchAccess(dict):
+    """A match (variable → captured rows, in order) with the
+    MATCH_RECOGNIZE measure helpers (FINAL semantics over its contents)."""
+
+    def __init__(self, match: dict[str, list[dict]], var_order: list[str]):
+        super().__init__(match)
+        self._var_order = [v for v in var_order if match.get(v)]
+
+    def rows(self, var: str) -> list[dict]:
+        return self.get(var, [])
+
+    def first(self, var: str, field: str | None = None):
+        r = self.rows(var)
+        if not r:
+            return None
+        return r[0][field] if field else r[0]
+
+    def last(self, var: str, field: str | None = None):
+        r = self.rows(var)
+        if not r:
+            return None
+        return r[-1][field] if field else r[-1]
+
+    def classifier(self) -> str | None:
+        """Variable name of the final row of the match (CLASSIFIER())."""
+        return self._var_order[-1] if self._var_order else None
+
+    def count(self, var: str) -> int:
+        return len(self.rows(var))
+
+    def sum_(self, var: str, field: str):
+        return sum(r[field] for r in self.rows(var))
+
+    def min_(self, var: str, field: str):
+        r = self.rows(var)
+        return min((x[field] for x in r), default=None)
+
+    def max_(self, var: str, field: str):
+        r = self.rows(var)
+        return max((x[field] for x in r), default=None)
 
 
 def parse_pattern(pattern: str, define: dict[str, Callable], strict: bool = False) -> Pattern:
@@ -50,11 +109,23 @@ def parse_pattern(pattern: str, define: dict[str, Callable], strict: bool = Fals
             built = built.followed_by(name)
         pred = define.get(name)
         if pred is not None:
-            built = built.where(pred)
-        if quant == "+":
+            # two-arg DEFINE conditions get RUNNING/navigation context
+            # (PREV/NEXT, LAST(var.x) via ctx.get_events_for_pattern)
+            if len(inspect.signature(pred).parameters) >= 2:
+                built = built.where_iterative(pred)
+            else:
+                built = built.where(pred)
+        # SQL MATCH_RECOGNIZE quantifiers are GREEDY by default; the
+        # reluctant variants are spelled with a trailing '?' (B+?), unlike
+        # the Pattern API where greedy() is opt-in (Pattern.java:380).
+        if quant in ("+", "+?"):
             built = built.one_or_more()
-        elif quant == "*":
+            if quant == "+":
+                built = built.greedy()
+        elif quant in ("*", "*?"):
             built = built.one_or_more().optional()
+            if quant == "*":
+                built = built.greedy()
         elif quant == "?":
             built = built.optional()
         elif quant and quant.startswith("{"):
@@ -64,23 +135,61 @@ def parse_pattern(pattern: str, define: dict[str, Callable], strict: bool = Fals
     return built
 
 
+def _pattern_vars(pattern: str) -> list[str]:
+    return [_TOKEN.match(t).group(1) for t in pattern.split()]
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: list[str],
     order_by: str,
     pattern: str,
     define: dict[str, Callable],
-    measures: Callable[[dict, dict], dict],
+    measures: Callable,
     output_schema: str,
     within: float | None = None,
     after_match_skip: bool = True,
     strict: bool = False,
     tiebreak: str | None = None,
+    all_rows: bool = False,
 ) -> DataFrame:
-    """ONE ROW PER MATCH semantics (the reference's default)."""
+    """ONE ROW PER MATCH by default; ``all_rows=True`` for ALL ROWS PER
+    MATCH with per-row RUNNING semantics (see module docstring)."""
     p = parse_pattern(pattern, define, strict=strict)
     if within is not None:
         p = p.within(within)
     if after_match_skip:
         p = p.after_match_skip_past_last_event()
-    return match_pattern(df, partition_by, order_by, p, measures, output_schema, tiebreak=tiebreak)
+    var_order = _pattern_vars(pattern)
+    order = [order_by] + ([tiebreak] if tiebreak else [])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        events = pdf.to_dict("records")
+        key_dict = {k: pdf[k].iloc[0] for k in partition_by}
+        rows = []
+        for m in find_matches(p, events, ts_key=order_by):
+            final = MatchAccess(m, var_order)
+            if not all_rows:
+                rows.append(measures(key_dict, final))
+                continue
+            # ALL ROWS PER MATCH: iterate matched rows in variable order,
+            # building the RUNNING view incrementally
+            running: dict[str, list[dict]] = {}
+            for var in var_order:
+                for row in m.get(var, []):
+                    running.setdefault(var, []).append(row)
+                    rows.append(
+                        measures(
+                            key_dict,
+                            MatchAccess({k: list(v) for k, v in running.items()}, var_order),
+                            final,
+                            row,
+                            var,
+                        )
+                    )
+        if not rows:
+            return pd.DataFrame(columns=[c.strip().split(" ")[0] for c in output_schema.split(",")])
+        return pd.DataFrame(rows)
+
+    return df.groupBy(*partition_by).applyInPandas(fn, output_schema)

@@ -49,19 +49,44 @@ from incubator_flink_spark.cep.pattern import (
 
 class Context:
     """IterativeCondition.Context analog: read access to the events
-    accepted so far in the current partial match."""
+    accepted so far in the current partial match, plus MATCH_RECOGNIZE
+    row-pattern navigation (PREV/NEXT over the ordered partition —
+    MatchCodeGenerator's prev/next offsets)."""
 
-    __slots__ = ("_capture", "_stage_name", "_stage_taken")
+    __slots__ = ("_capture", "_stage_name", "_stage_taken", "_events", "_idx")
 
-    def __init__(self, capture: dict, stage_name: str, stage_taken: list[dict]):
+    def __init__(
+        self,
+        capture: dict,
+        stage_name: str,
+        stage_taken: list[dict],
+        events: list[dict] | None = None,
+        idx: int | None = None,
+    ):
         self._capture = capture
         self._stage_name = stage_name
         self._stage_taken = stage_taken
+        self._events = events
+        self._idx = idx
 
     def get_events_for_pattern(self, name: str) -> list[dict]:
         if name == self._stage_name:
             return list(self._capture.get(name, [])) + list(self._stage_taken)
         return list(self._capture.get(name, []))
+
+    def prev(self, n: int = 1) -> dict | None:
+        """PREV(expr, n): the row n positions before the current row in
+        the ordered partition (None past the partition start)."""
+        if self._events is None or self._idx is None or self._idx - n < 0:
+            return None
+        return self._events[self._idx - n]
+
+    def ahead(self, n: int = 1) -> dict | None:
+        """NEXT(expr, n): the row n positions after the current row
+        (None past the partition end)."""
+        if self._events is None or self._idx is None or self._idx + n >= len(self._events):
+            return None
+        return self._events[self._idx + n]
 
 
 def _stage_matches(
@@ -84,8 +109,8 @@ def _stage_matches(
             return True
         return (events[idx][ts_key] - ref).total_seconds() <= within_s
 
-    def ctx_for(taken: list[int]) -> Context:
-        return Context(capture, stage.name, [events[i] for i in taken])
+    def ctx_for(taken: list[int], idx: int | None = None) -> Context:
+        return Context(capture, stage.name, [events[i] for i in taken], events, idx)
 
     if stage.negated:
         # negative stage captures nothing; it constrains the region between
@@ -105,7 +130,7 @@ def _stage_matches(
         ref = None
         collected = []
         while idx < len(events) and len(taken) < max_t and in_window(idx, ref):
-            ctx = ctx_for(taken)
+            ctx = ctx_for(taken, idx)
             if stage.until_fires(events[idx], ctx) or not stage.accepts(events[idx], ctx):
                 break
             taken.append(idx)
@@ -132,7 +157,7 @@ def _stage_matches(
             if len(taken) < max_t:
                 j = idx
                 while j < len(events):
-                    ctx = ctx_for(taken)
+                    ctx = ctx_for(taken, j)
                     if stage.until_fires(events[j], ctx):
                         break
                     if stage.accepts(events[j], ctx):
@@ -147,7 +172,7 @@ def _stage_matches(
 
         j = start_idx
         while j < len(events):
-            ctx = ctx_for([])
+            ctx = ctx_for([], j)
             if stage.until_fires(events[j], ctx):
                 break
             if stage.accepts(events[j], ctx) and in_window(j):

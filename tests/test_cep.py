@@ -296,3 +296,65 @@ def test_skip_to_first():
     # SKIP_PAST_LAST_EVENT: cursor past b@3 — single match
     spl = find_matches(pat().after_match_skip_past_last_event(), seq)
     assert [tuple(e["event_id"] for e in m["as"]) for m in spl] == [(0, 1, 2)]
+
+
+def test_match_recognize_prev_navigation_and_measures():
+    # canonical V-shape over prices using PREV() in DEFINE (StreamExecMatch
+    # MatchCodeGenerator prev/next) + FIRST/LAST/CLASSIFIER measures
+    from incubator_flink_spark.cep.match_recognize import MatchAccess, parse_pattern
+
+    prices = [5.0, 4.0, 3.0, 4.5, 6.0]
+    events = [ev(f"2024-01-01 00:00:{i:02d}", "p", v, i) for i, v in enumerate(prices)]
+
+    # STRT DOWN+ UP+ : DOWN rows strictly below previous row, UP above
+    p = parse_pattern(
+        "STRT DOWN+ UP+",
+        {
+            "DOWN": lambda e, ctx: ctx.prev() is not None and e["value"] < ctx.prev()["value"],
+            "UP": lambda e, ctx: ctx.prev() is not None and e["value"] > ctx.prev()["value"],
+        },
+        strict=True,
+    ).after_match_skip_past_last_event()
+    matches = find_matches(p, events)
+    assert len(matches) == 1
+    m = MatchAccess(matches[0], ["STRT", "DOWN", "UP"])
+    assert m.first("STRT", "value") == 5.0
+    assert m.last("DOWN", "value") == 3.0  # bottom of the V
+    assert m.last("UP", "value") == 6.0
+    assert m.classifier() == "UP"
+    assert m.count("DOWN") == 2 and m.sum_("DOWN", "value") == 7.0
+    assert m.min_("DOWN", "value") == 3.0 and m.max_("UP", "value") == 6.0
+
+
+def test_match_recognize_all_rows_running_vs_final(spark):
+    # ALL ROWS PER MATCH: per-row RUNNING aggregates + CLASSIFIER vs FINAL
+    from incubator_flink_spark.cep.match_recognize import match_recognize
+
+    df = spark.createDataFrame(
+        [(1, i, float(i + 1), "a" if i < 2 else "b") for i in range(4)],
+        "user_id BIGINT, ts BIGINT, value DOUBLE, event_type STRING",
+    )
+    out = match_recognize(
+        df,
+        partition_by=["user_id"],
+        order_by="ts",
+        pattern="A+ B+",
+        define={
+            "A": lambda e: e["event_type"] == "a",
+            "B": lambda e: e["event_type"] == "b",
+        },
+        measures=lambda key, running, final, row, classifier: {
+            "user_id": int(key["user_id"]),
+            "ts": int(row["ts"]),
+            "classifier": classifier,
+            "running_sum": float(sum(r["value"] for v in running.values() for r in v)),
+            "final_sum": float(sum(r["value"] for v in final.values() for r in v)),
+        },
+        output_schema="user_id BIGINT, ts BIGINT, classifier STRING, running_sum DOUBLE, final_sum DOUBLE",
+        all_rows=True,
+    )
+    rows = sorted(out.collect(), key=lambda r: r.ts)
+    full = [r for r in rows if r.final_sum == 10.0]  # the maximal A A B B match
+    assert [r.classifier for r in full] == ["A", "A", "B", "B"]
+    assert [r.running_sum for r in full] == [1.0, 3.0, 6.0, 10.0]
+    assert all(r.final_sum == 10.0 for r in full)
