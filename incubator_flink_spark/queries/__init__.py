@@ -17,6 +17,7 @@ families with the least prior driver evidence:
 """
 
 from incubator_flink_spark.queries import (  # noqa: F401
+    cdc_queries,
     cep_queries,
     documents,
     embeddings,
@@ -75,6 +76,7 @@ _PRIORITY = [
     "window_session_dynamic",
     "changelog_normalize_batch",
     "retract_aggregate_batch",
+    "cdc_debezium_normalize",
     # -- tier 2: round-1 hash mismatch fixed this round -------------------
     "tpch_q1",
     "tpch_q3",

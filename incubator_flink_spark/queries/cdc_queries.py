@@ -1,0 +1,62 @@
+"""Driver-checkable CDC coverage: a deterministic debezium-JSON changelog
+is synthesized from the ``orders`` table (create for every row, update
+doubling the price for keys %5==0, delete for keys %7==0), serialized to
+raw JSON envelope strings, parsed back with sources/cdc.parse_debezium,
+and materialized with changelog_normalize.  The oracle derives the same
+final state directly from ``orders`` — so a hash match proves the whole
+serialize → parse → rowkind-tag → normalize pipeline (reference:
+flink-formats/flink-json/.../debezium/DebeziumJsonDeserializationSchema.java).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.catalog import load
+from incubator_flink_spark.queries.registry import register
+from incubator_flink_spark.sources.cdc import parse_debezium
+from incubator_flink_spark.streaming.changelog import changelog_normalize
+
+_PAY_T = "struct<id:bigint,cust:bigint,price:double>"
+
+CDC_DEBEZIUM_ORACLE = """
+SELECT o_orderkey AS id, o_custkey AS cust,
+       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS price
+FROM orders
+WHERE o_orderkey % 7 <> 0
+ORDER BY id
+"""
+
+
+@register("cdc_debezium_normalize", CDC_DEBEZIUM_ORACLE)
+def cdc_debezium_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    key = F.col("o_orderkey")
+    payload = F.struct(
+        key.alias("id"), F.col("o_custkey").alias("cust"), F.col("o_totalprice").alias("price")
+    )
+    upd_payload = F.struct(
+        key.alias("id"), F.col("o_custkey").alias("cust"), (F.col("o_totalprice") * 2).alias("price")
+    )
+    null_pay = F.lit(None).cast(_PAY_T)
+
+    def env(before, after, op, seq):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op).alias("op"),
+                (key * 10 + seq).alias("ts_ms"),
+            )
+        )
+
+    empty = F.array().cast("array<string>")
+    envelopes = F.concat(
+        F.array(env(null_pay, payload, "c", 1)),
+        F.when(key % 5 == 0, F.array(env(payload, upd_payload, "u", 2))).otherwise(empty),
+        F.when(key % 7 == 0, F.array(env(upd_payload, null_pay, "d", 3))).otherwise(empty),
+    )
+    raw = o.select(F.explode(envelopes).alias("value"))
+    rows = parse_debezium(raw, "value", "id BIGINT, cust BIGINT, price DOUBLE")
+    return changelog_normalize(rows, ["id"], "ts_ms", "ts_ms").drop("ts_ms").orderBy("id")
