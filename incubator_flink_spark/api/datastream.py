@@ -120,7 +120,10 @@ class KeyedStream:
         # session windows merge only as a grouping expression, so the
         # window column goes into the groupBy itself (extracted after agg)
         return WindowedStream(
-            self._df, self._keys, group_exprs=[_session_col(ts_col, gap_s).alias("__sw")]
+            self._df,
+            self._keys,
+            group_exprs=[_session_col(ts_col, gap_s).alias("__sw")],
+            session=(ts_col, gap_s),
         )
 
     def count_window(self, ts_col: str, tiebreak: str, size: int) -> "WindowedStream":
@@ -135,11 +138,13 @@ class WindowedStream:
         keys: list[str],
         window_cols: list[str] | None = None,
         group_exprs: list[Column] | None = None,
+        session: tuple[str, int] | None = None,
     ):
         self._df = df
         self._keys = keys
         self._window_cols = window_cols or ["window_start", "window_end"]
         self._group_exprs = group_exprs  # e.g. a session_window grouping col
+        self._session = session  # (ts_col, gap_s) when session-windowed
 
     def _grouping(self):
         if self._group_exprs is not None:
@@ -159,7 +164,36 @@ class WindowedStream:
         return DataStream(self._flatten(self._df.groupBy(*self._grouping()).agg(*aggs)))
 
     def apply(self, fn: Callable, output_schema: str) -> DataStream:
-        """WindowFunction with the whole window's rows (coGroup-style)."""
+        """WindowFunction with the whole window's rows (coGroup-style).
+
+        Session windows need explicit pre-merge: Spark's session_window
+        column only merges inside an Aggregate node, so grouping raw rows
+        by it would put every row in its own [ts, ts+gap) window.  Merged
+        session ids are assigned with the gaps-and-islands rewrite (same
+        as the batch session operator) before applyInPandas."""
+        if self._session is not None:
+            ts_col, gap_s = self._session
+            if self._df.isStreaming:
+                raise NotImplementedError(
+                    "session_window().apply() needs the gaps-and-islands "
+                    "pre-merge, which requires a batch DataFrame; use "
+                    "aggregate() (merged by Spark) or the stateful "
+                    "operators in streaming/ for streaming sessions"
+                )
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy(*self._keys).orderBy(ts_col)
+            gap_us = gap_s * 1_000_000
+            prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+            new_sess = F.when(
+                prev.isNull() | (F.unix_micros(F.col(ts_col)) - prev > gap_us), 1
+            ).otherwise(0)
+            run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            merged = self._df.withColumn("__session_id", F.sum(new_sess).over(run))
+            wrapped = lambda pdf: fn(pdf.drop(columns="__session_id"))  # noqa: E731
+            return DataStream(
+                merged.groupBy(*self._keys, "__session_id").applyInPandas(wrapped, output_schema)
+            )
         return DataStream(
             self._df.groupBy(*self._grouping()).applyInPandas(fn, output_schema)
         )

@@ -45,12 +45,17 @@ def connected_components(
     is unique, independent of iteration order/count.
 
     One shuffle per round (neighbor-min join + per-vertex min agg);
-    convergence checked with a cheap changed-count per round.
+    convergence checked with a cheap changed-count per round.  If the
+    fixpoint is not reached within ``max_iter`` rounds (a component with
+    diameter > max_iter), a RuntimeError is raised rather than silently
+    returning non-converged labels — raise ``max_iter`` for long-chain
+    graphs (label propagation needs ~diameter rounds).
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
     labels = e.select("u").distinct().select("u", F.col("u").alias("component")).persist()
     labels.count()
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             e.join(labels.select(F.col("u").alias("v"), "component"), "v")
@@ -78,6 +83,12 @@ def connected_components(
         if changed == 0:
             break
     e.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); increase max_iter "
+            "(needs ~graph diameter rounds)"
+        )
     return labels.select(F.col("u").alias("vertex"), "component")
 
 

@@ -236,7 +236,13 @@ def tumble_agg_with_lateness(
             windows, purge_us = {}, -(1 << 62)
         out: list[dict[str, Any]] = []
         # Spark's lagged watermark -> true event-time watermark (undo the
-        # delay widening; keep the initial 0 sentinel at "far past")
+        # delay widening; keep the initial 0 sentinel at "far past").
+        # LIMITATION (documented divergence): Spark reports "no watermark
+        # yet" as 0 ms, which aliases a real watermark at the 1970 epoch —
+        # streams whose event times are at/near the epoch would keep the
+        # reconstructed watermark at "far past" until the true watermark
+        # first exceeds 0, delaying (never corrupting) final fires for
+        # epoch-adjacent data. Real event-time data is decades past 1970.
         spark_wm_ms = state.getCurrentWatermarkMs()
         wm_us = spark_wm_ms * 1000 + shift_us if spark_wm_ms > 0 else -(1 << 62)
 
@@ -296,3 +302,247 @@ def tumble_agg_with_lateness(
     return df.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+# --- round-2: the remaining trigger/evictor family ---------------------------
+# (flink-streaming-java/.../windowing/triggers/DeltaTrigger.java,
+#  ContinuousEventTimeTrigger.java, ProcessingTimeoutTrigger.java;
+#  evictors/TimeEvictor.java, DeltaEvictor.java, CountEvictor.java)
+
+
+class CountTrigger:
+    """Fire every n-th element of a window (CountTrigger.of(n))."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def on_element(self, aux: float | None, cnt: int, value: float):
+        return cnt % self.n == 0, aux
+
+
+class DeltaTrigger:
+    """Fire when delta_fn(last_triggering_element, element) > threshold;
+    the triggering element is then remembered (DeltaTrigger.java:44).
+    Aux state: the last triggering element's value (first element seeds)."""
+
+    def __init__(self, threshold: float, delta_fn=None):
+        self.threshold = threshold
+        self.delta_fn = delta_fn or (lambda old, new: abs(new - old))
+
+    def on_element(self, aux: float | None, cnt: int, value: float):
+        if aux is None:
+            return False, value
+        if self.delta_fn(aux, value) > self.threshold:
+            return True, value
+        return False, aux
+
+
+class ContinuousEventTimeTrigger:
+    """Fire repeatedly every `interval_s` of event time while the window
+    is open (ContinuousEventTimeTrigger.java): the first timer is the
+    interval boundary at/after the first element; each watermark advance
+    past the registered boundary fires and re-registers.  (At most one
+    early fire per window per micro-batch — boundaries crossed inside one
+    batch coalesce, a micro-batch-granularity divergence.)"""
+
+    def __init__(self, interval_s: int):
+        self.interval_us = interval_s * 1_000_000
+
+    def first_fire(self, ts_us: int) -> float:
+        return float(((ts_us // self.interval_us) + 1) * self.interval_us)
+
+    def on_watermark(self, next_fire: float, wm_us: int, w_end: int):
+        if next_fire and wm_us >= next_fire and next_fire < w_end:
+            nxt = ((wm_us // self.interval_us) + 1) * self.interval_us
+            return True, float(min(nxt, w_end))
+        return False, next_fire
+
+
+class ProcessingTimeoutTrigger:
+    """Fire open windows after `timeout_s` of PROCESSING time since the
+    window's first element (ProcessingTimeoutTrigger.of); final fires
+    still happen at the event-time watermark when later batches arrive.
+
+    NOTE: a query using this trigger is wall-clock-driven and does not
+    drain under trigger(availableNow=True) — Spark keeps scheduling
+    no-data state-cleanup batches while stateful processing-time state
+    exists; run it with a processing-time trigger and stop explicitly."""
+
+    def __init__(self, timeout_s: float):
+        self.timeout_ms = int(timeout_s * 1000)
+
+    def on_element(self, aux: float | None, cnt: int, value: float):
+        return False, aux
+
+
+class CountEvictor:
+    """Keep only the last n elements at fire time (CountEvictor.of)."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def evict(self, ts: list[int], vals: list[float]):
+        return ts[-self.n :], vals[-self.n :]
+
+
+class TimeEvictor:
+    """Keep elements with ts > max_ts - keep_s (TimeEvictor.of: evicts
+    elements older than `windowSize` before the buffer's max timestamp)."""
+
+    def __init__(self, keep_s: int):
+        self.keep_us = keep_s * 1_000_000
+
+    def evict(self, ts: list[int], vals: list[float]):
+        if not ts:
+            return ts, vals
+        lo = max(ts) - self.keep_us
+        kept = [(t, v) for t, v in zip(ts, vals) if t > lo]
+        return [t for t, _ in kept], [v for _, v in kept]
+
+
+class DeltaEvictor:
+    """Evict elements whose delta_fn(element, last_element) >= threshold
+    (DeltaEvictor.java: compares each buffered element to the LAST one)."""
+
+    def __init__(self, threshold: float, delta_fn=None):
+        self.threshold = threshold
+        self.delta_fn = delta_fn or (lambda v, last: abs(v - last))
+
+    def evict(self, ts: list[int], vals: list[float]):
+        if not vals:
+            return ts, vals
+        last = vals[-1]
+        kept = [(t, v) for t, v in zip(ts, vals) if self.delta_fn(v, last) < self.threshold]
+        return [t for t, _ in kept], [v for _, v in kept]
+
+
+def tumble_agg_triggered(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    size_s: int,
+    trigger=None,
+    evictor=None,
+) -> DataFrame:
+    """Tumbling event-time count/sum aggregation with a pluggable trigger
+    (CountTrigger / DeltaTrigger / ContinuousEventTimeTrigger /
+    ProcessingTimeoutTrigger) and optional evictor (CountEvictor /
+    TimeEvictor / DeltaEvictor), generalizing early_firing_tumble_agg to
+    the reference's full WindowOperator trigger/evictor surface.
+
+    Elements are buffered per open window (as the reference's evicting
+    windows do); the evictor runs before EVERY fire's aggregation
+    (evictBefore).  Early fires are tagged 'early', the watermark-close
+    fire 'final' (PurgingTrigger: the final fire purges the window).
+    Requires ``df.withWatermark(ts_col, ...)`` upstream."""
+    key_fields = [f for f in df.schema.fields if f.name in keys]
+    out_schema = _fire_schema(key_fields)
+    state_schema = T.StructType(
+        [
+            T.StructField("elem_w", T.ArrayType(T.LongType())),
+            T.StructField("elem_ts", T.ArrayType(T.LongType())),
+            T.StructField("elem_val", T.ArrayType(T.DoubleType())),
+            T.StructField("aux_w", T.ArrayType(T.LongType())),
+            T.StructField("aux_val", T.ArrayType(T.DoubleType())),
+            T.StructField("max_final_us", T.LongType()),
+        ]
+    )
+    size_us = size_s * 1_000_000
+    proc_timeout = isinstance(trigger, ProcessingTimeoutTrigger)
+
+    def agg_fire(w: int, ts: list[int], vals: list[float], kind: str) -> dict[str, Any]:
+        if evictor is not None:
+            ts, vals = evictor.evict(ts, vals)
+        return _row(w, size_us, len(vals), sum(vals), kind)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        windows: dict[int, list[list]] = {}
+        aux: dict[int, float | None] = {}
+        max_final_us = -(1 << 62)
+        if state.exists:
+            st = state.get
+            for w, t, v in zip(st[0], st[1], st[2]):
+                windows.setdefault(w, [[], []])
+                windows[w][0].append(t)
+                windows[w][1].append(v)
+            aux = dict(zip(st[3], st[4]))
+            max_final_us = st[5]
+        out: list[dict[str, Any]] = []
+
+        if state.hasTimedOut and proc_timeout:
+            for w in sorted(windows):
+                out.append(agg_fire(w, windows[w][0], windows[w][1], "early"))
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                pdf = pdf.sort_values([ts_col, id_col])
+                for ts_us, v in zip(_ts_us(pdf[ts_col]), pdf[value_col].astype(float)):
+                    ts_us, v = int(ts_us), float(v)
+                    w = (ts_us // size_us) * size_us
+                    if w < max_final_us:
+                        continue
+                    new = w not in windows
+                    buf = windows.setdefault(w, [[], []])
+                    buf[0].append(ts_us)
+                    buf[1].append(v)
+                    if isinstance(trigger, ContinuousEventTimeTrigger):
+                        if new:
+                            aux[w] = trigger.first_fire(ts_us)
+                    elif trigger is not None and not proc_timeout:
+                        fire, aux[w] = trigger.on_element(aux.get(w), len(buf[0]), v)
+                        if fire:
+                            out.append(agg_fire(w, buf[0], buf[1], "early"))
+
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        for w in sorted(windows):
+            if isinstance(trigger, ContinuousEventTimeTrigger):
+                fire, aux[w] = trigger.on_watermark(aux.get(w) or 0.0, wm_us, w + size_us)
+                if fire and w + size_us > wm_us:
+                    out.append(agg_fire(w, windows[w][0], windows[w][1], "early"))
+            if w + size_us <= wm_us:
+                buf = windows.pop(w)
+                aux.pop(w, None)
+                out.append(agg_fire(w, buf[0], buf[1], "final"))
+                max_final_us = max(max_final_us, w + size_us)
+
+        if windows:
+            starts = sorted(windows)
+            elem_w, elem_ts, elem_val = [], [], []
+            for w in starts:
+                for t, v in zip(windows[w][0], windows[w][1]):
+                    elem_w.append(w)
+                    elem_ts.append(t)
+                    elem_val.append(v)
+            aux_w = [w for w in starts if aux.get(w) is not None]
+            state.update(
+                (elem_w, elem_ts, elem_val, aux_w, [float(aux[w]) for w in aux_w], max_final_us)
+            )
+            if proc_timeout:
+                # arm the timer only on data arrival: re-arming inside the
+                # timeout callback would wake the query forever and keep
+                # an availableNow drain from terminating
+                if not state.hasTimedOut:
+                    state.setTimeoutDuration(trigger.timeout_ms)
+            else:
+                nxt = [w + size_us for w in starts]
+                if isinstance(trigger, ContinuousEventTimeTrigger):
+                    nxt += [int(aux[w]) for w in aux_w]
+                state.setTimeoutTimestamp(max(min(nxt) // 1000, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+
+        if out:
+            res = pd.DataFrame(out)
+            for f, kv in zip(key_fields, key):
+                res[f.name] = kv
+            yield res[[c.name for c in out_schema.fields]]
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if proc_timeout else GroupStateTimeout.EventTimeTimeout
+    )
+    return df.groupBy(*keys).applyInPandasWithState(fn, out_schema, state_schema, "append", timeout)

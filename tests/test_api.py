@@ -229,3 +229,59 @@ def test_datastream_connect_and_windows(spark):
     dim = DataStream(load(spark, SF, "nation")).broadcast()
     joined = events.to_df().join(dim.to_df(), events.to_df().user_id % 25 == dim.to_df().n_nationkey)
     assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+
+
+def test_session_window_apply_merges_sessions(spark):
+    # ADVICE r1: apply() on a session window used to group each row into
+    # its own [ts, ts+gap) window; it must see MERGED sessions like
+    # aggregate() does (gaps-and-islands pre-merge)
+    from incubator_flink_spark.catalog import load
+
+    events = DataStream(load(spark, SF, "events"))
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[:1],
+                "session_start": [pdf["ts"].min()],
+                "session_end": [pdf["ts"].max()],
+                "cnt": [len(pdf)],
+            }
+        )
+
+    applied = (
+        events.key_by("user_id")
+        .session_window("ts", 600)
+        .apply(summarize, "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, cnt BIGINT")
+        .to_df()
+    )
+    agg = (
+        events.key_by("user_id")
+        .session_window("ts", 600)
+        .aggregate(F.count(F.lit(1)).alias("cnt"))
+        .to_df()
+    )
+    a = sorted((r.user_id, r.cnt) for r in applied.collect())
+    b = sorted((r.user_id, r.cnt) for r in agg.collect())
+    assert a == b  # same merged sessions as the Aggregate-node merge
+    # and sessions do not overlap per user
+    import itertools
+
+    rows = sorted(applied.collect(), key=lambda r: (r.user_id, r.session_start))
+    for x, y in itertools.pairwise(rows):
+        if x.user_id == y.user_id:
+            assert (y.session_start - x.session_end).total_seconds() > 600
+
+
+def test_session_window_apply_streaming_raises(spark, tmp_path):
+    from incubator_flink_spark.catalog import load
+
+    src = load(spark, SF, "events")
+    src.limit(10).write.mode("overwrite").parquet(str(tmp_path / "s"))
+    stream = spark.readStream.schema(src.schema).parquet(str(tmp_path / "s"))
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        DataStream(stream).key_by("user_id").session_window("ts", 600).apply(
+            lambda pdf: pdf, "user_id BIGINT"
+        )

@@ -155,3 +155,17 @@ def test_jaccard_df_cap_bounds_stop_shingle_blowup(spark):
     assert capped < uncapped / 10  # cap prunes the stop-shingle fanout
     out = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, threshold=0.4, max_df=3).collect()}
     assert (100, 101) in out  # true near-dups still found (rare shingles)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    # a 6-hop chain cannot converge in 2 rounds -> explicit error, not
+    # silently wrong labels (ADVICE r1)
+    import pytest as _pytest
+
+    from incubator_flink_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], "src BIGINT, dst BIGINT")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    ok = connected_components(chain, max_iter=10)
+    assert {r.component for r in ok.collect()} == {0}

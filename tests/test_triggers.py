@@ -204,3 +204,172 @@ def test_streaming_over_rows_matches_batch(spark, replay_dir):
         ).collect()
     }
     assert got == expected
+
+
+# --- round-2: Delta/ContinuousEventTime/ProcessingTimeout triggers,
+#     Time/Delta evictors (tumble_agg_triggered) ------------------------------
+
+from datetime import datetime, timedelta
+
+from incubator_flink_spark.streaming.triggers import (
+    ContinuousEventTimeTrigger,
+    CountEvictor,
+    DeltaEvictor,
+    DeltaTrigger,
+    ProcessingTimeoutTrigger,
+    TimeEvictor,
+    tumble_agg_triggered,
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def _replay_frames(spark, out_dir, batches, schema="k STRING, ts TIMESTAMP, event_id BIGINT, value DOUBLE"):
+    """Write each batch as its own file partition (sequentially, so file
+    discovery order == batch order) and return the replay stream."""
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            out_dir + f"/__file={i}"
+        )
+    return (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out_dir + "/__file=*")
+    )
+
+
+def _collect_fires(out):
+    fires = []
+
+    def collect(bdf, _bid):
+        fires.extend(bdf.collect())
+
+    run_to_completion(out, collect)
+    return fires
+
+
+def test_delta_trigger_fires_on_spikes(spark, replay_dir):
+    rows = [
+        ("a", T0 + timedelta(seconds=0), 0, 1.0),
+        ("a", T0 + timedelta(seconds=10), 1, 1.2),
+        ("a", T0 + timedelta(seconds=20), 2, 5.0),
+        ("a", T0 + timedelta(seconds=30), 3, 5.1),
+        ("a", T0 + timedelta(seconds=40), 4, 9.0),
+    ]
+    future = [("a", T0 + timedelta(seconds=7200), 5, 0.0)]
+    stream = _replay_frames(spark, replay_dir + "/delta_trig", [rows, future]).withWatermark("ts", "1 second")
+    out = tumble_agg_triggered(stream, ["k"], "ts", "event_id", "value", 600, trigger=DeltaTrigger(2.0))
+    fires = _collect_fires(out)
+    earlies = [(r.cnt, round(r.total, 6)) for r in fires if r.fire_kind == "early"]
+    finals = [(r.cnt, round(r.total, 6)) for r in fires if r.fire_kind == "final" and r.cnt > 0]
+    # delta(1,5)=4>2 fires at cnt 3 (1+1.2+5); delta(5,9)=4>2 at cnt 5
+    assert earlies == [(3, 7.2), (5, 21.3)]
+    assert finals == [(5, 21.3)]
+
+
+def test_continuous_event_time_trigger(spark, replay_dir):
+    stream = replay_table(spark, SF, "events", replay_dir + "/cont", n_files=4).withWatermark(
+        "ts", "2 minutes"
+    )
+    out = tumble_agg_triggered(
+        stream, ["event_type"], "ts", "event_id", "value", 86400,
+        trigger=ContinuousEventTimeTrigger(3600),
+    )
+    fires = _collect_fires(out)
+    finals = {
+        (r.event_type, r.window_start, r.window_end): (r.cnt, round(r.total, 6))
+        for r in fires
+        if r.fire_kind == "final"
+    }
+    truth = batch_tumble_truth(spark, 86400)
+    for (k, ws, we), (cnt, total) in finals.items():
+        assert truth[(ws, we, k)] == (cnt, total)
+    earlies = [r for r in fires if r.fire_kind == "early"]
+    assert earlies  # watermark advances across files -> periodic early fires
+    # every early fire is a prefix of its window's final
+    for r in earlies:
+        key = (r.event_type, r.window_start, r.window_end)
+        if key in finals:
+            assert r.cnt <= finals[key][0]
+
+
+def test_time_evictor(spark, replay_dir):
+    rows = [
+        ("a", T0 + timedelta(seconds=0), 0, 1.0),
+        ("a", T0 + timedelta(seconds=100), 1, 2.0),
+        ("a", T0 + timedelta(seconds=400), 2, 3.0),
+        ("a", T0 + timedelta(seconds=500), 3, 4.0),
+    ]
+    future = [("a", T0 + timedelta(seconds=7200), 9, 0.0)]
+    stream = _replay_frames(spark, replay_dir + "/time_ev", [rows, future]).withWatermark("ts", "1 second")
+    out = tumble_agg_triggered(stream, ["k"], "ts", "event_id", "value", 600, evictor=TimeEvictor(150))
+    fires = _collect_fires(out)
+    finals = [(r.cnt, round(r.total, 6)) for r in fires if r.fire_kind == "final" and r.cnt > 0]
+    # final keeps ts > 500-150 => rows at 400,500
+    assert finals == [(2, 7.0)]
+
+
+def test_delta_evictor_and_count_evictor(spark, replay_dir):
+    rows = [
+        ("a", T0 + timedelta(seconds=0), 0, 1.0),
+        ("a", T0 + timedelta(seconds=10), 1, 10.0),
+        ("a", T0 + timedelta(seconds=20), 2, 11.0),
+        ("a", T0 + timedelta(seconds=30), 3, 12.0),
+    ]
+    future = [("a", T0 + timedelta(seconds=7200), 9, 0.0)]
+    stream = _replay_frames(spark, replay_dir + "/delta_ev", [rows, future]).withWatermark("ts", "1 second")
+    out = tumble_agg_triggered(stream, ["k"], "ts", "event_id", "value", 600, evictor=DeltaEvictor(5.0))
+    finals = [
+        (r.cnt, round(r.total, 6))
+        for r in _collect_fires(out)
+        if r.fire_kind == "final" and r.cnt > 0
+    ]
+    # keep |v - 12| < 5 => 10, 11, 12
+    assert finals == [(3, 33.0)]
+
+    stream2 = _replay_frames(spark, replay_dir + "/count_ev", [rows, future]).withWatermark("ts", "1 second")
+    out2 = tumble_agg_triggered(stream2, ["k"], "ts", "event_id", "value", 600, evictor=CountEvictor(2))
+    finals2 = [
+        (r.cnt, round(r.total, 6))
+        for r in _collect_fires(out2)
+        if r.fire_kind == "final" and r.cnt > 0
+    ]
+    assert finals2 == [(2, 23.0)]  # last two: 11, 12
+
+
+def test_processing_timeout_trigger(spark, replay_dir):
+    # processing-time triggers are wall-clock-driven, so the query never
+    # "drains" under availableNow (Spark keeps scheduling state-cleanup
+    # batches while stateful processing-time timers exist) — poll until
+    # both fire kinds are observed, then stop explicitly
+    import time
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/ptt", n_files=3).withWatermark(
+        "ts", "2 minutes"
+    )
+    out = tumble_agg_triggered(
+        stream, ["event_type"], "ts", "event_id", "value", 86400,
+        trigger=ProcessingTimeoutTrigger(0.001),
+    )
+    fires = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: fires.extend(bdf.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        kinds = {r.fire_kind for r in fires}
+        if {"early", "final"} <= kinds:
+            break
+        time.sleep(2)
+    q.stop()
+    truth = batch_tumble_truth(spark, 86400)
+    finals = [r for r in fires if r.fire_kind == "final"]
+    assert finals
+    for r in finals:
+        assert truth[(r.window_start, r.window_end, r.event_type)] == (r.cnt, round(r.total, 6))
+    # the processing-time timeout fires open windows between micro-batches
+    assert any(r.fire_kind == "early" for r in fires)
