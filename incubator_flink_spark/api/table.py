@@ -152,12 +152,22 @@ class Table:
         return OverWindowedTable(self._df, ow)
 
     # --- lateral correlate (Table.joinLateral:544-756 — UDTF join) ------------
-    def join_lateral(self, fn: Callable, output_schema: str) -> "Table":
-        """Correlate with an arbitrary table function: ``fn`` receives each
-        Arrow batch (pandas DataFrame) and returns the laterally-joined
-        rows (input columns it wants to keep + generated columns, any
-        fan-out). Array-typed columns are cheaper via
-        ``select('*', F.explode(...))`` — use this only for real UDTFs."""
+    def join_lateral(self, fn, output_schema: str | None = None) -> "Table":
+        """Correlate with a table function. Two forms:
+
+        - ``join_lateral(fn, output_schema)``: arbitrary UDTF — ``fn``
+          receives each Arrow batch (pandas DataFrame) and returns the
+          laterally-joined rows (any fan-out). Array-typed columns are
+          cheaper via ``select('*', F.explode(...))``.
+        - ``join_lateral(rates(probe_ts), 'probe_ccy = build_ccy')``:
+          temporal table function call (Table.createTemporalTableFunction
+          + LATERAL TABLE(rates(o_time)) — inner temporal join); the
+          second argument is the equi-join condition.
+        """
+        from incubator_flink_spark.api.temporal import TemporalTableCall, temporal_join
+
+        if isinstance(fn, TemporalTableCall):
+            return Table(temporal_join(self._df, fn, output_schema, how="inner"))
 
         def gen(batches):
             for pdf in batches:
@@ -165,7 +175,21 @@ class Table:
 
         return Table(self._df.mapInPandas(gen, output_schema))
 
-    left_outer_join_lateral = join_lateral  # fn controls empty-match rows
+    def left_outer_join_lateral(self, fn, output_schema: str | None = None) -> "Table":
+        from incubator_flink_spark.api.temporal import TemporalTableCall, temporal_join
+
+        if isinstance(fn, TemporalTableCall):
+            return Table(temporal_join(self._df, fn, output_schema, how="left"))
+        return self.join_lateral(fn, output_schema)  # fn controls empty-match rows
+
+    def create_temporal_table_function(self, time_attr: str, primary_key: str):
+        """Table.createTemporalTableFunction (Table.java:166): treat this
+        table as a versioned table — versions of each ``primary_key``
+        keyed row ordered by ``time_attr``; call the result with a
+        probe-side time attribute and join via ``join_lateral``."""
+        from incubator_flink_spark.api.temporal import TemporalTableFunction
+
+        return TemporalTableFunction(self._df, time_attr, primary_key)
 
     def execute_insert(self, path: str, mode: str = "overwrite", fmt: str = "parquet") -> None:
         """Table.executeInsert equivalent: write the plan to a filesystem
@@ -366,6 +390,7 @@ class TableEnvironment:
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
         self._spark = spark
         self._sf_dir = sf_dir
+        self._versioned: dict[str, tuple[str, str]] = {}
 
     def from_path(self, table: str) -> Table:
         return Table(load(self._spark, self._sf_dir, table))
@@ -377,10 +402,23 @@ class TableEnvironment:
         return Table(self._spark.createDataFrame(rows, schema))
 
     def sql_query(self, sql: str) -> Table:
+        if "SYSTEM_TIME" in sql.upper():
+            from incubator_flink_spark.api.temporal import rewrite_system_time_join
+
+            sql = rewrite_system_time_join(self._spark, sql, self._versioned)
         return Table(self._spark.sql(sql))
 
     def execute_sql(self, sql: str):
-        return self._spark.sql(sql).collect()
+        return self.sql_query(sql).to_df().collect()
 
     def create_temporary_view(self, name: str, table: Table) -> None:
         table.to_df().createOrReplaceTempView(name)
+
+    def create_versioned_view(
+        self, name: str, table: Table, time_attr: str, primary_key: str
+    ) -> None:
+        """Register a versioned table (Flink DDL: a PRIMARY KEY + event-time
+        WATERMARK table) usable as the build side of SQL
+        ``JOIN <name> FOR SYSTEM_TIME AS OF <probe>.<ts>`` joins."""
+        table.to_df().createOrReplaceTempView(name)
+        self._versioned[name] = (time_attr, primary_key)

@@ -247,6 +247,49 @@ def asof_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMPORAL_JOIN_SQL_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, s.event_id AS version_id, s.value AS version_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+WHERE p.value > 100
+ORDER BY p.event_id
+"""
+
+
+@register("temporal_join_sql", TEMPORAL_JOIN_SQL_ORACLE)
+def temporal_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's SQL spelling of the event-time temporal join —
+    # ``JOIN <versioned> FOR SYSTEM_TIME AS OF p.ts`` (flink-table-planner
+    # StreamExecTemporalJoin; versioned table = PRIMARY KEY + WATERMARK
+    # DDL). api/temporal.py rewrites the fragment onto the same sort-merge
+    # as-of operator as asof_temporal_join (INNER variant: probe rows with
+    # no valid version drop), then Spark SQL runs the surrounding query
+    # untouched. DuckDB's native ASOF JOIN is the independent oracle.
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    e.where(F.col("event_type") == "purchase").createOrReplaceTempView("__tj_purchases")
+    env.create_versioned_view(
+        "__tj_signups",
+        env.from_dataframe(e.where(F.col("event_type") == "signup")),
+        time_attr="ts",
+        primary_key="user_id",
+    )
+    return env.sql_query(
+        """
+        SELECT p.event_id, p.user_id, p.ts,
+               s.event_id AS version_id, s.value AS version_value
+        FROM __tj_purchases p
+        JOIN __tj_signups FOR SYSTEM_TIME AS OF p.ts AS s
+          ON p.user_id = s.user_id
+        WHERE p.value > 100
+        ORDER BY p.event_id
+        """
+    ).to_df()
+
+
 WINDOW_TOPN_EVENTS_ORACLE = """
 SELECT window_start, user_id, event_id, value, rn FROM (
   SELECT CAST(to_timestamp((epoch_us(ts) // 3600000000) * 3600) AS TIMESTAMP) AS window_start,

@@ -285,3 +285,79 @@ def test_session_window_apply_streaming_raises(spark, tmp_path):
         DataStream(stream).key_by("user_id").session_window("ts", 600).apply(
             lambda pdf: pdf, "user_id BIGINT"
         )
+
+
+def test_temporal_table_function_join_lateral(spark):
+    """Table.createTemporalTableFunction (Table.java:166) + joinLateral:
+    rates versioned by update time; orders probe the version valid AS OF
+    their own time. Inner join drops probes before the first version."""
+    t_env = TableEnvironment(spark, SF)
+    rates = t_env.from_dataframe(
+        spark.createDataFrame(
+            [("EUR", 1.10, 10), ("EUR", 1.20, 20), ("USD", 1.00, 15)],
+            "ccy string, rate double, rts long",
+        )
+    )
+    orders = t_env.from_dataframe(
+        spark.createDataFrame(
+            [(1, "EUR", 5), (2, "EUR", 20), (3, "EUR", 25), (4, "USD", 16), (5, "GBP", 30)],
+            "oid long, ccy string, ots long",
+        )
+    )
+    ttf = rates.create_temporal_table_function("rts", "ccy")
+    inner = {r.oid: r.rate for r in orders.join_lateral(ttf("ots"), "ccy = ccy").execute()}
+    # oid 1 (t=5: before first EUR version) and 5 (no GBP) drop; 2 sees
+    # the t=20 version (inclusive <=), 3 the latest, 4 the USD version
+    assert inner == {2: 1.20, 3: 1.20, 4: 1.00}
+    left = {r.oid: r.rate for r in orders.left_outer_join_lateral(ttf("ots"), "ccy = ccy").execute()}
+    assert left == {1: None, 2: 1.20, 3: 1.20, 4: 1.00, 5: None}
+
+
+def test_system_time_as_of_sql_rewrite(spark):
+    """SQL spelling: JOIN <versioned> FOR SYSTEM_TIME AS OF p.ts, with a
+    payload column name that clashes with a probe column (both sides have
+    'price'): the build alias reference must resolve to the build-side
+    version value, not the probe column."""
+    t_env = TableEnvironment(spark, SF)
+    t_env.create_temporary_view(
+        "stj_orders",
+        t_env.from_dataframe(
+            spark.createDataFrame(
+                [(1, "EUR", 5, 99.0), (2, "EUR", 20, 42.0), (3, "USD", 30, 7.0)],
+                "oid long, ccy string, ots long, price double",
+            )
+        ),
+    )
+    t_env.create_versioned_view(
+        "stj_rates",
+        t_env.from_dataframe(
+            spark.createDataFrame(
+                [("EUR", 1.0, 10), ("EUR", 2.0, 18), ("USD", 3.0, 15)],
+                "ccy string, price double, rts long",
+            )
+        ),
+        time_attr="rts",
+        primary_key="ccy",
+    )
+    rows = t_env.sql_query(
+        """
+        SELECT o.oid, o.price AS order_price, r.price AS rate_price
+        FROM stj_orders o
+        JOIN stj_rates FOR SYSTEM_TIME AS OF o.ots AS r
+          ON o.ccy = r.ccy
+        WHERE o.oid < 3
+        ORDER BY o.oid
+        """
+    ).execute()
+    assert [(r.oid, r.order_price, r.rate_price) for r in rows] == [(2, 42.0, 2.0)]
+    # LEFT variant keeps the pre-first-version probe row with null payload
+    lrows = t_env.sql_query(
+        """
+        SELECT o.oid, r.price AS rate_price
+        FROM stj_orders o
+        LEFT JOIN stj_rates FOR SYSTEM_TIME AS OF o.ots AS r
+          ON o.ccy = r.ccy
+        ORDER BY o.oid
+        """
+    ).execute()
+    assert [(r.oid, r.rate_price) for r in lrows] == [(1, None), (2, 2.0), (3, 3.0)]
