@@ -61,3 +61,33 @@ def stopword_count(toks: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
 def stopword_count_sql(toks_expr: str, words: tuple[str, ...] = STOPWORDS) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter({toks_expr}, t -> t IN ({lst})))"
+
+
+# --- PII redaction (training-data pipeline scrubbing pass) --------------------
+# Patterns are kept to the regex subset with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): char classes + bounded repeats only.
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    "phone": (r"\+?[0-9][0-9()\-. ]{6,}[0-9]", "<PHONE>"),
+    "ip": (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    "ssn": (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+}
+# longest-match-first application order: SSN/IP before the generic phone
+# run so a dotted quad is not half-eaten as a phone number
+PII_ORDER = ("email", "ssn", "ip", "phone")
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace each PII pattern with its placeholder, returning a struct
+    ``(redacted, n_email, n_phone, n_ip, n_ssn)``. Pure Catalyst
+    (regexp_count/regexp_replace) — no UDF, safe in a 100 TB scrub pass."""
+    counts = {name: F.regexp_count(col, F.lit(pat)) for name, (pat, _) in PII_PATTERNS.items()}
+    red = col
+    for name in PII_ORDER:
+        pat, repl = PII_PATTERNS[name]
+        red = F.regexp_replace(red, pat, repl)
+    return F.struct(
+        red.alias("redacted"),
+        *[counts[n].cast("int").alias(f"n_{n}") for n in PII_ORDER],
+    )

@@ -134,6 +134,24 @@ def near_pairs_lsh(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication (public recipe: drop
+    documents whose embedding is within cosine ``threshold`` of a kept
+    lower-id document — here the deterministic "has a smaller-id near
+    neighbor" rule, so the survivor set is order-independent).
+
+    Scale shape: candidates from the banded hyperplane LSH
+    (near_pairs_lsh — equi-join on (band, signature), never all-pairs),
+    exact-cosine verify, then one left-anti join of the corpus against
+    the dropped-id set. All shuffles are candidate- or corpus-linear.
+    """
+    pairs = near_pairs_lsh(corpus, threshold, id_col=id_col, vec_col=vec_col)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(dropped, id_col, "left_anti")
+
+
 def lsh_bucket(vec_col: Column) -> Column:
     """Random-hyperplane LSH bucket id: bit b = sign(dot(vec, H_b))."""
     bucket = F.lit(0)

@@ -22,6 +22,7 @@ from incubator_flink_spark.queries import (  # noqa: F401
     documents,
     embeddings,
     events,
+    pipeline,
     relational,
     scalar,
     tpch,

@@ -22,6 +22,7 @@ from incubator_flink_spark.operators.similarity import (
     brute_force_topk,
     lsh_topk,
     near_pairs_lsh,
+    semantic_dedup,
 )
 from incubator_flink_spark.queries.registry import register
 
@@ -110,6 +111,48 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (used by tests to measure the banding's recall)."""
     e = load(spark, sf_dir, "embeddings")
     return near_pairs_lsh(e, 0.35).orderBy("id_a", "id_b")
+
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH planes(p, d, wt) AS (VALUES {_band_planes_values_sql()}),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+dots AS (
+  SELECT e.vec_id, p.p, SUM(e.x * p.wt) AS dot
+  FROM e JOIN planes p ON e.d = p.d GROUP BY e.vec_id, p.p),
+sigs AS (
+  SELECT vec_id, p // {BAND_BITS} AS band,
+         CAST(SUM(CASE WHEN dot > 0 THEN 1 << (p % {BAND_BITS}) ELSE 0 END) AS INT) AS sig
+  FROM dots GROUP BY vec_id, p // {BAND_BITS}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+elems AS (
+  SELECT cand.id_a, cand.id_b,
+         CAST(unnest(ea.embedding) AS DOUBLE) AS x, CAST(unnest(eb.embedding) AS DOUBLE) AS y
+  FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+            JOIN embeddings eb ON eb.vec_id = cand.id_b),
+dropped AS (
+  SELECT DISTINCT id_b FROM elems GROUP BY id_a, id_b
+  HAVING ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) >= 0.35)
+SELECT em.vec_id, em.label FROM embeddings em
+WHERE em.vec_id NOT IN (SELECT id_b FROM dropped)
+ORDER BY em.vec_id
+"""
+
+
+@register("semantic_dedup", SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup: drop vectors with a smaller-id
+    near neighbor (cosine >= 0.35), keep the rest. Candidates come from
+    the banded LSH (oracle replicates the banding), so survivors are
+    exact within the banding's recall — precision is 1.0 (exact-cosine
+    verify) and the recall floor vs brute force is pinned by
+    tests/test_operators.py::test_semantic_dedup_drops_near_neighbors."""
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, 0.35).select("vec_id", "label").orderBy("vec_id")
 
 
 def _planes_values_sql() -> str:

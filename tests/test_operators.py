@@ -169,3 +169,54 @@ def test_connected_components_raises_on_non_convergence(spark):
         connected_components(chain, max_iter=2)
     ok = connected_components(chain, max_iter=10)
     assert {r.component for r in ok.collect()} == {0}
+
+
+def test_redact_pii(spark):
+    """PII scrub pass (public pipeline recipe): emails/phones/IPs/SSNs
+    replaced by typed placeholders, per-pattern raw-match counts
+    attached. Counts are independent per pattern (an SSN also matches
+    the looser phone run); replacement order is longest/most-specific
+    first, so the redacted text is unambiguous."""
+    from incubator_flink_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact john.doe@example.com today"),
+            (2, "call +1 (555) 123-4567 now"),
+            (3, "server at 10.0.42.7 responded"),
+            (4, "ssn 123-45-6789 on file"),
+            (5, "clean text only"),
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r.id: r
+        for r in df.select("id", redact_pii(F.col("text")).alias("p")).select("id", "p.*").collect()
+    }
+    assert rows[1].redacted == "contact <EMAIL> today" and rows[1].n_email == 1
+    assert rows[2].redacted == "call <PHONE> now" and rows[2].n_phone == 1
+    assert rows[3].redacted == "server at <IP> responded" and rows[3].n_ip == 1
+    assert rows[4].redacted == "ssn <SSN> on file" and rows[4].n_ssn == 1
+    assert rows[5].redacted == "clean text only"
+    assert rows[5].n_email == rows[5].n_phone == rows[5].n_ip == rows[5].n_ssn == 0
+
+
+def test_semantic_dedup_drops_near_neighbors(spark):
+    """semantic_dedup survivor rule: a vector survives iff it has no
+    smaller-id neighbor with cosine >= threshold (checked against the
+    brute-force pair set)."""
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.operators.similarity import near_pairs, semantic_dedup
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    survivors = {r.vec_id for r in semantic_dedup(e, 0.35).collect()}
+    brute_dropped = {r.id_b for r in near_pairs(e, 0.35).collect()}
+    all_ids = {r.vec_id for r in e.select("vec_id").collect()}
+    # LSH candidates can only MISS pairs, so the LSH survivor set is a
+    # superset of the brute-force one (precision 1.0: nothing is dropped
+    # without an exact-cosine-verified smaller-id neighbor) ...
+    assert all_ids - brute_dropped <= survivors <= all_ids
+    # ... and the banding's recall on dropped ids stays high
+    lsh_dropped = all_ids - survivors
+    recall = len(lsh_dropped) / len(brute_dropped)
+    assert recall >= 0.7, f"LSH dedup recall too low: {recall}"
