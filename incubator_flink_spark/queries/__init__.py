@@ -31,7 +31,7 @@ from incubator_flink_spark.queries import registry as _registry
 from incubator_flink_spark.queries.registry import REGISTRY, oracle_sql, queries
 
 _PRIORITY = [
-    # -- tier 1: no driver row in round 1 (§2.2-§2.8 evidence) ------------
+    # -- tier 1: never driver-checked (no row in CORRECTNESS_r01) --------
     "join_inner",
     "join_left_outer",
     "join_right_outer",
@@ -78,7 +78,12 @@ _PRIORITY = [
     "changelog_normalize_batch",
     "retract_aggregate_batch",
     "cdc_debezium_normalize",
-    # -- tier 2: round-1 hash mismatch fixed this round -------------------
+    "semantic_dedup",
+    "temporal_join_sql",
+    "quality_repetition",
+    "boilerplate_ngrams",
+    # -- tier 2: round-1 rows+schema-true but hash/oracle not green;
+    #    output-type canonicalization + new oracles landed in round 2 ------
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
@@ -99,10 +104,9 @@ _PRIORITY = [
     "count_window_agg",
     "over_range_time",
     "doc_embedding_join",
-    # -- tier 3: oracle added in round 2 ----------------------------------
     "cep_funnel",
     "embedding_ivf_topk",
-    # -- tier 4: already driver-green in round 1 --------------------------
+    # -- tier 3: already driver-green in round 1 --------------------------
 ]
 
 
