@@ -69,3 +69,36 @@ def test_near_pairs_lsh_recall(spark):
     banded = {(r.id_a, r.id_b) for r in near_pairs_lsh(e, 0.35).collect()}
     assert banded <= exact  # precision 1.0: verify stage is exact cosine
     assert len(exact & banded) / len(exact) >= 0.8  # banding recall
+
+
+def test_semantic_dedup_no_cartesian_and_anti_join(spark):
+    # survivor filtering must be LSH candidates + one anti-join — never a
+    # cross product over the corpus
+    rep = audit_plan(REGISTRY["semantic_dedup"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
+    assert "LeftAnti" in rep.raw
+
+
+def test_quality_repetition_partial_aggs(spark):
+    # both explode pipelines must keep map-side partial aggregation
+    # (HashAggregate before each exchange) and never join-explode
+    rep = audit_plan(REGISTRY["quality_repetition"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert rep.raw.count("HashAggregate") >= 4  # partial+final x two pipelines
+
+
+def test_boilerplate_backjoin_not_cartesian(spark):
+    rep = audit_plan(REGISTRY["boilerplate_ngrams"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
+
+
+def test_temporal_sql_single_asof_shuffle(spark):
+    # the FOR SYSTEM_TIME AS OF rewrite lowers to the sort-merge as-of
+    # pattern: union + one window over the join key — no join operator at
+    # all, and no more than the union's two scan-side exchanges
+    rep = audit_plan(REGISTRY["temporal_join_sql"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert rep.sort_merge_joins + rep.broadcast_hash_joins + rep.shuffled_hash_joins == 0
+    assert "Window" in rep.raw
