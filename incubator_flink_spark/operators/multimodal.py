@@ -73,3 +73,104 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: decode (stub), then
+    truncate/cycle the byte stream to exactly width*height bytes — the
+    shape a real `PIL.Image.resize` would produce for a grayscale raster.
+    Keeps the kernel a pure bytes->bytes function, which is exactly the
+    contract a real decoder slots into."""
+    decoded = _decode_stub(payload)
+    n = width * height
+    if not decoded:
+        return bytes(n)
+    reps = -(-n // len(decoded))
+    return (decoded * reps)[:n]
+
+
+def resize_image(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched image resize: one output row per input row with the
+    resized payload and refreshed metadata (media_type, byte_len, width,
+    height). Map-side only — payloads never shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "media_meta",
+                T.StructType(
+                    [
+                        T.StructField("media_type", T.StringType()),
+                        T.StructField("byte_len", T.LongType()),
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf[payload_col].map(lambda b: _resize_stub(b, width, height))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": resized,
+                    "media_meta": [
+                        {
+                            "media_type": "image/raw",
+                            "byte_len": len(b),
+                            "width": width,
+                            "height": height,
+                        }
+                        for b in resized
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int,
+    every_n: int = 2,
+    max_frames: int | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video frame sampling: treat the payload as a stream of fixed-size
+    frames, emit every ``every_n``-th frame as its own row (doc_id,
+    frame_idx, frame) — the fan-out mapInPandas shape real video decode
+    uses (one input row -> many output rows inside one Arrow batch; no
+    shuffle, no driver involvement). ``max_frames`` caps per-doc output,
+    bounding worst-case fan-out at scale."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                decoded = _decode_stub(payload)
+                n_frames = len(decoded) // frame_bytes
+                taken = 0
+                for i in range(0, n_frames, every_n):
+                    if max_frames is not None and taken >= max_frames:
+                        break
+                    ids.append(rid)
+                    idxs.append(i)
+                    frames.append(decoded[i * frame_bytes : (i + 1) * frame_bytes])
+                    taken += 1
+            yield pd.DataFrame({id_col: ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
