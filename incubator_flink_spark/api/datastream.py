@@ -58,6 +58,22 @@ class DataStream:
     def key_by(self, *keys: str) -> "KeyedStream":
         return KeyedStream(self._df, list(keys))
 
+    def flat_map(self, fn: Callable, output_schema: str) -> "DataStream":
+        """DataStream.flatMap: fn maps one Arrow batch to any number of
+        output rows (fan-out or fan-in) — same contract as map, which
+        already passes whole batches."""
+        return self.map(fn, output_schema)
+
+    def shuffle(self) -> "DataStream":
+        """DataStream.shuffle: random repartition to break skew/ordering
+        (Spark's round-robin repartition without a partition count)."""
+        return DataStream(self._df.repartition(self._df.sparkSession.sparkContext.defaultParallelism))
+
+    def rescale(self, n: int) -> "DataStream":
+        """DataStream.rescale: local-preferring scale-down — coalesce
+        avoids a full shuffle where Flink rescale avoids full rebalance."""
+        return DataStream(self._df.coalesce(n))
+
     def rebalance(self, n: int) -> "DataStream":
         return DataStream(self._df.repartition(n))
 

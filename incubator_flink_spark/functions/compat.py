@@ -82,3 +82,36 @@ def char_length(s: Column) -> Column:
 
 def locate(sub: str, s: Column) -> Column:
     return F.locate(sub, s)
+
+
+# --- temporal names (BuiltInFunctionDefinitions TIMESTAMP_ADD/DIFF,
+#     TO_TIMESTAMP_LTZ, CONVERT_TZ) ------------------------------------------
+
+
+def timestamp_add(unit: str, n: Column | int, ts: Column) -> Column:
+    """TIMESTAMPADD(unit, n, ts) — unit in SECOND/MINUTE/HOUR/DAY/WEEK/
+    MONTH/QUARTER/YEAR (Spark's timestampadd accepts the same units)."""
+    return F.timestamp_add(unit, F.lit(n) if isinstance(n, int) else n, ts)
+
+
+def timestamp_diff(unit: str, start: Column, end: Column) -> Column:
+    """TIMESTAMPDIFF(unit, start, end) — whole `unit`s from start to end."""
+    return F.timestamp_diff(unit, start, end)
+
+
+def to_timestamp_ltz(numeric: Column, precision: int = 3) -> Column:
+    """TO_TIMESTAMP_LTZ(n, p): epoch seconds (p=0) or millis (p=3)."""
+    if precision == 0:
+        return F.timestamp_seconds(numeric)
+    if precision == 3:
+        return F.timestamp_millis(numeric)
+    raise ValueError("precision must be 0 (seconds) or 3 (millis)")
+
+
+def convert_tz(ts_str: Column, from_tz: str, to_tz: str) -> Column:
+    """CONVERT_TZ(s, tz1, tz2): reinterpret a wall-clock string from tz1
+    into tz2 (Flink returns a string; Spark composes the two utc hops)."""
+    return F.date_format(
+        F.from_utc_timestamp(F.to_utc_timestamp(F.to_timestamp(ts_str), from_tz), to_tz),
+        "yyyy-MM-dd HH:mm:ss",
+    )

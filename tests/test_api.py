@@ -361,3 +361,39 @@ def test_system_time_as_of_sql_rewrite(spark):
         """
     ).execute()
     assert [(r.oid, r.rate_price) for r in lrows] == [(1, None), (2, 2.0), (3, 3.0)]
+
+
+def test_datastream_flatmap_shuffle_rescale(spark):
+    env = StreamExecutionEnvironment(spark)
+    ds = env.from_sequence(0, 9)
+
+    def dup(pdf):
+        return pd.concat([pdf, pdf])
+
+    assert len(ds.flat_map(dup, "value long").execute_and_collect()) == 20
+    assert len(ds.shuffle().execute_and_collect()) == 10
+    out = ds.rescale(2)
+    assert out.to_df().rdd.getNumPartitions() <= 2
+    assert len(out.execute_and_collect()) == 10
+
+
+def test_compat_temporal_names(spark):
+    from incubator_flink_spark.functions.compat import (
+        convert_tz,
+        timestamp_add,
+        timestamp_diff,
+        to_timestamp_ltz,
+    )
+
+    df = spark.createDataFrame([(1_700_000_000, "2024-03-01 12:00:00")], "epoch long, s string")
+    r = df.select(
+        timestamp_add("HOUR", 2, F.to_timestamp("s")).alias("plus2h"),
+        timestamp_diff("DAY", F.to_timestamp(F.lit("2024-02-28 00:00:00")), F.to_timestamp("s")).alias("days"),
+        to_timestamp_ltz(F.col("epoch"), 0).alias("ts0"),
+        to_timestamp_ltz(F.col("epoch") * 1000, 3).alias("ts3"),
+        convert_tz(F.col("s"), "UTC", "America/New_York").alias("nyc"),
+    ).collect()[0]
+    assert str(r.plus2h).startswith("2024-03-01 14:00:00")
+    assert r.days == 2
+    assert r.ts0 == r.ts3
+    assert r.nyc == "2024-03-01 07:00:00"
