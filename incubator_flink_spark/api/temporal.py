@@ -22,8 +22,11 @@ flattened view.
 Limitations (documented divergence, canonical shape only):
 - the ON clause must be a conjunction of ``p.col = b.col`` equalities;
 - build payload column names that clash with probe columns are exposed
-  as ``<build_alias>__<name>`` (SQL references through the build alias
-  are rewritten automatically, but the OUTPUT column name changes);
+  as ``v__<name>`` (SQL references through the build alias are rewritten
+  automatically, but the OUTPUT column name changes unless aliased);
+- the build side's version-time attribute is consumed by the as-of
+  matching and is NOT exposed as a payload column — referencing it
+  through the build alias is not supported;
 - processing-time ``FOR SYSTEM_TIME AS OF PROCTIME()`` is the lookup
   join's job (streaming/lookup.py), not this rewrite.
 """
