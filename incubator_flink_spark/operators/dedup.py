@@ -80,6 +80,10 @@ def minhash_signatures(
         ds = doc_shingle_set(docs, id_col, text_col, k)
     h = F.col("shingle")  # already the 60-bit hash
     aggs = [F.min(minhash_expr(h, i)).alias(f"minhash_{i}") for i in range(NUM_MINHASHES)]
+    # Piggyback the doc's shingle-set size on the same shuffle: the verify
+    # stage needs |A| and |B| for the jaccard denominator, and computing it
+    # here saves a second full aggregation pass over the shingle table.
+    aggs.append(F.count(F.lit(1)).alias("__sz"))
     return ds.groupBy(id_col).agg(*aggs)
 
 
@@ -125,7 +129,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return verify_jaccard(docs, cand, id_col, text_col, k, threshold, ds=ds)
+    sizes = sig.select(F.col(id_col), F.col("__sz").alias("sz"))
+    return verify_jaccard(docs, cand, id_col, text_col, k, threshold, ds=ds, sizes=sizes)
 
 
 def verify_jaccard(
@@ -136,12 +141,17 @@ def verify_jaccard(
     k: int,
     threshold: float,
     ds: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact jaccard for candidate (id_a, id_b) pairs via the inverted
-    index; only candidate pairs are scored."""
+    index; only candidate pairs are scored.  ``sizes`` (id_col, sz) can be
+    supplied by callers that already aggregated per-doc shingle counts
+    (the minhash signature build piggybacks it), avoiding a second full
+    pass over the shingle table."""
     if ds is None:
         ds = doc_shingle_set(docs, id_col, text_col, k)
-    sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if sizes is None:
+        sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     # Candidate-first join order: restrict the inverted index to candidate
     # docs BEFORE the shingle self-join, so the quadratic blow-up on
     # frequent shingles never materializes — cand is small (LSH output),
