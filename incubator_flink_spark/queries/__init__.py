@@ -82,6 +82,10 @@ _PRIORITY = [
     "temporal_join_sql",
     "quality_repetition",
     "boilerplate_ngrams",
+    "decontaminate_ngram",
+    "tfidf_topk",
+    "mixture_sample",
+    "pii_scrub",
     # -- tier 2: round-1 rows+schema-true but hash/oracle not green;
     #    output-type canonicalization + new oracles landed in round 2 ------
     "tpch_q1",

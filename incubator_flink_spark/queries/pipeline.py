@@ -13,7 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from incubator_flink_spark.catalog import load, spread
-from incubator_flink_spark.functions.text import shingles, tokens, tokens_sql
+from incubator_flink_spark.functions.hashing import hash64, hash64_sql
+from incubator_flink_spark.functions.text import (
+    PII_ORDER,
+    PII_PATTERNS,
+    redact_pii,
+    shingles,
+    tokens,
+    tokens_sql,
+)
 from incubator_flink_spark.operators.dedup import doc_shingle_set
 from incubator_flink_spark.queries.documents import _DS_CTE
 from incubator_flink_spark.queries.registry import register
@@ -158,5 +166,224 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "boiler_frac"
             ),
         )
+        .orderBy("doc_id")
+    )
+
+
+# --- benchmark decontamination ----------------------------------------------
+# Standard eval-set decontamination (public recipes: GPT-3 appendix C /
+# The Pile / FineWeb): flag training documents that share word n-grams
+# with a held-out benchmark set.  The benchmark here is the deterministic
+# doc_id % 97 == 0 slice (stands in for an external eval corpus).  Scale
+# shape: a real benchmark shingle set is tiny relative to the corpus
+# (thousands of eval docs vs billions of training docs), so the engine
+# broadcasts it and the contamination scan is a map-side semi-join over
+# the inverted index — no corpus-vs-corpus shuffle.
+
+_BENCH_MOD = 97
+
+DECONTAMINATE_ORACLE = f"""
+WITH ds AS ({_DS_CTE}),
+bench AS (SELECT DISTINCT shingle FROM ds WHERE doc_id % {_BENCH_MOD} = 0),
+train AS (SELECT * FROM ds WHERE doc_id % {_BENCH_MOD} <> 0),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM train GROUP BY doc_id),
+hit AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        FROM train t JOIN bench USING (shingle) GROUP BY t.doc_id)
+SELECT hit.doc_id, n_shingles, n_contaminated,
+       ROUND(1.0 * n_contaminated / n_shingles, 6) AS contam_frac
+FROM hit JOIN tot USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("decontaminate_ngram", DECONTAMINATE_ORACLE)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing >=1 word 3-shingle with the benchmark slice
+    (doc_id % 97 == 0): per contaminated doc, its distinct-shingle count,
+    how many of those shingles appear in the benchmark, and the fraction.
+    The benchmark shingle set is explicitly broadcast."""
+    d = load(spark, sf_dir, "documents")
+    ds = doc_shingle_set(d).persist()  # feeds bench + train twice
+    bench = (
+        ds.where(F.col("doc_id") % _BENCH_MOD == 0).select("shingle").distinct()
+    )
+    train = ds.where(F.col("doc_id") % _BENCH_MOD != 0)
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        hit.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias("contam_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- TF-IDF keyword extraction ----------------------------------------------
+
+_TFIDF_K = 3
+
+TFIDF_ORACLE = f"""
+WITH w AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * LN(n.n / df.df), 6) AS score
+  FROM tf JOIN df USING (term), n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored)
+SELECT doc_id, term, tf, score, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {_TFIDF_K}
+ORDER BY doc_id, rnk
+"""
+
+
+@register("tfidf_topk", TFIDF_ORACLE)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} terms per document by tf-idf (tf * ln(N/df); ties broken by
+    term).  Linear pipeline: explode -> (doc,term) agg -> vocabulary df
+    agg -> join back on term -> per-doc top-k window.  All shuffles are
+    keyed on (doc_id, term), term, or doc_id — no pairwise blowup; the
+    1-row corpus count joins in as a broadcast."""
+    from pyspark.sql import Window
+
+    d = spread(load(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_tbl = d.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "score", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# --- deterministic mixture resampling ----------------------------------------
+# Down-weighting over-represented sources/languages is the standard
+# mixture-rebalancing pass in training-data pipelines.  The keep decision
+# is a deterministic hash Bernoulli (hash64 of a salted doc key mod 10k),
+# so it is reproducible, revisit-safe, and embarrassingly parallel —
+# map-only, zero shuffles at any scale.
+
+_MIX_RATES = {"en": 0.5, "zh": 0.8}  # others keep everything
+_MIX_DEN = 10_000
+
+_RATE_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {int(rate * _MIX_DEN)}" for lang, rate in _MIX_RATES.items()
+) + f" ELSE {_MIX_DEN} END"
+
+MIXTURE_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         {hash64_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % {_MIX_DEN} AS bucket
+  FROM documents)
+SELECT doc_id, lang, bucket
+FROM b WHERE bucket < {_RATE_CASE}
+ORDER BY doc_id
+"""
+
+
+@register("mixture_sample", MIXTURE_ORACLE)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: keep a doc iff
+    hash64('mix:'||doc_id) mod 10000 falls under its language's rate
+    (en 0.5, zh 0.8, rest 1.0)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % _MIX_DEN
+    rate = F.lit(_MIX_DEN)
+    for lang, r in _MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(int(r * _MIX_DEN))).otherwise(rate)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+        .orderBy("doc_id")
+    )
+
+
+# --- PII scrubbing ------------------------------------------------------------
+# functions/text.redact_pii is the engine primitive (pure Catalyst
+# regexp_count/regexp_replace, map-only at any scale); this query plants
+# deterministic synthetic PII (the corpus itself is clean word-soup) so
+# the oracle actually exercises the redaction + counting paths in both
+# engines.
+
+_PII_AUG_SPARK = None  # built lazily below
+
+
+def _augment_pii(text, doc_id):
+    """Deterministic synthetic-PII augmentation, Spark side."""
+    email_tail = F.concat(
+        F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com from 10.0.0."),
+        (doc_id % 250 + 1).cast("string"),
+    )
+    phone_tail = F.lit(" call 555-867-5309 ssn 123-45-6789")
+    out = F.when(doc_id % 7 == 0, F.concat(text, email_tail)).otherwise(text)
+    return F.when(doc_id % 11 == 0, F.concat(out, phone_tail)).otherwise(out)
+
+
+_PII_AUG_SQL = (
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "  (CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    "        || '@example.com from 10.0.0.' || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE text END)"
+    "  || ' call 555-867-5309 ssn 123-45-6789' "
+    "WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    "  || '@example.com from 10.0.0.' || CAST(doc_id % 250 + 1 AS VARCHAR) "
+    "ELSE text END"
+)
+
+
+def _pii_oracle() -> str:
+    red = "aug"
+    for name in PII_ORDER:
+        pat, repl = PII_PATTERNS[name]
+        pat_sql = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{pat_sql}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(aug, '{PII_PATTERNS[n][0]}')) AS INTEGER) AS n_{n}"
+        for n in PII_ORDER
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+SELECT doc_id, {red} AS redacted, {counts}
+FROM a ORDER BY doc_id
+"""
+
+
+@register("pii_scrub", _pii_oracle())
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PII redaction pass: plant deterministic synthetic
+    emails/IPs/phones/SSNs, then scrub with functions/text.redact_pii and
+    report per-doc match counts alongside the redacted text."""
+    d = load(spark, sf_dir, "documents")
+    aug = _augment_pii(F.col("text"), F.col("doc_id"))
+    return (
+        d.select("doc_id", redact_pii(aug).alias("p"))
+        .select("doc_id", "p.redacted", *[f"p.n_{n}" for n in PII_ORDER])
         .orderBy("doc_id")
     )
