@@ -102,3 +102,38 @@ def test_temporal_sql_single_asof_shuffle(spark):
     assert rep.nested_loop_joins == 0
     assert rep.sort_merge_joins + rep.broadcast_hash_joins + rep.shuffled_hash_joins == 0
     assert "Window" in rep.raw
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # the benchmark shingle set must broadcast (it is tiny vs the corpus)
+    # and the contamination scan must never cross-product
+    rep = audit_plan(REGISTRY["decontaminate_ngram"].fn(spark, SF))
+    assert rep.broadcast_hash_joins >= 1
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
+
+
+def test_tfidf_linear_pipeline(spark):
+    # shuffles keyed on (doc,term)/term/doc only; the sole nested-loop is
+    # the broadcast of the 1-row corpus-count relation
+    rep = audit_plan(REGISTRY["tfidf_topk"].fn(spark, SF))
+    assert rep.nested_loop_joins <= 1
+    assert "CartesianProduct" not in rep.raw
+    assert rep.raw.count("HashAggregate") >= 4  # partial+final for tf and df
+
+
+def test_mixture_sample_map_only(spark):
+    # deterministic hash Bernoulli: no joins, no aggregates; the only
+    # exchange is the final ORDER BY range partitioning
+    rep = audit_plan(REGISTRY["mixture_sample"].fn(spark, SF))
+    assert rep.sort_merge_joins + rep.broadcast_hash_joins + rep.shuffled_hash_joins == 0
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges <= 1
+    assert "HashAggregate" not in rep.raw
+
+
+def test_pii_scrub_map_only(spark):
+    rep = audit_plan(REGISTRY["pii_scrub"].fn(spark, SF))
+    assert rep.sort_merge_joins + rep.broadcast_hash_joins + rep.shuffled_hash_joins == 0
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges <= 1
