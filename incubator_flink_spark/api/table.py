@@ -391,6 +391,11 @@ class TableEnvironment:
         self._spark = spark
         self._sf_dir = sf_dir
         self._versioned: dict[str, tuple[str, str]] = {}
+        # Flink-named scalar functions (SPLIT_INDEX, HASH_CODE, …) become
+        # session SQL UDFs so reference SQL text runs unmodified.
+        from incubator_flink_spark.functions.sqlfuncs import register_flink_sql_functions
+
+        register_flink_sql_functions(spark)
 
     def from_path(self, table: str) -> Table:
         return Table(load(self._spark, self._sf_dir, table))

@@ -1,0 +1,81 @@
+"""Flink-named scalar functions on the Spark SQL surface.
+
+functions/compat.py gives Column-level builders for Flink names missing
+from Spark; this module registers the same semantics as **SQL UDFs**
+(``CREATE OR REPLACE TEMPORARY FUNCTION … RETURN <expr>``, Spark 4) so a
+reference user's SQL text runs through ``spark.sql`` / ``TableEnvironment
+.sql_query`` unmodified.  SQL UDF bodies are inlined into the Catalyst
+plan at analysis time — they are pure expressions, not Python UDFs, so
+whole-stage codegen and pushdown behave exactly as if the expansion had
+been written inline (verified in tests/test_api.py).
+
+Reference: flink-table/flink-table-common/src/main/java/org/apache/
+flink/table/functions/BuiltInFunctionDefinitions.java (SPLIT_INDEX,
+IS_DECIMAL/IS_DIGIT/IS_ALPHA, HASH_CODE, TO_BASE64/FROM_BASE64,
+RAND_INTEGER, TRUNCATE, TO_TIMESTAMP_LTZ, CONVERT_TZ, JSON_VALUE/
+JSON_EXISTS).
+
+Documented divergences (same as the Column layer):
+- SPLIT_INDEX's separator is a Java regex (Spark ``split``), where Flink
+  treats it as a literal string; out-of-range / negative indices return
+  NULL (Flink behavior) via ``try_element_at``.
+- HASH_CODE is the engine's portable 60-bit md5 hash, not Java
+  ``String.hashCode`` (so engine and DuckDB oracles agree).
+- JSON_VALUE/JSON_EXISTS support the ``$.a.b`` path subset
+  (``get_json_object``), not SQL/JSON strict/lax modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# name -> (signature, RETURNS type, body expression)
+_SQL_FUNCS: dict[str, tuple[str, str, str]] = {
+    "SPLIT_INDEX": (
+        "(s STRING, sep STRING, i INT)",
+        "STRING",
+        "CASE WHEN i < 0 THEN CAST(NULL AS STRING) "
+        "ELSE try_element_at(split(s, sep), i + 1) END",
+    ),
+    "IS_DECIMAL": (
+        "(s STRING)",
+        "BOOLEAN",
+        r"s RLIKE '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$'",
+    ),
+    "IS_DIGIT": ("(s STRING)", "BOOLEAN", "s RLIKE '^[0-9]+$'"),
+    "IS_ALPHA": ("(s STRING)", "BOOLEAN", "s RLIKE '^[A-Za-z]+$'"),
+    "HASH_CODE": (
+        "(s STRING)",
+        "BIGINT",
+        "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)",
+    ),
+    "TO_BASE64": ("(s STRING)", "STRING", "base64(CAST(s AS BINARY))"),
+    "FROM_BASE64": ("(s STRING)", "STRING", "CAST(unbase64(s) AS STRING)"),
+    "RAND_INTEGER": ("(n INT)", "INT", "CAST(floor(rand() * n) AS INT)"),
+    "TRUNCATE": (
+        "(x DOUBLE, d INT DEFAULT 0)",
+        "DOUBLE",
+        "CAST(x * power(10, d) AS BIGINT) / power(10, d)",
+    ),
+    # TO_TIMESTAMP_LTZ is NOT here: Spark 4 ships a builtin of that name
+    # (string signature) which session functions cannot shadow; the
+    # numeric-epoch Flink form lives in compat.to_timestamp_ltz.
+    "CONVERT_TZ": (
+        "(s STRING, tz1 STRING, tz2 STRING)",
+        "STRING",
+        "date_format(from_utc_timestamp(to_utc_timestamp(to_timestamp(s), tz1), tz2), "
+        "'yyyy-MM-dd HH:mm:ss')",
+    ),
+    "JSON_VALUE": ("(j STRING, p STRING)", "STRING", "get_json_object(j, p)"),
+    "JSON_EXISTS": ("(j STRING, p STRING)", "BOOLEAN", "get_json_object(j, p) IS NOT NULL"),
+}
+
+
+def register_flink_sql_functions(spark: SparkSession) -> list[str]:
+    """Register every Flink-compat SQL function in the session (temporary,
+    session-scoped, idempotent). Returns the registered names."""
+    for name, (sig, ret, body) in _SQL_FUNCS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURNS {ret} RETURN {body}"
+        )
+    return list(_SQL_FUNCS)

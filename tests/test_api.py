@@ -397,3 +397,70 @@ def test_compat_temporal_names(spark):
     assert r.days == 2
     assert r.ts0 == r.ts3
     assert r.nyc == "2024-03-01 07:00:00"
+
+
+def test_flink_sql_functions_register_and_inline(spark):
+    # Flink-named scalar functions are session SQL UDFs: same results as
+    # the Column compat layer, and the bodies inline into the Catalyst
+    # plan (no BatchEvalPython / PythonUDF nodes anywhere).
+    from incubator_flink_spark.functions.sqlfuncs import register_flink_sql_functions
+
+    names = register_flink_sql_functions(spark)
+    assert "SPLIT_INDEX" in names and "HASH_CODE" in names
+
+    r = spark.sql(
+        """
+        SELECT SPLIT_INDEX('a,b,c', ',', 1) AS s1,
+               SPLIT_INDEX('a,b,c', ',', 9) AS s_oob,
+               SPLIT_INDEX('a,b,c', ',', -1) AS s_neg,
+               IS_DECIMAL('-3.14') AS d1, IS_DECIMAL('3.1.4') AS d2,
+               IS_DIGIT('042') AS g1, IS_DIGIT('4 2') AS g2,
+               IS_ALPHA('abcXYZ') AS a1, IS_ALPHA('ab1') AS a2,
+               TO_BASE64('spark') AS b64,
+               FROM_BASE64(TO_BASE64('spark')) AS rt,
+               TRUNCATE(3.79) AS t0, TRUNCATE(-3.79, 1) AS t1,
+               CONVERT_TZ('2024-03-01 12:00:00', 'UTC', 'America/New_York') AS nyc,
+               JSON_VALUE('{"a": {"b": 7}}', '$.a.b') AS jv,
+               JSON_EXISTS('{"a": 1}', '$.a') AS je1,
+               JSON_EXISTS('{"a": 1}', '$.z') AS je2
+        """
+    ).collect()[0]
+    assert r.s1 == "b" and r.s_oob is None and r.s_neg is None
+    assert r.d1 is True and r.d2 is False
+    assert r.g1 is True and r.g2 is False
+    assert r.a1 is True and r.a2 is False
+    assert r.rt == "spark"
+    assert r.t0 == 3.0 and r.t1 == -3.7
+    assert r.nyc == "2024-03-01 07:00:00"
+    assert r.jv == "7"
+    assert r.je1 is True and r.je2 is False
+
+    # HASH_CODE agrees with the portable Column-layer hash
+    from incubator_flink_spark.functions.hashing import hash64
+
+    hc = spark.sql("SELECT HASH_CODE('abc') AS h").collect()[0].h
+    col = spark.range(1).select(hash64(F.lit("abc")).alias("h")).collect()[0].h
+    assert hc == col
+
+    # RAND_INTEGER stays in range
+    vals = [row.r for row in spark.sql(
+        "SELECT RAND_INTEGER(10) AS r FROM range(200)").collect()]
+    assert all(0 <= v <= 9 for v in vals) and len(set(vals)) > 1
+
+    # inlining: plan over a real table contains no Python eval nodes and
+    # keeps whole-stage codegen
+    df = spark.sql(
+        "SELECT SPLIT_INDEX(repeat('x,', CAST(id % 3 AS INT)) || 'y', ',', 1) AS v "
+        "FROM range(100)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "*(" in plan  # whole-stage-codegen stage marker
+    assert "element_at" in plan  # the UDF body, inlined as an expression
+
+
+def test_table_environment_registers_sql_functions(spark):
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    t_env = TableEnvironment(spark)
+    assert t_env.execute_sql("SELECT SPLIT_INDEX('x|y', '[|]', 0) AS v")[0].v == "x"
