@@ -411,6 +411,11 @@ class TableEnvironment:
             from incubator_flink_spark.api.temporal import rewrite_system_time_join
 
             sql = rewrite_system_time_join(self._spark, sql, self._versioned)
+        up = sql.upper()
+        if any(k in up for k in ("TUMBLE", "HOP", "CUMULATE", "SESSION")):
+            from incubator_flink_spark.api.tvf import rewrite_window_tvf
+
+            sql = rewrite_window_tvf(self._spark, sql)
         return Table(self._spark.sql(sql))
 
     def execute_sql(self, sql: str):

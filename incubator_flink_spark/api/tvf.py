@@ -1,0 +1,119 @@
+"""Flink SQL windowing TVF rewrite: ``TABLE(TUMBLE|HOP|CUMULATE|SESSION
+(TABLE t …, DESCRIPTOR(ts), INTERVAL …))`` fragments become registered
+temp views built from the engine's window-assignment operators, so the
+reference's windowed SQL (reference: flink-table-planner/.../
+StreamExecWindowTableFunction.java:49 and docs' window-TVF grammar) runs
+through ``spark.sql`` unmodified.
+
+Output parity: each view carries ``window_start``, ``window_end`` and
+``window_time`` (= window_end - 1ms, Flink's TVF time attribute) plus
+every input column.  TUMBLE/HOP/CUMULATE are row-level (map-side) window
+assignments; SESSION is merged eagerly with the gaps-and-islands rewrite
+(same as the batch session operator and WindowedStream.apply) because a
+row-level session view must already know its merged window bounds.
+
+Scale: the rewrite itself is driver-side string work; the views are lazy
+DataFrames whose plans are the same map-side assignments the DataFrame
+API produces — nothing is materialized at rewrite time.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.operators.windows import cumulate, hop, tumble
+
+_COUNTER = itertools.count()
+
+_UNIT_S = {
+    "SECOND": 1,
+    "SECONDS": 1,
+    "MINUTE": 60,
+    "MINUTES": 60,
+    "HOUR": 3600,
+    "HOURS": 3600,
+    "DAY": 86400,
+    "DAYS": 86400,
+}
+
+_INTERVAL_RE = re.compile(r"INTERVAL\s+'(\d+)'\s+(\w+)", re.IGNORECASE)
+
+_TVF_RE = re.compile(
+    r"TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(\s*"
+    r"(?:DATA\s*=>\s*)?TABLE\s+(\w+)\s*"
+    r"(?:PARTITION\s+BY\s+(\(?\s*\w+(?:\s*,\s*\w+)*\s*\)?)\s*)?,\s*"
+    r"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*"
+    r"([^()]*?)\)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _intervals_s(arg_text: str) -> list[int]:
+    out = []
+    for n, unit in _INTERVAL_RE.findall(arg_text):
+        u = unit.upper()
+        if u not in _UNIT_S:
+            raise ValueError(f"unsupported interval unit {unit!r} in window TVF")
+        out.append(int(n) * _UNIT_S[u])
+    if not out:
+        raise ValueError(f"no INTERVAL arguments in window TVF: {arg_text!r}")
+    return out
+
+
+def _session_merged(df: DataFrame, keys: list[str], ts_col: str, gap_s: int) -> DataFrame:
+    """Row-level merged session windows via gaps-and-islands (batch)."""
+    w = Window.partitionBy(*keys).orderBy(ts_col) if keys else Window.orderBy(ts_col)
+    gap_us = gap_s * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(prev.isNull() | (us - prev > gap_us), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = df.withColumn("__session_id", F.sum(new_sess).over(run))
+    sess_keys = [*keys, "__session_id"]
+    sw = Window.partitionBy(*sess_keys)
+    return (
+        merged.withColumn("window_start", F.min(ts_col).over(sw))
+        .withColumn(
+            "window_end",
+            F.timestamp_micros(F.unix_micros(F.max(ts_col).over(sw)) + gap_us),
+        )
+        .drop("__session_id")
+    )
+
+
+def _build_view(spark: SparkSession, kind: str, tbl: str, part: str | None, ts_col: str, ivals: list[int]) -> DataFrame:
+    df = spark.table(tbl)
+    kind = kind.upper()
+    if kind == "TUMBLE":
+        (size,) = ivals
+        out = tumble(df, ts_col, size)
+    elif kind == "HOP":
+        slide, size = ivals  # Flink arg order: slide, then size
+        out = hop(df, ts_col, size_s=size, slide_s=slide)
+    elif kind == "CUMULATE":
+        step, max_size = ivals
+        out = cumulate(df, ts_col, step_s=step, max_size_s=max_size)
+    else:  # SESSION
+        (gap,) = ivals
+        keys = [k.strip() for k in part.strip("() ").split(",")] if part else []
+        out = _session_merged(df, keys, ts_col, gap)
+    return out.withColumn(
+        "window_time", F.timestamp_micros(F.unix_micros(F.col("window_end")) - 1_000)
+    )
+
+
+def rewrite_window_tvf(spark: SparkSession, sql: str) -> str:
+    """Replace every windowing-TVF fragment with a temp-view reference.
+    Returns the rewritten SQL (unchanged if no TVF present)."""
+
+    def repl(m: re.Match) -> str:
+        kind, tbl, part, ts_col, args = m.groups()
+        view = f"__tvf_{next(_COUNTER)}"
+        _build_view(spark, kind, tbl, part, ts_col, _intervals_s(args)).createOrReplaceTempView(view)
+        return view
+
+    return _TVF_RE.sub(repl, sql)

@@ -464,3 +464,66 @@ def test_table_environment_registers_sql_functions(spark):
 
     t_env = TableEnvironment(spark)
     assert t_env.execute_sql("SELECT SPLIT_INDEX('x|y', '[|]', 0) AS v")[0].v == "x"
+
+
+def test_window_tvf_sql_rewrite(spark):
+    # Flink windowing-TVF SQL runs unmodified through sql_query: each
+    # TABLE(TUMBLE/HOP/CUMULATE/SESSION(...)) fragment becomes a lazy view
+    # built from the same window-assignment operators the DataFrame API
+    # uses, with window_start/window_end/window_time columns.
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    t_env = TableEnvironment(spark)
+    rows = [
+        (1, "2024-01-01 00:00:05", 10.0),
+        (1, "2024-01-01 00:00:55", 20.0),
+        (1, "2024-01-01 00:07:00", 30.0),
+        (2, "2024-01-01 00:00:30", 40.0),
+    ]
+    df = spark.createDataFrame(rows, "k INT, ts_s STRING, v DOUBLE").select(
+        "k", F.to_timestamp("ts_s").alias("ts"), "v"
+    )
+    df.createOrReplaceTempView("tvf_events")
+
+    tumbled = t_env.sql_query(
+        "SELECT window_start, window_end, SUM(v) AS total "
+        "FROM TABLE(TUMBLE(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '1' MINUTE)) "
+        "GROUP BY window_start, window_end ORDER BY window_start"
+    ).to_df().collect()
+    assert [r.total for r in tumbled] == [70.0, 30.0]
+    assert tumbled[0].window_end.minute == 1
+
+    hopped = t_env.sql_query(
+        "SELECT window_start, SUM(v) AS total "
+        "FROM TABLE(HOP(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)) "
+        "GROUP BY window_start ORDER BY window_start"
+    ).to_df().collect()
+    # 2-min windows sliding 1 min: events at 0:00-0:01 covered by windows
+    # starting 23:59 and 00:00
+    assert len(hopped) >= 3
+
+    cumulated = t_env.sql_query(
+        "SELECT window_start, window_end, COUNT(*) AS cnt "
+        "FROM TABLE(CUMULATE(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)) "
+        "GROUP BY window_start, window_end ORDER BY window_end"
+    ).to_df().collect()
+    # bucket [00:00,00:10): growing [0,5) holds 3 events, [0,10) holds all 4
+    assert [r.cnt for r in cumulated] == [3, 4]
+
+    sessions = t_env.sql_query(
+        "SELECT k, window_start, window_end, COUNT(*) AS cnt "
+        "FROM TABLE(SESSION(TABLE tvf_events PARTITION BY k, DESCRIPTOR(ts), INTERVAL '2' MINUTE)) "
+        "GROUP BY k, window_start, window_end ORDER BY k, window_start"
+    ).to_df().collect()
+    # k=1: events at 0:05 and 0:55 merge (gap 50s < 2min), 7:00 separate
+    assert [(r.k, r.cnt) for r in sessions] == [(1, 2), (1, 1), (2, 1)]
+    # session window_end = last event + gap
+    assert sessions[0].window_end.minute == 2 and sessions[0].window_end.second == 55
+
+    # window_time parity: window_end - 1ms
+    wt = t_env.sql_query(
+        "SELECT DISTINCT window_end, window_time "
+        "FROM TABLE(TUMBLE(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '1' MINUTE))"
+    ).to_df().collect()
+    for r in wt:
+        assert (r.window_end - r.window_time).total_seconds() == 0.001
