@@ -273,3 +273,17 @@ class StreamExecutionEnvironment:
 
     def from_dataframe(self, df: DataFrame) -> DataStream:
         return DataStream(df)
+
+    def socket_text_stream(self, host: str, port: int) -> DataStream:
+        """Unbounded line stream from a TCP socket (reference
+        StreamExecutionEnvironment.socketTextStream — the classic
+        word-count source). Yields a streaming DataFrame with a single
+        ``value: string`` column; at-most-once, dev/demo use only, same
+        caveat as the reference's JavaDoc."""
+        df = (
+            self._spark.readStream.format("socket")
+            .option("host", host)
+            .option("port", port)
+            .load()
+        )
+        return DataStream(df)

@@ -527,3 +527,38 @@ def test_window_tvf_sql_rewrite(spark):
     ).to_df().collect()
     for r in wt:
         assert (r.window_end - r.window_time).total_seconds() == 0.001
+
+
+def test_socket_text_stream_e2e(spark):
+    """Real TCP round-trip for socketTextStream (reference
+    StreamExecutionEnvironment.socketTextStream word-count source)."""
+    import socket
+    import threading
+    import time
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    def serve():
+        conn, _ = server.accept()
+        conn.sendall(b"hello world\nhello stream\n")
+        time.sleep(8)  # keep the socket open while the source polls
+        conn.close()
+        server.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    env = StreamExecutionEnvironment(spark)
+    ds = env.socket_text_stream("127.0.0.1", port)
+    q = ds._df.writeStream.format("memory").queryName("sock_e2e").start()
+    try:
+        for _ in range(120):
+            if spark.sql("SELECT * FROM sock_e2e").count() >= 2:
+                break
+            time.sleep(0.5)
+        vals = {r.value for r in spark.sql("SELECT * FROM sock_e2e").collect()}
+        assert {"hello world", "hello stream"} <= vals
+    finally:
+        q.stop()
