@@ -60,13 +60,26 @@ def cosine(a: Column, b: Column, scale: int = 6) -> Column:
     return F.round(_dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), scale)
 
 
+def norm(vec: Column) -> Column:
+    """L2 norm, same expression ``cosine`` uses internally.  Computed in a
+    per-SIDE projection before a pair join it turns the per-pair cost from
+    three DIM-length dot folds into one (norms ride along the join as
+    plain doubles) — value-identical, since the pair formula
+    round(dot/(norm_a*norm_b), s) evaluates the exact same doubles."""
+    return F.sqrt(_dot(vec, vec))
+
+
+def _cos_norms(a: Column, b: Column, norm_a: Column, norm_b: Column, scale: int = 6) -> Column:
+    return F.round(_dot(a, b) / (norm_a * norm_b), scale)
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per query by cosine (query_id, neighbor_id,
     cos, rank). Ties broken by neighbor id for determinism."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), norm(F.col(vec_col)).alias("q_norm"))
+    c = spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"), norm(F.col(vec_col)).alias("n_norm"))
     pairs = F.broadcast(q).crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"))
+    scored = pairs.select("query_id", "neighbor_id", _cos_norms(F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")).alias("cos"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -74,12 +87,12 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int, id_col: str 
 def near_pairs(corpus: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold. O(n^2) — the
     correctness baseline; use lsh_topk for scale."""
-    a = spread(corpus).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    a = spread(corpus).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), norm(F.col(vec_col)).alias("norm_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), norm(F.col(vec_col)).alias("norm_b"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos"))
+        .select("id_a", "id_b", _cos_norms(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
@@ -124,12 +137,12 @@ def near_pairs_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), norm(F.col(vec_col)).alias("norm_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), norm(F.col(vec_col)).alias("norm_b"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos"))
+        .select("id_a", "id_b", _cos_norms(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
@@ -166,13 +179,15 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_i
     exact cosine rank within candidates. The equi-join on bucket replaces
     the cross product — this is the 100TB path."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), lsh_bucket(F.col(vec_col)).alias("bucket")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), norm(F.col(vec_col)).alias("q_norm"),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
     )
     c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"), lsh_bucket(F.col(vec_col)).alias("bucket")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"), norm(F.col(vec_col)).alias("n_norm"),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
     )
     pairs = q.join(c, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"))
+    scored = pairs.select("query_id", "neighbor_id", _cos_norms(F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")).alias("cos"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -258,7 +273,7 @@ def ivf_topk(
 
     centroids = kmeans_centroids(corpus, n_clusters, id_col=id_col, vec_col=vec_col)
     c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"), norm(F.col(vec_col)).alias("n_norm"),
         _nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
     )
     # query probes its n_probe closest centroids
@@ -266,10 +281,10 @@ def ivf_topk(
     for i, cen in enumerate(centroids):
         probe_sets.append(F.struct(_dot(F.col(vec_col), F.array(*[F.lit(w) for w in cen])).alias("d"), F.lit(i).alias("c")))
     probes = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), norm(F.col(vec_col)).alias("q_norm"),
         F.slice(F.reverse(F.array_sort(F.array(*probe_sets))), 1, n_probe).alias("cells"),
-    ).select("query_id", "q_vec", F.explode(F.col("cells.c")).alias("cluster"))
+    ).select("query_id", "q_vec", "q_norm", F.explode(F.col("cells.c")).alias("cluster"))
     pairs = probes.join(c, "cluster").where(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"))
+    scored = pairs.select("query_id", "neighbor_id", _cos_norms(F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")).alias("cos"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
