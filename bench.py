@@ -41,6 +41,13 @@ HEADLINE = [
     "token_count",
     "ann_cosine_topk",
     "embedding_lsh_topk",
+    # round-2 additions: curation + CDC paths are headline operators too
+    "semantic_dedup",
+    "decontaminate_ngram",
+    "tfidf_topk",
+    "quality_repetition",
+    "pii_scrub",
+    "cdc_debezium_normalize",
 ]
 
 

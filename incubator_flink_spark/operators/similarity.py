@@ -12,14 +12,21 @@ Design for 100TB:
   candidates instead of the cross product. Recall is tunable with
   multi-probe/bands; here one bucket, verified exactly by cosine.
 
-All dot products run as Catalyst lambda expressions (zip_with/aggregate,
-sequential order → deterministic); cosines are rounded to 6 decimals so
-engine-order differences cannot flip comparisons.
+Pair-verify dot products run as Catalyst lambda expressions (zip_with/
+aggregate, sequential order → deterministic); the banding map stage runs
+as one Arrow-batched numpy matmul per batch (band_signatures_vectorized —
+validated sig-identical to the expression form). Cosines are rounded to
+6 decimals so engine-order differences cannot flip comparisons. Flat
+element_at chains are deliberately NOT used anywhere: at DIM=64 they
+blow up Janino compilation and lose badly to both forms above.
 """
 
 from __future__ import annotations
 
 import random
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
@@ -98,13 +105,43 @@ def near_pairs(corpus: DataFrame, threshold: float, id_col: str = "vec_id", vec_
 
 
 def band_signature(vec_col: Column, band: int) -> Column:
-    """Signature of `band` (0..NUM_BANDS-1): BAND_BITS sign-bits packed."""
+    """Signature of `band` (0..NUM_BANDS-1): BAND_BITS sign-bits packed.
+
+    Catalyst-expression reference form; the hot path uses
+    ``band_signatures_vectorized`` (validated sig-for-sig identical)."""
     sig = F.lit(0)
     for i in range(BAND_BITS):
         plane = BAND_PLANES[band * BAND_BITS + i]
         dot = _dot(vec_col, F.array(*[F.lit(w) for w in plane]))
         sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return sig.cast("int")
+
+
+_BAND_PLANES_M = np.array(BAND_PLANES, dtype=np.float64).T  # (DIM, bands*bits)
+
+
+def band_signatures_vectorized(vec_col: Column) -> Column:
+    """All NUM_BANDS band signatures in one Arrow-batched matmul
+    (batch x DIM) @ (DIM x NUM_BANDS*BAND_BITS) — the 100TB path for the
+    banding map stage: one BLAS call per Arrow batch instead of
+    NUM_BANDS*BAND_BITS interpreted lambda folds per ROW (the profiled
+    hot spot: 64 HOF dots/row dominated near_pairs_lsh wall time).
+    Sign-bit packing is integer-exact; dot signs match the Catalyst form
+    except for |dot| ~ 1 ulp of 0 (measure-zero for real embeddings —
+    validated identical on all testdata SFs)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _sigs(vec: pd.Series) -> pd.Series:
+        V = np.stack(vec.to_numpy()).astype(np.float64)
+        bits = (V @ _BAND_PLANES_M) > 0
+        sigs = np.zeros((V.shape[0], NUM_BANDS), dtype=np.int32)
+        for b in range(NUM_BANDS):
+            for i in range(BAND_BITS):
+                sigs[:, b] |= bits[:, b * BAND_BITS + i].astype(np.int32) << i
+        return pd.Series(list(sigs))
+
+    return _sigs(vec_col)
 
 
 def near_pairs_lsh(
@@ -121,14 +158,8 @@ def near_pairs_lsh(
     stays as the small-data baseline."""
     sigs = spread(corpus).select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_signature(F.col(vec_col), b).alias("sig"))
-                for b in range(NUM_BANDS)
-            ])
-        ).alias("bs"),
-    ).select("_id", "_vec", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        F.posexplode(band_signatures_vectorized(F.col(vec_col))).alias("band", "sig"),
+    )
     left = sigs.select(F.col("_id").alias("id_a"), F.col("band"), F.col("sig"))
     right = sigs.select(F.col("_id").alias("id_b"), F.col("band"), F.col("sig"))
     cand = (
