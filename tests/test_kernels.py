@@ -105,16 +105,33 @@ def test_kernels_beat_naive_loop_5x_on_100k():
     ts = np.cumsum(np.random.default_rng(6).integers(1, 20, 100_000)).astype(np.int64)
     empty_i, empty_f = np.empty(0, np.int64), np.empty(0, np.float64)
 
-    t0 = time.perf_counter()
-    over_rows_kernel(vals, empty_f, 50)
-    over_range_kernel(ts, vals, empty_i, empty_f, 1000)
-    count_window_kernel(vals, 0, 0.0, 0, 50)
-    fast = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    _naive_over_rows(vals, [], 50)
-    _naive_over_range(ts, vals, [], [], 1000)
-    _naive_count_window(vals, 0, 0.0, 0, 50)
-    slow = time.perf_counter() - t0
+    # Best-of-3 on each side: under full-suite load a single timing can be
+    # skewed by scheduler noise; min-of-repeats measures the code, not the host.
+    fast = min(
+        _timed(
+            lambda: (
+                over_rows_kernel(vals, empty_f, 50),
+                over_range_kernel(ts, vals, empty_i, empty_f, 1000),
+                count_window_kernel(vals, 0, 0.0, 0, 50),
+            )
+        )
+        for _ in range(3)
+    )
+    slow = min(
+        _timed(
+            lambda: (
+                _naive_over_rows(vals, [], 50),
+                _naive_over_range(ts, vals, [], [], 1000),
+                _naive_count_window(vals, 0, 0.0, 0, 50),
+            )
+        )
+        for _ in range(3)
+    )
 
     assert slow / fast >= 5, f"vectorized kernels only {slow / fast:.1f}x faster"
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
