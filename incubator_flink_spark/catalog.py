@@ -68,9 +68,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         # nanos-encoded files surface ts as int64 under the legacy conf;
-        # files already written with micros timestamps need no conversion
+        # micros files read directly — but as TIMESTAMP_NTZ (parquet
+        # isAdjustedToUTC=false), which unix_micros & co. reject.  The
+        # session timezone is pinned UTC above, so casting NTZ→TIMESTAMP
+        # is value-identical and gives every operator one ts type.
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
