@@ -6,6 +6,6 @@ applyInPandas (batch) — the Spark-idiomatic placement of an inherently
 row-sequential algorithm."""
 
 from incubator_flink_spark.cep.pattern import Pattern
-from incubator_flink_spark.cep.executor import match_pattern
+from incubator_flink_spark.cep.executor import match_pattern, match_pattern_with_timeouts
 
-__all__ = ["Pattern", "match_pattern"]
+__all__ = ["Pattern", "match_pattern", "match_pattern_with_timeouts"]

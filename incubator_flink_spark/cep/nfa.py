@@ -189,9 +189,11 @@ def _violates_negation(stage: Stage, events: list[dict], lo: int, hi: int, stric
     return any(stage.accepts(events[i]) for i in range(lo, hi))
 
 
-def find_matches(pattern: Pattern, events: list[dict], ts_key: str = "ts") -> list[dict[str, list[dict]]]:
-    """All matches of `pattern` over time-sorted `events`; each match maps
-    stage name → captured events (in order)."""
+def _enumerate(pattern: Pattern, events: list[dict], ts_key: str = "ts"):
+    """All unique matches as (first_idx, last_idx, capture, stage_idxs),
+    sorted by position — shared by find_matches (which applies the
+    after-match skip strategy) and find_timed_out_matches (which needs
+    the set of completed start indices)."""
     stages = pattern.stages
     matches: list[tuple[int, int, dict, dict]] = []  # (first, last, capture, stage_idxs)
 
@@ -255,6 +257,13 @@ def find_matches(pattern: Pattern, events: list[dict], ts_key: str = "ts") -> li
             seen.add(key)
             uniq.append((first_i, last_i, cap, sidx))
     uniq.sort(key=lambda m: (m[0], m[1]))
+    return uniq
+
+
+def find_matches(pattern: Pattern, events: list[dict], ts_key: str = "ts") -> list[dict[str, list[dict]]]:
+    """All matches of `pattern` over time-sorted `events`; each match maps
+    stage name → captured events (in order)."""
+    uniq = _enumerate(pattern, events, ts_key)
 
     if pattern.skip_strategy == NO_SKIP:
         return [cap for _, _, cap, _ in uniq]
@@ -275,4 +284,72 @@ def find_matches(pattern: Pattern, events: list[dict], ts_key: str = "ts") -> li
         elif pattern.skip_strategy == SKIP_TO_LAST:
             idxs = sidx.get(pattern.skip_stage, [])
             cursor = max(cursor, max(idxs)) if idxs else cursor
+    return out
+
+
+def find_timed_out_matches(
+    pattern: Pattern, events: list[dict], ts_key: str = "ts", now=None
+) -> list[dict[str, list[dict]]]:
+    """Timed-out partial matches (reference: CepOperator's
+    TimedOutPartialMatchHandler — partial matches pruned on pattern-window
+    expiry surface on the timeout side output; PatternStream.flatSelect
+    timeout variant).
+
+    A start event opens a partial match if it is accepted as the first
+    captured event of stage 0. For each start that (a) never completes to
+    a full match over `events` and (b) whose window [start.ts,
+    start.ts + within] has expired by `now` (None = bounded input
+    exhausted, i.e. watermark at +inf — every incomplete partial is
+    expired), the DEEPEST partial capture reachable from that start is
+    returned (most completed stages, then most captured events).
+
+    Divergence from the reference (documented): the reference times out
+    each NFA computation-state branch individually; we emit one maximal
+    partial per expired start event, and a start that participates in any
+    complete match emits no timeout.
+    """
+    if pattern.within_s is None:
+        return []  # no window → partials never time out (reference: no timer)
+    stages = pattern.stages
+    completed = {first_i for first_i, _, _, _ in _enumerate(pattern, events, ts_key)}
+    out: list[dict[str, list[dict]]] = []
+
+    first_stage = stages[0]
+    for i in range(len(events)):
+        if i in completed:
+            continue
+        if not first_stage.accepts(events[i], Context({}, first_stage.name, [], events, i)):
+            continue
+        start_ts = events[i][ts_key]
+        if now is not None and (now - start_ts).total_seconds() <= pattern.within_s:
+            continue  # window still open; may yet complete
+        best: dict = {"depth": 0, "events": 0, "cap": None}
+
+        def dfs(si: int, start_idx: int, first_ts, capture: dict, nevents: int, start_i: int):
+            if nevents > 0 and (si, nevents) > (best["depth"], best["events"]):
+                best.update(depth=si, events=nevents, cap=dict(capture))
+            if si >= len(stages):
+                return
+            stage = stages[si]
+            if stage.negated:
+                # negation constrains full matches; partials pass through
+                dfs(si + 1, start_idx, first_ts, capture, nevents, start_i)
+                return
+            for nxt, taken in _stage_matches(
+                stages, si, events, start_idx, first_ts, pattern.within_s, ts_key, capture
+            ):
+                if si == 0 and (not taken or taken[0] != start_i):
+                    continue  # pin the partial to this start event
+                if taken and si > 0 and stage.contiguity == STRICT and start_idx != taken[0]:
+                    continue
+                f_ts = first_ts
+                if taken and f_ts is None:
+                    f_ts = events[taken[0]][ts_key]
+                cap = dict(capture)
+                cap[stage.name] = [events[j] for j in taken]
+                dfs(si + 1, nxt, f_ts, cap, nevents + len(taken), start_i)
+
+        dfs(0, i, None, {}, 0, i)
+        if best["cap"]:
+            out.append(best["cap"])
     return out

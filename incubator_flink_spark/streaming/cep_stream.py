@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from incubator_flink_spark.cep.nfa import find_matches
+from incubator_flink_spark.cep.nfa import find_matches, find_timed_out_matches
 from incubator_flink_spark.cep.pattern import NO_SKIP, Pattern
 
 
@@ -44,9 +44,21 @@ def match_pattern_stream(
     select_fn: Callable[[dict, dict[str, list[dict]]], dict],
     output_schema: str,
     tiebreak: str,
+    timeout_fn: Callable[[dict, dict[str, list[dict]]], dict] | None = None,
 ) -> DataFrame:
     """Streaming match_pattern. ``df`` must carry a watermark on
-    ``ts_col``; ``pattern.within_s`` is required (bounds state)."""
+    ``ts_col``; ``pattern.within_s`` is required (bounds state).
+
+    ``timeout_fn`` (optional) is the timed-out-partial-match side output
+    (reference: TimedOutPartialMatchHandler in CepOperator): when a
+    partial match's window [first.ts, first.ts+within] expires under the
+    advancing watermark without completing, ``timeout_fn(key_dict,
+    partial_capture)`` emits one row into the same output (tag-column
+    convention; filter-split downstream). Divergence (documented): the
+    reference fires per-key event-time timers, so a timeout surfaces as
+    soon as the watermark passes the deadline; here it surfaces at the
+    key's next micro-batch activity (applyInPandasWithState only invokes
+    keys that receive rows)."""
     if pattern.within_s is None:
         raise ValueError("streaming CEP requires pattern.within(...) to bound state")
     if pattern.skip_strategy != NO_SKIP:
@@ -90,8 +102,17 @@ def match_pattern_stream(
             last_ts = max(int(e[ts_col].timestamp() * 1_000_000) for v in m.values() for e in v)
             if last_wm < last_ts <= wm_us:
                 out.append(select_fn(key_dict, m))
-        # prune closed-and-unextendable events
-        keep = [i for i, t in enumerate(ts_buf) if t > wm_us - horizon_us]
+        if timeout_fn is not None and wm_us > 0:
+            wm_dt = datetime.fromtimestamp(wm_us / 1e6, tz=timezone.utc).replace(tzinfo=None)
+            for p in find_timed_out_matches(pattern, events, ts_key=ts_col, now=wm_dt):
+                first_us = min(int(e[ts_col].timestamp() * 1_000_000) for v in p.values() for e in v)
+                deadline = first_us + horizon_us
+                # emit once: when the deadline first falls behind the watermark
+                if last_wm <= deadline < wm_us:
+                    out.append(timeout_fn(key_dict, p))
+        # prune closed-and-unextendable events; keep the deadline==wm
+        # boundary (not yet strictly expired) so its timeout can still fire
+        keep = [i for i, t in enumerate(ts_buf) if t >= wm_us - horizon_us]
         state.update(([ts_buf[i] for i in keep], [rows_buf[i] for i in keep], max(last_wm, wm_us)))
         if out:
             yield pd.DataFrame(out)

@@ -358,3 +358,119 @@ def test_match_recognize_all_rows_running_vs_final(spark):
     assert [r.classifier for r in full] == ["A", "A", "B", "B"]
     assert [r.running_sum for r in full] == [1.0, 3.0, 6.0, 10.0]
     assert all(r.final_sum == 10.0 for r in full)
+
+
+# ---- timed-out partial matches (reference: TimedOutPartialMatchHandler;
+# PatternStream.select(timeoutTag, timeoutFn, selectFn)) -----------------
+
+
+def _funnel(within_s=15):
+    return (
+        Pattern.begin("s")
+        .where(lambda e: e["event_type"] == "a")
+        .followed_by("t")
+        .where(lambda e: e["event_type"] == "c")
+        .within(within_s)
+    )
+
+
+def test_timed_out_partial_bounded_input():
+    from incubator_flink_spark.cep.nfa import find_timed_out_matches
+
+    # a@0 ... c@40 is outside within(15) → no match, one timeout with the
+    # deepest partial (just the start stage)
+    t = find_timed_out_matches(_funnel(15), SEQ)
+    assert len(t) == 1
+    assert [e["event_id"] for e in t[0]["s"]] == [0]
+    assert "t" not in t[0]
+
+
+def test_timed_out_excludes_completed_starts():
+    from incubator_flink_spark.cep.nfa import find_timed_out_matches
+
+    # within(40) lets a@0 -> c@40 complete → no timeout
+    assert find_timed_out_matches(_funnel(40), SEQ) == []
+    # no within → partials never time out
+    p = Pattern.begin("s").where(lambda e: e["event_type"] == "a").followed_by("t").where(
+        lambda e: e["event_type"] == "zzz"
+    )
+    assert find_timed_out_matches(p, SEQ) == []
+
+
+def test_timed_out_deepest_partial_and_now_semantics():
+    from incubator_flink_spark.cep.nfa import find_timed_out_matches
+
+    # a -> b -> z: z never arrives; partial should capture BOTH completed
+    # stages (deepest), not just the start
+    p = (
+        Pattern.begin("s")
+        .where(lambda e: e["event_type"] == "a")
+        .followed_by("t")
+        .where(lambda e: e["event_type"] == "b")
+        .followed_by("u")
+        .where(lambda e: e["event_type"] == "z")
+        .within(60)
+    )
+    t = find_timed_out_matches(p, SEQ)  # now=None: bounded input exhausted
+    assert len(t) == 1
+    assert [e["event_id"] for e in t[0]["s"]] == [0]
+    assert [e["event_id"] for e in t[0]["t"]] == [1]
+    # with now inside the window, nothing is expired yet
+    assert find_timed_out_matches(p, SEQ, now=datetime.fromisoformat("2024-01-01 00:00:50")) == []
+    # once now passes start+within, the timeout fires
+    assert len(find_timed_out_matches(p, SEQ, now=datetime.fromisoformat("2024-01-01 00:01:01"))) == 1
+
+
+def test_match_pattern_with_timeouts_distributed(spark):
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.cep import match_pattern_with_timeouts
+    from incubator_flink_spark.cep.nfa import find_matches, find_timed_out_matches
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+
+    def make_pattern():
+        return (
+            Pattern.begin("signup")
+            .where(lambda e: e["event_type"] == "signup")
+            .followed_by("purchase")
+            .where(lambda e: e["event_type"] == "purchase")
+            .within(3600)
+        )
+
+    def select(key, m):
+        return {
+            "user_id": int(key["user_id"]),
+            "signup_id": int(m["signup"][0]["event_id"]),
+            "timed_out": False,
+        }
+
+    def timeout(key, p):
+        return {
+            "user_id": int(key["user_id"]),
+            "signup_id": int(p["signup"][0]["event_id"]),
+            "timed_out": True,
+        }
+
+    out = match_pattern_with_timeouts(
+        events, ["user_id"], "ts", make_pattern(), select, timeout,
+        "user_id BIGINT, signup_id BIGINT, timed_out BOOLEAN", tiebreak="event_id",
+    ).collect()
+    got_match = {(r.user_id, r.signup_id) for r in out if not r.timed_out}
+    got_to = {(r.user_id, r.signup_id) for r in out if r.timed_out}
+    assert got_match and got_to and not (got_match & got_to)
+
+    # single-process oracle over the same events
+    per_user = {}
+    for r in events.collect():
+        per_user.setdefault(r.user_id, []).append(
+            {"ts": r.ts, "event_type": r.event_type, "event_id": r.event_id}
+        )
+    exp_match, exp_to = set(), set()
+    for uid, evs in per_user.items():
+        evs.sort(key=lambda x: (x["ts"], x["event_id"]))
+        for m in find_matches(make_pattern(), evs, ts_key="ts"):
+            exp_match.add((uid, m["signup"][0]["event_id"]))
+        for p in find_timed_out_matches(make_pattern(), evs, ts_key="ts"):
+            exp_to.add((uid, p["signup"][0]["event_id"]))
+    assert got_match == exp_match
+    assert got_to == exp_to

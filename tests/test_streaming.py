@@ -518,3 +518,84 @@ def test_temporal_join_version_gc(spark, replay_dir):
         ).collect()
     }
     assert got == expected
+
+
+def test_streaming_cep_timeout_side_output(spark, replay_dir):
+    """Timed-out partial matches surface via timeout_fn when the watermark
+    passes start+within (reference: TimedOutPartialMatchHandler). Files are
+    fed one at a time with processAllAvailable so watermark advancement is
+    deterministic."""
+    import os
+    from datetime import datetime
+
+    import pandas as pd
+
+    from incubator_flink_spark.cep import Pattern
+    from incubator_flink_spark.streaming.cep_stream import match_pattern_stream
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    files = [
+        [  # batch 1: both signups + the completing purchase
+            (1, t("2024-01-01 00:00:00"), 100, "signup"),
+            (2, t("2024-01-01 00:00:10"), 200, "signup"),
+            (3, t("2024-01-01 00:10:00"), 200, "purchase"),
+        ],
+        [  # batch 2: wm -> 00:08:00 (purchase not yet closed)
+            (4, t("2024-01-01 02:00:00"), 100, "x"),
+            (5, t("2024-01-01 02:00:01"), 200, "x"),
+        ],
+        [  # batch 3: wm -> 01:58:01 (> deadline 01:00 and > purchase)
+            (6, t("2024-01-01 03:00:00"), 100, "x"),
+            (7, t("2024-01-01 03:00:01"), 200, "x"),
+        ],
+    ]
+    src_dir = replay_dir + "/cep_timeout_src"
+    os.makedirs(src_dir, exist_ok=True)
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withWatermark("ts", "120 seconds")
+    )
+
+    pattern = (
+        Pattern.begin("signup")
+        .where(lambda e: e["event_type"] == "signup")
+        .followed_by("purchase")
+        .where(lambda e: e["event_type"] == "purchase")
+        .within(3600)
+    )
+
+    def select(key, m):
+        return {"user_id": int(key["user_id"]), "signup_id": int(m["signup"][0]["event_id"]), "timed_out": False}
+
+    def timeout(key, p):
+        return {"user_id": int(key["user_id"]), "signup_id": int(p["signup"][0]["event_id"]), "timed_out": True}
+
+    out = match_pattern_stream(
+        stream, ["user_id"], "ts", pattern, select,
+        "user_id BIGINT, signup_id BIGINT, timed_out BOOLEAN",
+        tiebreak="event_id", timeout_fn=timeout,
+    )
+    got = set()
+    import tempfile as _tf
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: got.update(
+            (r.user_id, r.signup_id, r.timed_out) for r in bdf.collect()
+        ))
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    try:
+        for i, rows in enumerate(files):
+            pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+            spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(src_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert (200, 2, False) in got           # completed funnel
+    assert (100, 1, True) in got            # timed-out partial
+    assert (100, 1, False) not in got and (200, 2, True) not in got
