@@ -80,6 +80,31 @@ def _cos_norms(a: Column, b: Column, norm_a: Column, norm_b: Column, scale: int 
     return F.round(_dot(a, b) / (norm_a * norm_b), scale)
 
 
+def pair_cos_vectorized(vec_a: Column, vec_b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Rounded pair cosine as one Arrow-batched numpy matmul per batch —
+    the verify-stage analog of ``band_signatures_vectorized``: candidate
+    volume × DIM multiplications run as BLAS instead of interpreted
+    Catalyst lambda folds (the profiled hot spot of near_pairs_lsh /
+    semantic_dedup at sf0.1: ~30M pair-dots). Summation order differs
+    from the sequential fold (pairwise vs left fold) but both sides of
+    the oracle compare already use different orders (DuckDB SUM is its
+    own order); the round-to-6-decimals canonicalization absorbs the
+    ~1-ulp differences — validated value-identical to the expression
+    form on all testdata SFs (tests/test_operators.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        d = np.einsum("ij,ij->i", A, B)
+        return pd.Series(np.round(d / (na.to_numpy() * nb.to_numpy()), 6))
+
+    return _cos(vec_a, vec_b, norm_a, norm_b)
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per query by cosine (query_id, neighbor_id,
     cos, rank). Ties broken by neighbor id for determinism."""
@@ -173,7 +198,7 @@ def near_pairs_lsh(
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", _cos_norms(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")).alias("cos"))
+        .select("id_a", "id_b", pair_cos_vectorized(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
@@ -218,7 +243,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_i
         lsh_bucket(F.col(vec_col)).alias("bucket"),
     )
     pairs = q.join(c, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select("query_id", "neighbor_id", _cos_norms(F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")).alias("cos"))
+    scored = pairs.select("query_id", "neighbor_id", pair_cos_vectorized(F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")).alias("cos"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
