@@ -54,6 +54,44 @@ def session_agg(
     )
 
 
+def cumulate_agg(
+    df: DataFrame, ts_col: str, step_s: int, max_size_s: int, delay_s: int, keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    """CUMULATE windows on a stream (reference: StreamExecWindowAggregate
+    over SliceAssigners.cumulative:93): growing [bucket, bucket + k*step)
+    windows within each epoch-aligned max_size bucket.
+
+    The k-expansion (explode + filter) is stateless and leaves ``ts_col``
+    untouched, so the watermark survives to an ``F.window(ts, max_size)``
+    grouping — Structured Streaming then owns state eviction, and all k
+    slices of a bucket close together when the bucket's max window passes
+    the watermark: the same state lifetime as the reference's slicing
+    operator (one slice buffer held until the largest window fires)."""
+    if max_size_s % step_s != 0:
+        raise ValueError("max_size must be a multiple of step")
+    n = max_size_s // step_s
+    w = with_watermark(df, ts_col, delay_s)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    step_us = step_s * 1_000_000
+    bucket_us = us - (us % (max_size_s * 1_000_000))
+    expanded = (
+        w.withColumn("__k", F.explode(F.sequence(F.lit(1), F.lit(n))))
+        .where(us < bucket_us + F.col("__k") * step_us)
+    )
+    return (
+        expanded.groupBy(F.window(F.col(ts_col), f"{max_size_s} seconds").alias("w"), F.col("__k"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.timestamp_micros(F.unix_micros(F.col("w.start").cast("timestamp")) + F.col("__k") * step_us).alias(
+                "window_end"
+            ),
+            *keys,
+            *[F.col(c) for c in _agg_names(aggs)],
+        )
+    )
+
+
 def _agg_names(aggs: list[Column]) -> list[str]:
     # aliased agg columns expose their name via the expression string
     names = []

@@ -69,6 +69,52 @@ def test_streaming_tumble_agg_matches_batch(spark, replay_dir):
     assert state == expected
 
 
+def test_streaming_cumulate_agg_matches_batch(spark, replay_dir):
+    from incubator_flink_spark.operators.windows import cumulate
+    from incubator_flink_spark.streaming.windows import cumulate_agg
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/cumulate", n_files=4)
+    agg = cumulate_agg(
+        stream, "ts", 300, 1200, 120, ["event_type"],
+        [F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("total")],
+    )
+    state = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            state[(r.window_start, r.window_end, r.event_type)] = (r.cnt, round(r.total, 6))
+
+    run_to_completion(agg, collect, mode="update")
+
+    batch = (
+        cumulate(load(spark, SF, "events"), "ts", 300, 1200)
+        .groupBy("window_start", "window_end", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("total"))
+    )
+    expected = {
+        (r.window_start, r.window_end, r.event_type): (r.cnt, round(r.total, 6)) for r in batch.collect()
+    }
+    assert state == expected
+
+    # append mode works at all <=> the watermark survived the k-expansion
+    # (no watermark -> AnalysisException; no eviction -> nothing emits);
+    # closed slices must agree with the batch truth
+    stream2 = replay_table(spark, SF, "events", replay_dir + "/cumulate2", n_files=4)
+    agg2 = cumulate_agg(
+        stream2, "ts", 300, 1200, 120, ["event_type"],
+        [F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("total")],
+    )
+    emitted = []
+
+    def collect2(bdf, _bid):
+        emitted.extend(bdf.collect())
+
+    run_to_completion(agg2, collect2, mode="append")
+    assert emitted, "append mode must emit watermark-closed cumulate slices"
+    for r in emitted:
+        assert expected[(r.window_start, r.window_end, r.event_type)] == (r.cnt, round(r.total, 6))
+
+
 def test_streaming_append_mode_drops_open_windows(spark, replay_dir):
     # In append mode only watermark-closed windows emit; the final windows
     # (beyond max event time - delay) must be absent.
