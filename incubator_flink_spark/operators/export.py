@@ -1,0 +1,73 @@
+"""Training-shard export: deterministic global shuffle + sharded writes
+(beyond-reference training-data scope, the output-management half of a
+curation pipeline; the reference's closest analog is the filesystem sink's
+partitioned layout, flink-table-runtime/.../filesystem/FileSystemTableFactory.java).
+
+Why not ``orderBy(rand())``: training-data jobs must be reproducible and
+restartable — the permutation has to be a pure function of (row identity,
+seed), never of task scheduling. Both operators below key on the same
+60-bit md5 hash the dedup family uses (functions/hashing.hash64), which
+the DuckDB oracle replicates, so shard assignment itself is
+driver-checkable.
+
+Scale shape:
+- ``deterministic_shuffle`` is ONE range-partitioned sort on an 8-byte
+  key (Tungsten external sort, spillable) — the canonical way to produce
+  a uniform global permutation of 100 TB without a driver bottleneck.
+- ``export_shards`` shuffles once on the shard id (pmod of the hash) and
+  writes each shard as its own directory partition; shard sizes are
+  hash-uniform, so no shard becomes a straggler file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.functions.hashing import hash64
+
+
+def shuffle_key(id_col: str, seed: int):
+    """The permutation key: hash64(seed || id). Pure in (id, seed)."""
+    return hash64(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, seed: int = 0) -> DataFrame:
+    """Reproducible global permutation: rows ordered by a seeded hash of
+    their id. Same (data, seed) → same order, independent of parallelism,
+    task retries, or input split layout."""
+    return df.orderBy(shuffle_key(id_col, seed), F.col(id_col))
+
+
+def shard_id(id_col: str, num_shards: int, seed: int = 0):
+    """Shard assignment: pmod(hash64(seed || id), num_shards) — uniform,
+    deterministic, oracle-replicable."""
+    return F.pmod(shuffle_key(id_col, seed), F.lit(num_shards)).cast("int")
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    id_col: str,
+    seed: int = 0,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` as ``num_shards`` hash-sharded, internally shuffled
+    directory partitions under ``path`` (shard=K/part-*.{fmt}).
+
+    One shuffle: repartition on the shard id co-locates each shard, and
+    the within-shard sort by the same seeded hash yields the
+    deterministic training order. maxRecordsPerFile is left to the
+    writer config; at 100 TB set spark.sql.files.maxRecordsPerFile to
+    bound file sizes."""
+    sid = shard_id(id_col, num_shards, seed)
+    (
+        df.withColumn("shard", sid)
+        .repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("shard"), shuffle_key(id_col, seed), F.col(id_col))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )

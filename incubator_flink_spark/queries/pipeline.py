@@ -387,3 +387,54 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "p.redacted", *[f"p.n_{n}" for n in PII_ORDER])
         .orderBy("doc_id")
     )
+
+
+# ---- deterministic shuffle + shard export (operators/export.py) --------
+
+_SHARD_SEED = 42
+_NUM_SHARDS = 8
+
+EXPORT_SHARD_PLAN_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id,
+         {hash64_sql("'42:' || CAST(doc_id AS VARCHAR)")} AS skey
+  FROM documents),
+s AS (
+  SELECT doc_id, skey, CAST(skey % {_NUM_SHARDS} AS INT) AS shard,
+         ROW_NUMBER() OVER (PARTITION BY CAST(skey % {_NUM_SHARDS} AS INT)
+                            ORDER BY skey, doc_id) AS rn
+  FROM k)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc
+FROM s GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register("export_shard_plan", EXPORT_SHARD_PLAN_ORACLE)
+def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard assignment + deterministic training order of the shard
+    export path (operators/export.py): per-shard doc counts and the first
+    document in seeded-shuffle order. The 60-bit seeded hash is the same
+    oracle-replicated key export_shards writes with, so a hash match
+    proves both the assignment and the within-shard ordering."""
+    from pyspark.sql import Window as W
+
+    from incubator_flink_spark.operators.export import shard_id, shuffle_key
+
+    d = load(spark, sf_dir, "documents")
+    key = shuffle_key("doc_id", _SHARD_SEED)
+    sel = d.select(
+        "doc_id", key.alias("skey"), shard_id("doc_id", _NUM_SHARDS, _SHARD_SEED).alias("shard")
+    )
+    w = W.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        sel.withColumn("rn", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("first_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -220,3 +220,34 @@ def test_semantic_dedup_drops_near_neighbors(spark):
     lsh_dropped = all_ids - survivors
     recall = len(lsh_dropped) / len(brute_dropped)
     assert recall >= 0.7, f"LSH dedup recall too low: {recall}"
+
+
+def test_export_shards_deterministic_layout(spark, tmp_path):
+    """export_shards: hash-sharded directories, reproducible content and
+    order across runs, permutation independent of input partitioning."""
+    import os
+
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.operators.export import deterministic_shuffle, export_shards
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    export_shards(docs, p1, 4, "doc_id", seed=7)
+    # second run from a differently-partitioned input must produce the
+    # same shard membership and order
+    export_shards(docs.repartition(13), p2, 4, "doc_id", seed=7)
+
+    shards1 = sorted(d for d in os.listdir(p1) if d.startswith("shard="))
+    assert shards1 == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    for shard in shards1:
+        a = spark.read.parquet(f"{p1}/{shard}").select("doc_id").collect()
+        b = spark.read.parquet(f"{p2}/{shard}").select("doc_id").collect()
+        assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    # every row lands in exactly one shard
+    total = sum(spark.read.parquet(f"{p1}/{s}").count() for s in shards1)
+    assert total == docs.count()
+
+    # deterministic_shuffle: same permutation regardless of parallelism
+    o1 = [r.doc_id for r in deterministic_shuffle(docs, "doc_id", seed=3).select("doc_id").collect()]
+    o2 = [r.doc_id for r in deterministic_shuffle(docs.repartition(17), "doc_id", seed=3).select("doc_id").collect()]
+    assert o1 == o2 and sorted(o1) != o1  # permuted, not id-sorted
