@@ -251,3 +251,50 @@ def test_export_shards_deterministic_layout(spark, tmp_path):
     o1 = [r.doc_id for r in deterministic_shuffle(docs, "doc_id", seed=3).select("doc_id").collect()]
     o2 = [r.doc_id for r in deterministic_shuffle(docs.repartition(17), "doc_id", seed=3).select("doc_id").collect()]
     assert o1 == o2 and sorted(o1) != o1  # permuted, not id-sorted
+
+
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    """The full training-data curation flow a reference user would run,
+    composed from the engine's own operators: exact dedup -> near-dup
+    drop (MinHash-LSH) -> repetition-quality filter -> deterministic
+    sharded export. Asserts monotone shrinkage and a readable, complete
+    shard layout."""
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.operators.dedup import minhash_lsh_pairs, normalize_text
+    from incubator_flink_spark.operators.export import export_shards
+    from incubator_flink_spark.queries.pipeline import quality_repetition
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    n0 = docs.count()
+
+    # 1. exact dedup: keep min doc_id per normalized-content hash
+    canonical = (
+        docs.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact = docs.join(canonical, "doc_id", "left_semi")
+    n1 = exact.count()
+
+    # 2. near-dup drop: higher id of each near-pair goes
+    pairs = minhash_lsh_pairs(exact, threshold=0.8)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    near = exact.join(dropped, "doc_id", "left_anti")
+    n2 = near.count()
+
+    # 3. repetition-quality keep
+    quality = quality_repetition(spark, sf).where(F.col("keep") == 1).select("doc_id")
+    kept = near.join(quality, "doc_id", "left_semi")
+    n3 = kept.count()
+
+    assert n0 >= n1 >= n2 >= n3 > 0
+    assert n1 < n0 or n2 < n1 or n3 < n2  # the corpus exercises at least one stage
+
+    # 4. sharded export of the survivors
+    out = str(tmp_path / "shards")
+    export_shards(kept, out, 4, "doc_id", seed=11)
+    back = spark.read.parquet(out)
+    assert back.count() == n3
+    assert back.select("doc_id").distinct().count() == n3
