@@ -54,6 +54,26 @@ def session_agg(
     )
 
 
+def session_agg_dynamic(
+    df: DataFrame, ts_col: str, gap_expr: Column, delay_s: int, keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    """Dynamic-gap session windows on a stream (reference:
+    DynamicEventTimeSessionWindows + SessionWindowTimeGapExtractor): the
+    per-row gap is any expression over the row. Spark's session_window
+    accepts an expression gap natively, so merging and state eviction stay
+    engine-owned — the streaming twin of the batch
+    `window_session_dynamic` query."""
+    w = with_watermark(df, ts_col, delay_s)
+    return (
+        w.groupBy(F.session_window(F.col(ts_col), gap_expr).alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *keys,
+            *[F.col(c) for c in _agg_names(aggs)],
+        )
+    )
+
+
 def cumulate_agg(
     df: DataFrame, ts_col: str, step_s: int, max_size_s: int, delay_s: int, keys: list[str], aggs: list[Column]
 ) -> DataFrame:

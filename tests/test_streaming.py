@@ -115,6 +115,36 @@ def test_streaming_cumulate_agg_matches_batch(spark, replay_dir):
         assert expected[(r.window_start, r.window_end, r.event_type)] == (r.cnt, round(r.total, 6))
 
 
+def test_streaming_session_dynamic_gap_matches_batch(spark, replay_dir):
+    from incubator_flink_spark.streaming.windows import session_agg_dynamic
+
+    gap = F.when(F.col("event_type") == "error", F.lit("600 seconds")).otherwise(F.lit("300 seconds"))
+    stream = replay_table(spark, SF, "events", replay_dir + "/sess_dyn", n_files=4)
+    agg = session_agg_dynamic(
+        stream, "ts", gap, 120, ["user_id"], [F.count(F.lit(1)).alias("cnt")]
+    )
+    state = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            state[(r.user_id, r.window_start)] = (r.window_end, r.cnt)
+
+    # update mode is rejected for session aggs — append emits closed
+    # sessions only; every emission must match the batch session set
+    run_to_completion(agg, collect, mode="append")
+
+    batch = (
+        load(spark, SF, "events")
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    expected = {
+        (r.user_id, r.w.start): (r.w.end, r.cnt) for r in batch.collect()
+    }
+    assert state and set(state) <= set(expected)
+    assert all(expected[k] == v for k, v in state.items())
+
+
 def test_streaming_append_mode_drops_open_windows(spark, replay_dir):
     # In append mode only watermark-closed windows emit; the final windows
     # (beyond max event time - delay) must be absent.
