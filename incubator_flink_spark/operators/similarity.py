@@ -230,13 +230,35 @@ def lsh_bucket(vec_col: Column) -> Column:
     return bucket.cast("long")
 
 
-def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_bits: int = 0,
+) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket, then
     exact cosine rank within candidates. The equi-join on bucket replaces
-    the cross product — this is the 100TB path."""
+    the cross product — this is the 100TB path.
+
+    ``probe_bits`` > 0 enables multi-probe (public multi-probe LSH
+    recipe): each query additionally probes the ``probe_bits`` buckets at
+    Hamming distance 1 (one sign bit flipped — the most likely buckets
+    for a near neighbor to have fallen into). Candidate volume grows
+    ~(probe_bits+1)× while recall approaches exhaustive for vectors near
+    the query's hyperplane boundaries; the probe expansion is a stateless
+    explode on the (small) query side, so the corpus is still touched by
+    one equi-join."""
+    bucket0 = lsh_bucket(F.col(vec_col))
+    if probe_bits:
+        probe_arr = F.array(bucket0, *[bucket0.bitwiseXOR(F.lit(1 << b)) for b in range(probe_bits)])
+        bucket_col = F.explode(probe_arr).alias("bucket")
+    else:
+        bucket_col = bucket0.alias("bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), norm(F.col(vec_col)).alias("q_norm"),
-        lsh_bucket(F.col(vec_col)).alias("bucket"),
+        bucket_col,
     )
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"), norm(F.col(vec_col)).alias("n_norm"),

@@ -155,6 +155,9 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, 0.35).select("vec_id", "label").orderBy("vec_id")
 
 
+_N_PROBE_BITS = 8  # multi-probe width for embedding_lsh_topk (= NUM_PLANES)
+
+
 def _planes_values_sql() -> str:
     rows = []
     for b, plane in enumerate(HYPERPLANES):
@@ -175,10 +178,16 @@ dots AS (
 buckets AS (
   SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
   FROM dots GROUP BY vec_id),
+probes AS (
+  -- multi-probe: the exact bucket plus every Hamming-distance-1 bucket
+  SELECT vec_id, bucket FROM buckets WHERE vec_id < 20
+  UNION ALL
+  SELECT b.vec_id, xor(b.bucket, CAST(1 << p.p AS BIGINT))
+  FROM buckets b CROSS JOIN (SELECT unnest(generate_series(0, {_N_PROBE_BITS} - 1)) AS p) p
+  WHERE b.vec_id < 20),
 cand AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-  FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-  WHERE q.vec_id < 20),
+  FROM probes q JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
 elems AS (
   SELECT cand.query_id, cand.neighbor_id,
          CAST(unnest(a.embedding) AS DOUBLE) AS x, CAST(unnest(b.embedding) AS DOUBLE) AS y
@@ -202,7 +211,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
     return (
-        lsh_topk(e, q, 3)
+        lsh_topk(e, q, 3, probe_bits=_N_PROBE_BITS)
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
         .orderBy("query_id", "rank")
     )
