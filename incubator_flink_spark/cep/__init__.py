@@ -7,5 +7,6 @@ row-sequential algorithm."""
 
 from incubator_flink_spark.cep.pattern import Pattern
 from incubator_flink_spark.cep.executor import match_pattern, match_pattern_with_timeouts
+from incubator_flink_spark.cep.match_recognize import match_recognize, match_recognize_sql
 
-__all__ = ["Pattern", "match_pattern", "match_pattern_with_timeouts"]
+__all__ = ["Pattern", "match_pattern", "match_pattern_with_timeouts", "match_recognize", "match_recognize_sql"]

@@ -193,3 +193,52 @@ def match_recognize(
         return pd.DataFrame(rows)
 
     return df.groupBy(*partition_by).applyInPandas(fn, output_schema)
+
+
+def match_recognize_sql(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: str,
+    pattern: str,
+    define: dict[str, str],
+    measures: dict[str, str],
+    output_schema: str,
+    within: float | None = None,
+    after_match_skip: bool = True,
+    strict: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE with DEFINE/MEASURES given as SQL text — the
+    reference's SQL spelling (StreamExecMatch.java:90; expressions
+    compiled by cep/sql_expr.py instead of MatchCodeGenerator's Janino).
+
+    ``define``: variable → SQL boolean over the current row with
+    PREV/NEXT/FIRST/LAST navigation and RUNNING aggregates;
+    ``measures``: output column → SQL expression with FINAL semantics
+    (bare ``VAR.col`` means LAST(VAR.col), as in ONE ROW PER MATCH).
+    Output rows carry the partition keys followed by the measure columns;
+    ``output_schema`` is the DDL for exactly those columns."""
+    from incubator_flink_spark.cep.sql_expr import compile_define, compile_measure
+
+    compiled_def = {v: compile_define(v, sql) for v, sql in define.items()}
+    compiled_meas = {name: compile_measure(sql) for name, sql in measures.items()}
+
+    def measures_fn(key: dict, m: MatchAccess) -> dict:
+        out = dict(key)
+        for name, fn in compiled_meas.items():
+            out[name] = fn(m)
+        return out
+
+    return match_recognize(
+        df,
+        partition_by,
+        order_by,
+        pattern,
+        compiled_def,
+        measures_fn,
+        output_schema,
+        within=within,
+        after_match_skip=after_match_skip,
+        strict=strict,
+        tiebreak=tiebreak,
+    )

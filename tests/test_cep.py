@@ -474,3 +474,99 @@ def test_match_pattern_with_timeouts_distributed(spark):
             exp_to.add((uid, p["signup"][0]["event_id"]))
     assert got_match == exp_match
     assert got_to == exp_to
+
+
+# ---- SQL-text DEFINE/MEASURES (StreamExecMatch + MatchCodeGenerator) ---
+
+
+def test_sql_expr_compile_define_and_measures():
+    from incubator_flink_spark.cep.sql_expr import compile_define, compile_measure
+
+    # V-shape: price strictly falling then strictly rising
+    rows = [
+        {"ts": 1, "price": 10.0},
+        {"ts": 2, "price": 8.0},
+        {"ts": 3, "price": 6.0},
+        {"ts": 4, "price": 9.0},
+    ]
+
+    class Ctx:
+        def __init__(self, events, idx, captured):
+            self._events, self._idx, self._cap = events, idx, captured
+
+        def prev(self, n=1):
+            return self._events[self._idx - n] if self._idx - n >= 0 else None
+
+        def ahead(self, n=1):
+            return self._events[self._idx + n] if self._idx + n < len(self._events) else None
+
+        def get_events_for_pattern(self, var):
+            return self._cap.get(var, [])
+
+    down = compile_define("DOWN", "DOWN.price < PREV(DOWN.price)")
+    assert down(rows[1], Ctx(rows, 1, {}))            # 8 < 10
+    assert not down(rows[3], Ctx(rows, 3, {}))        # 9 > 6
+    assert not down(rows[0], Ctx(rows, 0, {}))        # PREV null -> false
+
+    agg = compile_define("B", "SUM(B.amount) + B.amount <= 10")
+    assert agg({"amount": 4}, Ctx([], 0, {"B": [{"amount": 3}]}))      # 3+4 <= 10
+    assert not agg({"amount": 9}, Ctx([], 0, {"B": [{"amount": 3}]}))  # 12 > 10
+
+    from incubator_flink_spark.cep.match_recognize import MatchAccess
+
+    m = MatchAccess(
+        {"STRT": [rows[0]], "DOWN": [rows[1], rows[2]], "UP": [rows[3]]},
+        ["STRT", "DOWN", "UP"],
+    )
+    assert compile_measure("STRT.price")(m) == 10.0          # bare = LAST, single row
+    assert compile_measure("MIN(DOWN.price)")(m) == 6.0
+    assert compile_measure("LAST(UP.price)")(m) == 9.0
+    assert compile_measure("COUNT(DOWN.*)")(m) == 2
+    assert compile_measure("CLASSIFIER()")(m) == "UP"
+    assert compile_measure("AVG(DOWN.price)")(m) == 7.0
+    assert compile_measure("FIRST(DOWN.price) - LAST(DOWN.price)")(m) == 2.0
+    assert compile_measure("STRT.price > 5 AND COUNT(DOWN.*) = 2")(m) is True
+
+
+def test_match_recognize_sql_ticker_v_shape(spark):
+    """The reference's canonical MATCH_RECOGNIZE example (ticker V-shape,
+    MatchRecognizeITCase): STRT DOWN+ UP+ with PREV navigation in DEFINE
+    and FIRST/LAST/COUNT measures."""
+    from incubator_flink_spark.cep.match_recognize import match_recognize_sql
+
+    rows = [
+        ("ACME", 1, 12.0), ("ACME", 2, 17.0), ("ACME", 3, 13.0),
+        ("ACME", 4, 11.0), ("ACME", 5, 16.0), ("ACME", 6, 18.0),
+        ("BETA", 1, 20.0), ("BETA", 2, 15.0), ("BETA", 3, 25.0),
+    ]
+    df = spark.createDataFrame(rows, "symbol STRING, ts BIGINT, price DOUBLE")
+
+    out = match_recognize_sql(
+        df,
+        partition_by=["symbol"],
+        order_by="ts",
+        pattern="STRT DOWN+ UP+",
+        define={
+            "DOWN": "DOWN.price < PREV(DOWN.price)",
+            "UP": "UP.price > PREV(UP.price)",
+        },
+        measures={
+            "start_price": "STRT.price",
+            "bottom_price": "MIN(DOWN.price)",
+            "end_price": "LAST(UP.price)",
+            "down_days": "COUNT(DOWN.*)",
+        },
+        output_schema="symbol STRING, start_price DOUBLE, bottom_price DOUBLE, end_price DOUBLE, down_days BIGINT",
+        strict=True,
+    )
+    got = {r.symbol: r for r in out.collect()}
+    # ACME: 17 -> 13 -> 11 (down) -> 16 -> 18 (up); greedy UP+ takes both
+    assert got["ACME"].start_price == 17.0
+    assert got["ACME"].bottom_price == 11.0
+    assert got["ACME"].end_price == 18.0
+    assert got["ACME"].down_days == 2
+    # BETA: 20 -> 15 -> 25
+    assert got["BETA"].start_price == 20.0
+    assert got["BETA"].bottom_price == 15.0
+    assert got["BETA"].end_price == 25.0
+    assert got["BETA"].down_days == 1
