@@ -1,0 +1,180 @@
+"""SQL `... FROM t MATCH_RECOGNIZE (...)` rewriting for sql_query
+(reference: the Calcite MATCH_RECOGNIZE grammar executed by
+StreamExecMatch.java:90; the surrounding query still runs on Spark SQL —
+the clause itself executes on the CEP engine and is substituted as a
+temp view, the same pre-parse strategy as the FOR SYSTEM_TIME and window
+TVF rewrites in api/temporal.py / api/tvf.py).
+
+Clause support: PARTITION BY, ORDER BY, MEASURES (expr AS name), ONE ROW
+PER MATCH, AFTER MATCH SKIP PAST LAST ROW / TO NEXT ROW, PATTERN with
+the quantifier grammar of cep/match_recognize.parse_pattern, WITHIN
+INTERVAL, DEFINE. Expressions use cep/sql_expr.py's grammar. SQL PATTERN
+concatenation is strict contiguity (regex adjacency), matching the
+reference.
+
+Measure output types are inferred structurally (COUNT→BIGINT,
+CLASSIFIER→STRING, comparisons→BOOLEAN, AVG or '/'→DOUBLE, otherwise the
+referenced column's type) — sufficient for the reference's documented
+examples; pass an explicit schema through the API form
+(cep.match_recognize_sql) when inference falls short.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+_MR = re.compile(r"\bFROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE)
+_UNIT_S = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+_counter = [0]
+
+
+def _balanced(sql: str, open_idx: int) -> int:
+    """Index just past the ')' matching the '(' at open_idx."""
+    depth = 0
+    for i in range(open_idx, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise ValueError("unbalanced parentheses in MATCH_RECOGNIZE")
+
+
+def _split_top(text: str, sep: str = ",") -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
+def _clause(body: str, name: str, stops: list[str]) -> str | None:
+    m = re.search(rf"\b{name}\b", body, re.IGNORECASE)
+    if not m:
+        return None
+    start = m.end()
+    end = len(body)
+    for s in stops:
+        sm = re.search(rf"\b{s}\b", body[start:], re.IGNORECASE)
+        if sm:
+            end = min(end, start + sm.start())
+    return body[start:end].strip()
+
+
+_STOPS = [
+    "ORDER BY",
+    "MEASURES",
+    "ONE ROW PER MATCH",
+    "ALL ROWS PER MATCH",
+    "AFTER MATCH",
+    "PATTERN",
+    "WITHIN",
+    "DEFINE",
+]
+
+
+def _infer_type(expr: str, schema: T.StructType) -> str:
+    up = expr.upper()
+    if re.search(r"(^|[^<>!])=|<>|!=|<=|>=|<[^=]|>[^=]|\bAND\b|\bOR\b|\bNOT\b", up):
+        return "BOOLEAN"
+    if "CLASSIFIER" in up:
+        return "STRING"
+    if re.search(r"\bCOUNT\s*\(", up):
+        return "BIGINT"
+    if re.search(r"\bAVG\s*\(", up) or "/" in expr:
+        return "DOUBLE"
+    m = re.search(r"\b(?:\w+)\s*\.\s*(\w+)", expr) or re.search(r"\b(\w+)\b\s*(?:$|[-+*%)])", expr)
+    if m:
+        col = m.group(1)
+        for f in schema.fields:
+            if f.name == col:
+                return f.dataType.simpleString().upper()
+    return "DOUBLE"
+
+
+def rewrite_match_recognize(spark: SparkSession, sql: str) -> str:
+    """Replace each `FROM t MATCH_RECOGNIZE (...)` with a temp view
+    holding the CEP engine's result; the rest of the query is untouched."""
+    from incubator_flink_spark.cep.match_recognize import match_recognize_sql
+
+    while True:
+        m = _MR.search(sql)
+        if not m:
+            return sql
+        tbl = m.group(1)
+        open_idx = sql.index("(", m.end() - 1)
+        close = _balanced(sql, open_idx)
+        body = sql[open_idx + 1 : close - 1]
+
+        part = _clause(body, "PARTITION BY", _STOPS) or ""
+        partition_by = [c.strip() for c in part.split(",") if c.strip()]
+        order_by = (_clause(body, "ORDER BY", [s for s in _STOPS if s != "ORDER BY"]) or "").strip()
+        measures_txt = _clause(body, "MEASURES", [s for s in _STOPS if s != "MEASURES"]) or ""
+        after = _clause(body, "AFTER MATCH", [s for s in _STOPS if s != "AFTER MATCH"]) or ""
+        pattern_txt = _clause(body, "PATTERN", [s for s in _STOPS if s != "PATTERN"]) or ""
+        within_txt = _clause(body, "WITHIN", [s for s in _STOPS if s != "WITHIN"]) or ""
+        define_txt = _clause(body, "DEFINE", [s for s in _STOPS if s != "DEFINE"]) or ""
+
+        pattern = pattern_txt.strip()
+        if pattern.startswith("("):
+            pattern = pattern[1 : pattern.rindex(")")]
+        measures = {}
+        for item in _split_top(measures_txt):
+            am = re.match(r"(.+)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
+            if not am:
+                raise ValueError(f"MEASURES entry needs 'expr AS name': {item!r}")
+            measures[am.group(2)] = am.group(1).strip()
+        define = {}
+        for item in _split_top(define_txt):
+            dm = re.match(r"(\w+)\s+AS\s+(.+)$", item, re.IGNORECASE | re.DOTALL)
+            if not dm:
+                raise ValueError(f"DEFINE entry needs 'VAR AS expr': {item!r}")
+            define[dm.group(1)] = dm.group(2).strip()
+        within = None
+        wm = re.match(r"INTERVAL\s+'(\d+)'\s+(\w+)", within_txt.strip(), re.IGNORECASE)
+        if wm:
+            within = int(wm.group(1)) * _UNIT_S[wm.group(2).upper()]
+        skip = not re.search(r"SKIP\s+TO\s+NEXT\s+ROW", after, re.IGNORECASE)
+
+        df = spark.table(tbl)
+        cols = []
+        for c in partition_by:
+            cols.append(f"{c} {df.schema[c].dataType.simpleString().upper()}")
+        for name, expr in measures.items():
+            cols.append(f"{name} {_infer_type(expr, df.schema)}")
+        out = match_recognize_sql(
+            df,
+            partition_by=partition_by,
+            order_by=order_by,
+            pattern=pattern,
+            define=define,
+            measures=measures,
+            output_schema=", ".join(cols),
+            within=within,
+            after_match_skip=skip,
+            strict=True,  # SQL pattern concatenation is regex adjacency
+        )
+        _counter[0] += 1
+        view = f"__mr_{_counter[0]}"
+        out.createOrReplaceTempView(view)
+        # optional trailing alias after the clause: ... ) AS x  /  ) x
+        tail = sql[close:]
+        am = re.match(r"\s+(?:AS\s+)?(\w+)", tail, re.IGNORECASE)
+        alias = ""
+        if am and am.group(1).upper() not in ("WHERE", "GROUP", "ORDER", "LIMIT", "JOIN", "ON", "UNION", "HAVING"):
+            alias = f" AS {am.group(1)}"
+            tail = tail[am.end() :]
+        sql = sql[: m.start()] + f"FROM {view}{alias}" + tail

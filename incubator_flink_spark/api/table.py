@@ -416,6 +416,10 @@ class TableEnvironment:
             from incubator_flink_spark.api.tvf import rewrite_window_tvf
 
             sql = rewrite_window_tvf(self._spark, sql)
+        if "MATCH_RECOGNIZE" in sql.upper():
+            from incubator_flink_spark.api.match_sql import rewrite_match_recognize
+
+            sql = rewrite_match_recognize(self._spark, sql)
         return Table(self._spark.sql(sql))
 
     def execute_sql(self, sql: str):

@@ -570,3 +570,39 @@ def test_match_recognize_sql_ticker_v_shape(spark):
     assert got["BETA"].bottom_price == 15.0
     assert got["BETA"].end_price == 25.0
     assert got["BETA"].down_days == 1
+
+
+def test_sql_match_recognize_full_statement(spark):
+    """Full `SELECT ... FROM t MATCH_RECOGNIZE (...)` statement through
+    the TableEnvironment SQL surface (pre-parse rewrite; the outer SELECT
+    still runs on Spark SQL)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    rows = [
+        ("ACME", 1, 12.0), ("ACME", 2, 17.0), ("ACME", 3, 13.0),
+        ("ACME", 4, 11.0), ("ACME", 5, 16.0), ("ACME", 6, 18.0),
+        ("BETA", 1, 20.0), ("BETA", 2, 15.0), ("BETA", 3, 25.0),
+    ]
+    env = TableEnvironment(spark)
+    spark.createDataFrame(rows, "symbol STRING, ts BIGINT, price DOUBLE").createOrReplaceTempView("ticker")
+
+    out = env.sql_query("""
+        SELECT symbol, bottom_price, end_price
+        FROM ticker MATCH_RECOGNIZE (
+          PARTITION BY symbol
+          ORDER BY ts
+          MEASURES
+            MIN(DOWN.price) AS bottom_price,
+            LAST(UP.price) AS end_price,
+            COUNT(DOWN.*) AS down_days
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT DOWN+ UP+)
+          DEFINE
+            DOWN AS DOWN.price < PREV(DOWN.price),
+            UP AS UP.price > PREV(UP.price)
+        ) AS T
+        WHERE bottom_price < 20
+        ORDER BY symbol
+    """).to_df()
+    got = {r.symbol: (r.bottom_price, r.end_price) for r in out.collect()}
+    assert got == {"ACME": (11.0, 18.0), "BETA": (15.0, 25.0)}
