@@ -214,6 +214,45 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERVAL_JOIN_LEFT_ORACLE = """
+SELECT a.event_id AS click_id, b.event_id AS next_id, a.user_id, b.event_type AS next_type
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+LEFT JOIN (SELECT * FROM events WHERE event_type IN ('purchase','signup')) b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 600 SECOND
+ORDER BY click_id, next_id
+"""
+
+
+@register("interval_join_left", INTERVAL_JOIN_LEFT_ORACLE)
+def interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join (TimeIntervalJoin.java outer emission:
+    unmatched left rows surface with NULL right side once the interval
+    can no longer be met). Batch form: the same equi+range join with
+    how='left'."""
+    e = load(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("a_ts")
+    )
+    b = e.where(F.col("event_type").isin("purchase", "signup")).select(
+        F.col("event_id").alias("next_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("next_type"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 600 SECOND")),
+            "left",
+        )
+        .select("click_id", "next_id", "user_id", "next_type")
+        .orderBy("click_id", "next_id")
+    )
+
+
 ASOF_JOIN_ORACLE = """
 SELECT p.event_id, p.user_id, p.ts, s.event_id AS version_id, s.value AS version_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
