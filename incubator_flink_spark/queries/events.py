@@ -424,6 +424,39 @@ def window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINDOW_JOIN_SEMI_ORACLE = """
+WITH w AS (
+  SELECT *, (epoch_us(ts) // 3600000000) * 3600 AS win_s FROM events
+)
+SELECT CAST(to_timestamp(a.win_s) AS TIMESTAMP) AS window_start,
+       a.user_id, a.event_id AS view_id
+FROM (SELECT * FROM w WHERE event_type = 'view') a
+WHERE EXISTS (
+  SELECT 1 FROM (SELECT * FROM w WHERE event_type = 'click') b
+  WHERE a.win_s = b.win_s AND a.user_id = b.user_id)
+ORDER BY window_start, a.user_id, view_id
+"""
+
+
+@register("window_join_semi", WINDOW_JOIN_SEMI_ORACLE)
+def window_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI window join (WindowJoinOperator join-type breadth: views that
+    had a same-window click, emitted once). Same (window, key) join
+    shape, how='left_semi'."""
+    e = tumble(load(spark, sf_dir, "events"), "ts", 3600)
+    a = e.where(F.col("event_type") == "view").select(
+        F.col("window_start"), F.col("user_id"), F.col("event_id").alias("view_id")
+    )
+    b = e.where(F.col("event_type") == "click").select(
+        F.col("window_start").alias("b_ws"), F.col("user_id").alias("b_user")
+    )
+    return (
+        a.join(b, (F.col("window_start") == F.col("b_ws")) & (F.col("user_id") == F.col("b_user")), "left_semi")
+        .select("window_start", "user_id", "view_id")
+        .orderBy("window_start", "user_id", "view_id")
+    )
+
+
 SESSION_DYNAMIC_ORACLE = """
 WITH g AS (
   SELECT user_id, ts, event_id, value,
