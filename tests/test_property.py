@@ -229,3 +229,41 @@ def test_count_window_kernel_split_invariant(vals, cuts, size):
         got_t += list(t)
     assert got_w == list(ww)
     assert np.allclose(got_t, wt, atol=1e-6)
+
+
+def test_sql_expr_random_arithmetic_matches_python():
+    """Property: the MATCH_RECOGNIZE expression compiler agrees with
+    Python evaluation on randomly generated arithmetic/boolean trees over
+    integer literals and one column."""
+    import random
+
+    from incubator_flink_spark.cep.match_recognize import MatchAccess
+    from incubator_flink_spark.cep.sql_expr import compile_measure
+
+    rng = random.Random(1234)
+    m = MatchAccess({"A": [{"x": 7}]}, ["A"])
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.3:
+            return str(rng.randint(-9, 9)) if rng.random() < 0.7 else "A.x"
+        op = rng.choice(["+", "-", "*", "%", "<", "<=", ">", ">=", "=", "<>"])
+        l, r = gen(depth - 1), gen(depth - 1)
+        if op in ("%",):
+            r = str(rng.randint(1, 9))  # avoid zero divisor
+        return f"({l} {op} {r})"
+
+    for _ in range(300):
+        expr = gen(3)
+        py = expr.replace("A.x", "7").replace("=", "==").replace("<>", "!=")
+        py = py.replace("<==", "<=").replace(">==", ">=").replace("!==", "!=")
+        try:
+            expected = eval(py)  # noqa: S307 - test-local, generated input
+        except Exception:
+            continue
+        got = compile_measure(expr)(m)
+        # SQL comparisons return booleans; Python arithmetic on bools
+        # differs, so only compare when types line up
+        if isinstance(expected, bool):
+            assert bool(got) == expected, expr
+        else:
+            assert got == expected, expr
