@@ -326,6 +326,56 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact-quota stratified sampling -----------------------------------------
+# The Bernoulli pass above hits rates in expectation; dataset contracts
+# ("exactly N docs per language") need EXACT quotas.  Deterministic
+# version: rank each stratum by the seeded hash (a reproducible random
+# order) and keep the first N — one shuffle on (lang), rank within
+# stratum, no driver involvement.  At 100 TB the per-stratum rank is a
+# window over the stratum's partition; heavily-skewed strata fall back
+# to the two-phase (sample-bound + filter) pattern, documented here.
+
+_QUOTA = {"en": 120, "zh": 80}
+_QUOTA_DEFAULT = 50
+
+_QUOTA_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {q}" for lang, q in _QUOTA.items()
+) + f" ELSE {_QUOTA_DEFAULT} END"
+
+QUOTA_SAMPLE_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {hash64_sql("'quota:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+  FROM documents)
+SELECT doc_id, lang, CAST(rn AS INT) AS rn
+FROM r WHERE rn <= {_QUOTA_CASE}
+ORDER BY doc_id
+"""
+
+
+@register("mixture_quota_sample", QUOTA_SAMPLE_ORACLE)
+def mixture_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quotas (en 120, zh 80, default 50): rank each
+    stratum by seeded hash — a reproducible random order — and keep the
+    first N. Deterministic, one shuffle, no driver round-trip."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    key = hash64(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(key, "doc_id")
+    quota = F.lit(_QUOTA_DEFAULT)
+    for lang, q in _QUOTA.items():
+        quota = F.when(F.col("lang") == lang, F.lit(q)).otherwise(quota)
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("int").alias("rn"), quota.alias("__q"))
+        .where(F.col("rn") <= F.col("__q"))
+        .drop("__q")
+        .orderBy("doc_id")
+    )
+
+
 # --- PII scrubbing ------------------------------------------------------------
 # functions/text.redact_pii is the engine primitive (pure Catalyst
 # regexp_count/regexp_replace, map-only at any scale); this query plants
