@@ -88,7 +88,8 @@ _STOPS = [
 
 def _infer_type(expr: str, schema: T.StructType) -> str:
     up = expr.upper()
-    if re.search(r"(^|[^<>!])=|<>|!=|<=|>=|<[^=]|>[^=]|\bAND\b|\bOR\b|\bNOT\b", up):
+    # two-char comparators first so >= / <= don't slip past the check
+    if re.search(r"<=|>=|<>|!=|(^|[^<>!=])=|<[^=>]|>[^=]|\bAND\b|\bOR\b|\bNOT\b", up):
         return "BOOLEAN"
     if "CLASSIFIER" in up:
         return "STRING"
