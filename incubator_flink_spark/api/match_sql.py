@@ -149,11 +149,17 @@ def rewrite_match_recognize(spark: SparkSession, sql: str) -> str:
         if wm:
             within = int(wm.group(1)) * _UNIT_S[wm.group(2).upper()]
         skip = not re.search(r"SKIP\s+TO\s+NEXT\s+ROW", after, re.IGNORECASE)
+        all_rows = bool(re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE))
 
         df = spark.table(tbl)
         cols = []
-        for c in partition_by:
-            cols.append(f"{c} {df.schema[c].dataType.simpleString().upper()}")
+        if all_rows:
+            # SQL ALL ROWS PER MATCH: the input columns, then the measures
+            for f in df.schema.fields:
+                cols.append(f"{f.name} {f.dataType.simpleString().upper()}")
+        else:
+            for c in partition_by:
+                cols.append(f"{c} {df.schema[c].dataType.simpleString().upper()}")
         for name, expr in measures.items():
             cols.append(f"{name} {_infer_type(expr, df.schema)}")
         out = match_recognize_sql(
@@ -167,6 +173,7 @@ def rewrite_match_recognize(spark: SparkSession, sql: str) -> str:
             within=within,
             after_match_skip=skip,
             strict=True,  # SQL pattern concatenation is regex adjacency
+            all_rows=all_rows,
         )
         _counter[0] += 1
         view = f"__mr_{_counter[0]}"

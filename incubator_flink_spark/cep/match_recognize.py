@@ -207,6 +207,8 @@ def match_recognize_sql(
     after_match_skip: bool = True,
     strict: bool = False,
     tiebreak: str | None = None,
+    all_rows: bool = False,
+    input_cols: list[str] | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE with DEFINE/MEASURES given as SQL text — the
     reference's SQL spelling (StreamExecMatch.java:90; expressions
@@ -214,20 +216,35 @@ def match_recognize_sql(
 
     ``define``: variable → SQL boolean over the current row with
     PREV/NEXT/FIRST/LAST navigation and RUNNING aggregates;
-    ``measures``: output column → SQL expression with FINAL semantics
-    (bare ``VAR.col`` means LAST(VAR.col), as in ONE ROW PER MATCH).
-    Output rows carry the partition keys followed by the measure columns;
-    ``output_schema`` is the DDL for exactly those columns."""
+    ``measures``: output column → SQL expression. ONE ROW PER MATCH
+    (default): FINAL semantics, output = partition keys + measures.
+    ALL ROWS PER MATCH (``all_rows=True``): one output row per matched
+    input row carrying ``input_cols`` (default: all input columns) then
+    the measures — aggregates default to RUNNING, the FINAL keyword
+    switches to whole-match values, bare columns read the current row,
+    CLASSIFIER() is the row's variable. ``output_schema`` is the DDL for
+    exactly the emitted columns."""
     from incubator_flink_spark.cep.sql_expr import compile_define, compile_measure
 
     compiled_def = {v: compile_define(v, sql) for v, sql in define.items()}
     compiled_meas = {name: compile_measure(sql) for name, sql in measures.items()}
 
-    def measures_fn(key: dict, m: MatchAccess) -> dict:
-        out = dict(key)
-        for name, fn in compiled_meas.items():
-            out[name] = fn(m)
-        return out
+    if all_rows:
+        cols = input_cols if input_cols is not None else list(df.columns)
+
+        def measures_fn(key: dict, running: MatchAccess, final: MatchAccess, row: dict, cls: str) -> dict:
+            out = {c: row.get(c) for c in cols}
+            for name, fn in compiled_meas.items():
+                out[name] = fn(running, final, row, cls)
+            return out
+
+    else:
+
+        def measures_fn(key: dict, m: MatchAccess) -> dict:
+            out = dict(key)
+            for name, fn in compiled_meas.items():
+                out[name] = fn(m)
+            return out
 
     return match_recognize(
         df,
@@ -241,4 +258,5 @@ def match_recognize_sql(
         after_match_skip=after_match_skip,
         strict=strict,
         tiebreak=tiebreak,
+        all_rows=all_rows,
     )

@@ -207,6 +207,13 @@ class _Parser:
             return e
         if k == "name":
             up = v.upper()
+            if self.mode == "measures" and up in ("RUNNING", "FINAL") and self.peek()[0] == "name":
+                inner = self.parse_primary()
+                if up == "RUNNING":
+                    return inner  # running view is the default env.m
+                return lambda env: inner(
+                    _MeasureEnv(env.final if env.final is not None else env.m, env.final, None, None)
+                )
             if self.peek() == ("op", "("):
                 return self.parse_call(up)
             if self.peek() == ("op", "."):
@@ -221,8 +228,13 @@ class _Parser:
     def col_ref(self, col: str):
         if self.mode == "define":
             return lambda env: env.row.get(col)
-        # measures: bare column → from the match's last row
-        return lambda env: env.m.last(env.m.classifier(), col) if env.m.classifier() else None
+        # measures: current row in ALL ROWS mode, else the match's last row
+        def ref(env):
+            if env.row is not None:
+                return env.row.get(col)
+            return env.m.last(env.m.classifier(), col) if env.m.classifier() else None
+
+        return ref
 
     def var_col_ref(self, var: str, col: str):
         if self.mode == "define":
@@ -243,7 +255,7 @@ class _Parser:
             self.expect("op", ")")
             if self.mode != "measures":
                 raise ValueError("CLASSIFIER() is a MEASURES function")
-            return lambda env: env.m.classifier()
+            return lambda env: env.cls if env.cls is not None else env.m.classifier()
         if fname == "COUNT":
             # COUNT(*) or COUNT(VAR.*)
             k, v = self.take()
@@ -333,10 +345,19 @@ class _DefineEnv:
 
 
 class _MeasureEnv:
-    __slots__ = ("m",)
+    """ONE ROW PER MATCH: ``m`` is the FINAL match view and the other
+    fields are None. ALL ROWS PER MATCH: ``m`` is the RUNNING view at the
+    current row, ``final`` the whole match, ``row``/``cls`` the current
+    row and its classifier (SQL defaults aggregates to RUNNING there;
+    the FINAL keyword switches to ``final``)."""
 
-    def __init__(self, m):
+    __slots__ = ("m", "final", "row", "cls")
+
+    def __init__(self, m, final=None, row=None, cls=None):
         self.m = m
+        self.final = final
+        self.row = row
+        self.cls = cls
 
 
 def compile_define(var: str, sql: str) -> Callable:
@@ -346,6 +367,7 @@ def compile_define(var: str, sql: str) -> Callable:
 
 
 def compile_measure(sql: str) -> Callable:
-    """MEASURES expression text → (MatchAccess) → value."""
+    """MEASURES expression text → (MatchAccess, [final, row, classifier])
+    → value. The optional args supply ALL ROWS PER MATCH context."""
     fn = _Parser(_tokenize(sql), "measures", None).parse()
-    return lambda m: fn(_MeasureEnv(m))
+    return lambda m, final=None, row=None, cls=None: fn(_MeasureEnv(m, final, row, cls))

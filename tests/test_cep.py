@@ -606,3 +606,41 @@ def test_sql_match_recognize_full_statement(spark):
     """).to_df()
     got = {r.symbol: (r.bottom_price, r.end_price) for r in out.collect()}
     assert got == {"ACME": (11.0, 18.0), "BETA": (15.0, 25.0)}
+
+
+def test_sql_match_recognize_all_rows_per_match(spark):
+    """ALL ROWS PER MATCH through the SQL surface: one output row per
+    matched input row, RUNNING aggregates by default, FINAL keyword for
+    whole-match values, CLASSIFIER() per row."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    rows = [
+        ("ACME", 1, 17.0), ("ACME", 2, 13.0), ("ACME", 3, 11.0), ("ACME", 4, 16.0),
+    ]
+    env = TableEnvironment(spark)
+    spark.createDataFrame(rows, "symbol STRING, ts BIGINT, price DOUBLE").createOrReplaceTempView("ticker2")
+
+    out = env.sql_query("""
+        SELECT ts, price, var, run_min, fin_min
+        FROM ticker2 MATCH_RECOGNIZE (
+          PARTITION BY symbol
+          ORDER BY ts
+          MEASURES
+            CLASSIFIER() AS var,
+            MIN(DOWN.price) AS run_min,
+            FINAL MIN(DOWN.price) AS fin_min
+          ALL ROWS PER MATCH
+          PATTERN (STRT DOWN+ UP)
+          DEFINE
+            DOWN AS DOWN.price < PREV(DOWN.price),
+            UP AS UP.price > PREV(UP.price)
+        )
+        ORDER BY ts
+    """).to_df()
+    got = [(r.ts, r.price, r.var, r.run_min, r.fin_min) for r in out.collect()]
+    assert got == [
+        (1, 17.0, "STRT", None, 11.0),   # no DOWN rows yet (RUNNING), FINAL sees 11
+        (2, 13.0, "DOWN", 13.0, 11.0),
+        (3, 11.0, "DOWN", 11.0, 11.0),
+        (4, 16.0, "UP", 11.0, 11.0),
+    ]
