@@ -260,3 +260,41 @@ def match_recognize_sql(
         tiebreak=tiebreak,
         all_rows=all_rows,
     )
+
+
+def match_recognize_stream_sql(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: str,
+    pattern: str,
+    define: dict[str, str],
+    measures: dict[str, str],
+    output_schema: str,
+    within: float,
+    tiebreak: str,
+) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE with SQL-text DEFINE/MEASURES
+    (StreamExecMatch's native home is streaming SQL). Runs on the
+    incremental NFA (streaming/cep_stream.match_pattern_stream):
+    watermark-driven emission, state bounded by ``within`` (required).
+    Divergence (documented there): NO_SKIP match enumeration only, so
+    overlapping matches all emit — the AFTER MATCH SKIP strategies need
+    cross-batch match bookkeeping."""
+    from incubator_flink_spark.cep.sql_expr import compile_define, compile_measure
+    from incubator_flink_spark.streaming.cep_stream import match_pattern_stream
+
+    compiled_def = {v: compile_define(v, sql) for v, sql in define.items()}
+    compiled_meas = {name: compile_measure(sql) for name, sql in measures.items()}
+    p = parse_pattern(pattern, compiled_def, strict=True).within(within)
+    var_order = _pattern_vars(pattern)
+
+    def select_fn(key: dict, m: dict) -> dict:
+        out = dict(key)
+        access = MatchAccess(m, var_order)
+        for name, fn in compiled_meas.items():
+            out[name] = fn(access)
+        return out
+
+    return match_pattern_stream(
+        df, partition_by, order_by, p, select_fn, output_schema, tiebreak
+    )

@@ -675,3 +675,68 @@ def test_streaming_cep_timeout_side_output(spark, replay_dir):
     assert (200, 2, False) in got           # completed funnel
     assert (100, 1, True) in got            # timed-out partial
     assert (100, 1, False) not in got and (200, 2, True) not in got
+
+
+def test_streaming_match_recognize_sql(spark, replay_dir):
+    """Streaming MATCH_RECOGNIZE with SQL-text clauses: the V-shape
+    pattern over a replayed stream equals the batch SQL result on the
+    watermark-closed region."""
+    from incubator_flink_spark.cep.match_recognize import match_recognize_stream_sql
+
+    stream = (
+        replay_table(spark, SF, "events", replay_dir + "/mr_sql", n_files=4)
+        .withWatermark("ts", "120 seconds")
+    )
+    out = match_recognize_stream_sql(
+        stream,
+        partition_by=["user_id"],
+        order_by="ts",
+        pattern="S P",
+        define={
+            "S": "S.event_type = 'signup'",
+            "P": "P.event_type = 'purchase'",
+        },
+        measures={
+            "signup_id": "S.event_id",
+            "purchase_id": "P.event_id",
+        },
+        output_schema="user_id BIGINT, signup_id BIGINT, purchase_id BIGINT",
+        within=3600,
+        tiebreak="event_id",
+    )
+    got = set()
+
+    def collect(bdf, _bid):
+        got.update((r.user_id, r.signup_id, r.purchase_id) for r in bdf.collect())
+
+    run_to_completion(out, collect, mode="append")
+
+    # batch truth on the closed region, via the batch SQL surface + the
+    # same strict-contiguity pattern semantics
+    from incubator_flink_spark.cep.nfa import find_matches
+    from incubator_flink_spark.cep.sql_expr import compile_define
+    from incubator_flink_spark.cep.match_recognize import parse_pattern
+
+    import pandas as pd
+
+    e = load(spark, SF, "events")
+    rows = e.collect()
+    final_wm = max(r.ts for r in rows) - pd.Timedelta(seconds=120)
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(
+            {"ts": r.ts, "event_type": r.event_type, "event_id": r.event_id}
+        )
+    defs = {
+        "S": compile_define("S", "S.event_type = 'signup'"),
+        "P": compile_define("P", "P.event_type = 'purchase'"),
+    }
+    pat = parse_pattern("S P", defs, strict=True).within(3600)
+    expected = set()
+    for uid, evs in per_user.items():
+        evs.sort(key=lambda x: (x["ts"], x["event_id"]))
+        for m in find_matches(pat, evs, ts_key="ts"):
+            last = max(x["ts"] for v in m.values() for x in v)
+            if last <= final_wm:
+                expected.add((uid, m["S"][0]["event_id"], m["P"][0]["event_id"]))
+    assert got == expected and len(expected) > 0
