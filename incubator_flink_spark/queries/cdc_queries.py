@@ -60,3 +60,94 @@ def cdc_debezium_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = o.select(F.explode(envelopes).alias("value"))
     rows = parse_debezium(raw, "value", "id BIGINT, cust BIGINT, price DOUBLE")
     return changelog_normalize(rows, ["id"], "ts_ms", "ts_ms").drop("ts_ms").orderBy("id")
+
+
+@register("cdc_canal_normalize", CDC_DEBEZIUM_ORACLE)
+def cdc_canal_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same deterministic changelog as cdc_debezium_normalize, but
+    serialized as canal-JSON batch envelopes (data[]/old[]/type) and
+    parsed with sources/cdc.parse_canal — the oracle (final state from
+    orders) is shared, so a hash match proves canal's batch + sparse-old
+    decode path end-to-end (reference CanalJsonDeserializationSchema)."""
+    from incubator_flink_spark.sources.cdc import parse_canal
+    from incubator_flink_spark.streaming.changelog import changelog_normalize
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    key = F.col("o_orderkey")
+    payload = F.struct(
+        key.alias("id"), F.col("o_custkey").alias("cust"), F.col("o_totalprice").alias("price")
+    )
+    upd_payload = F.struct(
+        key.alias("id"), F.col("o_custkey").alias("cust"), (F.col("o_totalprice") * 2).alias("price")
+    )
+    # canal UPDATE carries a SPARSE old row (changed fields only): price
+    sparse_old = F.struct(
+        F.lit(None).cast("bigint").alias("id"),
+        F.lit(None).cast("bigint").alias("cust"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+    def env(data, old, typ, seq):
+        return F.to_json(
+            F.struct(
+                F.array(data).alias("data"),
+                old.alias("old"),
+                F.lit(typ).alias("type"),
+                (key * 10 + seq).alias("ts"),
+            )
+        )
+
+    null_old = F.lit(None).cast(f"array<{_PAY_T}>")
+    empty = F.array().cast("array<string>")
+    envelopes = F.concat(
+        F.array(env(payload, null_old, "INSERT", 1)),
+        F.when(key % 5 == 0, F.array(env(upd_payload, F.array(sparse_old), "UPDATE", 2))).otherwise(empty),
+        F.when(key % 7 == 0, F.array(env(upd_payload, null_old, "DELETE", 3))).otherwise(empty),
+    )
+    raw = o.select(F.explode(envelopes).alias("value"))
+    rows = parse_canal(raw, "value", "id BIGINT, cust BIGINT, price DOUBLE")
+    return changelog_normalize(rows, ["id"], "ts_ms", "ts_ms").drop("ts_ms").orderBy("id")
+
+
+@register("cdc_maxwell_normalize", CDC_DEBEZIUM_ORACLE)
+def cdc_maxwell_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same changelog serialized as maxwell-JSON (type/data/old, sparse
+    old) through sources/cdc.parse_maxwell; shared oracle (reference
+    MaxwellJsonDeserializationSchema)."""
+    from incubator_flink_spark.sources.cdc import parse_maxwell
+    from incubator_flink_spark.streaming.changelog import changelog_normalize
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    key = F.col("o_orderkey")
+    payload = F.struct(
+        key.alias("id"), F.col("o_custkey").alias("cust"), F.col("o_totalprice").alias("price")
+    )
+    upd_payload = F.struct(
+        key.alias("id"), F.col("o_custkey").alias("cust"), (F.col("o_totalprice") * 2).alias("price")
+    )
+    sparse_old = F.struct(
+        F.lit(None).cast("bigint").alias("id"),
+        F.lit(None).cast("bigint").alias("cust"),
+        F.col("o_totalprice").alias("price"),
+    )
+    null_old = F.lit(None).cast(_PAY_T)
+
+    def env(data, old, typ, seq):
+        return F.to_json(
+            F.struct(
+                F.lit(typ).alias("type"),
+                data.alias("data"),
+                old.alias("old"),
+                (key * 10 + seq).alias("ts"),
+            )
+        )
+
+    empty = F.array().cast("array<string>")
+    envelopes = F.concat(
+        F.array(env(payload, null_old, "insert", 1)),
+        F.when(key % 5 == 0, F.array(env(upd_payload, sparse_old, "update", 2))).otherwise(empty),
+        F.when(key % 7 == 0, F.array(env(upd_payload, null_old, "delete", 3))).otherwise(empty),
+    )
+    raw = o.select(F.explode(envelopes).alias("value"))
+    rows = parse_maxwell(raw, "value", "id BIGINT, cust BIGINT, price DOUBLE")
+    return changelog_normalize(rows, ["id"], "ts_ms", "ts_ms").drop("ts_ms").orderBy("id")

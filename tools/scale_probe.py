@@ -1,0 +1,113 @@
+"""Scaling probe: time the curation/similarity operators at 1x and 10x
+rows and report the wall-clock ratio (the thing that must stay near the
+data growth for a plan to survive 100 TB).
+
+Replication is salted so replicas don't collide: every document token is
+interleaved with a replica tag (shingle sets of different replicas are
+disjoint — the inverted index grows linearly, as fresh data would), and
+embeddings get a small deterministic per-replica perturbation.
+
+Usage: python tools/scale_probe.py [sf_dir] [replication]
+Writes the replicated tables under /tmp/scale_probe/ and prints one line
+per op: name, t_1x, t_Nx, ratio.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from incubator_flink_spark import get_spark
+from incubator_flink_spark.catalog import load
+
+
+def replicate_documents(spark, sf_dir: str, n: int, path: str):
+    d = load(spark, sf_dir, "documents")
+    reps = []
+    for k in range(n):
+        reps.append(
+            d.select(
+                (F.col("doc_id") + k * 1_000_000_000).alias("doc_id"),
+                # interleave a replica tag into the token stream so the
+                # shingle sets of different replicas are disjoint
+                F.regexp_replace(F.col("text"), " ", f" q{k}z ").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionAll(r)
+    out.write.mode("overwrite").parquet(path)
+
+
+def replicate_embeddings(spark, sf_dir: str, n: int, path: str):
+    e = load(spark, sf_dir, "embeddings")
+    reps = []
+    for k in range(n):
+        reps.append(
+            e.select(
+                (F.col("vec_id") + k * 1_000_000_000).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x + ((F.lit(k * 31) + i) % 11 - 5) * 0.01,
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionAll(r)
+    out.write.mode("overwrite").parquet(path)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("scale-probe")
+    base = "/tmp/scale_probe"
+    replicate_documents(spark, sf_dir, n, f"{base}/documents.parquet")
+    replicate_embeddings(spark, sf_dir, n, f"{base}/embeddings.parquet")
+
+    from incubator_flink_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from incubator_flink_spark.operators.export import export_shards
+    from incubator_flink_spark.operators.similarity import lsh_topk, near_pairs_lsh, semantic_dedup
+
+    def docs(d):
+        return spark.read.parquet(d + "/documents.parquet") if d.startswith("/tmp") else load(spark, d, "documents")
+
+    def embs(d):
+        return spark.read.parquet(d + "/embeddings.parquet") if d.startswith("/tmp") else load(spark, d, "embeddings")
+
+    ops = {
+        "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(docs(d)).write.mode("overwrite").format("noop").save(),
+        "simhash_pairs": lambda d: simhash_pairs(docs(d)).write.mode("overwrite").format("noop").save(),
+        "near_pairs_lsh": lambda d: near_pairs_lsh(embs(d), 0.35).write.mode("overwrite").format("noop").save(),
+        "semantic_dedup": lambda d: semantic_dedup(embs(d), 0.35).write.mode("overwrite").format("noop").save(),
+        # fixed 20-query set (replica 0 only) so the ratio isolates corpus growth
+        "lsh_topk_multiprobe": lambda d: lsh_topk(
+            embs(d), embs(d).where(F.col("vec_id") < 20), 3, probe_bits=8
+        ).write.mode("overwrite").format("noop").save(),
+        "export_shards": lambda d: export_shards(docs(d), "/tmp/scale_probe/out_shards", 16, "doc_id"),
+    }
+    print(f"{'op':24s} {'t_1x':>7s} {'t_' + str(n) + 'x':>7s} {'ratio':>6s}")
+    for name, fn in ops.items():
+        fn(sf_dir)  # warm codegen on the small side
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(sf_dir)
+        t1 = time.time() - t0
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(base)
+        tn = time.time() - t0
+        print(f"{name:24s} {t1:7.2f} {tn:7.2f} {tn / t1:6.1f}")
+
+
+if __name__ == "__main__":
+    main()
