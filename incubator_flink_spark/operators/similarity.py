@@ -56,6 +56,44 @@ BAND_PLANES: list[list[float]] = [
     [round(_rng_b.uniform(-1.0, 1.0), 6) for _ in range(DIM)] for _ in range(BAND_BITS * NUM_BANDS)
 ]
 
+# Regime math (documented because the 10x scale probe exposed it): a pair
+# of UNRELATED vectors collides in a b-band/r-bit banding with probability
+# 1-(1-2^-r)^b, and a pair at cosine t with probability 1-(1-p^r)^b where
+# p = 1 - arccos(t)/pi.  At wide angles (t ~ 0.35, p ~ 0.61) p is too
+# close to 1/2 for ANY banding to keep recall while pruning — candidate
+# mass approaches all-pairs, and the probe measures ~40x wall at 10x rows.
+# That is a property of sign-LSH at wide angles, not of the plan.  In the
+# regime near-dup mining actually runs at 100TB (t >= ~0.8 on real
+# embedding models, p >= 0.85), a deeper banding discriminates sharply:
+# (12 bits, 48 bands) gives recall 0.9997 at t=0.9 with a 1.2% random
+# collision rate.  near_pairs_lsh picks that banding automatically for
+# threshold >= 0.6; plane constants are deterministic per configuration
+# so oracles can replicate any of them.
+_PLANES_CACHE: dict[tuple[int, int], list[list[float]]] = {(BAND_BITS, NUM_BANDS): BAND_PLANES}
+
+
+def band_planes(bits: int, bands: int) -> list[list[float]]:
+    """Deterministic hyperplanes for a (bits, bands) banding; the default
+    (4, 16) config is the original BAND_PLANES constant (oracle-pinned)."""
+    key = (bits, bands)
+    if key not in _PLANES_CACHE:
+        rng = random.Random(100 + bits * 1000 + bands)
+        _PLANES_CACHE[key] = [
+            [round(rng.uniform(-1.0, 1.0), 6) for _ in range(DIM)] for _ in range(bits * bands)
+        ]
+    return _PLANES_CACHE[key]
+
+
+def banding_for_threshold(threshold: float) -> tuple[int, int]:
+    """(bits, bands) giving high recall at `threshold` with the smallest
+    random-collision mass: deep banding only helps when p_bit is well
+    above 1/2 (see regime note above)."""
+    if threshold >= 0.8:
+        return (12, 48)
+    if threshold >= 0.6:
+        return (8, 24)
+    return (BAND_BITS, NUM_BANDS)
+
 
 def _dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -145,7 +183,7 @@ def band_signature(vec_col: Column, band: int) -> Column:
 _BAND_PLANES_M = np.array(BAND_PLANES, dtype=np.float64).T  # (DIM, bands*bits)
 
 
-def band_signatures_vectorized(vec_col: Column) -> Column:
+def band_signatures_vectorized(vec_col: Column, bits: int = BAND_BITS, bands: int = NUM_BANDS) -> Column:
     """All NUM_BANDS band signatures in one Arrow-batched matmul
     (batch x DIM) @ (DIM x NUM_BANDS*BAND_BITS) — the 100TB path for the
     banding map stage: one BLAS call per Arrow batch instead of
@@ -156,21 +194,27 @@ def band_signatures_vectorized(vec_col: Column) -> Column:
     validated identical on all testdata SFs)."""
     from pyspark.sql.functions import pandas_udf
 
+    M = np.array(band_planes(bits, bands), dtype=np.float64).T
+
     @pandas_udf("array<int>")
     def _sigs(vec: pd.Series) -> pd.Series:
         V = np.stack(vec.to_numpy()).astype(np.float64)
-        bits = (V @ _BAND_PLANES_M) > 0
-        sigs = np.zeros((V.shape[0], NUM_BANDS), dtype=np.int32)
-        for b in range(NUM_BANDS):
-            for i in range(BAND_BITS):
-                sigs[:, b] |= bits[:, b * BAND_BITS + i].astype(np.int32) << i
+        signs = (V @ M) > 0
+        sigs = np.zeros((V.shape[0], bands), dtype=np.int32)
+        for b in range(bands):
+            for i in range(bits):
+                sigs[:, b] |= signs[:, b * bits + i].astype(np.int32) << i
         return pd.Series(list(sigs))
 
     return _sigs(vec_col)
 
 
 def near_pairs_lsh(
-    corpus: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    banding: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Banded-LSH near-pair mining: all pairs (id_a < id_b) that collide in
     at least one sign-bit band AND have exact cosine >= threshold.
@@ -180,10 +224,15 @@ def near_pairs_lsh(
     colliding pairs, never the cross product; the exact-cosine verify gives
     precision 1.0 within the candidate set.  Recall is the banding's
     (tunable via NUM_BANDS/BAND_BITS); the brute-force ``near_pairs``
-    stays as the small-data baseline."""
+    stays as the small-data baseline.
+
+    ``banding`` defaults to banding_for_threshold(threshold): deep
+    bandings only pay off in the near-dup regime (see the regime note at
+    the BAND_PLANES definition)."""
+    bits, bands = banding if banding is not None else banding_for_threshold(threshold)
     sigs = spread(corpus).select(
         F.col(id_col).alias("_id"),
-        F.posexplode(band_signatures_vectorized(F.col(vec_col))).alias("band", "sig"),
+        F.posexplode(band_signatures_vectorized(F.col(vec_col), bits, bands)).alias("band", "sig"),
     )
     left = sigs.select(F.col("_id").alias("id_a"), F.col("band"), F.col("sig"))
     right = sigs.select(F.col("_id").alias("id_b"), F.col("band"), F.col("sig"))
@@ -204,7 +253,11 @@ def near_pairs_lsh(
 
 
 def semantic_dedup(
-    corpus: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    banding: tuple[int, int] | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding-space deduplication (public recipe: drop
     documents whose embedding is within cosine ``threshold`` of a kept
@@ -216,7 +269,7 @@ def semantic_dedup(
     exact-cosine verify, then one left-anti join of the corpus against
     the dropped-id set. All shuffles are candidate- or corpus-linear.
     """
-    pairs = near_pairs_lsh(corpus, threshold, id_col=id_col, vec_col=vec_col)
+    pairs = near_pairs_lsh(corpus, threshold, id_col=id_col, vec_col=vec_col, banding=banding)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(dropped, id_col, "left_anti")
 

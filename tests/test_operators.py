@@ -324,3 +324,50 @@ def test_lsh_topk_multiprobe_recall(spark):
     assert r1 >= r0 > 0
     assert n1 >= n0
     assert n1 == 60  # k=3 filled for all 20 queries with Hamming-1 probes
+
+
+def test_near_pairs_deep_banding_prunes_at_high_threshold(spark):
+    """In the near-dup regime (threshold >= 0.8) the auto-selected deep
+    banding keeps recall while pruning candidates far below all-pairs —
+    the property that makes near-pair mining viable at 100TB. Planted
+    near-duplicates (per-dim jitter, cos ~0.99) over the sf0.001 corpus."""
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.operators.similarity import (
+        band_signatures_vectorized,
+        banding_for_threshold,
+        near_pairs,
+        near_pairs_lsh,
+    )
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings").select("vec_id", "embedding")
+    jittered = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x, i: x * (1.0 + 0.05 * ((i * 7) % 3 - 1))).alias(
+            "embedding"
+        ),
+    )
+    planted = e.unionAll(jittered)
+    n = planted.count()
+
+    truth = {(r.id_a, r.id_b) for r in near_pairs(planted, 0.9).collect()}
+    got = {(r.id_a, r.id_b) for r in near_pairs_lsh(planted, 0.9).collect()}
+    assert len(truth) > 100  # the plant worked
+    assert len(got & truth) / len(truth) >= 0.99  # recall
+    assert got <= truth  # precision 1.0 (exact verify)
+
+    # candidate mass well below all-pairs
+    bits, bands = banding_for_threshold(0.9)
+    sigs = planted.select(
+        F.col("vec_id").alias("_id"),
+        F.posexplode(band_signatures_vectorized(F.col("embedding"), bits, bands)).alias("band", "sig"),
+    )
+    cand = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), ["band", "sig"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id"), F.col("b._id"))
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) // 2
+    assert cand < 0.10 * all_pairs, f"candidates {cand} vs all-pairs {all_pairs}"

@@ -32,9 +32,13 @@ def replicate_documents(spark, sf_dir: str, n: int, path: str):
         reps.append(
             d.select(
                 (F.col("doc_id") + k * 1_000_000_000).alias("doc_id"),
-                # interleave a replica tag into the token stream so the
-                # shingle sets of different replicas are disjoint
-                F.regexp_replace(F.col("text"), " ", f" q{k}z ").alias("text"),
+                # prefix every token with a replica tag: shingle sets of
+                # different replicas are disjoint while the within-replica
+                # 3-gram structure (and so pairwise jaccard) is EXACTLY
+                # preserved. (Interleaving tag tokens instead degrades
+                # 3-gram shingling to unigram sharing and candidate pairs
+                # explode — a data artifact, not an operator property.)
+                F.regexp_replace(F.col("text"), r"(\S+)", f"q{k}z$1").alias("text"),
                 "lang",
                 "source",
                 "n_chars",
@@ -53,9 +57,17 @@ def replicate_embeddings(spark, sf_dir: str, n: int, path: str):
         reps.append(
             e.select(
                 (F.col("vec_id") + k * 1_000_000_000).alias("vec_id"),
+                # per-replica ±1 sign pattern per dimension: within-replica
+                # cosines are exactly preserved (signs square away), while
+                # cross-replica cosines are sign-scrambled toward 0 — so
+                # near-pair density grows linearly with rows, as fresh
+                # data's would. (An additive shift keeps replicas
+                # correlated and pair counts explode quadratically.)
                 F.transform(
                     F.col("embedding"),
-                    lambda x, i: x + ((F.lit(k * 31) + i) % 11 - 5) * 0.01,
+                    # mod-11 first: a plain mod-2 of a linear form reduces
+                    # to parity and collapses to two patterns
+                    lambda x, i: x * (((F.lit(k * 37) + i * 13) % 11 % 2) * 2 - 1),
                 ).alias("embedding"),
                 "label",
             )
