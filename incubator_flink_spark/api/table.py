@@ -70,8 +70,12 @@ class Table:
         return Table(self._df.agg(*[_col(a) for a in aggs]))
 
     # --- joins ---------------------------------------------------------------
-    def join(self, other: "Table", on: str | Column | None = None) -> "Table":
-        return self._join(other, on, "inner")
+    def join(self, other: "Table", on: str | Column | None = None, hint: str | None = None) -> "Table":
+        """INNER join; ``hint`` accepts the DataSet JoinHint names
+        (BROADCAST_HASH_FIRST/SECOND, REPARTITION_HASH_FIRST/SECOND,
+        REPARTITION_SORT_MERGE, OPTIMIZER_CHOOSES) mapped to Spark's
+        broadcast/shuffle_hash/merge strategy hints."""
+        return self._join(other, on, "inner", hint)
 
     def left_outer_join(self, other: "Table", on: str | Column | None = None) -> "Table":
         return self._join(other, on, "left")
@@ -85,12 +89,34 @@ class Table:
     def cross_join(self, other: "Table") -> "Table":
         return Table(self._df.crossJoin(other._df))
 
-    def _join(self, other: "Table", on, how: str) -> "Table":
+    # DataSet JoinHint (flink-java JoinOperator BROADCAST_HASH_FIRST etc.)
+    # → Spark join-strategy hints. FIRST = this table, SECOND = other.
+    _JOIN_HINTS = {
+        "BROADCAST_HASH_FIRST": ("broadcast", "self"),
+        "BROADCAST_HASH_SECOND": ("broadcast", "other"),
+        "REPARTITION_HASH_FIRST": ("shuffle_hash", "self"),
+        "REPARTITION_HASH_SECOND": ("shuffle_hash", "other"),
+        "REPARTITION_SORT_MERGE": ("merge", "self"),
+        "OPTIMIZER_CHOOSES": (None, None),
+    }
+
+    def _join(self, other: "Table", on, how: str, hint: str | None = None) -> "Table":
+        left_df, right_df = self._df, other._df
+        if hint is not None:
+            try:
+                spark_hint, side = self._JOIN_HINTS[hint.upper()]
+            except KeyError:
+                raise ValueError(f"unknown join hint: {hint!r} (expected one of {sorted(self._JOIN_HINTS)})")
+            if spark_hint is not None:
+                if side == "self":
+                    left_df = left_df.hint(spark_hint)
+                else:
+                    right_df = right_df.hint(spark_hint)
         if on is None:
-            return Table(self._df.crossJoin(other._df)) if how == "inner" else Table(
-                self._df.join(other._df, how=how)
+            return Table(left_df.crossJoin(right_df)) if how == "inner" else Table(
+                left_df.join(right_df, how=how)
             )
-        return Table(self._df.join(other._df, _col(on), how))
+        return Table(left_df.join(right_df, _col(on), how))
 
     # --- set ops (Table.union:803/minus:772/intersect:833) -------------------
     def union(self, other: "Table") -> "Table":

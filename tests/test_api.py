@@ -562,3 +562,27 @@ def test_socket_text_stream_e2e(spark):
         assert {"hello world", "hello stream"} <= vals
     finally:
         q.stop()
+
+
+def test_join_hints_map_to_spark_strategies(spark):
+    """DataSet JoinHint names steer the physical join strategy
+    (flink-java JoinOperator hints -> Spark broadcast/shuffle_hash/merge)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark, sf_dir="/root/testdata/sf0.001")
+    nation = env.from_path("nation")
+    region = env.from_path("region")
+
+    def physical(t):
+        return t.to_df()._jdf.queryExecution().executedPlan().toString()
+
+    j = nation.join(region, nation.to_df().n_regionkey == region.to_df().r_regionkey,
+                    hint="BROADCAST_HASH_SECOND")
+    assert "BroadcastHashJoin" in physical(j)
+    rows = j.to_df().count()
+    assert rows == 25
+
+    j2 = nation.join(region, nation.to_df().n_regionkey == region.to_df().r_regionkey,
+                     hint="REPARTITION_SORT_MERGE")
+    assert "SortMergeJoin" in physical(j2)
+    assert j2.to_df().count() == 25
