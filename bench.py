@@ -54,6 +54,8 @@ EXTRA = [
     "quality_repetition",
     "pii_scrub",
     "cdc_debezium_normalize",
+    "export_shard_plan",
+    "mixture_quota_sample",
 ]
 
 

@@ -78,6 +78,31 @@ def replicate_embeddings(spark, sf_dir: str, n: int, path: str):
     out.write.mode("overwrite").parquet(path)
 
 
+def replicate_orders(spark, sf_dir: str, n: int, path: str):
+    o = load(spark, sf_dir, "orders")
+    reps = [
+        o.withColumn("o_orderkey", F.col("o_orderkey") + k * 1_000_000_000) for k in range(n)
+    ]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionAll(r)
+    out.write.mode("overwrite").parquet(path)
+
+
+def replicate_events(spark, sf_dir: str, n: int, path: str):
+    e = load(spark, sf_dir, "events")
+    reps = [
+        e.withColumn("event_id", F.col("event_id") + k * 1_000_000_000).withColumn(
+            "user_id", F.col("user_id") + k * 1_000_000_000
+        )
+        for k in range(n)
+    ]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionAll(r)
+    out.write.mode("overwrite").parquet(path)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -85,6 +110,8 @@ def main():
     base = "/tmp/scale_probe"
     replicate_documents(spark, sf_dir, n, f"{base}/documents.parquet")
     replicate_embeddings(spark, sf_dir, n, f"{base}/embeddings.parquet")
+    replicate_orders(spark, sf_dir, n, f"{base}/orders.parquet")
+    replicate_events(spark, sf_dir, n, f"{base}/events.parquet")
 
     from incubator_flink_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
     from incubator_flink_spark.operators.export import export_shards
@@ -107,6 +134,14 @@ def main():
         ).write.mode("overwrite").format("noop").save(),
         "export_shards": lambda d: export_shards(docs(d), "/tmp/scale_probe/out_shards", 16, "doc_id"),
     }
+    # registry queries run against the replicated dir as an sf_dir, so any
+    # query can be ratio-tested without adapters
+    from incubator_flink_spark.queries import REGISTRY
+
+    for qname in ("quality_repetition", "tfidf_topk", "pii_scrub", "cdc_debezium_normalize", "window_tumble", "over_range_time"):
+        ops[qname] = (
+            lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
+        )
     print(f"{'op':24s} {'t_1x':>7s} {'t_' + str(n) + 'x':>7s} {'ratio':>6s}")
     for name, fn in ops.items():
         fn(sf_dir)  # warm codegen on the small side
