@@ -77,14 +77,14 @@ class Table:
         broadcast/shuffle_hash/merge strategy hints."""
         return self._join(other, on, "inner", hint)
 
-    def left_outer_join(self, other: "Table", on: str | Column | None = None) -> "Table":
-        return self._join(other, on, "left")
+    def left_outer_join(self, other: "Table", on: str | Column | None = None, hint: str | None = None) -> "Table":
+        return self._join(other, on, "left", hint)
 
-    def right_outer_join(self, other: "Table", on: str | Column | None = None) -> "Table":
-        return self._join(other, on, "right")
+    def right_outer_join(self, other: "Table", on: str | Column | None = None, hint: str | None = None) -> "Table":
+        return self._join(other, on, "right", hint)
 
-    def full_outer_join(self, other: "Table", on: str | Column | None = None) -> "Table":
-        return self._join(other, on, "full")
+    def full_outer_join(self, other: "Table", on: str | Column | None = None, hint: str | None = None) -> "Table":
+        return self._join(other, on, "full", hint)
 
     def cross_join(self, other: "Table") -> "Table":
         return Table(self._df.crossJoin(other._df))

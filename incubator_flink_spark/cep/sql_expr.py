@@ -36,8 +36,6 @@ _TOKENS = re.compile(
 )
 
 _KEYWORDS = {"AND", "OR", "NOT", "TRUE", "FALSE", "NULL"}
-_NAV = {"PREV", "NEXT", "FIRST", "LAST"}
-_AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
 
 def _tokenize(src: str) -> list[tuple[str, str]]:
