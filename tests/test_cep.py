@@ -644,3 +644,42 @@ def test_sql_match_recognize_all_rows_per_match(spark):
         (3, 11.0, "DOWN", 11.0, 11.0),
         (4, 16.0, "UP", 11.0, 11.0),
     ]
+
+
+def test_sql_match_recognize_within_and_skip_to_next(spark):
+    """WITHIN INTERVAL bounds the match window; AFTER MATCH SKIP TO NEXT
+    ROW enumerates overlapping matches (NO_SKIP mapping)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    rows = [
+        ("K", 1, "a"), ("K", 2, "b"),          # a@1 -> b@2 inside 10s
+        ("K", 100, "a"), ("K", 200, "b"),      # 100s apart: outside WITHIN
+        ("K", 300, "a"), ("K", 301, "a"), ("K", 302, "b"),  # overlapping starts
+    ]
+    env = TableEnvironment(spark)
+    spark.createDataFrame(
+        [(k, __import__("datetime").datetime.fromtimestamp(t, __import__("datetime").timezone.utc).replace(tzinfo=None), e) for k, t, e in rows],
+        "k STRING, ts TIMESTAMP, ev STRING",
+    ).createOrReplaceTempView("seqs")
+
+    out = env.sql_query("""
+        SELECT k, a_ts, b_ts
+        FROM seqs MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES FIRST(A.ts) AS a_ts, LAST(B.ts) AS b_ts
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B)
+          WITHIN INTERVAL '10' SECOND
+          DEFINE A AS A.ev = 'a', B AS B.ev = 'b'
+        )
+    """).to_df()
+    import datetime as _dt
+
+    def epoch(ts):
+        return int(ts.replace(tzinfo=_dt.timezone.utc).timestamp())
+
+    got = {(epoch(r.a_ts), epoch(r.b_ts)) for r in out.collect()}
+    # a@1->b@2 matches; a@100->b@200 exceeds WITHIN INTERVAL '10' SECOND;
+    # strict PATTERN adjacency leaves only a@301->b@302 in the overlap group
+    assert got == {(1, 2), (301, 302)}
