@@ -32,15 +32,30 @@ def _win_cols(df: DataFrame, win: Column) -> DataFrame:
     )
 
 
-def tumble(df: DataFrame, ts_col: str, size_s: int) -> DataFrame:
-    """TUMBLE(ts, size): epoch-aligned fixed windows (built-in)."""
-    return _win_cols(df, F.window(F.col(ts_col), f"{size_s} seconds"))
+def tumble(df: DataFrame, ts_col: str, size_s: int, offset_s: int = 0) -> DataFrame:
+    """TUMBLE(ts, size[, offset]): epoch-aligned fixed windows (built-in).
+
+    ``offset_s`` shifts window boundaries (reference: TumblingEventTimeWindows
+    .of(size, offset) — e.g. timezone-aligned days); maps to F.window's
+    startTime parameter."""
+    return _win_cols(
+        df,
+        F.window(F.col(ts_col), f"{size_s} seconds", f"{size_s} seconds", f"{offset_s} seconds")
+        if offset_s
+        else F.window(F.col(ts_col), f"{size_s} seconds"),
+    )
 
 
-def hop(df: DataFrame, ts_col: str, size_s: int, slide_s: int) -> DataFrame:
-    """HOP(ts, slide, size): sliding windows (built-in; one row per
-    covering window, size/slide rows per event)."""
-    return _win_cols(df, F.window(F.col(ts_col), f"{size_s} seconds", f"{slide_s} seconds"))
+def hop(df: DataFrame, ts_col: str, size_s: int, slide_s: int, offset_s: int = 0) -> DataFrame:
+    """HOP(ts, slide, size[, offset]): sliding windows (built-in; one row
+    per covering window, size/slide rows per event; offset as in tumble —
+    SlidingEventTimeWindows.of(size, slide, offset))."""
+    return _win_cols(
+        df,
+        F.window(F.col(ts_col), f"{size_s} seconds", f"{slide_s} seconds", f"{offset_s} seconds")
+        if offset_s
+        else F.window(F.col(ts_col), f"{size_s} seconds", f"{slide_s} seconds"),
+    )
 
 
 def session_col(ts_col: str, gap_s: int) -> Column:

@@ -371,3 +371,24 @@ def test_near_pairs_deep_banding_prunes_at_high_threshold(spark):
     )
     all_pairs = n * (n - 1) // 2
     assert cand < 0.10 * all_pairs, f"candidates {cand} vs all-pairs {all_pairs}"
+
+
+def test_window_offset_shifts_boundaries(spark):
+    """TumblingEventTimeWindows.of(size, offset) equivalent: boundaries
+    shift by offset while membership stays size-consistent."""
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.operators.windows import hop, tumble
+
+    e = load(spark, "/root/testdata/sf0.001", "events")
+    plain = tumble(e, "ts", 600)
+    shifted = tumble(e, "ts", 600, offset_s=120)
+    s0 = plain.select("window_start").distinct().collect()
+    s1 = shifted.select("window_start").distinct().collect()
+    assert all(r.window_start.second % 60 == 0 and r.window_start.minute % 10 == 0 for r in s0)
+    assert all((r.window_start.minute * 60 + r.window_start.second) % 600 == 120 for r in s1)
+    # every event still lands in exactly one window of each alignment
+    assert plain.count() == e.count() == shifted.count()
+
+    h = hop(e, "ts", 600, 300, offset_s=60)
+    starts = h.select("window_start").distinct().collect()
+    assert all((r.window_start.minute * 60 + r.window_start.second) % 300 == 60 for r in starts)
