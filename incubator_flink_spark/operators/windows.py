@@ -104,6 +104,32 @@ def count_window(df: DataFrame, *keys: str, order_by: list[str], size: int) -> D
     return df.withColumn("window_id", ((F.row_number().over(w) - 1) / size).cast("bigint"))
 
 
+def sliding_count_window(df: DataFrame, *keys: str, order_by: list[str], size: int, slide: int) -> DataFrame:
+    """Sliding count windows per key (reference KeyedStream.countWindow(size,
+    slide): fire every `slide` elements over the last `size` elements).
+
+    Window w (1-based) closes at element w*slide and covers row numbers
+    (w*slide - size, w*slide]. Each element belongs to ceil(size/slide)
+    windows; the expansion is a per-row sequence explode — stateless after
+    the same one-shuffle row_number as tumbling count windows. Only
+    complete windows (full `slide` tail present) are emitted, mirroring
+    the reference's CountTrigger firing on exact multiples."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    staged = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__last", F.floor(F.count(F.lit(1)).over(W.partitionBy(*keys)) / F.lit(slide)).cast("bigint")
+    )
+    # windows containing row rn: w*slide >= rn AND w*slide - size < rn,
+    # clamped to complete windows only
+    w_min = F.greatest(F.ceil(F.col("__rn") / F.lit(slide)).cast("bigint"), F.lit(1))
+    w_max = F.least(
+        F.floor((F.col("__rn") + F.lit(size) - 1) / F.lit(slide)).cast("bigint"), F.col("__last")
+    )
+    seq = F.when(w_min <= w_max, F.sequence(w_min, w_max))  # null → explode drops row
+    return staged.withColumn("window_id", F.explode(seq)).drop("__rn", "__last")
+
+
 def window_cogroup(
     left: DataFrame,
     right: DataFrame,

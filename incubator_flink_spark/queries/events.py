@@ -214,6 +214,44 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COUNT_WINDOW_SLIDING_ORACLE = """
+WITH r AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS total
+  FROM events),
+x AS (
+  SELECT user_id, value,
+         unnest(generate_series(
+           GREATEST(CAST(ceil(rn / 3.0) AS BIGINT), 1),
+           LEAST((rn + 5) // 3, total // 3))) AS window_id
+  FROM r)
+SELECT user_id, window_id,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+FROM x GROUP BY user_id, window_id
+ORDER BY user_id, window_id
+"""
+
+
+@register("count_window_sliding", COUNT_WINDOW_SLIDING_ORACLE)
+def count_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding count windows (KeyedStream.countWindow(size, slide): fire
+    every 3 elements over the last 6 per user), aggregated per window."""
+    from incubator_flink_spark.operators.windows import sliding_count_window
+
+    e = load(spark, sf_dir, "events")
+    win = sliding_count_window(e, "user_id", order_by=["ts", "event_id"], size=6, slide=3)
+    return (
+        win.groupBy("user_id", "window_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "window_id")
+    )
+
+
 INTERVAL_JOIN_LEFT_ORACLE = """
 SELECT a.event_id AS click_id, b.event_id AS next_id, a.user_id, b.event_type AS next_type
 FROM (SELECT * FROM events WHERE event_type = 'click') a
