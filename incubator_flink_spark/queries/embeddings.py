@@ -155,6 +155,131 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, 0.35).select("vec_id", "label").orderBy("vec_id")
 
 
+# ---------------------------------------------------------------------------
+# Near-dup regime (threshold >= 0.8) — the operating point near-dup mining
+# actually runs at 100TB.  The synthetic corpus has no natural pairs above
+# cos ~0.51, so the query plants deterministic near-duplicates: every 5th
+# vector gets a copy (vec_id + 100000) with an additive per-dimension
+# perturbation ((vec_id*31 + d*17) % 7 - 3) * 0.01 — pure integer
+# arithmetic times one shared double constant, so Spark and DuckDB compute
+# bit-identical perturbed vectors (planted cos ~0.987; all other pairs
+# stay < 0.52).  banding_for_threshold(0.8) auto-selects the deep (12, 48)
+# banding whose LCG planes the oracle regenerates in SQL (see
+# operators/similarity.py band_planes).
+# ---------------------------------------------------------------------------
+
+
+def _augment_near_dups(e: DataFrame) -> DataFrame:
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    # perturb BEFORE re-keying: an alias of vec_id in the same select would
+    # capture the shifted id inside the lambda (analyzer resolves same-select
+    # aliases), silently changing the jitter pattern
+    pert = (
+        base.where(F.col("vec_id") % 5 == 0)
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x + ((F.col("vec_id") * 31 + i * 17) % 7 - 3) * F.lit(0.01),
+            ),
+        )
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+        .select("vec_id", "embedding", "label")
+    )
+    return base.unionAll(pert)
+
+
+def _deep_banding_ctes(bits: int, bands: int) -> str:
+    """Shared oracle CTEs: augmented corpus (exploded), LCG planes, band
+    signatures, candidate pairs — the SQL mirror of _augment_near_dups +
+    band_signatures_vectorized + the (band, sig) equi-join."""
+    n = bits * bands * 64
+    return f"""
+ebase AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+aug AS (
+  SELECT vec_id, d, x FROM ebase
+  UNION ALL
+  SELECT vec_id + 100000, d, x + ((vec_id * 31 + d * 17) % 7 - 3) * 0.01
+  FROM ebase WHERE vec_id % 5 = 0),
+planes AS (
+  SELECT CAST(i // 64 AS INT) AS p, CAST(i % 64 AS INT) AS d,
+         CAST(s2 - 1073741824 AS DOUBLE) / 1073741824 AS wt
+  FROM (
+    SELECT i,
+           (1103515245 * ((1103515245 * (i + 12345) + 12345) % 2147483648) + 12345)
+             % 2147483648 AS s2
+    FROM (SELECT unnest(generate_series(0, {n - 1})) AS i) t) s),
+dots AS (
+  SELECT a.vec_id, p.p, SUM(a.x * p.wt) AS dot
+  FROM aug a JOIN planes p ON a.d = p.d GROUP BY a.vec_id, p.p),
+sigs AS (
+  SELECT vec_id, p // {bits} AS band,
+         CAST(SUM(CASE WHEN dot > 0 THEN 1 << (p % {bits}) ELSE 0 END) AS INT) AS sig
+  FROM dots GROUP BY vec_id, p // {bits}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+pelems AS (
+  SELECT cand.id_a, cand.id_b, ea.x AS x, eb.x AS y
+  FROM cand JOIN aug ea ON ea.vec_id = cand.id_a
+            JOIN aug eb ON eb.vec_id = cand.id_b AND eb.d = ea.d)
+"""
+
+
+NEAR_PAIRS_T08_ORACLE = f"""
+WITH {_deep_banding_ctes(12, 48)}
+SELECT id_a, id_b,
+       ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+FROM pelems GROUP BY id_a, id_b
+HAVING ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+@register("embedding_near_pairs_t08", NEAR_PAIRS_T08_ORACLE)
+def embedding_near_pairs_t08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-pair mining at the realistic near-dup operating point
+    (cos >= 0.8): banding_for_threshold auto-selects the deep (12, 48)
+    banding — per-pair candidate probability 1-(1-p^12)^48 with p the
+    per-bit agreement, i.e. ~1.2% random collision mass vs ~1.0 recall
+    for planted cos-0.987 near-dups (regime math at
+    operators/similarity.py:59).  This is the scale-safe configuration;
+    embedding_near_pairs (t=0.35, (4,16)) remains the documented
+    small-corpus baseline."""
+    e = load(spark, sf_dir, "embeddings")
+    return near_pairs_lsh(_augment_near_dups(e), 0.8).orderBy("id_a", "id_b")
+
+
+SEMANTIC_DEDUP_T08_ORACLE = f"""
+WITH {_deep_banding_ctes(12, 48)},
+dropped AS (
+  SELECT DISTINCT id_b FROM pelems GROUP BY id_a, id_b
+  HAVING ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) >= 0.8),
+corpus AS (
+  SELECT vec_id, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, label FROM embeddings WHERE vec_id % 5 = 0)
+SELECT c.vec_id, c.label FROM corpus c
+WHERE c.vec_id NOT IN (SELECT id_b FROM dropped)
+ORDER BY c.vec_id
+"""
+
+
+@register("semantic_dedup_t08", SEMANTIC_DEDUP_T08_ORACLE)
+def semantic_dedup_t08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the near-dup operating point (cos >= 0.8, deep (12,48)
+    banding): planted near-duplicate copies are dropped (their lower-id
+    originals survive), everything else is kept.  The oracle regenerates
+    the LCG planes and replicates banding, verify, and the anti-join."""
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(_augment_near_dups(e), 0.8).select("vec_id", "label").orderBy("vec_id")
+
+
 _N_PROBE_BITS = 8  # multi-probe width for embedding_lsh_topk (= NUM_PLANES)
 
 

@@ -128,6 +128,14 @@ def main():
         "simhash_pairs": lambda d: simhash_pairs(docs(d)).write.mode("overwrite").format("noop").save(),
         "near_pairs_lsh": lambda d: near_pairs_lsh(embs(d), 0.35).write.mode("overwrite").format("noop").save(),
         "semantic_dedup": lambda d: semantic_dedup(embs(d), 0.35).write.mode("overwrite").format("noop").save(),
+        # near-dup regime, fixed (12,48) banding (the oracle-pinned config):
+        # random-collision mass is n^2-proportional, so the 10x ratio is
+        # expected to exceed the data growth — kept for contrast with the
+        # size-tuned config below
+        "near_pairs_lsh_t08": lambda d: near_pairs_lsh(embs(d), 0.8).write.mode("overwrite").format("noop").save(),
+        # production setting: bits ~ log2(n) keeps candidates linear in n
+        "near_pairs_t08_sized": lambda d: near_pairs_lsh(embs(d), 0.8, banding="sized").write.mode("overwrite").format("noop").save(),
+        "semantic_dedup_t08_sized": lambda d: semantic_dedup(embs(d), 0.8, banding="sized").write.mode("overwrite").format("noop").save(),
         # fixed 20-query set (replica 0 only) so the ratio isolates corpus growth
         "lsh_topk_multiprobe": lambda d: lsh_topk(
             embs(d), embs(d).where(F.col("vec_id") < 20), 3, probe_bits=8
