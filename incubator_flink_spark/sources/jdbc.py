@@ -18,10 +18,12 @@ Spark-first mapping:
   for small/medium dims, no per-row round-trips.
 - **Sink** append mode delegates to Spark's JDBC writer (batched
   INSERTs, ``batchsize`` option = reference's sink.buffer-flush rows).
-  Upsert mode is read-merge-overwrite per micro-batch (keep-last by
-  key), the portable equivalent of the reference's
-  TableJdbcUpsertOutputFormat; at scale prefer a dialect-native MERGE
-  executed through :func:`jdbc_execute`.
+  Upsert mode is read-merge-stage-swap per micro-batch (keep-last by
+  key, distributed end-to-end: the merge is written to a stage table by
+  the executors, then swapped in with one DROP+RENAME transaction), the
+  portable equivalent of the reference's TableJdbcUpsertOutputFormat; at
+  scale prefer a dialect-native MERGE executed through
+  :func:`jdbc_execute`.
 
 Tested end-to-end against embedded Apache Derby (bundled with Spark).
 """
@@ -114,11 +116,20 @@ def jdbc_upsert(
         .where(F.col("__rn") == 1)
         .drop("__src", "__rn")
     )
-    # Materialize before overwrite: the JDBC overwrite drops the table the
-    # merged plan still reads from.
-    rows = merged.collect()
-    out = spark.createDataFrame(rows, merged.schema)
-    write_jdbc(out, url, table, driver=driver, mode="overwrite", **options)
+    # Stage-and-swap: the merged plan still reads `table`, so overwriting it
+    # in place would drop the relation mid-read.  Write the merge to a stage
+    # table (fully distributed — executors stream straight into JDBC batch
+    # inserts, nothing is collected to the driver), then swap it in with a
+    # single DROP+RENAME transaction (Derby DDL is transactional; other
+    # dialects get an equally small swap window).
+    stage = f"{table}__stage"
+    write_jdbc(merged, url, stage, driver=driver, mode="overwrite", **options)
+    jdbc_execute(
+        spark,
+        url,
+        f"DROP TABLE {table}",
+        f"RENAME TABLE {stage} TO {table}",
+    )
 
 
 def jdbc_lookup_loader(
@@ -136,13 +147,23 @@ def jdbc_lookup_loader(
 
 def jdbc_execute(spark: SparkSession, url: str, *statements: str) -> None:
     """Run raw DDL/DML through the JVM's DriverManager (reference
-    JdbcCatalog DDL path; also the hook for dialect-native MERGE)."""
+    JdbcCatalog DDL path; also the hook for dialect-native MERGE).
+
+    All statements run in ONE transaction (commit at the end, rollback on
+    error) — on transactional-DDL dialects like Derby this makes the
+    upsert stage-table swap atomic for concurrent readers."""
     jvm = spark._jvm  # noqa: SLF001
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
-        stmt = conn.createStatement()
-        for sql in statements:
-            stmt.execute(sql)
-        stmt.close()
+        conn.setAutoCommit(False)
+        try:
+            stmt = conn.createStatement()
+            for sql in statements:
+                stmt.execute(sql)
+            stmt.close()
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
     finally:
         conn.close()

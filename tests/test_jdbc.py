@@ -79,6 +79,28 @@ def test_jdbc_upsert_keeps_incoming(spark):
     assert got == {1: 10.0, 2: 21.0, 3: 30.0, 4: 40.0}
 
 
+def test_jdbc_upsert_stage_swap_concurrent_read(spark):
+    """The upsert must stay distributed (no driver materialization): the
+    merge lands in a stage table and swaps in via one DROP+RENAME
+    transaction.  A reader plan created BEFORE the swap must still
+    resolve afterwards, and the stage table must be gone."""
+    import pytest
+
+    url = _url()
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k INT, name STRING, v DOUBLE"
+    )
+    jdbc_upsert(base, url, "tswap", keys=["k"], driver=DERBY_DRIVER)
+    pre_swap_reader = read_jdbc(spark, url, "tswap", driver=DERBY_DRIVER)
+    delta = spark.createDataFrame([(2, "b2", 21.0), (3, "c", 30.0)], "k INT, name STRING, v DOUBLE")
+    jdbc_upsert(delta, url, "tswap", keys=["k"], driver=DERBY_DRIVER)
+    # the pre-swap plan re-resolves against the swapped-in table
+    assert {r.k: r.v for r in pre_swap_reader.collect()} == {1: 10.0, 2: 21.0, 3: 30.0}
+    # stage table was renamed away, not left behind
+    with pytest.raises(Exception, match="(?i)tswap__stage"):
+        read_jdbc(spark, url, "tswap__stage", driver=DERBY_DRIVER).collect()
+
+
 def test_jdbc_execute_ddl_and_scan(spark):
     url = _url()
     jdbc_execute(
