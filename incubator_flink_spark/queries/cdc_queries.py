@@ -62,6 +62,55 @@ def cdc_debezium_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changelog_normalize(rows, ["id"], "ts_ms", "ts_ms").drop("ts_ms").orderBy("id")
 
 
+@register("kafka_upsert_normalize", CDC_DEBEZIUM_ORACLE)
+def kafka_upsert_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-kafka ingestion without a broker: the same deterministic
+    changelog as cdc_debezium_normalize is serialized to kafka-shaped
+    frames (key BINARY = JSON primary key, value BINARY = JSON row or a
+    null tombstone for deletes, offset = deterministic sequence), decoded
+    with sources/kafka.parse_upsert_kafka (null value → -D, else +U),
+    and materialized with changelog_normalize ordered by offset.  The
+    shared oracle derives the final state straight from orders, so a
+    hash match proves the whole encode → wire schema → upsert-decode →
+    normalize pipeline (reference UpsertKafkaDynamicTableFactory +
+    DynamicKafkaDeserializationSchema)."""
+    from incubator_flink_spark.sources.kafka import parse_upsert_kafka
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    key = F.col("o_orderkey")
+    key_bytes = F.encode(F.to_json(F.struct(key.alias("id"))), "UTF-8")
+    val = F.struct(F.col("o_custkey").alias("cust"), F.col("o_totalprice").alias("price"))
+    upd = F.struct(F.col("o_custkey").alias("cust"), (F.col("o_totalprice") * 2).alias("price"))
+
+    def frame(value: F.Column, seq: int) -> F.Column:
+        return F.struct(
+            key_bytes.alias("key"),
+            value.alias("value"),
+            F.lit("orders").alias("topic"),
+            F.lit(0).alias("partition"),
+            (key * 10 + seq).alias("offset"),
+        )
+
+    tombstone = F.lit(None).cast("binary")
+    empty = F.array().cast(
+        "array<struct<key:binary,value:binary,topic:string,partition:int,offset:bigint>>"
+    )
+    frames = F.concat(
+        F.array(frame(F.encode(F.to_json(val), "UTF-8"), 1)),
+        F.when(key % 5 == 0, F.array(frame(F.encode(F.to_json(upd), "UTF-8"), 2))).otherwise(empty),
+        F.when(key % 7 == 0, F.array(frame(tombstone, 3))).otherwise(empty),
+    )
+    raw = o.select(F.explode(frames).alias("f")).select("f.*")
+    rows = parse_upsert_kafka(
+        raw, "json", "id BIGINT", "json", "cust BIGINT, price DOUBLE", metadata=("offset",)
+    )
+    return (
+        changelog_normalize(rows, ["id"], "offset", "offset")
+        .drop("offset")
+        .orderBy("id")
+    )
+
+
 @register("cdc_canal_normalize", CDC_DEBEZIUM_ORACLE)
 def cdc_canal_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same deterministic changelog as cdc_debezium_normalize, but
