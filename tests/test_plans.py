@@ -137,3 +137,21 @@ def test_pii_scrub_map_only(spark):
     assert rep.sort_merge_joins + rep.broadcast_hash_joins + rep.shuffled_hash_joins == 0
     assert rep.nested_loop_joins == 0
     assert rep.exchanges <= 1
+
+
+def test_subquery_exists_rewrites_to_semi_and_anti(spark):
+    """EXISTS/NOT EXISTS decorrelate to semi + anti equi-joins — never a
+    nested loop (the FlinkSubQueryRemoveRule shape, Catalyst's
+    RewritePredicateSubquery here)."""
+    rep = audit_plan(REGISTRY["subquery_exists_correlated"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
+    assert "LeftSemi" in rep.raw and "LeftAnti" in rep.raw
+
+
+def test_subquery_scalar_decorrelates_to_aggregate_joins(spark):
+    """Correlated scalar subqueries become aggregate + outer equi-joins,
+    not per-row re-execution (no nested loop in the plan)."""
+    rep = audit_plan(REGISTRY["subquery_scalar"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
