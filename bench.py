@@ -5,12 +5,19 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 Each query is forced end-to-end with a noop sink (full column
 materialization, no driver collect). First a warmup pass on sf0.001
 amortizes JVM/codegen startup out of the per-query numbers.
+
+``--runs N`` (default 3) repeats the measured pass N times and reports
+the per-query MEDIAN, with the per-run totals in "run_totals" so
+round-over-round deltas are defensible against host noise (round-1
+observed 2-5x swings on single runs).  ``--runs 1`` restores the old
+single-pass behavior.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -59,7 +66,7 @@ EXTRA = [
 ]
 
 
-def run(sf_dir: str) -> dict:
+def run(sf_dir: str, n_runs: int = 3) -> tuple[dict, list[float]]:
     spark = get_spark("bench")
     # Warmup: run every headline plan once at sf0.001 so JVM startup and
     # whole-stage-codegen compilation (dominant for the wide minhash/
@@ -67,24 +74,35 @@ def run(sf_dir: str) -> dict:
     # the measurement then reflects steady-state data-proportional cost.
     for name in HEADLINE + EXTRA:
         REGISTRY[name].fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
-    timings: dict[str, float] = {}
-    for name in HEADLINE + EXTRA:
-        # Isolate each measurement: the query functions persist shared
-        # subtrees (shingle sets, signature tables) that are scoped to one
-        # query run; stale entries from the warmup/previous queries distort
-        # the storage-memory balance and can graft mismatched cached
-        # fragments into later plans.
-        spark.catalog.clearCache()
-        t0 = time.time()
-        REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-    return timings
+    per_run: list[dict[str, float]] = []
+    for _ in range(n_runs):
+        timings: dict[str, float] = {}
+        for name in HEADLINE + EXTRA:
+            # Isolate each measurement: the query functions persist shared
+            # subtrees (shingle sets, signature tables) that are scoped to
+            # one query run; stale entries from the warmup/previous queries
+            # distort the storage-memory balance and can graft mismatched
+            # cached fragments into later plans.
+            spark.catalog.clearCache()
+            t0 = time.time()
+            REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.time() - t0, 3)
+        per_run.append(timings)
+    medians = {
+        name: round(statistics.median(r[name] for r in per_run), 3)
+        for name in HEADLINE + EXTRA
+    }
+    run_totals = [round(sum(v for k, v in r.items() if k in HEADLINE), 3) for r in per_run]
+    return medians, run_totals
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    timings = run(sf_dir)
+    n_runs = 3
+    if "--runs" in sys.argv:
+        n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    timings, run_totals = run(sf_dir, n_runs)
     headline = {k: v for k, v in timings.items() if k in HEADLINE}
     extra = {k: v for k, v in timings.items() if k in EXTRA}
     out = {
@@ -97,6 +115,10 @@ def main() -> None:
         "extra_queries": extra,
         "extra_value": round(sum(extra.values()), 3),
         "sf": float(sf),
+        # per-query medians over n_runs passes; per-run headline totals
+        # expose the host-noise spread behind "value"
+        "runs": n_runs,
+        "run_totals": run_totals,
     }
     print(json.dumps(out))
 
