@@ -5,10 +5,13 @@ the clause itself executes on the CEP engine and is substituted as a
 temp view, the same pre-parse strategy as the FOR SYSTEM_TIME and window
 TVF rewrites in api/temporal.py / api/tvf.py).
 
-Clause support: PARTITION BY, ORDER BY, MEASURES (expr AS name), ONE ROW
-PER MATCH, AFTER MATCH SKIP PAST LAST ROW / TO NEXT ROW, PATTERN with
-the quantifier grammar of cep/match_recognize.parse_pattern, WITHIN
-INTERVAL, DEFINE. Expressions use cep/sql_expr.py's grammar. SQL PATTERN
+Clause support: PARTITION BY, ORDER BY (single ascending column), MEASURES
+(expr AS name), ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW / TO
+NEXT ROW / TO FIRST var / TO LAST var (all four reference
+AfterMatchSkipStrategy variants), PATTERN with the quantifier grammar of
+cep/match_recognize.parse_pattern, WITHIN INTERVAL, DEFINE.  Unrecognized
+AFTER MATCH / WITHIN / ORDER BY spellings raise rather than silently
+running different semantics. Expressions use cep/sql_expr.py's grammar. SQL PATTERN
 concatenation is strict contiguity (regex adjacency), matching the
 reference.
 
@@ -106,6 +109,44 @@ def _infer_type(expr: str, schema: T.StructType) -> str:
     return "DOUBLE"
 
 
+def _parse_after_match(after: str) -> bool | tuple[str, str]:
+    """AFTER MATCH text → match_recognize's skip argument, covering all
+    four reference AfterMatchSkipStrategy spellings; anything else
+    raises instead of silently defaulting (the NFA would happily run a
+    different strategy and return a different match set)."""
+    txt = after.strip()
+    if not txt or re.fullmatch(r"SKIP\s+PAST\s+LAST\s+ROW", txt, re.IGNORECASE):
+        return True  # SQL default
+    if re.fullmatch(r"SKIP\s+TO\s+NEXT\s+ROW", txt, re.IGNORECASE):
+        return False
+    fm = re.fullmatch(r"SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)", txt, re.IGNORECASE)
+    if fm:
+        return (f"skip_to_{fm.group(1).lower()}", fm.group(2))
+    raise ValueError(
+        f"unsupported AFTER MATCH clause {after!r}: expected SKIP PAST LAST ROW, "
+        "SKIP TO NEXT ROW, or SKIP TO FIRST|LAST <variable>"
+    )
+
+
+def _parse_order_by(order_by: str) -> str:
+    """ORDER BY text → the single ascending sort column the engine
+    supports; a trailing ASC is stripped, DESC/multi-column orderings
+    raise a clear error instead of an opaque pandas KeyError."""
+    if not order_by:
+        return order_by
+    parts = _split_top(order_by)
+    if len(parts) > 1:
+        raise ValueError(
+            f"multi-column MATCH_RECOGNIZE ORDER BY not supported: {order_by!r}"
+        )
+    om = re.fullmatch(r"(\w+)(?:\s+(ASC|DESC))?", parts[0].strip(), re.IGNORECASE)
+    if not om:
+        raise ValueError(f"unsupported MATCH_RECOGNIZE ORDER BY: {order_by!r}")
+    if om.group(2) and om.group(2).upper() == "DESC":
+        raise ValueError("MATCH_RECOGNIZE ORDER BY DESC is not supported (event time ascends)")
+    return om.group(1)
+
+
 def rewrite_match_recognize(spark: SparkSession, sql: str) -> str:
     """Replace each `FROM t MATCH_RECOGNIZE (...)` with a temp view
     holding the CEP engine's result; the rest of the query is untouched."""
@@ -145,11 +186,19 @@ def rewrite_match_recognize(spark: SparkSession, sql: str) -> str:
                 raise ValueError(f"DEFINE entry needs 'VAR AS expr': {item!r}")
             define[dm.group(1)] = dm.group(2).strip()
         within = None
-        wm = re.match(r"INTERVAL\s+'(\d+)'\s+(\w+)", within_txt.strip(), re.IGNORECASE)
-        if wm:
+        if within_txt.strip():
+            wm = re.fullmatch(r"INTERVAL\s+'(\d+)'\s+(\w+)", within_txt.strip(), re.IGNORECASE)
+            if not wm or wm.group(2).upper() not in _UNIT_S:
+                # silently treating an unparsed WITHIN as "no window" would
+                # yield unbounded matches — refuse instead
+                raise ValueError(
+                    f"unsupported WITHIN clause {within_txt!r}: expected "
+                    "INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY"
+                )
             within = int(wm.group(1)) * _UNIT_S[wm.group(2).upper()]
-        skip = not re.search(r"SKIP\s+TO\s+NEXT\s+ROW", after, re.IGNORECASE)
+        skip = _parse_after_match(after)
         all_rows = bool(re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE))
+        order_by = _parse_order_by(order_by)
 
         df = spark.table(tbl)
         cols = []

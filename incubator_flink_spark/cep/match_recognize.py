@@ -139,6 +139,27 @@ def _pattern_vars(pattern: str) -> list[str]:
     return [_TOKEN.match(t).group(1) for t in pattern.split()]
 
 
+def _apply_skip(p, after_match_skip):
+    """AFTER MATCH strategy → Pattern skip config.  ``True`` = SKIP PAST
+    LAST ROW (the SQL default), ``False`` = SKIP TO NEXT ROW (no skip),
+    ``("skip_to_first"|"skip_to_last", var)`` = SKIP TO FIRST/LAST var —
+    all four reference AfterMatchSkipStrategy variants."""
+    if after_match_skip is True:
+        return p.after_match_skip_past_last_event()
+    if after_match_skip is False:
+        return p
+    if isinstance(after_match_skip, tuple) and len(after_match_skip) == 2:
+        strat, stage = after_match_skip
+        if strat == "skip_to_first":
+            return p.after_match_skip_to_first(stage)
+        if strat == "skip_to_last":
+            return p.after_match_skip_to_last(stage)
+    raise ValueError(
+        f"unsupported after_match_skip {after_match_skip!r}: use True (past last row), "
+        "False (to next row), or ('skip_to_first'|'skip_to_last', variable)"
+    )
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: list[str],
@@ -148,7 +169,7 @@ def match_recognize(
     measures: Callable,
     output_schema: str,
     within: float | None = None,
-    after_match_skip: bool = True,
+    after_match_skip: bool | tuple[str, str] = True,
     strict: bool = False,
     tiebreak: str | None = None,
     all_rows: bool = False,
@@ -158,8 +179,7 @@ def match_recognize(
     p = parse_pattern(pattern, define, strict=strict)
     if within is not None:
         p = p.within(within)
-    if after_match_skip:
-        p = p.after_match_skip_past_last_event()
+    p = _apply_skip(p, after_match_skip)
     var_order = _pattern_vars(pattern)
     order = [order_by] + ([tiebreak] if tiebreak else [])
 
@@ -204,7 +224,7 @@ def match_recognize_sql(
     measures: dict[str, str],
     output_schema: str,
     within: float | None = None,
-    after_match_skip: bool = True,
+    after_match_skip: bool | tuple[str, str] = True,
     strict: bool = False,
     tiebreak: str | None = None,
     all_rows: bool = False,

@@ -307,6 +307,15 @@ def find_timed_out_matches(
     each NFA computation-state branch individually; we emit one maximal
     partial per expired start event, and a start that participates in any
     complete match emits no timeout.
+
+    Cost bound: one exhaustive DFS per expired start on top of the
+    _enumerate pass — worst case O(starts x branching^stages) per key
+    group for dense self-matching patterns, though ``within`` confines
+    each DFS to the events inside the start's window (the same window
+    bound the reference's NFA state obeys).  Acceptable because timeout
+    extraction runs once per key group on the (small) expired remainder,
+    not on the hot match path; if a pattern makes this bite, narrow
+    ``within`` or tighten the stage-0 predicate, which prunes starts.
     """
     if pattern.within_s is None:
         return []  # no window → partials never time out (reference: no timer)

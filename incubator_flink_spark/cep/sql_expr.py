@@ -16,9 +16,10 @@ Supported grammar (the reference's commonly-exercised core):
 - ``CLASSIFIER()`` (MEASURES only)
 - operators: ``= <> != < <= > >= + - * / %  AND OR NOT ( )``
 
-NULL semantics: comparisons involving NULL are false (SQL UNKNOWN
-filtered by WHERE), arithmetic with NULL yields NULL, aggregates ignore
-nothing (the CEP rows are dense dicts).
+NULL semantics: comparisons involving NULL are UNKNOWN — false in
+DEFINE (WHERE-filtered), NULL in MEASURES (projected, three-valued
+logic); arithmetic with NULL yields NULL; aggregates ignore nothing
+(the CEP rows are dense dicts).
 """
 
 from __future__ import annotations
@@ -122,10 +123,14 @@ class _Parser:
             self.take()
             right = self.parse_addsub()
 
-            def cmp(env, l=left, r=right, op=v):
+            def cmp(env, l=left, r=right, op=v, mode=self.mode):
                 a, b = l(env), r(env)
                 if a is None or b is None:
-                    return False  # SQL UNKNOWN → filtered
+                    # SQL UNKNOWN: a DEFINE predicate filters it (WHERE
+                    # semantics → False); a MEASURES projection must
+                    # surface NULL (three-valued logic, matching the
+                    # reference's generated code)
+                    return False if mode == "define" else None
                 if op == "=":
                     return a == b
                 if op in ("<>", "!="):

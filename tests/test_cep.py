@@ -683,3 +683,68 @@ def test_sql_match_recognize_within_and_skip_to_next(spark):
     # a@1->b@2 matches; a@100->b@200 exceeds WITHIN INTERVAL '10' SECOND;
     # strict PATTERN adjacency leaves only a@301->b@302 in the overlap group
     assert got == {(1, 2), (301, 302)}
+
+
+def test_sql_after_match_skip_to_first_and_errors(spark):
+    """AFTER MATCH SKIP TO FIRST/LAST <var> maps onto the NFA strategies
+    (not silently PAST LAST ROW); malformed AFTER MATCH / WITHIN /
+    ORDER BY clauses raise instead of running different semantics."""
+    import pytest
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    # a a b with PATTERN (A+ B): the greedy match captures both a's, the
+    # overlapped one only the second — SKIP TO LAST A re-admits it while
+    # SKIP PAST LAST ROW consumes it
+    rows = [("K", 1, "a"), ("K", 2, "a"), ("K", 3, "b")]
+    spark.createDataFrame(
+        [(k, __import__("datetime").datetime.utcfromtimestamp(t), e) for k, t, e in rows],
+        "k STRING, ts TIMESTAMP, ev STRING",
+    ).createOrReplaceTempView("st")
+
+    base = """
+        SELECT k, a_ts, nb
+        FROM st MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY {order}
+          MEASURES FIRST(A.ts) AS a_ts, COUNT(A.*) AS nb
+          AFTER MATCH {skip}
+          PATTERN (A+ B)
+          {within}
+          DEFINE A AS A.ev = 'a', B AS B.ev = 'b'
+        )
+    """
+
+    def run(order="ts", skip="SKIP PAST LAST ROW", within=""):
+        return env.sql_query(base.format(order=order, skip=skip, within=within)).to_df()
+
+    # SKIP PAST LAST ROW: one match consumes through the Bs
+    assert run().count() == 1
+    # SKIP TO LAST A: the cursor returns to the last A (ts=2), allowing the
+    # second A's own match — two matches
+    assert run(skip="SKIP TO LAST A").count() == 2
+    # trailing ASC on ORDER BY is accepted
+    assert run(order="ts ASC").count() == 1
+    # malformed clauses raise, not silently change semantics
+    with pytest.raises(ValueError, match="AFTER MATCH"):
+        run(skip="SKIP HALFWAY")
+    with pytest.raises(ValueError, match="WITHIN"):
+        run(within="WITHIN INTERVAL '1:30' MINUTE TO SECOND")
+    with pytest.raises(ValueError, match="DESC"):
+        run(order="ts DESC")
+    with pytest.raises(ValueError, match="multi-column"):
+        run(order="ts, ev")
+
+
+def test_measures_null_comparison_projects_null(spark):
+    """MEASURES three-valued logic: a comparison with a NULL operand
+    projects NULL (not FALSE); the same comparison in DEFINE still
+    filters (UNKNOWN -> no match)."""
+    from incubator_flink_spark.cep.match_recognize import MatchAccess
+    from incubator_flink_spark.cep.sql_expr import compile_define, compile_measure
+
+    m = MatchAccess({"A": [{"x": None, "y": 3}]}, ["A"])
+    assert compile_measure("A.x > 5")(m) is None
+    assert compile_measure("A.y > 5")(m) is False
+    assert compile_define("A", "A.x > 5")({"x": None}, None) is False
