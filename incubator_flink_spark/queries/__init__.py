@@ -25,6 +25,7 @@ from incubator_flink_spark.queries import (  # noqa: F401
     pipeline,
     relational,
     scalar,
+    star,
     subqueries,
     tpch,
 )

@@ -1,0 +1,145 @@
+"""TPC-DS-shaped star-schema queries over the existing TPC-H-ish tables
+(the driver ships no TPC-DS data, so these exercise the SIGNATURE shape
+instead: a fact scanned once, many broadcast dims, grouping sets and
+windowed ranking stacked in one plan).
+
+Reference bar: the reference proves 103 TPC-DS variants end-to-end
+(flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java:76-86
+over the 24-table schema of TpcdsSchemaProvider.java); the plan
+discipline these two queries pin — one shuffle per fact, every dim
+broadcast, no nested loop — is what makes that workload viable at scale.
+
+Determinism: revenue quantizes each FACTOR to its natural 2-decimal
+scale and multiplies in decimal (exact, order-independent in both
+engines) rather than quantizing the double product at 8 decimals — the
+product-then-quantize form disagrees between engines about 1-in-1e5
+terms (Spark rounds the shortest-repr of the double, DuckDB the exact
+binary value; at the 8th decimal of a 4-decimal-exact product those can
+straddle).
+
+Scale design: lineitem (the fact) is the only large input; every
+dimension chain (orders→customer→nation→region, part, supplier) is
+broadcast so the fact is scanned and shuffled exactly once — for the
+rollup, once into the grouping-set aggregate (Spark's Expand feeds
+partial aggregation, so the fact shuffle carries pre-aggregated rows);
+for the ranking, once into the (nation, type) aggregate whose output
+(dim-cardinality-sized) flows into the window rank without touching the
+fact again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.catalog import load
+from incubator_flink_spark.queries.registry import register
+
+STAR_SALES_ROLLUP_ORACLE = """
+SELECT r_name, n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(grouping(r_name) AS BIGINT) AS g_region,
+       CAST(grouping(n_name) AS BIGINT) AS g_nation,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT))
+ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST, o_year NULLS FIRST
+"""
+
+
+@register("star_sales_rollup", STAR_SALES_ROLLUP_ORACLE)
+def star_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact → four broadcast dims → 3-level ROLLUP (region, nation,
+    order-year) with GROUPING markers — the TPC-DS q5/q18 family shape.
+    Plan-pinned: broadcast joins only, one fact shuffle (the Expand →
+    partial agg → exchange → final agg pipeline)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+    )
+    return (
+        joined.rollup("r_name", "n_name", "o_year")
+        .agg(
+            F.grouping("r_name").cast("bigint").alias("g_region"),
+            F.grouping("n_name").cast("bigint").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select("r_name", "n_name", "o_year", "g_region", "g_nation", "n_items", "revenue")
+        .orderBy(
+            "g_region",
+            "g_nation",
+            F.col("r_name").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+            F.col("o_year").asc_nulls_first(),
+        )
+    )
+
+
+STAR_RANK_BY_DIM_ORACLE = """
+WITH rev AS (
+  SELECT n_name, p_type,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN part     ON l_partkey = p_partkey
+  GROUP BY n_name, p_type)
+SELECT n_name, p_type, revenue, n_items, rnk FROM (
+  SELECT n_name, p_type, revenue, n_items,
+         CAST(RANK() OVER (PARTITION BY n_name ORDER BY revenue DESC, p_type) AS BIGINT) AS rnk
+  FROM rev) t
+WHERE rnk <= 3
+ORDER BY n_name, rnk, p_type
+"""
+
+
+@register("star_rank_by_dim", STAR_RANK_BY_DIM_ORACLE)
+def star_rank_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact → broadcast dims → aggregate → top-3 window rank per nation
+    (the TPC-DS q3/q70 ranking shape).  The window runs over the
+    aggregate's dim-cardinality output, never over the fact."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    p = load(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("n_name", "p_type")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    w = W.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("p_type"))
+    return (
+        rev.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("n_name", "rnk", "p_type")
+    )

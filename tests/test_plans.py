@@ -155,3 +155,22 @@ def test_subquery_scalar_decorrelates_to_aggregate_joins(spark):
     rep = audit_plan(REGISTRY["subquery_scalar"].fn(spark, SF))
     assert rep.nested_loop_joins == 0
     assert "CartesianProduct" not in rep.raw
+
+
+def test_star_rollup_broadcasts_all_dims_single_fact_shuffle(spark):
+    """TPC-DS-shaped star: every dim chain broadcast, so the fact shuffles
+    exactly once (Expand -> partial agg -> exchange -> final agg), plus
+    the ORDER BY sort."""
+    rep = audit_plan(REGISTRY["star_sales_rollup"].fn(spark, SF))
+    assert rep.broadcast_hash_joins >= 4
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges <= 2
+
+
+def test_star_rank_window_runs_over_aggregate_not_fact(spark):
+    """Fact -> broadcast dims -> agg -> window rank: the rank's exchange
+    carries the dim-cardinality aggregate, never fact rows."""
+    rep = audit_plan(REGISTRY["star_rank_by_dim"].fn(spark, SF))
+    assert rep.broadcast_hash_joins >= 3
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges <= 3
