@@ -85,6 +85,8 @@ _PRIORITY = [
     "subquery_in_negated",
     "star_sales_rollup",
     "star_rank_by_dim",
+    "span_dup_topk",
+    "span_dup_doc_stats",
     # -- tier C: round-1-green whose verify stage changed in round 2
     #    (pair_cos_vectorized, multi-probe Hamming-1, df-capped jaccard) ----
     "embedding_near_pairs",

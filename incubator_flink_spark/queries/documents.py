@@ -382,3 +382,64 @@ def top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .orderBy("lang", "rn")
     )
+
+
+# --- exact duplicated-span detection (substring-level dedup) ------------------
+# Distributed equivalent of suffix-array substring dedup (Lee et al., ACL
+# 2022): every 8-token window hashed to 60 bits; a hash in >= 2 distinct
+# docs is an exactly-duplicated span.  operators/spans.py documents the
+# 100 TB shuffle shape (hash-only shuffles; span text only in the
+# broadcast-joined top-k report).
+
+_SPAN_W = 8
+_WINS_SQL = shingles_sql(tokens_sql("text"), _SPAN_W)
+
+_SPAN_FP_CTE = (
+    f"SELECT doc_id, {hash64_sql('span')} AS whash, span FROM "
+    f"(SELECT doc_id, unnest({_WINS_SQL}) AS span FROM documents)"
+)
+
+SPAN_DUP_TOPK_ORACLE = f"""
+WITH fp AS ({_SPAN_FP_CTE}),
+per AS (SELECT whash, doc_id, COUNT(*) AS n_occ FROM fp GROUP BY 1, 2),
+agg AS (SELECT whash, COUNT(*) AS n_docs, CAST(SUM(n_occ) AS BIGINT) AS n_occurrences
+        FROM per GROUP BY 1 HAVING COUNT(*) >= 2),
+topk AS (SELECT * FROM agg ORDER BY n_occurrences DESC, n_docs DESC, whash LIMIT 50)
+SELECT t.whash, MIN(f.span) AS span, t.n_docs, t.n_occurrences
+FROM topk t JOIN fp f ON f.whash = t.whash
+GROUP BY t.whash, t.n_docs, t.n_occurrences
+ORDER BY t.n_occurrences DESC, t.n_docs DESC, t.whash
+"""
+
+
+@register("span_dup_topk", SPAN_DUP_TOPK_ORACLE)
+def span_dup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 exactly-duplicated 8-token spans across the corpus, with a
+    representative span text recovered via a broadcast join (the span
+    strings never enter a shuffle)."""
+    from incubator_flink_spark.operators.spans import top_duplicated_spans
+
+    d = load(spark, sf_dir, "documents")
+    return top_duplicated_spans(d, window=_SPAN_W, k=50)
+
+
+SPAN_DUP_DOC_STATS_ORACLE = f"""
+WITH fp AS ({_SPAN_FP_CTE}),
+per AS (SELECT whash, doc_id, COUNT(*) AS n_occ FROM fp GROUP BY 1, 2),
+fl AS (SELECT doc_id, n_occ, COUNT(*) OVER (PARTITION BY whash) AS n_docs FROM per)
+SELECT doc_id,
+       CAST(SUM(n_occ) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       ROUND(SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END) * 1.0 / SUM(n_occ), 6) AS dup_frac
+FROM fl GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("span_dup_doc_stats", SPAN_DUP_DOC_STATS_ORACLE)
+def span_dup_doc_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span-duplication profile — the decision statistic for
+    substring-level corpus filtering."""
+    from incubator_flink_spark.operators.spans import span_dup_doc_stats
+
+    d = load(spark, sf_dir, "documents")
+    return span_dup_doc_stats(d, window=_SPAN_W).orderBy("doc_id")
