@@ -44,6 +44,8 @@ def write_table(
 ) -> None:
     if fmt == "csv":
         options.setdefault("header", "true")
+    if fmt == "avro" and not _has_avro(df.sparkSession):
+        raise RuntimeError("avro format requires the spark-avro package (not bundled in this environment)")
     writer = df.write.format(fmt).mode(mode).options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

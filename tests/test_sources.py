@@ -61,3 +61,25 @@ def test_datagen_and_blackhole(spark):
     blackhole(batch)  # must fully evaluate without error
     stream = datagen(spark, rows_per_second=10, streaming=True)
     assert stream.isStreaming
+
+
+def test_avro_gate_is_consistent_between_probe_and_io(spark, tmp_path):
+    """The avro format is env-gated on the spark-avro jar: when the probe
+    says the jar is absent, read_table/write_table must fail fast with the
+    clear RuntimeError (not Spark's opaque ClassNotFound stack); when it
+    says present, a round-trip must actually work. Either way the gate and
+    reality agree."""
+    import pytest
+
+    from incubator_flink_spark.sources.filesystem import _has_avro, read_table, write_table
+
+    df = spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s")
+    path = str(tmp_path / "avro_tbl")
+    if _has_avro(spark):
+        write_table(df, path, fmt="avro")
+        assert read_table(spark, path, fmt="avro").count() == 5
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro package"):
+            write_table(df, path, fmt="avro")
+        with pytest.raises(RuntimeError, match="spark-avro package"):
+            read_table(spark, path, fmt="avro")
