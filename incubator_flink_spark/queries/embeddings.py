@@ -478,3 +478,118 @@ def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _pq_oracle(m_sub: int = 8, k_cent: int = 16, iters: int = 3, shortlist: int = 50, k: int = 5) -> str:
+    """Unrolled PQ training + encode + shortlist + exact re-rank as DuckDB
+    SQL — replicates operators/similarity.py ``pq_rerank_topk`` exactly:
+    - per-subspace init = subvectors of the first k_cent vectors by id;
+    - Lloyd assignment by squared L2 expressed as dot(x,x) - 2 dot(x,c) +
+      dot(c,c) (sequential folds — list_inner_product matches Spark's
+      F.aggregate bit-for-bit, the IVF-proven equivalence), ties to the
+      smaller code;
+    - centroid update = decimal(30,8)-exact sums / count as IEEE doubles
+      (empty cells keep the previous centroid);
+    - PQ scores = 6-decimal-rounded cosine of query vs RECONSTRUCTED
+      corpus vector, shortlist rank ties by neighbor id;
+    - final = exact cosine re-rank of the shortlist."""
+    sub = 64 // m_sub
+    parts = [
+        f"""WITH sub AS (
+  SELECT vec_id, CAST(ms.m AS INT) AS m,
+         list_transform(embedding[ms.m*{sub}+1 : ms.m*{sub}+{sub}], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings, (SELECT unnest(generate_series(0, {m_sub - 1})) AS m) ms),
+svals AS (
+  SELECT vec_id, m, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM sub),
+cb0 AS (
+  SELECT s.m, i.c, s.v AS cv
+  FROM (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k_cent}) t) i
+  JOIN sub s ON s.vec_id = i.vec_id)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT s.vec_id, s.m, c.c,
+         list_inner_product(s.v, s.v) - 2*list_inner_product(s.v, c.cv)
+           + list_inner_product(c.cv, c.cv) AS dist
+  FROM sub s JOIN cb{t} c ON c.m = s.m),
+b{t} AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM a{t}) z WHERE rn = 1),
+s{t} AS (
+  SELECT b.m, b.c, sv.d, CAST(SUM(CAST(sv.x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS val
+  FROM b{t} b JOIN svals sv ON sv.vec_id = b.vec_id AND sv.m = b.m
+  GROUP BY b.m, b.c, sv.d),
+cb{t + 1} AS (
+  SELECT p.m, p.c, COALESCE(n.cv, p.cv) AS cv
+  FROM cb{t} p LEFT JOIN (
+    SELECT m, c, list(val ORDER BY d) AS cv FROM s{t} GROUP BY m, c) n
+  ON n.m = p.m AND n.c = p.c)"""
+        )
+    parts.append(
+        f""",
+af AS (
+  SELECT s.vec_id, s.m, c.c,
+         list_inner_product(s.v, s.v) - 2*list_inner_product(s.v, c.cv)
+           + list_inner_product(c.cv, c.cv) AS dist
+  FROM sub s JOIN cb{iters} c ON c.m = s.m),
+bf AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM af) z WHERE rn = 1),
+recon AS (
+  SELECT b.vec_id, b.m * {sub} + generate_subscripts(c.cv, 1) - 1 AS gd, unnest(c.cv) AS y
+  FROM bf b JOIN cb{iters} c ON c.m = b.m AND c.c = b.c),
+qe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS gd,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id < 20),
+pqcos AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         ROUND(SUM(q.x*r.y) / (SQRT(SUM(q.x*q.x)) * SQRT(SUM(r.y*r.y))), 6) AS pcos
+  FROM qe q JOIN recon r ON r.gd = q.gd AND r.vec_id <> q.vec_id
+  GROUP BY 1, 2),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) AS rn
+    FROM pqcos) z WHERE rn <= {shortlist}),
+elems AS (
+  SELECT s.query_id, s.neighbor_id,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x, CAST(unnest(b.embedding) AS DOUBLE) AS y
+  FROM short s JOIN embeddings a ON a.vec_id = s.query_id
+               JOIN embeddings b ON b.vec_id = s.neighbor_id),
+cos AS (
+  SELECT query_id, neighbor_id,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM elems GROUP BY 1, 2)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM cos) t
+WHERE rank <= {k}
+ORDER BY query_id, rank"""
+    )
+    return "".join(parts)
+
+
+@register("embedding_pq_topk", _pq_oracle())
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): 8 subspaces x 16
+    centroids trained by deterministic distributed k-means, corpus scored
+    through its quantized reconstruction, 50-deep shortlist re-ranked by
+    exact cosine.  The oracle unrolls the identical training, so codes,
+    shortlists, and final ranks must match exactly; recall vs brute force
+    is additionally floored in tests/test_operators.py."""
+    from incubator_flink_spark.operators.similarity import pq_rerank_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return (
+        pq_rerank_topk(e, q, 5, shortlist=50)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )

@@ -392,3 +392,38 @@ def test_window_offset_shifts_boundaries(spark):
     h = hop(e, "ts", 600, 300, offset_s=60)
     starts = h.select("window_start").distinct().collect()
     assert all((r.window_start.minute * 60 + r.window_start.second) % 300 == 60 for r in starts)
+
+
+def test_pq_rerank_recall_vs_brute_force(spark):
+    """PQ shortlist + exact re-rank recall floor vs the exact baseline.
+    Random uniform vectors are PQ's worst case (no cluster structure for
+    the codebooks to exploit), so the floor is modest; real embedding
+    corpora cluster and recall rises sharply with the same settings."""
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.operators.similarity import brute_force_topk, pq_rerank_topk
+    from pyspark.sql import functions as F
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    truth = {(r.query_id, r.neighbor_id) for r in brute_force_topk(e, q, 5).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in pq_rerank_topk(e, q, 5, shortlist=50).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"PQ rerank recall too low: {recall}"
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """Codes are one small int per subspace, and two runs of training +
+    encode produce identical codes (fixed init, fixed iteration count,
+    decimal-exact centroid means)."""
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.operators.similarity import PQ_K, PQ_M, pq_codebooks, pq_encode
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cbs1 = pq_codebooks(e)
+    cbs2 = pq_codebooks(e)
+    assert cbs1 == cbs2
+    enc = pq_encode(e, cbs1).orderBy("vec_id").limit(20).collect()
+    for r in enc:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
+        assert len(r.recon) == 64
