@@ -88,6 +88,8 @@ _PRIORITY = [
     "span_dup_topk",
     "span_dup_doc_stats",
     "embedding_pq_topk",
+    "sequence_packing",
+    "packing_stats",
     # -- tier C: round-1-green whose verify stage changed in round 2
     #    (pair_cos_vectorized, multi-probe Hamming-1, df-capped jaccard) ----
     "embedding_near_pairs",

@@ -488,3 +488,67 @@ def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- sequence packing (training-data layout) ---------------------------------
+# Concat-and-split sample packing: documents in a deterministic shuffled
+# order, the per-shard token stream cut into fixed-capacity bins
+# (operators/packing.py documents the one-shuffle + per-shard-prefix-sum
+# scale shape; the hash order doubles as the pre-training shuffle).
+
+_PACK_CAP = 512
+_PACK_SHARDS = 16
+_PACK_H = hash64_sql("'pack:' || CAST(doc_id AS VARCHAR)")
+
+_PACK_PLAN_CTE = f"""
+base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+         {_PACK_H} AS h,
+         CAST({_PACK_H} % {_PACK_SHARDS} AS INT) AS shard
+  FROM documents),
+plan AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+         CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id) - n_tokens)
+              // {_PACK_CAP} AS BIGINT) AS bin,
+         CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id) - n_tokens)
+              % {_PACK_CAP} AS BIGINT) AS bin_offset
+  FROM base)
+"""
+
+SEQUENCE_PACKING_ORACLE = f"""
+WITH {_PACK_PLAN_CTE}
+SELECT doc_id, n_tokens, shard, pos, bin, bin_offset
+FROM plan ORDER BY doc_id
+"""
+
+
+@register("sequence_packing", SEQUENCE_PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document packing plan: where each document's first token lands
+    in its shard's fixed-capacity (512-token) training stream."""
+    from incubator_flink_spark.operators.packing import pack_sequences
+
+    d = load(spark, sf_dir, "documents")
+    return pack_sequences(d, _PACK_CAP, _PACK_SHARDS).orderBy("doc_id")
+
+
+PACKING_STATS_ORACLE = f"""
+WITH {_PACK_PLAN_CTE}
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(CEIL(SUM(n_tokens) * 1.0 / {_PACK_CAP}) AS BIGINT) AS n_bins,
+       ROUND(SUM(n_tokens) * 1.0 / (CAST(CEIL(SUM(n_tokens) * 1.0 / {_PACK_CAP}) AS BIGINT) * {_PACK_CAP}), 6) AS fill_frac
+FROM plan GROUP BY shard ORDER BY shard
+"""
+
+
+@register("packing_stats", PACKING_STATS_ORACLE)
+def packing_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing summary (bin count and average fill)."""
+    from incubator_flink_spark.operators.packing import packing_stats
+
+    d = load(spark, sf_dir, "documents")
+    return packing_stats(d, _PACK_CAP, _PACK_SHARDS).orderBy("shard")

@@ -427,3 +427,33 @@ def test_pq_codes_shape_and_determinism(spark):
         assert len(r.codes) == PQ_M
         assert all(0 <= c < PQ_K for c in r.codes)
         assert len(r.recon) == 64
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing plan invariants: offsets inside the bin, start position =
+    bin*capacity + offset = exact running sum of the predecessors in the
+    shard's deterministic order, stats consistent with the plan."""
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.operators.packing import pack_sequences, packing_stats
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    cap, shards = 512, 16
+    plan = pack_sequences(d, cap, shards).collect()
+    assert len(plan) == d.count()
+    by_shard: dict[int, list] = {}
+    for r in plan:
+        assert 0 <= r.shard < shards and 0 <= r.bin_offset < cap
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.pos)
+        run = 0
+        for i, r in enumerate(rows):
+            assert r.pos == i
+            assert r.bin * cap + r.bin_offset == run
+            run += r.n_tokens
+    stats = {r.shard: r for r in packing_stats(d, cap, shards).collect()}
+    for shard, rows in by_shard.items():
+        tot = sum(r.n_tokens for r in rows)
+        s = stats[shard]
+        assert s.n_docs == len(rows) and s.n_tokens == tot
+        assert s.n_bins == -(-tot // cap) and 0 < s.fill_frac <= 1.0
