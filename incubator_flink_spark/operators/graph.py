@@ -98,3 +98,68 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
     standard "keep one representative per duplicate group" reduction."""
     cc = connected_components(pairs, src=id_a, dst=id_b)
     return cc.select(F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+def pagerank(
+    edges_w: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted PageRank, the reference's flagship bulk-iteration example
+    (flink-examples-batch/.../graph/PageRank.java; Gelly
+    library/PageRank.java) as a driver loop of declarative steps:
+    p'(v) = 0.15 + 0.85 * sum_u p(u) * w(u,v) / W(u) over a fixed
+    iteration count (the unnormalized Brin-Page form; dangling mass is
+    dropped — the same simplification the reference example makes).
+
+    Determinism for the oracle: the teleport/damping constants are the
+    plain literals 0.15 and 0.85 (never derived from each other — 1-0.85
+    is a DIFFERENT double), per-edge contributions are computed with one
+    expression shape (p * w / W), and the per-vertex sum is
+    decimal(38,18)-exact so partial-aggregation order cannot perturb it.
+
+    Scale: each iteration is one shuffle keyed on the destination vertex
+    (contribution join + agg); out-weights ride on the edge rows via a
+    window sum (no edges-vs-aggregate self-join), and each round's ranks
+    are localCheckpoint-ed so lineage stays O(1) deep and the
+    edge-lineage never appears on both sides of the contribution join
+    (on a real cluster use a reliable checkpoint dir instead of the
+    executor-local variant)."""
+    from pyspark.sql import Window as W
+
+    ew = edges_w.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), F.col(weight).alias("__w")
+    )
+    # out-weight via window over the same shuffle key — avoids joining ew
+    # against its own aggregate (an analyzer-ambiguous self-join); note the
+    # name must differ from __w by more than case (Spark resolution is
+    # case-insensitive by default)
+    ewn = ew.withColumn("__outw", F.sum("__w").over(W.partitionBy("__src"))).persist()
+    nodes = (
+        ew.select(F.col("__src").alias("node"))
+        .union(ew.select(F.col("__dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("p")).localCheckpoint(eager=True)
+    try:
+        for _ in range(iters):
+            r = ranks.select(F.col("node").alias("__rsrc"), F.col("p").alias("__p"))
+            contrib = ewn.join(r, ewn["__src"] == r["__rsrc"]).select(
+                F.col("__dst").alias("node"),
+                (F.col("__p") * F.col("__w") / F.col("__outw")).cast("decimal(38,18)").alias("c"),
+            )
+            mass = contrib.groupBy("node").agg(F.sum("c").cast("double").alias("mass"))
+            ranks = (
+                nodes.join(mass, "node", "left")
+                .select(
+                    "node",
+                    (F.lit(0.15) + F.lit(0.85) * F.coalesce("mass", F.lit(0.0))).alias("p"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        ewn.unpersist()
+    return ranks

@@ -90,6 +90,7 @@ _PRIORITY = [
     "embedding_pq_topk",
     "sequence_packing",
     "packing_stats",
+    "word_pagerank",
     # -- tier C: round-1-green whose verify stage changed in round 2
     #    (pair_cos_vectorized, multi-probe Hamming-1, df-capped jaccard) ----
     "embedding_near_pairs",

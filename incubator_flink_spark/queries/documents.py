@@ -443,3 +443,70 @@ def span_dup_doc_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return span_dup_doc_stats(d, window=_SPAN_W).orderBy("doc_id")
+
+
+# --- PageRank over the word-adjacency graph (Gelly / bulk iteration) ----------
+# The reference's flagship iteration example (flink-examples-batch
+# PageRank.java, flink-gelly library/PageRank.java) over a corpus-derived
+# graph: nodes = words, edge (w1 -> w2) weighted by adjacent-occurrence
+# count.  operators/graph.py pagerank documents the determinism and the
+# one-shuffle-per-iteration scale shape; the oracle unrolls the same 5
+# iterations with identical decimal-exact mass sums.
+
+_PR_ITERS = 5
+
+_PR_GRAPH_CTE = f"""
+toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+adj AS (
+  SELECT t[j] AS src, t[j+1] AS dst
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(j)),
+ew AS (SELECT src, dst, COUNT(*) AS w FROM adj GROUP BY 1, 2),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM ew GROUP BY 1),
+nodes AS (SELECT src AS node FROM ew UNION SELECT dst FROM ew),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS p FROM nodes)
+"""
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS, k: int = 50) -> str:
+    parts = [f"WITH {_PR_GRAPH_CTE}"]
+    for t in range(iters):
+        parts.append(
+            f""",
+c{t} AS (
+  SELECT e.dst AS node, CAST(r.p * e.w / o.tw AS DECIMAL(38,18)) AS c
+  FROM ew e JOIN r{t} r ON r.node = e.src JOIN outw o ON o.src = e.src),
+r{t + 1} AS (
+  SELECT n.node,
+         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+           * COALESCE(CAST(SUM(c.c) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS p
+  FROM nodes n LEFT JOIN c{t} c ON c.node = n.node GROUP BY n.node)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS word, ROUND(p, 8) AS rank_score
+FROM r{iters} ORDER BY rank_score DESC, word LIMIT {k}"""
+    )
+    return "".join(parts)
+
+
+@register("word_pagerank", _pagerank_oracle())
+def word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 words by PageRank over the corpus word-adjacency graph."""
+    from incubator_flink_spark.operators.graph import pagerank
+
+    d = load(spark, sf_dir, "documents")
+    bigrams = d.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    ew = (
+        bigrams.select(
+            F.split(F.col("bg"), " ").getItem(0).alias("src"),
+            F.split(F.col("bg"), " ").getItem(1).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = pagerank(ew, iters=_PR_ITERS)
+    return (
+        pr.select(F.col("node").alias("word"), F.round("p", 8).alias("rank_score"))
+        .orderBy(F.col("rank_score").desc(), "word")
+        .limit(50)
+    )

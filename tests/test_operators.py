@@ -457,3 +457,35 @@ def test_pack_sequences_invariants(spark):
         s = stats[shard]
         assert s.n_docs == len(rows) and s.n_tokens == tot
         assert s.n_bins == -(-tot // cap) and 0 < s.fill_frac <= 1.0
+
+
+def test_pagerank_cycle_fixpoint_and_sink(spark):
+    """On a cycle every vertex keeps rank 1.0 (0.15 + 0.85*1); a pure
+    sink accumulates its in-neighbors' mass and a pure source holds the
+    teleport floor after its initial mass drains."""
+    from incubator_flink_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 3)], "src string, dst string, w long"
+    )
+    ranks = {r.node: r.p for r in pagerank(cycle, iters=4).collect()}
+    assert all(abs(p - 1.0) < 1e-12 for p in ranks.values())
+
+    # d -> e, e has no out-edges (sink), d gets nothing (source)
+    chain = spark.createDataFrame([("d", "e", 1)], "src string, dst string, w long")
+    ranks = {r.node: r.p for r in pagerank(chain, iters=3).collect()}
+    assert abs(ranks["d"] - 0.15) < 1e-12
+    # e: 0.15 + 0.85 * p(d) with p(d)=0.15 at the prior round
+    assert abs(ranks["e"] - (0.15 + 0.85 * 0.15)) < 1e-12
+
+
+def test_pagerank_weights_split_mass(spark):
+    """Out-weights split a vertex's rank proportionally."""
+    from incubator_flink_spark.operators.graph import pagerank
+
+    g = spark.createDataFrame(
+        [("s", "x", 3), ("s", "y", 1)], "src string, dst string, w long"
+    )
+    ranks = {r.node: r.p for r in pagerank(g, iters=1).collect()}
+    assert abs(ranks["x"] - (0.15 + 0.85 * 0.75)) < 1e-12
+    assert abs(ranks["y"] - (0.15 + 0.85 * 0.25)) < 1e-12
