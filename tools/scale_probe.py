@@ -141,12 +141,30 @@ def main():
             embs(d), embs(d).where(F.col("vec_id") < 20), 3, probe_bits=8
         ).write.mode("overwrite").format("noop").save(),
         "export_shards": lambda d: export_shards(docs(d), "/tmp/scale_probe/out_shards", 16, "doc_id"),
+        # PQ ANN: fixed 20-query set (replica 0 only), corpus grows
+        "pq_rerank_topk": lambda d: __import__(
+            "incubator_flink_spark.operators.similarity", fromlist=["pq_rerank_topk"]
+        ).pq_rerank_topk(
+            embs(d), embs(d).where(F.col("vec_id") < 20), 5, shortlist=50
+        ).write.mode("overwrite").format("noop").save(),
     }
     # registry queries run against the replicated dir as an sf_dir, so any
     # query can be ratio-tested without adapters
     from incubator_flink_spark.queries import REGISTRY
 
-    for qname in ("quality_repetition", "tfidf_topk", "pii_scrub", "cdc_debezium_normalize", "window_tumble", "over_range_time"):
+    for qname in (
+        "quality_repetition",
+        "tfidf_topk",
+        "pii_scrub",
+        "cdc_debezium_normalize",
+        "window_tumble",
+        "over_range_time",
+        "span_dup_topk",
+        "span_dup_doc_stats",
+        "sequence_packing",
+        "packing_stats",
+        "word_pagerank",
+    ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
         )
