@@ -91,6 +91,7 @@ _PRIORITY = [
     "sequence_packing",
     "packing_stats",
     "word_pagerank",
+    "table_profile",
     # -- tier C: round-1-green whose verify stage changed in round 2
     #    (pair_cos_vectorized, multi-probe Hamming-1, df-capped jaccard) ----
     "embedding_near_pairs",

@@ -552,3 +552,30 @@ def packing_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return packing_stats(d, _PACK_CAP, _PACK_SHARDS).orderBy("shard")
+
+
+# --- column profiling (pipeline data-quality monitoring) ----------------------
+# ANALYZE-style per-column stats in ONE aggregation pass (map-side
+# partials, single output row, no low-cardinality shuffle key) unpivoted
+# to long form — operators/profile.py.
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+TABLE_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM documents"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
+@register("table_profile", TABLE_PROFILE_ORACLE)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact column profile of the documents table."""
+    from incubator_flink_spark.operators.profile import profile_table
+
+    d = load(spark, sf_dir, "documents")
+    return profile_table(d, list(_PROFILE_COLS)).orderBy("col_name")

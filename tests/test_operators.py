@@ -489,3 +489,23 @@ def test_pagerank_weights_split_mass(spark):
     ranks = {r.node: r.p for r in pagerank(g, iters=1).collect()}
     assert abs(ranks["x"] - (0.15 + 0.85 * 0.75)) < 1e-12
     assert abs(ranks["y"] - (0.15 + 0.85 * 0.25)) < 1e-12
+
+
+def test_profile_table_single_pass_and_nulls(spark):
+    """Profile computes every metric in one aggregation (no per-column
+    jobs), counts nulls, and renders numeric min/max with numeric
+    ordering."""
+    from incubator_flink_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "b", None), (2, None, 10.5), (10, "a", 2.25)],
+        "id long, s string, v double",
+    )
+    prof = profile_table(df)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1  # one pass over the input
+    rows = {r.col_name: r for r in prof.collect()}
+    assert rows["id"].n_rows == 3 and rows["id"].n_nulls == 0 and rows["id"].n_distinct == 3
+    assert rows["id"].min_value == "1" and rows["id"].max_value == "10"  # numeric, not lexical
+    assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 2
+    assert rows["v"].min_value == "2.25" and rows["v"].max_value == "10.5"
