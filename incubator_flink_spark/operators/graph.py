@@ -53,8 +53,13 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
-    labels = e.select("u").distinct().select("u", F.col("u").alias("component")).persist()
-    labels.count()
+    # localCheckpoint (not persist) per round: persist caches row data but
+    # the LOGICAL plan still nests the previous round, doubling the tree
+    # every iteration — at ~40 rounds the 2^40-node plan OOMs the driver
+    # just rendering its string.  Checkpointing truncates the plan to a
+    # leaf, keeping analysis O(1) per round (use a reliable checkpoint
+    # dir on a real cluster).
+    labels = e.select("u").distinct().select("u", F.col("u").alias("component")).localCheckpoint(eager=True)
     changed = -1
     for _ in range(max_iter):
         nbr_min = (
@@ -70,7 +75,7 @@ def connected_components(
                     "component"
                 ),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -78,7 +83,6 @@ def connected_components(
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -163,3 +167,88 @@ def pagerank(
     finally:
         ewn.unpersist()
     return ranks
+
+
+def connected_components_twophase(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Large-star / small-star connected components (public algorithm:
+    Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    2014): alternating rounds rewire every vertex's larger neighbors
+    (large-star) and smaller-or-equal neighbors (small-star) to the
+    neighborhood minimum, converging to per-component stars around the
+    minimum id in O(log n) rounds — the scale path for graphs whose
+    diameter makes per-hop label propagation (``connected_components``,
+    ~diameter rounds) impractical.  Same (vertex, component) fixpoint.
+
+    Each round is two join+agg passes keyed on vertex id; the edge set
+    only shrinks toward the star form, and rounds are localCheckpoint-ed
+    so lineage stays O(1) deep (use a reliable checkpoint dir on a real
+    cluster)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        e.select(F.col("u").alias("vertex"))
+        .union(e.select(F.col("v").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _mins(nb: DataFrame) -> DataFrame:
+        return (
+            nb.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+
+    converged = False
+    for _ in range(max_iter):
+        nb = _sym(e)
+        large = (
+            nb.join(_mins(nb), "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        nb2 = _sym(large)
+        m2 = _mins(nb2)
+        small = (
+            nb2.join(m2, "u")
+            .where(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: canonical (undirected-normalized) edge sets equal
+        canon_old = e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
+        canon_new = small.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
+        diff = canon_old.exceptAll(canon_new).count() + canon_new.exceptAll(canon_old).count()
+        e = small
+        if diff == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_twophase did not converge within max_iter={max_iter} "
+            "rounds (expected O(log n)); raise max_iter"
+        )
+    nbf = _sym(e)
+    labels = (
+        nbf.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("vertex"), F.least("mn", F.col("u")).alias("component"))
+    )
+    return (
+        vertices.join(labels, "vertex", "left")
+        .select("vertex", F.coalesce("component", F.col("vertex")).alias("component"))
+    )

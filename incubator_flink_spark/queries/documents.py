@@ -145,6 +145,22 @@ ORDER BY id_a, id_b
 """
 
 
+@register("dedup_clusters_twophase", DEDUP_CLUSTERS_ORACLE)
+def dedup_clusters_twophase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via large-star/small-star CC (Kiveris et al. 2014)
+    — O(log n) rounds instead of O(diameter), the 100 TB path for
+    high-diameter pair graphs; shares the recursive-CTE oracle with
+    dedup_clusters because the fixpoint is identical."""
+    from incubator_flink_spark.operators.graph import connected_components_twophase
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.8)
+    cc = connected_components_twophase(pairs, src="id_a", dst="id_b")
+    return cc.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 @register("dedup_simhash", DEDUP_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")

@@ -509,3 +509,35 @@ def test_profile_table_single_pass_and_nulls(spark):
     assert rows["id"].min_value == "1" and rows["id"].max_value == "10"  # numeric, not lexical
     assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 2
     assert rows["v"].min_value == "2.25" and rows["v"].max_value == "10.5"
+
+
+def test_twophase_cc_matches_label_propagation(spark):
+    """Large-star/small-star CC reaches the same fixpoint as per-hop
+    label propagation on chains (worst-case diameter) and random
+    graphs — in O(log n) rounds instead of O(diameter)."""
+    import random
+
+    from incubator_flink_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(40)]  # diameter-40 chain
+    edges += [(100 + rng.randrange(30), 100 + rng.randrange(30)) for _ in range(40)]
+    edges += [(200, 201), (202, 203)]  # small isolated components
+    e = spark.createDataFrame([(a, b) for a, b in edges if a != b], "src long, dst long")
+    lp = {(r.vertex, r.component) for r in connected_components(e, max_iter=60).collect()}
+    tp = {(r.vertex, r.component) for r in connected_components_twophase(e).collect()}
+    assert lp == tp and len(lp) > 0
+
+
+def test_label_propagation_long_chain_no_plan_blowup(spark):
+    """Regression: 40+ label-propagation rounds must not nest the plan
+    (persist alone left the logical plan doubling per round — OOM just
+    rendering it)."""
+    from incubator_flink_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(45)], "src long, dst long")
+    out = connected_components(chain, max_iter=60).collect()
+    assert {r.component for r in out} == {0} and len(out) == 46
