@@ -174,3 +174,22 @@ def test_star_rank_window_runs_over_aggregate_not_fact(spark):
     assert rep.broadcast_hash_joins >= 3
     assert rep.nested_loop_joins == 0
     assert rep.exchanges <= 3
+
+
+def test_span_dup_doc_stats_narrow_shuffles_no_joins(spark):
+    """Span-duplication profile is join-free: explode -> (whash, doc)
+    agg -> whash window -> doc agg. All shuffles keyed on 8-byte hashes,
+    no cartesian anywhere."""
+    rep = audit_plan(REGISTRY["span_dup_doc_stats"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_hash_joins + rep.sort_merge_joins + rep.shuffled_hash_joins == 0
+    assert rep.exchanges <= 5  # per-doc agg, whash window, doc agg, sort
+
+
+def test_sequence_packing_single_shard_shuffle(spark):
+    """Packing = one shuffle on the uniform shard key feeding the
+    per-shard prefix-sum window, plus the output sort."""
+    rep = audit_plan(REGISTRY["sequence_packing"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_hash_joins + rep.sort_merge_joins + rep.shuffled_hash_joins == 0
+    assert rep.exchanges <= 3
