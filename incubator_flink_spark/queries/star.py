@@ -143,3 +143,58 @@ def star_rank_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .orderBy("n_name", "rnk", "p_type")
     )
+
+
+STAR_SHARE_OF_TOTAL_ORACLE = """
+WITH rev AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name, revenue,
+       ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name), 6) AS region_share,
+       CAST(RANK() OVER (PARTITION BY r_name ORDER BY revenue DESC, n_name) AS BIGINT) AS rnk
+FROM rev
+ORDER BY r_name, rnk, n_name
+"""
+
+
+@register("star_share_of_total", STAR_SHARE_OF_TOTAL_ORACLE)
+def star_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total within a dimension (the TPC-DS q70 RATIO_TO_REPORT
+    shape): fact scanned once through broadcast dims into a
+    (region, nation) aggregate; BOTH window functions (the share
+    denominator and the rank) run over the dim-cardinality aggregate
+    output partitioned the same way — one window exchange, never the
+    fact."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w_share = W.partitionBy("r_name")
+    w_rank = W.partitionBy("r_name").orderBy(F.col("revenue").desc(), F.col("n_name"))
+    return (
+        rev.withColumn("region_share", F.round(F.col("revenue") / F.sum("revenue").over(w_share), 6))
+        .withColumn("rnk", F.rank().over(w_rank).cast("bigint"))
+        .orderBy("r_name", "rnk", "n_name")
+    )

@@ -193,3 +193,12 @@ def test_sequence_packing_single_shard_shuffle(spark):
     assert rep.nested_loop_joins == 0
     assert rep.broadcast_hash_joins + rep.sort_merge_joins + rep.shuffled_hash_joins == 0
     assert rep.exchanges <= 3
+
+
+def test_star_share_windows_over_aggregate_single_exchange(spark):
+    """Share-of-total + rank both partition by r_name over the aggregate
+    output: one window exchange, all dims broadcast, fact shuffled once."""
+    rep = audit_plan(REGISTRY["star_share_of_total"].fn(spark, SF))
+    assert rep.broadcast_hash_joins >= 4
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges <= 3  # fact agg, window partition, output sort
