@@ -417,6 +417,7 @@ class TableEnvironment:
         self._spark = spark
         self._sf_dir = sf_dir
         self._versioned: dict[str, tuple[str, str]] = {}
+        self._tables: dict[str, object] = {}  # name -> sources.ddl.TableDef
         # Flink-named scalar functions (SPLIT_INDEX, HASH_CODE, …) become
         # session SQL UDFs so reference SQL text runs unmodified.
         from incubator_flink_spark.functions.sqlfuncs import register_flink_sql_functions
@@ -449,7 +450,52 @@ class TableEnvironment:
         return Table(self._spark.sql(sql))
 
     def execute_sql(self, sql: str):
-        return self.sql_query(sql).to_df().collect()
+        """Flink's primary SQL entry point (TableEnvironmentImpl.executeSql,
+        flink-table-api-java/.../internal/TableEnvironmentImpl.java:779):
+        CREATE TABLE ... WITH registers a connector table, INSERT
+        INTO/OVERWRITE <table> <query> runs the query and writes it through
+        the table's connector (then refreshes the registered view so
+        subsequent queries see the data), anything else executes as a
+        query and returns its rows."""
+        import re as _re
+
+        s = sql.strip().rstrip(";")
+        up = s.upper()
+        if up.startswith("CREATE TABLE") or up.startswith("CREATE TEMPORARY TABLE"):
+            from incubator_flink_spark.sources.ddl import execute_ddl, parse_create_table
+
+            t = parse_create_table(s)
+            self._tables[t.name] = t
+            execute_ddl(self._spark, s)
+            return []
+        m = _re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(.+)", s, _re.I | _re.S)
+        if m:
+            from incubator_flink_spark.sources.ddl import execute_ddl
+            from incubator_flink_spark.sources.filesystem import write_table
+
+            mode = "overwrite" if m.group(1).upper() == "OVERWRITE" else "append"
+            name, query = m.group(2), m.group(3)
+            t = self._tables.get(name)
+            if t is None:
+                raise ValueError(f"INSERT target {name!r} was not created via execute_sql DDL")
+            if t.options.get("connector", "filesystem") != "filesystem":
+                raise ValueError(f"INSERT INTO supports the filesystem connector, not {t.options.get('connector')!r}")
+            if t.options.get("mode") == "streaming":
+                raise ValueError("streaming INSERT goes through writeStream (streaming/sinks.py)")
+            df = self.sql_query(query).to_df()
+            # align by the DDL's declared column order/names (Flink inserts
+            # by position against the sink schema)
+            if t.columns:
+                cols = [c for c, _ in t.columns]
+                if len(df.columns) != len(cols):
+                    raise ValueError(
+                        f"INSERT column count {len(df.columns)} != sink schema {len(cols)}"
+                    )
+                df = df.toDF(*cols)
+            write_table(df, t.options["path"], t.options.get("format", "parquet"), mode=mode)
+            execute_ddl(self._spark, None, table_def=t)  # refresh the view
+            return []
+        return self.sql_query(s).to_df().collect()
 
     def create_temporary_view(self, name: str, table: Table) -> None:
         table.to_df().createOrReplaceTempView(name)

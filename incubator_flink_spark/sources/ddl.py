@@ -95,21 +95,34 @@ def parse_create_table(sql: str) -> TableDef:
     return t
 
 
-def execute_ddl(spark: SparkSession, sql: str) -> DataFrame:
-    """Create the table described by the DDL, register it as a temp view,
-    and return its DataFrame."""
-    t = parse_create_table(sql)
+def execute_ddl(spark: SparkSession, sql: str | None, table_def: TableDef | None = None) -> DataFrame:
+    """Create the table described by the DDL (or an already-parsed
+    ``table_def`` — used to refresh a view after an INSERT writes through
+    the connector), register it as a temp view, and return its DataFrame."""
+    t = table_def if table_def is not None else parse_create_table(sql)
     connector = t.options.get("connector", "filesystem")
     streaming = t.options.get("mode", "batch") == "streaming"
     schema = ", ".join(f"{n} {typ}" for n, typ in t.columns)
     if connector == "filesystem":
-        df = read_table(
-            spark,
-            t.options["path"],
-            t.options.get("format", "parquet"),
-            schema=schema or None,
-            streaming=streaming,
-        )
+        try:
+            df = read_table(
+                spark,
+                t.options["path"],
+                t.options.get("format", "parquet"),
+                schema=schema or None,
+                streaming=streaming,
+            )
+        except Exception as e:  # noqa: BLE001
+            # CREATE TABLE is metadata-only in the reference: a sink table's
+            # path need not exist until the first INSERT writes it.  Register
+            # an empty view with the declared schema (requires one).
+            if "PATH_NOT_FOUND" not in str(e) or streaming:
+                raise
+            if not schema:
+                raise ValueError(
+                    f"table {t.name!r}: path does not exist and no schema declared"
+                ) from e
+            df = spark.createDataFrame([], schema)
     elif connector == "datagen":
         df = datagen(
             spark,

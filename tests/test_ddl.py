@@ -67,3 +67,53 @@ def test_execute_ddl_datagen(spark):
 def test_execute_ddl_rejects_unknown_connector(spark):
     with pytest.raises(ValueError, match="unsupported connector"):
         execute_ddl(spark, "CREATE TABLE t (a INT) WITH ('connector' = 'kinesis')")
+
+
+def test_execute_sql_create_insert_select_lifecycle(spark, tmp_path):
+    """The reference's flagship SQL lifecycle (executeSql: CREATE TABLE
+    ... WITH -> INSERT INTO sink SELECT -> query the sink): the insert
+    writes through the filesystem connector and the registered view
+    refreshes, INSERT OVERWRITE replaces, INSERT INTO appends."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    src = str(tmp_path / "src_tbl")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 5.0), (3, "c", 20.0)], "id long, s string, v double"
+    ).write.parquet(src)
+    sink = str(tmp_path / "sink_tbl")
+    env.execute_sql(f"""
+        CREATE TABLE src_t (id BIGINT, s STRING, v DOUBLE)
+        WITH ('connector' = 'filesystem', 'path' = '{src}', 'format' = 'parquet')
+    """)
+    env.execute_sql(f"""
+        CREATE TABLE sink_t (id BIGINT, total DOUBLE)
+        WITH ('connector' = 'filesystem', 'path' = '{sink}', 'format' = 'parquet')
+    """)
+    assert env.execute_sql("INSERT INTO sink_t SELECT id, v * 2 FROM src_t WHERE v >= 10") == []
+    rows = {r.id: r.total for r in env.execute_sql("SELECT id, total FROM sink_t ORDER BY id")}
+    assert rows == {1: 20.0, 3: 40.0}
+    # OVERWRITE replaces the table contents
+    env.execute_sql("INSERT OVERWRITE sink_t SELECT id, v FROM src_t WHERE id = 2")
+    rows = {r.id: r.total for r in env.execute_sql("SELECT id, total FROM sink_t")}
+    assert rows == {2: 5.0}
+    # plain INSERT INTO appends
+    env.execute_sql("INSERT INTO sink_t SELECT id, v FROM src_t WHERE id = 1")
+    assert env.execute_sql("SELECT COUNT(*) AS n FROM sink_t")[0].n == 2
+
+
+def test_execute_sql_insert_errors(spark, tmp_path):
+    import pytest
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    with pytest.raises(ValueError, match="not created via execute_sql"):
+        env.execute_sql("INSERT INTO nosuch SELECT 1")
+    sink = str(tmp_path / "sink_err")
+    env.execute_sql(f"""
+        CREATE TABLE sink_e (a BIGINT, b BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '{sink}', 'format' = 'parquet')
+    """)
+    with pytest.raises(ValueError, match="column count"):
+        env.execute_sql("INSERT INTO sink_e SELECT 1")
