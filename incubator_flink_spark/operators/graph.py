@@ -252,3 +252,44 @@ def connected_components_twophase(
         vertices.join(labels, "vertex", "left")
         .select("vertex", F.coalesce("component", F.col("vertex")).alias("component"))
     )
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct triangles (a, b, c) with a < b < c of the undirected graph
+    (Gelly library TriangleEnumerator analog: flink-libraries/flink-gelly/
+    .../library/TriangleEnumerator.java).
+
+    Canonicalizes edges to (lo, hi) pairs, then one self-join on the
+    shared middle vertex + one membership join closes the wedge — work
+    proportional to wedge count, never all vertex triples.  The id
+    ordering plays the role of TriangleEnumerator's degree-based edge
+    orientation (each triangle found exactly once); production graphs
+    with skewed degrees should pre-relabel ids by degree so high-degree
+    vertices sort last — same plan, minimal wedge count."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedges = ab.join(bc, ab["b"] == bc["b2"]).select("a", "b", "c")
+    ac = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    return wedges.join(
+        ac, (wedges["a"] == ac["a3"]) & (wedges["c"] == ac["c3"])
+    ).select("a", "b", "c")
+
+
+def vertex_triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(vertex, n_triangles): how many triangles each vertex belongs to —
+    the local clustering-coefficient numerator."""
+    t = triangles(edges, src, dst)
+    verts = (
+        t.select(F.col("a").alias("vertex"))
+        .union(t.select(F.col("b").alias("vertex")))
+        .union(t.select(F.col("c").alias("vertex")))
+    )
+    return verts.groupBy("vertex").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -94,6 +94,7 @@ _PRIORITY = [
     "table_profile",
     "dedup_clusters_twophase",
     "star_share_of_total",
+    "word_triangles",
     # -- tier C: round-1-green whose verify stage changed in round 2
     #    (pair_cos_vectorized, multi-probe Hamming-1, df-capped jaccard) ----
     "embedding_near_pairs",

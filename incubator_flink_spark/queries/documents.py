@@ -526,3 +526,48 @@ def word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_score").desc(), "word")
         .limit(50)
     )
+
+
+# --- triangle counting over the word-adjacency graph (Gelly) ------------------
+
+WORD_TRIANGLES_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+adj AS (
+  SELECT t[j] AS src, t[j+1] AS dst
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(j)),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM adj WHERE src <> dst),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT ab.a, ab.b, bc.b AS c
+        FROM e ab JOIN e bc ON bc.a = ab.b) w
+  JOIN e ac ON ac.a = w.a AND ac.b = w.c),
+verts AS (
+  SELECT a AS vertex FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT vertex AS word, COUNT(*) AS n_triangles
+FROM verts GROUP BY vertex
+ORDER BY n_triangles DESC, word
+"""
+
+
+@register("word_triangles", WORD_TRIANGLES_ORACLE)
+def word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-word triangle membership in the word-adjacency graph (Gelly
+    TriangleEnumerator analog; the local clustering-coefficient
+    numerator)."""
+    from incubator_flink_spark.operators.graph import vertex_triangle_counts
+
+    d = load(spark, sf_dir, "documents")
+    bigrams = d.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    ew = bigrams.select(
+        F.split(F.col("bg"), " ").getItem(0).alias("src"),
+        F.split(F.col("bg"), " ").getItem(1).alias("dst"),
+    )
+    return (
+        vertex_triangle_counts(ew)
+        .select(F.col("vertex").alias("word"), "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), "word")
+    )

@@ -541,3 +541,21 @@ def test_label_propagation_long_chain_no_plan_blowup(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(45)], "src long, dst long")
     out = connected_components(chain, max_iter=60).collect()
     assert {r.component for r in out} == {0} and len(out) == 46
+
+
+def test_triangles_enumeration(spark):
+    """Triangle enumeration: each triangle exactly once as a<b<c, wedge
+    joins never fabricate triples; per-vertex counts sum to 3x triangles."""
+    from incubator_flink_spark.operators.graph import triangles, vertex_triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles) + a pendant edge + an open wedge
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (6, 7), (7, 8)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    tri = {(r.a, r.b, r.c) for r in triangles(e).collect()}
+    assert tri == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+    counts = {r.vertex: r.n_triangles for r in vertex_triangle_counts(e).collect()}
+    assert counts == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert sum(counts.values()) == 3 * len(tri)
+    # direction/duplicate robustness: reversed + duplicated edges change nothing
+    rev = spark.createDataFrame([(b, a) for a, b in edges] + edges, "src long, dst long")
+    assert {(r.a, r.b, r.c) for r in triangles(rev).collect()} == tri
