@@ -492,7 +492,13 @@ class TableEnvironment:
                         f"INSERT column count {len(df.columns)} != sink schema {len(cols)}"
                     )
                 df = df.toDF(*cols)
-            write_table(df, t.options["path"], t.options.get("format", "parquet"), mode=mode)
+            write_table(
+                df,
+                t.options["path"],
+                t.options.get("format", "parquet"),
+                mode=mode,
+                partition_by=t.partitioned_by or None,
+            )
             execute_ddl(self._spark, None, table_def=t)  # refresh the view
             return []
         return self.sql_query(s).to_df().collect()

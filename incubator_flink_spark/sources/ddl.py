@@ -35,6 +35,7 @@ class TableDef:
     computed: list[tuple[str, str]] = field(default_factory=list)  # (name, expr)
     watermark: tuple[str, int] | None = None  # (column, delay_s)
     primary_key: list[str] = field(default_factory=list)
+    partitioned_by: list[str] = field(default_factory=list)
     options: dict[str, str] = field(default_factory=dict)
 
 
@@ -42,6 +43,10 @@ _CREATE_RE = re.compile(
     r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# the PARTITIONED BY clause sits between the column list and WITH; it is
+# extracted (and removed) BEFORE the main regex because the greedy column
+# body must be able to contain parens (PRIMARY KEY (...), types)
+_PART_RE = re.compile(r"PARTITIONED\s+BY\s*\(([^)]*)\)\s*(?=WITH)", re.IGNORECASE)
 _WM_RE = re.compile(
     r"WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR)",
     re.IGNORECASE,
@@ -68,11 +73,18 @@ def _split_top_level(s: str) -> list[str]:
 
 
 def parse_create_table(sql: str) -> TableDef:
-    m = _CREATE_RE.search(sql.strip())
+    sql = sql.strip()
+    part_by: list[str] = []
+    pm = _PART_RE.search(sql)
+    if pm:
+        part_by = [c.strip() for c in pm.group(1).split(",") if c.strip()]
+        sql = sql[: pm.start()] + sql[pm.end() :]
+    m = _CREATE_RE.search(sql)
     if not m:
         raise ValueError("unsupported DDL (expected CREATE TABLE name (...) WITH (...))")
     name, body, opts = m.group(1), m.group(2), m.group(3)
     t = TableDef(name=name)
+    t.partitioned_by = part_by
     for part in _split_top_level(body):
         wm = _WM_RE.match(part)
         if wm:

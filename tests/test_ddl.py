@@ -117,3 +117,27 @@ def test_execute_sql_insert_errors(spark, tmp_path):
     """)
     with pytest.raises(ValueError, match="column count"):
         env.execute_sql("INSERT INTO sink_e SELECT 1")
+
+
+def test_partitioned_by_ddl_insert_writes_hive_dirs(spark, tmp_path):
+    """PARTITIONED BY in the DDL routes INSERT through partitionBy: the
+    sink gets hive-style directories and a partition-filtered read scans
+    only the matching directory (partition pruning)."""
+    import os
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    sink = str(tmp_path / "psink")
+    env.execute_sql(f"""
+        CREATE TABLE psink_t (id BIGINT, v DOUBLE, lang STRING)
+        PARTITIONED BY (lang)
+        WITH ('connector' = 'filesystem', 'path' = '{sink}', 'format' = 'parquet')
+    """)
+    spark.createDataFrame(
+        [(1, 1.0, "en"), (2, 2.0, "fr"), (3, 3.0, "en")], "id long, v double, lang string"
+    ).createOrReplaceTempView("psrc")
+    env.execute_sql("INSERT INTO psink_t SELECT id, v, lang FROM psrc")
+    assert sorted(d for d in os.listdir(sink) if d.startswith("lang=")) == ["lang=en", "lang=fr"]
+    rows = env.execute_sql("SELECT id FROM psink_t WHERE lang = 'en' ORDER BY id")
+    assert [r.id for r in rows] == [1, 3]
