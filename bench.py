@@ -50,10 +50,11 @@ HEADLINE = [
     "embedding_lsh_topk",
 ]
 
-# Round-2 additions (curation + CDC). Timed and reported separately so the
-# headline "value" stays comparable to the round-1 baseline total (the
-# driver's 2x perf gate compares BENCH_r{N}.value against BASELINE's
-# recorded value over the SAME 21-query set).
+# Round-2+ additions (curation, CDC, and the round-3 operators). Timed and
+# reported separately so the headline "value" stays comparable to the
+# round-1 baseline total (the driver's 2x perf gate compares
+# BENCH_r{N}.value against BASELINE's recorded value over the SAME
+# 21-query set).
 EXTRA = [
     "semantic_dedup",
     "decontaminate_ngram",
@@ -63,6 +64,14 @@ EXTRA = [
     "cdc_debezium_normalize",
     "export_shard_plan",
     "mixture_quota_sample",
+    # round 3
+    "semantic_dedup_t08",
+    "span_dup_doc_stats",
+    "embedding_pq_topk",
+    "sequence_packing",
+    "star_sales_rollup",
+    "kafka_upsert_normalize",
+    "subquery_exists_correlated",
 ]
 
 
@@ -101,7 +110,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_runs = 3
     if "--runs" in sys.argv:
-        n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
+        try:
+            n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
+        except (IndexError, ValueError):
+            sys.exit("usage: bench.py [--runs N]")
     timings, run_totals = run(sf_dir, n_runs)
     headline = {k: v for k, v in timings.items() if k in HEADLINE}
     extra = {k: v for k, v in timings.items() if k in EXTRA}

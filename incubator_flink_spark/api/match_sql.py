@@ -197,6 +197,16 @@ def rewrite_match_recognize(spark: SparkSession, sql: str) -> str:
                 )
             within = int(wm.group(1)) * _UNIT_S[wm.group(2).upper()]
         skip = _parse_after_match(after)
+        if isinstance(skip, tuple):
+            # validate the SKIP TO FIRST/LAST variable against the pattern:
+            # an unknown name would silently run no-skip semantics (the NFA
+            # finds no captured rows for it and never advances the cursor)
+            pattern_vars = set(re.findall(r"[A-Za-z_]\w*", pattern))
+            if skip[1] not in pattern_vars:
+                raise ValueError(
+                    f"AFTER MATCH {after.strip()!r}: variable {skip[1]!r} is not "
+                    f"in PATTERN (variables: {sorted(pattern_vars)})"
+                )
         all_rows = bool(re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE))
         order_by = _parse_order_by(order_by)
 

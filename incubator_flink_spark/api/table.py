@@ -492,13 +492,30 @@ class TableEnvironment:
                         f"INSERT column count {len(df.columns)} != sink schema {len(cols)}"
                     )
                 df = df.toDF(*cols)
-            write_table(
-                df,
-                t.options["path"],
-                t.options.get("format", "parquet"),
-                mode=mode,
-                partition_by=t.partitioned_by or None,
-            )
+            if t.partitioned_by and mode == "overwrite":
+                # Flink's filesystem INSERT OVERWRITE replaces only the
+                # partitions receiving data; Spark's static mode would wipe
+                # the whole table directory
+                prev = self._spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+                self._spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                try:
+                    write_table(
+                        df,
+                        t.options["path"],
+                        t.options.get("format", "parquet"),
+                        mode=mode,
+                        partition_by=t.partitioned_by,
+                    )
+                finally:
+                    self._spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            else:
+                write_table(
+                    df,
+                    t.options["path"],
+                    t.options.get("format", "parquet"),
+                    mode=mode,
+                    partition_by=t.partitioned_by or None,
+                )
             execute_ddl(self._spark, None, table_def=t)  # refresh the view
             return []
         return self.sql_query(s).to_df().collect()

@@ -58,7 +58,11 @@ def connected_components(
     # every iteration — at ~40 rounds the 2^40-node plan OOMs the driver
     # just rendering its string.  Checkpointing truncates the plan to a
     # leaf, keeping analysis O(1) per round (use a reliable checkpoint
-    # dir on a real cluster).
+    # dir on a real cluster).  Prior rounds' checkpoint blocks are
+    # reclaimed by Spark's ContextCleaner once the loop reassigns the
+    # Python reference (storage is O(max concurrent rounds) = O(2
+    # label sets), not O(iterations)) — the same applies to the
+    # pagerank and two-phase-CC loops below.
     labels = e.select("u").distinct().select("u", F.col("u").alias("component")).localCheckpoint(eager=True)
     changed = -1
     for _ in range(max_iter):
@@ -185,15 +189,18 @@ def connected_components_twophase(
     only shrinks toward the star form, and rounds are localCheckpoint-ed
     so lineage stays O(1) deep (use a reliable checkpoint dir on a real
     cluster)."""
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # vertex set from the RAW edges: a vertex whose only edges are
+    # self-loops must still appear (own singleton component), matching
+    # connected_components' output exactly
+    vertices = (
+        raw.select(F.col("u").alias("vertex"))
+        .union(raw.select(F.col("v").alias("vertex")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    vertices = (
-        e.select(F.col("u").alias("vertex"))
-        .union(e.select(F.col("v").alias("vertex")))
+    e = (
+        raw.where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )

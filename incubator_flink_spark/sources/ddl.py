@@ -40,7 +40,7 @@ class TableDef:
 
 
 _CREATE_RE = re.compile(
-    r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*;?\s*$",
+    r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # the PARTITIONED BY clause sits between the column list and WITH; it is

@@ -89,6 +89,7 @@ def jdbc_upsert(
     table: str,
     keys: list[str],
     driver: str | None = None,
+    rename_sql: str | None = None,
     **options,
 ) -> None:
     """Upsert ``df`` into ``table`` on ``keys`` (reference
@@ -97,7 +98,15 @@ def jdbc_upsert(
     snapshot read + one write per call; rows within ``df`` that share a
     key resolve to an arbitrary-but-single row (callers wanting
     keep-last should pre-dedup with an ordering column, as the upsert
-    parquet sink does)."""
+    parquet sink does).
+
+    The stage-table swap uses a per-dialect rename spelling (Derby/MySQL
+    ``RENAME TABLE``, else ``ALTER TABLE ... RENAME TO``; override with
+    ``rename_sql`` = a ``{src}``/``{dst}`` template).  On dialects whose
+    DDL is transactional (Derby, Postgres) the DROP+RENAME pair is
+    atomic; on implicit-commit-DDL dialects (Oracle, MySQL) there is an
+    unavoidable window between the statements — for those, prefer a
+    dialect-native MERGE via ``jdbc_execute``."""
     spark = df.sparkSession
     try:
         current = read_jdbc(spark, url, table, driver=driver, **options)
@@ -128,8 +137,25 @@ def jdbc_upsert(
         spark,
         url,
         f"DROP TABLE {table}",
-        f"RENAME TABLE {stage} TO {table}",
+        _rename_stmt(url, stage, table, rename_sql),
     )
+
+
+#: per-dialect table-rename spellings (everything else gets the widely
+#: supported ALTER TABLE ... RENAME TO form)
+_RENAME_SQL = {
+    "jdbc:derby": "RENAME TABLE {src} TO {dst}",
+    "jdbc:mysql": "RENAME TABLE {src} TO {dst}",
+}
+
+
+def _rename_stmt(url: str, src: str, dst: str, template: str | None = None) -> str:
+    if template:
+        return template.format(src=src, dst=dst)
+    for prefix, tpl in _RENAME_SQL.items():
+        if url.startswith(prefix):
+            return tpl.format(src=src, dst=dst)
+    return f"ALTER TABLE {src} RENAME TO {dst}"
 
 
 def jdbc_lookup_loader(

@@ -33,7 +33,7 @@ from incubator_flink_spark.streaming.changelog import (
     DELETE,
     ROWKIND,
     UPDATE_AFTER,
-    UPDATE_BEFORE,
+    drop_update_before,
 )
 
 #: metadata columns of Spark's kafka source, in its column order
@@ -131,7 +131,7 @@ def upsert_kafka_frames(
         F.when(F.col(op_col) == DELETE, F.lit(None).cast("binary"))
         .otherwise(F.encode(F.to_json(F.struct(*[F.col(c) for c in data_cols])), "UTF-8"))
     )
-    return df.where(F.col(op_col) != UPDATE_BEFORE).select(
+    return drop_update_before(df, op_col).select(
         key.alias("key"),
         value.alias("value"),
         F.lit(topic).alias("topic"),

@@ -748,3 +748,28 @@ def test_measures_null_comparison_projects_null(spark):
     assert compile_measure("A.x > 5")(m) is None
     assert compile_measure("A.y > 5")(m) is False
     assert compile_define("A", "A.x > 5")({"x": None}, None) is False
+
+
+def test_sql_skip_to_unknown_variable_raises(spark):
+    """SKIP TO FIRST/LAST with a variable not in PATTERN must raise — an
+    unknown name would silently run no-skip semantics (the NFA never
+    finds captured rows for it, so the cursor never advances)."""
+    import pytest
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    spark.createDataFrame(
+        [("K", __import__("datetime").datetime(2024, 1, 1), "a")],
+        "k STRING, ts TIMESTAMP, ev STRING",
+    ).createOrReplaceTempView("skiperr")
+    with pytest.raises(ValueError, match="not\\s+in PATTERN"):
+        env.sql_query("""
+            SELECT k, n FROM skiperr MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY ts
+              MEASURES COUNT(A.ev) AS n
+              AFTER MATCH SKIP TO LAST Z
+              PATTERN (A B)
+              DEFINE A AS A.ev = 'a', B AS B.ev = 'b'
+            )
+        """)

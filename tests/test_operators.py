@@ -559,3 +559,17 @@ def test_triangles_enumeration(spark):
     # direction/duplicate robustness: reversed + duplicated edges change nothing
     rev = spark.createDataFrame([(b, a) for a, b in edges] + edges, "src long, dst long")
     assert {(r.a, r.b, r.c) for r in triangles(rev).collect()} == tri
+
+
+def test_twophase_cc_keeps_self_loop_only_vertices(spark):
+    """A vertex whose only edge is a self-loop forms its own component in
+    BOTH implementations (same-fixpoint contract)."""
+    from incubator_flink_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    e = spark.createDataFrame([(1, 1), (2, 3)], "src long, dst long")
+    lp = {(r.vertex, r.component) for r in connected_components(e).collect()}
+    tp = {(r.vertex, r.component) for r in connected_components_twophase(e).collect()}
+    assert lp == tp == {(1, 1), (2, 2), (3, 2)}
