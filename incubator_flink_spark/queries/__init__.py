@@ -78,7 +78,6 @@ _PRIORITY = [
     "window_join_semi",
     # -- tier B: new round-3 registrations (never checked by definition) ----
     "semantic_dedup_t08",
-    "embedding_near_pairs_t08",
     "kafka_upsert_normalize",
     "subquery_scalar",
     "subquery_exists_correlated",
@@ -95,8 +94,13 @@ _PRIORITY = [
     "dedup_clusters_twophase",
     "star_share_of_total",
     "word_triangles",
+    "fuzzy_word_pairs",
     # -- tier C: round-1-green whose verify stage changed in round 2
-    #    (pair_cos_vectorized, multi-probe Hamming-1, df-capped jaccard) ----
+    #    (pair_cos_vectorized, multi-probe Hamming-1, df-capped jaccard);
+    #    embedding_near_pairs_t08 leads — it shares the deep-banding path
+    #    with semantic_dedup_t08 (checked above), so it cedes its top-50
+    #    slot to ops with no driver evidence at all ----------------------
+    "embedding_near_pairs_t08",
     "embedding_near_pairs",
     "embedding_lsh_topk",
     "dedup_minhash_lsh",

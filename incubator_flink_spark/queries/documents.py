@@ -571,3 +571,50 @@ def word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vertex").alias("word"), "n_triangles")
         .orderBy(F.col("n_triangles").desc(), "word")
     )
+
+
+# --- fuzzy (edit-distance-1) vocabulary matching -------------------------------
+# SymSpell deletion-neighborhood join (operators/fuzzy.py).  The synthetic
+# vocabulary has no natural distance-1 pairs, so the query plants one
+# deterministic typo per word (the character at position hash64(w) % len
+# deleted) — pure integer + substring arithmetic both engines compute
+# identically, same pattern as the t>=0.8 near-dup planting.  The oracle
+# is the ground-truth ALL-PAIRS levenshtein over the same augmented
+# vocabulary, so a hash match proves the deletion-neighborhood candidate
+# generation has recall 1.0 at d=1 (precision is the exact verify).
+
+FUZZY_WORD_PAIRS_ORACLE = f"""
+WITH w0 AS (
+  SELECT DISTINCT unnest({tokens_sql("text")}) AS w FROM documents),
+typos AS (
+  SELECT substring(w, 1, p - 1) || substring(w, p + 1, length(w)) AS w
+  FROM (SELECT w, CAST({hash64_sql("w")} % length(w) AS INT) + 1 AS p
+        FROM w0 WHERE length(w) >= 3) t),
+vocab AS (SELECT w FROM w0 UNION SELECT w FROM typos)
+SELECT a.w AS word_a, b.w AS word_b, levenshtein(a.w, b.w) AS dist
+FROM vocab a JOIN vocab b ON a.w < b.w
+WHERE levenshtein(a.w, b.w) <= 1
+ORDER BY word_a, word_b
+"""
+
+
+@register("fuzzy_word_pairs", FUZZY_WORD_PAIRS_ORACLE)
+def fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 pairs over the corpus vocabulary (+ planted
+    typos) via the SymSpell deletion-neighborhood join; oracle =
+    brute-force all-pairs ground truth (recall proof)."""
+    from incubator_flink_spark.operators.fuzzy import fuzzy_pairs
+
+    d = load(spark, sf_dir, "documents")
+    w0 = d.select(F.explode(tokens(F.col("text"))).alias("w")).distinct()
+    p = (hash64(F.col("w")) % F.length("w")).cast("int") + 1
+    typos = w0.where(F.length("w") >= 3).select(
+        F.concat(
+            F.col("w").substr(F.lit(1), p - 1),
+            F.col("w").substr(p + 1, F.length("w")),
+        ).alias("w")
+    )
+    vocab = w0.union(typos).distinct()
+    return fuzzy_pairs(vocab, "w").withColumn("dist", F.col("dist").cast("int")).orderBy(
+        "word_a", "word_b"
+    )

@@ -573,3 +573,25 @@ def test_twophase_cc_keeps_self_loop_only_vertices(spark):
     lp = {(r.vertex, r.component) for r in connected_components(e).collect()}
     tp = {(r.vertex, r.component) for r in connected_components_twophase(e).collect()}
     assert lp == tp == {(1, 1), (2, 2), (3, 2)}
+
+
+def test_fuzzy_pairs_deletion_neighborhood(spark):
+    """SymSpell d=1 matching: substitutions, insertions, deletions all
+    caught (they share a deletion variant); distance-2 pairs excluded;
+    no self-pairs; plan has no cartesian product."""
+    from incubator_flink_spark.operators.fuzzy import fuzzy_pairs
+
+    words = spark.createDataFrame(
+        [("cat",), ("bat",), ("cats",), ("at",), ("dog",), ("dig",), ("zebra",)], "w string"
+    )
+    out = {(r.word_a, r.word_b, r.dist) for r in fuzzy_pairs(words).collect()}
+    assert out == {
+        ("bat", "cat", 1),   # substitution
+        ("cat", "cats", 1),  # insertion
+        ("at", "cat", 1),    # deletion
+        ("at", "bat", 1),
+        ("dig", "dog", 1),
+        # NOT: ("at","cats") d=2, ("bat","cats") d=2, zebra isolated
+    }
+    plan = fuzzy_pairs(words)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
