@@ -83,7 +83,6 @@ _PRIORITY = [
     "subquery_exists_correlated",
     "subquery_in_negated",
     "star_sales_rollup",
-    "star_rank_by_dim",
     "span_dup_topk",
     "span_dup_doc_stats",
     "embedding_pq_topk",
@@ -97,10 +96,13 @@ _PRIORITY = [
     "fuzzy_word_pairs",
     # -- tier C: round-1-green whose verify stage changed in round 2
     #    (pair_cos_vectorized, multi-probe Hamming-1, df-capped jaccard);
-    #    embedding_near_pairs_t08 leads — it shares the deep-banding path
-    #    with semantic_dedup_t08 (checked above), so it cedes its top-50
-    #    slot to ops with no driver evidence at all ----------------------
+    #    embedding_near_pairs_t08 and star_rank_by_dim lead — each shares
+    #    its machinery with an in-window sibling (semantic_dedup_t08 runs
+    #    the same deep banding; star_share_of_total pins the same
+    #    broadcast-dims + rank-over-aggregate shape), so they cede their
+    #    top-50 slots to ops with no driver evidence at all --------------
     "embedding_near_pairs_t08",
+    "star_rank_by_dim",
     "embedding_near_pairs",
     "embedding_lsh_topk",
     "dedup_minhash_lsh",
