@@ -300,3 +300,47 @@ def vertex_triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst")
         .union(t.select(F.col("c").alias("vertex")))
     )
     return verts.groupBy("vertex").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Local clustering coefficient (Gelly library
+    LocalClusteringCoefficient analog): per vertex,
+    2*T(v) / (deg(v) * (deg(v)-1)) over the simple undirected graph —
+    the fraction of a vertex's neighbor pairs that are themselves
+    connected.  (vertex, degree, n_triangles, coeff); vertices of degree
+    < 2 have coefficient 0.  Reuses the triangle enumeration (wedge
+    join) plus one distinct-neighbor degree aggregate."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("vertex"))
+        .union(e.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = vertex_triangle_counts(e, "a", "b")
+    return (
+        deg.join(tri, "vertex", "left")
+        .select(
+            "vertex",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )

@@ -103,6 +103,7 @@ _PRIORITY = [
     #    top-50 slots to ops with no driver evidence at all --------------
     "embedding_near_pairs_t08",
     "star_rank_by_dim",
+    "word_clustering_coeff",  # shares the wedge-join machinery with in-window word_triangles
     "embedding_near_pairs",
     "embedding_lsh_topk",
     "dedup_minhash_lsh",

@@ -618,3 +618,52 @@ def fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs(vocab, "w").withColumn("dist", F.col("dist").cast("int")).orderBy(
         "word_a", "word_b"
     )
+
+
+WORD_CLUSTERING_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+adj AS (
+  SELECT t[j] AS src, t[j+1] AS dst
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(j)),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM adj WHERE src <> dst),
+deg AS (
+  SELECT vertex, COUNT(*) AS degree FROM (
+    SELECT a AS vertex FROM e UNION ALL SELECT b FROM e) v GROUP BY vertex),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT ab.a, ab.b, bc.b AS c FROM e ab JOIN e bc ON bc.a = ab.b) w
+  JOIN e ac ON ac.a = w.a AND ac.b = w.c),
+tc AS (
+  SELECT vertex, COUNT(*) AS n_triangles FROM (
+    SELECT a AS vertex FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) v GROUP BY vertex)
+SELECT d.vertex AS word, d.degree,
+       COALESCE(tc.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN ROUND(2.0 * COALESCE(tc.n_triangles, 0) / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN tc ON tc.vertex = d.vertex
+ORDER BY word
+"""
+
+
+@register("word_clustering_coeff", WORD_CLUSTERING_ORACLE)
+def word_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per word in the adjacency graph
+    (Gelly LocalClusteringCoefficient analog)."""
+    from incubator_flink_spark.operators.graph import clustering_coefficient
+
+    d = load(spark, sf_dir, "documents")
+    bigrams = d.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    ew = bigrams.select(
+        F.split(F.col("bg"), " ").getItem(0).alias("src"),
+        F.split(F.col("bg"), " ").getItem(1).alias("dst"),
+    )
+    return (
+        clustering_coefficient(ew)
+        .select(F.col("vertex").alias("word"), "degree", "n_triangles", "coeff")
+        .orderBy("word")
+    )

@@ -595,3 +595,17 @@ def test_fuzzy_pairs_deletion_neighborhood(spark):
     }
     plan = fuzzy_pairs(words)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """K4 members have coeff 1.0; a wedge center 0.0; pendant vertices
+    (degree 1) 0.0 by convention."""
+    from incubator_flink_spark.operators.graph import clustering_coefficient
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (6, 7), (6, 8)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.vertex: (r.degree, r.n_triangles, r.coeff) for r in clustering_coefficient(e).collect()}
+    assert out[1] == (3, 3, 1.0)
+    assert out[4] == (4, 3, 0.5)   # 3 of its 6 neighbor pairs connected
+    assert out[5] == (1, 0, 0.0)   # pendant
+    assert out[6] == (2, 0, 0.0)   # open wedge center

@@ -164,6 +164,9 @@ def main():
         "sequence_packing",
         "packing_stats",
         "word_pagerank",
+        "word_triangles",
+        "fuzzy_word_pairs",
+        "table_profile",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
