@@ -468,6 +468,17 @@ class TableEnvironment:
             self._tables[t.name] = t
             execute_ddl(self._spark, s)
             return []
+        dm = _re.fullmatch(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)", s, _re.I)
+        if dm:
+            name = dm.group(2)
+            known = self._spark.catalog.dropTempView(name)
+            if name in self._tables:
+                del self._tables[name]
+            elif not known and not dm.group(1):
+                raise ValueError(f"table {name!r} does not exist (use DROP TABLE IF EXISTS)")
+            return []
+        if _re.fullmatch(r"SHOW\s+TABLES", s, _re.I):
+            return sorted(self._tables)
         m = _re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(.+)", s, _re.I | _re.S)
         if m:
             from incubator_flink_spark.sources.ddl import execute_ddl

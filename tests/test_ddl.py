@@ -141,3 +141,25 @@ def test_partitioned_by_ddl_insert_writes_hive_dirs(spark, tmp_path):
     assert sorted(d for d in os.listdir(sink) if d.startswith("lang=")) == ["lang=en", "lang=fr"]
     rows = env.execute_sql("SELECT id FROM psink_t WHERE lang = 'en' ORDER BY id")
     assert [r.id for r in rows] == [1, 3]
+
+
+def test_execute_sql_drop_and_show_tables(spark, tmp_path):
+    import pytest
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    src = str(tmp_path / "dt")
+    spark.range(3).write.parquet(src)
+    env.execute_sql(f"""
+        CREATE TABLE dt_t (id BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '{src}', 'format' = 'parquet')
+    """)
+    assert "dt_t" in env.execute_sql("SHOW TABLES")
+    env.execute_sql("DROP TABLE dt_t")
+    assert "dt_t" not in env.execute_sql("SHOW TABLES")
+    with pytest.raises(Exception):
+        env.execute_sql("SELECT * FROM dt_t")  # view gone
+    env.execute_sql("DROP TABLE IF EXISTS dt_t")  # idempotent
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("DROP TABLE dt_t")
