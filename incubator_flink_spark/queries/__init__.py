@@ -104,6 +104,7 @@ _PRIORITY = [
     "embedding_near_pairs_t08",
     "star_rank_by_dim",
     "word_clustering_coeff",  # shares the wedge-join machinery with in-window word_triangles
+    "window_ignore_nulls",
     "embedding_near_pairs",
     "embedding_lsh_topk",
     "dedup_minhash_lsh",

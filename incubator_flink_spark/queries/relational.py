@@ -766,3 +766,44 @@ def agg_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+# --- FIRST_VALUE / LAST_VALUE with IGNORE NULLS (reference supports the
+# IGNORE NULLS modifier on its window aggregates: FirstValueWithRetract /
+# LastValueAggFunction skip nulls; SQL spelling via Calcite) ------------------
+
+WINDOW_IGNORE_NULLS_ORACLE = """
+SELECT event_id,
+       FIRST_VALUE(v IGNORE NULLS) OVER w AS first_click_v,
+       LAST_VALUE(v IGNORE NULLS) OVER w AS last_click_v
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'click' THEN value END AS v
+  FROM events WHERE user_id < 50) t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+@register("window_ignore_nulls", WINDOW_IGNORE_NULLS_ORACLE)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running first/last non-null over a sparsely-populated column (the
+    IGNORE NULLS modifier): rows before any click see NULL, rows after
+    carry the first/latest click value forward."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    v = F.when(F.col("event_type") == "click", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        e.select("event_id", "user_id", "ts", v.alias("v"))
+        .select(
+            "event_id",
+            F.first("v", ignorenulls=True).over(w).alias("first_click_v"),
+            F.last("v", ignorenulls=True).over(w).alias("last_click_v"),
+        )
+        .orderBy("event_id")
+    )
