@@ -148,3 +148,49 @@ def span_dup_doc_stats(
             F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap (the
+    RAG / context-window preparation pass): chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens) with stride = chunk_tokens -
+    overlap; the final partial chunk is kept.  Output: (id, chunk_id,
+    n_tokens, chunk_text).
+
+    Map-only — tokenize, slice, posexplode; no shuffle at any size, so
+    the pass scales exactly with the scan.  Chunk ids are deterministic
+    (position order), making re-runs reproducible for downstream
+    dedup/exports."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    from incubator_flink_spark.catalog import spread
+
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... while start < n (at least one
+    # chunk even for an empty doc would be wrong — guard n >= 1)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - chunk_tokens) / stride).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    return (
+        spread(docs)
+        .where(n >= 1)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__c"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__c").cast("bigint").alias("n_tokens"),
+            F.array_join(F.col("__c"), " ").alias("chunk_text"),
+        )
+    )

@@ -105,6 +105,7 @@ _PRIORITY = [
     "star_rank_by_dim",
     "word_clustering_coeff",  # shares the wedge-join machinery with in-window word_triangles
     "window_ignore_nulls",
+    "doc_chunking",
     "embedding_near_pairs",
     "embedding_lsh_topk",
     "dedup_minhash_lsh",

@@ -579,3 +579,34 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return profile_table(d, list(_PROFILE_COLS)).orderBy("col_name")
+
+
+# --- document chunking with overlap (RAG / context-window prep) ---------------
+
+_CHUNK_N = 32
+_CHUNK_O = 8
+_CHUNK_S = _CHUNK_N - _CHUNK_O
+
+DOC_CHUNKING_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+nc AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= {_CHUNK_N} THEN 1
+              ELSE CAST(CEIL((len(t) - {_CHUNK_N}) * 1.0 / {_CHUNK_S}) AS INT) + 1 END AS n_chunks
+  FROM toks WHERE len(t) >= 1)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       CAST(len(t[i*{_CHUNK_S}+1 : i*{_CHUNK_S}+{_CHUNK_N}]) AS BIGINT) AS n_tokens,
+       array_to_string(t[i*{_CHUNK_S}+1 : i*{_CHUNK_S}+{_CHUNK_N}], ' ') AS chunk_text
+FROM nc, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("doc_chunking", DOC_CHUNKING_ORACLE)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (32-token) chunks with 8-token overlap per document —
+    map-only (no shuffle at any scale); operators/spans.chunk_documents."""
+    from incubator_flink_spark.operators.spans import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_documents(d, _CHUNK_N, _CHUNK_O).orderBy("doc_id", "chunk_id")

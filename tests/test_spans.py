@@ -98,3 +98,30 @@ def test_registry_span_queries_run(spark, sf_dir):
     stats = REGISTRY["span_dup_doc_stats"].fn(spark, sf_dir)
     assert stats.columns == ["doc_id", "n_windows", "n_dup_windows", "dup_frac"]
     assert stats.where("n_dup_windows > n_windows").count() == 0
+
+
+def test_chunk_documents_overlap_and_boundaries(spark):
+    from incubator_flink_spark.operators.spans import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(d, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 10 tokens, stride 2 -> starts 0,2,4,6 -> 4 chunks; last is full
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in c1] == [
+        "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9",
+    ]
+    # overlap property: consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(c1, c1[1:]):
+        assert a.chunk_text.split()[-2:] == b.chunk_text.split()[:2]
+    # short docs produce one partial chunk
+    assert [r.chunk_text for r in by_doc[2]] == ["a b"]
+    assert [r.n_tokens for r in by_doc[3]] == [1]
+    # map-only plan: no exchange anywhere
+    plan = chunk_documents(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
