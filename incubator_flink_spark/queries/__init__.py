@@ -87,7 +87,7 @@ _PRIORITY = [
     "span_dup_doc_stats",
     "embedding_pq_topk",
     "sequence_packing",
-    "packing_stats",
+    "window_ignore_nulls",
     "word_pagerank",
     "table_profile",
     "dedup_clusters_twophase",
@@ -104,7 +104,7 @@ _PRIORITY = [
     "embedding_near_pairs_t08",
     "star_rank_by_dim",
     "word_clustering_coeff",  # shares the wedge-join machinery with in-window word_triangles
-    "window_ignore_nulls",
+    "packing_stats",  # same prefix-sum plan as in-window sequence_packing
     "doc_chunking",
     "embedding_near_pairs",
     "embedding_lsh_topk",
