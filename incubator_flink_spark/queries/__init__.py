@@ -106,6 +106,7 @@ _PRIORITY = [
     "word_clustering_coeff",  # shares the wedge-join machinery with in-window word_triangles
     "packing_stats",  # same prefix-sum plan as in-window sequence_packing
     "doc_chunking",
+    "lm_perplexity",
     "embedding_near_pairs",
     "embedding_lsh_topk",
     "dedup_minhash_lsh",

@@ -19,6 +19,7 @@ from incubator_flink_spark.functions.text import (
     PII_PATTERNS,
     redact_pii,
     shingles,
+    shingles_sql,
     tokens,
     tokens_sql,
 )
@@ -610,3 +611,42 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return chunk_documents(d, _CHUNK_N, _CHUNK_O).orderBy("doc_id", "chunk_id")
+
+
+# --- LM-perplexity quality filter (CCNet-style) -------------------------------
+# Count-based bigram self-perplexity (operators/lm.py): every corpus
+# bigram is in the model, so the scoring join is total; a held-out
+# scorer would left-join with the unseen-mass fallback.
+
+_BIGRAMS = shingles_sql(_TOKS, 2)
+
+LM_PERPLEXITY_ORACLE = f"""
+WITH bi AS (SELECT doc_id, unnest({_BIGRAMS}) AS bg FROM documents),
+pair AS (
+  SELECT doc_id, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM bi),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pair GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM pair GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest({_TOKS}) AS w FROM documents) t),
+model AS (
+  SELECT c12.w1, c12.w2,
+         (c12 + CAST(1 AS DOUBLE)/2) / (c1 + CAST(1 AS DOUBLE)/2 * v.v) AS prob
+  FROM c12 JOIN c1 USING (w1), v),
+sc AS (
+  SELECT p.doc_id, CAST(ln(m.prob) AS DECIMAL(30,12)) AS l
+  FROM pair p JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(-CAST(SUM(l) AS DOUBLE) / COUNT(*), 6) AS nll
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("lm_perplexity", LM_PERPLEXITY_ORACLE)
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    add-0.5-smoothed bigram model — the CCNet-style perplexity quality
+    signal, fully in Catalyst."""
+    from incubator_flink_spark.operators.lm import doc_nll
+
+    d = load(spark, sf_dir, "documents")
+    return doc_nll(d).orderBy("doc_id")

@@ -609,3 +609,25 @@ def test_clustering_coefficient_known_graph(spark):
     assert out[4] == (4, 3, 0.5)   # 3 of its 6 neighbor pairs connected
     assert out[5] == (1, 0, 0.0)   # pendant
     assert out[6] == (2, 0, 0.0)   # open wedge center
+
+
+def test_lm_perplexity_orders_quality(spark):
+    """The bigram NLL separates in-distribution text from token soup:
+    a document repeating the corpus's dominant bigrams scores lower
+    (more predictable) than one made of bigrams seen nowhere else."""
+    from incubator_flink_spark.operators.lm import bigram_model, doc_nll
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat " * 5),
+            (2, "the cat sat on the mat"),
+            (3, "zx qy wv ut sr qp on zx qy"),  # mostly unique bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.nll for r in doc_nll(docs).collect()}
+    # common phrasing beats token soup from either in-distribution doc
+    assert out[1] < out[3] and out[2] < out[3]
+    # model conditionals are proper probabilities
+    probs = [r.prob for r in bigram_model(docs).collect()]
+    assert all(0.0 < p < 1.0 for p in probs)
