@@ -167,6 +167,8 @@ def main():
         "word_triangles",
         "fuzzy_word_pairs",
         "table_profile",
+        "doc_chunking",
+        "lm_perplexity",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
