@@ -631,3 +631,41 @@ def test_lm_perplexity_orders_quality(spark):
     # model conditionals are proper probabilities
     probs = [r.prob for r in bigram_model(docs).collect()]
     assert all(0.0 < p < 1.0 for p in probs)
+
+
+def test_round3_curation_pipeline_composes(spark):
+    """The round-3 operators compose into one curation pass: profile the
+    corpus, score quality (LM NLL), drop span-duplicated docs, chunk the
+    survivors, pack the chunks into training bins — every stage feeding
+    the next's schema with no driver-side materialization in between."""
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.operators.lm import doc_nll
+    from incubator_flink_spark.operators.packing import pack_sequences
+    from incubator_flink_spark.operators.profile import profile_table
+    from incubator_flink_spark.operators.spans import chunk_documents, span_dup_doc_stats
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    n_docs = d.count()
+
+    prof = {r.col_name: r for r in profile_table(d, ["doc_id", "text"]).collect()}
+    assert prof["doc_id"].n_distinct == n_docs and prof["text"].n_nulls == 0
+
+    stats = span_dup_doc_stats(d)
+    nll = doc_nll(d)
+    survivors = (
+        d.join(stats.where("dup_frac < 0.9").select("doc_id"), "doc_id")
+        .join(nll.where("nll IS NOT NULL").select("doc_id"), "doc_id")
+    )
+    n_surv = survivors.count()
+    assert 0 < n_surv <= n_docs
+
+    chunks = chunk_documents(survivors, chunk_tokens=32, overlap=8).withColumnRenamed(
+        "chunk_text", "text"
+    )
+    keyed = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"), "text"
+    )
+    plan = pack_sequences(keyed, capacity=128, n_shards=4)
+    packed = plan.collect()
+    assert len(packed) == chunks.count()  # every chunk placed exactly once
+    assert all(0 <= r.bin_offset < 128 and 0 <= r.shard < 4 for r in packed)
