@@ -9,12 +9,16 @@ document's mean negative log-likelihood per bigram (the log-perplexity
 proxy); repetitive or templated text scores low, incoherent token soup
 scores high.
 
-Scale shape: the model is two aggregations over (w1, w2) / (w1) keys —
-vocabulary-bounded outputs, tiny next to the corpus — and scoring is one
-equi-join of the exploded corpus bigrams against the model (Spark
-broadcasts it whenever vocabulary² fits, otherwise it's a narrow-key
-shuffle) followed by a per-doc aggregate.  Everything linear in corpus
-size.
+Scale shape: the model is ONE corpus-sized aggregation over (w1, w2),
+then the head-count c(w1) is a window sum over that (vocabulary-bounded)
+bigram table — the same ride-the-existing-shuffle trick the pagerank
+out-weight uses — so no second corpus-sized pass and no join keyed on
+bare w1 exists anywhere (a stopword-head equi-join partition would be
+the skew scale-killer at web-corpus vocabularies).  Scoring is one
+equi-join of the exploded corpus bigrams against the model on the full
+(w1, w2) key (Spark broadcasts it whenever vocabulary² fits, otherwise
+it's a well-spread two-word-key shuffle) followed by a per-doc
+aggregate.  Everything linear in corpus size.
 
 Determinism for the oracle: counts are exact integers; each log term is
 cast to DECIMAL(30,12) before summation (exact, order-independent — a
@@ -43,17 +47,20 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.split(F.col("bg"), " ").getItem(0).alias("w1"),
         F.split(F.col("bg"), " ").getItem(1).alias("w2"),
     )
+    from pyspark.sql import Window as W
+
     c12 = pair.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = pair.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c(w1) = sum over w2 of c(w1, w2): a window sum over the already-built
+    # bigram table (model-sized input, exact same integers as a separate
+    # corpus aggregation) instead of a second corpus pass + a join keyed on
+    # bare w1 — the de-skewed form (see module docstring)
+    c1 = F.sum("c12").over(W.partitionBy("w1"))
     v = docs.select(F.explode(tokens(F.col(text_col))).alias("w")).distinct().count()
     a = F.lit(SMOOTH_NUM) / F.lit(SMOOTH_DEN)
-    return (
-        c12.join(c1, "w1")
-        .select(
-            "w1",
-            "w2",
-            ((F.col("c12") + a) / (F.col("c1") + a * F.lit(v))).alias("prob"),
-        )
+    return c12.select(
+        "w1",
+        "w2",
+        ((F.col("c12") + a) / (c1 + a * F.lit(v))).alias("prob"),
     )
 
 
@@ -62,15 +69,35 @@ def doc_nll(
     model: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    unseen_prob: float | None = None,
 ) -> DataFrame:
     """(id, n_bigrams, nll): mean negative log-likelihood per bigram
     under the model (default: the corpus's own bigram model — the
     self-perplexity used for outlier filtering).  Documents shorter than
-    2 tokens have no bigrams and are absent."""
+    2 tokens have no bigrams and are absent.
+
+    With the default self-model every corpus bigram is in the model, so
+    an inner join loses nothing.  With an externally supplied held-out
+    model (the CCNet regime) unseen bigrams MUST NOT be dropped — that
+    would deflate n_bigrams and under-penalize exactly the OOV-heavy
+    documents the filter exists to catch — so callers must pass
+    ``unseen_prob`` (the model's unseen-mass floor, a / (c1 + a*V) with
+    c12 = 0 for a typical head) and the join becomes a left join with
+    that fallback."""
     from incubator_flink_spark.catalog import spread
 
     if model is None:
         model = bigram_model(docs, text_col)
+        if unseen_prob is not None:
+            raise ValueError("unseen_prob only applies to an external model")
+    elif unseen_prob is None:
+        raise ValueError(
+            "an external model requires unseen_prob: without it, unseen "
+            "bigrams would be silently dropped and OOV-heavy documents "
+            "under-penalized"
+        )
+    elif not 0.0 < unseen_prob < 1.0:
+        raise ValueError("unseen_prob must be in (0, 1)")
     bi = spread(docs).select(
         F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), 2)).alias("bg")
     )
@@ -79,7 +106,12 @@ def doc_nll(
         F.split(F.col("bg"), " ").getItem(0).alias("w1"),
         F.split(F.col("bg"), " ").getItem(1).alias("w2"),
     )
-    scored = pair.join(model, ["w1", "w2"])
+    if unseen_prob is None:
+        scored = pair.join(model, ["w1", "w2"])
+    else:
+        scored = pair.join(model, ["w1", "w2"], "left").withColumn(
+            "prob", F.coalesce("prob", F.lit(unseen_prob))
+        )
     return (
         scored.groupBy(id_col)
         .agg(

@@ -34,88 +34,34 @@ from incubator_flink_spark.queries.registry import REGISTRY, oracle_sql, queries
 
 _PRIORITY = [
     # The driver samples the first ~50 registered queries per round.  After
-    # round 2 the evidence map is: 50 queries green in CORRECTNESS_r02, 28
-    # green in round 1 only, and 33 never driver-checked at all.  Round 3's
-    # window therefore packs (a) all 33 never-checked queries, (b) the new
-    # round-3 registrations (deep-banding near-dup, kafka, subqueries, star
-    # schema), and (c) the round-1-green queries whose verify stages changed
-    # in round 2 (vectorized pair-cosine / multi-probe LSH / df-capped
-    # jaccard).  Round-2-green entries re-check last.
+    # round 3 the evidence map is: 50 green in CORRECTNESS_r03, 50 green in
+    # r02 only, 28 green in r01 only, and exactly 6 queries (the r3
+    # positions 51-56) that have never had a driver row.  Round 4's window
+    # therefore packs (a) those 6 — completing driver evidence for every
+    # registered query, (b) the new round-4 registrations, and (c) the
+    # stalest prior evidence: all 28 r1-only-green queries (two rounds old,
+    # and shared machinery — pair_cos_vectorized, the shingle stack, the
+    # graph loop — has changed since), topped up with the oldest r2-green.
     #
-    # -- tier A (1-33): never driver-checked in any round -------------------
-    "join_left_outer",
-    "join_right_outer",
-    "join_semi",
-    "join_cross",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "agg_rollup",
-    "agg_cube",
-    "agg_stats",
-    "agg_listagg",
-    "agg_multiset",
-    "window_ranks",
-    "window_running_sum",
-    "window_sliding_frame",
-    "dedup_keep_last_batch",
-    "scalar_string_funcs2",
-    "scalar_math_funcs",
-    "scalar_conditional_funcs",
-    "scalar_hash_funcs",
-    "quality_repetition",
-    "boilerplate_ngrams",
-    "tfidf_topk",
-    "mixture_sample",
-    "mixture_quota_sample",
-    "pii_scrub",
-    "export_shard_plan",
-    "cdc_canal_normalize",
-    "cdc_maxwell_normalize",
-    "count_window_sliding",
-    "interval_join_left",
-    "window_join_semi",
-    # -- tier B: new round-3 registrations (never checked by definition) ----
-    "semantic_dedup_t08",
-    "kafka_upsert_normalize",
-    "subquery_scalar",
-    "subquery_exists_correlated",
-    "subquery_in_negated",
-    "star_sales_rollup",
-    "span_dup_topk",
-    "span_dup_doc_stats",
-    "embedding_pq_topk",
-    "sequence_packing",
-    "window_ignore_nulls",
-    "word_pagerank",
-    "table_profile",
-    "dedup_clusters_twophase",
-    "star_share_of_total",
-    "word_triangles",
-    "fuzzy_word_pairs",
-    # -- tier C: round-1-green whose verify stage changed in round 2
-    #    (pair_cos_vectorized, multi-probe Hamming-1, df-capped jaccard);
-    #    embedding_near_pairs_t08 and star_rank_by_dim lead — each shares
-    #    its machinery with an in-window sibling (semantic_dedup_t08 runs
-    #    the same deep banding; star_share_of_total pins the same
-    #    broadcast-dims + rank-over-aggregate shape), so they cede their
-    #    top-50 slots to ops with no driver evidence at all --------------
+    # -- tier A (1-6): never driver-checked in any round --------------------
     "embedding_near_pairs_t08",
     "star_rank_by_dim",
-    "word_clustering_coeff",  # shares the wedge-join machinery with in-window word_triangles
-    "packing_stats",  # same prefix-sum plan as in-window sequence_packing
+    "word_clustering_coeff",
+    "packing_stats",
     "doc_chunking",
     "lm_perplexity",
-    "embedding_near_pairs",
-    "embedding_lsh_topk",
+    # -- tier B: new round-4 registrations (never checked by definition) ----
+    "fuzzy_word_pairs_d2",
+    "chunk_pack_plan",
+    "star_multichannel_cte",
+    "star_channel_intersect",
+    "star_date_offset_compare",
+    # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
+    "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "ngram_jaccard_pairs",
-    "ann_cosine_topk",
-    "dedup_exact",
-    "dedup_clusters",
-    # -- tier D (51+): remaining round-1-green, oldest evidence first -------
     "text_quality",
     "lang_id_ngram",
     "token_count",
@@ -123,6 +69,9 @@ _PRIORITY = [
     "multimodal_features",
     "word_count",
     "top_words_per_lang",
+    "ann_cosine_topk",
+    "embedding_near_pairs",
+    "embedding_lsh_topk",
     "tpch_q2",
     "tpch_q4",
     "tpch_q8",
@@ -136,7 +85,60 @@ _PRIORITY = [
     "asof_temporal_join",
     "window_topn_events",
     "window_join",
-    # -- tier E: round-2-green (auto-appended, freshest evidence) -----------
+    # -- tier D: oldest round-2-green, topping the window up to 50 ----------
+    "cep_funnel",
+    "embedding_ivf_topk",
+    "doc_embedding_join",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q15",
+    "tpch_q19",
+    "tpch_q22",
+    # -- tier E (51+): remaining round-2-green (next-stalest; they lead the
+    #    round-5 rotation), then round-3-green auto-appends last ------------
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q9",
+    "tpch_q18",
+    "window_tumble",
+    "window_hop",
+    "window_session",
+    "window_cumulate",
+    "count_window_agg",
+    "over_range_time",
+    "join_inner",
+    "join_full_outer",
+    "join_anti",
+    "join_non_equi",
+    "set_intersect_all",
+    "set_except_all",
+    "agg_grouping_sets",
+    "agg_distinct",
+    "agg_pivot",
+    "agg_percentiles",
+    "window_topn",
+    "window_range_frame",
+    "window_lead_lag",
+    "sort_limit_offset",
+    "dedup_keep_first_batch",
+    "unnest_words",
+    "values_inline",
+    "scalar_string_funcs",
+    "scalar_temporal_funcs",
+    "scalar_json_funcs",
+    "scalar_collection_funcs",
+    "window_session_dynamic",
+    "changelog_normalize_batch",
+    "retract_aggregate_batch",
+    "cdc_debezium_normalize",
+    "semantic_dedup",
+    "temporal_join_sql",
+    "decontaminate_ngram",
+    # -- tier F: round-3-green (freshest evidence; auto-appended) -----------
 ]
 
 

@@ -561,6 +561,33 @@ def test_triangles_enumeration(spark):
     assert {(r.a, r.b, r.c) for r in triangles(rev).collect()} == tri
 
 
+def test_triangles_degree_orientation_bounds_hub_wedges(spark):
+    """Skewed-graph scale guard: on a star graph the hub (degree n) must
+    emit ZERO wedges — degree orientation pivots every wedge at the
+    lower-degree endpoint, so the leaves (degree 1, no higher-degree
+    second neighbor) emit nothing and the hub is never a pivot.  Under
+    naive id ordering a hub with the smallest id would emit C(n,2)
+    wedges into one partition.  Also checks correctness on a hub graph
+    where leaves are pairwise connected (fan of triangles)."""
+    from incubator_flink_spark.operators.graph import triangles
+
+    n = 200
+    # star: hub 0 — leaves 1..n; no triangles at all
+    star = spark.createDataFrame([(0, i) for i in range(1, n + 1)], "src long, dst long")
+    assert triangles(star).count() == 0
+    # the physical wedge count equals the pivot-side join multiplicity;
+    # reconstruct it logically: with degree orientation each edge is
+    # oriented leaf->hub, so no vertex has 2+ outgoing edges -> 0 wedges.
+    # Fan graph: hub 0 + rim edges (1,2),(3,4),... -> one triangle per rim
+    # edge, each found exactly once
+    fan = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)] + [(i, i + 1) for i in range(1, 20, 2)],
+        "src long, dst long",
+    )
+    tri = {(r.a, r.b, r.c) for r in triangles(fan).collect()}
+    assert tri == {(0, i, i + 1) for i in range(1, 20, 2)}
+
+
 def test_twophase_cc_keeps_self_loop_only_vertices(spark):
     """A vertex whose only edge is a self-loop forms its own component in
     BOTH implementations (same-fixpoint contract)."""
@@ -631,6 +658,33 @@ def test_lm_perplexity_orders_quality(spark):
     # model conditionals are proper probabilities
     probs = [r.prob for r in bigram_model(docs).collect()]
     assert all(0.0 < p < 1.0 for p in probs)
+
+
+def test_doc_nll_external_model_unseen_fallback(spark):
+    """An external held-out model must NOT silently drop unseen bigrams:
+    without unseen_prob the call is rejected; with it, every bigram is
+    scored (n_bigrams counts them all) and OOV-heavy text is penalized
+    harder than in-distribution text."""
+    import pytest
+
+    from incubator_flink_spark.operators.lm import bigram_model, doc_nll
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat sat")], "doc_id long, text string"
+    )
+    model = bigram_model(train)
+    test = spark.createDataFrame(
+        [(10, "the cat sat on the mat"), (11, "qz wx vy uq tz")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="unseen_prob"):
+        doc_nll(test, model=model)
+    out = {r.doc_id: (r.n_bigrams, r.nll) for r in doc_nll(test, model=model, unseen_prob=1e-6).collect()}
+    assert out[10][0] == 5 and out[11][0] == 4  # all bigrams counted, incl. unseen
+    assert out[11][1] > out[10][1]  # OOV-heavy doc penalized
+    # self-model path unchanged: passing unseen_prob there is an error
+    with pytest.raises(ValueError, match="external"):
+        doc_nll(test, unseen_prob=1e-6)
 
 
 def test_round3_curation_pipeline_composes(spark):
