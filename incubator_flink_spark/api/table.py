@@ -465,8 +465,10 @@ class TableEnvironment:
             from incubator_flink_spark.sources.ddl import execute_ddl, parse_create_table
 
             t = parse_create_table(s)
-            self._tables[t.name] = t
+            # register only after the DDL succeeds: a failed CREATE must not
+            # leave a phantom entry for SHOW TABLES / INSERT INTO to find
             execute_ddl(self._spark, s)
+            self._tables[t.name] = t
             return []
         dm = _re.fullmatch(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)", s, _re.I)
         if dm:
@@ -478,7 +480,15 @@ class TableEnvironment:
                 raise ValueError(f"table {name!r} does not exist (use DROP TABLE IF EXISTS)")
             return []
         if _re.fullmatch(r"SHOW\s+TABLES", s, _re.I):
-            return sorted(self._tables)
+            # DDL tables plus temporary views (Flink's SHOW TABLES lists
+            # both) — keeps SHOW and DROP over the same catalog: anything
+            # DROP TABLE can drop, SHOW TABLES lists
+            temp = {
+                t.name
+                for t in self._spark.catalog.listTables()
+                if (t.tableType or "").upper() == "TEMPORARY"
+            }
+            return sorted(set(self._tables) | temp)
         m = _re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(.+)", s, _re.I | _re.S)
         if m:
             from incubator_flink_spark.sources.ddl import execute_ddl

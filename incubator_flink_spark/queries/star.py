@@ -17,14 +17,16 @@ terms (Spark rounds the shortest-repr of the double, DuckDB the exact
 binary value; at the 8th decimal of a 4-decimal-exact product those can
 straddle).
 
-Scale design: lineitem (the fact) is the only large input; every
-dimension chain (orders→customer→nation→region, part, supplier) is
-broadcast so the fact is scanned and shuffled exactly once — for the
-rollup, once into the grouping-set aggregate (Spark's Expand feeds
-partial aggregation, so the fact shuffle carries pre-aggregated rows);
-for the ranking, once into the (nation, type) aggregate whose output
-(dim-cardinality-sized) flows into the window rank without touching the
-fact again.
+Scale design: broadcast is reserved for TRUE dimensions — tables whose
+size is independent of the fact (nation, region, and at TPC-H-like
+ratios part/supplier, which grow ~100-5000× slower than lineitem).
+orders and customer grow WITH the fact, so they join via shuffle
+(AQE picks broadcast at small SFs on its own; hinting it would make the
+plan a broadcast-size failure at larger SFs).  The aggregate then takes
+one fact-sized shuffle — for the rollup, Spark's Expand feeds partial
+aggregation so the exchange carries pre-aggregated rows; for the
+rankings, the window runs over the dim-cardinality aggregate output,
+never over the fact.
 """
 
 from __future__ import annotations
@@ -54,18 +56,20 @@ ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST, o_year NULL
 
 @register("star_sales_rollup", STAR_SALES_ROLLUP_ORACLE)
 def star_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact → four broadcast dims → 3-level ROLLUP (region, nation,
-    order-year) with GROUPING markers — the TPC-DS q5/q18 family shape.
-    Plan-pinned: broadcast joins only, one fact shuffle (the Expand →
-    partial agg → exchange → final agg pipeline)."""
+    """Fact → dim chain → 3-level ROLLUP (region, nation, order-year)
+    with GROUPING markers — the TPC-DS q5/q18 family shape.  orders and
+    customer are fact-proportional, so they join by shuffle (AQE may
+    still choose broadcast at small SFs); nation/region are true dims
+    and broadcast unconditionally.  The rollup itself is one fact
+    shuffle (Expand → partial agg → exchange → final agg)."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     joined = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
@@ -166,19 +170,20 @@ ORDER BY r_name, rnk, n_name
 @register("star_share_of_total", STAR_SHARE_OF_TOTAL_ORACLE)
 def star_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share-of-total within a dimension (the TPC-DS q70 RATIO_TO_REPORT
-    shape): fact scanned once through broadcast dims into a
-    (region, nation) aggregate; BOTH window functions (the share
-    denominator and the rank) run over the dim-cardinality aggregate
-    output partitioned the same way — one window exchange, never the
-    fact."""
+    shape): fact joined through shuffle (orders, customer — both
+    fact-proportional, never hinted broadcast) and broadcast true dims
+    (nation, region) into a (region, nation) aggregate; BOTH window
+    functions (the share denominator and the rank) run over the
+    dim-cardinality aggregate output partitioned the same way — one
+    window exchange, never the fact."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     rev = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")

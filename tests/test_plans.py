@@ -158,9 +158,11 @@ def test_subquery_scalar_decorrelates_to_aggregate_joins(spark):
 
 
 def test_star_rollup_broadcasts_all_dims_single_fact_shuffle(spark):
-    """TPC-DS-shaped star: every dim chain broadcast, so the fact shuffles
-    exactly once (Expand -> partial agg -> exchange -> final agg), plus
-    the ORDER BY sort."""
+    """TPC-DS-shaped star: true dims (nation/region) broadcast by hint,
+    fact-proportional tables (orders/customer) left to AQE — which still
+    broadcasts them at this SF — so the fact shuffles exactly once
+    (Expand -> partial agg -> exchange -> final agg), plus the ORDER BY
+    sort."""
     rep = audit_plan(REGISTRY["star_sales_rollup"].fn(spark, SF))
     assert rep.broadcast_hash_joins >= 4
     assert rep.nested_loop_joins == 0
@@ -197,7 +199,8 @@ def test_sequence_packing_single_shard_shuffle(spark):
 
 def test_star_share_windows_over_aggregate_single_exchange(spark):
     """Share-of-total + rank both partition by r_name over the aggregate
-    output: one window exchange, all dims broadcast, fact shuffled once."""
+    output: one window exchange; true dims broadcast by hint, the rest
+    by AQE's size estimate at this SF; fact shuffled once."""
     rep = audit_plan(REGISTRY["star_share_of_total"].fn(spark, SF))
     assert rep.broadcast_hash_joins >= 4
     assert rep.nested_loop_joins == 0
