@@ -203,3 +203,189 @@ def star_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.rank().over(w_rank).cast("bigint"))
         .orderBy("r_name", "rnk", "n_name")
     )
+
+
+STAR_MULTICHANNEL_CTE_ORACLE = """
+WITH dim AS (
+  SELECT n_nationkey, n_name, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey),
+ch AS (
+  SELECT 'lineitem' AS channel, o_custkey AS custkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS amount
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 'orders' AS channel, o_custkey AS custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) AS amount
+  FROM orders)
+SELECT channel, r_name, n_name, COUNT(*) AS n_rows,
+       CAST(SUM(amount) AS DOUBLE) AS amount
+FROM ch
+JOIN customer ON custkey = c_custkey
+JOIN dim ON c_nationkey = n_nationkey
+GROUP BY channel, r_name, n_name
+ORDER BY channel, r_name, n_name
+"""
+
+
+@register("star_multichannel_cte", STAR_MULTICHANNEL_CTE_ORACLE)
+def star_multichannel_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-channel UNION-of-facts with a shared dimension CTE — the
+    TPC-DS q14/q23 signature (store/catalog/web sales unioned, every
+    channel joined to the same date/customer dims).  Channels here:
+    lineitem net revenue and orders totalprice, tagged and UNION ALLed
+    BEFORE the dim joins so the customer->nation->region chain and the
+    final aggregate are planned once over the union (the shared-CTE
+    discipline; Spark additionally reuses the orders scan across the
+    two channels via exchange/subplan reuse).
+
+    Scale: the union is fact-sized and flows through one shuffle join
+    with customer (fact-proportional — never broadcast-hinted) and
+    broadcast nation/region into a single (channel, region, nation)
+    aggregate — one fact-sized exchange for the join, one
+    pre-aggregated exchange for the groupBy, regardless of channel
+    count."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    amount_li = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(30,4)")
+    ch1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.lit("lineitem").alias("channel"),
+            F.col("o_custkey").alias("custkey"),
+            amount_li.alias("amount"),
+        )
+    )
+    ch2 = o.select(
+        F.lit("orders").alias("channel"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(30,4)").alias("amount"),
+    )
+    dim = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+    return (
+        ch1.unionAll(ch2)
+        .join(c, F.col("custkey") == c.c_custkey)
+        .join(F.broadcast(dim), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("channel", "r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("amount").cast("double").alias("amount"),
+        )
+        .orderBy("channel", "r_name", "n_name")
+    )
+
+
+STAR_CHANNEL_INTERSECT_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+  AND EXISTS (
+        SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey = c_custkey AND l_returnflag = 'R')
+ORDER BY c_custkey
+"""
+
+
+@register("star_channel_intersect", STAR_CHANNEL_INTERSECT_ORACLE)
+def star_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact EXISTS intersection — the TPC-DS q23a shape
+    (customers appearing in BOTH the catalog and web channels).  Here:
+    customers with at least one urgent order AND at least one returned
+    line item.  Each EXISTS is a semi-join against a filtered,
+    pre-distinct fact — the filters cut each fact before its shuffle,
+    the per-channel DISTINCT collapses each side to at most one row per
+    customer BEFORE the semi-join (candidate-proportional, no fact×fact
+    blowup), and the two semi-joins chain on the same c_custkey key so
+    the second reuses the first's partitioning."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    returned = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return (
+        c.join(urgent, c.c_custkey == urgent.custkey, "left_semi")
+        .join(returned, c.c_custkey == returned.custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+STAR_DATE_OFFSET_COMPARE_ORACLE = """
+WITH monthly AS (
+  SELECT n_name,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), CAST(EXTRACT(month FROM o_orderdate) AS BIGINT))
+SELECT cur.n_name, cur.o_year, cur.o_month,
+       cur.revenue, prev.revenue AS prev_revenue,
+       ROUND(cur.revenue / prev.revenue, 6) AS mom_ratio
+FROM monthly cur
+JOIN monthly prev
+  ON cur.n_name = prev.n_name
+ AND (cur.o_year * 12 + cur.o_month) = (prev.o_year * 12 + prev.o_month) + 1
+ORDER BY cur.n_name, cur.o_year, cur.o_month
+"""
+
+
+@register("star_date_offset_compare", STAR_DATE_OFFSET_COMPARE_ORACLE)
+def star_date_offset_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same aggregate joined to itself at two date offsets — the
+    TPC-DS q39 shape (consecutive-month inventory statistics joined per
+    item/warehouse).  Month-over-month revenue per nation: the fact is
+    scanned and aggregated ONCE into a (nation, year, month) table; the
+    consecutive-month comparison is a self-join of that dim-cardinality
+    aggregate on a linearized month key — the offset join never touches
+    fact rows, and Spark reuses the aggregate's exchange on both sides
+    of the self-join."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.month("o_orderdate").cast("bigint").alias("o_month"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    )
+    cur = monthly.alias("cur")
+    prev = monthly.alias("prev")
+    key_cur = F.col("cur.o_year") * 12 + F.col("cur.o_month")
+    key_prev = F.col("prev.o_year") * 12 + F.col("prev.o_month")
+    return (
+        cur.join(
+            prev,
+            (F.col("cur.n_name") == F.col("prev.n_name")) & (key_cur == key_prev + 1),
+        )
+        .select(
+            F.col("cur.n_name").alias("n_name"),
+            F.col("cur.o_year").alias("o_year"),
+            F.col("cur.o_month").alias("o_month"),
+            F.col("cur.revenue").alias("revenue"),
+            F.col("prev.revenue").alias("prev_revenue"),
+            F.round(F.col("cur.revenue") / F.col("prev.revenue"), 6).alias("mom_ratio"),
+        )
+        .orderBy("n_name", "o_year", "o_month")
+    )

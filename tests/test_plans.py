@@ -205,3 +205,33 @@ def test_star_share_windows_over_aggregate_single_exchange(spark):
     assert rep.broadcast_hash_joins >= 4
     assert rep.nested_loop_joins == 0
     assert rep.exchanges <= 3  # fact agg, window partition, output sort
+
+
+def test_star_multichannel_union_single_agg_exchange(spark):
+    """q14/q23 signature: channels UNION ALL before the dim joins, so the
+    aggregate is planned once over the union — no nested loop, no
+    cartesian, and the post-join pipeline costs one pre-aggregated
+    exchange plus the output sort."""
+    rep = audit_plan(REGISTRY["star_multichannel_cte"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
+    assert "Union" in rep.raw
+    assert rep.exchanges <= 4  # customer-join key, agg, sort (+AQE reuse)
+
+
+def test_star_channel_intersect_semi_joins_no_fact_cross(spark):
+    """q23a shape: both EXISTS become semi-joins against pre-distinct
+    filtered facts — never a fact-by-fact cross product."""
+    rep = audit_plan(REGISTRY["star_channel_intersect"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
+    assert "LeftSemi" in rep.raw
+
+
+def test_star_date_offset_self_join_over_aggregate(spark):
+    """q39 shape: the consecutive-month self-join runs over the
+    (nation, year, month) aggregate output, so no join input is
+    fact-sized and nothing nested-loops."""
+    rep = audit_plan(REGISTRY["star_date_offset_compare"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
