@@ -620,6 +620,45 @@ def fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_WORD_PAIRS_D2_ORACLE = f"""
+WITH w0 AS (
+  SELECT DISTINCT unnest({tokens_sql("text")}) AS w FROM documents),
+typos AS (
+  SELECT substring(w, 1, p - 1) || substring(w, p + 1, length(w)) AS w
+  FROM (SELECT w, CAST({hash64_sql("w")} % length(w) AS INT) + 1 AS p
+        FROM w0 WHERE length(w) >= 3) t),
+vocab AS (SELECT w FROM w0 UNION SELECT w FROM typos)
+SELECT a.w AS word_a, b.w AS word_b, levenshtein(a.w, b.w) AS dist
+FROM vocab a JOIN vocab b ON a.w < b.w
+WHERE levenshtein(a.w, b.w) <= 2
+ORDER BY word_a, word_b
+"""
+
+
+@register("fuzzy_word_pairs_d2", FUZZY_WORD_PAIRS_D2_ORACLE)
+def fuzzy_word_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-2 pairs over the same augmented vocabulary via the
+    depth-2 deletion neighborhood (variants hashed to 64 bits before
+    the shuffle); oracle = brute-force all-pairs levenshtein <= 2
+    ground truth, so a hash match proves candidate recall 1.0 at
+    d=2."""
+    from incubator_flink_spark.operators.fuzzy import fuzzy_pairs
+
+    d = load(spark, sf_dir, "documents")
+    w0 = d.select(F.explode(tokens(F.col("text"))).alias("w")).distinct()
+    p = (hash64(F.col("w")) % F.length("w")).cast("int") + 1
+    typos = w0.where(F.length("w") >= 3).select(
+        F.concat(
+            F.col("w").substr(F.lit(1), p - 1),
+            F.col("w").substr(p + 1, F.length("w")),
+        ).alias("w")
+    )
+    vocab = w0.union(typos).distinct()
+    return fuzzy_pairs(vocab, "w", max_dist=2).withColumn(
+        "dist", F.col("dist").cast("int")
+    ).orderBy("word_a", "word_b")
+
+
 WORD_CLUSTERING_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
 adj AS (

@@ -624,6 +624,29 @@ def test_fuzzy_pairs_deletion_neighborhood(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_fuzzy_pairs_depth2(spark):
+    """SymSpell d=2: double substitutions, transpositions (lev 2),
+    insert+delete combos all caught; distance-3 pairs excluded; d=1
+    pairs still included with their exact distance; recall equals a
+    brute-force all-pairs check."""
+    from itertools import combinations
+
+    from incubator_flink_spark.operators.fuzzy import fuzzy_pairs
+
+    vocab = ["cat", "cot", "cut", "coat", "cast", "act", "dog", "dot", "scatter", "xylophone"]
+    words = spark.createDataFrame([(w,) for w in vocab], "w string")
+    out = {(r.word_a, r.word_b): r.dist for r in fuzzy_pairs(words, max_dist=2).collect()}
+    # brute-force ground truth via Spark's own levenshtein
+    truth = {}
+    for a, b in combinations(sorted(vocab), 2):
+        d = spark.sql(f"SELECT levenshtein('{a}', '{b}') d").collect()[0].d
+        if d <= 2:
+            truth[(a, b)] = d
+    assert out == truth
+    assert out[("act", "cat")] == 2  # transposition = 2 substitutions-worth
+    assert ("cat", "dog") not in out  # distance 3 excluded
+
+
 def test_clustering_coefficient_known_graph(spark):
     """K4 members have coeff 1.0; a wedge center 0.0; pendant vertices
     (degree 1) 0.0 by convention."""
