@@ -650,3 +650,64 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return doc_nll(d).orderBy("doc_id")
+
+
+# --- chunk -> pack integration (the actual pre-training layout pass) ----------
+# chunk_documents feeds pack_sequences directly: chunking is map-only, so
+# the composed pipeline still costs exactly one shuffle (the packing
+# shard key feeding the per-shard prefix-sum window) — the chunk stage
+# fuses into the packing exchange with no extra stage boundary
+# (plan-pinned in tests/test_plans.py).
+
+_CP_H = hash64_sql("'pack:' || chunk_key")
+
+CHUNK_PACK_PLAN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+nc AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= {_CHUNK_N} THEN 1
+              ELSE CAST(CEIL((len(t) - {_CHUNK_N}) * 1.0 / {_CHUNK_S}) AS INT) + 1 END AS n_chunks
+  FROM toks WHERE len(t) >= 1),
+chunks AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) AS chunk_key,
+         array_to_string(t[i*{_CHUNK_S}+1 : i*{_CHUNK_S}+{_CHUNK_N}], ' ') AS chunk_text
+  FROM nc, unnest(generate_series(0, n_chunks - 1)) AS u(i)),
+base AS (
+  SELECT chunk_key,
+         CAST(len(regexp_extract_all(lower(chunk_text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+         {_CP_H} AS h,
+         CAST({_CP_H} % {_PACK_SHARDS} AS INT) AS shard
+  FROM chunks),
+plan AS (
+  SELECT chunk_key, n_tokens, shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, chunk_key) - 1 AS BIGINT) AS pos,
+         CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, chunk_key) - n_tokens)
+              // {_PACK_CAP} AS BIGINT) AS bin,
+         CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, chunk_key) - n_tokens)
+              % {_PACK_CAP} AS BIGINT) AS bin_offset
+  FROM base)
+SELECT chunk_key, n_tokens, shard, pos, bin, bin_offset
+FROM plan ORDER BY chunk_key
+"""
+
+
+@register("chunk_pack_plan", CHUNK_PACK_PLAN_ORACLE)
+def chunk_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document (32-token windows, 8 overlap), then pack the
+    CHUNKS into fixed-capacity training bins — the composed
+    pre-training layout pass.  Chunk ids are deterministic
+    doc_id:chunk_id strings, so the packing hash order (and therefore
+    the whole layout) is reproducible run to run."""
+    from incubator_flink_spark.operators.packing import pack_sequences
+    from incubator_flink_spark.operators.spans import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, _CHUNK_N, _CHUNK_O).select(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("chunk_id").cast("string")
+        ).alias("chunk_key"),
+        "chunk_text",
+    )
+    return pack_sequences(
+        chunks, _PACK_CAP, _PACK_SHARDS, id_col="chunk_key", text_col="chunk_text"
+    ).orderBy("chunk_key")

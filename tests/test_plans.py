@@ -235,3 +235,14 @@ def test_star_date_offset_self_join_over_aggregate(spark):
     rep = audit_plan(REGISTRY["star_date_offset_compare"].fn(spark, SF))
     assert rep.nested_loop_joins == 0
     assert "CartesianProduct" not in rep.raw
+
+
+def test_chunk_pack_fuses_into_single_shard_shuffle(spark):
+    """chunk_documents is map-only, so composing it with pack_sequences
+    adds NO exchange: the whole chunk->pack pipeline costs the same as
+    packing alone — one shuffle on the shard key feeding the per-shard
+    prefix-sum window, plus the output sort."""
+    rep = audit_plan(REGISTRY["chunk_pack_plan"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_hash_joins + rep.sort_merge_joins + rep.shuffled_hash_joins == 0
+    assert rep.exchanges <= 3  # same budget test_sequence_packing pins
