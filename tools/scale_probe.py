@@ -103,6 +103,24 @@ def replicate_events(spark, sf_dir: str, n: int, path: str):
     out.write.mode("overwrite").parquet(path)
 
 
+def replicate_lineitem(spark, sf_dir: str, n: int, path: str):
+    li = load(spark, sf_dir, "lineitem")
+    reps = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + k * 1_000_000_000) for k in range(n)
+    ]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionAll(r)
+    out.write.mode("overwrite").parquet(path)
+
+
+def copy_static(spark, sf_dir: str, base: str):
+    """Dims that stay fixed while facts replicate (the realistic scale-up:
+    customers/parts grow far slower than line items)."""
+    for t in ("customer", "nation", "region", "supplier", "part"):
+        load(spark, sf_dir, t).write.mode("overwrite").parquet(f"{base}/{t}.parquet")
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -112,6 +130,8 @@ def main():
     replicate_embeddings(spark, sf_dir, n, f"{base}/embeddings.parquet")
     replicate_orders(spark, sf_dir, n, f"{base}/orders.parquet")
     replicate_events(spark, sf_dir, n, f"{base}/events.parquet")
+    replicate_lineitem(spark, sf_dir, n, f"{base}/lineitem.parquet")
+    copy_static(spark, sf_dir, base)
 
     from incubator_flink_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
     from incubator_flink_spark.operators.export import export_shards
@@ -165,16 +185,25 @@ def main():
         "packing_stats",
         "word_pagerank",
         "word_triangles",
+        "word_clustering_coeff",
         "fuzzy_word_pairs",
+        "fuzzy_word_pairs_d2",
         "table_profile",
         "doc_chunking",
         "lm_perplexity",
+        "chunk_pack_plan",
+        "star_multichannel_cte",
+        "star_channel_intersect",
+        "star_date_offset_compare",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
         )
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     print(f"{'op':24s} {'t_1x':>7s} {'t_' + str(n) + 'x':>7s} {'ratio':>6s}")
     for name, fn in ops.items():
+        if only is not None and name not in only:
+            continue
         fn(sf_dir)  # warm codegen on the small side
         spark.catalog.clearCache()
         t0 = time.time()
