@@ -56,6 +56,7 @@ _PRIORITY = [
     "star_multichannel_cte",
     "star_channel_intersect",
     "star_date_offset_compare",
+    "embedding_ivfpq_topk",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

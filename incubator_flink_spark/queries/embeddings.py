@@ -593,3 +593,172 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
         .orderBy("query_id", "rank")
     )
+
+
+def _ivfpq_oracle(
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    coarse_iters: int = 5,
+    m_sub: int = 8,
+    k_cent: int = 16,
+    pq_iters: int = 3,
+    shortlist: int = 50,
+    k: int = 5,
+) -> str:
+    """Unrolled IVF coarse k-means + PQ training + cell-pruned PQ scoring
+    + exact re-rank — the composed index of ``ivf_pq_topk``, replicated
+    bit-for-bit by stacking the `_ivf_oracle` coarse CTEs and the
+    `_pq_oracle` codebook CTEs (pq iteration CTEs prefixed p* to avoid
+    name collisions) and restricting the PQ cosine to candidates from
+    the probed cells."""
+    sub = 64 // m_sub
+    parts = [
+        f"""WITH earr AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+init AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_clusters}) t),
+carr0 AS (
+  SELECT i.c, ea.v AS cv FROM init i JOIN earr ea ON ea.vec_id = i.vec_id)"""
+    ]
+    for t in range(coarse_iters):
+        parts.append(
+            f""",
+ka{t} AS (
+  SELECT ea.vec_id, c.c, list_inner_product(ea.v, c.cv) AS dot
+  FROM earr ea CROSS JOIN carr{t} c),
+kb{t} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+    FROM ka{t}) t WHERE rn = 1),
+km{t} AS (
+  SELECT b.c, e.d, CAST(SUM(CAST(e.x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS val
+  FROM kb{t} b JOIN e ON e.vec_id = b.vec_id GROUP BY b.c, e.d),
+carr{t + 1} AS (
+  SELECT p.c, COALESCE(n.cv, p.cv) AS cv
+  FROM carr{t} p LEFT JOIN (
+    SELECT c, list(val ORDER BY d) AS cv FROM km{t} GROUP BY c) n ON n.c = p.c)"""
+        )
+    parts.append(
+        f""",
+final_assign AS (
+  SELECT vec_id, c FROM (
+    SELECT ea.vec_id, c.c,
+           ROW_NUMBER() OVER (PARTITION BY ea.vec_id
+                              ORDER BY list_inner_product(ea.v, c.cv) DESC, c.c) AS rn
+    FROM earr ea CROSS JOIN carr{coarse_iters} c) t WHERE rn = 1),
+cells AS (
+  SELECT query_id, c FROM (
+    SELECT ea.vec_id AS query_id, c.c,
+           ROW_NUMBER() OVER (PARTITION BY ea.vec_id
+                              ORDER BY list_inner_product(ea.v, c.cv) DESC, c.c DESC) AS rn
+    FROM earr ea CROSS JOIN carr{coarse_iters} c WHERE ea.vec_id < 20) t WHERE rn <= {n_probe}),
+sub AS (
+  SELECT vec_id, CAST(ms.m AS INT) AS m,
+         list_transform(embedding[ms.m*{sub}+1 : ms.m*{sub}+{sub}], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings, (SELECT unnest(generate_series(0, {m_sub - 1})) AS m) ms),
+svals AS (
+  SELECT vec_id, m, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM sub),
+cb0 AS (
+  SELECT s.m, i.c, s.v AS cv
+  FROM (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k_cent}) t) i
+  JOIN sub s ON s.vec_id = i.vec_id)"""
+    )
+    for t in range(pq_iters):
+        parts.append(
+            f""",
+pa{t} AS (
+  SELECT s.vec_id, s.m, c.c,
+         list_inner_product(s.v, s.v) - 2*list_inner_product(s.v, c.cv)
+           + list_inner_product(c.cv, c.cv) AS dist
+  FROM sub s JOIN cb{t} c ON c.m = s.m),
+pb{t} AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM pa{t}) z WHERE rn = 1),
+ps{t} AS (
+  SELECT b.m, b.c, sv.d, CAST(SUM(CAST(sv.x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS val
+  FROM pb{t} b JOIN svals sv ON sv.vec_id = b.vec_id AND sv.m = b.m
+  GROUP BY b.m, b.c, sv.d),
+cb{t + 1} AS (
+  SELECT p.m, p.c, COALESCE(n.cv, p.cv) AS cv
+  FROM cb{t} p LEFT JOIN (
+    SELECT m, c, list(val ORDER BY d) AS cv FROM ps{t} GROUP BY m, c) n
+  ON n.m = p.m AND n.c = p.c)"""
+        )
+    parts.append(
+        f""",
+paf AS (
+  SELECT s.vec_id, s.m, c.c,
+         list_inner_product(s.v, s.v) - 2*list_inner_product(s.v, c.cv)
+           + list_inner_product(c.cv, c.cv) AS dist
+  FROM sub s JOIN cb{pq_iters} c ON c.m = s.m),
+pbf AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM paf) z WHERE rn = 1),
+recon AS (
+  SELECT b.vec_id, b.m * {sub} + generate_subscripts(c.cv, 1) - 1 AS gd, unnest(c.cv) AS y
+  FROM pbf b JOIN cb{pq_iters} c ON c.m = b.m AND c.c = b.c),
+qe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS gd,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id < 20),
+cand AS (
+  SELECT cells.query_id, fa.vec_id AS neighbor_id
+  FROM cells JOIN final_assign fa ON fa.c = cells.c
+  WHERE fa.vec_id <> cells.query_id),
+pqc AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         ROUND(SUM(q.x*r.y) / (SQRT(SUM(q.x*q.x)) * SQRT(SUM(r.y*r.y))), 6) AS pcos
+  FROM cand cd
+  JOIN qe q ON q.vec_id = cd.query_id
+  JOIN recon r ON r.vec_id = cd.neighbor_id AND r.gd = q.gd
+  GROUP BY 1, 2),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) AS rn
+    FROM pqc) z WHERE rn <= {shortlist}),
+elems AS (
+  SELECT s.query_id, s.neighbor_id,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x, CAST(unnest(b.embedding) AS DOUBLE) AS y
+  FROM short s JOIN embeddings a ON a.vec_id = s.query_id
+               JOIN embeddings b ON b.vec_id = s.neighbor_id),
+cosf AS (
+  SELECT query_id, neighbor_id,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM elems GROUP BY 1, 2)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM cosf) t
+WHERE rank <= {k}
+ORDER BY query_id, rank"""
+    )
+    return "".join(parts)
+
+
+@register("embedding_ivfpq_topk", _ivfpq_oracle())
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the composed FAISS-style index: coarse cells prune
+    the corpus, PQ codes score the survivors, exact cosine re-ranks the
+    shortlist.  Both trainings are deterministic, so the oracle unrolls
+    the identical coarse + codebook k-means and must reproduce cells,
+    codes, shortlists, and final ranks exactly; recall vs brute force is
+    floored in tests/test_operators.py."""
+    from incubator_flink_spark.operators.similarity import ivf_pq_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return (
+        ivf_pq_topk(e, q, 5, n_clusters=8, n_probe=2, shortlist=50)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )

@@ -411,6 +411,34 @@ def test_pq_rerank_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"PQ rerank recall too low: {recall}"
 
 
+def test_ivf_pq_recall_and_subset_of_probed_cells(spark):
+    """IVF-PQ recall floor vs brute force (the coarse pruning loses a
+    little more than PQ alone — that is the scan-bound trade), plus the
+    structural invariant that every result lies in the query's probed
+    cells (pruning is real, not decorative)."""
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    truth = {(r.query_id, r.neighbor_id) for r in brute_force_topk(e, q, 5).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in ivf_pq_topk(e, q, 5, shortlist=50).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4, f"IVF-PQ recall too low: {recall}"
+    # candidates are cell-pruned: IVF-PQ results form a subset of what the
+    # pure-IVF scan of the same cells can see (k large enough to saturate)
+    ivf_all = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(e, q, 10_000, n_clusters=8, n_probe=2).collect()
+    }
+    assert got <= ivf_all
+
+
 def test_pq_codes_shape_and_determinism(spark):
     """Codes are one small int per subspace, and two runs of training +
     encode produce identical codes (fixed init, fixed iteration count,
