@@ -72,6 +72,13 @@ EXTRA = [
     "star_sales_rollup",
     "kafka_upsert_normalize",
     "subquery_exists_correlated",
+    # round 4
+    "embedding_ivfpq_topk",
+    "chunk_pack_plan",
+    "star_multichannel_cte",
+    "fuzzy_word_pairs_d2",
+    "lm_perplexity",
+    "word_triangles",
 ]
 
 

@@ -381,3 +381,62 @@ def clustering_coefficient(edges: DataFrame, src: str = "src", dst: str = "dst")
             .alias("coeff"),
         )
     )
+
+
+def sssp(
+    edges: DataFrame,
+    source,
+    iters: int = 15,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Single-source shortest paths (Gelly library analog:
+    flink-libraries/flink-gelly/.../library/SingleSourceShortestPaths.java,
+    a scatter-gather min-distance iteration) as a driver loop of
+    Bellman-Ford relaxation rounds over the undirected graph: each round
+    is ONE join + min-aggregate shuffle keyed on vertex id, and after
+    round t the table holds the exact minimum distance over paths of
+    <= t edges.  ``iters`` is a FIXED round count (not a convergence
+    loop) so the result is the same deterministic function of the input
+    on any engine — an oracle unrolling the same rounds matches exactly;
+    pick iters >= graph diameter for the true fixpoint.  Unit edge
+    weight by default (hop distance, exact integers); pass ``weight``
+    for weighted relaxation (use exact-decimal weights if cross-engine
+    determinism matters).  Rounds are localCheckpoint-ed so lineage
+    stays O(1) deep, the same discipline as the other loops here."""
+    w_expr = F.col(weight) if weight else F.lit(1)
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w_expr.alias("w"))
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    # seed from the edge table itself (type-agnostic, and validates the
+    # source actually exists in the graph)
+    dist = (
+        e.select(F.col("u").alias("vertex"))
+        .where(F.col("u") == F.lit(source))
+        .distinct()
+        .select("vertex", F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    if dist.count() == 0:
+        raise ValueError(f"sssp source {source!r} has no edges in the graph")
+    try:
+        for _ in range(iters):
+            relax = (
+                e.join(dist.select(F.col("vertex").alias("u"), "dist"), "u")
+                .select(F.col("v").alias("vertex"), (F.col("dist") + F.col("w")).alias("dist"))
+            )
+            dist = (
+                dist.union(relax)
+                .groupBy("vertex")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        e.unpersist()
+    return dist

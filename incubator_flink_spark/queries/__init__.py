@@ -57,6 +57,8 @@ _PRIORITY = [
     "star_channel_intersect",
     "star_date_offset_compare",
     "embedding_ivfpq_topk",
+    "bm25_topk",
+    "word_sssp",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

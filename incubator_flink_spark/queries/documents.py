@@ -706,3 +706,68 @@ def word_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vertex").alias("word"), "degree", "n_triangles", "coeff")
         .orderBy("word")
     )
+
+
+# --- single-source shortest paths over the word graph --------------------------
+# Gelly library/SingleSourceShortestPaths.java analog: hop distance from
+# the lexicographically-first word over the bigram adjacency graph.  The
+# operator runs a FIXED number of Bellman-Ford rounds (15 — comfortably
+# above the word graph's diameter) so the oracle can unroll the exact
+# same rounds as chained CTEs; distances are exact integers.
+
+_SSSP_ITERS = 15
+
+
+def _sssp_oracle(iters: int = _SSSP_ITERS) -> str:
+    parts = [
+        f"""WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+adj AS (
+  SELECT t[j] AS src, t[j+1] AS dst
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(j)),
+e AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT src AS u, dst AS v FROM adj
+    UNION ALL SELECT dst AS u, src AS v FROM adj) s
+  WHERE u <> v GROUP BY u, v),
+d0 AS (
+  SELECT MIN(u) AS vertex, CAST(0 AS BIGINT) AS dist FROM e)"""
+    ]
+    for t in range(iters):
+        # MATERIALIZED: each round references the previous one twice; an
+        # inlined CTE chain would expand 2^iters times
+        parts.append(
+            f""",
+d{t + 1} AS MATERIALIZED (
+  SELECT vertex, MIN(dist) AS dist FROM (
+    SELECT vertex, dist FROM d{t}
+    UNION ALL
+    SELECT e.v AS vertex, d{t}.dist + 1 AS dist
+    FROM d{t} JOIN e ON e.u = d{t}.vertex) s
+  GROUP BY vertex)"""
+        )
+    parts.append(
+        f"""
+SELECT vertex AS word, dist FROM d{iters} ORDER BY word"""
+    )
+    return "".join(parts)
+
+
+@register("word_sssp", _sssp_oracle())
+def word_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the lexicographically-first word to every word
+    reachable within 15 Bellman-Ford rounds (operators/graph.sssp);
+    the oracle unrolls the identical rounds."""
+    from incubator_flink_spark.operators.graph import sssp
+
+    d = load(spark, sf_dir, "documents")
+    bigrams = d.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    ew = bigrams.select(
+        F.split(F.col("bg"), " ").getItem(0).alias("src"),
+        F.split(F.col("bg"), " ").getItem(1).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    source = ew.agg(F.min(F.least("src", "dst"))).collect()[0][0]
+    return (
+        sssp(ew, source, iters=_SSSP_ITERS)
+        .select(F.col("vertex").alias("word"), "dist")
+        .orderBy("word")
+    )

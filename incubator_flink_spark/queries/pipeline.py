@@ -285,6 +285,99 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BM25 retrieval (benchmark-query search over the corpus) ------------------
+# Okapi BM25 (Robertson/Sparck Jones; the standard retrieval scorer) —
+# the curation uses: scoring training docs against benchmark queries for
+# decontamination-by-relevance, and building keyword indexes over a
+# corpus.  Same linear shuffle discipline as tfidf_topk: explode ->
+# (doc, term) agg -> vocabulary df agg -> broadcast the (tiny) query-term
+# set and the 1-row corpus stats -> per-term top-k window.  The query
+# terms here are the corpus's highest-df terms of length >= 4 (a
+# deterministic, data-derived stand-in for an external query file).
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_NQ = 8
+_BM25_K = 5
+
+BM25_ORACLE = f"""
+WITH w AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+         (SELECT CAST(SUM(tf) AS DOUBLE) FROM tf) /
+         CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl),
+qterms AS (
+  SELECT term, df FROM df WHERE length(term) >= 4
+  ORDER BY df DESC, term LIMIT {_BM25_NQ}),
+scored AS (
+  SELECT q.term, tf.doc_id, tf.tf,
+         ROUND(LN((s.n - q.df + 0.5) / (q.df + 0.5) + 1)
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)),
+               6) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id, stats s),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk
+  FROM scored)
+SELECT term, doc_id, tf, score, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= {_BM25_K}
+ORDER BY term, rnk
+"""
+
+
+@register("bm25_topk", BM25_ORACLE)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} documents per query term by Okapi BM25 (k1=1.2, b=0.75,
+    the +1 idf form that keeps scores positive at high df).  All shuffles
+    keyed on (doc, term), term, or doc; the query-term set and the 1-row
+    corpus stats broadcast; the ranking window runs over the
+    candidate-sized scored set, never the corpus."""
+    from pyspark.sql import Window
+
+    d = spread(load(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    tot_tf = tf.agg(F.sum("tf").cast("double").alias("__t"))
+    stats = n_docs.crossJoin(tot_tf).select(
+        "__n", (F.col("__t") / F.col("__n")).alias("__avgdl")
+    )
+    qterms = (
+        df_tbl.where(F.length("term") >= 4)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_BM25_NQ)
+    )
+    idf = F.log((F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    tfn = (
+        F.col("tf")
+        * (_BM25_K1 + 1)
+        / (F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("__avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", "tf", F.round(idf * tfn, 6).alias("score"))
+    )
+    win = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= _BM25_K)
+        .select("term", "doc_id", "tf", "score", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("term", "rnk")
+    )
+
+
 # --- deterministic mixture resampling ----------------------------------------
 # Down-weighting over-represented sources/languages is the standard
 # mixture-rebalancing pass in training-data pipelines.  The keep decision

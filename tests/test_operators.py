@@ -630,6 +630,33 @@ def test_twophase_cc_keeps_self_loop_only_vertices(spark):
     assert lp == tp == {(1, 1), (2, 2), (3, 2)}
 
 
+def test_sssp_known_graph(spark):
+    """Hop distances on a known graph: chain + branch + unreachable
+    island; weighted relaxation takes the cheaper 2-hop path over the
+    direct expensive edge; fixed rounds = min over paths of <= t edges."""
+    import pytest
+
+    from incubator_flink_spark.operators.graph import sssp
+
+    # 1-2-3-4 chain, 2-5 branch, 8-9 island
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5), (8, 9)], "src long, dst long"
+    )
+    out = {r.vertex: r.dist for r in sssp(e, 1, iters=10).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 2}  # island unreachable, absent
+    # round-bounded: with 2 rounds, vertex 4 (3 hops) is not yet reached
+    out2 = {r.vertex: r.dist for r in sssp(e, 1, iters=2).collect()}
+    assert out2 == {1: 0, 2: 1, 3: 2, 5: 2}
+    # weighted: direct 1-3 edge costs 10, the 1-2-3 path costs 2
+    ew = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 1), (2, 3, 1)], "src long, dst long, w long"
+    )
+    outw = {r.vertex: r.dist for r in sssp(ew, 1, iters=5, weight="w").collect()}
+    assert outw == {1: 0, 2: 1, 3: 2}
+    with pytest.raises(ValueError, match="no edges"):
+        sssp(e, 99, iters=2).collect()
+
+
 def test_fuzzy_pairs_deletion_neighborhood(spark):
     """SymSpell d=1 matching: substitutions, insertions, deletions all
     caught (they share a deletion variant); distance-2 pairs excluded;
