@@ -59,6 +59,8 @@ _PRIORITY = [
     "embedding_ivfpq_topk",
     "bm25_topk",
     "word_sssp",
+    "star_rollup_window",
+    "star_cumulative_compare",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -389,3 +389,177 @@ def star_date_offset_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "o_year", "o_month")
     )
+
+
+STAR_ROLLUP_WINDOW_ORACLE = """
+WITH agg AS (
+  SELECT r_name, n_name,
+         CAST(grouping(n_name) AS BIGINT) AS g_nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT), ROLLUP (n_name))
+SELECT r_name, n_name, g_nation, o_year, revenue, rnk FROM (
+  SELECT r_name, n_name, g_nation, o_year, revenue,
+         CAST(RANK() OVER (PARTITION BY r_name, g_nation
+                           ORDER BY revenue DESC, o_year, n_name NULLS FIRST) AS BIGINT) AS rnk
+  FROM agg) t
+WHERE rnk <= 3
+ORDER BY r_name, g_nation, rnk, o_year, n_name NULLS FIRST
+"""
+
+
+@register("star_rollup_window", STAR_ROLLUP_WINDOW_ORACLE)
+def star_rollup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank OVER a rollup's output — the TPC-DS q67 shape (rank
+    items inside every rollup level of the sales cube).  The rollup is
+    the one fact shuffle; the rank partitions by (region, grouping
+    level) over the dim-cardinality rollup output, so the window
+    exchange never carries fact rows, subtotal rows rank in their own
+    partition, and detail rows in theirs."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+    )
+    agg = (
+        joined.rollup("r_name", "o_year", "n_name")
+        .agg(
+            F.grouping("n_name").cast("bigint").alias("g_nation"),
+            F.grouping("r_name").cast("bigint").alias("__gr"),
+            F.grouping("o_year").cast("bigint").alias("__gy"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        # Spark's rollup(a, b, c) includes levels the SQL "GROUP BY a, b,
+        # ROLLUP(c)" does not — keep only (a, b, c) and (a, b) levels
+        .where((F.col("__gr") == 0) & (F.col("__gy") == 0))
+    )
+    w = W.partitionBy("r_name", "g_nation").orderBy(
+        F.col("revenue").desc(), F.col("o_year"), F.col("n_name").asc_nulls_first()
+    )
+    return (
+        agg.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("r_name", "n_name", "g_nation", "o_year", "revenue", "rnk")
+        .orderBy(
+            "r_name", "g_nation", "rnk", "o_year", F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+STAR_CUMULATIVE_COMPARE_ORACLE = """
+WITH a AS (
+  SELECT n_name,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) * 12 + CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+b AS (
+  SELECT n_name,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) * 12 + CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+ac AS (
+  SELECT n_name, ym,
+         CAST(SUM(rev) OVER (PARTITION BY n_name ORDER BY ym) AS DOUBLE) AS cum_ship
+  FROM a),
+bc AS (
+  SELECT n_name, ym,
+         CAST(SUM(rev) OVER (PARTITION BY n_name ORDER BY ym) AS DOUBLE) AS cum_book
+  FROM b)
+SELECT COALESCE(ac.n_name, bc.n_name) AS n_name,
+       COALESCE(ac.ym, bc.ym) AS ym,
+       ac.cum_ship, bc.cum_book,
+       CASE WHEN ac.cum_ship IS NOT NULL AND bc.cum_book IS NOT NULL
+                 AND ac.cum_ship > bc.cum_book
+            THEN 1 ELSE 0 END AS ship_ahead
+FROM ac FULL OUTER JOIN bc ON ac.n_name = bc.n_name AND ac.ym = bc.ym
+ORDER BY n_name, ym
+"""
+
+
+@register("star_cumulative_compare", STAR_CUMULATIVE_COMPARE_ORACLE)
+def star_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two channels' cumulative series FULL OUTER joined — the TPC-DS
+    q51 shape (web vs store cumulative sales compared per item/date).
+    Channels: shipped lineitem revenue vs booked order totals, each
+    aggregated to (nation, month), running-summed per nation (window
+    over the dim-cardinality aggregate, decimal-exact so the cumsum is
+    order-independent), then full-outer joined on (nation, month) to
+    flag months where shipments run ahead of bookings.  Each fact is
+    scanned and shuffled once; every window/join after that is
+    aggregate-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    ym = (F.year("o_orderdate").cast("bigint") * 12 + F.month("o_orderdate").cast("bigint")).alias("ym")
+    a = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", ym)
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("decimal(30,4)")
+            ).alias("rev")
+        )
+    )
+    b = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", ym)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(30,4)")).alias("rev"))
+    )
+    wcum = W.partitionBy("n_name").orderBy("ym")
+    ac = a.select(
+        F.col("n_name").alias("a_n"), F.col("ym").alias("a_ym"),
+        F.sum("rev").over(W.partitionBy("n_name").orderBy("ym")).cast("double").alias("cum_ship"),
+    )
+    bc = b.select(
+        F.col("n_name").alias("b_n"), F.col("ym").alias("b_ym"),
+        F.sum("rev").over(wcum).cast("double").alias("cum_book"),
+    )
+    return (
+        ac.join(bc, (ac.a_n == bc.b_n) & (ac.a_ym == bc.b_ym), "full_outer")
+        .select(
+            F.coalesce("a_n", "b_n").alias("n_name"),
+            F.coalesce("a_ym", "b_ym").alias("ym"),
+            "cum_ship",
+            "cum_book",
+            F.when(
+                F.col("cum_ship").isNotNull()
+                & F.col("cum_book").isNotNull()
+                & (F.col("cum_ship") > F.col("cum_book")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("ship_ahead"),
+        )
+        .orderBy("n_name", "ym")
+    )

@@ -246,3 +246,23 @@ def test_chunk_pack_fuses_into_single_shard_shuffle(spark):
     assert rep.nested_loop_joins == 0
     assert rep.broadcast_hash_joins + rep.sort_merge_joins + rep.shuffled_hash_joins == 0
     assert rep.exchanges <= 3  # same budget test_sequence_packing pins
+
+
+def test_star_rollup_window_ranks_over_rollup_output(spark):
+    """q67 shape: the rank window partitions by (region, grouping level)
+    over the rollup's output — Expand feeds the one fact shuffle, the
+    window exchange is aggregate-sized, nothing nested-loops."""
+    rep = audit_plan(REGISTRY["star_rollup_window"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
+    assert "Expand" in rep.raw and "Window" in rep.raw
+
+
+def test_star_cumulative_compare_aggregate_sized_tail(spark):
+    """q51 shape: each fact shuffles once into its channel aggregate; the
+    cumulative windows and the full-outer join run over
+    (nation, month)-sized tables only."""
+    rep = audit_plan(REGISTRY["star_cumulative_compare"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
+    assert "FullOuter" in rep.raw

@@ -195,6 +195,9 @@ def main():
         "star_multichannel_cte",
         "star_channel_intersect",
         "star_date_offset_compare",
+        "embedding_ivfpq_topk",
+        "bm25_topk",
+        "word_sssp",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
