@@ -163,3 +163,27 @@ def test_execute_sql_drop_and_show_tables(spark, tmp_path):
     env.execute_sql("DROP TABLE IF EXISTS dt_t")  # idempotent
     with pytest.raises(ValueError, match="does not exist"):
         env.execute_sql("DROP TABLE dt_t")
+
+
+def test_show_tables_lists_temp_views_drop_consistent(spark):
+    """SHOW TABLES and DROP TABLE operate over the same catalog: a
+    temporary view registered outside DDL is listed and droppable, and a
+    failed CREATE leaves no phantom entry."""
+    import pytest
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    spark.range(3).createOrReplaceTempView("stv_view")
+    try:
+        assert "stv_view" in env.execute_sql("SHOW TABLES")
+        env.execute_sql("DROP TABLE stv_view")
+        assert "stv_view" not in env.execute_sql("SHOW TABLES")
+        # failed CREATE (unsupported connector) must not register anything
+        with pytest.raises(Exception):
+            env.execute_sql(
+                "CREATE TABLE stv_bad (x INT) WITH ('connector' = 'no-such-connector')"
+            )
+        assert "stv_bad" not in env.execute_sql("SHOW TABLES")
+    finally:
+        spark.catalog.dropTempView("stv_view")
