@@ -277,3 +277,96 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup matches of NEW documents against an existing REFERENCE
+    corpus — the production incremental-ingest shape ("is this crawl doc
+    already in the training set?"): (doc_id, ref_id, jaccard) with each
+    new doc's best match (max jaccard, ties to the smallest ref id) at
+    >= threshold; anti-join the result against the new corpus to keep
+    survivors.
+
+    Same banded-candidate discipline as minhash_lsh_pairs but the join
+    is ASYMMETRIC: new-side band keys probe the reference-side band
+    table (at steady state the reference signatures are a precomputed,
+    bucketed table — only the new slice is signed per ingest), so the
+    shuffle is proportional to the new slice + candidates, never the
+    reference corpus.  Default banding is 8 bands x 1 row: recall
+    1-(1-j)^8 (>= 0.9999997 at j=0.8) — deeper than the symmetric
+    default because an incremental drop decision is irreversible.
+    Verify is exact cross-corpus jaccard over candidate pairs only."""
+    from pyspark.storagelevel import StorageLevel
+
+    rows = NUM_MINHASHES // bands
+    ds_new = doc_shingle_set(new_docs, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    ds_ref = doc_shingle_set(ref_docs, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_new = minhash_signatures(new_docs, id_col, text_col, k, ds=ds_new)
+    sig_ref = minhash_signatures(ref_docs, id_col, text_col, k, ds=ds_ref)
+
+    def _bands_long(sig: DataFrame, out_id: str) -> DataFrame:
+        cols = [
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"minhash_{b * rows + r}") for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+        return sig.select(
+            F.col(id_col).alias(out_id), F.explode(F.array(*cols)).alias("bk")
+        ).select(out_id, F.col("bk.band_idx"), F.col("bk.band_key"))
+
+    cand = (
+        _bands_long(sig_new, "new_id")
+        .join(_bands_long(sig_ref, "ref_id"), ["band_idx", "band_key"])
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    # candidate-first cross-corpus verify (the two-table analog of
+    # verify_jaccard): restrict each inverted index to candidate docs
+    # before the shingle join
+    dn = ds_new.select(F.col(id_col).alias("new_id"), "shingle").join(
+        cand.select("new_id").distinct(), "new_id", "left_semi"
+    )
+    dr = ds_ref.select(F.col(id_col).alias("ref_id"), "shingle").join(
+        cand.select("ref_id").distinct(), "ref_id", "left_semi"
+    )
+    inter = (
+        dn.join(dr, "shingle")
+        .join(cand, ["new_id", "ref_id"], "left_semi")
+        .groupBy("new_id", "ref_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_new = ds_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_n"))
+    sz_ref = ds_ref.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_r"))
+    scored = (
+        inter.join(sz_new.select(F.col(id_col).alias("new_id"), "sz_n"), "new_id")
+        .join(sz_ref.select(F.col(id_col).alias("ref_id"), "sz_r"), "ref_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_n") + F.col("sz_r") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("new_id").orderBy(F.col("jaccard").desc(), F.col("ref_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("new_id").alias(id_col), "ref_id", "jaccard")
+    )

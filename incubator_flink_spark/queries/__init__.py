@@ -61,6 +61,7 @@ _PRIORITY = [
     "word_sssp",
     "star_rollup_window",
     "star_cumulative_compare",
+    "incremental_dedup",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -771,3 +771,69 @@ def word_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vertex").alias("word"), "dist")
         .orderBy("word")
     )
+
+
+# --- incremental dedup: new corpus vs existing reference corpus ----------------
+# The production ingest shape: is this new doc already (nearly) in the
+# training set?  Split the documents table into a reference slice
+# (doc_id % 3 == 0) and a new slice (the rest), and plant near-dups of
+# reference docs in the new slice (append 3 tokens -> jaccard
+# (s-2)/(s+1) for an s-shingle doc, >= 0.8 whenever the doc has >= 14
+# tokens; shorter planted docs fall below the threshold and BOTH engines
+# exclude them — the oracle is ground-truth all-cross-pairs jaccard, so
+# the operating point needs no banding-recall argument beyond the
+# 8-band/1-row S-curve: miss probability (1-j)^8 <= 2.6e-6 at j = 0.8).
+
+_INC_PLANT_SQL = """
+ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+newdocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' xq zv qt' AS text
+  FROM documents WHERE doc_id % 15 = 0)
+"""
+
+INCREMENTAL_DEDUP_ORACLE = f"""
+WITH {_INC_PLANT_SQL},
+dsr AS (
+  SELECT DISTINCT doc_id, {hash64_sql("__s")} AS shingle
+  FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS __s FROM ref)),
+dsn AS (
+  SELECT DISTINCT doc_id, {hash64_sql("__s")} AS shingle
+  FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS __s FROM newdocs)),
+szr AS (SELECT doc_id, COUNT(*) AS sz FROM dsr GROUP BY doc_id),
+szn AS (SELECT doc_id, COUNT(*) AS sz FROM dsn GROUP BY doc_id),
+inter AS (
+  SELECT n.doc_id AS new_id, r.doc_id AS ref_id, COUNT(*) AS n
+  FROM dsn n JOIN dsr r ON n.shingle = r.shingle
+  GROUP BY 1, 2),
+j AS (
+  SELECT new_id, ref_id,
+         ROUND(n * 1.0 / (sn.sz + sr.sz - n), 6) AS jaccard
+  FROM inter JOIN szn sn ON sn.doc_id = new_id JOIN szr sr ON sr.doc_id = ref_id
+  WHERE ROUND(n * 1.0 / (sn.sz + sr.sz - n), 6) >= 0.8),
+best AS (
+  SELECT new_id, ref_id, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY jaccard DESC, ref_id) AS rn
+  FROM j)
+SELECT new_id AS doc_id, ref_id, jaccard FROM best WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("incremental_dedup", INCREMENTAL_DEDUP_ORACLE)
+def incremental_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-reference near-dup matching (operators/dedup.
+    incremental_dedup): best reference match per new doc at jaccard >=
+    0.8.  Oracle = ground-truth all-cross-pairs jaccard over the same
+    planted split (recall proof for the asymmetric banded join)."""
+    from incubator_flink_spark.operators.dedup import incremental_dedup
+
+    d = load(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    planted = d.where(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xq zv qt")).alias("text"),
+    )
+    new = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text").unionAll(planted)
+    return incremental_dedup(new, ref, threshold=0.8).orderBy("doc_id")
