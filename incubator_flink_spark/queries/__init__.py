@@ -62,6 +62,7 @@ _PRIORITY = [
     "star_rollup_window",
     "star_cumulative_compare",
     "incremental_dedup",
+    "quality_linear_probe",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -804,3 +804,80 @@ def chunk_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         chunks, _PACK_CAP, _PACK_SHARDS, id_col="chunk_key", text_col="chunk_text"
     ).orderBy("chunk_key")
+
+
+# --- trained linear-probe quality classifier ----------------------------------
+# operators/classifier.py: hashed bag-of-words features, full-batch GD,
+# squared loss (no libm anywhere) — the oracle unrolls the identical
+# training steps and must reproduce every weight and score bit-for-bit,
+# the same contract as the IVF/PQ k-means trainings.
+
+_LP_B = 16
+_LP_T = 3
+_LP_LR = 0.5
+
+
+def _linear_probe_oracle(n_buckets: int = _LP_B, iters: int = _LP_T, lr: float = _LP_LR) -> str:
+    parts = [
+        f"""WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+ntok AS (SELECT doc_id, len(t) AS n FROM base),
+cnt AS (
+  SELECT doc_id, CAST({hash64_sql("w")} % {n_buckets} AS INT) AS j, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS w FROM base) u GROUP BY 1, 2),
+feats AS MATERIALIZED (
+  SELECT cnt.doc_id, cnt.j, CAST(cnt.c AS DOUBLE) / n.n AS x
+  FROM cnt JOIN ntok n ON n.doc_id = cnt.doc_id
+  UNION ALL
+  SELECT doc_id, {n_buckets} AS j, CAST(1.0 AS DOUBLE) AS x FROM ntok),
+y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+w0 AS (SELECT CAST(j AS INT) AS j, CAST(0 AS DOUBLE) AS w FROM range({n_buckets + 1}) t(j))"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+p{t} AS (
+  SELECT f.doc_id, CAST(SUM(CAST(f.x * w.w AS DECIMAL(38,18))) AS DOUBLE) AS pred
+  FROM feats f JOIN w{t} w ON w.j = f.j GROUP BY 1),
+e{t} AS (
+  SELECT p.doc_id, p.pred - y.y AS e FROM p{t} p JOIN y ON y.doc_id = p.doc_id),
+g{t} AS (
+  SELECT f.j, CAST(SUM(CAST(e.e * f.x AS DECIMAL(38,18))) AS DOUBLE) AS g
+  FROM feats f JOIN e{t} e ON e.doc_id = f.doc_id GROUP BY 1),
+w{t + 1} AS MATERIALIZED (
+  SELECT w.j, w.w - {lr} * (COALESCE(g.g, CAST(0 AS DOUBLE)) / nn.n) AS w
+  FROM w{t} w LEFT JOIN g{t} g ON g.j = w.j, nn)"""
+        )
+    parts.append(
+        f"""
+SELECT f.doc_id, y.y,
+       ROUND(CAST(SUM(CAST(f.x * w.w AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+FROM feats f JOIN w{iters} w ON w.j = f.j JOIN y ON y.doc_id = f.doc_id
+GROUP BY f.doc_id, y.y
+ORDER BY f.doc_id"""
+    )
+    return "".join(parts)
+
+
+@register("quality_linear_probe", _linear_probe_oracle())
+def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a linear probe predicting lang == 'en' from hashed
+    bag-of-words features (3 full-batch GD steps), then score every
+    document — the trained-classifier quality-filter pass.  Oracle
+    unrolls the identical training; weights and scores must match
+    bit-for-bit."""
+    from incubator_flink_spark.operators.classifier import (
+        score_linear_probe,
+        train_linear_probe,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    label = F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+    w = train_linear_probe(d, label, n_buckets=_LP_B, iters=_LP_T, lr=_LP_LR)
+    y = d.select("doc_id", label.cast("double").alias("y"))
+    return (
+        score_linear_probe(d, w, n_buckets=_LP_B)
+        .join(y, "doc_id")
+        .select("doc_id", "y", "score")
+        .orderBy("doc_id")
+    )

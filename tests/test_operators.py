@@ -801,3 +801,28 @@ def test_round3_curation_pipeline_composes(spark):
     packed = plan.collect()
     assert len(packed) == chunks.count()  # every chunk placed exactly once
     assert all(0 <= r.bin_offset < 128 and 0 <= r.shard < 4 for r in packed)
+
+
+def test_linear_probe_learns_separable_signal(spark):
+    """The GD linear probe separates a trivially separable corpus (label
+    = contains 'aardvark') within 3 steps: scores for positive docs
+    exceed every negative doc's; training is run-to-run deterministic."""
+    from pyspark.sql import functions as F
+
+    from incubator_flink_spark.operators.classifier import (
+        score_linear_probe,
+        train_linear_probe,
+    )
+
+    rows = [(i, "aardvark quux " * 5) for i in range(5)] + [
+        (i, "zebra yak xylo " * 5) for i in range(5, 10)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    label = F.when(F.col("text").contains("aardvark"), F.lit(1.0)).otherwise(F.lit(0.0))
+    w1 = train_linear_probe(d, label, iters=3)
+    w2 = train_linear_probe(d, label, iters=3)
+    assert w1 == w2  # bit-identical re-train
+    scores = {r.doc_id: r.score for r in score_linear_probe(d, w1).collect()}
+    pos = [scores[i] for i in range(5)]
+    neg = [scores[i] for i in range(5, 10)]
+    assert min(pos) > max(neg)
