@@ -266,3 +266,33 @@ def test_star_cumulative_compare_aggregate_sized_tail(spark):
     assert rep.nested_loop_joins == 0
     assert "CartesianProduct" not in rep.raw
     assert "FullOuter" in rep.raw
+
+
+def test_bm25_broadcast_queries_no_cartesian(spark):
+    """BM25: query-term set and corpus stats broadcast; every other join
+    keyed on term/doc — no cartesian, no nested loop beyond the 1-row
+    stats broadcast."""
+    rep = audit_plan(REGISTRY["bm25_topk"].fn(spark, SF))
+    # two 1-row broadcasts: N x total-tf stats assembly + attaching stats
+    assert rep.nested_loop_joins <= 2
+    assert "CartesianProduct" not in rep.raw
+    assert rep.broadcast_hash_joins >= 1
+
+
+def test_incremental_dedup_candidate_first(spark):
+    """Asymmetric banded join: candidates from the (band_idx, band_key)
+    equi-join, verify gated behind candidate semi-joins — never a
+    corpus-vs-corpus cross product."""
+    rep = audit_plan(REGISTRY["incremental_dedup"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
+    assert "LeftSemi" in rep.raw
+
+
+def test_linear_probe_scoring_is_scan_shaped(spark):
+    """Trained-probe scoring: weights ride as literals, so the plan is
+    explode -> (doc, bucket) agg -> per-doc dot-product agg + the label
+    join — nothing joins on anything wider than doc_id."""
+    rep = audit_plan(REGISTRY["quality_linear_probe"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw

@@ -196,8 +196,12 @@ def main():
         "star_channel_intersect",
         "star_date_offset_compare",
         "embedding_ivfpq_topk",
-        "bm25_topk",
         "word_sssp",
+        "incremental_dedup",
+        "quality_linear_probe",
+        "star_rollup_window",
+        "star_cumulative_compare",
+        "bm25_topk",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
