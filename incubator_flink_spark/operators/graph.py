@@ -440,3 +440,178 @@ def sssp(
     finally:
         e.unpersist()
     return dist
+
+
+def neighborhood_similarity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Link prediction over the undirected simple graph (Gelly library
+    analogs: flink-libraries/flink-gelly/.../library/similarity/
+    JaccardIndex.java and AdamicAdar.java): for every vertex pair with at
+    least one common neighbor, (u, v, common, jaccard, ra, adamic_adar)
+    where jaccard = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|, ra is the
+    resource-allocation index sum 1/deg(m) (Zhou et al. 2009 — the
+    libm-free variant, exact rationals), and adamic_adar the classic
+    sum 1/ln(deg(m)) with each term rounded to 9 decimals before the
+    exact-decimal sum (a 1-ulp ln() difference between engines sits
+    ~1e-16 below the rounding boundary).
+
+    Shape: pairs are generated at their common neighbor (one self-join
+    of the adjacency keyed on the middle vertex) — work and output are
+    both proportional to the true pair count sum C(deg(m), 2), the same
+    bound the reference's group-pairing has; degree terms ride the
+    middle vertex's rows so no per-pair degree join exists.  A final
+    (pair)-keyed aggregate + two degree joins produce the scores."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
+        F.col("a").alias("m"), F.col("b").alias("n")
+    )
+    deg = adj.groupBy("m").agg(F.count(F.lit(1)).alias("deg"))
+    adjd = adj.join(deg, "m")  # (m, n, deg(m)): degree rides the middle rows
+    l = adjd.select(F.col("m"), F.col("n").alias("u"), F.col("deg"))
+    r = adjd.select(F.col("m").alias("m2"), F.col("n").alias("v"))
+    wedges = l.join(r, (l["m"] == r["m2"]) & (l["u"] < r["v"])).select(
+        "u", "v", "deg"
+    )
+    aa_term = F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 9)
+    pairs = (
+        wedges.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum((F.lit(1.0) / F.col("deg")).cast("decimal(30,12)")).alias("__ra"),
+            F.sum(aa_term.cast("decimal(30,12)")).alias("__aa"),
+        )
+    )
+    du = deg.select(F.col("m").alias("u"), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("m").alias("v"), F.col("deg").alias("__dv"))
+    return (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.round(
+                F.col("common") / (F.col("__du") + F.col("__dv") - F.col("common")), 6
+            ).alias("jaccard"),
+            F.round(F.col("__ra").cast("double"), 6).alias("ra"),
+            F.round(F.col("__aa").cast("double"), 6).alias("adamic_adar"),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame, iters: int = 5, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Synchronous label propagation (Gelly library analogs:
+    CommunityDetection.java / LabelPropagation.java): every vertex
+    starts as its own label; each round every vertex adopts its
+    neighbors' most frequent label, ties to the smallest label —
+    deterministic, so a FIXED round count is an engine-independent
+    function of the input (oracle-unrollable, like sssp).  Each round is
+    one edge-join + (vertex, label) count + per-vertex argmax; rounds
+    localCheckpoint so lineage stays O(1) deep."""
+    from pyspark.sql import Window as W
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        e.select("u")
+        .distinct()
+        .select("u", F.col("u").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(iters):
+            freq = (
+                e.join(labels.select(F.col("u").alias("v"), "label"), "v")
+                .groupBy("u", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            w = W.partitionBy("u").orderBy(F.col("c").desc(), F.col("label"))
+            labels = (
+                freq.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select("u", "label")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        e.unpersist()
+    return labels.select(F.col("u").alias("vertex"), F.col("label").alias("community"))
+
+
+def hits(
+    edges: DataFrame, iters: int = 5, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """HITS hubs-and-authorities (Gelly library analog:
+    flink-libraries/flink-gelly/.../library/linkanalysis/HITS.java) over
+    the DIRECTED edge set: auth(v) = sum of hub over in-edges, hub(u) =
+    sum of auth over out-edges, each score vector L2-normalized per
+    round.  Fully deterministic across engines: sums are decimal-exact
+    over identical doubles, and the only non-rational op is sqrt —
+    IEEE-correctly-rounded everywhere, unlike exp/ln.  One shuffle per
+    half-step keyed on the receiving vertex; norms are 1-row aggregates.
+    Returns (vertex, hub, auth) rounded to 6 decimals."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().persist()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("h")).localCheckpoint(eager=True)
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        n2 = df.agg(
+            F.sum((F.col(col) * F.col(col)).cast("decimal(38,18)")).cast("double").alias("__n2")
+        )
+        return (
+            df.crossJoin(F.broadcast(n2))
+            .select("node", (F.col(col) / F.sqrt("__n2")).alias(col))
+        )
+
+    try:
+        auth = None
+        for _ in range(iters):
+            auth = (
+                e.join(hub.select(F.col("node").alias("u"), "h"), "u")
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.sum(F.col("h").cast("decimal(38,18)")).cast("double").alias("a"))
+            )
+            auth = (
+                nodes.join(auth, "node", "left")
+                .select("node", F.coalesce("a", F.lit(0.0)).alias("a"))
+            )
+            auth = _norm(auth, "a").localCheckpoint(eager=True)
+            hub = (
+                e.join(auth.select(F.col("node").alias("v"), "a"), "v")
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.sum(F.col("a").cast("decimal(38,18)")).cast("double").alias("h"))
+            )
+            hub = (
+                nodes.join(hub, "node", "left")
+                .select("node", F.coalesce("h", F.lit(0.0)).alias("h"))
+            )
+            hub = _norm(hub, "h").localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return (
+        hub.join(auth, "node")
+        .select(
+            F.col("node").alias("vertex"),
+            F.round("h", 6).alias("hub"),
+            F.round("a", 6).alias("auth"),
+        )
+    )

@@ -63,6 +63,9 @@ _PRIORITY = [
     "star_cumulative_compare",
     "incremental_dedup",
     "quality_linear_probe",
+    "word_link_prediction",
+    "word_label_propagation",
+    "word_hits",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

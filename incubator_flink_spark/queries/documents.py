@@ -837,3 +837,171 @@ def incremental_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text").unionAll(planted)
     return incremental_dedup(new, ref, threshold=0.8).orderBy("doc_id")
+
+
+# --- Gelly library slice, round 4 completions ---------------------------------
+# Link prediction (JaccardIndex.java / AdamicAdar.java), community
+# detection by synchronous label propagation (CommunityDetection.java /
+# LabelPropagation.java), and HITS (linkanalysis/HITS.java) over the
+# word adjacency graph.  LP and HITS run FIXED round counts so the
+# oracles unroll the identical rounds (MATERIALIZED — each round is
+# referenced twice, an inlined chain would expand exponentially).
+
+_WG_SYM_CTE = f"""
+toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+adj AS (
+  SELECT t[j] AS src, t[j+1] AS dst
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(j)),
+ce AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM adj WHERE src <> dst),
+sym AS MATERIALIZED (
+  SELECT a AS m, b AS n FROM ce UNION ALL SELECT b AS m, a AS n FROM ce)
+"""
+
+WORD_LINK_PREDICTION_ORACLE = f"""
+WITH {_WG_SYM_CTE},
+deg AS (SELECT m, COUNT(*) AS deg FROM sym GROUP BY m),
+wedges AS (
+  SELECT l.n AS u, r.n AS v, d.deg
+  FROM sym l JOIN sym r ON l.m = r.m AND l.n < r.n
+  JOIN deg d ON d.m = l.m),
+pairs AS (
+  SELECT u, v, COUNT(*) AS common,
+         ROUND(CAST(SUM(CAST(CAST(1 AS DOUBLE) / deg AS DECIMAL(30,12))) AS DOUBLE), 6) AS ra,
+         ROUND(CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / LN(CAST(deg AS DOUBLE)), 9) AS DECIMAL(30,12))) AS DOUBLE), 6) AS adamic_adar
+  FROM wedges GROUP BY u, v)
+SELECT p.u, p.v, p.common,
+       ROUND(CAST(p.common AS DOUBLE) / (du.deg + dv.deg - p.common), 6) AS jaccard,
+       p.ra, p.adamic_adar
+FROM pairs p JOIN deg du ON du.m = p.u JOIN deg dv ON dv.m = p.v
+ORDER BY p.u, p.v
+"""
+
+
+@register("word_link_prediction", WORD_LINK_PREDICTION_ORACLE)
+def word_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard / resource-allocation / Adamic-Adar link prediction over
+    the word graph (Gelly JaccardIndex + AdamicAdar analogs)."""
+    from incubator_flink_spark.operators.graph import neighborhood_similarity
+
+    d = load(spark, sf_dir, "documents")
+    bigrams = d.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    ew = bigrams.select(
+        F.split(F.col("bg"), " ").getItem(0).alias("src"),
+        F.split(F.col("bg"), " ").getItem(1).alias("dst"),
+    )
+    return neighborhood_similarity(ew).orderBy("u", "v")
+
+
+_LP_ITERS = 5
+
+
+def _lp_oracle(iters: int = _LP_ITERS) -> str:
+    parts = [
+        f"""WITH {_WG_SYM_CTE},
+l0 AS (SELECT DISTINCT m AS u, m AS label FROM sym)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+f{t} AS (
+  SELECT s.m AS u, l.label, COUNT(*) AS c
+  FROM sym s JOIN l{t} l ON l.u = s.n
+  GROUP BY s.m, l.label),
+l{t + 1} AS MATERIALIZED (
+  SELECT u, label FROM (
+    SELECT u, label, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, label) AS rn
+    FROM f{t}) z WHERE rn = 1)"""
+        )
+    parts.append(
+        f"""
+SELECT u AS word, label AS community FROM l{iters} ORDER BY word"""
+    )
+    return "".join(parts)
+
+
+@register("word_label_propagation", _lp_oracle())
+def word_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by 5 synchronous label-propagation rounds
+    (Gelly CommunityDetection/LabelPropagation analog; ties to the
+    smallest label, oracle unrolls the identical rounds)."""
+    from incubator_flink_spark.operators.graph import label_propagation
+
+    d = load(spark, sf_dir, "documents")
+    bigrams = d.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    ew = bigrams.select(
+        F.split(F.col("bg"), " ").getItem(0).alias("src"),
+        F.split(F.col("bg"), " ").getItem(1).alias("dst"),
+    )
+    return (
+        label_propagation(ew, iters=_LP_ITERS)
+        .select(F.col("vertex").alias("word"), "community")
+        .orderBy("word")
+    )
+
+
+_HITS_ITERS = 5
+
+
+def _hits_oracle(iters: int = _HITS_ITERS) -> str:
+    parts = [
+        f"""WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+adj AS (
+  SELECT t[j] AS src, t[j+1] AS dst
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(j)),
+de AS MATERIALIZED (SELECT DISTINCT src AS u, dst AS v FROM adj WHERE src <> dst),
+nodes AS MATERIALIZED (
+  SELECT u AS node FROM de UNION SELECT v FROM de),
+h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+ar{t} AS (
+  SELECT n.node, COALESCE(s.a, CAST(0 AS DOUBLE)) AS a
+  FROM nodes n LEFT JOIN (
+    SELECT de.v AS node, CAST(SUM(CAST(h.h AS DECIMAL(38,18))) AS DOUBLE) AS a
+    FROM de JOIN h{t} h ON h.node = de.u GROUP BY de.v) s ON s.node = n.node),
+an{t} AS (
+  SELECT CAST(SUM(CAST(a * a AS DECIMAL(38,18))) AS DOUBLE) AS n2 FROM ar{t}),
+a{t} AS MATERIALIZED (
+  SELECT node, a / SQRT(n2) AS a FROM ar{t}, an{t}),
+hr{t} AS (
+  SELECT n.node, COALESCE(s.h, CAST(0 AS DOUBLE)) AS h
+  FROM nodes n LEFT JOIN (
+    SELECT de.u AS node, CAST(SUM(CAST(a.a AS DECIMAL(38,18))) AS DOUBLE) AS h
+    FROM de JOIN a{t} a ON a.node = de.v GROUP BY de.u) s ON s.node = n.node),
+hn{t} AS (
+  SELECT CAST(SUM(CAST(h * h AS DECIMAL(38,18))) AS DOUBLE) AS n2 FROM hr{t}),
+h{t + 1} AS MATERIALIZED (
+  SELECT node, h / SQRT(n2) AS h FROM hr{t}, hn{t})"""
+        )
+    parts.append(
+        f"""
+SELECT h.node AS word, ROUND(h.h, 6) AS hub, ROUND(a.a, 6) AS auth
+FROM h{iters} h JOIN a{iters - 1} a ON a.node = h.node
+ORDER BY word"""
+    )
+    return "".join(parts)
+
+
+@register("word_hits", _hits_oracle())
+def word_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the DIRECTED word-adjacency graph, 5
+    rounds with per-half-step L2 normalization (Gelly HITS analog; the
+    only non-rational op is IEEE-exact sqrt, so the unrolled oracle
+    matches bit-for-bit)."""
+    from incubator_flink_spark.operators.graph import hits
+
+    d = load(spark, sf_dir, "documents")
+    bigrams = d.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    ew = bigrams.select(
+        F.split(F.col("bg"), " ").getItem(0).alias("src"),
+        F.split(F.col("bg"), " ").getItem(1).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return (
+        hits(ew, iters=_HITS_ITERS)
+        .select(F.col("vertex").alias("word"), "hub", "auth")
+        .orderBy("word")
+    )

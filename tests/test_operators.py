@@ -826,3 +826,49 @@ def test_linear_probe_learns_separable_signal(spark):
     pos = [scores[i] for i in range(5)]
     neg = [scores[i] for i in range(5, 10)]
     assert min(pos) > max(neg)
+
+
+def test_neighborhood_similarity_known_graph(spark):
+    """Link prediction on a known square-with-diagonal: common-neighbor
+    counts, jaccard, and the exact RA index verified by hand."""
+    from incubator_flink_spark.operators.graph import neighborhood_similarity
+
+    # square 1-2-3-4-1 plus diagonal 1-3
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long")
+    out = {(r.u, r.v): (r.common, r.jaccard, r.ra) for r in neighborhood_similarity(e).collect()}
+    # 2 and 4 share neighbors {1, 3} (deg 3 each): jaccard 2/(2+2-2)=1.0,
+    # ra = 1/3 + 1/3
+    assert out[(2, 4)][0] == 2 and out[(2, 4)][1] == 1.0
+    assert abs(out[(2, 4)][2] - round(2 / 3, 6)) < 1e-9
+    # 1 and 3 are adjacent AND share {2, 4}: common=2, deg 3 each ->
+    # jaccard 2/4
+    assert out[(1, 3)] == (2, 0.5, 1.0)  # ra = 1/2 + 1/2 (deg(2)=deg(4)=2)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two cliques joined by one bridge edge settle into two communities
+    labeled by each clique's minimum vertex."""
+    from incubator_flink_spark.operators.graph import label_propagation
+
+    k1 = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    k2 = [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a < b]
+    e = spark.createDataFrame(k1 + k2 + [(3, 10)], "src long, dst long")
+    out = {r.vertex: r.community for r in label_propagation(e, iters=6).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12]
+    assert out[10] != out[1]
+
+
+def test_hits_hub_authority_structure(spark):
+    """On a directed star u->{a,b,c}, the center is the unique hub and
+    the leaves are the (equal) authorities; scores deterministic across
+    runs."""
+    from incubator_flink_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    out = {r.vertex: (r.hub, r.auth) for r in hits(e, iters=3).collect()}
+    assert out[0][0] == 1.0 and out[0][1] == 0.0   # pure hub
+    assert out[1] == out[2] == out[3]               # symmetric authorities
+    assert abs(out[1][1] - round(1 / 3**0.5, 6)) < 1e-6
+    out2 = {r.vertex: (r.hub, r.auth) for r in hits(e, iters=3).collect()}
+    assert out == out2
