@@ -279,6 +279,20 @@ def simhash_pairs(
     )
 
 
+def prepare_dedup_reference(
+    ref_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Precompute (shingle table, signature table) for a reference corpus
+    so repeated incremental_dedup calls — e.g. one per streaming
+    micro-batch — sign the reference ONCE (both persisted; at steady
+    state these live as bucketed tables on storage)."""
+    from pyspark.storagelevel import StorageLevel
+
+    ds_ref = doc_shingle_set(ref_docs, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_ref = minhash_signatures(ref_docs, id_col, text_col, k, ds=ds_ref).persist()
+    return ds_ref, sig_ref
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     ref_docs: DataFrame,
@@ -287,6 +301,7 @@ def incremental_dedup(
     k: int = 3,
     bands: int = 8,
     threshold: float = 0.8,
+    ref_prepared: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup matches of NEW documents against an existing REFERENCE
     corpus — the production incremental-ingest shape ("is this crawl doc
@@ -308,9 +323,11 @@ def incremental_dedup(
 
     rows = NUM_MINHASHES // bands
     ds_new = doc_shingle_set(new_docs, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
-    ds_ref = doc_shingle_set(ref_docs, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    if ref_prepared is None:
+        ds_ref, sig_ref = prepare_dedup_reference(ref_docs, id_col, text_col, k)
+    else:
+        ds_ref, sig_ref = ref_prepared
     sig_new = minhash_signatures(new_docs, id_col, text_col, k, ds=ds_new)
-    sig_ref = minhash_signatures(ref_docs, id_col, text_col, k, ds=ds_ref)
 
     def _bands_long(sig: DataFrame, out_id: str) -> DataFrame:
         cols = [

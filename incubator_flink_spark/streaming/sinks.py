@@ -52,3 +52,54 @@ def upsert_sink(stream: DataFrame, path: str, keys: list[str], tombstone: Column
     """Attach the upsert sink; caller configures trigger/checkpoint and
     starts the returned writer."""
     return stream.writeStream.outputMode("update").foreachBatch(UpsertParquetSink(path, keys, tombstone))
+
+
+def incremental_dedup_stream(
+    stream_docs,
+    ref_docs,
+    on_batch,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    checkpoint: str | None = None,
+):
+    """Streaming incremental dedup: each micro-batch of newly ingested
+    documents is matched against the STATIC reference corpus
+    (operators/dedup.incremental_dedup) and ``on_batch(matches_df,
+    batch_id)`` receives the (doc_id, ref_id, jaccard) drop table — the
+    continuous-ingest counterpart of the batch pass, and the Spark-first
+    replacement for a Flink keyed lookup pipeline over a dedup index.
+
+    The reference side is signed ONCE (prepare_dedup_reference, both
+    tables persisted) and reused by every batch — per-batch work is the
+    new slice's explode + the asymmetric banded join, exactly the
+    steady-state ingest cost.  Because matches depend only on (batch
+    row, static reference), batch-by-batch union equals the one-shot
+    batch result — pinned by tests/test_streaming.py.  Returns the
+    started StreamingQuery (availableNow trigger if no checkpoint is
+    supplied for a long-running run)."""
+    import tempfile
+
+    from incubator_flink_spark.operators.dedup import (
+        incremental_dedup,
+        prepare_dedup_reference,
+    )
+
+    prepared = prepare_dedup_reference(ref_docs, id_col, text_col)
+
+    def _batch(bdf, bid):
+        matches = incremental_dedup(
+            bdf, ref_docs, id_col, text_col, threshold=threshold, ref_prepared=prepared
+        )
+        on_batch(matches, bid)
+
+    return (
+        stream_docs.writeStream.outputMode("append")
+        .foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="ckpt_incdedup_"),
+        )
+        .start()
+    )

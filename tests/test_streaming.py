@@ -740,3 +740,41 @@ def test_streaming_match_recognize_sql(spark, replay_dir):
             if last <= final_wm:
                 expected.add((uid, m["S"][0]["event_id"], m["P"][0]["event_id"]))
     assert got == expected and len(expected) > 0
+
+
+def test_incremental_dedup_stream_equals_batch(spark, replay_dir):
+    """Streaming ingest dedup vs static reference: the union of per-batch
+    match tables equals the one-shot batch result (matches depend only
+    on (row, static reference)), and the reference is signed once."""
+    from incubator_flink_spark.operators.dedup import incremental_dedup
+    from incubator_flink_spark.streaming.sinks import incremental_dedup_stream
+
+    d = load(spark, SF, "documents")
+    ref = d.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    new = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text").unionAll(
+        d.where(F.col("doc_id") % 15 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" xq zv qt")).alias("text"),
+        )
+    )
+    new_dir = replay_dir + "/incdedup_new"
+    new.write.mode("overwrite").parquet(new_dir)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(new_dir)
+    )
+    got = {}
+
+    def on_batch(matches, _bid):
+        for r in matches.collect():
+            got[r.doc_id] = (r.ref_id, r.jaccard)
+
+    q = incremental_dedup_stream(stream, ref, on_batch, threshold=0.8)
+    q.awaitTermination(300)
+    assert not q.isActive
+    expected = {
+        r.doc_id: (r.ref_id, r.jaccard)
+        for r in incremental_dedup(new, ref, threshold=0.8).collect()
+    }
+    assert got == expected and len(got) > 0

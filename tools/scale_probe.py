@@ -202,6 +202,9 @@ def main():
         "star_rollup_window",
         "star_cumulative_compare",
         "bm25_topk",
+        "word_link_prediction",
+        "word_label_propagation",
+        "word_hits",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
