@@ -872,3 +872,46 @@ def test_hits_hub_authority_structure(spark):
     assert abs(out[1][1] - round(1 / 3**0.5, 6)) < 1e-6
     out2 = {r.vertex: (r.hub, r.auth) for r in hits(e, iters=3).collect()}
     assert out == out2
+
+
+def test_round4_operator_edge_cases(spark):
+    """Edge inputs that must not crash or mis-shape: empty/1-token docs
+    in chunking and packing, a single-edge graph in link prediction,
+    empty strings in deletion neighborhoods, and a no-match incremental
+    dedup."""
+    from incubator_flink_spark.operators.dedup import incremental_dedup
+    from incubator_flink_spark.operators.fuzzy import deletion_neighborhood
+    from incubator_flink_spark.operators.graph import neighborhood_similarity
+    from incubator_flink_spark.operators.packing import pack_sequences
+    from incubator_flink_spark.operators.spans import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    chunks = chunk_documents(docs, chunk_tokens=3, overlap=1).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # split('', ' ') = [''] in BOTH Spark and DuckDB — the engine-wide
+    # tokenizer contract — so an empty doc is one empty-token chunk
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == ""
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "one"
+    assert [c.chunk_text for c in sorted(by_doc[3], key=lambda c: c.chunk_id)] == [
+        "alpha beta gamma", "gamma delta"
+    ]
+    # packing places the empty doc too (0 tokens, valid bin slot)
+    plan = {r.doc_id: r.n_tokens for r in pack_sequences(docs, capacity=4, n_shards=2).collect()}
+    assert plan[1] == 0 and set(plan) == {1, 2, 3}
+    # one edge -> no common-neighbor pairs
+    e1 = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert neighborhood_similarity(e1).count() == 0
+    # deletion neighborhood of "" is just [""]
+    row = spark.createDataFrame([("",)], "w string").select(
+        deletion_neighborhood(F.col("w"), 2).alias("n")
+    ).first()
+    assert row.n == [""]
+    # disjoint vocabularies -> empty match table with the right schema
+    ref = spark.createDataFrame([(1, "aaa bbb ccc ddd eee fff")], "doc_id long, text string")
+    new = spark.createDataFrame([(2, "qqq www rrr ttt yyy uuu")], "doc_id long, text string")
+    out = incremental_dedup(new, ref)
+    assert out.columns == ["doc_id", "ref_id", "jaccard"] and out.count() == 0
