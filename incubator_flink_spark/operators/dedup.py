@@ -112,8 +112,12 @@ def minhash_lsh_pairs(
 
     ds = doc_shingle_set(docs, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(docs, id_col, text_col, k, ds=ds).persist()
+    # band key = xxhash64 of the row's minhash tuple: an 8-byte shuffle
+    # key instead of a concatenated string (same candidates — equal
+    # tuples hash equal; a collision can only ADD a candidate, and the
+    # exact-jaccard verify keeps precision 1.0)
     band_cols = [
-        F.concat_ws("_", *[F.col(f"minhash_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
+        F.xxhash64(*[F.col(f"minhash_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
@@ -333,8 +337,9 @@ def incremental_dedup(
         cols = [
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "_", *[F.col(f"minhash_{b * rows + r}") for r in range(rows)]
+                # 8-byte hashed band key, same rationale as minhash_lsh_pairs
+                F.xxhash64(
+                    *[F.col(f"minhash_{b * rows + r}") for r in range(rows)]
                 ).alias("band_key"),
             )
             for b in range(bands)
