@@ -79,6 +79,9 @@ EXTRA = [
     "fuzzy_word_pairs_d2",
     "lm_perplexity",
     "word_triangles",
+    "incremental_dedup",
+    "quality_linear_probe",
+    "bm25_topk",
 ]
 
 

@@ -615,3 +615,63 @@ def hits(
             F.round("a", 6).alias("auth"),
         )
     )
+
+
+def summarize_graph(
+    edges: DataFrame,
+    groups: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertex: str = "vertex",
+    group: str = "group",
+) -> DataFrame:
+    """Graph summarization (Gelly library analog:
+    flink-libraries/flink-gelly/.../library/Summarization.java): contract
+    every vertex to its group; output one super-edge per group pair with
+    the count of underlying edges (canonical group_a <= group_b,
+    self-group edges kept — they count intra-group connectivity).  Two
+    vertex-keyed relabel joins + one (group_a, group_b) aggregate."""
+    g1 = groups.select(F.col(vertex).alias("__sv"), F.col(group).alias("__ga"))
+    g2 = groups.select(F.col(vertex).alias("__dv"), F.col(group).alias("__gb"))
+    return (
+        edges.select(F.col(src).alias("__sv"), F.col(dst).alias("__dv"))
+        .join(g1, "__sv")
+        .join(g2, "__dv")
+        .select(
+            F.least("__ga", "__gb").alias("group_a"),
+            F.greatest("__ga", "__gb").alias("group_b"),
+        )
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+def global_clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row (n_triangles, n_wedges, coeff) — the global clustering
+    coefficient 3*T / W with W = sum over vertices of C(deg, 2) (Gelly
+    library GlobalClusteringCoefficient.java analog).  Reuses the
+    degree-oriented triangle enumeration; the wedge total is one degree
+    aggregate."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    tri = triangles(e, "a", "b").agg(F.count(F.lit(1)).alias("n_triangles"))
+    wedges = (
+        e.select(F.col("a").alias("vertex"))
+        .union(e.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges"))
+    )
+    return tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias("coeff"),
+    )

@@ -66,6 +66,8 @@ _PRIORITY = [
     "word_link_prediction",
     "word_label_propagation",
     "word_hits",
+    "word_community_graph",
+    "word_global_clustering",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1005,3 +1005,75 @@ def word_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vertex").alias("word"), "hub", "auth")
         .orderBy("word")
     )
+
+
+WORD_COMMUNITY_GRAPH_ORACLE = f"""
+WITH {_WG_SYM_CTE}
+SELECT least(substring(a, 1, 1), substring(b, 1, 1)) AS group_a,
+       greatest(substring(a, 1, 1), substring(b, 1, 1)) AS group_b,
+       COUNT(*) AS n_edges
+FROM ce
+GROUP BY 1, 2
+ORDER BY group_a, group_b
+"""
+
+
+@register("word_community_graph", WORD_COMMUNITY_GRAPH_ORACLE)
+def word_community_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph summarization (Gelly Summarization.java analog): contract
+    the word graph's vertices by first letter into super-edges with
+    underlying-edge counts (label propagation converges to a single
+    community on this dense graph, so the grouping here is the
+    deterministic first-letter map — the operator is
+    grouping-agnostic)."""
+    from incubator_flink_spark.operators.graph import summarize_graph
+
+    d = load(spark, sf_dir, "documents")
+    bigrams = d.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    ew = bigrams.select(
+        F.split(F.col("bg"), " ").getItem(0).alias("src"),
+        F.split(F.col("bg"), " ").getItem(1).alias("dst"),
+    )
+    ce = (
+        ew.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    verts = ce.select(F.col("a").alias("vertex")).union(
+        ce.select(F.col("b").alias("vertex"))
+    ).distinct()
+    groups = verts.select("vertex", F.col("vertex").substr(1, 1).alias("group"))
+    return summarize_graph(ce, groups, src="a", dst="b").orderBy("group_a", "group_b")
+
+
+WORD_GLOBAL_CLUSTERING_ORACLE = f"""
+WITH {_WG_SYM_CTE},
+tri AS (
+  SELECT COUNT(*) AS n_triangles FROM (
+    SELECT w.a, w.b, w.c
+    FROM (SELECT ab.a, ab.b, bc.b AS c FROM ce ab JOIN ce bc ON bc.a = ab.b) w
+    JOIN ce ac ON ac.a = w.a AND ac.b = w.c) t),
+wed AS (
+  SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM (
+    SELECT m, COUNT(*) AS deg FROM sym GROUP BY m) d)
+SELECT n_triangles, n_wedges,
+       ROUND(3.0 * n_triangles / n_wedges, 6) AS coeff
+FROM tri, wed
+"""
+
+
+@register("word_global_clustering", WORD_GLOBAL_CLUSTERING_ORACLE)
+def word_global_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient 3T/W of the word graph (Gelly
+    GlobalClusteringCoefficient.java analog)."""
+    from incubator_flink_spark.operators.graph import global_clustering_coefficient
+
+    d = load(spark, sf_dir, "documents")
+    bigrams = d.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    ew = bigrams.select(
+        F.split(F.col("bg"), " ").getItem(0).alias("src"),
+        F.split(F.col("bg"), " ").getItem(1).alias("dst"),
+    )
+    return global_clustering_coefficient(ew)
