@@ -1,19 +1,15 @@
 """Query registry package. Importing this package imports every query
 module so their ``@register`` decorators populate the registry.
 
-Registration order matters: the driver's correctness gate checks queries in
-registration order and may cap how many it samples per round (round 1
-sampled the first 50 of 95, so everything registered late — all of
-``relational``/``scalar`` — got no driver row).  After importing, we
-re-order the registry so the checked window always covers the operator
-families with the least prior driver evidence:
-
-1. §2.2-§2.8 relational/scalar operators never checked in round 1;
-2. queries whose round-1 hash mismatch was fixed (decimal→double output
-   canonicalization) — rechecking proves the fix;
-3. queries that previously had no oracle (oracles added in round 2);
-4. queries already driver-green in round 1 (re-confirmation is the
-   lowest-value check).
+Registration order matters: the driver's correctness gate checks queries
+in registration order and caps how many it samples per round (~50).
+After importing, ``_PRIORITY`` re-orders the registry so the checked
+window always covers the entries with the least prior driver evidence:
+never-checked queries first (new registrations this round), then the
+stalest previously-green queries (oldest driver row first), with the
+freshest-green entries re-checking last.  The tier comments in
+``_PRIORITY`` record the evidence map the current ordering was derived
+from.
 """
 
 from incubator_flink_spark.queries import (  # noqa: F401

@@ -205,6 +205,8 @@ def main():
         "word_link_prediction",
         "word_label_propagation",
         "word_hits",
+        "word_community_graph",
+        "word_global_clustering",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
