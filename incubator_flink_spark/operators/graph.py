@@ -675,3 +675,157 @@ def global_clustering_coefficient(
         "n_wedges",
         F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias("coeff"),
     )
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct canonical (a <= b) edges of the simple undirected graph —
+    self-loops dropped, direction and multiplicity collapsed."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    """(vertex, deg) over canonical edges — one union + one aggregate."""
+    return (
+        e.select(F.col("a").alias("vertex"))
+        .union(e.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def vertex_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One-row whole-graph vertex metrics (Gelly analog:
+    flink-libraries/flink-gelly/.../library/metric/undirected/
+    VertexMetrics.java — vertexCount, edgeCount, tripletCount,
+    maximumDegree, maximumTriplets, plus the derived averageDegree and
+    density the Result class exposes).
+
+    Scale shape: one degree aggregate keyed on vertex id, then a single
+    global aggregate — every statistic is an algebraic (sum/max/count)
+    combine, so the whole analytic is two map-side-combinable shuffles
+    regardless of graph size; nothing is ever collected per-vertex."""
+    deg = _degrees(_canonical_edges(edges, src, dst))
+    n = F.count(F.lit(1))
+    sum_deg = F.sum("deg")
+    return deg.agg(
+        n.alias("n_vertices"),
+        (sum_deg / 2).cast("bigint").alias("n_edges"),
+        F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint"))
+        .cast("bigint")
+        .alias("n_triplets"),
+        F.max("deg").alias("max_degree"),
+        F.max((F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint")).alias(
+            "max_triplets"
+        ),
+        F.round(sum_deg.cast("double") / n, 6).alias("avg_degree"),
+        F.round(sum_deg.cast("double") / (n * (n - F.lit(1))), 6).alias("density"),
+    )
+
+
+def edge_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One-row whole-graph edge metrics (Gelly analog: .../metric/
+    undirected/EdgeMetrics.java): per vertex v with degree d, let l be
+    the number of neighbors ranking HIGHER than v in (degree, id) order
+    (EdgeMetrics.EdgeStats's low-order count).  Then triangle triplets
+    = C(l, 2) (the degree-oriented wedges pivoted at v — every triangle
+    is counted at exactly one vertex) and rectangle triplets
+    = C(l, 2) + l * (d - l); the analytic reports the sums and maxima.
+
+    Scale shape: degrees, one degree-attach join pair on the canonical
+    edge list, a per-vertex sum, and a global algebraic aggregate — the
+    same two-shuffle profile as ``vertex_metrics`` plus the edge-keyed
+    orientation join; no wedge is materialized (the counts are
+    closed-form in l and d)."""
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    da = deg.select(F.col("vertex").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("vertex").alias("b"), F.col("deg").alias("__db"))
+    ka = F.struct(F.col("__da").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("__db").alias("d"), F.col("b").alias("i"))
+    # each canonical edge contributes one low-order count to its
+    # lower-(degree, id) endpoint
+    low1 = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("vertex"),
+        )
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("l"))
+    )
+    per_vertex = deg.join(low1, "vertex", "left").select(
+        "deg", F.coalesce("l", F.lit(0)).alias("l")
+    )
+    tt = (F.col("l") * (F.col("l") - 1) / 2).cast("bigint")
+    rt = (tt + F.col("l") * (F.col("deg") - F.col("l"))).cast("bigint")
+    return per_vertex.agg(
+        F.sum(tt).cast("bigint").alias("n_triangle_triplets"),
+        F.sum(rt).cast("bigint").alias("n_rectangle_triplets"),
+        F.max(tt).alias("max_triangle_triplets"),
+        F.max(rt).alias("max_rectangle_triplets"),
+    )
+
+
+def triadic_census(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One-row undirected triadic census (Gelly analog: .../clustering/
+    undirected/TriadicCensus.java): counts of vertex triples with 0, 1,
+    2, and 3 connecting edges, derived closed-form from four scalars —
+    vertex count n, edge count m, triplet (wedge) count w, triangle
+    count t — exactly the identities TriadicCensus.java:100-123 uses:
+    triads3 = t; triads2 = w - 3t; triads1 = m*(n-2) - 2*triads2 -
+    3*triads3; triads0 = C(n,3) - triads1 - triads2 - triads3.
+
+    Scale shape: the only non-trivial input is the triangle count, which
+    reuses the degree-oriented enumeration from ``triangles`` (bounded
+    wedge generation); everything else is one degree aggregate.  The
+    final arithmetic runs on a 1x1 cross join of two single-row frames."""
+    e = _canonical_edges(edges, src, dst)
+    base = _degrees(e).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("deg") / 2).cast("bigint").alias("m"),
+        F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint"))
+        .cast("bigint")
+        .alias("w"),
+    )
+    tri = triangles(e, "a", "b").agg(F.count(F.lit(1)).alias("t"))
+    n, m, w, t = F.col("n"), F.col("m"), F.col("w"), F.col("t")
+    t2 = w - 3 * t
+    t1 = m * (n - 2) - 2 * t2 - 3 * t
+    return (
+        base.crossJoin(tri)
+        .select(
+            (
+                (n * (n - 1) * (n - 2) / 6).cast("bigint") - t1 - t2 - t
+            ).alias("triads0"),
+            t1.cast("bigint").alias("triads1"),
+            t2.cast("bigint").alias("triads2"),
+            t.cast("bigint").alias("triads3"),
+        )
+    )
+
+
+def average_clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row (n_vertices, avg_coeff) — the mean of the per-vertex local
+    clustering coefficients, degree-<2 vertices contributing 0 (Gelly
+    analog: .../clustering/undirected/AverageClusteringCoefficient.java,
+    which sums LocalClusteringCoefficient scores the same way).  Reuses
+    ``clustering_coefficient``; the average is one algebraic aggregate
+    over its per-vertex output."""
+    cc = clustering_coefficient(edges, src, dst)
+    return cc.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.round(
+            F.sum(F.col("coeff").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_coeff"),
+    )

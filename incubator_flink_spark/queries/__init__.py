@@ -64,6 +64,10 @@ _PRIORITY = [
     "word_hits",
     "word_community_graph",
     "word_global_clustering",
+    "word_vertex_metrics",
+    "word_edge_metrics",
+    "word_triadic_census",
+    "word_avg_clustering",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

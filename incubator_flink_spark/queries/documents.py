@@ -1077,3 +1077,137 @@ def word_global_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("bg"), " ").getItem(1).alias("dst"),
     )
     return global_clustering_coefficient(ew)
+
+
+def _word_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared word-adjacency edge list (directed, with repeats) the
+    graph-analytic queries below feed to the operators — identical to the
+    `adj` CTE of their oracles."""
+    d = load(spark, sf_dir, "documents")
+    bigrams = d.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    return bigrams.select(
+        F.split(F.col("bg"), " ").getItem(0).alias("src"),
+        F.split(F.col("bg"), " ").getItem(1).alias("dst"),
+    )
+
+
+WORD_VERTEX_METRICS_ORACLE = f"""
+WITH {_WG_SYM_CTE},
+deg AS (SELECT m, COUNT(*) AS deg FROM sym GROUP BY m)
+SELECT COUNT(*) AS n_vertices,
+       CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+       CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_triplets,
+       MAX(deg) AS max_degree,
+       CAST(MAX(deg * (deg - 1) // 2) AS BIGINT) AS max_triplets,
+       ROUND(CAST(SUM(deg) AS DOUBLE) / COUNT(*), 6) AS avg_degree,
+       ROUND(CAST(SUM(deg) AS DOUBLE) / (COUNT(*) * (COUNT(*) - 1)), 6) AS density
+FROM deg
+"""
+
+
+@register("word_vertex_metrics", WORD_VERTEX_METRICS_ORACLE)
+def word_vertex_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-graph vertex metrics of the word graph (Gelly
+    VertexMetrics.java analog)."""
+    from incubator_flink_spark.operators.graph import vertex_metrics
+
+    return vertex_metrics(_word_edges(spark, sf_dir))
+
+
+WORD_EDGE_METRICS_ORACLE = f"""
+WITH {_WG_SYM_CTE},
+deg AS (SELECT m, COUNT(*) AS deg FROM sym GROUP BY m),
+low AS (
+  SELECT s.m AS vertex, d1.deg AS deg,
+         SUM(CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND s.m < s.n)
+                  THEN 1 ELSE 0 END) AS l
+  FROM sym s
+  JOIN deg d1 ON d1.m = s.m
+  JOIN deg d2 ON d2.m = s.n
+  GROUP BY s.m, d1.deg),
+stats AS (
+  SELECT CAST(l * (l - 1) // 2 AS BIGINT) AS tt,
+         CAST(l * (l - 1) // 2 + l * (deg - l) AS BIGINT) AS rt
+  FROM low)
+SELECT CAST(SUM(tt) AS BIGINT) AS n_triangle_triplets,
+       CAST(SUM(rt) AS BIGINT) AS n_rectangle_triplets,
+       MAX(tt) AS max_triangle_triplets,
+       MAX(rt) AS max_rectangle_triplets
+FROM stats
+"""
+
+
+@register("word_edge_metrics", WORD_EDGE_METRICS_ORACLE)
+def word_edge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-graph edge metrics of the word graph (Gelly EdgeMetrics.java
+    analog: triangle/rectangle triplet counts under degree orientation)."""
+    from incubator_flink_spark.operators.graph import edge_metrics
+
+    return edge_metrics(_word_edges(spark, sf_dir))
+
+
+WORD_TRIADIC_CENSUS_ORACLE = f"""
+WITH {_WG_SYM_CTE},
+deg AS (SELECT m, COUNT(*) AS deg FROM sym GROUP BY m),
+base AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(deg) // 2 AS BIGINT) AS m_edges,
+         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS w
+  FROM deg),
+tri AS (
+  SELECT COUNT(*) AS t FROM (
+    SELECT w.a, w.b, w.c
+    FROM (SELECT ab.a, ab.b, bc.b AS c FROM ce ab JOIN ce bc ON bc.a = ab.b) w
+    JOIN ce ac ON ac.a = w.a AND ac.b = w.c) x)
+SELECT CAST(n * (n - 1) * (n - 2) // 6
+            - (m_edges * (n - 2) - 2 * (w - 3 * t) - 3 * t)
+            - (w - 3 * t) - t AS BIGINT) AS triads0,
+       CAST(m_edges * (n - 2) - 2 * (w - 3 * t) - 3 * t AS BIGINT) AS triads1,
+       CAST(w - 3 * t AS BIGINT) AS triads2,
+       CAST(t AS BIGINT) AS triads3
+FROM base, tri
+"""
+
+
+@register("word_triadic_census", WORD_TRIADIC_CENSUS_ORACLE)
+def word_triadic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected triadic census of the word graph (Gelly
+    TriadicCensus.java analog — closed-form from n, m, wedges,
+    triangles)."""
+    from incubator_flink_spark.operators.graph import triadic_census
+
+    return triadic_census(_word_edges(spark, sf_dir))
+
+
+WORD_AVG_CLUSTERING_ORACLE = f"""
+WITH {_WG_SYM_CTE},
+deg AS (SELECT m AS vertex, COUNT(*) AS degree FROM sym GROUP BY m),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT ab.a, ab.b, bc.b AS c FROM ce ab JOIN ce bc ON bc.a = ab.b) w
+  JOIN ce ac ON ac.a = w.a AND ac.b = w.c),
+tc AS (
+  SELECT vertex, COUNT(*) AS n_triangles FROM (
+    SELECT a AS vertex FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) v GROUP BY vertex),
+coeffs AS (
+  SELECT CASE WHEN d.degree >= 2
+              THEN ROUND(2.0 * COALESCE(tc.n_triangles, 0)
+                         / (d.degree * (d.degree - 1)), 6)
+              ELSE 0.0 END AS coeff
+  FROM deg d LEFT JOIN tc ON tc.vertex = d.vertex)
+SELECT COUNT(*) AS n_vertices,
+       ROUND(CAST(SUM(CAST(coeff AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_coeff
+FROM coeffs
+"""
+
+
+@register("word_avg_clustering", WORD_AVG_CLUSTERING_ORACLE)
+def word_avg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average local clustering coefficient of the word graph (Gelly
+    AverageClusteringCoefficient.java analog)."""
+    from incubator_flink_spark.operators.graph import average_clustering_coefficient
+
+    return average_clustering_coefficient(_word_edges(spark, sf_dir))

@@ -938,3 +938,43 @@ def test_summarize_and_global_clustering_known_graph(spark):
     )
     r = global_clustering_coefficient(k4).first()
     assert (r.n_triangles, r.n_wedges, r.coeff) == (4, 12, 1.0)
+
+
+def test_graph_metric_analytics_known_graph(spark):
+    """VertexMetrics / EdgeMetrics / TriadicCensus / AverageClustering on
+    the 'kite' graph (K4 on {1..4} plus pendant edge 4-5), every number
+    computed by hand: degrees 3,3,3,4,1; T=4; W=15."""
+    from incubator_flink_spark.operators.graph import (
+        average_clustering_coefficient,
+        edge_metrics,
+        triadic_census,
+        vertex_metrics,
+    )
+
+    kite = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b] + [(4, 5)],
+        "src long, dst long",
+    )
+    vm = vertex_metrics(kite).first()
+    assert (vm.n_vertices, vm.n_edges, vm.n_triplets, vm.max_degree, vm.max_triplets) == (
+        5, 7, 15, 4, 6
+    )
+    assert (vm.avg_degree, vm.density) == (2.8, 0.7)
+    em = edge_metrics(kite).first()
+    # low-order counts l: v1=3, v2=2, v3=1, v4=0, v5=1 ->
+    # tt = C(l,2): 3,1,0,0,0 (sum 4 = triangle count); rt = tt + l*(d-l)
+    assert (
+        em.n_triangle_triplets,
+        em.n_rectangle_triplets,
+        em.max_triangle_triplets,
+        em.max_rectangle_triplets,
+    ) == (4, 8, 3, 3)
+    tc = triadic_census(kite).first()
+    # t3=T=4; t2=W-3T=3; t1=m(n-2)-2*t2-3*t3=3; t0=C(5,3)-10=0
+    assert (tc.triads0, tc.triads1, tc.triads2, tc.triads3) == (0, 3, 3, 4)
+    ac = average_clustering_coefficient(kite).first()
+    # coeffs 1,1,1,0.5,0 -> mean 0.7
+    assert (ac.n_vertices, ac.avg_coeff) == (5, 0.7)
+    # direction/multiplicity invariance: reversed + duplicated edges agree
+    rev = kite.selectExpr("dst as src", "src as dst").union(kite)
+    assert triadic_census(rev).first() == tc
