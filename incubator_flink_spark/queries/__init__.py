@@ -68,6 +68,9 @@ _PRIORITY = [
     "word_edge_metrics",
     "word_triadic_census",
     "word_avg_clustering",
+    "star_channel_buckets",
+    "star_yoy_customer",
+    "star_monthly_deviation",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

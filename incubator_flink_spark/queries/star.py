@@ -563,3 +563,235 @@ def star_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "ym")
     )
+
+
+STAR_CHANNEL_BUCKETS_ORACLE = """
+SELECT
+  CAST(SUM(CASE WHEN l_quantity <= 10 AND l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+  CAST(SUM(CASE WHEN l_quantity <= 10 AND l_discount >  0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+  CAST(SUM(CASE WHEN l_quantity > 10 AND l_quantity <= 20 AND l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+  CAST(SUM(CASE WHEN l_quantity > 10 AND l_quantity <= 20 AND l_discount >  0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+  CAST(SUM(CASE WHEN l_quantity > 20 AND l_quantity <= 35 AND l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+  CAST(SUM(CASE WHEN l_quantity > 20 AND l_quantity <= 35 AND l_discount >  0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
+  CAST(SUM(CASE WHEN l_quantity > 35 AND l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b7,
+  CAST(SUM(CASE WHEN l_quantity > 35 AND l_discount >  0.05 THEN 1 ELSE 0 END) AS BIGINT) AS b8
+FROM lineitem
+WHERE l_returnflag IN ('N', 'R')
+"""
+
+
+@register("star_channel_buckets", STAR_CHANNEL_BUCKETS_ORACLE)
+def star_channel_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 signature: eight independent bucket counts that a
+    naive plan evaluates as eight scalar subqueries — eight scans of the
+    fact — fused into ONE scan with conditional aggregation (the fusion
+    IS the query's point; tests/test_plans.py pins the single scan).
+    Reference bar: TpcdsTestProgram.java:76-86 includes q88's 8-way
+    time-slot count matrix.
+
+    Scale: one fact scan, all eight counts partial-aggregated map-side
+    into a single 1-row exchange — at 100 TB this is scan-bound with no
+    skew surface at all (no keys)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("N", "R")
+    )
+    q, d = F.col("l_quantity"), F.col("l_discount")
+    lo_d, hi_d = d <= 0.05, d > 0.05
+    bands = [
+        (q <= 10) & lo_d,
+        (q <= 10) & hi_d,
+        (q > 10) & (q <= 20) & lo_d,
+        (q > 10) & (q <= 20) & hi_d,
+        (q > 20) & (q <= 35) & lo_d,
+        (q > 20) & (q <= 35) & hi_d,
+        (q > 35) & lo_d,
+        (q > 35) & hi_d,
+    ]
+    return li.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"b{i + 1}")
+            for i, cond in enumerate(bands)
+        ]
+    )
+
+
+STAR_YOY_CUSTOMER_ORACLE = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'fast' ELSE 'slow' END AS channel,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2, 3),
+pv AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN channel = 'fast' AND yr = 1995 THEN total END) AS fast1,
+         MAX(CASE WHEN channel = 'fast' AND yr = 1996 THEN total END) AS fast2,
+         MAX(CASE WHEN channel = 'slow' AND yr = 1995 THEN total END) AS slow1,
+         MAX(CASE WHEN channel = 'slow' AND yr = 1996 THEN total END) AS slow2
+  FROM per GROUP BY o_custkey)
+SELECT p.o_custkey AS custkey, c_name,
+       CAST(fast1 AS DOUBLE) AS fast1, CAST(fast2 AS DOUBLE) AS fast2,
+       CAST(slow1 AS DOUBLE) AS slow1, CAST(slow2 AS DOUBLE) AS slow2
+FROM pv p JOIN customer ON p.o_custkey = c_custkey
+WHERE fast1 IS NOT NULL AND fast2 IS NOT NULL
+  AND slow1 IS NOT NULL AND slow2 IS NOT NULL
+  AND fast2 * slow1 > fast1 * slow2
+ORDER BY custkey
+"""
+
+
+@register("star_yoy_customer", STAR_YOY_CUSTOMER_ORACLE)
+def star_yoy_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q74/q11 signature: per-customer year-over-year totals in
+    two channels, keeping customers whose growth ratio in the fast
+    channel beats the slow channel.  The ratio compare is cross-
+    multiplied in DECIMAL (fast2/fast1 > slow2/slow1 with positive
+    denominators ⇔ fast2*slow1 > fast1*slow2) so the predicate is exact
+    in both engines — no float-boundary rows.
+
+    Scale: one fact scan → one (custkey, yr, channel) partial-agg
+    shuffle, pivoted to one row per customer by a second custkey-keyed
+    agg that AQE coalesces with the customer join's shuffle; no window
+    over the fact, no self-join of the fact (q74's naive form is a
+    4-way self-join)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    per = (
+        o.where(F.year("o_orderdate").isin(1995, 1996))
+        .withColumn("yr", F.year("o_orderdate").cast("bigint"))
+        .withColumn(
+            "channel",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "fast"
+            ).otherwise("slow"),
+        )
+        .groupBy("o_custkey", "yr", "channel")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"))
+    )
+    pick = lambda ch, yr: F.max(  # noqa: E731
+        F.when((F.col("channel") == ch) & (F.col("yr") == yr), F.col("total"))
+    )
+    pv = per.groupBy("o_custkey").agg(
+        pick("fast", 1995).alias("fast1"),
+        pick("fast", 1996).alias("fast2"),
+        pick("slow", 1995).alias("slow1"),
+        pick("slow", 1996).alias("slow2"),
+    )
+    return (
+        pv.where(
+            F.col("fast1").isNotNull()
+            & F.col("fast2").isNotNull()
+            & F.col("slow1").isNotNull()
+            & F.col("slow2").isNotNull()
+            & (F.col("fast2") * F.col("slow1") > F.col("fast1") * F.col("slow2"))
+        )
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "c_name",
+            F.col("fast1").cast("double").alias("fast1"),
+            F.col("fast2").cast("double").alias("fast2"),
+            F.col("slow1").cast("double").alias("slow1"),
+            F.col("slow2").cast("double").alias("slow2"),
+        )
+        .orderBy("custkey")
+    )
+
+
+STAR_MONTHLY_DEVIATION_ORACLE = """
+WITH monthly AS (
+  SELECT n_name,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mth,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev,
+         COUNT(*) AS n_items
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2, 3),
+w AS (
+  SELECT n_name, yr, mth, rev, n_items,
+         SUM(rev) OVER (PARTITION BY n_name, yr) AS yr_total,
+         CAST(COUNT(*) OVER (PARTITION BY n_name, yr) AS BIGINT) AS yr_months,
+         LAG(rev)  OVER (PARTITION BY n_name ORDER BY yr, mth) AS prev_rev,
+         LEAD(rev) OVER (PARTITION BY n_name ORDER BY yr, mth) AS next_rev
+  FROM monthly)
+SELECT n_name, yr, mth,
+       CAST(rev AS DOUBLE) AS revenue,
+       ROUND(CAST(yr_total AS DOUBLE) / yr_months, 6) AS yr_avg,
+       CAST(prev_rev AS DOUBLE) AS prev_rev,
+       CAST(next_rev AS DOUBLE) AS next_rev
+FROM w
+WHERE ABS(rev * yr_months - yr_total) > CAST(0.2 AS DECIMAL(3,1)) * yr_total
+ORDER BY n_name, yr, mth
+"""
+
+
+@register("star_monthly_deviation", STAR_MONTHLY_DEVIATION_ORACLE)
+def star_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47/q57 signature: a dim-grouped monthly time series with
+    a same-year average window, LAG/LEAD neighbors, and a deviation
+    filter (months >20% off their year's mean).  The deviation predicate
+    is kept in exact decimal arithmetic — |rev*months − total| >
+    0.2*total avoids dividing (both engines agree bit-for-bit), and the
+    displayed yr_avg is derived once, as double, for output only.
+
+    Scale: the windows run over the (nation × month) AGGREGATE (tiny),
+    never over the fact — the fact contributes exactly one shuffle into
+    the monthly rollup; nation broadcasts; orders/customer shuffle
+    (fact-proportional, see module docstring)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mth"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    yr_w = W.partitionBy("n_name", "yr")
+    seq_w = W.partitionBy("n_name").orderBy("yr", "mth")
+    w = monthly.select(
+        "n_name",
+        "yr",
+        "mth",
+        "rev",
+        "n_items",
+        F.sum("rev").over(yr_w).alias("yr_total"),
+        F.count(F.lit(1)).over(yr_w).cast("bigint").alias("yr_months"),
+        F.lag("rev").over(seq_w).alias("prev_rev"),
+        F.lead("rev").over(seq_w).alias("next_rev"),
+    )
+    return (
+        w.where(
+            F.abs(F.col("rev") * F.col("yr_months") - F.col("yr_total"))
+            > F.lit(0.2).cast("decimal(3,1)") * F.col("yr_total")
+        )
+        .select(
+            "n_name",
+            "yr",
+            "mth",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(F.col("yr_total").cast("double") / F.col("yr_months"), 6).alias(
+                "yr_avg"
+            ),
+            F.col("prev_rev").cast("double").alias("prev_rev"),
+            F.col("next_rev").cast("double").alias("next_rev"),
+        )
+        .orderBy("n_name", "yr", "mth")
+    )

@@ -296,3 +296,36 @@ def test_linear_probe_scoring_is_scan_shaped(spark):
     rep = audit_plan(REGISTRY["quality_linear_probe"].fn(spark, SF))
     assert rep.nested_loop_joins == 0
     assert "CartesianProduct" not in rep.raw
+
+
+def test_star_channel_buckets_single_fact_scan(spark):
+    """q88 signature: the eight bucket counts fuse into ONE scan of the
+    fact with conditional aggregation — a naive plan's eight scalar
+    subqueries would show eight scans.  Scan count is the whole point;
+    the filter reaches the parquet reader and only the three needed
+    columns are read."""
+    rep = audit_plan(REGISTRY["star_channel_buckets"].fn(spark, SF))
+    assert rep.scans == 1
+    assert rep.scans_with_pushed_filters == 1
+    assert set(rep.read_columns(0)) == {"l_quantity", "l_discount", "l_returnflag"}
+    assert rep.exchanges <= 1  # single 1-row final-agg exchange
+
+
+def test_star_yoy_customer_no_fact_self_join(spark):
+    """q74 signature: one fact scan pivoted by conditional MAX — the
+    naive form's 4-way self-join of the fact (one per channel x year)
+    never appears."""
+    rep = audit_plan(REGISTRY["star_yoy_customer"].fn(spark, SF))
+    assert rep.scans == 2  # orders once + customer, NOT 4x orders
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
+
+
+def test_star_monthly_deviation_windows_over_aggregate(spark):
+    """q47/q57 signature: LAG/LEAD + year-average windows run over the
+    (nation, month) aggregate, never the fact — exchanges stay at the
+    fact agg + two window partitionings + sort."""
+    rep = audit_plan(REGISTRY["star_monthly_deviation"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_hash_joins >= 3
+    assert rep.exchanges <= 4
