@@ -71,3 +71,29 @@ def export_shards(
         .format(fmt)
         .save(path)
     )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    train: int = 90,
+    val: int = 95,
+    den: int = 100,
+    salt: str = "split:",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket =
+    hash64(salt || id) mod den; [0, train) -> 'train', [train, val) ->
+    'val', [val, den) -> 'test', appended as a ``split`` column.
+
+    Map-only (zero shuffles) and growth-stable: a row's split depends
+    only on its own id, so adding or removing documents never reshuffles
+    anyone else — the property that keeps eval sets uncontaminated
+    across corpus refreshes.  Stratification is free: within any slice
+    (language, source, ...) the hash buckets are uniform.  At 100 TB
+    this is a pure narrow transformation fused into whatever scan or
+    write surrounds it."""
+    b = hash64(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % den
+    return df.withColumn(
+        "split",
+        F.when(b < train, "train").when(b < val, "val").otherwise("test"),
+    )

@@ -71,6 +71,10 @@ _PRIORITY = [
     "star_channel_buckets",
     "star_yoy_customer",
     "star_monthly_deviation",
+    "stratified_split",
+    "split_balance",
+    "length_band_filter",
+    "token_histogram",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -881,3 +881,176 @@ def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "y", "score")
         .orderBy("doc_id")
     )
+
+
+# --- deterministic train/val/test split --------------------------------------
+# The layout pass every training run starts with: assign each document
+# to a split by seeded hash so the assignment is (a) reproducible across
+# runs and engines, (b) stable under corpus growth (a doc's split never
+# depends on other docs), and (c) stratified for free — hash buckets are
+# uniform within every language slice.  Map-only: no shuffle at ALL for
+# the assignment itself (the registered query adds one tiny summary agg
+# to prove per-language balance alongside the per-doc assignment).
+
+_SPLIT_DEN = 100
+_SPLIT_TRAIN = 90  # [0, 90) train
+_SPLIT_VAL = 95    # [90, 95) val, [95, 100) test
+
+_SPLIT_CASE = (
+    f"CASE WHEN b < {_SPLIT_TRAIN} THEN 'train' "
+    f"WHEN b < {_SPLIT_VAL} THEN 'val' ELSE 'test' END"
+)
+
+STRATIFIED_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         {hash64_sql("'split:' || CAST(doc_id AS VARCHAR)")} % {_SPLIT_DEN} AS b
+  FROM documents)
+SELECT doc_id, lang, {_SPLIT_CASE} AS split
+FROM b
+ORDER BY doc_id
+"""
+
+
+@register("stratified_split", STRATIFIED_SPLIT_ORACLE)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by seeded hash —
+    map-only, growth-stable, uniform within every language stratum."""
+    from incubator_flink_spark.operators.export import assign_split
+
+    d = load(spark, sf_dir, "documents")
+    return assign_split(
+        d, "doc_id", train=_SPLIT_TRAIN, val=_SPLIT_VAL, den=_SPLIT_DEN
+    ).select("doc_id", "lang", "split").orderBy("doc_id")
+
+
+SPLIT_BALANCE_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         {hash64_sql("'split:' || CAST(doc_id AS VARCHAR)")} % {_SPLIT_DEN} AS b
+  FROM documents),
+s AS (SELECT lang, {_SPLIT_CASE} AS split FROM b)
+SELECT lang, split, COUNT(*) AS n_docs,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS frac
+FROM s GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
+@register("split_balance", SPLIT_BALANCE_ORACLE)
+def split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification audit for ``stratified_split``: per (lang, split)
+    counts and within-language fractions — the check that hash splitting
+    really is uniform inside every stratum.  One aggregate over the
+    map-only assignment; the window runs over the (lang x 3) rollup."""
+    from pyspark.sql import Window as W
+
+    from incubator_flink_spark.operators.export import assign_split
+
+    d = load(spark, sf_dir, "documents")
+    s = assign_split(d, "doc_id", train=_SPLIT_TRAIN, val=_SPLIT_VAL, den=_SPLIT_DEN)
+    per = s.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+    return per.select(
+        "lang",
+        "split",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(W.partitionBy("lang")),
+            6,
+        ).alias("frac"),
+    ).orderBy("lang", "split")
+
+
+# --- length-percentile filtering ---------------------------------------------
+# Per-language exact p10/p90 bounds on document length, then keep only
+# in-band documents — the standard "drop truncated fragments and
+# runaway concatenations" pass.  The percentile runs per language as an
+# aggregate (Spark `percentile`, DuckDB `quantile_cont` — the identical
+# (n-1)*p linear interpolation on doubles, so the bounds agree
+# bit-for-bit on integer inputs), broadcast back onto the corpus.
+
+LENGTH_BAND_FILTER_ORACLE = """
+WITH bounds AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.10) AS lo,
+         quantile_cont(n_chars, 0.90) AS hi
+  FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars,
+       ROUND(b.lo, 6) AS lo, ROUND(b.hi, 6) AS hi
+FROM documents d JOIN bounds b ON d.lang = b.lang
+WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+ORDER BY d.doc_id
+"""
+
+
+@register("length_band_filter", LENGTH_BAND_FILTER_ORACLE)
+def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents inside their language's exact [p10, p90] length
+    band.  One per-language percentile aggregate (a few rows) broadcast
+    back onto the corpus — the fact is scanned once and never shuffled."""
+    d = load(spark, sf_dir, "documents")
+    bounds = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.10)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.90)).alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(bounds), "lang")
+        .where((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- token-length histogram ---------------------------------------------------
+# The corpus-shape profile every data card reports: per (lang,
+# log2-bucket of token count) document counts.  floor(log2(n)) is exact
+# in IEEE doubles at powers of two and has huge margin elsewhere, so
+# both engines bucket identically.
+
+TOKEN_HISTOGRAM_ORACLE = f"""
+WITH n AS (SELECT lang, len({_TOKS}) AS n_tokens FROM documents)
+SELECT lang, CAST(FLOOR(LOG2(n_tokens)) AS BIGINT) AS bucket,
+       CAST(POW(2, CAST(FLOOR(LOG2(n_tokens)) AS BIGINT)) AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM n WHERE n_tokens > 0
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+@register("token_histogram", TOKEN_HISTOGRAM_ORACLE)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language log2 histogram of document token counts — one
+    map-side tokenize + one (lang, bucket) aggregate."""
+    d = load(spark, sf_dir, "documents")
+    n = d.select("lang", F.size(tokens(F.col("text"))).alias("n_tokens")).where(
+        F.col("n_tokens") > 0
+    )
+    bucket = F.floor(F.log2("n_tokens")).cast("bigint")
+    return (
+        n.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            F.pow(F.lit(2), F.col("bucket")).cast("bigint").alias("bucket_lo"),
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -978,3 +978,20 @@ def test_graph_metric_analytics_known_graph(spark):
     # direction/multiplicity invariance: reversed + duplicated edges agree
     rev = kite.selectExpr("dst as src", "src as dst").union(kite)
     assert triadic_census(rev).first() == tc
+
+
+def test_assign_split_deterministic_and_stable(spark):
+    """assign_split: same ids -> same splits across calls; splits only
+    {train,val,test}; removing rows never changes survivors' splits."""
+    from incubator_flink_spark.operators.export import assign_split
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in assign_split(df, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in assign_split(df, "doc_id").collect()}
+    assert a == b and set(a.values()) == {"train", "val", "test"}
+    sub = assign_split(df.where(F.col("doc_id") % 3 == 0), "doc_id")
+    for r in sub.collect():
+        assert a[r.doc_id] == r.split
+    # ~90/5/5 within loose bounds at n=300
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 240 <= n_train <= 295

@@ -329,3 +329,21 @@ def test_star_monthly_deviation_windows_over_aggregate(spark):
     assert rep.nested_loop_joins == 0
     assert rep.broadcast_hash_joins >= 3
     assert rep.exchanges <= 4
+
+
+def test_stratified_split_is_map_only(spark):
+    """Split assignment is a narrow transformation: no join, no
+    aggregate — the only exchange is the presentation sort."""
+    rep = audit_plan(REGISTRY["stratified_split"].fn(spark, SF))
+    assert rep.broadcast_hash_joins + rep.sort_merge_joins + rep.shuffled_hash_joins == 0
+    assert rep.exchanges <= 1
+
+
+def test_length_band_filter_broadcasts_bounds(spark):
+    """The per-language percentile bounds (|langs| rows) broadcast back
+    onto the corpus — the fact is scanned once and never shuffled on a
+    key (agg + broadcast-join + sort only)."""
+    rep = audit_plan(REGISTRY["length_band_filter"].fn(spark, SF))
+    assert rep.broadcast_hash_joins >= 1
+    assert rep.sort_merge_joins + rep.shuffled_hash_joins == 0
+    assert rep.nested_loop_joins == 0
