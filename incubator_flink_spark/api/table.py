@@ -479,6 +479,97 @@ class TableEnvironment:
             elif not known and not dm.group(1):
                 raise ValueError(f"table {name!r} does not exist (use DROP TABLE IF EXISTS)")
             return []
+        dsc = _re.fullmatch(r"DESC(?:RIBE)?\s+(\w+)", s, _re.I)
+        if dsc:
+            # Flink: DescribeTableOperation -> (name, type, null, key,
+            # extras, watermark) rows.  DDL tables answer from their
+            # declared schema (incl. computed cols + watermark); plain
+            # temp views answer from the Spark catalog schema.
+            name = dsc.group(1)
+            t = self._tables.get(name)
+            if t is not None:
+                pk = set(t.primary_key)
+                rows = [
+                    (
+                        c,
+                        ty,
+                        c not in pk,
+                        "PRI" if c in pk else None,
+                        None,
+                        f"WATERMARK {t.watermark[1]}s"
+                        if t.watermark and t.watermark[0] == c
+                        else None,
+                    )
+                    for c, ty in t.columns
+                ]
+                rows += [
+                    (c, "AS " + expr, True, None, "computed", None)
+                    for c, expr in t.computed
+                ]
+                return rows
+            if self._spark.catalog.tableExists(name):
+                return [
+                    (f.name, f.dataType.simpleString(), f.nullable, None, None, None)
+                    for f in self._spark.table(name).schema.fields
+                ]
+            raise ValueError(f"table {name!r} does not exist")
+        sc = _re.fullmatch(r"SHOW\s+CREATE\s+TABLE\s+(\w+)", s, _re.I)
+        if sc:
+            # Flink 1.14's ShowCreateTableOperation: reconstruct the DDL
+            # from the registered definition
+            name = sc.group(1)
+            t = self._tables.get(name)
+            if t is None:
+                raise ValueError(f"SHOW CREATE TABLE: {name!r} was not created via execute_sql DDL")
+            body = [f"  {c} {ty}" for c, ty in t.columns]
+            body += [f"  {c} AS {expr}" for c, expr in t.computed]
+            if t.watermark:
+                body.append(
+                    f"  WATERMARK FOR {t.watermark[0]} AS {t.watermark[0]}"
+                    f" - INTERVAL '{t.watermark[1]}' SECOND"
+                )
+            if t.primary_key:
+                body.append(f"  PRIMARY KEY ({', '.join(t.primary_key)}) NOT ENFORCED")
+            part = (
+                f"\nPARTITIONED BY ({', '.join(t.partitioned_by)})"
+                if t.partitioned_by
+                else ""
+            )
+            opts = ",\n".join(f"  '{k}' = '{v}'" for k, v in sorted(t.options.items()))
+            return [
+                f"CREATE TABLE {t.name} (\n" + ",\n".join(body) + f"\n){part}\nWITH (\n{opts}\n)"
+            ]
+        ex = _re.fullmatch(r"EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.+)", s, _re.I | _re.S)
+        if ex and not up.startswith("EXPLAIN ANALYZE"):
+            # Flink: EXPLAIN [PLAN FOR] <query> returns the plan text;
+            # ours is the Catalyst formatted physical plan (post-rewrite,
+            # so TVF/MATCH_RECOGNIZE/temporal sugar is already lowered)
+            import contextlib
+            import io
+
+            df = self.sql_query(ex.group(1)).to_df()
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return [buf.getvalue()]
+        alt = _re.fullmatch(
+            r"ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)", s, _re.I
+        )
+        if alt:
+            # Flink: AlterTableRenameOperation — re-register the view and
+            # the definition under the new name
+            old, new = alt.group(1), alt.group(2)
+            t = self._tables.get(old)
+            if t is None:
+                raise ValueError(f"ALTER TABLE: {old!r} was not created via execute_sql DDL")
+            if new in self._tables or self._spark.catalog.tableExists(new):
+                raise ValueError(f"ALTER TABLE: target name {new!r} already exists")
+            self._spark.table(old).createOrReplaceTempView(new)
+            self._spark.catalog.dropTempView(old)
+            t.name = new
+            self._tables[new] = t
+            del self._tables[old]
+            return []
         if _re.fullmatch(r"SHOW\s+TABLES", s, _re.I):
             # DDL tables plus temporary views (Flink's SHOW TABLES lists
             # both) — keeps SHOW and DROP over the same catalog: anything

@@ -187,3 +187,50 @@ def test_show_tables_lists_temp_views_drop_consistent(spark):
         assert "stv_bad" not in env.execute_sql("SHOW TABLES")
     finally:
         spark.catalog.dropTempView("stv_view")
+
+
+def test_execute_sql_describe_show_create_alter_explain(spark, tmp_path):
+    """The rest of the reference's utility-statement surface
+    (TableEnvironmentImpl.executeSql dispatch): DESCRIBE, SHOW CREATE
+    TABLE, ALTER TABLE ... RENAME TO, EXPLAIN [PLAN FOR]."""
+    import pytest
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    src = str(tmp_path / "meta_tbl")
+    spark.createDataFrame([(1, 7.0)], "id long, v double").write.parquet(src)
+    env.execute_sql(f"""
+        CREATE TABLE meta_t (id BIGINT, v DOUBLE, PRIMARY KEY (id) NOT ENFORCED)
+        WITH ('connector' = 'filesystem', 'path' = '{src}', 'format' = 'parquet')
+    """)
+    # DESCRIBE: declared columns with PK marking
+    desc = env.execute_sql("DESCRIBE meta_t")
+    assert [(r[0], r[3]) for r in desc] == [("id", "PRI"), ("v", None)]
+    # SHOW CREATE TABLE reconstructs a DDL that parses back to the same def
+    ddl = env.execute_sql("SHOW CREATE TABLE meta_t")[0]
+    assert "CREATE TABLE meta_t" in ddl and "PRIMARY KEY (id)" in ddl and "'format' = 'parquet'" in ddl
+    from incubator_flink_spark.sources.ddl import parse_create_table
+
+    t2 = parse_create_table(ddl)
+    assert t2.columns == [("id", "BIGINT"), ("v", "DOUBLE")] and t2.primary_key == ["id"]
+    # EXPLAIN returns the physical plan text
+    plan = env.execute_sql("EXPLAIN SELECT v FROM meta_t WHERE id = 1")[0]
+    assert "Physical Plan" in plan
+    plan2 = env.execute_sql("EXPLAIN PLAN FOR SELECT 1 AS one")[0]
+    assert "Physical Plan" in plan2
+    # ALTER TABLE RENAME: old name gone, new name queryable + SHOWn
+    env.execute_sql("ALTER TABLE meta_t RENAME TO meta_r")
+    assert env.execute_sql("SELECT COUNT(*) AS n FROM meta_r")[0].n == 1
+    tables = env.execute_sql("SHOW TABLES")
+    assert "meta_r" in tables and "meta_t" not in tables
+    with pytest.raises(Exception):
+        env.execute_sql("SELECT * FROM meta_t")
+    with pytest.raises(ValueError, match="not created via execute_sql"):
+        env.execute_sql("ALTER TABLE nosuch RENAME TO x")
+    # DESCRIBE a plain temp view answers from the catalog schema
+    spark.createDataFrame([(1, "x")], "a long, b string").createOrReplaceTempView("plain_v")
+    dv = env.execute_sql("DESC plain_v")
+    assert [(r[0], r[1]) for r in dv] == [("a", "bigint"), ("b", "string")]
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("DESCRIBE ghost")
