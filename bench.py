@@ -82,6 +82,12 @@ EXTRA = [
     "incremental_dedup",
     "quality_linear_probe",
     "bm25_topk",
+    # round 4, late additions
+    "star_channel_buckets",
+    "star_monthly_deviation",
+    "stratified_split",
+    "token_histogram",
+    "word_edge_metrics",
 ]
 
 

@@ -174,3 +174,128 @@ def sample_frames(
             yield pd.DataFrame({id_col: ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame": frames})
 
     return df.select(id_col, payload_col).mapInPandas(fn, out_schema)
+
+
+# --- audio: REAL numpy-only decode (raw PCM and WAV containers) --------------
+# Unlike image/video decode (which needs codec libraries this container
+# lacks), 16-bit PCM and the RIFF/WAVE container are pure byte layouts —
+# so the audio path is fully real: header walk with struct, sample
+# decode with numpy.frombuffer, features with vectorized numpy (FFT
+# included). No stub anywhere.
+
+
+def parse_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a RIFF/WAVE container: returns (sample_rate, n_channels,
+    bits_per_sample, pcm_bytes). Walks the chunk list (fmt / data may be
+    preceded by LIST etc.), accepting only uncompressed PCM (format tag
+    1). Pure struct unpacking — no audio library."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if tag != 1:
+                raise ValueError(f"compressed WAV (format tag {tag}) needs a codec library")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, channels, bits, data
+
+
+def _pcm_to_float(pcm: bytes, bits: int, channels: int):
+    """int16/int8 PCM bytes -> mono float64 numpy array in [-1, 1)
+    (channels averaged)."""
+    import numpy as np
+
+    if bits == 16:
+        arr = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:  # WAV 8-bit is unsigned
+        arr = (np.frombuffer(pcm, dtype="u1").astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM depth {bits}")
+    if channels > 1:
+        arr = arr[: len(arr) - len(arr) % channels].reshape(-1, channels).mean(axis=1)
+    return arr
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("dominant_freq_hz", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    sample_rate: int | None = None,
+    bits: int = 16,
+    channels: int = 1,
+) -> DataFrame:
+    """Per-clip audio features from binary payloads — REAL decode, no
+    stub: ``sample_rate=None`` parses each payload as a WAV container;
+    a given rate treats payloads as headerless PCM. Features are
+    vectorized numpy per clip: RMS, peak, zero-crossing count, dominant
+    frequency via rFFT magnitude argmax (DC excluded).
+
+    Scale shape: identical to the other modality kernels — Arrow-batched
+    mapInPandas, zero shuffles; payload bytes never leave the partition
+    that read them, and the output is a tiny fixed-width feature row per
+    clip (the thing later joins/apply filters run on)."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                if sample_rate is None:
+                    rate, ch, depth, pcm = parse_wav(b)
+                else:
+                    rate, ch, depth, pcm = sample_rate, channels, bits, b
+                x = _pcm_to_float(pcm, depth, ch)
+                n = len(x)
+                if n == 0:
+                    rows.append((rid, rate, 0, 0.0, 0.0, 0.0, 0, 0.0))
+                    continue
+                rms = float(np.sqrt(np.mean(x * x)))
+                peak = float(np.max(np.abs(x)))
+                zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                if n >= 4:
+                    mag = np.abs(np.fft.rfft(x))
+                    k = int(np.argmax(mag[1:])) + 1  # skip DC
+                    dom = float(k * rate / n)
+                else:
+                    dom = 0.0
+                rows.append((rid, rate, n, n / rate, rms, peak, zc, dom))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "sample_rate",
+                    "n_samples",
+                    "duration_s",
+                    "rms",
+                    "peak",
+                    "zero_crossings",
+                    "dominant_freq_hz",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, AUDIO_FEATURE_SCHEMA)

@@ -76,3 +76,59 @@ def test_multimodal_ops_are_map_side_only(spark):
     rep = audit_plan(sample_frames(resize_image(d, 8, 4), frame_bytes=8))
     assert rep.exchanges == 0
     assert rep.scans_with_pushed_filters == 1
+
+
+def _wav_bytes(freq_hz: float, rate: int, dur_s: float, amp: float = 0.5) -> bytes:
+    """Minimal mono 16-bit PCM WAV, built by hand (struct only)."""
+    import math
+    import struct
+
+    n = int(rate * dur_s)
+    samples = b"".join(
+        struct.pack("<h", int(amp * 32767 * math.sin(2 * math.pi * freq_hz * i / rate)))
+        for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(samples)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(samples)) + samples
+    return out
+
+
+def test_audio_features_real_wav_decode(spark):
+    """audio_features is a REAL decode path (no stub): hand-built WAV
+    sines come back with the analytically-known rate, duration, RMS
+    (a/sqrt(2)), zero-crossing count (~2 f t), and FFT dominant
+    frequency."""
+    from incubator_flink_spark.operators.multimodal import audio_features, parse_wav
+
+    clips = [(1, _wav_bytes(440.0, 8000, 1.0)), (2, _wav_bytes(1000.0, 16000, 0.5, amp=0.25))]
+    rate, ch, bits, pcm = parse_wav(clips[0][1])
+    assert (rate, ch, bits, len(pcm)) == (8000, 1, 16, 16000)
+    df = spark.createDataFrame(clips, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in audio_features(df).collect()}
+    r1, r2 = out[1], out[2]
+    assert (r1.sample_rate, r1.n_samples, r1.duration_s) == (8000, 8000, 1.0)
+    assert abs(r1.rms - 0.5 / 2**0.5) < 1e-3
+    assert abs(r1.dominant_freq_hz - 440.0) < 1.0
+    assert abs(r1.zero_crossings - 2 * 440) <= 2
+    assert (r2.sample_rate, r2.n_samples) == (16000, 8000)
+    assert abs(r2.dominant_freq_hz - 1000.0) < 2.0
+    assert abs(r2.peak - 0.25) < 1e-2
+    # headerless PCM path: same samples, rate passed explicitly
+    raw = spark.createDataFrame([(3, pcm)], "doc_id long, payload binary")
+    r3 = audio_features(raw, sample_rate=8000).first()
+    assert abs(r3.dominant_freq_hz - 440.0) < 1.0 and r3.n_samples == 8000
+    # stereo averaging: duplicate each sample into 2 channels -> same features
+    import numpy as np
+
+    st = np.repeat(np.frombuffer(pcm, dtype="<i2"), 2).astype("<i2").tobytes()
+    sdf = spark.createDataFrame([(4, st)], "doc_id long, payload binary")
+    r4 = audio_features(sdf, sample_rate=8000, channels=2).first()
+    assert abs(r4.rms - r1.rms) < 1e-6 and abs(r4.dominant_freq_hz - 440.0) < 1.0
+    # compressed WAV rejected with a clear error
+    import pytest, struct as _s
+
+    bad = clips[0][1].replace(b"fmt " + _s.pack("<I", 16) + _s.pack("<HH", 1, 1), b"fmt " + _s.pack("<I", 16) + _s.pack("<HH", 85, 1))
+    with pytest.raises(ValueError, match="format tag"):
+        parse_wav(bad)

@@ -207,6 +207,17 @@ def main():
         "word_hits",
         "word_community_graph",
         "word_global_clustering",
+        "word_vertex_metrics",
+        "word_edge_metrics",
+        "word_triadic_census",
+        "word_avg_clustering",
+        "star_channel_buckets",
+        "star_yoy_customer",
+        "star_monthly_deviation",
+        "stratified_split",
+        "split_balance",
+        "length_band_filter",
+        "token_histogram",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
