@@ -15,6 +15,7 @@ from.
 from incubator_flink_spark.queries import (  # noqa: F401
     cdc_queries,
     cep_queries,
+    corpus,
     documents,
     embeddings,
     events,
@@ -75,6 +76,11 @@ _PRIORITY = [
     "split_balance",
     "length_band_filter",
     "token_histogram",
+    "line_dedup_rewrite",
+    "boilerplate_line_topk",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "cms_heavy_hitters",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1,0 +1,209 @@
+"""Corpus-construction operators, wave 5 of the training-data pipeline
+family (beyond-reference scope, graded alongside SURVEY.md §2):
+line-level boilerplate dedup (CCNet / Gopher recipe), distributed BPE
+tokenizer training (Sennrich et al. 2016), and count-min-sketch heavy
+hitters (Cormode & Muthukrishnan 2005).
+
+Oracle strategy: every deterministic-by-construction pipeline is
+replicated exactly in DuckDB — including the count-min sketch itself
+(fixed seeded hashes, integer cells), so the oracle checks the sketch's
+overestimates bit-for-bit, not just the exact counts.  The BPE merge
+LOOP is data-dependently iterative (argmax per round) and not
+SQL-expressible; its first-round pair table is oracle-checked here and
+the full merge sequence is pinned against a pure-Python reference
+implementation in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.catalog import load, spread
+from incubator_flink_spark.functions.hashing import hash64, hash64_sql
+from incubator_flink_spark.operators.bpe import bpe_train, pair_counts, to_symbols, word_freqs
+from incubator_flink_spark.operators.lines import doc_lines, line_counts, line_dedup
+from incubator_flink_spark.operators.sketch import (
+    CMS_DEPTH,
+    cms_build,
+    cms_bucket_sql,
+    cms_estimate,
+)
+from incubator_flink_spark.queries.registry import register
+
+_TOKS = "string_split(lower(text), ' ')"
+
+# Pseudo-lines for the single-line synthetic corpus: fixed 10-token
+# windows (the operator itself takes any separator; see operators/lines).
+_LINES_PER = 10
+
+_LINES_CTE = f"""
+lines AS (
+  SELECT doc_id, i - 1 AS line_no,
+         array_to_string(t[((i-1)*{_LINES_PER}+1):((i-1)*{_LINES_PER}+{_LINES_PER})], ' ') AS line
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+       unnest(generate_series(1, CAST(FLOOR((len(t)-1)/{_LINES_PER}) AS BIGINT) + 1)) AS g(i)
+  WHERE len(t) > 0
+),
+nlines AS (SELECT doc_id, line_no, line FROM lines WHERE line <> '')
+"""
+
+# --- line-level boilerplate dedup -------------------------------------------
+
+LINE_DEDUP_ORACLE = f"""
+WITH {_LINES_CTE},
+hashed AS (SELECT doc_id, line_no, line, {hash64_sql("line")} AS lh FROM nlines),
+cnts AS (SELECT lh, COUNT(*) AS n FROM hashed GROUP BY lh),
+canon AS (
+  SELECT lh, doc_id AS cd, line_no AS cp FROM (
+    SELECT lh, doc_id, line_no,
+           ROW_NUMBER() OVER (PARTITION BY lh ORDER BY doc_id, line_no) AS rn
+    FROM hashed) WHERE rn = 1
+),
+marked AS (
+  SELECT h.doc_id, h.line_no, h.line,
+         (c.n < 2 OR (h.doc_id = k.cd AND h.line_no = k.cp)) AS keep
+  FROM hashed h JOIN cnts c USING (lh) JOIN canon k USING (lh)
+)
+SELECT doc_id, COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY line_no), '')) AS clean_hash
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("line_dedup_rewrite", LINE_DEDUP_ORACLE)
+def line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rewritten with repeated lines removed (canonical first
+    occurrence kept): per-document line counts, dropped-line counts, and
+    the md5 of the cleaned text.  Two fixed-width-key shuffles."""
+    d = spread(load(spark, sf_dir, "documents"))
+    out = line_dedup(d, min_count=2, tokens_per_line=_LINES_PER)
+    return out.select(
+        "doc_id", "n_lines", "n_dropped", F.md5("text").alias("clean_hash")
+    ).orderBy("doc_id")
+
+
+BOILERPLATE_LINE_ORACLE = f"""
+WITH {_LINES_CTE},
+hashed AS (SELECT line, {hash64_sql("line")} AS line_hash FROM nlines)
+SELECT line_hash, MIN(line) AS line, COUNT(*) AS n_occurrences
+FROM hashed GROUP BY line_hash HAVING COUNT(*) >= 2
+ORDER BY n_occurrences DESC, line_hash LIMIT 20
+"""
+
+
+@register("boilerplate_line_topk", BOILERPLATE_LINE_ORACLE)
+def boilerplate_line_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most-repeated lines in the corpus — the boilerplate audit
+    view a curator eyeballs before choosing the dedup threshold.  Count
+    shuffles the 8-byte hash; text rides along as a min() payload whose
+    map-side combine keeps one copy per distinct line per task."""
+    d = spread(load(spark, sf_dir, "documents"))
+    lines = doc_lines(d, tokens_per_line=_LINES_PER)
+    return (
+        lines.withColumn("line_hash", hash64(F.col("line")))
+        .groupBy("line_hash")
+        .agg(F.min("line").alias("line"), F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= 2)
+        .orderBy(F.col("n_occurrences").desc(), "line_hash")
+        .limit(20)
+    )
+
+
+# --- BPE tokenizer training ---------------------------------------------------
+
+BPE_PAIR_ORACLE = f"""
+WITH wf AS (
+  SELECT w AS word, COUNT(*) AS freq FROM
+    (SELECT unnest({_TOKS}) AS w FROM documents) WHERE w <> '' GROUP BY w
+),
+pc AS (
+  SELECT substring(word, i, 1) AS lsym,
+         CASE WHEN i < len(word) THEN substring(word, i+1, 1) ELSE '_' END AS rsym,
+         freq
+  FROM wf, unnest(generate_series(1, len(word))) AS g(i)
+)
+SELECT lsym, rsym, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM pc GROUP BY lsym, rsym ORDER BY cnt DESC, lsym, rsym LIMIT 50
+"""
+
+
+@register("bpe_pair_counts", BPE_PAIR_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 BPE statistics: the 50 most frequent adjacent symbol
+    pairs (characters + end-of-word marker) weighted by word frequency.
+    The corpus-sized pass is the word-frequency shuffle; pair counting
+    runs on the vocabulary-bounded table."""
+    d = spread(load(spark, sf_dir, "documents"))
+    pc = pair_counts(to_symbols(word_freqs(d)))
+    return (
+        pc.select(
+            F.col("left").alias("lsym"), F.col("right").alias("rsym"), F.col("cnt")
+        )
+        .orderBy(F.col("cnt").desc(), "lsym", "rsym")
+        .limit(50)
+    )
+
+
+@register("bpe_train_merges", None)  # iterative argmax loop — no SQL oracle;
+# pinned against a pure-Python BPE reference in tests/test_operators.py
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 30 learned BPE merges (step, lsym, rsym, cnt) — a
+    driver-loop bulk iteration over the vocabulary-bounded symbol table;
+    only the per-round argmax row is ever collected."""
+    d = spread(load(spark, sf_dir, "documents"))
+    merges, _ = bpe_train(d, n_merges=30)
+    return merges.select(
+        "step", F.col("left").alias("lsym"), F.col("right").alias("rsym"), "cnt"
+    ).orderBy("step")
+
+
+# --- count-min sketch heavy hitters ------------------------------------------
+
+_CMS_PROBE = " ".join(
+    f"WHEN {r} THEN {cms_bucket_sql(hash64_sql('word'), r)}" for r in range(CMS_DEPTH)
+)
+_CMS_CELLS = " UNION ALL ".join(
+    f"SELECT {r} AS rw, {cms_bucket_sql(hash64_sql('word'), r)} AS bucket FROM ww"
+    for r in range(CMS_DEPTH)
+)
+
+CMS_ORACLE = f"""
+WITH ww AS (
+  SELECT w AS word FROM (SELECT unnest({_TOKS}) AS w FROM documents) WHERE w <> ''
+),
+cells AS (SELECT rw, bucket, COUNT(*) AS cell FROM ({_CMS_CELLS}) GROUP BY rw, bucket),
+top AS (
+  SELECT word, COUNT(*) AS exact_cnt FROM ww GROUP BY word
+  ORDER BY exact_cnt DESC, word LIMIT 20
+)
+SELECT t.word, t.exact_cnt, MIN(COALESCE(c.cell, 0)) AS est
+FROM top t
+CROSS JOIN (VALUES (0),(1),(2),(3)) d(r)
+LEFT JOIN cells c ON c.rw = d.r AND c.bucket = (CASE d.r {_CMS_PROBE} END)
+GROUP BY t.word, t.exact_cnt
+ORDER BY exact_cnt DESC, word
+"""
+
+
+@register("cms_heavy_hitters", CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch point estimates for the exact top-20 words:
+    (word, exact_cnt, est) with est >= exact_cnt guaranteed.  The sketch
+    is deterministic (seeded hashes, integer cells) so the oracle
+    reproduces even its collision overestimates exactly.  Build is one
+    map-side-combined aggregation capped at depth*width cells per task;
+    probing broadcasts the 2048-row sketch."""
+    d = spread(load(spark, sf_dir, "documents"))
+    words = d.select(F.explode(F.split(F.lower("text"), " ")).alias("word")).where(
+        F.col("word") != ""
+    )
+    sketch = cms_build(words, "word")
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "word")
+        .limit(20)
+    )
+    return cms_estimate(sketch, top, "word").orderBy(F.col("exact_cnt").desc(), "word")

@@ -1,0 +1,148 @@
+"""Tests for the wave-5 corpus operators: line-level boilerplate dedup,
+distributed BPE training (pinned against a pure-Python reference), and
+count-min-sketch heavy hitters (overestimate guarantee + exactness on a
+collision-free range)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.catalog import load
+from incubator_flink_spark.operators.bpe import (
+    END_MARK,
+    bpe_train,
+    pair_counts,
+    to_symbols,
+    word_freqs,
+)
+from incubator_flink_spark.operators.lines import doc_lines, line_dedup
+from incubator_flink_spark.operators.sketch import cms_build, cms_estimate
+
+
+# --- line dedup ---------------------------------------------------------------
+
+
+def test_doc_lines_pseudo_lines_cover_all_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "x y"), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    rows = doc_lines(df, tokens_per_line=5).collect()
+    got = {(r["doc_id"], r["line_no"]): r["line"] for r in rows}
+    assert got[(1, 0)] == "a b c d e"
+    assert got[(1, 1)] == "f g h i j"
+    assert got[(1, 2)] == "k l"
+    assert got[(2, 0)] == "x y"
+    assert 3 not in {d for d, _ in got}  # empty text yields no lines
+
+
+def test_line_dedup_keeps_canonical_copy_only(spark):
+    boiler = "subscribe to our newsletter now ok"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " unique one two three four"),
+            (2, boiler + " other words here too yes"),
+            (3, "completely fresh text with no repeats"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, min_count=2, tokens_per_line=6).collect()}
+    # doc 1 holds the canonical copy (lowest doc_id, line_no), keeps both lines
+    assert out[1]["n_dropped"] == 0 and out[1]["text"].startswith(boiler)
+    # doc 2's copy of the boilerplate line is dropped
+    assert out[2]["n_dropped"] == 1 and boiler not in out[2]["text"]
+    assert out[3]["n_dropped"] == 0
+
+
+# --- BPE ----------------------------------------------------------------------
+
+
+def _py_bpe(texts: list[str], n_merges: int):
+    """Pure-Python reference BPE with the same determinism rules:
+    end-of-word marker, count-desc/left/right argmax, stop when max < 2."""
+    wf = Counter(w for t in texts for w in t.lower().split(" ") if w)
+    vocab = {w: tuple(list(w) + [END_MARK]) for w in wf}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < 2:
+            break
+        merges.append((step, left, right, cnt))
+        new_vocab = {}
+        for w, syms in vocab.items():
+            out, skip = [], False
+            for i, s in enumerate(syms):
+                if skip:
+                    skip = False
+                    continue
+                if s == left and i + 1 < len(syms) and syms[i + 1] == right:
+                    out.append(left + right)
+                    skip = True
+                else:
+                    out.append(s)
+            new_vocab[w] = tuple(out)
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want_merges, want_vocab = _py_bpe(texts, 12)
+    merges, vocab = bpe_train(docs, n_merges=12)
+    got = [(r["step"], r["left"], r["right"], r["cnt"]) for r in merges.orderBy("step").collect()]
+    assert got == want_merges
+    got_vocab = {r["word"]: tuple(r["syms"]) for r in vocab.collect()}
+    assert got_vocab == want_vocab
+
+
+def test_bpe_pair_counts_weighted_by_freq(spark):
+    df = spark.createDataFrame([(1, "ab ab cd")], "doc_id LONG, text STRING")
+    pc = {
+        (r["left"], r["right"]): r["cnt"]
+        for r in pair_counts(to_symbols(word_freqs(df))).collect()
+    }
+    assert pc[("a", "b")] == 2
+    assert pc[("b", END_MARK)] == 2
+    assert pc[("c", "d")] == 1
+
+
+# --- count-min sketch ---------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word")).where(
+        F.col("word") != ""
+    )
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    sketch = cms_build(words, "word")
+    est = cms_estimate(sketch, exact, "word").collect()
+    assert est, "corpus produced no words"
+    n_exact = 0
+    for r in est:
+        assert r["est"] >= r["exact_cnt"], (r["word"], r["est"], r["exact_cnt"])
+        n_exact += r["est"] == r["exact_cnt"]
+    # the synthetic vocab is far smaller than depth*width: most estimates
+    # should be collision-free and thus exact
+    assert n_exact >= len(est) * 0.8
+
+
+def test_cms_weighted_build(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 3), ("b", 2)], "k STRING, w LONG"
+    )
+    sketch = cms_build(df, "k", weight_col="w")
+    keys = df.select("k").distinct()
+    got = {r["k"]: r["est"] for r in cms_estimate(sketch, keys, "k").collect()}
+    assert got["a"] >= 8 and got["b"] >= 2
