@@ -1,8 +1,10 @@
-"""Count-min sketch for streaming/heavy-hitter frequency estimation
-(public algorithm: Cormode & Muthukrishnan 2005).  The reference has no
-sketch operators (beyond-reference scope); this gives the engine a
-fixed-memory frequency summary whose size is independent of corpus
-cardinality.
+"""Fixed-memory sketches: count-min (frequency estimation, Cormode &
+Muthukrishnan 2005) and HyperLogLog (distinct counting, Flajolet et al.
+2007).  The reference has no sketch operators (beyond-reference scope);
+these give the engine summaries whose size is independent of corpus
+cardinality.  Unlike Spark's built-in ``approx_count_distinct``, this
+HLL is deterministic AND integer-exact in its registers, so a SQL oracle
+reproduces the estimate bit-for-bit.
 
 Scale shape (100 TB):
 - every item is reduced to its 60-bit ``hash64`` map-side, then mapped to
@@ -101,3 +103,74 @@ def cms_estimate(
         "__cell", F.coalesce(F.col("cell"), F.lit(0))
     )
     return joined.groupBy(*keys.columns).agg(F.min("__cell").alias("est"))
+
+
+# --- HyperLogLog --------------------------------------------------------------
+#
+# Register machinery is INTEGER-ONLY so Spark and DuckDB agree exactly:
+# - bucket = low 8 bits of the 60-bit base hash; w = the remaining bits;
+# - rho(w) = 1 + number of trailing zero bits of w, extracted via the
+#   binary-string representation (bin/rtrim — portable, no log2 whose
+#   last-ulp behavior differs between libm implementations), capped;
+# - the harmonic denominator sum(2^-M_j) is scaled by 2^RHO_CAP into an
+#   exact int64 (max term 2^40, 256 buckets => < 2^48, no overflow);
+# - the only float op is ONE division of two exact values by an inlined
+#   shared constant — deterministic IEEE, identical in both engines.
+
+HLL_M = 256  # buckets (b = 8 index bits)
+HLL_RHO_CAP = 40
+# alpha_m * m^2 * 2^RHO_CAP for m=256 — inlined into both engines so the
+# final estimate is the same single IEEE division everywhere.
+HLL_ALPHA_M = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_NUM = repr(HLL_ALPHA_M * HLL_M * HLL_M * float(2**HLL_RHO_CAP))
+
+
+def _rho(w: Column) -> Column:
+    """1 + trailing-zero count of ``w`` (> 0), capped at HLL_RHO_CAP."""
+    b = F.bin(w)
+    tz = F.length(b) - F.length(F.regexp_replace(b, "0+$", ""))
+    return F.least(F.lit(HLL_RHO_CAP), tz + F.lit(1))
+
+
+def hll_registers(items: DataFrame, key_col: str, m: int = HLL_M) -> DataFrame:
+    """(bucket, reg): the m max-rho registers.  One map-side-combined
+    aggregation capped at m cells per task; buckets with no items are
+    absent (reg 0 by convention).  ``m`` must be a power of two: the
+    bucket is the low log2(m) bits and w the remaining bits, extracted
+    with integer shifts (a float division would round away the low bits
+    of a 60-bit hash)."""
+    bbits = m.bit_length() - 1
+    if 1 << bbits != m:
+        raise ValueError("m must be a power of two")
+    h = hash64(F.col(key_col))
+    w = F.shiftright(h, bbits)
+    rho = F.when(w == 0, F.lit(HLL_RHO_CAP)).otherwise(_rho(w))
+    return (
+        items.select((h % F.lit(m)).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(regs: DataFrame, m: int = HLL_M) -> DataFrame:
+    """(n_buckets_used, denom_scaled, est): the raw HLL estimate
+    alpha*m^2/sum(2^-M_j), with empty buckets contributing 2^0 each.
+    ``denom_scaled`` = 2^RHO_CAP * sum is exact int64; est is one IEEE
+    division of inlined-constant numerator by it."""
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.coalesce(
+            # python-api shiftleft takes only literal bit counts; the SQL
+            # form accepts a column shift
+            F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_CAP} - reg)")),
+            F.lit(0).cast("long"),
+        ).alias("__used_sum"),
+    )
+    denom = F.col("__used_sum") + (F.lit(m) - F.col("n_buckets_used")) * F.lit(
+        2**HLL_RHO_CAP
+    ).cast("long")
+    return agg.select(
+        "n_buckets_used",
+        denom.alias("denom_scaled"),
+        F.round(F.lit(float(HLL_NUM)) / denom, 4).alias("est"),
+    )

@@ -81,6 +81,7 @@ _PRIORITY = [
     "bpe_pair_counts",
     "bpe_train_merges",
     "cms_heavy_hitters",
+    "hll_distinct_shingles",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

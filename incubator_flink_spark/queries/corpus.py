@@ -21,13 +21,19 @@ from pyspark.sql import functions as F
 
 from incubator_flink_spark.catalog import load, spread
 from incubator_flink_spark.functions.hashing import hash64, hash64_sql
+from incubator_flink_spark.functions.text import shingles, shingles_sql, tokens, tokens_sql
 from incubator_flink_spark.operators.bpe import bpe_train, pair_counts, to_symbols, word_freqs
 from incubator_flink_spark.operators.lines import doc_lines, line_counts, line_dedup
 from incubator_flink_spark.operators.sketch import (
     CMS_DEPTH,
+    HLL_M,
+    HLL_NUM,
+    HLL_RHO_CAP,
     cms_build,
     cms_bucket_sql,
     cms_estimate,
+    hll_estimate,
+    hll_registers,
 )
 from incubator_flink_spark.queries.registry import register
 
@@ -207,3 +213,53 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return cms_estimate(sketch, top, "word").orderBy(F.col("exact_cnt").desc(), "word")
+
+
+# --- HyperLogLog distinct-shingle estimate -----------------------------------
+
+_SH_CTE = f"sh AS (SELECT unnest({shingles_sql(tokens_sql('text'))}) AS sh FROM documents)"
+_CAP = HLL_RHO_CAP
+_POW_CAP = 1 << HLL_RHO_CAP
+
+HLL_ORACLE = f"""
+WITH {_SH_CTE},
+h AS (SELECT {hash64_sql('sh')} AS h FROM sh),
+br AS (
+  SELECT h % {HLL_M} AS bucket,
+         CASE WHEN (h >> 8) = 0 THEN {_CAP}
+              ELSE least({_CAP}, 1 + length(bin(h >> 8)) - length(regexp_replace(bin(h >> 8), '0+$', '')))
+         END AS rho
+  FROM h
+),
+regs AS (SELECT bucket, MAX(rho) AS reg FROM br GROUP BY bucket),
+agg AS (
+  SELECT COUNT(*) AS n_buckets_used,
+         CAST(COALESCE(SUM((1::BIGINT) << ({_CAP} - reg)), 0) AS BIGINT) AS used_sum
+  FROM regs
+),
+ex AS (SELECT COUNT(DISTINCT sh) AS exact_distinct FROM sh)
+SELECT exact_distinct, n_buckets_used,
+       used_sum + ({HLL_M} - n_buckets_used) * {_POW_CAP} AS denom_scaled,
+       round({HLL_NUM} / (used_sum + ({HLL_M} - n_buckets_used) * {_POW_CAP}), 4) AS est
+FROM agg, ex
+"""
+
+
+@register("hll_distinct_shingles", HLL_ORACLE)
+def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog estimate of distinct 3-token shingles
+    next to the exact count: (exact_distinct, n_buckets_used,
+    denom_scaled, est).  The registers are integer-only (trailing-zero
+    rank via binary strings, harmonic sum scaled to exact int64), so the
+    DuckDB oracle reproduces the ESTIMATE bit-for-bit — unlike Spark's
+    opaque approx_count_distinct.  The sketch build is one
+    map-side-combined aggregation capped at m=256 cells per task; the
+    exact count (kept for the accuracy audit) is the only
+    cardinality-sized aggregation in the plan."""
+    d = spread(load(spark, sf_dir, "documents"))
+    sh = d.select(F.explode(shingles(tokens(F.col("text")), 3)).alias("sh"))
+    est = hll_estimate(hll_registers(sh, "sh"))
+    exact = sh.agg(F.countDistinct("sh").alias("exact_distinct"))
+    return exact.crossJoin(est).select(
+        "exact_distinct", "n_buckets_used", "denom_scaled", "est"
+    )

@@ -146,3 +146,18 @@ def test_cms_weighted_build(spark):
     keys = df.select("k").distinct()
     got = {r["k"]: r["est"] for r in cms_estimate(sketch, keys, "k").collect()}
     assert got["a"] >= 8 and got["b"] >= 2
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """HLL with m=256 has ~6.5% std error; assert the estimate lands
+    within 20% of truth on the distinct-shingle population (tens of
+    thousands of items — the proper HLL regime)."""
+    from incubator_flink_spark.functions.text import shingles, tokens
+    from incubator_flink_spark.operators.sketch import hll_estimate, hll_registers
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(F.explode(shingles(tokens(F.col("text")), 3)).alias("sh"))
+    exact = sh.select("sh").distinct().count()
+    est = hll_estimate(hll_registers(sh, "sh")).collect()[0]["est"]
+    assert exact > 1000  # regime check: not linear-counting territory
+    assert abs(est - exact) / exact < 0.20, (est, exact)

@@ -218,6 +218,11 @@ def main():
         "split_balance",
         "length_band_filter",
         "token_histogram",
+        "line_dedup_rewrite",
+        "boilerplate_line_topk",
+        "bpe_pair_counts",
+        "bpe_train_merges",
+        "cms_heavy_hitters",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
