@@ -88,6 +88,11 @@ EXTRA = [
     "stratified_split",
     "token_histogram",
     "word_edge_metrics",
+    # round 4, wave-5 corpus construction
+    "line_dedup_rewrite",
+    "bpe_pair_counts",
+    "cms_heavy_hitters",
+    "hll_distinct_shingles",
 ]
 
 

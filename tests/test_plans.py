@@ -347,3 +347,38 @@ def test_length_band_filter_broadcasts_bounds(spark):
     assert rep.broadcast_hash_joins >= 1
     assert rep.sort_merge_joins + rep.shuffled_hash_joins == 0
     assert rep.nested_loop_joins == 0
+
+
+def test_line_dedup_two_fixed_width_shuffles(spark):
+    """Line dedup: line-hash count + doc reassembly are the only keyed
+    shuffles (plus the presentation sort); the count joins back on the
+    8-byte hash, never on line text."""
+    rep = audit_plan(REGISTRY["line_dedup_rewrite"].fn(spark, SF))
+    # count shuffle, doc reassembly, presentation sort + 2 `spread`
+    # round-robins (no-ops at scale: the scan is wider than the cluster)
+    assert rep.exchanges <= 5
+    assert rep.nested_loop_joins == 0
+
+
+def test_bpe_pair_counts_vocab_bounded_tail(spark):
+    """BPE pair counting: the corpus-sized shuffle is the word-frequency
+    aggregate; everything after runs on the vocab-bounded table (pair agg
+    + top-k). No joins at all."""
+    rep = audit_plan(REGISTRY["bpe_pair_counts"].fn(spark, SF))
+    assert rep.broadcast_hash_joins + rep.sort_merge_joins + rep.shuffled_hash_joins == 0
+    assert rep.exchanges <= 3  # word-freq, pair agg, top-k sort
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    """CMS heavy hitters: the depth*width sketch is broadcast to the
+    probe side — no shuffle join against the sketch."""
+    rep = audit_plan(REGISTRY["cms_heavy_hitters"].fn(spark, SF))
+    assert rep.broadcast_hash_joins >= 1
+    assert rep.sort_merge_joins + rep.shuffled_hash_joins == 0
+
+
+def test_hll_single_register_aggregation(spark):
+    """HLL: the sketch build is one m-cell-capped aggregation; no joins
+    besides the 1x1 cross of (exact, estimate)."""
+    rep = audit_plan(REGISTRY["hll_distinct_shingles"].fn(spark, SF))
+    assert rep.sort_merge_joins + rep.shuffled_hash_joins == 0
