@@ -82,6 +82,7 @@ _PRIORITY = [
     "bpe_train_merges",
     "cms_heavy_hitters",
     "hll_distinct_shingles",
+    "bloom_blocklist_filter",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -263,3 +263,74 @@ def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(est).select(
         "exact_distinct", "n_buckets_used", "denom_scaled", "est"
     )
+
+
+# --- bloom-filter blocklist pre-filter ---------------------------------------
+
+from incubator_flink_spark.operators.bloom import (  # noqa: E402
+    BLOOM_K,
+    bloom_build,
+    bloom_might_contain,
+    bloom_pos_sql,
+)
+
+_BLOOM_M = 512  # deliberately small so false positives exist and the
+# oracle provably reproduces them; production sizing is ~10 bits/key
+
+_BL_POS = [bloom_pos_sql(hash64_sql("ck"), i, _BLOOM_M) for i in range(BLOOM_K)]
+
+BLOOM_ORACLE = f"""
+WITH keyed AS (SELECT doc_id, lang, md5(text) AS ck FROM documents),
+bl AS (SELECT DISTINCT ck FROM keyed WHERE doc_id % 7 = 0),
+pos AS (
+  SELECT DISTINCT p FROM (
+    SELECT {_BL_POS[0]} AS p FROM bl
+    UNION ALL SELECT {_BL_POS[1]} FROM bl
+    UNION ALL SELECT {_BL_POS[2]} FROM bl)
+),
+flags AS (
+  SELECT lang,
+         ({_BL_POS[0]} IN (SELECT p FROM pos)
+          AND {_BL_POS[1]} IN (SELECT p FROM pos)
+          AND {_BL_POS[2]} IN (SELECT p FROM pos)) AS is_cand,
+         (ck IN (SELECT ck FROM bl)) AS is_blocked
+  FROM keyed
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN is_blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+FROM flags GROUP BY lang ORDER BY lang
+"""
+
+
+@register("bloom_blocklist_filter", BLOOM_ORACLE)
+def bloom_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filtered against a planted content-hash blocklist through a
+    512-bit bloom pre-filter: per-language totals, bloom candidates
+    (true matches + reproducible false positives), exact drops, and
+    survivors.  The corpus side is map-only — the bitmap rides the scan
+    as a literal array tested in whole-stage codegen; only candidates
+    would reach the verify join (here the exact flag comes from a
+    broadcast of the dim-sized blocklist).  The deliberately tiny m
+    makes false positives appear so the oracle proves the candidate set,
+    not just the exact result."""
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", "lang", F.md5("text").alias("ck"))
+    bl = keyed.where(F.col("doc_id") % 7 == 0).select("ck").distinct()
+    words = bloom_build(bl, "ck", _BLOOM_M)
+    flagged = keyed.withColumn(
+        "is_cand", bloom_might_contain(F.col("ck"), words, _BLOOM_M)
+    ).join(
+        F.broadcast(bl.withColumn("__b", F.lit(1))), "ck", "left"
+    ).withColumn("is_blocked", F.col("__b").isNotNull())
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_cand"), 1).otherwise(0)).alias("n_candidates"),
+            F.sum(F.when(F.col("is_blocked"), 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(F.col("is_blocked"), 0).otherwise(1)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -161,3 +161,22 @@ def test_hll_estimate_within_error_bound(spark, sf_dir):
     est = hll_estimate(hll_registers(sh, "sh")).collect()[0]["est"]
     assert exact > 1000  # regime check: not linear-counting territory
     assert abs(est - exact) / exact < 0.20, (est, exact)
+
+
+def test_bloom_filter_join_exact_with_false_positives(spark, sf_dir):
+    """bloom_filter_join: the anti result equals a plain anti-join
+    (false positives never change semantics), and no false negatives
+    exist (every true match is a candidate)."""
+    from incubator_flink_spark.operators.bloom import bloom_filter_join
+
+    d = load(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("ck"))
+    bl = d.where(F.col("doc_id") % 7 == 0).select(F.col("ck").alias("bk")).distinct()
+    kept, cands = bloom_filter_join(d, bl, "ck", "bk", m_bits=512, mode="anti")
+    want = d.join(bl.select(F.col("bk").alias("ck")), "ck", "anti")
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+    # no false negatives: every blocked doc appears among candidates
+    blocked = d.join(bl.select(F.col("bk").alias("ck")), "ck", "semi")
+    cand_ids = {r["doc_id"] for r in cands.collect()}
+    assert {r["doc_id"] for r in blocked.collect()} <= cand_ids
