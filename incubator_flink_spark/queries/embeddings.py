@@ -342,7 +342,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(n_clusters: int = 8, n_probe: int = 2, iters: int = 5, k: int = 5) -> str:
+def _ivf_oracle(n_clusters: int = 8, n_probe: int = 2, iters: int = 5, k: int = 5, train_mod: int | None = None) -> str:
     """Unrolled Lloyd's k-means + IVF probe as DuckDB SQL.
 
     Replicates operators/similarity.py ``ivf_topk`` bit-for-bit:
@@ -358,6 +358,9 @@ def _ivf_oracle(n_clusters: int = 8, n_probe: int = 2, iters: int = 5, k: int = 
     - final scoring = cosine rounded to 6 decimals, row_number ties by
       neighbor id.
     """
+    if train_mod is not None:
+        raise NotImplementedError("sampled training is plumbed only through _ivfpq_oracle")
+    tr_where = ""
     parts = [
         f"""WITH earr AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -368,7 +371,7 @@ e AS (
   FROM embeddings),
 init AS (
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_clusters}) t),
+  FROM (SELECT vec_id FROM embeddings {tr_where} ORDER BY vec_id LIMIT {n_clusters}) t),
 carr0 AS (
   SELECT i.c, ea.v AS cv FROM init i JOIN earr ea ON ea.vec_id = i.vec_id)"""
     ]
@@ -480,7 +483,7 @@ def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle(m_sub: int = 8, k_cent: int = 16, iters: int = 3, shortlist: int = 50, k: int = 5) -> str:
+def _pq_oracle(m_sub: int = 8, k_cent: int = 16, iters: int = 3, shortlist: int = 50, k: int = 5, train_mod: int | None = None) -> str:
     """Unrolled PQ training + encode + shortlist + exact re-rank as DuckDB
     SQL — replicates operators/similarity.py ``pq_rerank_topk`` exactly:
     - per-subspace init = subvectors of the first k_cent vectors by id;
@@ -493,7 +496,10 @@ def _pq_oracle(m_sub: int = 8, k_cent: int = 16, iters: int = 3, shortlist: int 
     - PQ scores = 6-decimal-rounded cosine of query vs RECONSTRUCTED
       corpus vector, shortlist rank ties by neighbor id;
     - final = exact cosine re-rank of the shortlist."""
+    if train_mod is not None:
+        raise NotImplementedError("sampled training is plumbed only through _ivfpq_oracle")
     sub = 64 // m_sub
+    tr_where = ""
     parts = [
         f"""WITH sub AS (
   SELECT vec_id, CAST(ms.m AS INT) AS m,
@@ -504,7 +510,7 @@ svals AS (
 cb0 AS (
   SELECT s.m, i.c, s.v AS cv
   FROM (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
-        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k_cent}) t) i
+        FROM (SELECT vec_id FROM embeddings {tr_where} ORDER BY vec_id LIMIT {k_cent}) t) i
   JOIN sub s ON s.vec_id = i.vec_id)"""
     ]
     for t in range(iters):
@@ -604,6 +610,7 @@ def _ivfpq_oracle(
     pq_iters: int = 3,
     shortlist: int = 50,
     k: int = 5,
+    train_mod: int | None = None,
 ) -> str:
     """Unrolled IVF coarse k-means + PQ training + cell-pruned PQ scoring
     + exact re-rank — the composed index of ``ivf_pq_topk``, replicated
@@ -612,6 +619,9 @@ def _ivfpq_oracle(
     name collisions) and restricting the PQ cosine to candidates from
     the probed cells."""
     sub = 64 // m_sub
+    tr_where = f"WHERE vec_id % {train_mod} = 0" if train_mod else ""
+    tr_and = f"WHERE ea.vec_id % {train_mod} = 0" if train_mod else ""
+    tr_and_s = f"WHERE s.vec_id % {train_mod} = 0" if train_mod else ""
     parts = [
         f"""WITH earr AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -622,7 +632,7 @@ e AS (
   FROM embeddings),
 init AS (
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_clusters}) t),
+  FROM (SELECT vec_id FROM embeddings {tr_where} ORDER BY vec_id LIMIT {n_clusters}) t),
 carr0 AS (
   SELECT i.c, ea.v AS cv FROM init i JOIN earr ea ON ea.vec_id = i.vec_id)"""
     ]
@@ -631,7 +641,7 @@ carr0 AS (
             f""",
 ka{t} AS (
   SELECT ea.vec_id, c.c, list_inner_product(ea.v, c.cv) AS dot
-  FROM earr ea CROSS JOIN carr{t} c),
+  FROM earr ea CROSS JOIN carr{t} c {tr_and}),
 kb{t} AS (
   SELECT vec_id, c FROM (
     SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
@@ -667,7 +677,7 @@ svals AS (
 cb0 AS (
   SELECT s.m, i.c, s.v AS cv
   FROM (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
-        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k_cent}) t) i
+        FROM (SELECT vec_id FROM embeddings {tr_where} ORDER BY vec_id LIMIT {k_cent}) t) i
   JOIN sub s ON s.vec_id = i.vec_id)"""
     )
     for t in range(pq_iters):
@@ -677,7 +687,7 @@ pa{t} AS (
   SELECT s.vec_id, s.m, c.c,
          list_inner_product(s.v, s.v) - 2*list_inner_product(s.v, c.cv)
            + list_inner_product(c.cv, c.cv) AS dist
-  FROM sub s JOIN cb{t} c ON c.m = s.m),
+  FROM sub s JOIN cb{t} c ON c.m = s.m {tr_and_s}),
 pb{t} AS (
   SELECT vec_id, m, c FROM (
     SELECT vec_id, m, c, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
@@ -745,7 +755,7 @@ ORDER BY query_id, rank"""
     return "".join(parts)
 
 
-@register("embedding_ivfpq_topk", _ivfpq_oracle())
+@register("embedding_ivfpq_topk", _ivfpq_oracle(train_mod=4))
 def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN — the composed FAISS-style index: coarse cells prune
     the corpus, PQ codes score the survivors, exact cosine re-ranks the
@@ -758,7 +768,7 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
     return (
-        ivf_pq_topk(e, q, 5, n_clusters=8, n_probe=2, shortlist=50)
+        ivf_pq_topk(e, q, 5, n_clusters=8, n_probe=2, shortlist=50, train_mod=4)
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
         .orderBy("query_id", "rank")
     )
