@@ -83,6 +83,9 @@ _PRIORITY = [
     "cms_heavy_hitters",
     "hll_distinct_shingles",
     "bloom_blocklist_filter",
+    "star_returns_net",
+    "star_first_purchase_cohort",
+    "star_multi_exists_profile",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -795,3 +795,152 @@ def star_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "yr", "mth")
     )
+
+
+# --- wave 5: q93 returns-adjustment, q54 first-purchase cohort, q10/q35
+# multi-EXISTS customer profile ------------------------------------------------
+
+STAR_RETURNS_NET_ORACLE = """
+WITH returns AS (
+  SELECT l_orderkey, l_linenumber, l_quantity AS r_qty
+  FROM lineitem WHERE l_returnflag = 'R'),
+net AS (
+  SELECT o_custkey,
+         CAST(l_quantity AS DECIMAL(18,2)) - COALESCE(CAST(r.r_qty AS DECIMAL(18,2)), 0) AS net_qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS gross
+  FROM lineitem l
+  LEFT JOIN returns r USING (l_orderkey, l_linenumber)
+  JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_custkey AS custkey,
+       CAST(SUM(net_qty) AS DOUBLE) AS net_quantity,
+       CAST(SUM(CASE WHEN net_qty > 0 THEN gross ELSE 0 END) AS DOUBLE) AS kept_revenue
+FROM net GROUP BY o_custkey
+ORDER BY kept_revenue DESC, custkey LIMIT 20
+"""
+
+
+@register("star_returns_net", STAR_RETURNS_NET_ORACLE)
+def star_returns_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93 signature: the sales fact LEFT-joined against a
+    returns fact (here the 'R'-flagged subset of lineitem) on the
+    composite line key, quantities netted before aggregation.  This is
+    the fact-to-fact join shape — both sides fact-proportional, so it
+    must sort-merge on the composite key, never broadcast — followed by
+    one customer-keyed aggregate and a top-k."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    returns = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").alias("r_qty")
+    )
+    net = (
+        li.join(returns, ["l_orderkey", "l_linenumber"], "left")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_custkey",
+            (
+                F.col("l_quantity").cast("decimal(18,2)")
+                - F.coalesce(F.col("r_qty").cast("decimal(18,2)"), F.lit(0))
+            ).alias("net_qty"),
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("gross"),
+        )
+    )
+    return (
+        net.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum("net_qty").cast("double").alias("net_quantity"),
+            F.sum(F.when(F.col("net_qty") > 0, F.col("gross")).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("kept_revenue"),
+        )
+        .orderBy(F.col("kept_revenue").desc(), "custkey")
+        .limit(20)
+    )
+
+
+STAR_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_dt FROM orders GROUP BY o_custkey),
+cohort AS (
+  SELECT o_custkey, CAST(EXTRACT(month FROM first_dt) AS BIGINT) AS cohort_month
+  FROM firsts WHERE EXTRACT(year FROM first_dt) = 1995)
+SELECT cohort_month, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN cohort c ON o.o_custkey = c.o_custkey
+GROUP BY cohort_month, o_year
+ORDER BY cohort_month, o_year
+"""
+
+
+@register("star_first_purchase_cohort", STAR_COHORT_ORACLE)
+def star_first_purchase_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q54 signature: an aggregate DERIVES a dimension (each
+    customer's first-purchase month), which then joins back onto the
+    same fact to lay out lifetime revenue by acquisition cohort.  The
+    first-purchase aggregate and the back-join share the o_custkey
+    partitioning, so the plan is two fact-keyed exchanges total and the
+    cohort table (customer-sized) joins without touching lineitem."""
+    o = load(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    cohort = firsts.where(F.year("first_dt") == 1995).select(
+        "o_custkey", F.month("first_dt").cast("bigint").alias("cohort_month")
+    )
+    return (
+        o.join(cohort, "o_custkey")
+        .groupBy("cohort_month", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .orderBy("cohort_month", "o_year")
+    )
+
+
+STAR_MULTI_EXISTS_ORACLE = """
+SELECT n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND EXTRACT(year FROM o_orderdate) = 1996)
+  AND (EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+               AND o_orderpriority = '1-URGENT')
+       OR EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 400000))
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+@register("star_multi_exists_profile", STAR_MULTI_EXISTS_ORACLE)
+def star_multi_exists_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q10/q35 signature: a dimension row qualifies through a
+    CONJUNCTION of correlated EXISTS over the fact (active in 1996 AND
+    (ever urgent OR ever high-value)).  Each EXISTS becomes a semi-join
+    against a filtered fact projection; the OR of two EXISTS unions the
+    two key sets (distinct) before the final semi-join, so the fact is
+    never joined wide — only distinct key sets flow."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    active96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.where(F.col("o_totalprice") > 400000).select("o_custkey")
+    either = urgent.unionByName(high).distinct()
+    qual = (
+        c.join(active96, c.c_custkey == active96.o_custkey, "semi")
+        .join(either, c.c_custkey == either.o_custkey, "semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        qual.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_acctbal"),
+        )
+        .orderBy("n_name")
+    )

@@ -382,3 +382,31 @@ def test_hll_single_register_aggregation(spark):
     besides the 1x1 cross of (exact, estimate)."""
     rep = audit_plan(REGISTRY["hll_distinct_shingles"].fn(spark, SF))
     assert rep.sort_merge_joins + rep.shuffled_hash_joins == 0
+
+
+def test_star_returns_net_fact_to_fact_equi_join(spark):
+    """q93 shape: the returns-side join is a pure composite-key EQUI
+    join (AQE broadcasts it at this tiny SF by stats; at scale the same
+    plan resolves to SMJ) — never a nested loop, and no hint forces a
+    broadcast that would blow up when returns grow with the fact."""
+    rep = audit_plan(REGISTRY["star_returns_net"].fn(spark, SF), execute=True)
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
+
+
+def test_star_cohort_shares_custkey_partitioning(spark):
+    """q54 shape: first-purchase aggregate + back-join both key on
+    o_custkey; no nested loop, no fact-side broadcast of orders."""
+    rep = audit_plan(REGISTRY["star_first_purchase_cohort"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+
+
+def test_star_multi_exists_semi_joins_only(spark):
+    """q10/q35 shape: the EXISTS conjunction compiles to semi-joins of
+    distinct key sets — the wide fact never joins into the output."""
+    rep = audit_plan(REGISTRY["star_multi_exists_profile"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    cols = set()
+    for i in range(len(rep.read_schemas)):
+        cols |= set(rep.read_columns(i))
+    assert "o_totalprice" in cols  # filters pushed into fact projections

@@ -223,6 +223,8 @@ def main():
         "bpe_pair_counts",
         "bpe_train_merges",
         "cms_heavy_hitters",
+        "hll_distinct_shingles",
+        "bloom_blocklist_filter",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
