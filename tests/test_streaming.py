@@ -778,3 +778,42 @@ def test_incremental_dedup_stream_equals_batch(spark, replay_dir):
         for r in incremental_dedup(new, ref, threshold=0.8).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_windowed_cms_stream_matches_batch_and_estimates(spark, replay_dir):
+    """Streaming per-window CMS cells fold micro-batch-incrementally into
+    exactly the batch-built cells (sketch mergeability IS partial
+    aggregation), and the resulting per-window estimates never
+    underestimate the true windowed counts."""
+    from incubator_flink_spark.operators.sketch import cms_estimate
+    from incubator_flink_spark.streaming.sketches import windowed_cms
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/cms", n_files=4)
+    cells = windowed_cms(stream, "ts", 3600, "event_type")
+    state = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            state[(r.window_start, r.window_end, r.row, r.bucket)] = r.cell
+
+    run_to_completion(cells, collect, mode="update")
+
+    batch_cells = windowed_cms(load(spark, SF, "events"), "ts", 3600, "event_type")
+    expected = {
+        (r.window_start, r.window_end, r.row, r.bucket): r.cell for r in batch_cells.collect()
+    }
+    assert state == expected
+
+    # estimates from one window's cells vs that window's true counts
+    some_window = next(iter(expected))[0]
+    ev = load(spark, SF, "events").where(
+        F.window("ts", "3600 seconds").start == F.lit(some_window)
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    sketch = spark.createDataFrame(
+        [(k[2], k[3], v) for k, v in state.items() if k[0] == some_window],
+        "row INT, bucket LONG, cell LONG",
+    )
+    got = {r["event_type"]: r["est"] for r in cms_estimate(sketch, exact, "event_type").collect()}
+    truth = {r["event_type"]: r["exact_cnt"] for r in exact.collect()}
+    assert truth and all(got[k] >= v for k, v in truth.items())
