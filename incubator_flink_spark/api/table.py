@@ -470,6 +470,39 @@ class TableEnvironment:
             execute_ddl(self._spark, s)
             self._tables[t.name] = t
             return []
+        vm = _re.fullmatch(
+            r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(.+)",
+            s,
+            _re.I | _re.S,
+        )
+        if vm:
+            # Flink: CreateViewOperation (TEMPORARY and catalog views both
+            # land in the session catalog here) — the view is LOGICAL: the
+            # defining query re-plans against current table contents, which
+            # Spark temp views over a lazy DataFrame give us directly
+            name, query = vm.group(1), vm.group(2)
+            if "OR REPLACE" not in up and (
+                name in getattr(self, "_views", set()) or name in self._tables
+            ):
+                raise ValueError(f"view {name!r} already exists (use CREATE OR REPLACE VIEW)")
+            self.sql_query(query).to_df().createOrReplaceTempView(name)
+            if not hasattr(self, "_views"):
+                self._views = set()
+            self._views.add(name)
+            return []
+        dv = _re.fullmatch(r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)", s, _re.I)
+        if dv:
+            name = dv.group(2)
+            views = getattr(self, "_views", set())
+            if name not in views:
+                if dv.group(1):
+                    return []
+                raise ValueError(f"view {name!r} does not exist (use DROP VIEW IF EXISTS)")
+            self._spark.catalog.dropTempView(name)
+            views.discard(name)
+            return []
+        if _re.fullmatch(r"SHOW\s+VIEWS", s, _re.I):
+            return sorted(getattr(self, "_views", set()))
         dm = _re.fullmatch(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)", s, _re.I)
         if dm:
             name = dm.group(2)

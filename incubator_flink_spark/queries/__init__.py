@@ -86,6 +86,7 @@ _PRIORITY = [
     "star_returns_net",
     "star_first_purchase_cohort",
     "star_multi_exists_profile",
+    "perplexity_buckets",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1054,3 +1054,66 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# --- CCNet perplexity bucketing (head/middle/tail layout) ---------------------
+# The composition CCNet actually ships: per-language thirds of the
+# perplexity distribution decide which bucket a document lands in
+# (head = lowest-nll third).  Tertiles are RANK-based (NTILE over a
+# total order with doc_id tiebreak on 6-decimal-rounded nll), never
+# interpolated percentiles, so both engines bucket identically.
+
+PERPLEXITY_BUCKETS_ORACLE = f"""
+WITH bi AS (SELECT doc_id, unnest({_BIGRAMS}) AS bg FROM documents),
+pair AS (
+  SELECT doc_id, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM bi),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pair GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM pair GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest({_TOKS}) AS w FROM documents) t),
+model AS (
+  SELECT c12.w1, c12.w2,
+         (c12 + CAST(1 AS DOUBLE)/2) / (c1 + CAST(1 AS DOUBLE)/2 * v.v) AS prob
+  FROM c12 JOIN c1 USING (w1), v),
+sc AS (
+  SELECT p.doc_id, CAST(ln(m.prob) AS DECIMAL(30,12)) AS l
+  FROM pair p JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2),
+nll AS (
+  SELECT doc_id, ROUND(-CAST(SUM(l) AS DOUBLE) / COUNT(*), 6) AS nll
+  FROM sc GROUP BY doc_id),
+wl AS (
+  SELECT n.doc_id, d.lang, n.nll FROM nll n JOIN documents d USING (doc_id)),
+b AS (
+  SELECT lang, nll,
+         CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS BIGINT) AS bucket
+  FROM wl)
+SELECT lang, bucket, COUNT(*) AS n_docs,
+       ROUND(MIN(nll), 6) AS min_nll, ROUND(MAX(nll), 6) AS max_nll
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+@register("perplexity_buckets", PERPLEXITY_BUCKETS_ORACLE)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus layout: per-language NTILE(3)
+    over document perplexity.  Composes the vocabulary-bounded bigram
+    model with one language-partitioned window over the DOC-sized nll
+    table (never the corpus tokens), then a dim-sized aggregate."""
+    from pyspark.sql import Window as W
+
+    from incubator_flink_spark.operators.lm import doc_nll
+
+    d = load(spark, sf_dir, "documents")
+    nll = doc_nll(d).select("doc_id", "nll")
+    wl = nll.join(d.select("doc_id", "lang"), "doc_id")
+    w = W.partitionBy("lang").orderBy("nll", "doc_id")
+    b = wl.select("lang", "nll", F.ntile(3).over(w).cast("bigint").alias("bucket"))
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("nll"), 6).alias("min_nll"),
+            F.round(F.max("nll"), 6).alias("max_nll"),
+        )
+        .orderBy("lang", "bucket")
+    )

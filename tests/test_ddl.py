@@ -234,3 +234,29 @@ def test_execute_sql_describe_show_create_alter_explain(spark, tmp_path):
     assert [(r[0], r[1]) for r in dv] == [("a", "bigint"), ("b", "string")]
     with pytest.raises(ValueError, match="does not exist"):
         env.execute_sql("DESCRIBE ghost")
+
+
+def test_execute_sql_view_lifecycle(spark):
+    """CREATE [OR REPLACE] VIEW / SHOW VIEWS / DROP VIEW: the view is
+    logical (re-plans its defining query), duplicate names are rejected
+    without OR REPLACE, and DROP VIEW IF EXISTS is idempotent."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id LONG, tag STRING").createOrReplaceTempView(
+        "vsrc"
+    )
+    env.execute_sql("CREATE VIEW v_tags AS SELECT tag, COUNT(*) AS n FROM vsrc GROUP BY tag")
+    assert env.execute_sql("SHOW VIEWS") == ["v_tags"]
+    got = {r.tag: r.n for r in spark.sql("SELECT * FROM v_tags").collect()}
+    assert got == {"a": 2, "b": 1}
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("CREATE VIEW v_tags AS SELECT 1 AS one")
+    env.execute_sql("CREATE OR REPLACE VIEW v_tags AS SELECT tag FROM vsrc WHERE id = 1")
+    assert [r.tag for r in spark.sql("SELECT * FROM v_tags").collect()] == ["a"]
+    env.execute_sql("DROP VIEW v_tags")
+    assert env.execute_sql("SHOW VIEWS") == []
+    env.execute_sql("DROP VIEW IF EXISTS v_tags")  # idempotent
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("DROP VIEW v_tags")
+    spark.catalog.dropTempView("vsrc")
