@@ -64,3 +64,44 @@ def windowed_cms(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cell"))
     )
+
+
+def windowed_hll(
+    stream: DataFrame,
+    ts_col: str,
+    window_s: int,
+    key_col: str,
+    m: int = 256,
+    watermark_s: int | None = None,
+) -> DataFrame:
+    """(window_start, window_end, bucket, reg): per-tumbling-window
+    HyperLogLog registers, maintained incrementally — MAX is as
+    mergeable as SUM, so micro-batches fold into exactly the batch
+    registers and per-window state is bounded at m cells at any key
+    cardinality.  Feed the final cells of a window to
+    ``operators.sketch.hll_estimate`` for the distinct-count estimate."""
+    from incubator_flink_spark.operators.sketch import HLL_RHO_CAP, _rho
+
+    bbits = m.bit_length() - 1
+    if 1 << bbits != m:
+        raise ValueError("m must be a power of two")
+    src = stream
+    if watermark_s is not None and stream.isStreaming:
+        src = stream.withWatermark(ts_col, f"{watermark_s} seconds")
+    # hash64 is md5-based (string input); canonical string form keys any type
+    h = hash64(F.col(key_col).cast("string"))
+    w = F.shiftright(h, bbits)
+    rho = F.when(w == 0, F.lit(HLL_RHO_CAP)).otherwise(_rho(w))
+    return (
+        src.select(
+            F.window(F.col(ts_col), f"{window_s} seconds").alias("w"),
+            (h % F.lit(m)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bucket",
+        )
+        .agg(F.max("rho").alias("reg"))
+    )

@@ -817,3 +817,35 @@ def test_windowed_cms_stream_matches_batch_and_estimates(spark, replay_dir):
     got = {r["event_type"]: r["est"] for r in cms_estimate(sketch, exact, "event_type").collect()}
     truth = {r["event_type"]: r["exact_cnt"] for r in exact.collect()}
     assert truth and all(got[k] >= v for k, v in truth.items())
+
+
+def test_windowed_hll_stream_matches_batch(spark, replay_dir):
+    """Streaming per-window HLL registers (max-rho cells) fold into
+    exactly the batch registers, and the derived estimate equals the
+    batch estimate for every window."""
+    from incubator_flink_spark.operators.sketch import hll_estimate
+    from incubator_flink_spark.streaming.sketches import windowed_hll
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/hll", n_files=4)
+    regs = windowed_hll(stream, "ts", 7200, "user_id")
+    state = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            state[(r.window_start, r.bucket)] = r.reg
+
+    run_to_completion(regs, collect, mode="update")
+
+    batch = windowed_hll(load(spark, SF, "events"), "ts", 7200, "user_id")
+    expected = {(r.window_start, r.bucket): r.reg for r in batch.collect()}
+    assert state == expected
+
+    some_window = next(iter(expected))[0]
+    cells = spark.createDataFrame(
+        [(b, v) for (w0, b), v in state.items() if w0 == some_window],
+        "bucket LONG, reg INT",
+    )
+    est = hll_estimate(cells).collect()[0]
+    batch_cells = batch.where(F.col("window_start") == F.lit(some_window)).select("bucket", "reg")
+    want = hll_estimate(batch_cells).collect()[0]
+    assert est["est"] == want["est"] and est["denom_scaled"] == want["denom_scaled"]
