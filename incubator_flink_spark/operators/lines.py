@@ -52,9 +52,11 @@ def doc_lines(
             F.sequence(F.lit(0), F.when(n > 0, (n - 1) / k).otherwise(0).cast("int")),
             lambda i: F.array_join(F.slice(toks, i * k + 1, tokens_per_line), " "),
         )
-        lines = F.filter(lines, lambda s: s != "")
     else:
         lines = F.split(F.col(text_col), sep)
+    # filter AFTER posexplode so line_no keeps the pre-filter index — an
+    # array-level filter would renumber around interior empty lines and
+    # diverge from any index-assigning replica (the DuckDB oracles)
     return docs.select(
         F.col(id_col), F.posexplode(lines).alias("line_no", "line")
     ).where(F.col("line") != "")
