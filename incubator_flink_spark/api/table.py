@@ -418,6 +418,7 @@ class TableEnvironment:
         self._sf_dir = sf_dir
         self._versioned: dict[str, tuple[str, str]] = {}
         self._tables: dict[str, object] = {}  # name -> sources.ddl.TableDef
+        self._views: dict[str, str] = {}  # name -> defining query text
         # Flink-named scalar functions (SPLIT_INDEX, HASH_CODE, …) become
         # session SQL UDFs so reference SQL text runs unmodified.
         from incubator_flink_spark.functions.sqlfuncs import register_flink_sql_functions
@@ -477,35 +478,36 @@ class TableEnvironment:
         )
         if vm:
             # Flink: CreateViewOperation (TEMPORARY and catalog views both
-            # land in the session catalog here) — the view is LOGICAL: the
-            # defining query re-plans against current table contents, which
-            # Spark temp views over a lazy DataFrame give us directly
+            # land in the session catalog here).  The defining query TEXT
+            # is stored and re-planned after any INSERT that refreshes a
+            # base table (see the INSERT branch) — a Spark temp view alone
+            # captures the file-scan snapshot at creation and would go
+            # stale, silently returning pre-INSERT contents.
             name, query = vm.group(1), vm.group(2)
-            if "OR REPLACE" not in up and (
-                name in getattr(self, "_views", set()) or name in self._tables
-            ):
+            if name in self._tables:
+                raise ValueError(f"{name!r} is a table; CREATE VIEW cannot replace a table")
+            if "OR REPLACE" not in up and name in self._views:
                 raise ValueError(f"view {name!r} already exists (use CREATE OR REPLACE VIEW)")
             self.sql_query(query).to_df().createOrReplaceTempView(name)
-            if not hasattr(self, "_views"):
-                self._views = set()
-            self._views.add(name)
+            self._views[name] = query
             return []
-        dv = _re.fullmatch(r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)", s, _re.I)
+        dv = _re.fullmatch(r"DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?(\w+)", s, _re.I)
         if dv:
             name = dv.group(2)
-            views = getattr(self, "_views", set())
-            if name not in views:
+            if name not in self._views:
                 if dv.group(1):
                     return []
                 raise ValueError(f"view {name!r} does not exist (use DROP VIEW IF EXISTS)")
             self._spark.catalog.dropTempView(name)
-            views.discard(name)
+            del self._views[name]
             return []
         if _re.fullmatch(r"SHOW\s+VIEWS", s, _re.I):
-            return sorted(getattr(self, "_views", set()))
+            return sorted(self._views)
         dm = _re.fullmatch(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)", s, _re.I)
         if dm:
             name = dm.group(2)
+            if name in self._views:
+                raise ValueError(f"{name!r} is a view — use DROP VIEW")
             known = self._spark.catalog.dropTempView(name)
             if name in self._tables:
                 del self._tables[name]
@@ -662,6 +664,10 @@ class TableEnvironment:
                     partition_by=t.partitioned_by or None,
                 )
             execute_ddl(self._spark, None, table_def=t)  # refresh the view
+            # re-plan registered views so they see the new table contents
+            # (their temp views captured the pre-INSERT scan snapshot)
+            for vname, vquery in self._views.items():
+                self.sql_query(vquery).to_df().createOrReplaceTempView(vname)
             return []
         return self.sql_query(s).to_df().collect()
 

@@ -50,3 +50,15 @@ def minhash_expr(h: Column, i: int) -> Column:
 def minhash_sql(hexpr: str, i: int) -> str:
     a, b = MINHASH_AB[i]
     return f"(({a} * (({hexpr}) % {P}) + {b}) % {P})"
+
+
+def universal_bucket(h: Column, a: int, b: int, mod: int) -> Column:
+    """((a*(h%P)+b) % P) % mod — the shared universal-hash bucket behind
+    the CMS rows, bloom positions, and any future seeded bucketing.
+    int64-safe: a < P and h%P < P keep the product under 2^60."""
+    return ((F.lit(a) * (h % F.lit(P)) + F.lit(b)) % F.lit(P)) % F.lit(mod)
+
+
+def universal_bucket_sql(hexpr: str, a: int, b: int, mod: int) -> str:
+    """DuckDB twin of universal_bucket."""
+    return f"((({a} * (({hexpr}) % {P}) + {b}) % {P}) % {mod})"

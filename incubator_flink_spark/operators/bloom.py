@@ -30,7 +30,13 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from incubator_flink_spark.functions.hashing import P, hash64, hash64_sql
+from incubator_flink_spark.functions.hashing import (
+    P,
+    hash64,
+    hash64_sql,
+    universal_bucket,
+    universal_bucket_sql,
+)
 
 BLOOM_K = 3
 
@@ -39,14 +45,15 @@ BLOOM_AB = [(_rng.randrange(1, P), _rng.randrange(0, P)) for _ in range(BLOOM_K)
 
 
 def bloom_pos(h: Column, i: int, m_bits: int) -> Column:
-    """Bit position of base-hash ``h`` under the i-th hash, in [0, m)."""
+    """Bit position of base-hash ``h`` under the i-th hash, in [0, m)
+    (the shared seeded universal-hash family in functions/hashing.py)."""
     a, b = BLOOM_AB[i]
-    return ((F.lit(a) * (h % F.lit(P)) + F.lit(b)) % F.lit(P)) % F.lit(m_bits)
+    return universal_bucket(h, a, b, m_bits)
 
 
 def bloom_pos_sql(hexpr: str, i: int, m_bits: int) -> str:
     a, b = BLOOM_AB[i]
-    return f"((({a} * (({hexpr}) % {P}) + {b}) % {P}) % {m_bits})"
+    return universal_bucket_sql(hexpr, a, b, m_bits)
 
 
 def bloom_build(blocklist: DataFrame, key_col: str, m_bits: int) -> list[int]:
@@ -85,7 +92,10 @@ def bloom_might_contain(key: Column, words: list[int], m_bits: int) -> Column:
     out = checks[0]
     for c in checks[1:]:
         out = out & c
-    return out
+    # NULL keys can match nothing (SQL join semantics: NULL never equals
+    # a blocklist key), so the test must be FALSE, not NULL — a NULL
+    # predicate would drop the row from both where(hit) and where(~hit)
+    return F.coalesce(out, F.lit(False))
 
 
 def bloom_filter_join(
@@ -104,24 +114,14 @@ def bloom_filter_join(
     join on the key, and for ``anti`` mode the verified hits are removed
     from the corpus by comparing against the candidate set only (the
     non-candidate mass never enters any join)."""
+    if mode not in ("anti", "semi"):
+        raise ValueError("mode must be 'anti' or 'semi'")
     words = bloom_build(blocklist, block_key, m_bits)
     hit = bloom_might_contain(F.col(corpus_key), words, m_bits)
     candidates = corpus.where(hit)
-    verified = candidates.join(
-        F.broadcast(blocklist.select(F.col(block_key).alias(corpus_key)).distinct()),
-        corpus_key,
-        "semi",
-    )
+    bl = F.broadcast(blocklist.select(F.col(block_key).alias(corpus_key)).distinct())
     if mode == "semi":
-        return verified, candidates
-    if mode != "anti":
-        raise ValueError("mode must be 'anti' or 'semi'")
+        return candidates.join(bl, corpus_key, "semi"), candidates
     # anti = everything except verified hits; non-candidates pass for free
-    kept = corpus.where(~hit).unionByName(
-        candidates.join(
-            F.broadcast(blocklist.select(F.col(block_key).alias(corpus_key)).distinct()),
-            corpus_key,
-            "anti",
-        )
-    )
+    kept = corpus.where(~hit).unionByName(candidates.join(bl, corpus_key, "anti"))
     return kept, candidates

@@ -28,7 +28,13 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from incubator_flink_spark.functions.hashing import P, hash64, hash64_sql
+from incubator_flink_spark.functions.hashing import (
+    P,
+    hash64,
+    hash64_sql,
+    universal_bucket,
+    universal_bucket_sql,
+)
 
 CMS_DEPTH = 4
 CMS_WIDTH = 512
@@ -38,15 +44,15 @@ CMS_AB = [(_rng.randrange(1, P), _rng.randrange(0, P)) for _ in range(CMS_DEPTH)
 
 
 def cms_bucket(h: Column, row: int, width: int = CMS_WIDTH) -> Column:
-    """Bucket of base-hash ``h`` in sketch row ``row``: universal hash
-    mod width (integer-only, int64-safe: a < P, h%P < P => product < 2^60)."""
+    """Bucket of base-hash ``h`` in sketch row ``row`` (the shared
+    seeded universal-hash family in functions/hashing.py)."""
     a, b = CMS_AB[row]
-    return ((F.lit(a) * (h % F.lit(P)) + F.lit(b)) % F.lit(P)) % F.lit(width)
+    return universal_bucket(h, a, b, width)
 
 
 def cms_bucket_sql(hexpr: str, row: int, width: int = CMS_WIDTH) -> str:
     a, b = CMS_AB[row]
-    return f"((({a} * (({hexpr}) % {P}) + {b}) % {P}) % {width})"
+    return universal_bucket_sql(hexpr, a, b, width)
 
 
 def cms_build(

@@ -83,7 +83,7 @@ def line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rewritten with repeated lines removed (canonical first
     occurrence kept): per-document line counts, dropped-line counts, and
     the md5 of the cleaned text.  Two fixed-width-key shuffles."""
-    d = spread(load(spark, sf_dir, "documents"))
+    d = spread(load(spark, sf_dir, "documents")).withColumn("text", F.lower("text"))
     out = line_dedup(d, min_count=2, tokens_per_line=_LINES_PER)
     return out.select(
         "doc_id", "n_lines", "n_dropped", F.md5("text").alias("clean_hash")
@@ -105,7 +105,7 @@ def boilerplate_line_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     view a curator eyeballs before choosing the dedup threshold.  Count
     shuffles the 8-byte hash; text rides along as a min() payload whose
     map-side combine keeps one copy per distinct line per task."""
-    d = spread(load(spark, sf_dir, "documents"))
+    d = spread(load(spark, sf_dir, "documents")).withColumn("text", F.lower("text"))
     lines = doc_lines(d, tokens_per_line=_LINES_PER)
     return (
         lines.withColumn("line_hash", hash64(F.col("line")))

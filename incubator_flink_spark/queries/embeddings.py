@@ -342,7 +342,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(n_clusters: int = 8, n_probe: int = 2, iters: int = 5, k: int = 5, train_mod: int | None = None) -> str:
+def _ivf_oracle(n_clusters: int = 8, n_probe: int = 2, iters: int = 5, k: int = 5) -> str:
     """Unrolled Lloyd's k-means + IVF probe as DuckDB SQL.
 
     Replicates operators/similarity.py ``ivf_topk`` bit-for-bit:
@@ -358,9 +358,6 @@ def _ivf_oracle(n_clusters: int = 8, n_probe: int = 2, iters: int = 5, k: int = 
     - final scoring = cosine rounded to 6 decimals, row_number ties by
       neighbor id.
     """
-    if train_mod is not None:
-        raise NotImplementedError("sampled training is plumbed only through _ivfpq_oracle")
-    tr_where = ""
     parts = [
         f"""WITH earr AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -371,7 +368,7 @@ e AS (
   FROM embeddings),
 init AS (
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
-  FROM (SELECT vec_id FROM embeddings {tr_where} ORDER BY vec_id LIMIT {n_clusters}) t),
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_clusters}) t),
 carr0 AS (
   SELECT i.c, ea.v AS cv FROM init i JOIN earr ea ON ea.vec_id = i.vec_id)"""
     ]
@@ -483,7 +480,7 @@ def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle(m_sub: int = 8, k_cent: int = 16, iters: int = 3, shortlist: int = 50, k: int = 5, train_mod: int | None = None) -> str:
+def _pq_oracle(m_sub: int = 8, k_cent: int = 16, iters: int = 3, shortlist: int = 50, k: int = 5) -> str:
     """Unrolled PQ training + encode + shortlist + exact re-rank as DuckDB
     SQL — replicates operators/similarity.py ``pq_rerank_topk`` exactly:
     - per-subspace init = subvectors of the first k_cent vectors by id;
@@ -496,10 +493,7 @@ def _pq_oracle(m_sub: int = 8, k_cent: int = 16, iters: int = 3, shortlist: int 
     - PQ scores = 6-decimal-rounded cosine of query vs RECONSTRUCTED
       corpus vector, shortlist rank ties by neighbor id;
     - final = exact cosine re-rank of the shortlist."""
-    if train_mod is not None:
-        raise NotImplementedError("sampled training is plumbed only through _ivfpq_oracle")
     sub = 64 // m_sub
-    tr_where = ""
     parts = [
         f"""WITH sub AS (
   SELECT vec_id, CAST(ms.m AS INT) AS m,
@@ -510,7 +504,7 @@ svals AS (
 cb0 AS (
   SELECT s.m, i.c, s.v AS cv
   FROM (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
-        FROM (SELECT vec_id FROM embeddings {tr_where} ORDER BY vec_id LIMIT {k_cent}) t) i
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k_cent}) t) i
   JOIN sub s ON s.vec_id = i.vec_id)"""
     ]
     for t in range(iters):

@@ -180,3 +180,16 @@ def test_bloom_filter_join_exact_with_false_positives(spark, sf_dir):
     blocked = d.join(bl.select(F.col("bk").alias("ck")), "ck", "semi")
     cand_ids = {r["doc_id"] for r in cands.collect()}
     assert {r["doc_id"] for r in blocked.collect()} <= cand_ids
+
+
+def test_bloom_filter_join_null_keys_survive_anti(spark):
+    """NULL corpus keys can match nothing, so anti mode must KEEP them
+    (SQL anti-join semantics) rather than dropping them from both
+    branches via a NULL predicate."""
+    from incubator_flink_spark.operators.bloom import bloom_filter_join
+
+    d = spark.createDataFrame([(1, "k1"), (2, "k2"), (3, None)], "doc_id LONG, ck STRING")
+    bl = spark.createDataFrame([("k1",)], "bk STRING")
+    kept, cands = bloom_filter_join(d, bl, "ck", "bk", m_bits=64, mode="anti")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    assert all(r["doc_id"] != 3 for r in cands.collect())

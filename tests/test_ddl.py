@@ -260,3 +260,30 @@ def test_execute_sql_view_lifecycle(spark):
     with pytest.raises(ValueError, match="does not exist"):
         env.execute_sql("DROP VIEW v_tags")
     spark.catalog.dropTempView("vsrc")
+
+
+def test_execute_sql_views_replan_after_insert(spark, tmp_path):
+    """Views are logical: after INSERT INTO a base table, a view over it
+    re-plans and sees the new rows (finding: a captured temp-view scan
+    snapshot silently returned pre-INSERT contents)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        f"CREATE TABLE vt (a BIGINT) WITH ('connector'='filesystem', "
+        f"'path'='{tmp_path}/vt', 'format'='parquet')"
+    )
+    env.execute_sql("INSERT INTO vt SELECT CAST(1 AS BIGINT) AS a")
+    env.execute_sql("CREATE VIEW vcnt AS SELECT COUNT(*) AS n FROM vt")
+    assert spark.sql("SELECT * FROM vcnt").collect()[0].n == 1
+    env.execute_sql("INSERT INTO vt SELECT CAST(2 AS BIGINT) AS a")
+    assert spark.sql("SELECT * FROM vcnt").collect()[0].n == 2
+    # CREATE [OR REPLACE] VIEW may never clobber a table
+    with pytest.raises(ValueError, match="is a table"):
+        env.execute_sql("CREATE OR REPLACE VIEW vt AS SELECT 1 AS one")
+    # DROP TABLE refuses views; DROP TEMPORARY VIEW is accepted
+    with pytest.raises(ValueError, match="is a view"):
+        env.execute_sql("DROP TABLE vcnt")
+    env.execute_sql("DROP TEMPORARY VIEW vcnt")
+    assert env.execute_sql("SHOW VIEWS") == []
+    env.execute_sql("DROP TABLE vt")
