@@ -54,11 +54,12 @@ def match_pattern_stream(
     partial match's window [first.ts, first.ts+within] expires under the
     advancing watermark without completing, ``timeout_fn(key_dict,
     partial_capture)`` emits one row into the same output (tag-column
-    convention; filter-split downstream). Divergence (documented): the
-    reference fires per-key event-time timers, so a timeout surfaces as
-    soon as the watermark passes the deadline; here it surfaces at the
-    key's next micro-batch activity (applyInPandasWithState only invokes
-    keys that receive rows)."""
+    convention; filter-split downstream).  Like the reference's per-key
+    event-time timers (CepOperator.onEventTime), the deadline is armed
+    as a GroupStateTimeout.EventTimeTimeout timestamp at the earliest
+    buffered event's expiry, so a SILENT key still surfaces its timeout
+    when the watermark passes — the function re-fires with
+    ``state.hasTimedOut`` and no input rows."""
     if pattern.within_s is None:
         raise ValueError("streaming CEP requires pattern.within(...) to bound state")
     if pattern.skip_strategy != NO_SKIP:
@@ -114,9 +115,15 @@ def match_pattern_stream(
         # boundary (not yet strictly expired) so its timeout can still fire
         keep = [i for i, t in enumerate(ts_buf) if t >= wm_us - horizon_us]
         state.update(([ts_buf[i] for i in keep], [rows_buf[i] for i in keep], max(last_wm, wm_us)))
+        if timeout_fn is not None and keep:
+            # arm the per-key timer at the earliest surviving deadline (the
+            # reference's NFA timer); must be strictly ahead of the watermark
+            next_deadline_ms = (min(ts_buf[i] for i in keep) + horizon_us) // 1000 + 1
+            state.setTimeoutTimestamp(max(next_deadline_ms, wm_us // 1000 + 1))
         if out:
             yield pd.DataFrame(out)
 
+    mode = GroupStateTimeout.EventTimeTimeout if timeout_fn is not None else GroupStateTimeout.NoTimeout
     return df.groupBy(*keys).applyInPandasWithState(
-        fn, out_fields, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_fields, state_schema, "append", mode
     )

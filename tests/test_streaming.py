@@ -849,3 +849,64 @@ def test_windowed_hll_stream_matches_batch(spark, replay_dir):
     batch_cells = batch.where(F.col("window_start") == F.lit(some_window)).select("bucket", "reg")
     want = hll_estimate(batch_cells).collect()[0]
     assert est["est"] == want["est"] and est["denom_scaled"] == want["denom_scaled"]
+
+
+def test_streaming_cep_timeout_fires_for_silent_key(spark, replay_dir):
+    """A key that never receives another row still emits its timed-out
+    partial when OTHER keys advance the watermark past its deadline —
+    the per-key event-time timer semantics of the reference's
+    CepOperator (previously a documented divergence: timeouts surfaced
+    only at the key's next activity)."""
+    import os
+    from datetime import datetime
+
+    import pandas as pd
+
+    from incubator_flink_spark.cep import Pattern
+    from incubator_flink_spark.streaming.cep_stream import match_pattern_stream
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    files = [
+        [(1, t("2024-01-01 00:00:00"), 100, "signup")],            # key 100, then silence
+        [(2, t("2024-01-01 03:00:00"), 999, "x")],                 # other key moves wm
+        [(3, t("2024-01-01 04:00:00"), 999, "x")],                 # one more batch so timers fire
+    ]
+    src_dir = replay_dir + "/cep_silent_src"
+    os.makedirs(src_dir, exist_ok=True)
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withWatermark("ts", "120 seconds")
+    )
+    pattern = (
+        Pattern.begin("signup")
+        .where(lambda e: e["event_type"] == "signup")
+        .followed_by("purchase")
+        .where(lambda e: e["event_type"] == "purchase")
+        .within(3600)
+    )
+    select = lambda key, m: {"user_id": int(key["user_id"]), "timed_out": False}  # noqa: E731
+    timeout = lambda key, p: {"user_id": int(key["user_id"]), "timed_out": True}  # noqa: E731
+    out = match_pattern_stream(
+        stream, ["user_id"], "ts", pattern, select,
+        "user_id BIGINT, timed_out BOOLEAN", tiebreak="event_id", timeout_fn=timeout,
+    )
+    got = set()
+    import tempfile as _tf
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: got.update((r.user_id, r.timed_out) for r in bdf.collect()))
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    try:
+        for rows in files:
+            pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+            spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(src_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert (100, True) in got
