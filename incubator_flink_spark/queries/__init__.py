@@ -35,10 +35,12 @@ _PRIORITY = [
     # r02 only, 28 green in r01 only, and exactly 6 queries (the r3
     # positions 51-56) that have never had a driver row.  Round 4's window
     # therefore packs (a) those 6 — completing driver evidence for every
-    # registered query, (b) the new round-4 registrations, and (c) the
-    # stalest prior evidence: all 28 r1-only-green queries (two rounds old,
+    # registered query, (b) the new round-4 registrations (including the
+    # late wave-5 corpus/sketch/star additions — 46 never-checked in all,
+    # so only 4 stale re-check slots remain this round), and (c) the
+    # stalest prior evidence: r1-only-green queries first (two rounds old,
     # and shared machinery — pair_cos_vectorized, the shingle stack, the
-    # graph loop — has changed since), topped up with the oldest r2-green.
+    # graph loop — has changed since), then the oldest r2-green.
     #
     # -- tier A (1-6): never driver-checked in any round --------------------
     "embedding_near_pairs_t08",
@@ -87,6 +89,7 @@ _PRIORITY = [
     "star_first_purchase_cohort",
     "star_multi_exists_profile",
     "perplexity_buckets",
+    "bpe_encode_corpus",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -334,3 +334,18 @@ def bloom_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register("bpe_encode_corpus", None)  # trained merges are an iterative argmax
+# loop — no SQL oracle; segmentation is pinned against the pure-Python BPE
+# reference in tests/test_corpus.py (train + encode)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer APPLIED at corpus scale: per-document word and
+    BPE-token counts under the 20-merge trained segmentation.  Encoding
+    is one corpus explode + a broadcast join against the vocab-bounded
+    (word -> |syms|) table + one doc-keyed aggregate."""
+    from incubator_flink_spark.operators.bpe import bpe_encode_stats, bpe_train
+
+    d = spread(load(spark, sf_dir, "documents"))
+    _, vocab = bpe_train(d, n_merges=20)
+    return bpe_encode_stats(d, vocab).orderBy("doc_id")

@@ -193,3 +193,24 @@ def test_bloom_filter_join_null_keys_survive_anti(spark):
     kept, cands = bloom_filter_join(d, bl, "ck", "bk", m_bits=64, mode="anti")
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
     assert all(r["doc_id"] != 3 for r in cands.collect())
+
+
+def test_bpe_encode_stats_matches_python_vocab(spark, sf_dir):
+    """Encoding the corpus with the trained segmentation gives exactly
+    sum(|syms(word)|) per document of the python-reference vocab."""
+    from incubator_flink_spark.operators.bpe import bpe_encode_stats
+
+    docs = load(spark, sf_dir, "documents")
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    _, want_vocab = _py_bpe(list(texts.values()), 10)
+    _, vocab = bpe_train(docs, n_merges=10)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_stats(docs, vocab).collect()
+    }
+    for doc_id, text in texts.items():
+        ws = [w for w in text.lower().split(" ") if w]
+        if not ws:
+            assert doc_id not in got
+            continue
+        assert got[doc_id] == (len(ws), sum(len(want_vocab[w]) for w in ws))
