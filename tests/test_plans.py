@@ -410,3 +410,19 @@ def test_star_multi_exists_semi_joins_only(spark):
     for i in range(len(rep.read_schemas)):
         cols |= set(rep.read_columns(i))
     assert "o_totalprice" in cols  # filters pushed into fact projections
+
+
+def test_perplexity_buckets_window_over_doc_table(spark):
+    """The NTILE window partitions the DOC-sized nll table by language —
+    never the exploded bigram table; no nested loop anywhere."""
+    rep = audit_plan(REGISTRY["perplexity_buckets"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert "Window" in rep.raw
+
+
+def test_bpe_encode_broadcasts_vocab(spark):
+    """Corpus encode joins the vocab-bounded length table by broadcast —
+    the corpus-side explode never shuffles into the join."""
+    rep = audit_plan(REGISTRY["bpe_encode_corpus"].fn(spark, SF))
+    assert rep.broadcast_hash_joins >= 1
+    assert rep.nested_loop_joins == 0

@@ -225,6 +225,11 @@ def main():
         "cms_heavy_hitters",
         "hll_distinct_shingles",
         "bloom_blocklist_filter",
+        "star_returns_net",
+        "star_first_purchase_cohort",
+        "star_multi_exists_profile",
+        "perplexity_buckets",
+        "bpe_encode_corpus",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
