@@ -97,3 +97,37 @@ def assign_split(
         "split",
         F.when(b < train, "train").when(b < val, "val").otherwise("test"),
     )
+
+
+def zorder_key(x, y, bits: int):
+    """Morton/Z-order interleave of two non-negative int columns (bit i
+    of x -> bit 2i, bit i of y -> bit 2i+1).  Pure integer Catalyst —
+    the shift counts are python literals, so this compiles to a flat
+    codegen expression — and replicated exactly in SQL (zorder_key_sql).
+
+    This is the multi-dimensional clustering key behind OPTIMIZE
+    ZORDER-style layouts (public: Morton 1966; Delta/Iceberg docs):
+    range-partitioning 100 TB by the z-key gives every output shard a
+    narrow range in BOTH dimensions, so scans filtered on either column
+    prune most shards via min/max statistics."""
+    from pyspark.sql import functions as FF
+
+    terms = []
+    for i in range(bits):
+        terms.append(FF.shiftleft(FF.shiftright(x, i) % 2, 2 * i))
+        terms.append(FF.shiftleft(FF.shiftright(y, i) % 2, 2 * i + 1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t  # disjoint bits: addition == bitwise OR
+    return out
+
+
+def zorder_key_sql(xexpr: str, yexpr: str, bits: int) -> str:
+    """DuckDB twin of zorder_key."""
+    terms = []
+    # each term fully parenthesized: in DuckDB (as in Postgres) `+` binds
+    # TIGHTER than `<<`, so `a << 0 + b << 1` would parse as a << (0+b) << 1
+    for i in range(bits):
+        terms.append(f"(((({xexpr}) >> {i}) % 2) << {2 * i})")
+        terms.append(f"(((({yexpr}) >> {i}) % 2) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

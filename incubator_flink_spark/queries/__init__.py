@@ -90,6 +90,7 @@ _PRIORITY = [
     "star_multi_exists_profile",
     "perplexity_buckets",
     "bpe_encode_corpus",
+    "zorder_layout_stats",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -349,3 +349,62 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     _, vocab = bpe_train(d, n_merges=20)
     return bpe_encode_stats(d, vocab).orderBy("doc_id")
+
+
+# --- Z-order layout (multi-dimensional clustering for scan pruning) ----------
+
+from incubator_flink_spark.operators.export import zorder_key, zorder_key_sql  # noqa: E402
+
+_Z_BITS = 12
+_ZX = "CAST(o_custkey % 4096 AS BIGINT)"
+_ZY = "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)"
+
+ZORDER_ORACLE = f"""
+WITH keyed AS (
+  SELECT o_orderkey, {_ZX} AS cb, {_ZY} AS day,
+         {zorder_key_sql(_ZX, _ZY, _Z_BITS)} AS zkey
+  FROM orders),
+sharded AS (
+  SELECT cb, day,
+         CAST(NTILE(16) OVER (ORDER BY zkey, o_orderkey) AS BIGINT) AS shard
+  FROM keyed)
+SELECT shard, COUNT(*) AS n_rows,
+       MIN(cb) AS min_cust_bucket, MAX(cb) AS max_cust_bucket,
+       MIN(day) AS min_day, MAX(day) AS max_day
+FROM sharded GROUP BY shard ORDER BY shard
+"""
+
+
+@register("zorder_layout_stats", ZORDER_ORACLE)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER-style layout audit: orders range-sharded by the
+    Morton interleave of (customer bucket, order day), with per-shard
+    min/max of BOTH dimensions — the statistics a scan uses to prune
+    shards when filtered on either column.  The z-key is flat integer
+    codegen on the scan; at scale the NTILE becomes repartitionByRange
+    on zkey (identical assignment, no single-partition window) — the
+    audit uses NTILE so the oracle can replicate shard ids exactly."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    keyed = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 4096).cast("bigint").alias("cb"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    ).withColumn("zkey", zorder_key(F.col("cb"), F.col("day"), _Z_BITS))
+    sharded = keyed.select(
+        "cb", "day", F.ntile(16).over(W.orderBy("zkey", "o_orderkey")).cast("bigint").alias("shard")
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cb").alias("min_cust_bucket"),
+            F.max("cb").alias("max_cust_bucket"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+        .orderBy("shard")
+    )
