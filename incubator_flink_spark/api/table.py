@@ -503,6 +503,12 @@ class TableEnvironment:
             return []
         if _re.fullmatch(r"SHOW\s+VIEWS", s, _re.I):
             return sorted(self._views)
+        if _re.fullmatch(r"SHOW\s+(?:USER\s+)?FUNCTIONS", s, _re.I):
+            # Flink's ShowFunctionsOperation (USER scope = session-registered):
+            # the Flink-named SQL UDFs installed at TableEnvironment init
+            from incubator_flink_spark.functions.sqlfuncs import _SQL_FUNCS
+
+            return sorted(_SQL_FUNCS)
         dm = _re.fullmatch(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)", s, _re.I)
         if dm:
             name = dm.group(2)

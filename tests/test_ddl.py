@@ -287,3 +287,13 @@ def test_execute_sql_views_replan_after_insert(spark, tmp_path):
     env.execute_sql("DROP TEMPORARY VIEW vcnt")
     assert env.execute_sql("SHOW VIEWS") == []
     env.execute_sql("DROP TABLE vt")
+
+
+def test_execute_sql_show_functions(spark):
+    from incubator_flink_spark.api.table import TableEnvironment
+    from incubator_flink_spark.functions.sqlfuncs import _SQL_FUNCS
+
+    env = TableEnvironment(spark)
+    got = env.execute_sql("SHOW FUNCTIONS")
+    assert got == sorted(_SQL_FUNCS)
+    assert env.execute_sql("SHOW USER FUNCTIONS") == got
