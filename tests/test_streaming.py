@@ -910,3 +910,35 @@ def test_streaming_cep_timeout_fires_for_silent_key(spark, replay_dir):
     finally:
         q.stop()
     assert (100, True) in got
+
+
+def test_bloom_membership_is_stateless_streaming_safe(spark, replay_dir):
+    """The bloom membership test is a pure map-side expression, so it
+    drops blocklisted rows from a STREAM with no state and no shuffle —
+    the stream keeps only rows whose key misses the bloom or fails the
+    exact broadcast verify."""
+    from incubator_flink_spark.operators.bloom import bloom_build, bloom_might_contain
+    from incubator_flink_spark.streaming.source import replay_table
+
+    docs = load(spark, SF, "documents")
+    keyed_b = docs.select("doc_id", F.md5("text").alias("ck"))
+    bl = keyed_b.where(F.col("doc_id") % 7 == 0).select("ck").distinct()
+    words = bloom_build(bl, "ck", 512)
+
+    stream = replay_table(spark, SF, "documents", replay_dir + "/bloom", ts_col="doc_id", n_files=3)
+    keyed_s = stream.select("doc_id", F.md5("text").alias("ck"))
+    kept_stream = keyed_s.where(
+        ~bloom_might_contain(F.col("ck"), words, 512)
+    ).unionByName(
+        keyed_s.where(bloom_might_contain(F.col("ck"), words, 512)).join(
+            F.broadcast(bl), "ck", "anti"
+        )
+    )
+    got = set()
+
+    def collect(bdf, _bid):
+        got.update(r["doc_id"] for r in bdf.collect())
+
+    run_to_completion(kept_stream, collect, mode="append")
+    want = {r["doc_id"] for r in keyed_b.join(bl, "ck", "anti").collect()}
+    assert got == want

@@ -230,6 +230,7 @@ def main():
         "star_multi_exists_profile",
         "perplexity_buckets",
         "bpe_encode_corpus",
+        "zorder_layout_stats",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
