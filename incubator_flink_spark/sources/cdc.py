@@ -176,3 +176,44 @@ def parse_maxwell(df: DataFrame, json_col: str, schema: T.StructType | str) -> D
         "ts_ms",
         *[F.col(f"r.payload.{f.name}").alias(f.name) for f in payload.fields],
     )
+
+
+def parse_ogg(df: DataFrame, json_col: str, schema: T.StructType | str) -> DataFrame:
+    """Oracle GoldenGate (ogg-json) → changelog rows.
+
+    Envelope: {"before": row|null, "after": row|null, "op_type":
+    "I|U|D", "op_ts": "yyyy-MM-dd HH:mm:ss.SSSSSS"}.  I → +I(after);
+    U → -U(before), +U(after); D → -D(before) — the fourth CDC format of
+    the reference's flink-json module
+    (OggJsonDeserializationSchema.deserialize).  Output carries op_ts
+    parsed to a timestamp alongside the payload fields."""
+    payload = _payload_schema(schema)
+    env = T.StructType(
+        [
+            T.StructField("before", payload),
+            T.StructField("after", payload),
+            T.StructField("op_type", T.StringType()),
+            T.StructField("op_ts", T.StringType()),
+        ]
+    )
+    e = df.select(F.from_json(F.col(json_col), env).alias("e"))
+    rows = (
+        F.when(F.col("e.op_type") == "I", F.array(_tagged(INSERT, F.col("e.after"))))
+        .when(
+            F.col("e.op_type") == "U",
+            F.array(
+                _tagged(UPDATE_BEFORE, F.col("e.before")),
+                _tagged(UPDATE_AFTER, F.col("e.after")),
+            ),
+        )
+        .when(F.col("e.op_type") == "D", F.array(_tagged(DELETE, F.col("e.before"))))
+        .otherwise(F.array())
+    )
+    x = e.select(
+        F.to_timestamp(F.col("e.op_ts")).alias("op_ts"), F.explode(rows).alias("r")
+    )
+    return x.select(
+        F.col("r.kind").alias(ROWKIND),
+        "op_ts",
+        *[F.col(f"r.payload.{f.name}").alias(f.name) for f in payload.fields],
+    )

@@ -101,3 +101,31 @@ def test_maxwell_update_and_delete(spark, tmp_path):
     ]
     state = changelog_normalize(rows, ["id"], "ts_ms", "ts_ms").collect()
     assert [(r.id, r.qty) for r in state] == [(1, 9)]
+
+
+def test_ogg_update_and_delete(spark, tmp_path):
+    from incubator_flink_spark.sources.cdc import parse_ogg
+    from incubator_flink_spark.streaming.changelog import changelog_normalize
+
+    ogg = [
+        {"before": None, "after": {"id": 1, "name": "a", "qty": 5}, "op_type": "I",
+         "op_ts": "2024-01-01 00:00:01.000000"},
+        {"before": None, "after": {"id": 2, "name": "b", "qty": 3}, "op_type": "I",
+         "op_ts": "2024-01-01 00:00:02.000000"},
+        {"before": {"id": 1, "name": "a", "qty": 5}, "after": {"id": 1, "name": "a", "qty": 9},
+         "op_type": "U", "op_ts": "2024-01-01 00:00:03.000000"},
+        {"before": {"id": 2, "name": "b", "qty": 3}, "after": None, "op_type": "D",
+         "op_ts": "2024-01-01 00:00:04.000000"},
+    ]
+    raw = _raw_file(spark, tmp_path, ogg, "ogg.jsonl")
+    rows = parse_ogg(raw, "value", SCHEMA)
+    got = [(r["__rowkind"], r.id, r.qty) for r in rows.orderBy("op_ts", "__rowkind").collect()]
+    assert got == [
+        ("+I", 1, 5),
+        ("+I", 2, 3),
+        ("+U", 1, 9),
+        ("-U", 1, 5),
+        ("-D", 2, 3),
+    ]
+    state = changelog_normalize(rows, ["id"], "op_ts", "op_ts").collect()
+    assert [(r.id, r.qty) for r in state] == [(1, 9)]
