@@ -91,6 +91,7 @@ _PRIORITY = [
     "perplexity_buckets",
     "bpe_encode_corpus",
     "zorder_layout_stats",
+    "zipf_slope",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

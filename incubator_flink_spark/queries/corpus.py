@@ -408,3 +408,78 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- Zipf slope (corpus data-card statistic) ---------------------------------
+# OLS slope of ln(freq) on ln(rank) over each language's top-100 words —
+# the classic "does this corpus look natural?" diagnostic (public:
+# Zipf 1949; data-card practice e.g. the Pile/ROOTS documentation).
+# Determinism: JVM and DuckDB ln() can disagree in the last ulp, so x/y
+# are quantized to DECIMAL(30,6) BEFORE any arithmetic — a 1-ulp ln
+# difference only survives if the value sits within ~1e-16 of a 6dp
+# boundary (p ~ 1e-10 per value); all sums are exact decimals after
+# that, and the final slope is one IEEE division rounded to 5 dp.
+
+ZIPF_ORACLE = f"""
+WITH wf AS (
+  SELECT lang, w AS word, COUNT(*) AS freq FROM
+    (SELECT lang, unnest({_TOKS}) AS w FROM documents) WHERE w <> ''
+  GROUP BY lang, w
+),
+ranked AS (
+  SELECT lang, CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(30,6)) AS x,
+         CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(30,6)) AS y
+  FROM (
+    SELECT lang, freq,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, word) AS rnk
+    FROM wf) t
+  WHERE rnk <= 100
+),
+agg AS (
+  SELECT lang, COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx -- x*y exact: 6dp*6dp=12dp
+  FROM ranked GROUP BY lang
+)
+SELECT lang, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 5) AS zipf_slope
+FROM agg ORDER BY lang
+"""
+
+
+@register("zipf_slope", ZIPF_ORACLE)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf slope: OLS of ln(freq) on ln(rank) over the
+    top-100 words.  One corpus word-frequency shuffle; the rank window
+    and regression run on the vocabulary-bounded table."""
+    from pyspark.sql import Window as W
+
+    d = spread(load(spark, sf_dir, "documents"))
+    wf = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rnk = F.row_number().over(W.partitionBy("lang").orderBy(F.col("freq").desc(), "word"))
+    ranked = (
+        wf.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= 100)
+        .select(
+            "lang",
+            F.log(F.col("rnk").cast("double")).cast("decimal(30,6)").alias("x"),
+            F.log(F.col("freq").cast("double")).cast("decimal(30,6)").alias("y"),
+        )
+    )
+    agg = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,12)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,12)")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select("lang", "n", F.round(slope, 5).alias("zipf_slope")).orderBy("lang")
