@@ -92,6 +92,7 @@ _PRIORITY = [
     "bpe_encode_corpus",
     "zorder_layout_stats",
     "zipf_slope",
+    "star_return_rebuy",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -944,3 +944,67 @@ def star_multi_exists_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+STAR_RETURN_REBUY_ORACLE = """
+WITH sales AS (
+  SELECT l_partkey, o_custkey, o_orderdate,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS net
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+returned AS (
+  SELECT DISTINCT l_partkey, o_custkey, o_orderdate AS ret_date
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R')
+SELECT r.o_custkey AS custkey, r.l_partkey AS partkey,
+       COUNT(*) AS n_rebuys,
+       CAST(SUM(s.net) AS DOUBLE) AS rebuy_revenue
+FROM returned r
+JOIN sales s ON s.l_partkey = r.l_partkey AND s.o_custkey = r.o_custkey
+            AND s.o_orderdate > r.ret_date
+GROUP BY r.o_custkey, r.l_partkey
+ORDER BY rebuy_revenue DESC, custkey, partkey LIMIT 20
+"""
+
+
+@register("star_return_rebuy", STAR_RETURN_REBUY_ORACLE)
+def star_return_rebuy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q17/q29 signature: THREE instances of the fact in one
+    plan — items returned (fact #1 filtered) matched against the same
+    customer's LATER purchases of the same part (fact #2), both sides
+    first resolved through orders (fact #3's role).  The join is equi on
+    (partkey, custkey) with the date inequality layered on top, so it
+    shuffles once per side on the composite key and the non-equi
+    predicate filters inside the join — never a nested loop over
+    facts."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    sales = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_partkey",
+        "o_custkey",
+        "o_orderdate",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("net"),
+    )
+    returned = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_partkey", "o_custkey", F.col("o_orderdate").alias("ret_date"))
+        .distinct()
+    )
+    j = returned.join(
+        sales.withColumnRenamed("l_partkey", "p2").withColumnRenamed("o_custkey", "c2"),
+        (F.col("l_partkey") == F.col("p2"))
+        & (F.col("o_custkey") == F.col("c2"))
+        & (F.col("o_orderdate") > F.col("ret_date")),
+    )
+    return (
+        j.groupBy(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rebuys"),
+            F.sum("net").cast("double").alias("rebuy_revenue"),
+        )
+        .orderBy(F.col("rebuy_revenue").desc(), "custkey", "partkey")
+        .limit(20)
+    )
