@@ -426,3 +426,12 @@ def test_bpe_encode_broadcasts_vocab(spark):
     rep = audit_plan(REGISTRY["bpe_encode_corpus"].fn(spark, SF))
     assert rep.broadcast_hash_joins >= 1
     assert rep.nested_loop_joins == 0
+
+
+def test_star_return_rebuy_equi_join_with_inequality_residual(spark):
+    """q17/q29 shape: the (partkey, custkey) equi keys drive the join;
+    the date inequality is a residual filter inside it — never a
+    nested-loop over fact rows."""
+    rep = audit_plan(REGISTRY["star_return_rebuy"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert "CartesianProduct" not in rep.raw
