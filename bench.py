@@ -93,6 +93,11 @@ EXTRA = [
     "bpe_pair_counts",
     "cms_heavy_hitters",
     "hll_distinct_shingles",
+    "bloom_blocklist_filter",
+    "perplexity_buckets",
+    "zorder_layout_stats",
+    "star_returns_net",
+    "zipf_slope",
 ]
 
 

@@ -103,3 +103,71 @@ def incremental_dedup_stream(
         )
         .start()
     )
+
+
+def growing_dedup_stream(
+    stream_docs,
+    ref_dir: str,
+    on_batch,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    checkpoint: str | None = None,
+):
+    """Streaming dedup against a GROWING reference: every micro-batch is
+    matched against the accumulated survivor corpus (everything ingested
+    before it), in-batch near-dups are resolved keep-smallest-id, and the
+    batch's survivors APPEND to the reference store — so the stream
+    converges to a near-dup-free corpus with keep-first semantics over
+    ingest order.  This is the production continuous-ingest shape ("is
+    this crawl doc already in the training set — including what this
+    crawl already added?"); the static-reference form above is the
+    steady-state fast path when the reference is re-signed offline.
+
+    Per-batch cost: the new slice's signatures + one asymmetric banded
+    join against the reference (candidate-proportional) + the in-batch
+    pair join.  The reference store is plain parquet, so at scale it is
+    the same bucketed signature table tests/test_bucketed.py builds.
+    ``on_batch(survivors_df, matches_df, batch_id)`` observes each step.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from incubator_flink_spark.operators.dedup import incremental_dedup, minhash_lsh_pairs
+
+    def _batch(bdf, bid):
+        spark = bdf.sparkSession
+        bdf = bdf.localCheckpoint(eager=True)  # freeze the slice; reused 3x
+        # in-batch keep-smallest-id near-dedup
+        pairs = minhash_lsh_pairs(bdf, id_col=id_col, text_col=text_col, threshold=threshold)
+        in_batch = bdf.join(
+            pairs.select(F.col("id_b").alias(id_col)).distinct(), id_col, "anti"
+        )
+        try:
+            ref = spark.read.parquet(ref_dir)
+            have_ref = True
+        except Exception:
+            have_ref = False
+        if have_ref:
+            matches = incremental_dedup(
+                in_batch, ref, id_col, text_col, threshold=threshold
+            ).localCheckpoint(eager=True)  # columns: (id_col, ref_id, jaccard)
+            survivors = in_batch.join(matches.select(id_col).distinct(), id_col, "anti")
+        else:
+            matches = spark.createDataFrame([], f"{id_col} LONG, ref_id LONG, jaccard DOUBLE")
+            survivors = in_batch
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(ref_dir)
+        on_batch(survivors, matches, bid)
+
+    return (
+        stream_docs.writeStream.outputMode("append")
+        .foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="ckpt_growdedup_"),
+        )
+        .start()
+    )

@@ -942,3 +942,41 @@ def test_bloom_membership_is_stateless_streaming_safe(spark, replay_dir):
     run_to_completion(kept_stream, collect, mode="append")
     want = {r["doc_id"] for r in keyed_b.join(bl, "ck", "anti").collect()}
     assert got == want
+
+
+def test_growing_dedup_stream_keep_first_across_batches(spark, replay_dir):
+    """The reference grows with the stream: exact copies ingested in a
+    LATER batch are dropped against earlier batches' survivors, in-batch
+    copies keep the smallest id, and the final reference store is
+    near-dup-free with keep-first semantics."""
+    import os
+
+    from incubator_flink_spark.streaming.sinks import growing_dedup_stream
+
+    base = [r["text"] for r in load(spark, SF, "documents").limit(6).collect()]
+    batches = [
+        [(1, base[0]), (2, base[1]), (3, base[2])],
+        [(11, base[3]), (12, base[0]), (13, base[1])],     # 12, 13 dup batch 1
+        [(21, base[3]), (22, base[4]), (23, base[4])],     # 21 dups batch 2; 23 dups 22 in-batch
+    ]
+    src = replay_dir + "/grow_src"
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id LONG, text STRING"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    ref_dir = replay_dir + "/grow_ref"
+    seen = {"matches": set(), "survivors": set()}
+
+    def on_batch(survivors, matches, bid):
+        seen["survivors"].update(r["doc_id"] for r in survivors.collect())
+        seen["matches"].update((r["doc_id"], r["ref_id"]) for r in matches.collect())
+
+    q = growing_dedup_stream(stream, ref_dir, on_batch, threshold=0.9)
+    q.awaitTermination(300)
+    assert seen["survivors"] == {1, 2, 3, 11, 22}
+    assert seen["matches"] == {(12, 1), (13, 2), (21, 11)}
+    final = {r["doc_id"] for r in spark.read.parquet(ref_dir).collect()}
+    assert final == {1, 2, 3, 11, 22}
