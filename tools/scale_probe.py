@@ -231,6 +231,8 @@ def main():
         "perplexity_buckets",
         "bpe_encode_corpus",
         "zorder_layout_stats",
+        "zipf_slope",
+        "star_return_rebuy",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
