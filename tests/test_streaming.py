@@ -980,3 +980,58 @@ def test_growing_dedup_stream_keep_first_across_batches(spark, replay_dir):
     assert seen["matches"] == {(12, 1), (13, 2), (21, 11)}
     final = {r["doc_id"] for r in spark.read.parquet(ref_dir).collect()}
     assert final == {1, 2, 3, 11, 22}
+
+
+def test_checkpoint_resume_continues_stateful_agg(spark, replay_dir):
+    """The savepoint-restore analog (reference: stop-with-savepoint +
+    resume): a stateful windowed aggregation is stopped after consuming
+    part of the input, then a NEW query restarts from the same
+    checkpoint directory and consumes the rest — the resumed state picks
+    up exactly where it left off and the final aggregate equals the
+    batch result over all data, with no double counting."""
+    import os
+    import tempfile
+
+    src = replay_dir + "/ckpt_src"
+    os.makedirs(src, exist_ok=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_resume_")
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    ev = load(spark, SF, "events").select("event_id", "ts", "user_id", "value")
+    parts = ev.randomSplit([0.5, 0.5], seed=7)
+    state = {}
+
+    def run_once(mode_files):
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            # no watermark: the random split is not time-ordered and the
+            # test exercises RESUME, not late-data eviction
+            stream.groupBy(F.window("ts", "3600 seconds").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "cnt")
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda bdf, bid: state.update({r["ws"]: r["cnt"] for r in bdf.collect()})
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    parts[0].coalesce(1).write.mode("append").parquet(src)
+    run_once(1)
+    partial = dict(state)
+    parts[1].coalesce(1).write.mode("append").parquet(src)
+    run_once(2)  # NEW query object, same checkpoint => resumes source offsets + state
+
+    batch = (
+        ev.groupBy(F.window("ts", "3600 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "cnt")
+    )
+    expected = {r["ws"]: r["cnt"] for r in batch.collect()}
+    assert state == expected
+    # and the first run genuinely did partial work (resume was real)
+    assert partial and partial != expected
