@@ -93,6 +93,7 @@ _PRIORITY = [
     "zorder_layout_stats",
     "zipf_slope",
     "star_return_rebuy",
+    "mixture_temperature_sample",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1117,3 +1117,65 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# --- temperature-scaled mixture sampling --------------------------------------
+# The multilingual-standard reweighting (public: multilingual BERT /
+# XLM-R docs, DoReMi discussion): per-language budget proportional to
+# n_l^alpha with alpha = 0.5, flattening the head so low-resource
+# languages keep representation.  Determinism: sqrt(n) is quantized to
+# DECIMAL(30,9) before the (exact) total sum; the share division and
+# the floor(N * share) quota are then single deterministic IEEE ops on
+# identical inputs in both engines; selection reuses the seeded-hash
+# stratum rank of mixture_quota_sample.
+
+_TEMP_N = 300
+
+TEMP_SAMPLE_ORACLE = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+s AS (SELECT lang, n, CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(30,9)) AS sl FROM c),
+t AS (SELECT CAST(SUM(sl) AS DECIMAL(30,9)) AS st FROM s),
+q AS (
+  SELECT lang, CAST(FLOOR({_TEMP_N} * (CAST(sl AS DOUBLE) / CAST(st AS DOUBLE))) AS INT) AS quota
+  FROM s, t),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {hash64_sql("'temp:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+  FROM documents)
+SELECT r.doc_id, r.lang, CAST(r.rn AS INT) AS rn, q.quota
+FROM r JOIN q ON r.lang = q.lang WHERE r.rn <= q.quota
+ORDER BY r.doc_id
+"""
+
+
+@register("mixture_temperature_sample", TEMP_SAMPLE_ORACLE)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) language mixture: quotas are
+    n_l^0.5-proportional shares of a 300-doc budget, selection is the
+    seeded-hash stratum rank.  One stratum shuffle; the quota table is
+    |langs| rows and broadcast back."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    s = c.select("lang", F.sqrt(F.col("n").cast("double")).cast("decimal(30,9)").alias("sl"))
+    t = s.agg(F.sum("sl").cast("decimal(30,9)").alias("st"))
+    q = s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.floor(
+            F.lit(_TEMP_N) * (F.col("sl").cast("double") / F.col("st").cast("double"))
+        )
+        .cast("int")
+        .alias("quota"),
+    )
+    key = hash64(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(key, "doc_id")
+    r = d.select("doc_id", "lang", F.row_number().over(w).cast("int").alias("rn"))
+    return (
+        r.join(F.broadcast(q), "lang")
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang", "rn", "quota")
+        .orderBy("doc_id")
+    )
