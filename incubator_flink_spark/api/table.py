@@ -419,6 +419,11 @@ class TableEnvironment:
         self._versioned: dict[str, tuple[str, str]] = {}
         self._tables: dict[str, object] = {}  # name -> sources.ddl.TableDef
         self._views: dict[str, str] = {}  # name -> defining query text
+        # database namespace emulation (Flink: default_catalog.default_database);
+        # Spark temp views are flat, so the namespace scopes SHOW/DROP
+        self._databases: set[str] = {"default_database"}
+        self._current_db: str = "default_database"
+        self._table_db: dict[str, str] = {}  # table name -> owning database
         # Flink-named scalar functions (SPLIT_INDEX, HASH_CODE, …) become
         # session SQL UDFs so reference SQL text runs unmodified.
         from incubator_flink_spark.functions.sqlfuncs import register_flink_sql_functions
@@ -470,6 +475,7 @@ class TableEnvironment:
             # leave a phantom entry for SHOW TABLES / INSERT INTO to find
             execute_ddl(self._spark, s)
             self._tables[t.name] = t
+            self._table_db[t.name] = self._current_db
             return []
         vm = _re.fullmatch(
             r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(.+)",
@@ -503,6 +509,46 @@ class TableEnvironment:
             return []
         if _re.fullmatch(r"SHOW\s+VIEWS", s, _re.I):
             return sorted(self._views)
+        cdb = _re.fullmatch(r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)", s, _re.I)
+        if cdb:
+            name = cdb.group(2)
+            if name in self._databases and not cdb.group(1):
+                raise ValueError(f"database {name!r} already exists")
+            self._databases.add(name)
+            return []
+        ddb = _re.fullmatch(
+            r"DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(\w+)(\s+CASCADE|\s+RESTRICT)?", s, _re.I
+        )
+        if ddb:
+            name, cascade = ddb.group(2), (ddb.group(3) or "").strip().upper() == "CASCADE"
+            if name not in self._databases:
+                if ddb.group(1):
+                    return []
+                raise ValueError(f"database {name!r} does not exist")
+            if name == "default_database":
+                raise ValueError("cannot drop the default database")
+            owned = [t for t, db in self._table_db.items() if db == name]
+            if owned and not cascade:
+                raise ValueError(f"database {name!r} is not empty (use DROP DATABASE ... CASCADE)")
+            for t in owned:
+                self._spark.catalog.dropTempView(t)
+                del self._tables[t]
+                del self._table_db[t]
+            self._databases.discard(name)
+            if self._current_db == name:
+                self._current_db = "default_database"
+            return []
+        um = _re.fullmatch(r"USE\s+(\w+)", s, _re.I)
+        if um:
+            name = um.group(1)
+            if name not in self._databases:
+                raise ValueError(f"database {name!r} does not exist")
+            self._current_db = name
+            return []
+        if _re.fullmatch(r"SHOW\s+DATABASES", s, _re.I):
+            return sorted(self._databases)
+        if _re.fullmatch(r"SHOW\s+CURRENT\s+DATABASE", s, _re.I):
+            return [self._current_db]
         if _re.fullmatch(r"SHOW\s+(?:USER\s+)?FUNCTIONS", s, _re.I):
             # Flink's ShowFunctionsOperation (USER scope = session-registered):
             # the Flink-named SQL UDFs installed at TableEnvironment init
@@ -517,6 +563,7 @@ class TableEnvironment:
             known = self._spark.catalog.dropTempView(name)
             if name in self._tables:
                 del self._tables[name]
+                self._table_db.pop(name, None)
             elif not known and not dm.group(1):
                 raise ValueError(f"table {name!r} does not exist (use DROP TABLE IF EXISTS)")
             return []
@@ -610,6 +657,7 @@ class TableEnvironment:
             t.name = new
             self._tables[new] = t
             del self._tables[old]
+            self._table_db[new] = self._table_db.pop(old, self._current_db)
             return []
         if _re.fullmatch(r"SHOW\s+TABLES", s, _re.I):
             # DDL tables plus temporary views (Flink's SHOW TABLES lists
@@ -620,7 +668,14 @@ class TableEnvironment:
                 for t in self._spark.catalog.listTables()
                 if (t.tableType or "").upper() == "TEMPORARY"
             }
-            return sorted(set(self._tables) | temp)
+            mine = {
+                t for t in self._tables
+                if self._table_db.get(t, "default_database") == self._current_db
+            }
+            if self._current_db == "default_database":
+                # plain temp views (created outside DDL) live in the default db
+                return sorted(mine | (temp - set(self._tables)))
+            return sorted(mine)
         m = _re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(.+)", s, _re.I | _re.S)
         if m:
             from incubator_flink_spark.sources.ddl import execute_ddl

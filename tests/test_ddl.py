@@ -297,3 +297,31 @@ def test_execute_sql_show_functions(spark):
     got = env.execute_sql("SHOW FUNCTIONS")
     assert got == sorted(_SQL_FUNCS)
     assert env.execute_sql("SHOW USER FUNCTIONS") == got
+
+
+def test_execute_sql_database_lifecycle(spark, tmp_path):
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    assert env.execute_sql("SHOW CURRENT DATABASE") == ["default_database"]
+    env.execute_sql("CREATE DATABASE staging")
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("CREATE DATABASE staging")
+    env.execute_sql("CREATE DATABASE IF NOT EXISTS staging")
+    assert env.execute_sql("SHOW DATABASES") == ["default_database", "staging"]
+    env.execute_sql("USE staging")
+    env.execute_sql(
+        f"CREATE TABLE stg_t (a BIGINT) WITH ('connector'='filesystem', "
+        f"'path'='{tmp_path}/stg_t', 'format'='parquet')"
+    )
+    assert "stg_t" in env.execute_sql("SHOW TABLES")
+    env.execute_sql("USE default_database")
+    assert "stg_t" not in env.execute_sql("SHOW TABLES")
+    with pytest.raises(ValueError, match="not empty"):
+        env.execute_sql("DROP DATABASE staging")
+    env.execute_sql("DROP DATABASE staging CASCADE")
+    assert env.execute_sql("SHOW DATABASES") == ["default_database"]
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("USE staging")
+    with pytest.raises(ValueError, match="cannot drop"):
+        env.execute_sql("DROP DATABASE default_database")
