@@ -214,3 +214,74 @@ def test_bpe_encode_stats_matches_python_vocab(spark, sf_dir):
             assert doc_id not in got
             continue
         assert got[doc_id] == (len(ws), sum(len(want_vocab[w]) for w in ws))
+
+
+def test_bpe_train_matches_python_on_randomized_corpus(spark):
+    """Randomized (fixed-seed) corpus with digits, punctuation, repeats,
+    and 1-char words: the Catalyst zip-with-next merge fold must track
+    the pure-Python reference through 15 merges."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = "abcdz019.,!"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+        for _ in range(120)
+    ]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(3, 30))) for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    want_merges, want_vocab = _py_bpe(texts, 15)
+    merges, vocab = bpe_train(docs, n_merges=15)
+    got = [(r["step"], r["left"], r["right"], r["cnt"]) for r in merges.orderBy("step").collect()]
+    assert got == want_merges
+    assert {r["word"]: tuple(r["syms"]) for r in vocab.collect()} == want_vocab
+
+
+def test_line_dedup_matches_python_on_randomized_corpus(spark):
+    """Randomized corpus with planted repeated lines: Spark line_dedup
+    equals a pure-Python keep-canonical-first implementation."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(9157)
+    vocab = ["red", "blue", "fox", "jumps", "runs", "stops", "ok", "go"]
+    boiler = [" ".join(rng.choice(vocab) for _ in range(4)) for _ in range(3)]
+    rows = []
+    for i in range(30):
+        lines = []
+        for _ in range(rng.randint(1, 5)):
+            if rng.random() < 0.4:
+                lines.append(rng.choice(boiler))
+            else:
+                lines.append(" ".join(rng.choice(vocab) for _ in range(4)))
+        rows.append((i, " ".join(lines)))
+    k = 4
+
+    # pure-python reference
+    occ = defaultdict(list)  # line -> [(doc, line_no)]
+    doc_lines_py = {}
+    for d, text in rows:
+        toks = text.split(" ")
+        ls = [" ".join(toks[j : j + k]) for j in range(0, len(toks), k)]
+        doc_lines_py[d] = ls
+        for p, l in enumerate(ls):
+            occ[l].append((d, p))
+    want = {}
+    for d, ls in doc_lines_py.items():
+        kept = [
+            l
+            for p, l in enumerate(ls)
+            if len(occ[l]) < 2 or min(occ[l]) == (d, p)
+        ]
+        want[d] = (len(ls), len(ls) - len(kept), " ".join(kept))
+
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_dropped"], r["text"])
+        for r in line_dedup(docs, min_count=2, tokens_per_line=k).collect()
+    }
+    assert got == want
