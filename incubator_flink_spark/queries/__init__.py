@@ -94,6 +94,7 @@ _PRIORITY = [
     "zipf_slope",
     "star_return_rebuy",
     "mixture_temperature_sample",
+    "source_drift",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

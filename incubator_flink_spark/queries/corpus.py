@@ -483,3 +483,75 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     return agg.select("lang", "n", F.round(slope, 5).alias("zipf_slope")).orderBy("lang")
+
+
+# --- per-source drift report --------------------------------------------------
+# The data-card view a curator reads before re-weighting sources: for
+# every ingest source, document volume, token-length profile, corpus-wide
+# exact-duplicate involvement, and stopword density.  One doc-level
+# derivation + a corpus-wide content-hash count back-joined on the
+# 8-byte hash + one source-keyed aggregate.
+
+from incubator_flink_spark.functions.text import (  # noqa: E402
+    stopword_count,
+    stopword_count_sql,
+)
+from incubator_flink_spark.operators.dedup import normalize_text  # noqa: E402
+
+_NORM_SQL2 = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+SOURCE_DRIFT_ORACLE = f"""
+WITH base AS (
+  SELECT source, doc_id, md5({_NORM_SQL2}) AS ch,
+         len({_TOKS}) AS n_toks,
+         {stopword_count_sql(_TOKS)} AS n_stop
+  FROM documents),
+dups AS (SELECT ch, COUNT(*) AS n FROM base GROUP BY ch)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(CAST(SUM(CAST(n_toks AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_tokens,
+       CAST(SUM(CASE WHEN d.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_involved_docs,
+       ROUND(CAST(SUM(CAST(n_stop AS DECIMAL(18,0))) AS DOUBLE)
+             / CAST(SUM(CAST(n_toks AS DECIMAL(18,0))) AS DOUBLE), 6) AS stopword_rate
+FROM base JOIN dups d USING (ch)
+GROUP BY source ORDER BY source
+"""
+
+
+@register("source_drift", SOURCE_DRIFT_ORACLE)
+def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source drift report: volume, token profile, exact-duplicate
+    involvement (corpus-wide content-hash count >= 2), stopword density.
+    The hash count back-join keys on md5 strings of the dedup family's
+    normalized text; all means are exact-decimal sums over counts."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "source",
+        "doc_id",
+        F.md5(normalize_text(F.col("text"))).alias("ch"),
+        F.size(toks).alias("n_toks"),
+        stopword_count(toks).alias("n_stop"),
+    )
+    dups = base.groupBy("ch").agg(F.count(F.lit(1)).alias("n"))
+    j = base.join(dups, "ch")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            (
+                F.sum(F.col("n_toks").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_tokens"),
+            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).cast("bigint").alias(
+                "dup_involved_docs"
+            ),
+            F.round(
+                F.sum(F.col("n_stop").cast("decimal(18,0)")).cast("double")
+                / F.sum(F.col("n_toks").cast("decimal(18,0)")).cast("double"),
+                6,
+            ).alias("stopword_rate"),
+        )
+        .orderBy("source")
+    )
