@@ -95,6 +95,7 @@ _PRIORITY = [
     "star_return_rebuy",
     "mixture_temperature_sample",
     "source_drift",
+    "retention_matrix",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -605,3 +605,45 @@ def retract_aggregate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("live_rows") > 0)
         .orderBy("k")
     )
+
+
+# --- retention matrix ---------------------------------------------------------
+
+RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id),
+cells AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01', f.first_day) // 7 AS BIGINT) AS cohort_week,
+         CAST(date_diff('day', f.first_day, CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week_offset,
+         e.user_id
+  FROM events e JOIN firsts f USING (user_id))
+SELECT cohort_week, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM cells GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register("retention_matrix", RETENTION_ORACLE)
+def retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic product-analytics retention: users bucketed by first-seen
+    week (cohort), each cell counting distinct users active N weeks
+    later.  The first-seen aggregate and the back-join share the
+    user_id partitioning (one keyed shuffle each); the distinct-count
+    runs on the (cohort, offset, user) projection — dim-sized output."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    cells = e.join(firsts, "user_id").select(
+        F.floor(
+            F.datediff(F.col("first_day"), F.lit("1995-01-01").cast("date")) / 7
+        ).cast("bigint").alias("cohort_week"),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.col("first_day")) / 7
+        ).cast("bigint").alias("week_offset"),
+        "user_id",
+    )
+    return (
+        cells.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
