@@ -490,7 +490,8 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every ingest source, document volume, token-length profile, corpus-wide
 # exact-duplicate involvement, and stopword density.  One doc-level
 # derivation + a corpus-wide content-hash count back-joined on the
-# 8-byte hash + one source-keyed aggregate.
+# 8-byte hash64 (never the md5 string — join keys stay fixed-width) +
+# one source-keyed aggregate.
 
 from incubator_flink_spark.functions.text import (  # noqa: E402
     stopword_count,
@@ -502,7 +503,7 @@ _NORM_SQL2 = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ',
 
 SOURCE_DRIFT_ORACLE = f"""
 WITH base AS (
-  SELECT source, doc_id, md5({_NORM_SQL2}) AS ch,
+  SELECT source, doc_id, {hash64_sql(_NORM_SQL2)} AS ch,
          len({_TOKS}) AS n_toks,
          {stopword_count_sql(_TOKS)} AS n_stop
   FROM documents),
@@ -529,7 +530,7 @@ def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "source",
         "doc_id",
-        F.md5(normalize_text(F.col("text"))).alias("ch"),
+        hash64(normalize_text(F.col("text"))).alias("ch"),
         F.size(toks).alias("n_toks"),
         stopword_count(toks).alias("n_stop"),
     )

@@ -233,6 +233,9 @@ def main():
         "zorder_layout_stats",
         "zipf_slope",
         "star_return_rebuy",
+        "mixture_temperature_sample",
+        "source_drift",
+        "retention_matrix",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
