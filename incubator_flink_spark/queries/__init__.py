@@ -35,12 +35,12 @@ _PRIORITY = [
     # r02 only, 28 green in r01 only, and exactly 6 queries (the r3
     # positions 51-56) that have never had a driver row.  Round 4's window
     # therefore packs (a) those 6 — completing driver evidence for every
-    # registered query, (b) the new round-4 registrations (including the
-    # late wave-5 corpus/sketch/star additions — 46 never-checked in all,
-    # so only 4 stale re-check slots remain this round), and (c) the
-    # stalest prior evidence: r1-only-green queries first (two rounds old,
-    # and shared machinery — pair_cos_vectorized, the shingle stack, the
-    # graph loop — has changed since), then the oldest r2-green.
+    # registered query, and (b) the new round-4 registrations.  The late
+    # wave-5 additions filled the window completely: positions 1-50 are
+    # ALL never-checked, the last tier-B entries past position 50
+    # (source_drift, retention_matrix, ...) overflow and lead the
+    # round-5 rotation together with the stale r1/r2-green re-checks
+    # below (which got pushed out of this round's window entirely).
     #
     # -- tier A (1-6): never driver-checked in any round --------------------
     "embedding_near_pairs_t08",
