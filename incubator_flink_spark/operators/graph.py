@@ -829,3 +829,34 @@ def average_clustering_coefficient(
             6,
         ).alias("avg_coeff"),
     )
+
+
+def kcore(edges: DataFrame, k: int, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(vertex, core_degree): the k-core — the maximal subgraph in which
+    every vertex has degree >= k (public: Seidman 1983; the degeneracy
+    measure curation pipelines use to isolate densely self-linked spam
+    clusters).  Iterative peel on the canonical simple graph: drop
+    vertices with degree < k, restrict edges to survivors, repeat to
+    fixpoint.
+
+    Scale shape: each round is one degree aggregate + two semi-joins on
+    8-byte-hashable vertex keys, all candidate-proportional; the loop
+    localCheckpoints per round (the O(1)-plan discipline of the CC and
+    PageRank loops) and terminates in at most O(peel-depth) rounds —
+    bounded by the degeneracy, which is tiny for web-scale sparse
+    graphs.  Only the per-round vertex COUNT reaches the driver."""
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    n_prev = -1
+    while True:
+        sym = e.select(F.col("a").alias("v")).unionAll(e.select(F.col("b").alias("v")))
+        deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("core_degree"))
+        keep = deg.where(F.col("core_degree") >= k).localCheckpoint(eager=True)
+        n = keep.count()
+        if n == n_prev or n == 0:
+            return keep.select(F.col("v").alias("vertex"), "core_degree").orderBy("vertex")
+        n_prev = n
+        e = (
+            e.join(keep.select(F.col("v").alias("a")), "a", "semi")
+            .join(keep.select(F.col("v").alias("b")), "b", "semi")
+            .localCheckpoint(eager=True)
+        )

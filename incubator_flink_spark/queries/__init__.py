@@ -96,6 +96,7 @@ _PRIORITY = [
     "mixture_temperature_sample",
     "source_drift",
     "retention_matrix",
+    "part_copurchase_kcore",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -556,3 +556,24 @@ def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("part_copurchase_kcore", None)  # iterative peel to fixpoint — no
+# SQL oracle; pinned against a pure-Python peel in tests/test_corpus.py
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80-core of the part co-purchase graph (parts linked when bought
+    in the same order) — the degeneracy analysis curation uses to find
+    densely self-linked clusters.  Iterative peel: per round one degree
+    aggregate + two semi-joins, localCheckpoint keeping the plan O(1);
+    only the per-round vertex count reaches the driver."""
+    from incubator_flink_spark.operators.graph import kcore
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnRenamed("l_partkey", "pa")
+    b = li.withColumnRenamed("l_partkey", "pb")
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return kcore(e, 80)

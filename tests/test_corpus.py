@@ -285,3 +285,37 @@ def test_line_dedup_matches_python_on_randomized_corpus(spark):
         for r in line_dedup(docs, min_count=2, tokens_per_line=k).collect()
     }
     assert got == want
+
+
+def test_kcore_matches_python_peel(spark, sf_dir):
+    """Iterative k-core peel vs a pure-Python reference on the part
+    co-purchase graph (parts linked when bought in the same order)."""
+    from collections import defaultdict
+
+    from incubator_flink_spark.operators.graph import kcore
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnRenamed("l_partkey", "pa")
+    b = li.withColumnRenamed("l_partkey", "pb")
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    edges = {(min(r.src, r.dst), max(r.src, r.dst)) for r in e.collect() if r.src != r.dst}
+    k = 60
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    want = {v: len(adj[v] & alive) for v in alive}
+    got = {r["vertex"]: r["core_degree"] for r in kcore(e, k).collect()}
+    assert got == want
+    assert want, "choose k so the core is non-empty at this SF"
+    assert len(want) < len(adj), "choose k so the peel actually drops vertices"
