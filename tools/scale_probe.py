@@ -236,6 +236,7 @@ def main():
         "mixture_temperature_sample",
         "source_drift",
         "retention_matrix",
+        "part_copurchase_kcore",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
