@@ -299,3 +299,133 @@ def audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
+
+
+# --- images: REAL decode for uncompressed containers --------------------------
+# Like WAV/PCM for audio, uncompressed BMP (BI_RGB 24-bit) and binary
+# PPM (P6) are pure byte layouts — header walk with struct, pixels with
+# numpy.frombuffer — so those image paths are fully real; only
+# compressed codecs (JPEG/PNG/video) remain behind the decode stub.
+
+
+def parse_image(payload: bytes):
+    """(height x width x 3 uint8 RGB array) from a BMP (24-bit BI_RGB)
+    or binary PPM (P6) payload. Pure struct/numpy — no imaging library."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bits = struct.unpack_from("<HH", payload, 26)
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bits != 24 or comp != 0:
+            raise ValueError(f"compressed/{bits}-bit BMP needs a codec library")
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        px = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+        rows = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+    if payload[:2] == b"P6":
+        # header: P6 <w> <h> <maxval> with whitespace/#comments, then raw RGB
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError("only 8-bit PPM supported")
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return px.reshape(h, w, 3).copy()
+    raise ValueError("not a BMP or P6 PPM payload")
+
+
+def encode_ppm(img) -> bytes:
+    """RGB uint8 array -> binary PPM (P6) bytes — the deterministic
+    container the real resize emits."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("brightness", T.DoubleType()),
+        T.StructField("edge_energy", T.DoubleType()),
+    ]
+)
+
+
+def image_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Per-image features from BMP/PPM payloads — REAL decode: channel
+    means, luma brightness (Rec.601), and edge energy (mean absolute
+    horizontal+vertical gradient of the gray plane).  Arrow-batched
+    mapInPandas, zero shuffles — payload bytes never leave the partition
+    that read them."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = parse_image(bytes(payload)).astype(np.float64)
+                h, w = img.shape[:2]
+                mr, mg, mb = (float(img[:, :, c].mean()) for c in range(3))
+                gray = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+                gx = np.abs(np.diff(gray, axis=1)).mean() if w > 1 else 0.0
+                gy = np.abs(np.diff(gray, axis=0)).mean() if h > 1 else 0.0
+                rows.append((rid, w, h, mr, mg, mb, float(gray.mean()), float(gx + gy)))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "mean_r", "mean_g", "mean_b", "brightness", "edge_energy"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, IMAGE_FEATURE_SCHEMA)
+
+
+def resize_image_real(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL nearest-neighbor resize of BMP/PPM payloads, re-encoded as
+    P6 PPM — the actual pixel path, not the stub: numpy index-gather per
+    image inside Arrow batches, zero shuffles."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = parse_image(bytes(payload))
+                h, w = img.shape[:2]
+                yi = (np.arange(height) * h) // height
+                xi = (np.arange(width) * w) // width
+                out = img[yi][:, xi]
+                rows.append((rid, encode_ppm(out)))
+            yield pd.DataFrame(rows, columns=[id_col, payload_col])
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField(payload_col, T.BinaryType())]
+    )
+    return df.select(id_col, payload_col).mapInPandas(fn, schema)

@@ -132,3 +132,76 @@ def test_audio_features_real_wav_decode(spark):
     bad = clips[0][1].replace(b"fmt " + _s.pack("<I", 16) + _s.pack("<HH", 1, 1), b"fmt " + _s.pack("<I", 16) + _s.pack("<HH", 85, 1))
     with pytest.raises(ValueError, match="format tag"):
         parse_wav(bad)
+
+
+def _make_bmp(w, h, rgb_rows):
+    """Minimal 24-bit BI_RGB bottom-up BMP from an HxWx3 uint8 array."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(rgb_rows, dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y][:, ::-1].tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    px = b"".join(rows)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(px), 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    return header + info + px
+
+
+def _make_ppm(img):
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def test_image_features_real_decode_bmp_and_ppm(spark):
+    """BMP and PPM payloads decode to the same analytic features: a
+    half-red/half-blue 4x2 image has exact channel means, Rec.601
+    brightness, and one vertical edge."""
+    import numpy as np
+
+    from incubator_flink_spark.operators.multimodal import image_features
+
+    img = np.zeros((2, 4, 3), dtype=np.uint8)
+    img[:, :2, 0] = 255  # left half red
+    img[:, 2:, 2] = 255  # right half blue
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_bmp(4, 2, img))), (2, bytearray(_make_ppm(img)))],
+        "doc_id LONG, payload BINARY",
+    )
+    got = {r["doc_id"]: r for r in image_features(df).collect()}
+    for rid in (1, 2):
+        r = got[rid]
+        assert (r["width"], r["height"]) == (4, 2)
+        assert r["mean_r"] == 127.5 and r["mean_b"] == 127.5 and r["mean_g"] == 0.0
+        want_brightness = (0.299 * 255 + 0.114 * 255) / 2
+        assert abs(r["brightness"] - want_brightness) < 1e-9
+        assert r["edge_energy"] > 0  # the red/blue boundary
+    # identical pixels => identical features across containers
+    assert tuple(got[1])[1:] == tuple(got[2])[1:]
+
+
+def test_resize_image_real_nearest_neighbor(spark):
+    import numpy as np
+
+    from incubator_flink_spark.operators.multimodal import (
+        parse_image,
+        resize_image_real,
+    )
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[:, 0] = (10, 20, 30)
+    img[:, 1] = (200, 210, 220)
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_ppm(img)))], "doc_id LONG, payload BINARY"
+    )
+    out = resize_image_real(df, 4, 4).collect()[0]
+    res = parse_image(bytes(out["payload"]))
+    assert res.shape == (4, 4, 3)
+    assert (res[:, :2] == (10, 20, 30)).all() and (res[:, 2:] == (200, 210, 220)).all()
