@@ -424,6 +424,7 @@ class TableEnvironment:
         self._databases: set[str] = {"default_database"}
         self._current_db: str = "default_database"
         self._table_db: dict[str, str] = {}  # table name -> owning database
+        self._view_db: dict[str, str] = {}  # view name -> owning database
         # Flink-named scalar functions (SPLIT_INDEX, HASH_CODE, …) become
         # session SQL UDFs so reference SQL text runs unmodified.
         from incubator_flink_spark.functions.sqlfuncs import register_flink_sql_functions
@@ -496,6 +497,7 @@ class TableEnvironment:
                 raise ValueError(f"view {name!r} already exists (use CREATE OR REPLACE VIEW)")
             self.sql_query(query).to_df().createOrReplaceTempView(name)
             self._views[name] = query
+            self._view_db[name] = self._current_db
             return []
         dv = _re.fullmatch(r"DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?(\w+)", s, _re.I)
         if dv:
@@ -506,6 +508,7 @@ class TableEnvironment:
                 raise ValueError(f"view {name!r} does not exist (use DROP VIEW IF EXISTS)")
             self._spark.catalog.dropTempView(name)
             del self._views[name]
+            self._view_db.pop(name, None)
             return []
         if _re.fullmatch(r"SHOW\s+VIEWS", s, _re.I):
             return sorted(self._views)
@@ -530,10 +533,17 @@ class TableEnvironment:
             owned = [t for t, db in self._table_db.items() if db == name]
             if owned and not cascade:
                 raise ValueError(f"database {name!r} is not empty (use DROP DATABASE ... CASCADE)")
+            owned_views = [v for v, db in self._view_db.items() if db == name]
+            if owned_views and not cascade:
+                raise ValueError(f"database {name!r} is not empty (use DROP DATABASE ... CASCADE)")
             for t in owned:
                 self._spark.catalog.dropTempView(t)
                 del self._tables[t]
                 del self._table_db[t]
+            for v in owned_views:
+                self._spark.catalog.dropTempView(v)
+                del self._views[v]
+                del self._view_db[v]
             self._databases.discard(name)
             if self._current_db == name:
                 self._current_db = "default_database"
@@ -672,9 +682,13 @@ class TableEnvironment:
                 t for t in self._tables
                 if self._table_db.get(t, "default_database") == self._current_db
             }
+            mine |= {
+                v for v in self._views
+                if self._view_db.get(v, "default_database") == self._current_db
+            }
             if self._current_db == "default_database":
                 # plain temp views (created outside DDL) live in the default db
-                return sorted(mine | (temp - set(self._tables)))
+                return sorted(mine | (temp - set(self._tables) - set(self._views)))
             return sorted(mine)
         m = _re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(.+)", s, _re.I | _re.S)
         if m:

@@ -149,19 +149,27 @@ def bpe_segment_stats(sym_vocab: DataFrame) -> DataFrame:
     )
 
 
-def bpe_encode_stats(docs: DataFrame, sym_vocab: DataFrame, text_col: str = "text") -> DataFrame:
+def bpe_encode_stats(
+    docs: DataFrame,
+    sym_vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
     """Per-document token count under the trained segmentation: corpus
     words join the vocab-bounded (word -> |syms|) table — the "apply the
     tokenizer at corpus scale" pass.  One corpus-sized explode + one
-    broadcastable vocab join + one doc-keyed aggregate; compression =
-    chars-per-token follows from n_chars carried alongside."""
+    broadcastable vocab join + one doc-keyed aggregate.
+
+    The join is INNER: with the self-trained vocab every corpus word is
+    present; to encode a DIFFERENT corpus, extend the vocab first (OOV
+    words would silently vanish from the counts otherwise)."""
     wlen = sym_vocab.select("word", F.size("syms").alias("n_toks"))
     words = docs.select(
-        F.col(docs.columns[0]).alias("__id"), F.explode(tokens(F.col(text_col))).alias("word")
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("word")
     ).where(F.col("word") != "")
     return (
         words.join(F.broadcast(wlen), "word")
         .groupBy("__id")
         .agg(F.count(F.lit(1)).alias("n_words"), F.sum("n_toks").alias("n_bpe_tokens"))
-        .withColumnRenamed("__id", docs.columns[0])
+        .withColumnRenamed("__id", id_col)
     )

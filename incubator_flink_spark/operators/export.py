@@ -113,9 +113,12 @@ def zorder_key(x, y, bits: int):
     from pyspark.sql import functions as FF
 
     terms = []
+    # & 1 (not % 2): for a negative input % 2 yields -1 and the shifted
+    # term corrupts the key (DuckDB's twin would hard-error); the bitwise
+    # mask gives the defined two's-complement bit on both engines
     for i in range(bits):
-        terms.append(FF.shiftleft(FF.shiftright(x, i) % 2, 2 * i))
-        terms.append(FF.shiftleft(FF.shiftright(y, i) % 2, 2 * i + 1))
+        terms.append(FF.shiftleft(FF.shiftright(x, i).bitwiseAND(FF.lit(1)), 2 * i))
+        terms.append(FF.shiftleft(FF.shiftright(y, i).bitwiseAND(FF.lit(1)), 2 * i + 1))
     out = terms[0]
     for t in terms[1:]:
         out = out + t  # disjoint bits: addition == bitwise OR
@@ -128,6 +131,6 @@ def zorder_key_sql(xexpr: str, yexpr: str, bits: int) -> str:
     # each term fully parenthesized: in DuckDB (as in Postgres) `+` binds
     # TIGHTER than `<<`, so `a << 0 + b << 1` would parse as a << (0+b) << 1
     for i in range(bits):
-        terms.append(f"(((({xexpr}) >> {i}) % 2) << {2 * i})")
-        terms.append(f"(((({yexpr}) >> {i}) % 2) << {2 * i + 1})")
+        terms.append(f"(((({xexpr}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({yexpr}) >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"

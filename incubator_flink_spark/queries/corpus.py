@@ -357,7 +357,7 @@ from incubator_flink_spark.operators.export import zorder_key, zorder_key_sql  #
 
 _Z_BITS = 12
 _ZX = "CAST(o_custkey % 4096 AS BIGINT)"
-_ZY = "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)"
+_ZY = "greatest(CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT), 0)"
 
 ZORDER_ORACLE = f"""
 WITH keyed AS (
@@ -390,9 +390,13 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = o.select(
         "o_orderkey",
         (F.col("o_custkey") % 4096).cast("bigint").alias("cb"),
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
-        .cast("bigint")
-        .alias("day"),
+        # clamped at 0: dates before the epoch would interleave sign bits
+        F.greatest(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).cast(
+                "bigint"
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("day"),
     ).withColumn("zkey", zorder_key(F.col("cb"), F.col("day"), _Z_BITS))
     sharded = keyed.select(
         "cb", "day", F.ntile(16).over(W.orderBy("zkey", "o_orderkey")).cast("bigint").alias("shard")
@@ -427,8 +431,8 @@ WITH wf AS (
   GROUP BY lang, w
 ),
 ranked AS (
-  SELECT lang, CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(30,6)) AS x,
-         CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(30,6)) AS y
+  SELECT lang, CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(15,6)) AS x,
+         CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(15,6)) AS y
   FROM (
     SELECT lang, freq,
            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, word) AS rnk
@@ -439,7 +443,7 @@ agg AS (
   SELECT lang, COUNT(*) AS n,
          CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
          CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx -- x*y exact: 6dp*6dp=12dp
+         CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx
   FROM ranked GROUP BY lang
 )
 SELECT lang, n,
@@ -468,8 +472,11 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 100)
         .select(
             "lang",
-            F.log(F.col("rnk").cast("double")).cast("decimal(30,6)").alias("x"),
-            F.log(F.col("freq").cast("double")).cast("decimal(30,6)").alias("y"),
+            # decimal(15,6): the product's Spark precision is 15+15+1=31,
+            # under the 38 cap, so x*y is EXACT decimal(31,12) — at (30,6)
+            # Spark would round the product to 6dp while DuckDB keeps 12dp
+            F.log(F.col("rnk").cast("double")).cast("decimal(15,6)").alias("x"),
+            F.log(F.col("freq").cast("double")).cast("decimal(15,6)").alias("y"),
         )
     )
     agg = ranked.groupBy("lang").agg(
@@ -523,8 +530,9 @@ GROUP BY source ORDER BY source
 def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source drift report: volume, token profile, exact-duplicate
     involvement (corpus-wide content-hash count >= 2), stopword density.
-    The hash count back-join keys on md5 strings of the dedup family's
-    normalized text; all means are exact-decimal sums over counts."""
+    The dup-count back-join keys on the 8-byte hash64 of the dedup
+    family's normalized text (fixed-width keys, never md5 strings); all
+    means are exact-decimal sums over counts."""
     d = spread(load(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     base = d.select(

@@ -126,10 +126,16 @@ def growing_dedup_stream(
 
     Per-batch cost: the new slice's signatures + one asymmetric banded
     join against the reference (candidate-proportional) + the in-batch
-    pair join.  The reference store is plain parquet, so at scale it is
-    the same bucketed signature table tests/test_bucketed.py builds.
+    pair join.  The reference store is parquet laid out one directory
+    per batch (``ref_dir/b<batch_id>``): the foreachBatch body is
+    IDEMPOTENT — a retried batch overwrites its own directory and the
+    reference it deduplicates against is exactly the directories of
+    EARLIER batch ids, so a retry neither self-matches its previous
+    partial write nor double-appends.  At scale the store is the same
+    bucketed signature table tests/test_bucketed.py builds.
     ``on_batch(survivors_df, matches_df, batch_id)`` observes each step.
     """
+    import os
     import tempfile
 
     from pyspark.sql import functions as F
@@ -144,12 +150,17 @@ def growing_dedup_stream(
         in_batch = bdf.join(
             pairs.select(F.col("id_b").alias(id_col)).distinct(), id_col, "anti"
         )
-        try:
-            ref = spark.read.parquet(ref_dir)
-            have_ref = True
-        except Exception:
-            have_ref = False
-        if have_ref:
+        # reference = every COMMITTED earlier batch directory; listing by
+        # batch id (never a bare read of ref_dir) keeps retries exact and
+        # makes real I/O errors surface instead of masquerading as
+        # "no reference yet"
+        prior = sorted(
+            os.path.join(ref_dir, d)
+            for d in (os.listdir(ref_dir) if os.path.isdir(ref_dir) else [])
+            if d.startswith("b") and d[1:].isdigit() and int(d[1:]) < bid
+        )
+        if prior:
+            ref = spark.read.parquet(*prior)
             matches = incremental_dedup(
                 in_batch, ref, id_col, text_col, threshold=threshold
             ).localCheckpoint(eager=True)  # columns: (id_col, ref_id, jaccard)
@@ -158,7 +169,8 @@ def growing_dedup_stream(
             matches = spark.createDataFrame([], f"{id_col} LONG, ref_id LONG, jaccard DOUBLE")
             survivors = in_batch
         survivors = survivors.localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(ref_dir)
+        # idempotent: a retried batch replaces its own directory
+        survivors.write.mode("overwrite").parquet(os.path.join(ref_dir, f"b{bid:09d}"))
         on_batch(survivors, matches, bid)
 
     return (

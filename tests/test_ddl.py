@@ -325,3 +325,20 @@ def test_execute_sql_database_lifecycle(spark, tmp_path):
         env.execute_sql("USE staging")
     with pytest.raises(ValueError, match="cannot drop"):
         env.execute_sql("DROP DATABASE default_database")
+
+
+def test_views_respect_database_namespace(spark):
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE DATABASE vdb")
+    env.execute_sql("USE vdb")
+    env.execute_sql("CREATE VIEW nsv AS SELECT 1 AS one")
+    assert "nsv" in env.execute_sql("SHOW TABLES")
+    env.execute_sql("USE default_database")
+    assert "nsv" not in env.execute_sql("SHOW TABLES")
+    with pytest.raises(ValueError, match="not empty"):
+        env.execute_sql("DROP DATABASE vdb")
+    env.execute_sql("DROP DATABASE vdb CASCADE")
+    assert env.execute_sql("SHOW VIEWS") == []
+    assert not spark.catalog.tableExists("nsv")

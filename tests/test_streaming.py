@@ -978,7 +978,7 @@ def test_growing_dedup_stream_keep_first_across_batches(spark, replay_dir):
     q.awaitTermination(300)
     assert seen["survivors"] == {1, 2, 3, 11, 22}
     assert seen["matches"] == {(12, 1), (13, 2), (21, 11)}
-    final = {r["doc_id"] for r in spark.read.parquet(ref_dir).collect()}
+    final = {r["doc_id"] for r in spark.read.parquet(ref_dir + "/b*").collect()}
     assert final == {1, 2, 3, 11, 22}
 
 
