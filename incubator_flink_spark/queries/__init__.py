@@ -97,6 +97,8 @@ _PRIORITY = [
     "source_drift",
     "retention_matrix",
     "part_copurchase_kcore",
+    "star_growth_compare",
+    "star_weekly_compare",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

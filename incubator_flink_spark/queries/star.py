@@ -1008,3 +1008,100 @@ def star_return_rebuy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rebuy_revenue").desc(), "custkey", "partkey")
         .limit(20)
     )
+
+
+STAR_GROWTH_COMPARE_ORACLE = """
+WITH rev AS (
+  SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+  GROUP BY n_name, yr)
+SELECT a.n_name,
+       CAST(a.revenue AS DOUBLE) AS rev_1996,
+       CAST(b.revenue AS DOUBLE) AS rev_1997,
+       CAST(CASE WHEN b.revenue * 10 > a.revenue * 11 THEN 1 ELSE 0 END AS INTEGER) AS grew_10pct
+FROM rev a JOIN rev b ON a.n_name = b.n_name AND a.yr = 1996 AND b.yr = 1997
+ORDER BY a.n_name
+"""
+
+
+@register("star_growth_compare", STAR_GROWTH_COMPARE_ORACLE)
+def star_growth_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q31 signature: the same dimension-grouped aggregate joined
+    to itself at two periods with a GROWTH-RATIO predicate — evaluated
+    by exact-decimal cross-multiplication (b*10 > a*11 is '>10% growth')
+    so no division touches the compare.  One fact aggregate, dim-sized
+    self-join."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .where(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(30,2)").alias("revenue"))
+    )
+    a = rev.where(F.col("yr") == 1996).select("n_name", F.col("revenue").alias("ra"))
+    b = rev.where(F.col("yr") == 1997).select("n_name", F.col("revenue").alias("rb"))
+    return (
+        a.join(b, "n_name")
+        .select(
+            "n_name",
+            F.col("ra").cast("double").alias("rev_1996"),
+            F.col("rb").cast("double").alias("rev_1997"),
+            F.when(F.col("rb") * 10 > F.col("ra") * 11, 1).otherwise(0).cast("int").alias("grew_10pct"),
+        )
+        .orderBy("n_name")
+    )
+
+
+STAR_WEEKLY_COMPARE_ORACLE = """
+WITH wk AS (
+  SELECT o_orderpriority AS channel,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(week FROM o_orderdate) AS BIGINT) AS wk,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2, 3)
+SELECT a.channel, a.wk,
+       a.revenue AS rev_1996, b.revenue AS rev_1997,
+       ROUND(b.revenue - a.revenue, 2) AS delta
+FROM wk a JOIN wk b ON a.channel = b.channel AND a.wk = b.wk
+                   AND a.yr = 1996 AND b.yr = 1997
+ORDER BY a.channel, a.wk
+"""
+
+
+@register("star_weekly_compare", STAR_WEEKLY_COMPARE_ORACLE)
+def star_weekly_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q59 signature: per-channel weekly revenue series joined to
+    itself one year apart (same ISO week), reporting the year-over-year
+    delta per (channel, week).  One fact aggregate; the self-join runs
+    over the (channel, year, week)-sized output."""
+    o = load(spark, sf_dir, "orders")
+    wk = (
+        o.where(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.col("o_orderpriority").alias("channel"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.weekofyear("o_orderdate").cast("bigint").alias("wk"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    )
+    a = wk.where(F.col("yr") == 1996).select("channel", "wk", F.col("revenue").alias("rev_1996"))
+    b = wk.where(F.col("yr") == 1997).select("channel", "wk", F.col("revenue").alias("rev_1997"))
+    return (
+        a.join(b, ["channel", "wk"])
+        .select(
+            "channel",
+            "wk",
+            "rev_1996",
+            "rev_1997",
+            F.round(F.col("rev_1997") - F.col("rev_1996"), 2).alias("delta"),
+        )
+        .orderBy("channel", "wk")
+    )

@@ -1035,3 +1035,37 @@ def test_checkpoint_resume_continues_stateful_agg(spark, replay_dir):
     assert state == expected
     # and the first run genuinely did partial work (resume was real)
     assert partial and partial != expected
+
+
+def test_growing_dedup_stream_replay_is_idempotent(spark, replay_dir):
+    """Replaying the whole stream against the SAME reference store (a
+    fresh checkpoint replays every batch id) leaves the store unchanged:
+    each batch overwrites its own directory and dedups against exactly
+    the earlier-batch directories — the foreachBatch idempotence the
+    retry semantics require."""
+    import os
+
+    from incubator_flink_spark.streaming.sinks import growing_dedup_stream
+
+    base = [r["text"] for r in load(spark, SF, "documents").limit(4).collect()]
+    batches = [
+        [(1, base[0]), (2, base[1])],
+        [(11, base[0]), (12, base[2])],  # 11 dups batch 1
+    ]
+    src = replay_dir + "/grow2_src"
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id LONG, text STRING"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    ref_dir = replay_dir + "/grow2_ref"
+
+    def run():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = growing_dedup_stream(stream, ref_dir, lambda s, m, b: None, threshold=0.9)
+        q.awaitTermination(300)
+
+    run()
+    first = sorted(r["doc_id"] for r in spark.read.parquet(ref_dir + "/b*").collect())
+    run()  # fresh checkpoint => every batch id replays (the retry case)
+    second = sorted(r["doc_id"] for r in spark.read.parquet(ref_dir + "/b*").collect())
+    assert first == second == [1, 2, 12]
