@@ -99,6 +99,7 @@ _PRIORITY = [
     "part_copurchase_kcore",
     "star_growth_compare",
     "star_weekly_compare",
+    "star_return_rate_rank",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

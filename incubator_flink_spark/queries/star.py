@@ -1105,3 +1105,70 @@ def star_weekly_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel", "wk")
     )
+
+
+STAR_RETURN_RATE_RANK_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedited'
+              ELSE 'standard' END AS channel,
+         l_partkey,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(30,2)) AS ret_qty,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS tot_qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >= 100),
+ranked AS (
+  SELECT channel, l_partkey AS partkey,
+         ROUND(CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE), 6) AS return_rate,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY channel
+           ORDER BY CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE) DESC, l_partkey
+         ) AS BIGINT) AS rnk
+  FROM base)
+SELECT channel, partkey, return_rate, rnk
+FROM ranked WHERE rnk <= 10
+ORDER BY channel, rnk
+"""
+
+
+@register("star_return_rate_rank", STAR_RETURN_RATE_RANK_ORACLE)
+def star_return_rate_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 signature: per-channel worst-return-rate ranking — the
+    fact is aggregated once per (channel, item) with a volume floor,
+    rates computed as one IEEE division of exact decimals, and each
+    channel's top-10 ranked independently.  The window runs over the
+    aggregate's dim-sized output, never fact rows."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    channel = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedited"
+    ).otherwise("standard")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(channel.alias("channel"), "l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R", F.col("l_quantity").cast("decimal(18,2)")
+                ).otherwise(F.lit(0))
+            )
+            .cast("decimal(30,2)")
+            .alias("ret_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(30,2)").alias("tot_qty"),
+        )
+        .where(F.col("tot_qty") >= 100)
+    )
+    rate = F.col("ret_qty").cast("double") / F.col("tot_qty").cast("double")
+    w = W.partitionBy("channel").orderBy(rate.desc(), "l_partkey")
+    return (
+        base.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "channel",
+            F.col("l_partkey").alias("partkey"),
+            F.round(rate, 6).alias("return_rate"),
+            "rnk",
+        )
+        .orderBy("channel", "rnk")
+    )
