@@ -100,6 +100,7 @@ _PRIORITY = [
     "star_growth_compare",
     "star_weekly_compare",
     "star_return_rate_rank",
+    "collocations_pmi",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -585,3 +585,64 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
     return kcore(e, 80)
+
+
+# --- PMI collocations ---------------------------------------------------------
+# Classic collocation mining (public: Church & Hanks 1990): pointwise
+# mutual information over adjacent word pairs, the signal phrase-merge
+# tokenizers and stopword-phrase filters are built on.  Counts are the
+# vocab-bounded bigram/unigram tables the LM family already uses; the
+# single ln per OUTPUT row is computed on identical exact-integer-derived
+# doubles in both engines and rounded to 6dp.
+
+_PMI_MIN_COUNT = 30
+
+PMI_ORACLE = f"""
+WITH bi AS (SELECT unnest({shingles_sql(_TOKS, 2)}) AS bg FROM documents),
+pair AS (
+  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM bi),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pair GROUP BY 1, 2),
+c1 AS (SELECT w1 AS w, COUNT(*) AS c1 FROM pair GROUP BY 1),
+c2 AS (SELECT w2 AS w, COUNT(*) AS c2 FROM pair GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM pair)
+SELECT w1, w2, c12.c12 AS pair_count,
+       ROUND(ln((CAST(c12.c12 AS DOUBLE) * n.n) / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 6) AS pmi
+FROM c12 JOIN c1 ON c1.w = c12.w1 JOIN c2 ON c2.w = c12.w2, n
+WHERE c12.c12 >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2 LIMIT 30
+"""
+
+
+@register("collocations_pmi", PMI_ORACLE)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 collocations by pointwise mutual information over adjacent
+    word pairs (count floor {_PMI_MIN_COUNT}).  One corpus bigram
+    explode; unigram marginals ride the same shuffle family as the LM
+    operators (vocab-bounded tables, broadcastable back-joins)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    bi = d.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    pair = bi.select(
+        F.split("bg", " ").getItem(0).alias("w1"), F.split("bg", " ").getItem(1).alias("w2")
+    )
+    c12 = pair.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    c1 = pair.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).withColumnRenamed("w1", "u1")
+    c2 = pair.groupBy("w2").agg(F.count(F.lit(1)).alias("c2")).withColumnRenamed("w2", "u2")
+    # total bigram count as a broadcast 1-row relation (the tfidf pattern)
+    # — no driver-side action in the plan
+    n = pair.agg(F.count(F.lit(1)).alias("n"))
+    pmi = F.round(
+        F.log(
+            (F.col("pair_count").cast("double") * F.col("n").cast("double"))
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        c12.where(F.col("pair_count") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(c1), F.col("w1") == F.col("u1"))
+        .join(F.broadcast(c2), F.col("w2") == F.col("u2"))
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(30)
+    )
