@@ -101,6 +101,8 @@ _PRIORITY = [
     "star_weekly_compare",
     "star_return_rate_rank",
     "collocations_pmi",
+    "langid_confusion",
+    "star_rfm_segments",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

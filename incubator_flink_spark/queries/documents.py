@@ -1211,3 +1211,39 @@ def word_avg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_flink_spark.operators.graph import average_clustering_coefficient
 
     return average_clustering_coefficient(_word_edges(spark, sf_dir))
+
+
+LANGID_CONFUSION_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_MARKER_SQL[lang]} AS c_{lang}" for lang in LANG_PRIORITY)}
+  FROM documents),
+pred AS (SELECT lang, CASE {_CASE} END AS lang_pred FROM scored)
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+@register("langid_confusion", LANGID_CONFUSION_ORACLE)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier-evaluation view of the language-ID heuristic: the
+    (labeled, predicted) confusion matrix — the audit a curator runs
+    before trusting the lang column for mixture decisions.  Same
+    map-side scoring as lang_id_ngram, one (lang, pred)-keyed
+    aggregate."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "lang",
+        *[stopword_count(toks, LANG_MARKERS[lang]).alias(f"c_{lang}") for lang in LANG_PRIORITY],
+    )
+    mx = F.greatest(*[F.col(f"c_{lang}") for lang in LANG_PRIORITY])
+    pred = F.when(F.col(f"c_{LANG_PRIORITY[0]}") == mx, F.lit(LANG_PRIORITY[0]))
+    for lang in LANG_PRIORITY[1:]:
+        pred = pred.when(F.col(f"c_{lang}") == mx, F.lit(lang))
+    return (
+        scored.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )

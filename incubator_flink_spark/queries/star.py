@@ -1172,3 +1172,48 @@ def star_return_rate_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel", "rnk")
     )
+
+
+STAR_RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey,
+         CAST(NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT) AS r,
+         CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f,
+         CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m
+  FROM cust)
+SELECT r, f, m, COUNT(*) AS n_customers
+FROM scored GROUP BY r, f, m ORDER BY r, f, m
+"""
+
+
+@register("star_rfm_segments", STAR_RFM_ORACLE)
+def star_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic marketing layout: per-customer
+    recency/frequency/monetary quintiles (rank-based NTILE with
+    deterministic custkey tiebreaks so both engines cut identically),
+    reported as segment-cell counts.  One customer-keyed fact aggregate;
+    the three windows run over the customer-sized table."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(30,2)").alias("monetary"),
+    )
+    scored = cust.select(
+        F.ntile(5).over(W.orderBy(F.col("last_order").desc(), "o_custkey")).cast("bigint").alias("r"),
+        F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "o_custkey")).cast("bigint").alias("f"),
+        F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "o_custkey")).cast("bigint").alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )
