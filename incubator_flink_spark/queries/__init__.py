@@ -103,6 +103,8 @@ _PRIORITY = [
     "collocations_pmi",
     "langid_confusion",
     "star_rfm_segments",
+    "label_centroid_similarity",
+    "star_basket_rules",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

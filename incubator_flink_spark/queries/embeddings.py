@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from incubator_flink_spark.catalog import load
+from incubator_flink_spark.catalog import load, spread
 from incubator_flink_spark.operators.similarity import (
     BAND_BITS,
     BAND_PLANES,
@@ -765,4 +765,57 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_pq_topk(e, q, 5, n_clusters=8, n_probe=2, shortlist=50, train_mod=4)
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
         .orderBy("query_id", "rank")
+    )
+
+
+# --- label-centroid similarity matrix ----------------------------------------
+
+LABEL_CENTROID_ORACLE = """
+WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+cent AS (
+  SELECT label, d, CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS v
+  FROM e GROUP BY label, d)
+SELECT a.label AS label_a, b.label AS label_b,
+       ROUND(CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,12))) AS DOUBLE)
+             / (SQRT(CAST(SUM(CAST(a.v * a.v AS DECIMAL(30,12))) AS DOUBLE))
+                * SQRT(CAST(SUM(CAST(b.v * b.v AS DECIMAL(30,12))) AS DOUBLE))), 6) AS cos
+FROM cent a JOIN cent b ON a.d = b.d AND a.label < b.label
+GROUP BY a.label, b.label
+ORDER BY label_a, label_b
+"""
+
+
+@register("label_centroid_similarity", LABEL_CENTROID_ORACLE)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation analysis: per-label centroid embeddings
+    (decimal-exact means — the k-means discipline) and the pairwise
+    cosine matrix between them — the collapse/duplication audit run on
+    learned label or cluster spaces.  One corpus-sized (label, dim)
+    aggregate; everything after runs on the |labels| x dim table."""
+    e = load(spark, sf_dir, "embeddings")
+    el = spread(e).select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x")
+    )
+    cent = el.groupBy("label", "d").agg(
+        (F.sum(F.col("x").cast("decimal(30,8)")).cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    a = cent.select(F.col("label").alias("label_a"), "d", F.col("v").alias("va"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("d").alias("d2"), F.col("v").alias("vb"))
+    j = a.join(b, (F.col("d") == F.col("d2")) & (F.col("label_a") < F.col("label_b")))
+    return (
+        j.groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sum((F.col("va") * F.col("vb")).cast("decimal(30,12)")).cast("double")
+                / (
+                    F.sqrt(F.sum((F.col("va") * F.col("va")).cast("decimal(30,12)")).cast("double"))
+                    * F.sqrt(F.sum((F.col("vb") * F.col("vb")).cast("decimal(30,12)")).cast("double"))
+                ),
+                6,
+            ).alias("cos")
+        )
+        .orderBy("label_a", "label_b")
     )

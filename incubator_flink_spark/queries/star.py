@@ -1217,3 +1217,66 @@ def star_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r", "f", "m")
     )
+
+
+STAR_BASKET_RULES_ORACLE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+c1 AS (SELECT l_partkey, COUNT(*) AS c1 FROM items GROUP BY 1),
+c12 AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons, COUNT(*) AS c12
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT ante, cons, c12 AS pair_orders,
+       ROUND(CAST(c12 AS DOUBLE) / n.n_orders, 6) AS support,
+       ROUND(CAST(c12 AS DOUBLE) / a1.c1, 6) AS confidence,
+       ROUND((CAST(c12 AS DOUBLE) * n.n_orders) / (CAST(a1.c1 AS DOUBLE) * a2.c1), 6) AS lift
+FROM c12 JOIN c1 a1 ON a1.l_partkey = c12.ante
+         JOIN c1 a2 ON a2.l_partkey = c12.cons, n
+ORDER BY lift DESC, ante, cons LIMIT 25
+"""
+
+
+@register("star_basket_rules", STAR_BASKET_RULES_ORACLE)
+def star_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (public: Agrawal & Srikant 1994,
+    one-level): directed part pairs co-bought in >= 3 orders with
+    support / confidence / lift, top-25 by lift.  The pair join is
+    order-keyed (candidates ~ basket-size² per order, never parts²);
+    marginals and the order count broadcast back onto the
+    pair-cardinality table."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    c1 = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c1"))
+    a = items.withColumnRenamed("l_partkey", "ante")
+    b = items.withColumnRenamed("l_partkey", "cons")
+    c12 = (
+        a.join(b, "l_orderkey")
+        .where(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .where(F.col("pair_orders") >= 3)
+    )
+    j = (
+        c12.join(F.broadcast(c1.withColumnRenamed("l_partkey", "ante").withColumnRenamed("c1", "ca")), "ante")
+        .join(F.broadcast(c1.withColumnRenamed("l_partkey", "cons").withColumnRenamed("c1", "cc")), "cons")
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        j.select(
+            "ante",
+            "cons",
+            "pair_orders",
+            F.round(F.col("pair_orders").cast("double") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("pair_orders").cast("double") / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                (F.col("pair_orders").cast("double") * F.col("n_orders"))
+                / (F.col("ca").cast("double") * F.col("cc")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "ante", "cons")
+        .limit(25)
+    )
