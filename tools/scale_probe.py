@@ -237,6 +237,14 @@ def main():
         "source_drift",
         "retention_matrix",
         "part_copurchase_kcore",
+        "collocations_pmi",
+        "langid_confusion",
+        "star_rfm_segments",
+        "star_basket_rules",
+        "label_centroid_similarity",
+        "star_growth_compare",
+        "star_weekly_compare",
+        "star_return_rate_rank",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
