@@ -105,6 +105,7 @@ _PRIORITY = [
     "star_rfm_segments",
     "label_centroid_similarity",
     "star_basket_rules",
+    "session_stats",
     # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -647,3 +647,74 @@ def retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --- per-user session statistics ---------------------------------------------
+
+SESSION_STATS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked),
+per AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_events,
+         CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur_s
+  FROM sess GROUP BY user_id, sess_id)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(MAX(dur_s) AS BIGINT) AS max_session_s,
+       CAST(SUM(dur_s) AS BIGINT) AS total_active_s
+FROM per GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("session_stats", SESSION_STATS_ORACLE)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization summary (30-minute gap): session count,
+    event volume, longest and total active time — the gaps-and-islands
+    composition reported at the USER grain (window_session reports the
+    per-session grain).  One user-keyed shuffle carries the lag, the
+    running session id, and both aggregates."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    # (ts, event_id) ordering in BOTH windows: a bare ts order leaves
+    # tied rows in partition order, nondeterministically splitting a
+    # session when a gap-opener shares its timestamp with another event
+    sess = marked.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    per = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("dur_s"),
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.max("dur_s").cast("bigint").alias("max_session_s"),
+            F.sum("dur_s").cast("bigint").alias("total_active_s"),
+        )
+        .orderBy("user_id")
+    )
