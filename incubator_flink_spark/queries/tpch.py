@@ -58,15 +58,20 @@ def ts(s: str) -> Column:
 
 # --- Q1: pricing summary report (reference sink/q1.sql) ------------------
 
+# NOTE (engine-conversion discipline, found by the sf0.1 self-audit):
+# DuckDB's direct DECIMAL->DOUBLE cast is not correctly rounded once the
+# scaled integer exceeds 2^53 (1-ulp drift vs Spark's BigDecimal
+# conversion); routing through VARCHAR uses the correctly-rounded strtod
+# and matches Spark bit-for-bit at any magnitude.
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)                                        AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)                                   AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)                AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))) AS DOUBLE)  AS sum_charge,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE) / COUNT(l_quantity)            AS avg_qty,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE) / COUNT(l_extendedprice)  AS avg_price,
-       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE) / COUNT(l_discount)            AS avg_disc,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)                                        AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)                                   AS sum_base_price,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity)            AS avg_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(l_extendedprice)  AS avg_price,
+       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount)            AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -78,8 +83,14 @@ ORDER BY l_returnflag, l_linestatus
 @register("tpch_q1", Q1_ORACLE)
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # factors quantized to their natural cent scale BEFORE multiplying
+    # (the star.py discipline): the product-then-quantize form diverges
+    # between engines ~1-in-1e5 terms (Spark rounds the double's
+    # shortest repr, DuckDB the exact binary value) — visible as
+    # last-ulp sum drift at sf0.1
+    price_d = F.col("l_extendedprice").cast("decimal(10,2)")
+    disc_price = price_d * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(4,2)"))
     return (
         l.where(F.col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
