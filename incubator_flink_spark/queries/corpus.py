@@ -442,8 +442,8 @@ ranked AS (
 agg AS (
   SELECT lang, COUNT(*) AS n,
          CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+         CAST(CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS sxx
   FROM ranked GROUP BY lang
 )
 SELECT lang, n,
@@ -517,10 +517,10 @@ WITH base AS (
 dups AS (SELECT ch, COUNT(*) AS n FROM base GROUP BY ch)
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-       CAST(CAST(SUM(CAST(n_toks AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_tokens,
+       CAST(CAST(CAST(SUM(CAST(n_toks AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_tokens,
        CAST(SUM(CASE WHEN d.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_involved_docs,
-       ROUND(CAST(SUM(CAST(n_stop AS DECIMAL(18,0))) AS DOUBLE)
-             / CAST(SUM(CAST(n_toks AS DECIMAL(18,0))) AS DOUBLE), 6) AS stopword_rate
+       ROUND(CAST(CAST(SUM(CAST(n_stop AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(n_toks AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE), 6) AS stopword_rate
 FROM base JOIN dups d USING (ch)
 GROUP BY source ORDER BY source
 """

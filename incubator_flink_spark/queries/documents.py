@@ -868,8 +868,8 @@ wedges AS (
   JOIN deg d ON d.m = l.m),
 pairs AS (
   SELECT u, v, COUNT(*) AS common,
-         ROUND(CAST(SUM(CAST(CAST(1 AS DOUBLE) / deg AS DECIMAL(30,12))) AS DOUBLE), 6) AS ra,
-         ROUND(CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / LN(CAST(deg AS DOUBLE)), 9) AS DECIMAL(30,12))) AS DOUBLE), 6) AS adamic_adar
+         ROUND(CAST(CAST(SUM(CAST(CAST(1 AS DOUBLE) / deg AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE), 6) AS ra,
+         ROUND(CAST(CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / LN(CAST(deg AS DOUBLE)), 9) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE), 6) AS adamic_adar
   FROM wedges GROUP BY u, v)
 SELECT p.u, p.v, p.common,
        ROUND(CAST(p.common AS DOUBLE) / (du.deg + dv.deg - p.common), 6) AS jaccard,
@@ -961,19 +961,19 @@ h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)"""
 ar{t} AS (
   SELECT n.node, COALESCE(s.a, CAST(0 AS DOUBLE)) AS a
   FROM nodes n LEFT JOIN (
-    SELECT de.v AS node, CAST(SUM(CAST(h.h AS DECIMAL(38,18))) AS DOUBLE) AS a
+    SELECT de.v AS node, CAST(CAST(SUM(CAST(h.h AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS a
     FROM de JOIN h{t} h ON h.node = de.u GROUP BY de.v) s ON s.node = n.node),
 an{t} AS (
-  SELECT CAST(SUM(CAST(a * a AS DECIMAL(38,18))) AS DOUBLE) AS n2 FROM ar{t}),
+  SELECT CAST(CAST(SUM(CAST(a * a AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS n2 FROM ar{t}),
 a{t} AS MATERIALIZED (
   SELECT node, a / SQRT(n2) AS a FROM ar{t}, an{t}),
 hr{t} AS (
   SELECT n.node, COALESCE(s.h, CAST(0 AS DOUBLE)) AS h
   FROM nodes n LEFT JOIN (
-    SELECT de.u AS node, CAST(SUM(CAST(a.a AS DECIMAL(38,18))) AS DOUBLE) AS h
+    SELECT de.u AS node, CAST(CAST(SUM(CAST(a.a AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS h
     FROM de JOIN a{t} a ON a.node = de.v GROUP BY de.u) s ON s.node = n.node),
 hn{t} AS (
-  SELECT CAST(SUM(CAST(h * h AS DECIMAL(38,18))) AS DOUBLE) AS n2 FROM hr{t}),
+  SELECT CAST(CAST(SUM(CAST(h * h AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS n2 FROM hr{t}),
 h{t + 1} AS MATERIALIZED (
   SELECT node, h / SQRT(n2) AS h FROM hr{t}, hn{t})"""
         )
@@ -1198,7 +1198,7 @@ coeffs AS (
               ELSE 0.0 END AS coeff
   FROM deg d LEFT JOIN tc ON tc.vertex = d.vertex)
 SELECT COUNT(*) AS n_vertices,
-       ROUND(CAST(SUM(CAST(coeff AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+       ROUND(CAST(CAST(SUM(CAST(coeff AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
          AS avg_coeff
 FROM coeffs
 """

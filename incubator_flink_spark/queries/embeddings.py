@@ -383,7 +383,7 @@ b{t} AS (
     SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
     FROM a{t}) t WHERE rn = 1),
 m{t} AS (
-  SELECT b.c, e.d, CAST(SUM(CAST(e.x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS val
+  SELECT b.c, e.d, CAST(CAST(SUM(CAST(e.x AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS val
   FROM b{t} b JOIN e ON e.vec_id = b.vec_id GROUP BY b.c, e.d),
 carr{t + 1} AS (
   SELECT p.c, COALESCE(n.cv, p.cv) AS cv
@@ -451,8 +451,8 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_EMBEDDING_JOIN_ORACLE = """
 SELECT e.label,
        COUNT(*) AS n_docs,
-       CAST(SUM(CAST(d.n_chars AS DECIMAL(30,8))) AS DOUBLE) AS total_chars,
-       CAST(CAST(SUM(CAST(d.n_chars AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE) / COUNT(d.n_chars) AS avg_chars,
+       CAST(CAST(SUM(CAST(d.n_chars AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_chars,
+       CAST(CAST(CAST(SUM(CAST(d.n_chars AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS DOUBLE) / COUNT(d.n_chars) AS avg_chars,
        array_to_string(list_sort(list(DISTINCT d.lang)), ',') AS langs
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 GROUP BY e.label
@@ -520,7 +520,7 @@ b{t} AS (
     SELECT vec_id, m, c, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
     FROM a{t}) z WHERE rn = 1),
 s{t} AS (
-  SELECT b.m, b.c, sv.d, CAST(SUM(CAST(sv.x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS val
+  SELECT b.m, b.c, sv.d, CAST(CAST(SUM(CAST(sv.x AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS val
   FROM b{t} b JOIN svals sv ON sv.vec_id = b.vec_id AND sv.m = b.m
   GROUP BY b.m, b.c, sv.d),
 cb{t + 1} AS (
@@ -641,7 +641,7 @@ kb{t} AS (
     SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
     FROM ka{t}) t WHERE rn = 1),
 km{t} AS (
-  SELECT b.c, e.d, CAST(SUM(CAST(e.x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS val
+  SELECT b.c, e.d, CAST(CAST(SUM(CAST(e.x AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS val
   FROM kb{t} b JOIN e ON e.vec_id = b.vec_id GROUP BY b.c, e.d),
 carr{t + 1} AS (
   SELECT p.c, COALESCE(n.cv, p.cv) AS cv
@@ -687,7 +687,7 @@ pb{t} AS (
     SELECT vec_id, m, c, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
     FROM pa{t}) z WHERE rn = 1),
 ps{t} AS (
-  SELECT b.m, b.c, sv.d, CAST(SUM(CAST(sv.x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS val
+  SELECT b.m, b.c, sv.d, CAST(CAST(SUM(CAST(sv.x AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS val
   FROM pb{t} b JOIN svals sv ON sv.vec_id = b.vec_id AND sv.m = b.m
   GROUP BY b.m, b.c, sv.d),
 cb{t + 1} AS (
@@ -776,12 +776,12 @@ WITH e AS (
          CAST(unnest(embedding) AS DOUBLE) AS x
   FROM embeddings),
 cent AS (
-  SELECT label, d, CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS v
+  SELECT label, d, CAST(CAST(SUM(CAST(x AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS v
   FROM e GROUP BY label, d)
 SELECT a.label AS label_a, b.label AS label_b,
-       ROUND(CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,12))) AS DOUBLE)
-             / (SQRT(CAST(SUM(CAST(a.v * a.v AS DECIMAL(30,12))) AS DOUBLE))
-                * SQRT(CAST(SUM(CAST(b.v * b.v AS DECIMAL(30,12))) AS DOUBLE))), 6) AS cos
+       ROUND(CAST(CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+             / (SQRT(CAST(CAST(SUM(CAST(a.v * a.v AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE))
+                * SQRT(CAST(CAST(SUM(CAST(b.v * b.v AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE))), 6) AS cos
 FROM cent a JOIN cent b ON a.d = b.d AND a.label < b.label
 GROUP BY a.label, b.label
 ORDER BY label_a, label_b

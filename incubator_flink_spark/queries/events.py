@@ -39,7 +39,7 @@ SELECT CAST(to_timestamp((epoch_us(ts) // 600000000) * 600) AS TIMESTAMP) AS win
        CAST(to_timestamp((epoch_us(ts) // 600000000) * 600 + 600) AS TIMESTAMP) AS window_end,
        event_type,
        COUNT(*) AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total
 FROM events
 GROUP BY 1, 2, 3
 ORDER BY window_start, event_type
@@ -60,7 +60,7 @@ WINDOW_HOP_ORACLE = """
 SELECT CAST(to_timestamp(start_s) AS TIMESTAMP) AS window_start,
        CAST(to_timestamp(start_s + 600) AS TIMESTAMP) AS window_end,
        COUNT(*) AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total
 FROM (
   SELECT e.*, (epoch_us(ts) // 300000000 - i.i) * 300 AS start_s
   FROM events e, (SELECT unnest([0, 1]) AS i) i
@@ -99,7 +99,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 300 SECOND AS session_end,
        COUNT(*) AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total
 FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start
@@ -127,7 +127,7 @@ WINDOW_CUMULATE_ORACLE = """
 SELECT CAST(to_timestamp(bucket_s) AS TIMESTAMP) AS window_start,
        CAST(to_timestamp(bucket_s + k * 300) AS TIMESTAMP) AS window_end,
        COUNT(*) AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total
 FROM (
   SELECT e.*, (epoch_us(ts) // 1200000000) * 1200 AS bucket_s, k.k
   FROM events e, (SELECT unnest([1, 2, 3, 4]) AS k) k
@@ -150,7 +150,7 @@ def window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COUNT_WINDOW_ORACLE = """
 SELECT user_id, window_id, COUNT(*) AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total,
        MIN(event_id) AS first_event, MAX(event_id) AS last_event
 FROM (
   SELECT user_id, value, event_id,
@@ -228,7 +228,7 @@ x AS (
   FROM r)
 SELECT user_id, window_id,
        CAST(COUNT(*) AS BIGINT) AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM x GROUP BY user_id, window_id
 ORDER BY user_id, window_id
 """
@@ -581,7 +581,7 @@ def changelog_normalize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETRACT_AGG_ORACLE = f"""
 WITH cdc AS ({_CDC_SELECT})
 SELECT k,
-       CAST(SUM(CAST((CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) * value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value,
+       CAST(CAST(SUM(CAST((CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) * value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_value,
        CAST(SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) AS BIGINT) AS live_rows
 FROM cdc
 GROUP BY k

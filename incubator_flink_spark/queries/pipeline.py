@@ -837,12 +837,12 @@ w0 AS (SELECT CAST(j AS INT) AS j, CAST(0 AS DOUBLE) AS w FROM range({n_buckets 
         parts.append(
             f""",
 p{t} AS (
-  SELECT f.doc_id, CAST(SUM(CAST(f.x * w.w AS DECIMAL(38,18))) AS DOUBLE) AS pred
+  SELECT f.doc_id, CAST(CAST(SUM(CAST(f.x * w.w AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS pred
   FROM feats f JOIN w{t} w ON w.j = f.j GROUP BY 1),
 e{t} AS (
   SELECT p.doc_id, p.pred - y.y AS e FROM p{t} p JOIN y ON y.doc_id = p.doc_id),
 g{t} AS (
-  SELECT f.j, CAST(SUM(CAST(e.e * f.x AS DECIMAL(38,18))) AS DOUBLE) AS g
+  SELECT f.j, CAST(CAST(SUM(CAST(e.e * f.x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS g
   FROM feats f JOIN e{t} e ON e.doc_id = f.doc_id GROUP BY 1),
 w{t + 1} AS MATERIALIZED (
   SELECT w.j, w.w - {lr} * (COALESCE(g.g, CAST(0 AS DOUBLE)) / nn.n) AS w
@@ -851,7 +851,7 @@ w{t + 1} AS MATERIALIZED (
     parts.append(
         f"""
 SELECT f.doc_id, y.y,
-       ROUND(CAST(SUM(CAST(f.x * w.w AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+       ROUND(CAST(CAST(SUM(CAST(f.x * w.w AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE), 6) AS score
 FROM feats f JOIN w{iters} w ON w.j = f.j JOIN y ON y.doc_id = f.doc_id
 GROUP BY f.doc_id, y.y
 ORDER BY f.doc_id"""

@@ -288,7 +288,7 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_GROUPING_SETS_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,
-       COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+       COUNT(*) AS cnt, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
@@ -303,7 +303,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus, o_orderpriority,
                CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
                CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
-               COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+               COUNT(*) AS cnt, CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS STRING) AS DOUBLE) AS total
         FROM v_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
@@ -374,13 +374,13 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_STATS_ORACLE = """
 SELECT l_returnflag,
-       SQRT((CAST(CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE)
-             - CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE)
-               * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE) / COUNT(l_quantity))
+       SQRT((CAST(CAST(CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS DOUBLE)
+             - CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS DOUBLE)
+               * CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS DOUBLE) / COUNT(l_quantity))
             / (COUNT(l_quantity) - 1)) AS stddev_qty,
-       (CAST(CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE)
-        - CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE)
-          * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE) / COUNT(l_quantity))
+       (CAST(CAST(CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS DOUBLE)
+        - CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS DOUBLE)
+          * CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS DOUBLE) / COUNT(l_quantity))
        / (COUNT(l_quantity) - 1) AS var_qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
@@ -423,8 +423,8 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_PIVOT_ORACLE = """
 SELECT l_returnflag,
-       CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(30,8))) AS DOUBLE) AS F,
-       CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(30,8))) AS DOUBLE) AS O
+       CAST(CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS F,
+       CAST(CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS O
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 

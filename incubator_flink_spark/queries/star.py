@@ -331,7 +331,7 @@ WITH monthly AS (
   SELECT n_name,
          CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
          CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation   ON c_nationkey = n_nationkey
@@ -868,7 +868,7 @@ cohort AS (
   FROM firsts WHERE EXTRACT(year FROM first_dt) = 1995)
 SELECT cohort_month, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM orders o JOIN cohort c ON o.o_custkey = c.o_custkey
 GROUP BY cohort_month, o_year
 ORDER BY cohort_month, o_year
@@ -901,7 +901,7 @@ def star_first_purchase_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STAR_MULTI_EXISTS_ORACLE = """
 SELECT n_name, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
               AND EXTRACT(year FROM o_orderdate) = 1996)
@@ -1064,7 +1064,7 @@ WITH wk AS (
   SELECT o_orderpriority AS channel,
          CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
          CAST(EXTRACT(week FROM o_orderdate) AS BIGINT) AS wk,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
   FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
   GROUP BY 1, 2, 3)
 SELECT a.channel, a.wk,

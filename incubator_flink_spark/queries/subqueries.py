@@ -26,7 +26,7 @@ SUBQUERY_SCALAR_SQL = """
 SELECT n_name,
        (SELECT COUNT(*) FROM customer c
         WHERE c.c_nationkey = n.n_nationkey) AS n_custs,
-       (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+       (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS STRING) AS DOUBLE)
         FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS total_bal
 FROM nation n
 ORDER BY n_name

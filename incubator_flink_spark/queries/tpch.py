@@ -42,7 +42,7 @@ def dsum(col: Column) -> Column:
     compares results through pandas, where DuckDB decimals arrive as float64
     but Spark decimals stay ``decimal.Decimal`` objects — a decimal output
     column would hash-mismatch even when value-exact.  Every oracle mirrors
-    with ``CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)``.
+    with ``CAST(CAST(SUM(CAST(x AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)``.
     """
     return F.sum(col.cast("decimal(30,8)")).cast("double")
 
@@ -112,7 +112,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_ORACLE = """
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue,
        o_orderdate
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -174,7 +174,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_ORACLE = """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -214,7 +214,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q6: forecasting revenue change (full) --------------------------------
 
 Q6_ORACLE = """
-SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -242,7 +242,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q7_ORACLE = """
 SELECT supp_nation, cust_nation, l_year,
-       CAST(SUM(CAST(volume AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(volume AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
@@ -297,8 +297,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_ORACLE = """
 SELECT o_year,
-       CAST(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE)
-       / CAST(CAST(SUM(CAST(volume AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE) AS mkt_share
+       CAST(CAST(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS DOUBLE)
+       / CAST(CAST(CAST(SUM(CAST(volume AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS DOUBLE) AS mkt_share
 FROM (
   SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
@@ -359,7 +359,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     ps_supplycost; filter on p_name LIKE '%red%') -------------------------
 
 Q9_ORACLE = """
-SELECT nation, o_year, CAST(SUM(CAST(amount AS DECIMAL(30,8))) AS DOUBLE) AS sum_profit
+SELECT nation, o_year, CAST(CAST(SUM(CAST(amount AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
@@ -400,7 +400,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_ORACLE = """
 SELECT c_custkey, c_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue,
        c_acctbal, n_name
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -466,8 +466,8 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q14: promotion effect (p_type single-word: prefix 'PROMO') ------------
 
 Q14_ORACLE = """
-SELECT 100.0 * (CAST(CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE)
-       / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE)) AS promo_revenue
+SELECT 100.0 * (CAST(CAST(CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS DOUBLE)
+       / CAST(CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS DOUBLE)) AS promo_revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
@@ -500,7 +500,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_ORACLE = """
 WITH revenue0 AS (
   SELECT l_suppkey AS supplier_no,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS total_revenue
+         CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -538,12 +538,12 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q17: small-quantity-order revenue (adapted: brand only, no container) --
 
 Q17_ORACLE = """
-SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE) / 7.0 AS avg_yearly
+SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#11'
   AND l.l_quantity < (
-    SELECT 0.2 * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE) / COUNT(l2.l_quantity))
+    SELECT 0.2 * (CAST(CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS DOUBLE) / COUNT(l2.l_quantity))
     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
 """
 
@@ -569,13 +569,13 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_ORACLE = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o_orderkey IN (
   SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) > 300)
+  HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) > 300)
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100
@@ -607,7 +607,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q19: discounted revenue (adapted: brand/size/quantity disjunction) -----
 
 Q19_ORACLE = """
-SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
    OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
@@ -636,11 +636,11 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q22_ORACLE = """
 SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS totacctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM customer c
 WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
   AND c_acctbal > (
-    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS DOUBLE) / COUNT(c_acctbal)
+    SELECT CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS DOUBLE) / COUNT(c_acctbal)
     FROM customer WHERE c_acctbal > 0.00 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
@@ -676,7 +676,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 PS_CTE = """
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
          MIN(l_extendedprice / l_quantity) AS ps_supplycost,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS ps_availqty
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS ps_availqty
   FROM lineitem GROUP BY l_partkey, l_suppkey
 """
 
@@ -870,7 +870,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q20_ORACLE = """
 WITH shipped AS (
-  SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS total_qty
+  SELECT l_partkey, l_suppkey, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_qty
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
