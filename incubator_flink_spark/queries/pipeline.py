@@ -729,7 +729,7 @@ sc AS (
   SELECT p.doc_id, CAST(ln(m.prob) AS DECIMAL(30,12)) AS l
   FROM pair p JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2)
 SELECT doc_id, COUNT(*) AS n_bigrams,
-       ROUND(-CAST(SUM(l) AS DOUBLE) / COUNT(*), 6) AS nll
+       ROUND(-CAST(CAST(SUM(l) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS nll
 FROM sc GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -1079,7 +1079,7 @@ sc AS (
   SELECT p.doc_id, CAST(ln(m.prob) AS DECIMAL(30,12)) AS l
   FROM pair p JOIN model m ON m.w1 = p.w1 AND m.w2 = p.w2),
 nll AS (
-  SELECT doc_id, ROUND(-CAST(SUM(l) AS DOUBLE) / COUNT(*), 6) AS nll
+  SELECT doc_id, ROUND(-CAST(CAST(SUM(l) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS nll
   FROM sc GROUP BY doc_id),
 wl AS (
   SELECT n.doc_id, d.lang, n.nll FROM nll n JOIN documents d USING (doc_id)),

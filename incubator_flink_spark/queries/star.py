@@ -218,7 +218,7 @@ ch AS (
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) AS amount
   FROM orders)
 SELECT channel, r_name, n_name, COUNT(*) AS n_rows,
-       CAST(SUM(amount) AS DOUBLE) AS amount
+       CAST(CAST(SUM(amount) AS VARCHAR) AS DOUBLE) AS amount
 FROM ch
 JOIN customer ON custkey = c_custkey
 JOIN dim ON c_nationkey = n_nationkey
@@ -812,8 +812,8 @@ net AS (
   LEFT JOIN returns r USING (l_orderkey, l_linenumber)
   JOIN orders ON l_orderkey = o_orderkey)
 SELECT o_custkey AS custkey,
-       CAST(SUM(net_qty) AS DOUBLE) AS net_quantity,
-       CAST(SUM(CASE WHEN net_qty > 0 THEN gross ELSE 0 END) AS DOUBLE) AS kept_revenue
+       CAST(CAST(SUM(net_qty) AS VARCHAR) AS DOUBLE) AS net_quantity,
+       CAST(CAST(SUM(CASE WHEN net_qty > 0 THEN gross ELSE 0 END) AS VARCHAR) AS DOUBLE) AS kept_revenue
 FROM net GROUP BY o_custkey
 ORDER BY kept_revenue DESC, custkey LIMIT 20
 """
@@ -957,7 +957,7 @@ returned AS (
   WHERE l_returnflag = 'R')
 SELECT r.o_custkey AS custkey, r.l_partkey AS partkey,
        COUNT(*) AS n_rebuys,
-       CAST(SUM(s.net) AS DOUBLE) AS rebuy_revenue
+       CAST(CAST(SUM(s.net) AS VARCHAR) AS DOUBLE) AS rebuy_revenue
 FROM returned r
 JOIN sales s ON s.l_partkey = r.l_partkey AND s.o_custkey = r.o_custkey
             AND s.o_orderdate > r.ret_date

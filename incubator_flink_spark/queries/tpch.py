@@ -751,11 +751,11 @@ nat_ps AS (
   JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
   JOIN nation n   ON s.s_nationkey = n.n_nationkey
   WHERE n.n_name = 'NATION_1')
-SELECT ps_partkey, CAST(SUM(value) AS DOUBLE) AS value
+SELECT ps_partkey, CAST(CAST(SUM(value) AS VARCHAR) AS DOUBLE) AS value
 FROM nat_ps
 GROUP BY ps_partkey
-HAVING CAST(SUM(value) AS DOUBLE) > (
-  SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM nat_ps)
+HAVING CAST(CAST(SUM(value) AS VARCHAR) AS DOUBLE) > (
+  SELECT CAST(CAST(SUM(value) AS VARCHAR) AS DOUBLE) * 0.001 FROM nat_ps)
 ORDER BY value DESC, ps_partkey
 """
 
