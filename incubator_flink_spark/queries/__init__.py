@@ -30,70 +30,17 @@ from incubator_flink_spark.queries import registry as _registry
 from incubator_flink_spark.queries.registry import REGISTRY, oracle_sql, queries
 
 _PRIORITY = [
-    # The driver samples the first ~50 registered queries per round.  After
-    # round 3 the evidence map is: 50 green in CORRECTNESS_r03, 50 green in
-    # r02 only, 28 green in r01 only, and exactly 6 queries (the r3
-    # positions 51-56) that have never had a driver row.  Round 4's window
-    # therefore packs (a) those 6 — completing driver evidence for every
-    # registered query, and (b) the new round-4 registrations.  The late
-    # wave-5 additions filled the window completely: positions 1-50 are
-    # ALL never-checked, the last tier-B entries past position 50
-    # (source_drift, retention_matrix, ...) overflow and lead the
-    # round-5 rotation together with the stale r1/r2-green re-checks
-    # below (which got pushed out of this round's window entirely).
+    # The driver samples the first ~50 registered queries per round.  The
+    # round-4 evidence map: 176/190 queries driver-green at least once;
+    # 14 have never had a driver row (the round-4 registrations that
+    # overflowed r4's 50-query window — 11 value-exact locally, 3 newly
+    # oracle-backed this round via unrolled-CTE oracles: the BPE train /
+    # encode pair and the k-core peel).  Round 5's window packs (a)
+    # those 14 — making driver evidence TOTAL across the registry,
+    # (b) the new round-5 registrations, and (c) the stalest greens
+    # (round-1-only evidence) topping the window up to ~50.
     #
-    # -- tier A (1-6): never driver-checked in any round --------------------
-    "embedding_near_pairs_t08",
-    "star_rank_by_dim",
-    "word_clustering_coeff",
-    "packing_stats",
-    "doc_chunking",
-    "lm_perplexity",
-    # -- tier B: new round-4 registrations (never checked by definition) ----
-    "fuzzy_word_pairs_d2",
-    "chunk_pack_plan",
-    "star_multichannel_cte",
-    "star_channel_intersect",
-    "star_date_offset_compare",
-    "embedding_ivfpq_topk",
-    "bm25_topk",
-    "word_sssp",
-    "star_rollup_window",
-    "star_cumulative_compare",
-    "incremental_dedup",
-    "quality_linear_probe",
-    "word_link_prediction",
-    "word_label_propagation",
-    "word_hits",
-    "word_community_graph",
-    "word_global_clustering",
-    "word_vertex_metrics",
-    "word_edge_metrics",
-    "word_triadic_census",
-    "word_avg_clustering",
-    "star_channel_buckets",
-    "star_yoy_customer",
-    "star_monthly_deviation",
-    "stratified_split",
-    "split_balance",
-    "length_band_filter",
-    "token_histogram",
-    "line_dedup_rewrite",
-    "boilerplate_line_topk",
-    "bpe_pair_counts",
-    "bpe_train_merges",
-    "cms_heavy_hitters",
-    "hll_distinct_shingles",
-    "bloom_blocklist_filter",
-    "star_returns_net",
-    "star_first_purchase_cohort",
-    "star_multi_exists_profile",
-    "perplexity_buckets",
-    "bpe_encode_corpus",
-    "zorder_layout_stats",
-    "zipf_slope",
-    "star_return_rebuy",
-    "mixture_temperature_sample",
+    # -- tier A (1-14): never driver-checked in any round -------------------
     "source_drift",
     "retention_matrix",
     "part_copurchase_kcore",
@@ -106,7 +53,11 @@ _PRIORITY = [
     "label_centroid_similarity",
     "star_basket_rules",
     "session_stats",
-    # -- tier C: round-1-green only — stalest driver evidence (r1 window) ---
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    # -- tier B: new round-5 registrations (never checked by definition) ----
+    # (inserted as they are registered this round)
+    # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -135,7 +86,7 @@ _PRIORITY = [
     "asof_temporal_join",
     "window_topn_events",
     "window_join",
-    # -- tier D: oldest round-2-green, topping the window up to 50 ----------
+    # -- tier D: oldest round-2-green, topping the window up to ~50 ---------
     "cep_funnel",
     "embedding_ivf_topk",
     "doc_embedding_join",
@@ -147,8 +98,8 @@ _PRIORITY = [
     "tpch_q15",
     "tpch_q19",
     "tpch_q22",
-    # -- tier E (51+): remaining round-2-green (next-stalest; they lead the
-    #    round-5 rotation), then round-3-green auto-appends last ------------
+    # -- tier E (51+): remaining round-2-green, then round-3/4-green
+    #    auto-appends last (freshest evidence) ------------------------------
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
@@ -188,7 +139,6 @@ _PRIORITY = [
     "semantic_dedup",
     "temporal_join_sql",
     "decontaminate_ngram",
-    # -- tier F: round-3-green (freshest evidence; auto-appended) -----------
 ]
 
 

@@ -152,8 +152,74 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_train_merges", None)  # iterative argmax loop — no SQL oracle;
-# pinned against a pure-Python BPE reference in tests/test_operators.py
+def _bpe_unrolled_ctes(n_merges: int) -> str:
+    """Unroll ``n_merges`` BPE training rounds as chained MATERIALIZED
+    DuckDB CTEs (the word_sssp/word_hits iteration-unrolling technique).
+
+    Each round is: pair counts over the current segmentation (positional
+    lateral unnest — no list lambdas; DuckDB 1.0's ``list_reduce`` is
+    vectorization-buggy with struct accumulators), a guarded argmax
+    (``cnt >= 2`` replicates the trainer's early stop: once empty,
+    every later round re-derives the same sub-2 argmax and stays
+    empty), and the merge application.  The application replicates the
+    greedy left-to-right-with-skip fold exactly: candidate positions
+    are pair-matched; consecutive candidates (only possible when
+    lsym = rsym, i.e. runs of one symbol) are paired up from the run
+    start via gap-grouping (pos - ROW_NUMBER), and a position whose
+    predecessor merged is consumed.  MATERIALIZED keeps the unrolled
+    plan linear (v{{r-1}} is referenced twice per round)."""
+    parts = [
+        f"""v0 AS MATERIALIZED (
+  SELECT word, freq, list_append(string_split(word, ''), '_') AS syms
+  FROM (SELECT w AS word, COUNT(*) AS freq
+        FROM (SELECT unnest({_TOKS}) AS w FROM documents) WHERE w <> '' GROUP BY w)
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT syms[i] AS lsym, syms[i+1] AS rsym, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM v{r-1}, unnest(generate_series(1, len(syms)-1)) AS g(i)
+  GROUP BY 1, 2
+)""")
+        parts.append(f"""m{r} AS MATERIALIZED (
+  SELECT lsym, rsym, cnt FROM p{r} WHERE cnt >= 2
+  ORDER BY cnt DESC, lsym, rsym LIMIT 1
+)""")
+        parts.append(f"""u{r} AS MATERIALIZED (
+  SELECT word, freq, i AS pos, syms[i] AS sym,
+         COALESCE(syms[i] = m.lsym AND syms[i+1] IS NOT DISTINCT FROM m.rsym, false) AS cand
+  FROM v{r-1} LEFT JOIN m{r} m ON TRUE, unnest(generate_series(1, len(syms))) AS g(i)
+)""")
+        parts.append(f"""s{r} AS MATERIALIZED (
+  SELECT word, pos,
+         cand AND ((pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0) AS sel
+  FROM (
+    SELECT word, pos, cand,
+           CASE WHEN cand THEN pos - ROW_NUMBER() OVER (PARTITION BY word, cand ORDER BY pos) END AS grp
+    FROM u{r})
+)""")
+        parts.append(f"""v{r} AS MATERIALIZED (
+  SELECT word, freq, list(CASE WHEN sel THEN lr ELSE sym END ORDER BY pos) AS syms
+  FROM (
+    SELECT u.word, u.freq, u.pos, u.sym, s.sel, m.lsym || m.rsym AS lr,
+           COALESCE(LAG(s.sel) OVER (PARTITION BY u.word ORDER BY u.pos), false) AS consumed
+    FROM u{r} u JOIN s{r} s USING (word, pos) LEFT JOIN m{r} m ON TRUE)
+  WHERE NOT consumed
+  GROUP BY word, freq
+)""")
+    return ",\n".join(parts)
+
+
+_BPE_TRAIN_FINAL = " UNION ALL ".join(
+    f"SELECT {r} AS step, lsym, rsym, cnt FROM m{r}" for r in range(1, 31)
+)
+BPE_TRAIN_ORACLE = (
+    f"WITH {_bpe_unrolled_ctes(30)}\n"
+    f"SELECT CAST(step AS INT) AS step, lsym, rsym, cnt FROM ({_BPE_TRAIN_FINAL}) ORDER BY step"
+)
+
+
+@register("bpe_train_merges", BPE_TRAIN_ORACLE)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first 30 learned BPE merges (step, lsym, rsym, cnt) — a
     driver-loop bulk iteration over the vocabulary-bounded symbol table;
@@ -336,9 +402,17 @@ def bloom_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_encode_corpus", None)  # trained merges are an iterative argmax
-# loop — no SQL oracle; segmentation is pinned against the pure-Python BPE
-# reference in tests/test_corpus.py (train + encode)
+BPE_ENCODE_ORACLE = f"""WITH {_bpe_unrolled_ctes(20)},
+wl AS (SELECT word, len(syms) AS n_toks FROM v20),
+words AS (
+  SELECT doc_id, w AS word FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+  WHERE w <> ''
+)
+SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens
+FROM words JOIN wl USING (word) GROUP BY doc_id ORDER BY doc_id"""
+
+
+@register("bpe_encode_corpus", BPE_ENCODE_ORACLE)
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer APPLIED at corpus scale: per-document word and
     BPE-token counts under the 20-merge trained segmentation.  Encoding
@@ -566,8 +640,41 @@ def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("part_copurchase_kcore", None)  # iterative peel to fixpoint — no
-# SQL oracle; pinned against a pure-Python peel in tests/test_corpus.py
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """Unroll the k-core peel as chained MATERIALIZED CTEs.  The peel is
+    idempotent at its fixpoint, so any ``rounds`` >= the actual peel
+    depth yields the converged core; the measured depth on this graph is
+    5 at sf0.01/sf0.1 (2 at sf0.001) — 10 rounds is 2x headroom, and
+    the extra rounds are no-ops on the converged edge set."""
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a, greatest(a.l_partkey, b.l_partkey) AS b
+  FROM (SELECT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT l_orderkey, l_partkey FROM lineitem) b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""k{r} AS MATERIALIZED (
+  SELECT v FROM (SELECT a AS v FROM e{r-1} UNION ALL SELECT b FROM e{r-1})
+  GROUP BY v HAVING COUNT(*) >= {k}
+)""")
+        parts.append(f"""e{r} AS MATERIALIZED (
+  SELECT a, b FROM e{r-1}
+  WHERE a IN (SELECT v FROM k{r}) AND b IN (SELECT v FROM k{r})
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT v AS vertex, COUNT(*) AS core_degree
+FROM (SELECT a AS v FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY v HAVING COUNT(*) >= {k} ORDER BY vertex"""
+    )
+
+
+KCORE_ORACLE = _kcore_unrolled_sql(80, 10)
+
+
+@register("part_copurchase_kcore", KCORE_ORACLE)
 def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80-core of the part co-purchase graph (parts linked when bought
     in the same order) — the degeneracy analysis curation uses to find

@@ -654,8 +654,12 @@ def retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_STATS_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts, event_id,
-         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+         -- second-boundary diff (not raw interval): matches the Spark
+         -- side's epoch-second cast exactly even if timestamps ever
+         -- carry sub-second precision
+         CASE WHEN date_diff('second',
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) > 1800 THEN 1 ELSE 0 END AS new_sess
   FROM events),
 sess AS (
   SELECT user_id, ts,
