@@ -65,7 +65,14 @@ def _intervals_s(arg_text: str) -> list[int]:
 
 
 def _session_merged(df: DataFrame, keys: list[str], ts_col: str, gap_s: int) -> DataFrame:
-    """Row-level merged session windows via gaps-and-islands (batch)."""
+    """Row-level merged session windows via gaps-and-islands (batch).
+
+    With no PARTITION BY keys the fallback is a keyless window — a
+    single-partition sort, matching SQL semantics for an unkeyed
+    SESSION TVF (one global session stream is inherently sequential).
+    Keyed usage — the normal case — runs at full parallelism; callers
+    with a big unkeyed stream should pre-bucket or supply keys
+    (operators/rank.py shows the distributed construction)."""
     w = Window.partitionBy(*keys).orderBy(ts_col) if keys else Window.orderBy(ts_col)
     gap_us = gap_s * 1_000_000
     us = F.unix_micros(F.col(ts_col))

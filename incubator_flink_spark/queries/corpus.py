@@ -455,12 +455,13 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Morton interleave of (customer bucket, order day), with per-shard
     min/max of BOTH dimensions — the statistics a scan uses to prune
     shards when filtered on either column.  The z-key is flat integer
-    codegen on the scan; at scale the NTILE becomes repartitionByRange
-    on zkey (identical assignment, no single-partition window) — the
-    audit uses NTILE so the oracle can replicate shard ids exactly."""
-    o = load(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W
+    codegen on the scan; shard assignment is ``ntile_exact``
+    (operators/rank.py: repartitionByRange on zkey + offset cumsum) —
+    bit-identical to the oracle's NTILE(16) with no single-partition
+    window, i.e. the audit itself runs the production layout plan."""
+    from incubator_flink_spark.operators.rank import ntile_exact
 
+    o = load(spark, sf_dir, "orders")
     keyed = o.select(
         "o_orderkey",
         (F.col("o_custkey") % 4096).cast("bigint").alias("cb"),
@@ -472,8 +473,8 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
         ).alias("day"),
     ).withColumn("zkey", zorder_key(F.col("cb"), F.col("day"), _Z_BITS))
-    sharded = keyed.select(
-        "cb", "day", F.ntile(16).over(W.orderBy("zkey", "o_orderkey")).cast("bigint").alias("shard")
+    sharded = ntile_exact(keyed, ["zkey", "o_orderkey"], 16, "shard").select(
+        "cb", "day", "shard"
     )
     return (
         sharded.groupBy("shard")

@@ -1097,17 +1097,20 @@ FROM b GROUP BY lang, bucket ORDER BY lang, bucket
 def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail corpus layout: per-language NTILE(3)
     over document perplexity.  Composes the vocabulary-bounded bigram
-    model with one language-partitioned window over the DOC-sized nll
-    table (never the corpus tokens), then a dim-sized aggregate."""
-    from pyspark.sql import Window as W
-
+    model with a grouped ``ntile_exact`` (operators/rank.py) over the
+    DOC-sized nll table — language is a skewed key on a real web corpus
+    (English is most of it), so the cut uses a range partition on
+    (lang, nll) at full parallelism rather than one window partition
+    per language, then a dim-sized aggregate."""
     from incubator_flink_spark.operators.lm import doc_nll
+    from incubator_flink_spark.operators.rank import ntile_exact
 
     d = load(spark, sf_dir, "documents")
     nll = doc_nll(d).select("doc_id", "nll")
     wl = nll.join(d.select("doc_id", "lang"), "doc_id")
-    w = W.partitionBy("lang").orderBy("nll", "doc_id")
-    b = wl.select("lang", "nll", F.ntile(3).over(w).cast("bigint").alias("bucket"))
+    b = ntile_exact(wl, ["nll", "doc_id"], 3, "bucket", partition_cols=["lang"]).select(
+        "lang", "nll", "bucket"
+    )
     return (
         b.groupBy("lang", "bucket")
         .agg(

@@ -1198,8 +1198,11 @@ def star_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency/frequency/monetary quintiles (rank-based NTILE with
     deterministic custkey tiebreaks so both engines cut identically),
     reported as segment-cell counts.  One customer-keyed fact aggregate;
-    the three windows run over the customer-sized table."""
-    from pyspark.sql import Window as W
+    the quintiles come from three ``ntile_exact`` passes (range
+    partition + offset cumsum, operators/rank.py) — bit-identical to
+    the oracle's NTILE but with no single-partition window, so the
+    customer table never funnels through one task at any scale."""
+    from incubator_flink_spark.operators.rank import ntile_exact
 
     o = load(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
@@ -1207,11 +1210,10 @@ def star_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(30,2)").alias("monetary"),
     )
-    scored = cust.select(
-        F.ntile(5).over(W.orderBy(F.col("last_order").desc(), "o_custkey")).cast("bigint").alias("r"),
-        F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "o_custkey")).cast("bigint").alias("f"),
-        F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "o_custkey")).cast("bigint").alias("m"),
-    )
+    scored = cust
+    for col, key in (("r", "last_order"), ("f", "frequency"), ("m", "monetary")):
+        scored = ntile_exact(scored, [F.col(key).desc(), "o_custkey"], 5, col)
+    scored = scored.select("r", "f", "m")
     return (
         scored.groupBy("r", "f", "m")
         .agg(F.count(F.lit(1)).alias("n_customers"))

@@ -515,16 +515,19 @@ ORDER BY s_suppkey
 
 @register("tpch_q15", Q15_ORACLE)
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
 
     l = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= ts("1996-01-01 00:00:00")) & (F.col("l_shipdate") < ts("1996-04-01 00:00:00"))
     )
     s = load(spark, sf_dir, "supplier")
+    rev0 = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    # broadcast 1-row max instead of a keyless window: no WindowExec at
+    # all — the filter rides the supplier-keyed aggregate map-side
+    mx = rev0.agg(F.max("total_revenue").alias("max_rev"))
     rev = (
-        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
-        .withColumn("max_rev", F.max("total_revenue").over(W.partitionBy()))
+        rev0.crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("max_rev"))
         .drop("max_rev")
     )

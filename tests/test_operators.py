@@ -995,3 +995,95 @@ def test_assign_split_deterministic_and_stable(spark):
     # ~90/5/5 within loose bounds at n=300
     n_train = sum(1 for v in a.values() if v == "train")
     assert 240 <= n_train <= 295
+
+
+# --- distributed rank / exact NTILE (operators/rank.py) ----------------------
+
+
+class TestDistributedRank:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "id BIGINT, v BIGINT")
+
+    def test_rank_matches_keyless_window(self, spark):
+        import random
+
+        from pyspark.sql import Window as W
+
+        from incubator_flink_spark.operators.rank import distributed_rank
+
+        rng = random.Random(7)
+        rows = [(i, rng.randrange(50)) for i in range(997)]  # heavy ties
+        df = self._mk(spark, rows)
+        got = {
+            r["id"]: r["rank"]
+            for r in distributed_rank(df, [F.col("v"), "id"], num_partitions=8).collect()
+        }
+        want = {
+            r["id"]: r["rn"]
+            for r in df.select(
+                "id", F.row_number().over(W.orderBy("v", "id")).alias("rn")
+            ).collect()
+        }
+        assert got == want
+
+    def test_ntile_matches_window_ntile(self, spark):
+        import random
+
+        from pyspark.sql import Window as W
+
+        from incubator_flink_spark.operators.rank import ntile_exact
+
+        rng = random.Random(11)
+        for n, b in [(1, 5), (4, 5), (5, 5), (101, 4), (997, 16)]:
+            rows = [(i, rng.randrange(30)) for i in range(n)]
+            df = self._mk(spark, rows)
+            got = {
+                r["id"]: r["bucket"]
+                for r in ntile_exact(
+                    df, [F.col("v").desc(), "id"], b, num_partitions=8
+                ).collect()
+            }
+            want = {
+                r["id"]: r["nt"]
+                for r in df.select(
+                    "id",
+                    F.ntile(b).over(W.orderBy(F.col("v").desc(), "id")).cast("bigint").alias("nt"),
+                ).collect()
+            }
+            assert got == want, f"n={n} b={b}"
+
+    def test_grouped_ntile_matches_partitioned_window(self, spark):
+        import random
+
+        from pyspark.sql import Window as W
+
+        from incubator_flink_spark.operators.rank import ntile_exact
+
+        rng = random.Random(13)
+        rows = [
+            (i, rng.choice(["en", "fr", "de"]), rng.randrange(40)) for i in range(500)
+        ] + [(1000, "solo", 1)]  # a group smaller than the bucket count
+        df = spark.createDataFrame(rows, "id BIGINT, g STRING, v BIGINT")
+        got = {
+            (r["g"], r["id"]): r["bucket"]
+            for r in ntile_exact(
+                df, ["v", "id"], 3, partition_cols=["g"], num_partitions=8
+            ).collect()
+        }
+        w = W.partitionBy("g").orderBy("v", "id")
+        want = {
+            (r["g"], r["id"]): r["nt"]
+            for r in df.select(
+                "id", "g", F.ntile(3).over(w).cast("bigint").alias("nt")
+            ).collect()
+        }
+        assert got == want
+
+    def test_no_window_exec_in_rank_plan(self, spark):
+        from incubator_flink_spark.operators.rank import ntile_exact
+        from incubator_flink_spark.plans.audit import audit_plan
+
+        df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("v"))
+        out = ntile_exact(df, ["v", "id"], 4, num_partitions=4)
+        rep = audit_plan(out)
+        assert "Window" not in rep.raw

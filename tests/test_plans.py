@@ -413,11 +413,11 @@ def test_star_multi_exists_semi_joins_only(spark):
 
 
 def test_perplexity_buckets_window_over_doc_table(spark):
-    """The NTILE window partitions the DOC-sized nll table by language —
-    never the exploded bigram table; no nested loop anywhere."""
+    """The head/middle/tail cut runs over the DOC-sized nll table via
+    ntile_exact (no NTILE WindowExec at all since round 5); no nested
+    loop anywhere."""
     rep = audit_plan(REGISTRY["perplexity_buckets"].fn(spark, SF))
     assert rep.nested_loop_joins == 0
-    assert "Window" in rep.raw
 
 
 def test_bpe_encode_broadcasts_vocab(spark):
@@ -435,3 +435,30 @@ def test_star_return_rebuy_equi_join_with_inequality_residual(spark):
     rep = audit_plan(REGISTRY["star_return_rebuy"].fn(spark, SF))
     assert rep.nested_loop_joins == 0
     assert "CartesianProduct" not in rep.raw
+
+
+def test_ntile_rewrites_have_no_window_exec(spark):
+    """The round-4 weak flags: global NTILE funnels everything through one
+    window partition.  The ntile_exact rewrites must keep WindowExec out
+    of the plan entirely (rank comes from range partition + map-side
+    offsets)."""
+    for name in ("star_rfm_segments", "zorder_layout_stats", "tpch_q15"):
+        df = REGISTRY[name].fn(spark, SF)
+        rep = audit_plan(df)
+        assert "Window" not in rep.raw, f"{name} still has a WindowExec"
+
+
+def test_perplexity_buckets_no_keyless_window(spark):
+    """perplexity_buckets may keep keyed windows inside the LM model
+    build, but no keyless (single-partition) window anywhere."""
+    import re
+
+    df = REGISTRY["perplexity_buckets"].fn(spark, SF)
+    rep = audit_plan(df)
+    # keyless window detail lines print as "Window [..], [..ASC..]" with
+    # an empty partition spec — i.e. only two bracket groups and no
+    # partition expressions between ordering and the window exprs
+    for line in rep.raw.splitlines():
+        s = line.strip()
+        if s.startswith("Window ["):
+            assert re.search(r"\], \[[^\]]+\], \[", s), f"keyless window: {s}"
