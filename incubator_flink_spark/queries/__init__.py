@@ -56,7 +56,7 @@ _PRIORITY = [
     "bpe_train_merges",
     "bpe_encode_corpus",
     # -- tier B: new round-5 registrations (never checked by definition) ----
-    # (inserted as they are registered this round)
+    "embedding_ivfpq_ingest",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -605,17 +605,24 @@ def _ivfpq_oracle(
     shortlist: int = 50,
     k: int = 5,
     train_mod: int | None = None,
+    train_filter: str | None = None,
 ) -> str:
     """Unrolled IVF coarse k-means + PQ training + cell-pruned PQ scoring
     + exact re-rank — the composed index of ``ivf_pq_topk``, replicated
     bit-for-bit by stacking the `_ivf_oracle` coarse CTEs and the
     `_pq_oracle` codebook CTEs (pq iteration CTEs prefixed p* to avoid
     name collisions) and restricting the PQ cosine to candidates from
-    the probed cells."""
+    the probed cells.
+
+    ``train_filter`` is a predicate template over the id column (``{v}``
+    placeholder), generalizing ``train_mod`` — the incremental-ingest
+    oracle trains on the base corpus only while encoding everything."""
     sub = 64 // m_sub
-    tr_where = f"WHERE vec_id % {train_mod} = 0" if train_mod else ""
-    tr_and = f"WHERE ea.vec_id % {train_mod} = 0" if train_mod else ""
-    tr_and_s = f"WHERE s.vec_id % {train_mod} = 0" if train_mod else ""
+    if train_filter is None and train_mod:
+        train_filter = f"{{v}} % {train_mod} = 0"
+    tr_where = f"WHERE {train_filter.format(v='vec_id')}" if train_filter else ""
+    tr_and = f"WHERE {train_filter.format(v='ea.vec_id')}" if train_filter else ""
+    tr_and_s = f"WHERE {train_filter.format(v='s.vec_id')}" if train_filter else ""
     parts = [
         f"""WITH earr AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -763,6 +770,48 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 20)
     return (
         ivf_pq_topk(e, q, 5, n_clusters=8, n_probe=2, shortlist=50, train_mod=4)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "embedding_ivfpq_ingest",
+    _ivfpq_oracle(train_filter="({v} % 5 <> 4) AND ({v} % 4 = 0)"),
+)
+def embedding_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vector-store ingest: the IVF-PQ quantizers are
+    trained on the BASE corpus only (vec_id % 5 <> 4, then the usual
+    train_mod sampling), the base is encoded, and the held-out 20%
+    batch is encoded against the FROZEN index (``ivfpq_encode_batch`` —
+    no retraining, pure map-side) and appended to the inverted file.
+    Search runs over the appended file with exact re-rank on old∪new.
+
+    The oracle builds the index the FRESH way — train on base, encode
+    the whole union in one pass — so an exact match proves the
+    append-then-search path is bit-identical to rebuilding on the
+    union under the same quantizers: the correctness contract of
+    streaming ANN ingest (mirrors the growing-reference dedup
+    discipline of streaming/sinks.py)."""
+    from incubator_flink_spark.operators.similarity import (
+        ivfpq_encode_batch,
+        ivfpq_search,
+        kmeans_centroids,
+        pq_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") % 5 != 4)
+    batch = e.where(F.col("vec_id") % 5 == 4)
+    train = base.where(F.col("vec_id") % 4 == 0)
+    centroids = kmeans_centroids(train, 8, iters=5)
+    cbs = pq_codebooks(train, iters=3)
+    encoded = ivfpq_encode_batch(base, centroids, cbs).unionAll(
+        ivfpq_encode_batch(batch, centroids, cbs)
+    )
+    q = e.where(F.col("vec_id") < 20)
+    return (
+        ivfpq_search(encoded, e, q, centroids, 5, n_probe=2, shortlist=50)
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
         .orderBy("query_id", "rank")
     )
