@@ -57,6 +57,9 @@ _PRIORITY = [
     "bpe_encode_corpus",
     # -- tier B: new round-5 registrations (never checked by definition) ----
     "embedding_ivfpq_ingest",
+    "star_repeat_purchase_chain",
+    "star_channel_exclusive",
+    "star_channel_returns_rollup",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

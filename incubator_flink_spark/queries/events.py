@@ -500,11 +500,18 @@ WITH g AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN event_type = 'error' THEN 600 ELSE 300 END AS gap_s
   FROM events
+), ends AS (
+  -- session extent is the RUNNING MAX of member ends (a large-gap event
+  -- dominates later small-gap ones — interval merge, not row chaining),
+  -- and windows are half-open so ts == end opens a NEW session
+  SELECT *, MAX(epoch_us(ts) + gap_s * 1000000) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM g
 ), marked AS (
-  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch_us(ts) > epoch_us(lag(ts) OVER w) + lag(gap_s) OVER w * 1000000
+  SELECT *, CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
                  THEN 1 ELSE 0 END AS new_session
-  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM ends
 ), numbered AS (
   SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id

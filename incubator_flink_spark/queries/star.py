@@ -1282,3 +1282,235 @@ def star_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "ante", "cons")
         .limit(25)
     )
+
+
+# --- wave 6 (round 5): q64 chained two-date fact join, q78 channel-minus-
+# returns ratio, q80 three-channel returns-netted rollup ----------------------
+
+STAR_REPEAT_PURCHASE_ORACLE = """
+WITH leg95 AS (
+  SELECT o_custkey AS custkey, l_partkey AS partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE EXTRACT(year FROM o_orderdate) = 1995
+  GROUP BY 1, 2),
+leg96 AS (
+  SELECT o_custkey AS custkey, l_partkey AS partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE EXTRACT(year FROM o_orderdate) = 1996
+  GROUP BY 1, 2)
+SELECT p_brand, COUNT(*) AS n_repeat_pairs,
+       CAST(CAST(SUM(a.qty) AS VARCHAR) AS DOUBLE) AS qty_1995,
+       CAST(CAST(SUM(b.qty) AS VARCHAR) AS DOUBLE) AS qty_1996,
+       CAST(CAST(SUM(a.rev) AS VARCHAR) AS DOUBLE) AS rev_1995,
+       CAST(CAST(SUM(b.rev) AS VARCHAR) AS DOUBLE) AS rev_1996
+FROM leg95 a
+JOIN leg96 b ON a.custkey = b.custkey AND a.partkey = b.partkey
+JOIN part ON p_partkey = a.partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+@register("star_repeat_purchase_chain", STAR_REPEAT_PURCHASE_ORACLE)
+def star_repeat_purchase_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 signature: the SAME fact→fact→dim chain instantiated
+    at two dates and joined on the (customer, item) pair — customers who
+    bought a part in 1995 and bought it AGAIN in 1996, rolled up to the
+    brand with both years' quantity and revenue side by side.
+
+    Scale: each leg is one (custkey, partkey) pre-aggregate (partial agg
+    rides the lineitem⋈orders shuffle, year filter pushed to both
+    scans), so the chained self-join runs over two pair-cardinality
+    aggregates — never raw fact against raw fact; part is a true dim
+    and broadcasts onto the joined pairs."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+    def leg(yr: int) -> DataFrame:
+        return (
+            li.join(o.where(F.year("o_orderdate") == yr), li.l_orderkey == o.o_orderkey)
+            .groupBy(
+                F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey")
+            )
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(30,2)").alias("qty"),
+                F.sum(rev).cast("decimal(30,4)").alias("rev"),
+            )
+        )
+
+    a = leg(1995)
+    b = leg(1996).withColumnsRenamed({"qty": "qty_b", "rev": "rev_b"})
+    return (
+        a.join(b, ["custkey", "partkey"])
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_repeat_pairs"),
+            F.sum("qty").cast("double").alias("qty_1995"),
+            F.sum("qty_b").cast("double").alias("qty_1996"),
+            F.sum("rev").cast("double").alias("rev_1995"),
+            F.sum("rev_b").cast("double").alias("rev_1996"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+STAR_CHANNEL_EXCLUSIVE_ORACLE = """
+WITH returns AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'),
+kept AS (
+  SELECT l.l_orderkey, l.l_extendedprice, l.l_discount
+  FROM lineitem l LEFT JOIN returns r USING (l_orderkey, l_linenumber)
+  WHERE r.l_orderkey IS NULL),
+ch AS (
+  SELECT o_custkey AS custkey,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'fast' ELSE 'slow' END AS channel,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS rev
+  FROM kept JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2)
+SELECT f.custkey,
+       CAST(CAST(f.rev AS VARCHAR) AS DOUBLE) AS fast_rev,
+       CAST(CAST(s.rev AS VARCHAR) AS DOUBLE) AS slow_rev,
+       ROUND(CAST(CAST(f.rev AS VARCHAR) AS DOUBLE) / CAST(CAST(s.rev AS VARCHAR) AS DOUBLE), 6) AS ratio
+FROM ch f JOIN ch s ON f.custkey = s.custkey
+WHERE f.channel = 'fast' AND s.channel = 'slow' AND s.rev > 0
+ORDER BY ratio DESC, f.custkey LIMIT 25
+"""
+
+
+@register("star_channel_exclusive", STAR_CHANNEL_EXCLUSIVE_ORACLE)
+def star_channel_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 signature: sales with their returns EXCLUDED (the
+    LEFT-JOIN-returns-IS-NULL pattern — planned as an anti join on the
+    composite line key), aggregated per customer per channel, and the
+    two channels ratio-compared per customer (q78's store-vs-web ratio
+    rank).  Top-25 by fast/slow ratio.
+
+    Scale: the anti join is the only fact-fact exchange; both channel
+    aggregates come out of ONE (custkey, channel) shuffle, and the
+    channel self-join runs on the customer-sized aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    returns = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_linenumber")
+    kept = li.join(returns, ["l_orderkey", "l_linenumber"], "left_anti")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    ch = (
+        kept.join(o, kept.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "fast")
+            .otherwise("slow")
+            .alias("channel"),
+        )
+        .agg(F.sum(rev).cast("decimal(30,4)").alias("rev"))
+    )
+    f = ch.where(F.col("channel") == "fast").select("custkey", F.col("rev").alias("frev"))
+    s = ch.where((F.col("channel") == "slow") & (F.col("rev") > 0)).select(
+        "custkey", F.col("rev").alias("srev")
+    )
+    return (
+        f.join(s, "custkey")
+        .select(
+            "custkey",
+            F.col("frev").cast("double").alias("fast_rev"),
+            F.col("srev").cast("double").alias("slow_rev"),
+            F.round(F.col("frev").cast("double") / F.col("srev").cast("double"), 6).alias("ratio"),
+        )
+        .orderBy(F.col("ratio").desc(), "custkey")
+        .limit(25)
+    )
+
+
+STAR_CHANNEL_RETURNS_ROLLUP_ORACLE = """
+WITH returns AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS r_amt
+  FROM lineitem WHERE l_returnflag = 'R'),
+legs AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'web'
+              WHEN o_orderpriority = '2-HIGH' THEN 'catalog'
+              ELSE 'store' END AS channel,
+         l.l_partkey,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS gross,
+         COALESCE(r.r_amt, 0) AS returned
+  FROM lineitem l
+  LEFT JOIN returns r USING (l_orderkey, l_linenumber)
+  JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT channel, p_brand,
+       CAST(grouping(channel) AS BIGINT) AS g_channel,
+       CAST(grouping(p_brand) AS BIGINT) AS g_brand,
+       COUNT(*) AS n_items,
+       CAST(CAST(SUM(gross) AS VARCHAR) AS DOUBLE) AS gross_sales,
+       CAST(CAST(SUM(returned) AS VARCHAR) AS DOUBLE) AS returns_amt,
+       CAST(CAST(SUM(gross - returned) AS VARCHAR) AS DOUBLE) AS net_sales
+FROM legs JOIN part ON p_partkey = l_partkey
+GROUP BY ROLLUP (channel, p_brand)
+ORDER BY g_channel, g_brand, channel NULLS FIRST, p_brand NULLS FIRST
+"""
+
+
+@register("star_channel_returns_rollup", STAR_CHANNEL_RETURNS_ROLLUP_ORACLE)
+def star_channel_returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q80 signature: three channel legs (priority-derived
+    web/catalog/store — disjoint filters pushed to each leg's scan),
+    each netted against its returns, UNION ALLed into a
+    ROLLUP(channel, brand) with gross / returned / net and GROUPING
+    markers.
+
+    Scale: the legs union BEFORE the shared returns join, so there is
+    ONE fact-fact exchange on the composite line key regardless of
+    channel count (in real TPC-DS each channel joins its own returns
+    fact — the same plan replicated per leg); part broadcasts, and the
+    rollup is one Expand→partial-agg exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    amt = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    returns = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", amt.alias("r_amt")
+    )
+
+    def channel_leg(name: str, pred) -> DataFrame:
+        return li.join(o.where(pred), li.l_orderkey == o.o_orderkey).select(
+            F.lit(name).alias("channel"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            amt.alias("gross"),
+        )
+
+    legs = (
+        channel_leg("web", F.col("o_orderpriority") == "1-URGENT")
+        .unionAll(channel_leg("catalog", F.col("o_orderpriority") == "2-HIGH"))
+        .unionAll(
+            channel_leg("store", ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        )
+    )
+    netted = (
+        legs.join(returns, ["l_orderkey", "l_linenumber"], "left")
+        .withColumn("returned", F.coalesce(F.col("r_amt"), F.lit(0).cast("decimal(18,2)")))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    )
+    return (
+        netted.rollup("channel", "p_brand")
+        .agg(
+            F.grouping("channel").cast("bigint").alias("g_channel"),
+            F.grouping("p_brand").cast("bigint").alias("g_brand"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("gross").cast("double").alias("gross_sales"),
+            F.sum("returned").cast("double").alias("returns_amt"),
+            F.sum(F.col("gross") - F.col("returned")).cast("double").alias("net_sales"),
+        )
+        .orderBy("g_channel", "g_brand", F.col("channel").asc_nulls_first(), F.col("p_brand").asc_nulls_first())
+    )

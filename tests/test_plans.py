@@ -462,3 +462,18 @@ def test_perplexity_buckets_no_keyless_window(spark):
         s = line.strip()
         if s.startswith("Window ["):
             assert re.search(r"\], \[[^\]]+\], \[", s), f"keyless window: {s}"
+
+
+def test_tpcds_wave3_plan_shapes(spark):
+    """q64/q78/q80 signatures: part is the only broadcast-hinted dim, no
+    nested loop anywhere, and the q78 returns-exclusion stays an anti
+    join (LEFT JOIN + IS NULL planned as anti, never a cartesian)."""
+    for name in (
+        "star_repeat_purchase_chain",
+        "star_channel_exclusive",
+        "star_channel_returns_rollup",
+    ):
+        rep = audit_plan(REGISTRY[name].fn(spark, SF))
+        assert rep.nested_loop_joins == 0, name
+    rep = audit_plan(REGISTRY["star_channel_exclusive"].fn(spark, SF))
+    assert "LeftAnti" in rep.raw
