@@ -65,7 +65,13 @@ def bloom_build(blocklist: DataFrame, key_col: str, m_bits: int) -> list[int]:
     h = hash64(F.col(key_col))
     pos_arr = F.array(*[bloom_pos(h, i, m_bits) for i in range(BLOOM_K)])
     rows = (
-        blocklist.select(F.explode(pos_arr).alias("pos")).distinct().collect()
+        # NULL keys hash to NULL positions and can never match under the
+        # join semantics bloom_might_contain implements — drop them here
+        # instead of letting a None position crash the bit loop
+        blocklist.where(F.col(key_col).isNotNull())
+        .select(F.explode(pos_arr).alias("pos"))
+        .distinct()
+        .collect()
     )
     words = [0] * (m_bits // 64)
     for r in rows:

@@ -148,7 +148,12 @@ def hll_registers(items: DataFrame, key_col: str, m: int = HLL_M) -> DataFrame:
     bbits = m.bit_length() - 1
     if 1 << bbits != m:
         raise ValueError("m must be a power of two")
-    h = hash64(F.col(key_col))
+    # canonical string form, matching streaming/sketches.windowed_hll:
+    # hash64 is md5-based (string/binary input only), so a bare non-string
+    # key column would fail analysis in batch and a binary key would hash
+    # differently — the cast keeps batch and streaming registers
+    # interchangeable across key types (no-op for string keys)
+    h = hash64(F.col(key_col).cast("string"))
     w = F.shiftright(h, bbits)
     rho = F.when(w == 0, F.lit(HLL_RHO_CAP)).otherwise(_rho(w))
     return (

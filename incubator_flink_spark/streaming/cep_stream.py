@@ -114,6 +114,16 @@ def match_pattern_stream(
         # prune closed-and-unextendable events; keep the deadline==wm
         # boundary (not yet strictly expired) so its timeout can still fire
         keep = [i for i, t in enumerate(ts_buf) if t >= wm_us - horizon_us]
+        if not keep:
+            # buffer fully expired: every pending timeout has a deadline
+            # behind the watermark and was emitted above — drop the state
+            # row entirely (CepOperator clears its NFA state the same way)
+            # instead of keeping an empty buffer per key forever
+            if state.exists:
+                state.remove()
+            if out:
+                yield pd.DataFrame(out)
+            return
         state.update(([ts_buf[i] for i in keep], [rows_buf[i] for i in keep], max(last_wm, wm_us)))
         if timeout_fn is not None and keep:
             # arm the per-key timer at the earliest surviving deadline (the

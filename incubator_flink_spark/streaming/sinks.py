@@ -166,7 +166,13 @@ def growing_dedup_stream(
             ).localCheckpoint(eager=True)  # columns: (id_col, ref_id, jaccard)
             survivors = in_batch.join(matches.select(id_col).distinct(), id_col, "anti")
         else:
-            matches = spark.createDataFrame([], f"{id_col} LONG, ref_id LONG, jaccard DOUBLE")
+            # derive the id/ref_id types from the incoming batch so batch 0
+            # observes the same matches schema as later batches whatever the
+            # id column's type (unions across batches would fail otherwise)
+            id_t = bdf.schema[id_col].dataType.simpleString()
+            matches = spark.createDataFrame(
+                [], f"{id_col} {id_t}, ref_id {id_t}, jaccard DOUBLE"
+            )
             survivors = in_batch
         survivors = survivors.localCheckpoint(eager=True)
         # idempotent: a retried batch replaces its own directory
