@@ -60,6 +60,7 @@ _PRIORITY = [
     "star_repeat_purchase_chain",
     "star_channel_exclusive",
     "star_channel_returns_rollup",
+    "cep_skip_to_first",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

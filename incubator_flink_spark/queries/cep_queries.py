@@ -77,3 +77,73 @@ def cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, ["user_id"], "ts", p, select,
         "user_id BIGINT, click_id BIGINT, purchase_id BIGINT", tiebreak="event_id",
     ).orderBy("user_id", "click_id")
+
+
+# --- AFTER MATCH SKIP TO FIRST through the full SQL statement ----------------
+# PATTERN (A B+) with OVERLAPPING variable predicates (click satisfies
+# both A and B), so SKIP TO FIRST B genuinely resumes INSIDE the previous
+# match: every row that can head a contiguous B-run emits its own match —
+# a strictly larger result than SKIP PAST LAST ROW would produce.  With
+# greedy B+ each start yields exactly the maximal run, so the match set
+# has the closed form "every row i with A(i) and B(i+1), extended to the
+# end of the contiguous B-run" — expressible with window functions, which
+# is the DuckDB oracle below.
+
+CEP_SKIP_TO_FIRST_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events),
+f AS (
+  SELECT *,
+         (event_type IN ('view', 'click')) AS a_ok,
+         (event_type IN ('click', 'purchase')) AS b_ok
+  FROM ev),
+runs AS (
+  SELECT *,
+         CASE WHEN b_ok THEN rn - ROW_NUMBER() OVER (PARTITION BY user_id, b_ok ORDER BY rn) END AS grp
+  FROM f),
+rend AS (
+  SELECT *, MAX(rn) OVER (PARTITION BY user_id, grp) AS run_end
+  FROM runs),
+m AS (
+  SELECT r.user_id, r.rn, r.event_id AS start_id, n.run_end
+  FROM rend r JOIN rend n ON n.user_id = r.user_id AND n.rn = r.rn + 1
+  WHERE r.a_ok AND n.b_ok)
+SELECT m.user_id, m.start_id, e.event_id AS end_id,
+       CAST(m.run_end - m.rn AS BIGINT) AS n_steps
+FROM m JOIN rend e ON e.user_id = m.user_id AND e.rn = m.run_end
+ORDER BY m.user_id, m.start_id
+"""
+
+
+@register("cep_skip_to_first", CEP_SKIP_TO_FIRST_ORACLE)
+def cep_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE end-to-end through the SQL statement surface with
+    a non-default AFTER MATCH strategy (reference:
+    AfterMatchSkipStrategy.skipToFirst, NFAITCase skip-strategy
+    coverage): funnels every A-headed contiguous B-run, overlapping
+    matches included."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("cep_skip_events")
+    return env.sql_query(
+        """
+        SELECT user_id, start_id, end_id, n_steps
+        FROM cep_skip_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES
+            A.event_id AS start_id,
+            LAST(B.event_id) AS end_id,
+            COUNT(B.*) AS n_steps
+          AFTER MATCH SKIP TO FIRST B
+          PATTERN (A B+)
+          DEFINE
+            A AS A.event_type = 'view' OR A.event_type = 'click',
+            B AS B.event_type = 'click' OR B.event_type = 'purchase'
+        ) AS T
+        ORDER BY user_id, start_id
+        """
+    ).to_df()
