@@ -98,6 +98,15 @@ EXTRA = [
     "zorder_layout_stats",
     "star_returns_net",
     "zipf_slope",
+    # round 5
+    "embedding_ivfpq_ingest",
+    "star_repeat_purchase_chain",
+    "star_channel_exclusive",
+    "star_channel_returns_rollup",
+    "cep_skip_to_first",
+    "star_rfm_segments",
+    "bitext_margin_mining",
+    "hybrid_rrf_topk",
 ]
 
 

@@ -61,6 +61,8 @@ _PRIORITY = [
     "star_channel_exclusive",
     "star_channel_returns_rollup",
     "cep_skip_to_first",
+    "bitext_margin_mining",
+    "hybrid_rrf_topk",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1247,3 +1247,141 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "lang_pred")
     )
+
+
+# --- hybrid retrieval: dense + sparse with reciprocal-rank fusion ------------
+# The standard two-tower retrieval layout (public: RRF — Cormack, Clarke
+# & Buettcher 2009; hybrid BM25+dense search as in every modern RAG
+# stack): a dense leg (exact cosine top-k over the shared id space) and
+# a sparse leg (rare-shingle jaccard top-k) fused by
+# score = sum(1 / (60 + rank_leg)).  Rank fusion needs no score
+# calibration between legs — the reason RRF is the default fusion.
+
+_RRF_C = 60
+_RRF_LEG_K = 20
+_RRF_K = 10
+_RRF_MAX_DF = 100
+
+HYBRID_RRF_ORACLE = f"""
+WITH dpairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS id, q.embedding AS qe, c.embedding AS ce
+  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q, embeddings c
+  WHERE q.vec_id <> c.vec_id),
+delems AS (
+  SELECT query_id, id, CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+  FROM dpairs),
+dcos AS (
+  SELECT query_id, id, ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM delems GROUP BY 1, 2),
+dense AS (
+  SELECT query_id, id, rd FROM (
+    SELECT query_id, id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rd
+    FROM dcos) z WHERE rd <= {_RRF_LEG_K}),
+ds AS ({_DS_CTE}),
+rare AS (SELECT shingle FROM ds GROUP BY shingle HAVING COUNT(*) <= {_RRF_MAX_DF}),
+idx AS (SELECT ds.doc_id, ds.shingle FROM ds JOIN rare USING (shingle)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS id, COUNT(*) AS n
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  WHERE a.doc_id < 20 GROUP BY 1, 2),
+jac AS (
+  SELECT i.query_id, i.id,
+         ROUND(i.n * 1.0 / (qs.sz + cs.sz - i.n), 6) AS j
+  FROM inter i JOIN sz qs ON qs.doc_id = i.query_id JOIN sz cs ON cs.doc_id = i.id),
+sparse AS (
+  SELECT query_id, id, rs FROM (
+    SELECT query_id, id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY j DESC, id) AS rs
+    FROM jac) z WHERE rs <= {_RRF_LEG_K}),
+fused AS (
+  SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+         COALESCE(d.id, s.id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({_RRF_C} + d.rd), 0) + COALESCE(1.0 / ({_RRF_C} + s.rs), 0), 6) AS rrf
+  FROM dense d FULL JOIN sparse s ON d.query_id = s.query_id AND d.id = s.id)
+SELECT query_id, doc_id, rrf, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+  FROM fused) z
+WHERE rnk <= {_RRF_K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("hybrid_rrf_topk", HYBRID_RRF_ORACLE)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval fused by reciprocal rank: exact
+    cosine top-{_RRF_LEG_K} over embeddings and rare-shingle jaccard
+    top-{_RRF_LEG_K} over documents (df cap {_RRF_MAX_DF} keeps the
+    inverted-index join candidate-proportional), FULL-joined per
+    (query, candidate) and scored 1/(60+rank) per leg.
+
+    Scale: the dense leg is the brute-force baseline here (swap in
+    ivfpq_search at corpus scale — rank fusion is agnostic to how each
+    leg shortlists); the sparse leg shuffles only rare-shingle postings;
+    fusion runs on the 2*k*|queries|-row union."""
+    from pyspark.sql import Window as W
+
+    from incubator_flink_spark.operators.similarity import brute_force_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    d = load(spark, sf_dir, "documents")
+    dense = (
+        brute_force_topk(e, e.where(F.col("vec_id") < 20), _RRF_LEG_K)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("id"),
+            F.col("rank").alias("rd"),
+        )
+    )
+    ds = doc_shingle_set(d)
+    rare = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= _RRF_MAX_DF
+    ).select("shingle")
+    idx = ds.join(rare, "shingle")
+    sz = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    q_idx = idx.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"), "shingle"
+    )
+    inter = (
+        q_idx.join(idx, "shingle")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qsz = sz.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"), F.col("sz").alias("q_sz")
+    )
+    jac = (
+        inter.join(F.broadcast(qsz), "query_id")
+        .join(sz.withColumnRenamed("doc_id", "id"), "id")
+        .select(
+            "query_id",
+            "id",
+            F.round(F.col("n") * F.lit(1.0) / (F.col("q_sz") + F.col("sz") - F.col("n")), 6).alias("j"),
+        )
+    )
+    wsp = W.partitionBy("query_id").orderBy(F.col("j").desc(), "id")
+    sparse = (
+        jac.withColumn("rs", F.row_number().over(wsp))
+        .where(F.col("rs") <= _RRF_LEG_K)
+        .select("query_id", "id", "rs")
+    )
+    fused = (
+        dense.join(sparse, ["query_id", "id"], "full")
+        .select(
+            "query_id",
+            F.col("id").alias("doc_id"),
+            F.round(
+                F.coalesce(F.lit(1.0) / (_RRF_C + F.col("rd")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (_RRF_C + F.col("rs")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("int"))
+        .where(F.col("rnk") <= _RRF_K)
+        .orderBy("query_id", "rnk")
+    )

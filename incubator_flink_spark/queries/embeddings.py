@@ -868,3 +868,65 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# --- margin-based bitext mining (Artetxe & Schwenk 2019) ----------------------
+# Two label groups stand in for the two languages; the ratio margin
+# normalizes each candidate cosine by the mean of both sides' k-nearest
+# cosines, demoting hub vectors that are near everything.
+
+_BITEXT_K = 4
+
+BITEXT_MARGIN_ORACLE = f"""
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+t AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+pairs AS (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, s.embedding AS se, t.embedding AS te
+  FROM s, t),
+elems AS (
+  SELECT src_id, tgt_id,
+         CAST(unnest(se) AS DOUBLE) AS x, CAST(unnest(te) AS DOUBLE) AS y
+  FROM pairs),
+cos AS (
+  SELECT src_id, tgt_id,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM elems GROUP BY 1, 2),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rs,
+         ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rt
+  FROM cos),
+sstats AS (
+  SELECT src_id, COUNT(*) AS n_s,
+         CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS sum_s
+  FROM ranked WHERE rs <= {_BITEXT_K} GROUP BY src_id),
+tstats AS (
+  SELECT tgt_id, COUNT(*) AS n_t,
+         CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS sum_t
+  FROM ranked WHERE rt <= {_BITEXT_K} GROUP BY tgt_id),
+m AS (
+  SELECT c.src_id, c.tgt_id, c.cos,
+         ROUND(((ss.n_s + ts.n_t) * c.cos)
+               / CAST(CAST(ss.sum_s + ts.sum_t AS VARCHAR) AS DOUBLE), 6) AS margin
+  FROM cos c JOIN sstats ss USING (src_id) JOIN tstats ts USING (tgt_id))
+SELECT src_id, tgt_id, cos, margin FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
+  FROM m) z
+WHERE rn = 1 ORDER BY src_id
+"""
+
+
+@register("bitext_margin_mining", BITEXT_MARGIN_ORACLE)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding groups
+    (label 0 = source side, label 1 = target side): best target per
+    source by the Artetxe & Schwenk ratio margin.  See
+    operators/similarity.margin_mining for the scale shape (probe form
+    broadcasts the source side; at 100 TB both k-NN sets come from the
+    IVF-PQ shortlists)."""
+    from incubator_flink_spark.operators.similarity import margin_mining
+
+    e = load(spark, sf_dir, "embeddings")
+    src = e.where(F.col("label") == 0)
+    tgt = e.where(F.col("label") == 1)
+    return margin_mining(src, tgt, k=_BITEXT_K).orderBy("src_id")

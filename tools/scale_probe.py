@@ -245,6 +245,13 @@ def main():
         "star_growth_compare",
         "star_weekly_compare",
         "star_return_rate_rank",
+        "embedding_ivfpq_ingest",
+        "star_repeat_purchase_chain",
+        "star_channel_exclusive",
+        "star_channel_returns_rollup",
+        "cep_skip_to_first",
+        "bitext_margin_mining",
+        "hybrid_rrf_topk",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
