@@ -107,6 +107,7 @@ EXTRA = [
     "star_rfm_segments",
     "bitext_margin_mining",
     "hybrid_rrf_topk",
+    "source_cap_sample",
 ]
 
 

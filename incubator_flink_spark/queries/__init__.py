@@ -63,6 +63,7 @@ _PRIORITY = [
     "cep_skip_to_first",
     "bitext_margin_mining",
     "hybrid_rrf_topk",
+    "source_cap_sample",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

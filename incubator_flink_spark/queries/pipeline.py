@@ -1182,3 +1182,57 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "rn", "quota")
         .orderBy("doc_id")
     )
+
+
+# --- per-source document caps (domain-cap resampling) -------------------------
+# Capping documents per source/domain is the standard anti-domination pass
+# (public practice: C4's per-domain limits, Gopher/RefinedWeb domain caps):
+# no single crawl host may contribute more than N documents.  Selection is
+# a seeded-hash rank WITHIN each source, computed by the grouped
+# distributed-rank construction (operators/rank.py) — source is a skewed
+# key on a real crawl (a few hosts dominate), so a per-source window
+# would hot-spot exactly like the language NTILE did; the range partition
+# on (source, hash) keeps every step at full parallelism.
+
+_CAP_PER_SOURCE = 10
+
+SOURCE_CAP_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         {hash64_sql("'cap:' || CAST(doc_id AS VARCHAR)")} AS hk
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+  FROM h)
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_CAP_PER_SOURCE}
+ORDER BY source, rk
+"""
+
+
+@register("source_cap_sample", SOURCE_CAP_ORACLE)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most {_CAP_PER_SOURCE} documents per source, selected by a
+    seeded content-independent hash (reproducible, revisit-safe).  The
+    within-source rank is the grouped distributed rank: range partition
+    on (source, hash) + offset cumsum + broadcast group-start rebase —
+    no per-source window partition anywhere in the plan."""
+    from incubator_flink_spark.functions.hashing import hash64
+    from incubator_flink_spark.operators.rank import distributed_rank
+
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        hash64(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))).alias("hk"),
+    )
+    ranked = distributed_rank(keyed, ["source", "hk", "doc_id"], "grank")
+    gstart = ranked.groupBy("source").agg(F.min("grank").alias("gs"))
+    return (
+        ranked.join(F.broadcast(gstart), "source")
+        .withColumn("rk", F.col("grank") - F.col("gs") + 1)
+        .where(F.col("rk") <= _CAP_PER_SOURCE)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    )

@@ -1087,3 +1087,76 @@ class TestDistributedRank:
         out = ntile_exact(df, ["v", "id"], 4, num_partitions=4)
         rep = audit_plan(out)
         assert "Window" not in rep.raw
+
+
+class TestMarginMining:
+    def test_margin_demotes_hub(self, spark):
+        """A hub target that is mildly similar to EVERY source must lose
+        to a genuinely-paired target under the ratio margin, even when
+        the hub's raw cosine ties the pair's — the property plain
+        cosine top-1 lacks (Artetxe & Schwenk 2019 §3)."""
+        import math
+
+        from incubator_flink_spark.operators.similarity import margin_mining
+
+        dim = 8
+
+        def unit(v):
+            n = math.sqrt(sum(x * x for x in v))
+            return [x / n for x in v]
+
+        # sources: near-orthogonal directions; each has a true pair target
+        srcs, tgts = [], []
+        for i in range(4):
+            v = [0.0] * dim
+            v[i] = 1.0
+            srcs.append((i, unit(v)))
+            w = list(v)
+            w[(i + 4) % dim] = 0.55  # true pair: cos ~0.876 with src i only
+            tgts.append((100 + i, unit(w)))
+        # hub: equal mix of all source directions -> cos 0.5 with every src
+        hub = unit([1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+        tgts.append((999, hub))
+        src = spark.createDataFrame(srcs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        tgt = spark.createDataFrame(tgts, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        out = {r["src_id"]: r["tgt_id"] for r in margin_mining(src, tgt, k=3).collect()}
+        assert out == {0: 100, 1: 101, 2: 102, 3: 103}, out
+
+    def test_margin_matches_python_reference(self, spark):
+        import math
+        import random
+
+        from incubator_flink_spark.operators.similarity import margin_mining
+
+        rng = random.Random(3)
+        dim, k = 6, 3
+        srcs = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)]) for i in range(6)]
+        tgts = [(50 + i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)]) for i in range(9)]
+        src = spark.createDataFrame(srcs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        tgt = spark.createDataFrame(tgts, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return round(d / (na * nb), 6)
+
+        pairs = {(i, j): cos(a, b) for i, a in srcs for j, b in tgts}
+        best = {}
+        for i, _ in srcs:
+            margins = {}
+            for j, _ in tgts:
+                ts = sorted(((pairs[(i, jj)], jj) for jj, _ in tgts), key=lambda t: (-t[0], t[1]))[:k]
+                ss = sorted(((pairs[(ii, j)], ii) for ii, _ in srcs), key=lambda t: (-t[0], t[1]))[:k]
+                num = (len(ts) + len(ss)) * pairs[(i, j)]
+                # decimal-exact sum of the 6dp cosines, like the operator
+                from decimal import Decimal
+
+                den = float(
+                    sum(Decimal(f"{c:.6f}") for c, _ in ts)
+                    + sum(Decimal(f"{c:.6f}") for c, _ in ss)
+                )
+                margins[j] = round(num / den, 6)
+            best[i] = min(margins, key=lambda j: (-margins[j], j))
+        got = {r["src_id"]: r["tgt_id"] for r in margin_mining(src, tgt, k=k).collect()}
+        assert got == best

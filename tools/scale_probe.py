@@ -252,6 +252,7 @@ def main():
         "cep_skip_to_first",
         "bitext_margin_mining",
         "hybrid_rrf_topk",
+        "source_cap_sample",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
