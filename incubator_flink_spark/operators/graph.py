@@ -860,3 +860,65 @@ def kcore(edges: DataFrame, k: int, src: str = "src", dst: str = "dst") -> DataF
             .join(keep.select(F.col("v").alias("b")), "b", "semi")
             .localCheckpoint(eager=True)
         )
+
+
+def personalized_pagerank(
+    edges_w: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    seed_node: str = "node",
+    seed_mass: str = "s",
+) -> DataFrame:
+    """Personalized PageRank (public: Page et al. 1999 §6 'personalized'
+    teleport; Gelly's PageRank with a non-uniform intial/teleport
+    vector): p'(v) = 0.15 * s(v) + 0.85 * sum_u p(u) * w(u,v) / W(u),
+    started AT the seed distribution — random walks restart only at the
+    seed set, so scores measure proximity TO the seeds (the
+    related-entity / topic-affinity query curation runs on co-occurrence
+    graphs).
+
+    Same determinism and scale discipline as ``pagerank``: literal
+    damping constants, decimal(38,18)-exact contribution sums, one
+    dst-keyed shuffle per round, O(1) lineage via localCheckpoint.  The
+    seed vector joins in as a broadcast (seed sets are query-sized)."""
+    from pyspark.sql import Window as W
+
+    ew = edges_w.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), F.col(weight).alias("__w")
+    )
+    ewn = ew.withColumn("__outw", F.sum("__w").over(W.partitionBy("__src"))).persist()
+    sd = seeds.select(F.col(seed_node).alias("node"), F.col(seed_mass).alias("__s"))
+    nodes = (
+        ew.select(F.col("__src").alias("node"))
+        .union(ew.select(F.col("__dst").alias("node")))
+        .distinct()
+        .join(F.broadcast(sd), "node", "left")
+        .select("node", F.coalesce("__s", F.lit(0.0)).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.col("s").alias("p")).localCheckpoint(eager=True)
+    try:
+        for _ in range(iters):
+            r = ranks.select(F.col("node").alias("__rsrc"), F.col("p").alias("__p"))
+            contrib = ewn.join(r, ewn["__src"] == r["__rsrc"]).select(
+                F.col("__dst").alias("node"),
+                (F.col("__p") * F.col("__w") / F.col("__outw")).cast("decimal(38,18)").alias("c"),
+            )
+            mass = contrib.groupBy("node").agg(F.sum("c").cast("double").alias("mass"))
+            ranks = (
+                nodes.join(mass, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(0.15) * F.col("s")
+                        + F.lit(0.85) * F.coalesce("mass", F.lit(0.0))
+                    ).alias("p"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        ewn.unpersist()
+    return ranks

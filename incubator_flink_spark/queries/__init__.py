@@ -64,6 +64,7 @@ _PRIORITY = [
     "bitext_margin_mining",
     "hybrid_rrf_topk",
     "source_cap_sample",
+    "word_personalized_pagerank",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

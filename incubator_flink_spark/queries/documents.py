@@ -1385,3 +1385,83 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _RRF_K)
         .orderBy("query_id", "rnk")
     )
+
+
+# --- personalized PageRank (seed-teleport random walks) -----------------------
+
+_PPR_NSEEDS = 5
+
+
+def _ppr_oracle(iters: int = _PR_ITERS, k: int = 50) -> str:
+    graph = f"""
+toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+adj AS (
+  SELECT t[j] AS src, t[j+1] AS dst
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(j)),
+ew AS (SELECT src, dst, COUNT(*) AS w FROM adj GROUP BY 1, 2),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM ew GROUP BY 1),
+wc AS (SELECT w AS word, COUNT(*) AS c FROM (SELECT unnest({tokens_sql("text")}) AS w FROM documents) GROUP BY 1),
+seeds AS (
+  SELECT word AS node, CAST({1.0 / _PPR_NSEEDS} AS DOUBLE) AS s
+  FROM wc ORDER BY c DESC, word LIMIT {_PPR_NSEEDS}),
+nodes AS (
+  SELECT node, COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS s
+  FROM (SELECT src AS node FROM ew UNION SELECT dst FROM ew) n
+  LEFT JOIN seeds s USING (node)),
+r0 AS (SELECT node, s AS p FROM nodes)
+"""
+    parts = [f"WITH {graph}"]
+    for t in range(iters):
+        parts.append(
+            f""",
+c{t} AS (
+  SELECT e.dst AS node, CAST(r.p * e.w / o.tw AS DECIMAL(38,18)) AS c
+  FROM ew e JOIN r{t} r ON r.node = e.src JOIN outw o ON o.src = e.src),
+r{t + 1} AS (
+  SELECT n.node,
+         CAST(0.15 AS DOUBLE) * n.s + CAST(0.85 AS DOUBLE)
+           * COALESCE(CAST(SUM(c.c) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS p
+  FROM nodes n LEFT JOIN c{t} c ON c.node = n.node GROUP BY n.node, n.s)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS word, ROUND(p, 10) AS rank_score
+FROM r{iters} WHERE p > 0 ORDER BY rank_score DESC, word LIMIT {k}"""
+    )
+    return "".join(parts)
+
+
+@register("word_personalized_pagerank", _ppr_oracle())
+def word_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 words by PageRank personalized to the corpus's 5 most
+    frequent words (random walks restart only at the seeds) — the
+    topic-affinity / related-entity ranking run on co-occurrence graphs
+    (see operators/graph.personalized_pagerank).  Same per-round plan as
+    word_pagerank plus one broadcast seed join."""
+    from incubator_flink_spark.operators.graph import personalized_pagerank
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("word"))
+    seeds = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(_PPR_NSEEDS)
+        .select(F.col("word").alias("node"), F.lit(1.0 / _PPR_NSEEDS).alias("s"))
+    )
+    bigrams = d.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    ew = (
+        bigrams.select(
+            F.split(F.col("bg"), " ").getItem(0).alias("src"),
+            F.split(F.col("bg"), " ").getItem(1).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = personalized_pagerank(ew, seeds, iters=_PR_ITERS)
+    return (
+        pr.where(F.col("p") > 0)
+        .select(F.col("node").alias("word"), F.round("p", 10).alias("rank_score"))
+        .orderBy(F.col("rank_score").desc(), "word")
+        .limit(50)
+    )

@@ -253,6 +253,7 @@ def main():
         "bitext_margin_mining",
         "hybrid_rrf_topk",
         "source_cap_sample",
+        "word_personalized_pagerank",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
