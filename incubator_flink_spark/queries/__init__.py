@@ -65,6 +65,7 @@ _PRIORITY = [
     "hybrid_rrf_topk",
     "source_cap_sample",
     "word_personalized_pagerank",
+    "multi_signal_dedup",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1465,3 +1465,49 @@ def word_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_score").desc(), "word")
         .limit(50)
     )
+
+
+# --- multi-signal dedup (text MinHash ∪ embedding LSH → one cluster graph) ----
+# The "aggressive dedup" pass production corpora run before training:
+# lexical near-dups (MinHash jaccard) and semantic near-dups (embedding
+# cosine) are DIFFERENT relations — paraphrases share no shingles,
+# boilerplate variants share no embedding direction — so the dedup
+# clusters come from connected components over the UNION of both pair
+# graphs (documents and embeddings share the id space).
+
+from incubator_flink_spark.queries.embeddings import NEAR_PAIRS_ORACLE as _SEM_PAIRS_SQL
+
+MULTI_SIGNAL_DEDUP_ORACLE = f"""
+WITH RECURSIVE tpairs AS ({_PAIR_GRAPH_SQL}),
+spairs AS (
+  SELECT id_a, id_b FROM ({_SEM_PAIRS_SQL.strip().removesuffix("ORDER BY id_a, id_b")})
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM tpairs
+          UNION SELECT id_b, id_a FROM tpairs
+          UNION SELECT id_a, id_b FROM spairs
+          UNION SELECT id_b, id_a FROM spairs),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
+SELECT u AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
+@register("multi_signal_dedup", MULTI_SIGNAL_DEDUP_ORACLE)
+def multi_signal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters over the union of the lexical (MinHash-LSH
+    jaccard >= 0.8) and semantic (embedding LSH cosine >= 0.35) pair
+    graphs: (doc_id, cluster_id = min reachable id) for every document
+    in any pair.  Both pair generators are the candidate-proportional
+    banded joins already registered individually; the union adds no
+    shuffle (CC consumes the concatenated edge list)."""
+    from incubator_flink_spark.operators.graph import dedup_clusters
+    from incubator_flink_spark.operators.similarity import near_pairs_lsh
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    pt = minhash_lsh_pairs(d, threshold=0.8).select("id_a", "id_b")
+    ps = near_pairs_lsh(e, 0.35).select("id_a", "id_b")
+    return dedup_clusters(pt.unionAll(ps)).orderBy("doc_id")

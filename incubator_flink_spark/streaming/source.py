@@ -31,6 +31,10 @@ def replay_table(
     per = (total + n_files - 1) // n_files
     from pyspark.sql import Window as W
 
+    # keyless window is fine HERE: this is a test-fixture generator that
+    # materializes a small replay directory, not a production operator —
+    # at scale the time-ordered split would be repartitionByRange(ts)
+    # (operators/rank.py is the distributed construction)
     ordered = df.withColumn("__rn", F.row_number().over(W.orderBy(ts_col))).withColumn(
         "__file", ((F.col("__rn") - 1) / per).cast("int")
     )
