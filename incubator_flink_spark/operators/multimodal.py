@@ -429,3 +429,187 @@ def resize_image_real(
         [T.StructField(id_col, T.LongType()), T.StructField(payload_col, T.BinaryType())]
     )
     return df.select(id_col, payload_col).mapInPandas(fn, schema)
+
+
+# --- video: REAL container parse for uncompressed AVI -------------------------
+# Like BMP/PPM for images and WAV for audio, an uncompressed AVI (RIFF
+# 'AVI ' with '00db' DIB frames) is a pure byte layout: chunk walk with
+# struct, frame pixels with numpy.frombuffer.  This makes the VIDEO path
+# real end-to-end for codec-free containers — only compressed codecs
+# (H.264/VP9/...) remain behind the decode stub.
+
+
+def encode_avi(frames, us_per_frame: int = 100_000) -> bytes:
+    """RGB uint8 frame arrays -> minimal uncompressed AVI bytes (RIFF
+    hdrl/avih + strl/strh/strf + movi with '00db' DIB frames) — the
+    deterministic fixture writer the tests pair with ``parse_avi``."""
+    import struct
+
+    import numpy as np
+
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+    dibs = []
+    for f in frames:
+        bgr = np.asarray(f, dtype=np.uint8)[:, :, ::-1]
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        dibs.append(rows[::-1].tobytes())  # bottom-up
+    frame_sz = h * stride
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(listtype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", listtype + data)
+
+    avih = struct.pack(
+        "<14I", us_per_frame, frame_sz * 10, 0, 0, len(frames), 0, 1, frame_sz,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<3I2HIIIIIi", 0, 0, 0, 0, 0, 1,
+                                        1_000_000 // us_per_frame, 0, len(frames),
+                                        frame_sz, -1)
+        + struct.pack("<I4H", 0, 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(payload: bytes):
+    """(width, height, us_per_frame, [RGB uint8 frame arrays]) from an
+    uncompressed AVI payload. Pure struct/numpy — no codec library."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI payload")
+    w = h = None
+    us_per_frame = 0
+    dibs: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, us_per_frame
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            data_start = pos + 8
+            if fourcc == b"LIST":
+                walk(data_start + 4, data_start + size)
+            elif fourcc == b"avih":
+                us_per_frame, = struct.unpack_from("<I", payload, data_start)
+                w, h = struct.unpack_from("<II", payload, data_start + 32)
+            elif fourcc in (b"00db", b"00dc"):
+                dibs.append(payload[data_start : data_start + size])
+            pos = data_start + size + (size % 2)
+
+    walk(12, len(payload))
+    if w is None or h is None:
+        raise ValueError("AVI avih header not found")
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for d in dibs:
+        px = np.frombuffer(d, dtype=np.uint8, count=stride * h)
+        rows = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1]
+        frames.append(rows[:, :, ::-1].copy())  # BGR -> RGB
+    return w, h, us_per_frame, frames
+
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("brightness", T.DoubleType()),
+        T.StructField("motion_energy", T.DoubleType()),
+    ]
+)
+
+
+def video_features(
+    df: DataFrame,
+    every_n: int = 1,
+    max_frames: int | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-video features from uncompressed AVI payloads — REAL decode:
+    container geometry, frame counts, mean Rec.601 brightness over the
+    sampled frames, and motion energy (mean absolute gray-plane delta
+    between consecutive sampled frames — the shot-boundary/static-clip
+    signal video curation filters on).  Arrow-batched mapInPandas, zero
+    shuffles; ``every_n``/``max_frames`` bound per-row decode cost."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, _us, frames = parse_avi(bytes(payload))
+                sampled = frames[::every_n]
+                if max_frames is not None:
+                    sampled = sampled[:max_frames]
+                grays = [
+                    0.299 * f[:, :, 0].astype(np.float64)
+                    + 0.587 * f[:, :, 1]
+                    + 0.114 * f[:, :, 2]
+                    for f in sampled
+                ]
+                bright = float(np.mean([g.mean() for g in grays])) if grays else 0.0
+                motion = (
+                    float(np.mean([np.abs(b - a).mean() for a, b in zip(grays, grays[1:])]))
+                    if len(grays) > 1
+                    else 0.0
+                )
+                rows.append((rid, w, h, len(frames), len(sampled), bright, motion))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "n_frames", "n_sampled", "brightness", "motion_energy"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, VIDEO_FEATURE_SCHEMA)
+
+
+def sample_frames_avi(
+    df: DataFrame,
+    every_n: int = 2,
+    max_frames: int | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL video frame sampling: parse the AVI container and emit every
+    ``every_n``-th frame as its own row (doc_id, frame_idx, frame) with
+    the frame re-encoded as P6 PPM — the fan-out shape of
+    ``sample_frames`` with an actual decoder behind it."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, out = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                _w, _h, _us, frames = parse_avi(bytes(payload))
+                taken = 0
+                for i in range(0, len(frames), every_n):
+                    if max_frames is not None and taken >= max_frames:
+                        break
+                    ids.append(rid)
+                    idxs.append(i)
+                    out.append(encode_ppm(frames[i]))
+                    taken += 1
+            yield pd.DataFrame({id_col: ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame": out})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)

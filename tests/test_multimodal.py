@@ -205,3 +205,55 @@ def test_resize_image_real_nearest_neighbor(spark):
     res = parse_image(bytes(out["payload"]))
     assert res.shape == (4, 4, 3)
     assert (res[:, :2] == (10, 20, 30)).all() and (res[:, 2:] == (200, 210, 220)).all()
+
+
+class TestVideoAvi:
+    def _clip(self, np, n=6, w=8, h=6, step=30):
+        return [np.full((h, w, 3), i * step, dtype=np.uint8) for i in range(n)]
+
+    def test_video_features_analytic(self, spark):
+        """Constant-value frames i*30: brightness and motion energy have
+        closed forms (Rec.601 of a constant plane is the constant)."""
+        import numpy as np
+
+        from incubator_flink_spark.operators.multimodal import encode_avi, video_features
+
+        avi = encode_avi(self._clip(np))
+        df = spark.createDataFrame([(1, bytearray(avi))], "doc_id LONG, payload BINARY")
+        r = video_features(df, every_n=2).collect()[0]
+        # sampled frames 0, 2, 4 -> values 0, 60, 120
+        assert (r["width"], r["height"], r["n_frames"], r["n_sampled"]) == (8, 6, 6, 3)
+        assert abs(r["brightness"] - (0 + 60 + 120) / 3) < 1e-9
+        assert abs(r["motion_energy"] - 60.0) < 1e-9
+
+    def test_sample_frames_avi_roundtrip(self, spark):
+        """Sampled frames re-encode as PPM and decode back to the exact
+        source pixels (fan-out: one row in, three rows out)."""
+        import numpy as np
+
+        from incubator_flink_spark.operators.multimodal import (
+            encode_avi,
+            parse_image,
+            sample_frames_avi,
+        )
+
+        frames = self._clip(np)
+        df = spark.createDataFrame(
+            [(7, bytearray(encode_avi(frames)))], "doc_id LONG, payload BINARY"
+        )
+        rows = sample_frames_avi(df, every_n=2).orderBy("frame_idx").collect()
+        assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+        for r in rows:
+            img = parse_image(bytes(r["frame"]))
+            assert (img == frames[r["frame_idx"]]).all()
+
+    def test_stride_padding_and_cap(self, spark):
+        import numpy as np
+
+        from incubator_flink_spark.operators.multimodal import encode_avi, video_features
+
+        frames = [np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3) for _ in range(9)]
+        df = spark.createDataFrame([(2, bytearray(encode_avi(frames)))], "doc_id LONG, payload BINARY")
+        r = video_features(df, every_n=1, max_frames=4).collect()[0]
+        assert (r["width"], r["height"], r["n_frames"], r["n_sampled"]) == (5, 3, 9, 4)
+        assert r["motion_energy"] == 0.0  # identical frames
