@@ -66,6 +66,7 @@ _PRIORITY = [
     "source_cap_sample",
     "word_personalized_pagerank",
     "multi_signal_dedup",
+    "contrastive_triplets",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

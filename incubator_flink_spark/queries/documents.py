@@ -1511,3 +1511,95 @@ def multi_signal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = minhash_lsh_pairs(d, threshold=0.8).select("id_a", "id_b")
     ps = near_pairs_lsh(e, 0.35).select("id_a", "id_b")
     return dedup_clusters(pt.unionAll(ps)).orderBy("doc_id")
+
+
+# --- contrastive training triplets (anchor, positive, mined negatives) --------
+# The pair-construction pass of contrastive embedding training (public
+# practice: SimCSE/E5/GTR data recipes): positives are near-duplicate
+# pairs, negatives are seeded-hash-sampled corpus documents EXCLUDING the
+# anchor's near-dup neighborhood (so "negatives" are never secret
+# positives).  Everything is deterministic: the probe sequence is
+# hash64('neg:'||anchor||':'||j) mod |corpus| over the dense id space,
+# filtered by an anti join against the pair graph, first 3 survivors
+# kept in probe order.
+
+_NEG_PROBES = 8
+_NEG_KEEP = 3
+
+CONTRASTIVE_ORACLE = f"""
+WITH pairs AS ({{pair_graph}}),
+near AS (
+  SELECT id_a AS anchor, id_b AS nbr FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+probes AS (
+  SELECT p.id_a AS anchor_id, p.id_b AS positive_id, g.j,
+         {hash64_sql("'neg:' || CAST(p.id_a AS VARCHAR) || ':' || CAST(g.j AS VARCHAR)")} % n.n_docs AS cand
+  FROM pairs p, n, unnest(generate_series(1, {_NEG_PROBES})) AS g(j)),
+ok AS (
+  SELECT pr.anchor_id, pr.positive_id, pr.j, pr.cand
+  FROM probes pr
+  LEFT JOIN near nr ON nr.anchor = pr.anchor_id AND nr.nbr = pr.cand
+  WHERE nr.nbr IS NULL AND pr.cand <> pr.anchor_id AND pr.cand <> pr.positive_id),
+ranked AS (
+  SELECT anchor_id, positive_id, cand,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id, positive_id ORDER BY j) AS neg_rank
+  FROM ok)
+SELECT anchor_id, positive_id, CAST(neg_rank AS INTEGER) AS neg_rank, cand AS negative_id
+FROM ranked WHERE neg_rank <= {_NEG_KEEP}
+ORDER BY anchor_id, positive_id, neg_rank
+""".format(pair_graph=_PAIR_GRAPH_SQL)
+
+
+@register("contrastive_triplets", CONTRASTIVE_ORACLE)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, neg_rank, negative) rows: near-dup pairs as
+    positives, {_NEG_KEEP} seeded-hash negatives per pair with the
+    anchor's near-dup neighborhood excluded.  Scale shape: probes are a
+    map-side fan-out over the (small) pair set; the exclusion is one
+    anti join against the pair graph; the corpus itself never joins —
+    negatives are addressed by dense id arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.8).select("id_a", "id_b")
+    near = pairs.select(F.col("id_a").alias("anchor"), F.col("id_b").alias("nbr")).unionAll(
+        pairs.select(F.col("id_b").alias("anchor"), F.col("id_a").alias("nbr"))
+    ).distinct()
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    probes = (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            F.col("id_a").alias("anchor_id"),
+            F.col("id_b").alias("positive_id"),
+            F.explode(F.array(*[F.lit(j) for j in range(1, _NEG_PROBES + 1)])).alias("j"),
+            "n_docs",
+        )
+        .withColumn(
+            "cand",
+            hash64(
+                F.concat(
+                    F.lit("neg:"),
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            )
+            % F.col("n_docs"),
+        )
+    )
+    ok = (
+        probes.join(
+            near,
+            (probes.anchor_id == near.anchor) & (probes.cand == near.nbr),
+            "left_anti",
+        )
+        .where((F.col("cand") != F.col("anchor_id")) & (F.col("cand") != F.col("positive_id")))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("anchor_id", "positive_id").orderBy("j")
+    return (
+        ok.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("neg_rank") <= _NEG_KEEP)
+        .select("anchor_id", "positive_id", "neg_rank", F.col("cand").alias("negative_id"))
+        .orderBy("anchor_id", "positive_id", "neg_rank")
+    )
