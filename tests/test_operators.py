@@ -1079,6 +1079,28 @@ class TestDistributedRank:
         }
         assert got == want
 
+    def test_rank_constant_key_still_splits(self, spark):
+        """Adversarial skew: ALL rows share the sort key; the tiebreak
+        column must carry the range split so no partition holds
+        everything (the case a global window cannot survive)."""
+        from pyspark.sql import functions as FF
+
+        from incubator_flink_spark.operators.rank import distributed_rank
+
+        df = spark.range(2000).select(FF.col("id"), FF.lit(7).alias("v"))
+        ranked = distributed_rank(df, ["v", "id"], num_partitions=8)
+        got = {r["id"]: r["rank"] for r in ranked.collect()}
+        assert got == {i: i + 1 for i in range(2000)}
+        # the range exchange actually spread the rows
+        sizes = (
+            df.repartitionByRange(8, FF.col("v"), FF.col("id"))
+            .withColumn("p", FF.spark_partition_id())
+            .groupBy("p")
+            .count()
+            .collect()
+        )
+        assert max(r["count"] for r in sizes) < 2000
+
     def test_no_window_exec_in_rank_plan(self, spark):
         from incubator_flink_spark.operators.rank import ntile_exact
         from incubator_flink_spark.plans.audit import audit_plan

@@ -254,6 +254,7 @@ def main():
         "hybrid_rrf_topk",
         "source_cap_sample",
         "word_personalized_pagerank",
+        "contrastive_triplets",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
