@@ -108,6 +108,7 @@ EXTRA = [
     "bitext_margin_mining",
     "hybrid_rrf_topk",
     "source_cap_sample",
+    "curation_funnel",
 ]
 
 

@@ -67,6 +67,7 @@ _PRIORITY = [
     "word_personalized_pagerank",
     "multi_signal_dedup",
     "contrastive_triplets",
+    "curation_funnel",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

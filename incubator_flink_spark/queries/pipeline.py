@@ -1236,3 +1236,121 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "rk")
         .orderBy("source", "rk")
     )
+
+
+# --- curation funnel report ---------------------------------------------------
+# The per-language kept/dropped funnel every curation run publishes:
+# exact dedup (normalized-content canonical) then quality filtering
+# (the Gopher repetition thresholds above), with surviving token mass —
+# ONE composed plan over the corpus, the integration shape of a real
+# pipeline rather than per-operator queries.
+
+from incubator_flink_spark.queries.documents import _NORM_SQL
+
+CURATION_FUNNEL_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, lang, text, md5({_NORM_SQL}) AS h FROM documents),
+canon AS (SELECT h, MIN(doc_id) AS keeper FROM norm GROUP BY h),
+flags AS (
+  SELECT n.doc_id, n.lang, (n.doc_id = c.keeper) AS dup_keep
+  FROM norm n JOIN canon c USING (h)),
+w AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+wagg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         ROUND(1.0 * MAX(c) / SUM(c), 6) AS top_word_frac,
+         ROUND(1.0 - 1.0 * COUNT(*) / SUM(c), 6) AS dup_word_frac
+  FROM wc GROUP BY doc_id),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(a) - 1, 0)),
+                               j -> a[j] || ' ' || a[j+1])) AS g
+  FROM (SELECT doc_id, {_TOKS} AS a FROM documents) t),
+gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+gagg AS (
+  SELECT doc_id, ROUND(1.0 * MAX(c) / SUM(c), 6) AS top_bigram_frac
+  FROM gc GROUP BY doc_id),
+q AS (
+  SELECT w.doc_id, w.n_words,
+         (w.top_word_frac <= {_MAX_TOP_WORD}
+          AND w.dup_word_frac <= {_MAX_DUP_WORD}
+          AND COALESCE(g.top_bigram_frac, 0.0) <= {_MAX_TOP_BIGRAM}
+          AND w.n_words >= {_MIN_WORDS}) AS q_keep
+  FROM wagg w LEFT JOIN gagg g USING (doc_id))
+SELECT f.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN NOT f.dup_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+       CAST(SUM(CASE WHEN f.dup_keep AND NOT q.q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped,
+       CAST(SUM(CASE WHEN f.dup_keep AND q.q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN f.dup_keep AND q.q_keep THEN q.n_words ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM flags f JOIN q USING (doc_id)
+GROUP BY f.lang ORDER BY f.lang
+"""
+
+
+@register("curation_funnel", CURATION_FUNNEL_ORACLE)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language curation funnel: exact-dedup drops (non-canonical
+    normalized-content copies), then Gopher-quality drops among the
+    survivors, survivor counts and their token mass.  One corpus scan
+    feeds both the hash-keyed dedup aggregate and the (doc, gram)
+    quality aggregates; the funnel itself is a dim-sized group-by."""
+    from incubator_flink_spark.operators.dedup import normalize_text
+
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    norm = d.select("doc_id", "lang", F.md5(normalize_text(F.col("text"))).alias("h"))
+    canon = norm.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    flags = norm.join(canon, "h").select(
+        "doc_id", "lang", (F.col("doc_id") == F.col("keeper")).alias("dup_keep")
+    )
+    wc = (
+        d.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wagg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_word_frac"),
+    )
+    gc = (
+        d.select("doc_id", F.explode(shingles(toks, 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gagg = gc.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    q = (
+        wagg.join(gagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                (F.col("top_word_frac") <= _MAX_TOP_WORD)
+                & (F.col("dup_word_frac") <= _MAX_DUP_WORD)
+                & (F.coalesce("top_bigram_frac", F.lit(0.0)) <= _MAX_TOP_BIGRAM)
+                & (F.col("n_words") >= _MIN_WORDS)
+            ).alias("q_keep"),
+        )
+    )
+    j = flags.join(q, "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(~F.col("dup_keep"), 1).otherwise(0)).cast("bigint").alias("n_dup_dropped"),
+            F.sum(F.when(F.col("dup_keep") & ~F.col("q_keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_quality_dropped"),
+            F.sum(F.when(F.col("dup_keep") & F.col("q_keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("dup_keep") & F.col("q_keep"), F.col("n_words")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )

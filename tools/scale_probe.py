@@ -255,6 +255,7 @@ def main():
         "source_cap_sample",
         "word_personalized_pagerank",
         "contrastive_triplets",
+        "curation_funnel",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
