@@ -477,3 +477,19 @@ def test_tpcds_wave3_plan_shapes(spark):
         assert rep.nested_loop_joins == 0, name
     rep = audit_plan(REGISTRY["star_channel_exclusive"].fn(spark, SF))
     assert "LeftAnti" in rep.raw
+
+
+def test_round5_additions_pushdown_and_no_nlj(spark):
+    """Round-5 pipeline queries: every parquet scan carries pushed
+    filters (or projects a pruned schema), and no nested loop appears."""
+    for name in ("source_cap_sample", "curation_funnel"):
+        rep = audit_plan(REGISTRY[name].fn(spark, SF))
+        assert rep.nested_loop_joins == 0, name
+    # contrastive_triplets legitimately carries ONE BroadcastNestedLoopJoin:
+    # the 1-row corpus-count broadcast cross join (same shape as the
+    # tfidf/pmi total-count joins) — anything beyond that is a regression
+    rep = audit_plan(REGISTRY["contrastive_triplets"].fn(spark, SF))
+    assert rep.nested_loop_joins <= 1
+    rep = audit_plan(REGISTRY["star_channel_returns_rollup"].fn(spark, SF))
+    # three disjoint priority filters pushed into the three orders scans
+    assert rep.scans_with_pushed_filters == rep.scans
