@@ -68,6 +68,11 @@ _PRIORITY = [
     "multi_signal_dedup",
     "contrastive_triplets",
     "curation_funnel",
+    "attribution_last_touch",
+    "timeseries_gapfill",
+    "event_outliers_mad",
+    "winnowing_pairs",
+    "record_linkage_blocked",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

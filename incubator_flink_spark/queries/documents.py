@@ -1603,3 +1603,174 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "positive_id", "neg_rank", F.col("cand").alias("negative_id"))
         .orderBy("anchor_id", "positive_id", "neg_rank")
     )
+
+
+# --- winnowing fingerprints (MOSS) -------------------------------------------
+
+_WINNOW_K = 8  # k-gram length (chars)
+_WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
+_WINNOW_MAX_DF = 20  # drop fingerprints shared by more docs (stopword-grams)
+_WINNOW_MIN_SHARED = 10  # report pairs sharing at least this many fingerprints
+
+WINNOWING_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, unnest(generate_series(1, length(text)-{_WINNOW_K - 1})) AS p, text
+  FROM documents WHERE length(text) >= {_WINNOW_K}),
+hashed AS (
+  SELECT doc_id, p,
+         {hash64_sql(f"substr(text, CAST(p AS INTEGER), {_WINNOW_K})")} AS h
+  FROM pos),
+sel AS (
+  SELECT doc_id, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND 1 PRECEDING) AS pm
+  FROM hashed),
+fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE pm IS NULL OR h <= pm),
+rare AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= {_WINNOW_MAX_DF})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fp
+FROM fp a JOIN fp b USING (h) JOIN rare USING (h)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("winnowing_pairs", WINNOWING_ORACLE)
+def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS local fingerprinting algorithm): hash every
+    8-char k-gram, keep position p iff its hash is <= the minimum of the
+    w-1=3 preceding hashes (the window-ending-at-p selection rule, applied
+    identically in both engines), guaranteeing at least one fingerprint
+    per w consecutive k-grams.  Hyper-frequent fingerprints (doc freq >
+    20 — boilerplate grams) are dropped IDF-style before pairing, which
+    bounds the per-hash join fan-out by MAX_DF^2 — the equi-join stays
+    candidate-proportional, never all-pairs.  Reports doc pairs sharing
+    >= 10 rare fingerprints: a third near-dup discipline alongside
+    MinHash-LSH (probabilistic jaccard) and SimHash (hamming), with
+    position-structural rather than bag-of-shingles evidence."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= _WINNOW_K)
+    pos = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (_WINNOW_K - 1))
+        ).alias("p"),
+        "text",
+    )
+    hashed = pos.select(
+        "doc_id",
+        "p",
+        hash64(F.expr(f"substring(text, p, {_WINNOW_K})")).alias("h"),
+    )
+    from pyspark.sql import Window as W
+
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(_WINNOW_W - 1), -1)
+    )
+    sel = hashed.select(
+        "doc_id", "h", F.min("h").over(win).alias("pm")
+    ).where(F.col("pm").isNull() | (F.col("h") <= F.col("pm")))
+    fp = sel.select("doc_id", "h").distinct()
+    rare = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= _WINNOW_MAX_DF
+    )
+    fp = fp.join(rare.select("h"), "h")
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .where(F.col("shared_fp") >= _WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- blocked record linkage (entity resolution) ------------------------------
+
+_LINK_BLOCK = 12  # blocking-key prefix/suffix length
+_LINK_CMP = 80  # compared prefix length
+_LINK_MAX_LEV = 8
+
+RECORD_LINKAGE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, lang, length(text) AS len
+  FROM documents WHERE length(text) >= {_LINK_BLOCK}),
+b1 AS (SELECT lang || '|p|' || substr(text, 1, {_LINK_BLOCK}) AS bk, doc_id, text FROM d),
+b2 AS (SELECT lang || '|s|' || substr(text, CAST(GREATEST(len-{_LINK_BLOCK - 1}, 1) AS INTEGER),
+                                      {_LINK_BLOCK}) AS bk, doc_id, text FROM d),
+blocks AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a JOIN blocks b USING (bk)
+  WHERE a.doc_id < b.doc_id),
+v AS (
+  SELECT doc_a, doc_b,
+         levenshtein(substr(da.text, 1, {_LINK_CMP}), substr(db.text, 1, {_LINK_CMP})) AS lev
+  FROM cand
+  JOIN d da ON da.doc_id = doc_a
+  JOIN d db ON db.doc_id = doc_b)
+SELECT doc_a, doc_b, CAST(lev AS BIGINT) AS lev
+FROM v WHERE lev <= {_LINK_MAX_LEV} ORDER BY doc_a, doc_b
+"""
+
+
+@register("record_linkage_blocked", RECORD_LINKAGE_ORACLE)
+def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (Fellegi-Sunter-style blocking + edit-
+    distance verify): candidate pairs come from TWO independent blocking
+    passes — same language + identical 12-char prefix, or same language +
+    identical 12-char suffix — so a single edit anywhere in the text can
+    defeat at most one pass.  Verification is levenshtein <= 8 on the
+    80-char prefix (built-in in both engines — identical integer DP).
+    The expensive O(len^2) comparison runs ONLY on blocked candidates:
+    block keys are equi-join keys, so the shuffle is candidate-
+    proportional; at 100 TB the block-size distribution is the knob
+    (cap oversized blocks or widen the key), never an all-pairs join."""
+    d = load(spark, sf_dir, "documents").where(
+        F.length("text") >= _LINK_BLOCK
+    ).select("doc_id", "text", "lang", F.length("text").alias("len"))
+    b1 = d.select(
+        F.concat(F.col("lang"), F.lit("|p|"), F.expr(f"substring(text, 1, {_LINK_BLOCK})")).alias("bk"),
+        "doc_id",
+    )
+    b2 = d.select(
+        F.concat(
+            F.col("lang"),
+            F.lit("|s|"),
+            F.expr(f"substring(text, greatest(len - {_LINK_BLOCK - 1}, 1), {_LINK_BLOCK})"),
+        ).alias("bk"),
+        "doc_id",
+    )
+    blocks = b1.unionAll(b2)
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(b, "bk")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(
+                F.expr(f"substring(text_a, 1, {_LINK_CMP})"),
+                F.expr(f"substring(text_b, 1, {_LINK_CMP})"),
+            )
+            .cast("bigint")
+            .alias("lev"),
+        )
+        .where(F.col("lev") <= _LINK_MAX_LEV)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -729,3 +729,261 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- last-touch marketing attribution ----------------------------------------
+
+ATTRIBUTION_ORACLE = """
+WITH rel AS (
+  SELECT user_id, ts, event_id, event_type, value FROM events
+  WHERE event_type IN ('click', 'view', 'signup', 'purchase')),
+w AS (
+  SELECT user_id, ts, event_type, value,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+    last_value(CASE WHEN event_type <> 'purchase' THEN CAST(epoch(ts) AS BIGINT) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_s
+  FROM rel),
+conv AS (
+  SELECT CASE WHEN touch_type IS NOT NULL
+                   AND CAST(epoch(ts) AS BIGINT) - touch_s <= 604800
+              THEN touch_type ELSE 'direct' END AS channel, value
+  FROM w WHERE event_type = 'purchase')
+SELECT channel, COUNT(*) AS n_conversions,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM conv GROUP BY channel ORDER BY channel
+"""
+
+
+@register("attribution_last_touch", ATTRIBUTION_ORACLE)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent preceding touch (click/view/signup) within a 7-day
+    lookback, else to 'direct'.  The carry-forward is the streaming
+    last-non-null pattern (the same keyed-state shape as the reference's
+    TemporalRowTimeJoinOperator.java:78 latest-version lookup), expressed
+    as one user-keyed window — a single shuffle on user_id, then a
+    channel-grain aggregate.  The event_type IN (...) filter is pushed to
+    the parquet scan; 'error' events are neither touch nor conversion.
+    Scale: window partitions are per-user (bounded), the final aggregate
+    has 4-key cardinality — no hot partition at any corpus size."""
+    from incubator_flink_spark.queries.tpch import dsum
+
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view", "signup", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch_type = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_s = F.when(F.col("event_type") != "purchase", F.col("ts").cast("long"))
+    enriched = e.select(
+        "event_type",
+        "ts",
+        "value",
+        F.last(touch_type, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(touch_s, ignorenulls=True).over(w).alias("touch_s"),
+    )
+    conv = enriched.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_type").isNotNull()
+            & (F.col("ts").cast("long") - F.col("touch_s") <= 604800),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "value",
+    )
+    return (
+        conv.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            dsum(F.col("value")).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --- time-series gap-fill / forward-fill resample ----------------------------
+
+GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS avg_value
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds),
+joined AS (
+  SELECT g.event_type, g.hour,
+         COALESCE(h.n_events, 0) AS n_events, h.avg_value,
+         CASE WHEN h.n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+  FROM grid g
+  LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour)
+SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events,
+       COALESCE(last_value(avg_value IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+         AS filled_value,
+       CAST(is_gap AS BIGINT) AS is_gap
+FROM joined ORDER BY event_type, hour
+"""
+
+
+@register("timeseries_gapfill", GAPFILL_ORACLE)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample with forward-fill: hourly averages per event
+    type, densified onto the full [min,max] hour grid (gap hours get
+    n_events=0 and carry the last observed average forward).  The grid is
+    generated per-key with ``sequence()`` — size is time-span-bounded, not
+    event-count-bounded, so densification never amplifies the data volume;
+    the fill is a per-key last-non-null window (bounded partitions: one per
+    event type x span).  At 100 TB the hourly pre-aggregate shrinks the
+    event stream to the grid size BEFORE the window runs — the only
+    event-proportional step is the first map-side-combined aggregate."""
+    from incubator_flink_spark.queries.tpch import dsum
+
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (dsum(F.col("value")) / F.count(F.lit(1))).alias("avg_value"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    joined = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        "avg_value",
+        F.when(F.col("n_events").isNull(), 1).otherwise(0).cast("bigint").alias("is_gap"),
+    )
+    fill_w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.coalesce(
+            F.last("avg_value", ignorenulls=True).over(fill_w), F.lit(0.0)
+        ).alias("filled_value"),
+        "is_gap",
+    ).orderBy("event_type", "hour")
+
+
+# --- robust outlier detection (median / MAD) ---------------------------------
+
+ZSCORE_ORACLE = """
+WITH v AS (SELECT event_type, event_id, value FROM events),
+rk AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v),
+med AS (
+  SELECT event_type,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS med
+  FROM rk
+  WHERE rn IN (CAST(FLOOR((n+1)/2) AS BIGINT), CAST(FLOOR((n+2)/2) AS BIGINT))
+  GROUP BY event_type),
+dev AS (
+  SELECT v.event_type, v.event_id, ABS(v.value - med.med) AS dev, med.med
+  FROM v JOIN med USING (event_type)),
+rk2 AS (
+  SELECT event_type, dev, med,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev),
+mad AS (
+  SELECT event_type,
+         CAST(CAST(SUM(CAST(dev AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS mad
+  FROM rk2
+  WHERE rn IN (CAST(FLOOR((n+1)/2) AS BIGINT), CAST(FLOOR((n+2)/2) AS BIGINT))
+  GROUP BY event_type)
+SELECT d.event_type, COUNT(*) AS n, MIN(d.med) AS med, MIN(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 4.4478 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       MAX(CASE WHEN d.dev > 4.4478 * m.mad THEN d.dev END) AS max_dev
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+@register("event_outliers_mad", ZSCORE_ORACLE)
+def event_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-key outlier detection: exact median and MAD (median
+    absolute deviation), then |x-med| > 3*1.4826*MAD flags outliers — the
+    standard robust z-score with the Gaussian consistency constant
+    (written as the single literal 4.4478 in BOTH engines so the flag
+    comparison is the identical IEEE expression).  The median is the exact
+    two-middle-rank definition (decimal-sum of the one or two middle
+    values / count), NOT an interpolating percentile — bit-identical
+    across engines and partitionings.  Both ranking passes partition by
+    event_type; at skewed key cardinality the grouped ntile_exact
+    discipline (operators/rank.py) is the drop-in remedy, as
+    perplexity_buckets does."""
+    from incubator_flink_spark.queries.tpch import dsum
+
+    e = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+
+    def two_middle_median(df, col):
+        w = W.partitionBy("event_type").orderBy(col, "event_id")
+        wn = W.partitionBy("event_type")
+        rk = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        mid = rk.where(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint"))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2).cast("bigint"))
+        )
+        return mid.groupBy("event_type").agg(
+            (dsum(F.col(col)) / F.count(F.lit(1))).alias(f"med_{col}")
+        )
+
+    med = two_middle_median(e, "value").withColumnRenamed("med_value", "med")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+        "med",
+    )
+    mad = two_middle_median(dev, "dev").withColumnRenamed("med_dev", "mad")
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(4.4478) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max(F.when(F.col("dev") > F.lit(4.4478) * F.col("mad"), F.col("dev"))).alias(
+                "max_dev"
+            ),
+        )
+        .orderBy("event_type")
+    )

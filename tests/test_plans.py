@@ -493,3 +493,31 @@ def test_round5_additions_pushdown_and_no_nlj(spark):
     rep = audit_plan(REGISTRY["star_channel_returns_rollup"].fn(spark, SF))
     # three disjoint priority filters pushed into the three orders scans
     assert rep.scans_with_pushed_filters == rep.scans
+
+
+def test_round5b_additions_no_nlj_and_partitioned_windows(spark):
+    """Second round-5 wave: attribution / gap-fill / MAD outliers /
+    winnowing / record linkage.  No nested-loop joins anywhere (every
+    pairing is an equi-join on a block or fingerprint key), and every
+    window is keyed — no single-partition WindowExec."""
+    import re
+
+    for name in (
+        "attribution_last_touch",
+        "timeseries_gapfill",
+        "event_outliers_mad",
+        "winnowing_pairs",
+        "record_linkage_blocked",
+    ):
+        rep = audit_plan(REGISTRY[name].fn(spark, SF))
+        assert rep.nested_loop_joins == 0, name
+        for s in re.findall(r"Window \[.*", rep.raw):
+            # keyed windows print as "Window [fns], [keys], [order]";
+            # a keyless one drops the middle partition-spec list
+            assert re.search(r"\], \[[^\]]+\], \[", s), f"keyless window in {name}: {s}"
+
+
+def test_attribution_filter_pushed_to_scan(spark):
+    rep = audit_plan(REGISTRY["attribution_last_touch"].fn(spark, SF))
+    # the event_type IN (...) filter must reach the parquet scan
+    assert rep.scans_with_pushed_filters == rep.scans

@@ -256,6 +256,11 @@ def main():
         "word_personalized_pagerank",
         "contrastive_triplets",
         "curation_funnel",
+        "attribution_last_touch",
+        "timeseries_gapfill",
+        "event_outliers_mad",
+        "winnowing_pairs",
+        "record_linkage_blocked",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
