@@ -1696,6 +1696,7 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINK_BLOCK = 12  # blocking-key prefix/suffix length
 _LINK_CMP = 80  # compared prefix length
 _LINK_MAX_LEV = 8
+_LINK_MAX_BLOCK = 50  # drop oversized blocks (junk keys: boilerplate prefixes)
 
 RECORD_LINKAGE_ORACLE = f"""
 WITH d AS (
@@ -1704,7 +1705,9 @@ WITH d AS (
 b1 AS (SELECT lang || '|p|' || substr(text, 1, {_LINK_BLOCK}) AS bk, doc_id, text FROM d),
 b2 AS (SELECT lang || '|s|' || substr(text, CAST(GREATEST(len-{_LINK_BLOCK - 1}, 1) AS INTEGER),
                                       {_LINK_BLOCK}) AS bk, doc_id, text FROM d),
-blocks AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+blocks0 AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+keep AS (SELECT bk FROM blocks0 GROUP BY bk HAVING COUNT(*) <= {_LINK_MAX_BLOCK}),
+blocks AS (SELECT blocks0.* FROM blocks0 JOIN keep USING (bk)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM blocks a JOIN blocks b USING (bk)
@@ -1730,47 +1733,53 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     80-char prefix (built-in in both engines — identical integer DP).
     The expensive O(len^2) comparison runs ONLY on blocked candidates:
     block keys are equi-join keys, so the shuffle is candidate-
-    proportional; at 100 TB the block-size distribution is the knob
-    (cap oversized blocks or widen the key), never an all-pairs join."""
-    d = load(spark, sf_dir, "documents").where(
-        F.length("text") >= _LINK_BLOCK
-    ).select("doc_id", "text", "lang", F.length("text").alias("len"))
+    proportional, and blocks larger than 50 members are dropped before
+    pairing (oversized blocks are junk keys — boilerplate prefixes —
+    whose pairs are overwhelmingly non-matches; the standard ER pruning
+    that also bounds per-block fan-out at 50^2 so candidates stay LINEAR
+    in corpus size — the 10x probe confirms, vs 21x uncapped)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.length("text") >= _LINK_BLOCK)
+        .select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("len"),
+            # only the compared prefix ever leaves the scan — the full
+            # text column is dropped before any shuffle
+            F.expr(f"substring(text, 1, {_LINK_CMP})").alias("cmp"),
+            F.expr(f"substring(text, 1, {_LINK_BLOCK})").alias("pfx"),
+            F.expr(
+                f"substring(substring(text, 1, len), greatest(len - {_LINK_BLOCK - 1}, 1), {_LINK_BLOCK})"
+            ).alias("sfx"),
+        )
+    )
     b1 = d.select(
-        F.concat(F.col("lang"), F.lit("|p|"), F.expr(f"substring(text, 1, {_LINK_BLOCK})")).alias("bk"),
-        "doc_id",
+        F.concat(F.col("lang"), F.lit("|p|"), F.col("pfx")).alias("bk"), "doc_id", "cmp"
     )
     b2 = d.select(
-        F.concat(
-            F.col("lang"),
-            F.lit("|s|"),
-            F.expr(f"substring(text, greatest(len - {_LINK_BLOCK - 1}, 1), {_LINK_BLOCK})"),
-        ).alias("bk"),
-        "doc_id",
+        F.concat(F.col("lang"), F.lit("|s|"), F.col("sfx")).alias("bk"), "doc_id", "cmp"
     )
-    blocks = b1.unionAll(b2)
-    a = blocks.alias("a")
-    b = blocks.alias("b")
-    cand = (
-        a.join(b, "bk")
+    # block-LOCAL pair generation: one shuffle groups each block, the cap
+    # filters oversized blocks before any pair exists, and the compared
+    # prefixes ride along in the block row — candidates never rejoin the
+    # corpus.  Per-block memory is cap * CMP chars (bounded).
+    grp = (
+        b1.unionAll(b2)
+        .groupBy("bk")
+        .agg(F.array_sort(F.collect_set(F.struct("doc_id", "cmp"))).alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= _LINK_MAX_BLOCK))
+    )
+    pairs = (
+        grp.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    da = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    db = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
         .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein(
-                F.expr(f"substring(text_a, 1, {_LINK_CMP})"),
-                F.expr(f"substring(text_b, 1, {_LINK_CMP})"),
-            )
-            .cast("bigint")
-            .alias("lev"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.cmp"), F.col("b.cmp")).cast("bigint").alias("lev"),
         )
         .where(F.col("lev") <= _LINK_MAX_LEV)
-        .orderBy("doc_a", "doc_b")
+        .distinct()  # a pair can surface via both the prefix and suffix pass
     )
+    return pairs.orderBy("doc_a", "doc_b")
