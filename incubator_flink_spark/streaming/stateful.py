@@ -580,3 +580,77 @@ def keep_last_dedup_tws(df: DataFrame, keys: list[str], ts_col: str, tiebreak: s
     return df.groupBy(*keys).transformWithStateInPandas(
         KeepLast(), out_schema, "update", "None"
     )
+
+
+def attribution_stream(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak: str,
+    type_col: str,
+    value_col: str,
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    conv_type: str = "purchase",
+    lookback_s: int = 604800,
+) -> DataFrame:
+    """Streaming last-touch attribution: per-user O(1) state carries the
+    most recent touch (type, event-time); each conversion emits one
+    attributed row — the touch's channel if it happened within the
+    lookback, else 'direct'.
+
+    This is the streaming execution of the registered batch query
+    ``attribution_last_touch`` (queries/events.py): the batch last-non-null
+    window becomes keyed carry-forward state, the same keyed-state shape
+    as the reference's KeyedProcessFunction with a single ValueState
+    (flink-streaming-java KeyedProcessOperator) — state never grows with
+    history, only ONE (type, ts) pair per user.  Within a micro-batch rows
+    are applied in (event-time, tiebreak) order; cross-batch order is the
+    replay contract (event-time-ordered sources, as replay_table feeds)."""
+    key_fields = [f for f in df.schema.fields if f.name == user_col]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("channel", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("touch_type", T.StringType()),
+            T.StructField("touch_us", T.LongType()),
+        ]
+    )
+    touch_set = set(touch_types)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        touch_type, touch_us = (state.get if state.exists else (None, None))
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.assign(__us=_ts_us(pdf[ts_col]))
+            pdf = pdf.sort_values(["__us", tiebreak])
+            for us, etype, val in zip(pdf["__us"], pdf[type_col], pdf[value_col]):
+                us = int(us)
+                if etype == conv_type:
+                    if touch_us is not None and us - touch_us <= lookback_s * 1_000_000:
+                        channel = touch_type
+                    else:
+                        channel = "direct"
+                    out.append(
+                        {"ts": pd.Timestamp(us * 1000), "channel": channel, "value": float(val)}
+                    )
+                elif etype in touch_set:
+                    touch_type, touch_us = str(etype), us
+        if touch_us is not None:
+            state.update((touch_type, touch_us))
+        if out:
+            res = pd.DataFrame(out)
+            for f, kv in zip(key_fields, key):
+                res[f.name] = kv
+            yield res[[c.name for c in out_schema.fields]]
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1069,3 +1069,71 @@ def test_growing_dedup_stream_replay_is_idempotent(spark, replay_dir):
     run()  # fresh checkpoint => every batch id replays (the retry case)
     second = sorted(r["doc_id"] for r in spark.read.parquet(ref_dir + "/b*").collect())
     assert first == second == [1, 2, 12]
+
+
+def test_attribution_stream_equals_batch(spark, replay_dir):
+    """Streaming last-touch attribution (O(1) keyed carry-forward state)
+    over an event-time-ordered replay emits exactly the batch query's
+    per-conversion attribution (the last-non-null window form)."""
+    from incubator_flink_spark.streaming.source import replay_table
+    from incubator_flink_spark.streaming.stateful import attribution_stream
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/attr_src", n_files=4)
+    out = attribution_stream(stream, "user_id", "ts", "event_id", "event_type", "value")
+    got = []
+    import tempfile as _tf
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda bdf, bid: got.extend(
+                (r.user_id, r.ts, r.channel, r.value) for r in bdf.collect()
+            )
+        )
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # batch truth: the registered query's conversion-grain form
+    from pyspark.sql import Window as W
+
+    e = load(spark, SF, "events").where(
+        F.col("event_type").isin("click", "view", "signup", "purchase")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    enriched = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w).alias("touch_type"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("ts").cast("long")),
+            ignorenulls=True,
+        ).over(w).alias("touch_s"),
+    )
+    expected = [
+        (r.user_id, r.ts, r.channel, r.value)
+        for r in enriched.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.when(
+                F.col("touch_type").isNotNull()
+                & (F.col("ts").cast("long") - F.col("touch_s") <= 604800),
+                F.col("touch_type"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            "value",
+        )
+        .collect()
+    ]
+    assert sorted(got) == sorted(expected) and len(got) > 0
