@@ -922,3 +922,50 @@ def personalized_pagerank(
     finally:
         ewn.unpersist()
     return ranks
+
+
+def landmark_bfs(
+    edges: DataFrame,
+    k_landmarks: int = 3,
+    iters: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS from the top-degree landmark vertices — the
+    landmark (pivot) scheme for approximating closeness centrality on
+    graphs where all-pairs BFS is impossible (k BFS sweeps instead of n;
+    the classic pivot estimator of Eppstein & Wang 2004).  Landmarks are
+    the k highest-degree vertices (ties: vertex id ascending — a
+    deterministic top-k, TakeOrdered, no global sort shuffle).  Rounds
+    are FIXED (not convergence-tested) so an oracle unrolling the same
+    rounds matches exactly; state is (landmark, vertex, dist) — k·|V|
+    rows, each round one join + min-aggregate shuffle, localCheckpoint-ed
+    to keep lineage O(1).  Returns (lm, vertex, dist)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    lms = deg.orderBy(F.col("degree").desc(), F.col("u").asc()).limit(k_landmarks)
+    dist = lms.select(
+        F.col("u").alias("lm"),
+        F.col("u").alias("vertex"),
+        F.lit(0).cast("bigint").alias("dist"),
+    ).localCheckpoint(eager=True)
+    try:
+        for _ in range(iters):
+            relax = e.join(
+                dist.select("lm", F.col("vertex").alias("u"), "dist"), "u"
+            ).select("lm", F.col("v").alias("vertex"), (F.col("dist") + 1).alias("dist"))
+            dist = (
+                dist.union(relax)
+                .groupBy("lm", "vertex")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        e.unpersist()
+    return dist

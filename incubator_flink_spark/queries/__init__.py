@@ -73,6 +73,7 @@ _PRIORITY = [
     "event_outliers_mad",
     "winnowing_pairs",
     "record_linkage_blocked",
+    "word_closeness_landmarks",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

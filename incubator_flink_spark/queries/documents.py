@@ -1783,3 +1783,87 @@ def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # a pair can surface via both the prefix and suffix pass
     )
     return pairs.orderBy("doc_a", "doc_b")
+
+
+# --- landmark closeness centrality over the word graph -----------------------
+
+_CLOSENESS_K = 3
+_CLOSENESS_ITERS = 8
+
+
+def _closeness_oracle(k: int = _CLOSENESS_K, iters: int = _CLOSENESS_ITERS) -> str:
+    parts = [
+        f"""WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+adj AS (
+  SELECT t[j] AS src, t[j+1] AS dst
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(j)),
+e AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT src AS u, dst AS v FROM adj
+    UNION ALL SELECT dst AS u, src AS v FROM adj) s
+  WHERE u <> v GROUP BY u, v),
+lm AS (
+  SELECT u FROM (SELECT u, COUNT(*) AS degree FROM e GROUP BY u) d
+  ORDER BY degree DESC, u LIMIT {k}),
+d0 AS (
+  SELECT u AS lm, u AS vertex, CAST(0 AS BIGINT) AS dist FROM lm)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+d{t + 1} AS MATERIALIZED (
+  SELECT lm, vertex, MIN(dist) AS dist FROM (
+    SELECT lm, vertex, dist FROM d{t}
+    UNION ALL
+    SELECT d{t}.lm, e.v AS vertex, d{t}.dist + 1 AS dist
+    FROM d{t} JOIN e ON e.u = d{t}.vertex) s
+  GROUP BY lm, vertex)"""
+        )
+    parts.append(
+        f"""
+SELECT vertex AS word, COUNT(*) AS reached, CAST(SUM(dist) AS BIGINT) AS total_dist,
+       CASE WHEN SUM(dist) > 0
+            THEN ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(dist), 6) ELSE 0.0 END AS closeness
+FROM d{iters} GROUP BY vertex ORDER BY word"""
+    )
+    return "".join(parts)
+
+
+@register("word_closeness_landmarks", _closeness_oracle())
+def word_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark (pivot) closeness centrality: BFS from the 3 highest-
+    degree words (operators/graph.landmark_bfs — the Eppstein & Wang
+    pivot estimator; k sweeps, never all-pairs), closeness_hat(v) =
+    reached / sum(dist to landmarks).  Fixed 8 rounds, so the oracle
+    unrolls the identical computation — same discipline as word_sssp /
+    word_hits / part_copurchase_kcore.  Complements the Gelly set's
+    PageRank (eigenvector-ish) and HITS with a distance-based
+    centrality."""
+    from incubator_flink_spark.operators.graph import landmark_bfs
+
+    d = load(spark, sf_dir, "documents")
+    bigrams = d.select(F.explode(shingles(tokens(F.col("text")), 2)).alias("bg"))
+    ew = bigrams.select(
+        F.split(F.col("bg"), " ").getItem(0).alias("src"),
+        F.split(F.col("bg"), " ").getItem(1).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    dist = landmark_bfs(ew, k_landmarks=_CLOSENESS_K, iters=_CLOSENESS_ITERS)
+    return (
+        dist.groupBy(F.col("vertex").alias("word"))
+        .agg(
+            F.count(F.lit(1)).alias("reached"),
+            F.sum("dist").cast("bigint").alias("total_dist"),
+        )
+        .select(
+            "word",
+            "reached",
+            "total_dist",
+            F.when(
+                F.col("total_dist") > 0,
+                F.round(F.col("reached").cast("double") / F.col("total_dist"), 6),
+            )
+            .otherwise(0.0)
+            .alias("closeness"),
+        )
+        .orderBy("word")
+    )

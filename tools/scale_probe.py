@@ -261,6 +261,7 @@ def main():
         "event_outliers_mad",
         "winnowing_pairs",
         "record_linkage_blocked",
+        "word_closeness_landmarks",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
