@@ -109,6 +109,13 @@ EXTRA = [
     "hybrid_rrf_topk",
     "source_cap_sample",
     "curation_funnel",
+    # round 5, second wave
+    "attribution_last_touch",
+    "timeseries_gapfill",
+    "event_outliers_mad",
+    "winnowing_pairs",
+    "record_linkage_blocked",
+    "word_closeness_landmarks",
 ]
 
 

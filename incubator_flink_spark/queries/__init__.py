@@ -74,6 +74,7 @@ _PRIORITY = [
     "winnowing_pairs",
     "record_linkage_blocked",
     "word_closeness_landmarks",
+    "subquery_above_group_avg",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -90,3 +90,40 @@ def subquery_in_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(SUBQUERY_IN_NEGATED_SQL)
+
+
+SUBQUERY_ABOVE_GROUP_AVG_SQL = """
+WITH ctr AS (
+  SELECT o_custkey AS custkey, c_nationkey AS nationkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_return
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey, c_nationkey)
+SELECT c.custkey, c.nationkey,
+       CAST(CAST(c.total_return AS STRING) AS DOUBLE) AS total_return
+FROM ctr c
+WHERE CAST(CAST(c.total_return AS STRING) AS DOUBLE) >
+      1.2 * (SELECT CAST(CAST(SUM(c2.total_return) AS STRING) AS DOUBLE)
+                    / COUNT(*)
+             FROM ctr c2 WHERE c2.nationkey = c.nationkey)
+ORDER BY c.custkey
+"""
+
+
+@register("subquery_above_group_avg", SUBQUERY_ABOVE_GROUP_AVG_SQL)
+def subquery_above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q1 signature: a correlated aggregate subquery in the WHERE
+    clause at a DIFFERENT grain than the outer row — customers whose
+    return volume exceeds 1.2x the average across their nation.  The
+    planner must decorrelate to (group-average aggregate) JOIN (outer)
+    on the correlation key — Catalyst's RewriteCorrelatedScalarSubquery,
+    the FlinkSubQueryRemoveRule analog — so the CTE is computed once and
+    re-aggregated, never re-executed per outer row.  The comparison is
+    exact-decimal-sum/count in both engines (identical IEEE division and
+    multiply), so the >1.2x cut is deterministic."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(SUBQUERY_ABOVE_GROUP_AVG_SQL)
