@@ -75,6 +75,7 @@ _PRIORITY = [
     "record_linkage_blocked",
     "word_closeness_landmarks",
     "subquery_above_group_avg",
+    "event_transition_matrix",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

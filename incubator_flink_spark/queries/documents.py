@@ -1612,6 +1612,30 @@ _WINNOW_W = 4  # winnowing window (consecutive k-gram hashes)
 _WINNOW_MAX_DF = 20  # drop fingerprints shared by more docs (stopword-grams)
 _WINNOW_MIN_SHARED = 10  # report pairs sharing at least this many fingerprints
 
+_WINNOW_INF = 1 << 62  # +infinity for truncated edge window extents
+
+# selection rule: p is the RIGHTMOST minimum of some w-window containing
+# it.  Decomposed over the split s = (number of in-window positions left
+# of p): h <= min(s preceding) AND h < min(w-1-s following), any s in
+# [0, w-1]; left ties allowed (p stays rightmost), right ties block.
+_WINNOW_SEL_SQL = " OR ".join(
+    "(h <= lmin{s} AND h < rmin{t})".format(s=s, t=_WINNOW_W - 1 - s)
+    for s in range(_WINNOW_W)
+)
+
+_WINNOW_MINS_SQL = ",\n         ".join(
+    [
+        f"COALESCE(min(h) OVER (PARTITION BY doc_id ORDER BY p "
+        f"ROWS BETWEEN {s} PRECEDING AND 1 PRECEDING), {_WINNOW_INF}) AS lmin{s}"
+        for s in range(1, _WINNOW_W)
+    ]
+    + [
+        f"COALESCE(min(h) OVER (PARTITION BY doc_id ORDER BY p "
+        f"ROWS BETWEEN 1 FOLLOWING AND {t} FOLLOWING), {_WINNOW_INF}) AS rmin{t}"
+        for t in range(1, _WINNOW_W)
+    ]
+)
+
 WINNOWING_ORACLE = f"""
 WITH pos AS (
   SELECT doc_id, unnest(generate_series(1, length(text)-{_WINNOW_K - 1})) AS p, text
@@ -1621,11 +1645,11 @@ hashed AS (
          {hash64_sql(f"substr(text, CAST(p AS INTEGER), {_WINNOW_K})")} AS h
   FROM pos),
 sel AS (
-  SELECT doc_id, h,
-         min(h) OVER (PARTITION BY doc_id ORDER BY p
-                      ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND 1 PRECEDING) AS pm
+  SELECT doc_id, h, CAST({_WINNOW_INF} AS BIGINT) AS lmin0,
+         CAST({_WINNOW_INF} AS BIGINT) AS rmin0,
+         {_WINNOW_MINS_SQL}
   FROM hashed),
-fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE pm IS NULL OR h <= pm),
+fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE {_WINNOW_SEL_SQL}),
 rare AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= {_WINNOW_MAX_DF})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fp
 FROM fp a JOIN fp b USING (h) JOIN rare USING (h)
@@ -1639,16 +1663,23 @@ ORDER BY doc_a, doc_b
 def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD'03 — the MOSS local fingerprinting algorithm): hash every
-    8-char k-gram, keep position p iff its hash is <= the minimum of the
-    w-1=3 preceding hashes (the window-ending-at-p selection rule, applied
-    identically in both engines), guaranteeing at least one fingerprint
-    per w consecutive k-grams.  Hyper-frequent fingerprints (doc freq >
-    20 — boilerplate grams) are dropped IDF-style before pairing, which
-    bounds the per-hash join fan-out by MAX_DF^2 — the equi-join stays
-    candidate-proportional, never all-pairs.  Reports doc pairs sharing
-    >= 10 rare fingerprints: a third near-dup discipline alongside
-    MinHash-LSH (probabilistic jaccard) and SimHash (hamming), with
-    position-structural rather than bag-of-shingles evidence."""
+    8-char k-gram and select position p iff it is the RIGHTMOST minimum
+    of some w=4 window containing it — the true winnowing rule, which
+    guarantees at least one fingerprint in every w consecutive k-gram
+    positions (density 2/(w+1) in expectation; the guarantee is
+    property-tested in tests/test_corpus.py).  The rule is decomposed
+    over the split s = number of in-window positions left of p:
+    h <= min(s preceding) AND h < min(w-1-s following) for some s in
+    [0, w-1] (left ties keep p rightmost, right ties block) — 2(w-1)
+    fixed-frame window mins over ONE doc-keyed sort, identical in both
+    engines; truncated edge extents count as +inf (edge windows
+    included).  Hyper-frequent fingerprints (doc freq > 20 — boilerplate
+    grams) are dropped IDF-style before pairing, which bounds the
+    per-hash join fan-out by MAX_DF^2 — the equi-join stays candidate-
+    proportional, never all-pairs.  Reports doc pairs sharing >= 10 rare
+    fingerprints: a third near-dup discipline alongside MinHash-LSH
+    (probabilistic jaccard) and SimHash (hamming), with position-
+    structural rather than bag-of-shingles evidence."""
     d = load(spark, sf_dir, "documents").where(F.length("text") >= _WINNOW_K)
     pos = d.select(
         "doc_id",
@@ -1664,15 +1695,22 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    win = (
-        W.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(-(_WINNOW_W - 1), -1)
-    )
+    base = W.partitionBy("doc_id").orderBy("p")
+    inf = F.lit(_WINNOW_INF)
+    mins = {"lmin0": inf, "rmin0": inf}
+    for s in range(1, _WINNOW_W):
+        mins[f"lmin{s}"] = F.coalesce(F.min("h").over(base.rowsBetween(-s, -1)), inf)
+        mins[f"rmin{s}"] = F.coalesce(F.min("h").over(base.rowsBetween(1, s)), inf)
     sel = hashed.select(
-        "doc_id", "h", F.min("h").over(win).alias("pm")
-    ).where(F.col("pm").isNull() | (F.col("h") <= F.col("pm")))
-    fp = sel.select("doc_id", "h").distinct()
+        "doc_id", "h", *[c.alias(n) for n, c in mins.items()]
+    )
+    keep = None
+    for s in range(_WINNOW_W):
+        cond = (F.col("h") <= F.col(f"lmin{s}")) & (
+            F.col("h") < F.col(f"rmin{_WINNOW_W - 1 - s}")
+        )
+        keep = cond if keep is None else (keep | cond)
+    fp = sel.where(keep).select("doc_id", "h").distinct()
     rare = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= _WINNOW_MAX_DF
     )

@@ -987,3 +987,57 @@ def event_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- event-type transition matrix (clickstream path analysis) ----------------
+
+TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events),
+cnt AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type), 6) AS prob
+FROM cnt ORDER BY from_type, to_type
+"""
+
+
+@register("event_transition_matrix", TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (clickstream path analysis): count and row-normalized
+    probability of each (event_type -> next event_type) step.  One
+    user-keyed shuffle carries the LEAD; the count table is
+    type-cardinality-sized, so the normalizing window is trivially
+    small.  The probability is integer-count division (exact inputs,
+    identical IEEE divide) rounded to 6 places in both engines."""
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    cnt = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("from_type")),
+            6,
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")

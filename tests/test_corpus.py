@@ -319,3 +319,65 @@ def test_kcore_matches_python_peel(spark, sf_dir):
     assert got == want
     assert want, "choose k so the core is non-empty at this SF"
     assert len(want) < len(adj), "choose k so the peel actually drops vertices"
+
+
+def test_winnowing_density_guarantee(spark):
+    """Winnowing's coverage property: with window w over k-gram hashes,
+    every w consecutive k-gram positions contain at least one selected
+    fingerprint position (Schleimer et al. 2003, the density bound the
+    selection rule must never violate)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.functions.hashing import hash64
+
+    from incubator_flink_spark.queries.documents import (
+        _WINNOW_INF,
+        _WINNOW_K as K,
+        _WINNOW_W as W_WIN,
+    )
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").where(
+        F.length("text") >= K + W_WIN
+    ).limit(50)
+    pos = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - (K - 1))).alias("p"),
+        "text",
+    )
+    hashed = pos.select(
+        "doc_id", "p", hash64(F.expr(f"substring(text, p, {K})")).alias("h")
+    )
+    base = W.partitionBy("doc_id").orderBy("p")
+    inf = F.lit(_WINNOW_INF)
+    sel = hashed
+    for s in range(1, W_WIN):
+        sel = sel.withColumn(
+            f"lmin{s}", F.coalesce(F.min("h").over(base.rowsBetween(-s, -1)), inf)
+        ).withColumn(
+            f"rmin{s}", F.coalesce(F.min("h").over(base.rowsBetween(1, s)), inf)
+        )
+    sel = sel.withColumn("lmin0", inf).withColumn("rmin0", inf)
+    keep = None
+    for s in range(W_WIN):
+        cond = (F.col("h") <= F.col(f"lmin{s}")) & (
+            F.col("h") < F.col(f"rmin{W_WIN - 1 - s}")
+        )
+        keep = cond if keep is None else (keep | cond)
+    sel = sel.withColumn("keep", keep)
+    # max run of consecutive non-selected positions must be < w
+    runs = sel.select(
+        "doc_id",
+        "p",
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .over(W.partitionBy("doc_id").orderBy("p"))
+        .alias("grp"),
+    )
+    worst = (
+        runs.groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .agg(F.max("run"))
+        .collect()[0][0]
+    )
+    assert worst <= W_WIN

@@ -521,3 +521,17 @@ def test_attribution_filter_pushed_to_scan(spark):
     rep = audit_plan(REGISTRY["attribution_last_touch"].fn(spark, SF))
     # the event_type IN (...) filter must reach the parquet scan
     assert rep.scans_with_pushed_filters == rep.scans
+
+
+def test_above_group_avg_decorrelates_to_single_aggregate_join(spark):
+    """The q1-shape correlated subquery must decorrelate: the plan is a
+    (group-average aggregate) JOIN (outer aggregate) on the correlation
+    key — re-executing the subquery per outer row would appear as a
+    nested loop."""
+    rep = audit_plan(REGISTRY["subquery_above_group_avg"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+
+
+def test_event_transition_matrix_single_user_shuffle(spark):
+    rep = audit_plan(REGISTRY["event_transition_matrix"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0

@@ -262,6 +262,8 @@ def main():
         "winnowing_pairs",
         "record_linkage_blocked",
         "word_closeness_landmarks",
+        "subquery_above_group_avg",
+        "event_transition_matrix",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
