@@ -83,3 +83,43 @@ def test_avro_gate_is_consistent_between_probe_and_io(spark, tmp_path):
             write_table(df, path, fmt="avro")
         with pytest.raises(RuntimeError, match="spark-avro package"):
             read_table(spark, path, fmt="avro")
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark):
+    """Dynamic partition pruning: a hive-partitioned fact joined to a
+    selectively-filtered dim must plan a dynamicpruning subquery on the
+    partition column, so only the matching partition directories are
+    scanned — THE scan-reduction mechanism for dim-filtered fact joins
+    at scale (the reference's equivalent is source partition pushdown
+    through the planner's PartitionPruner)."""
+    o = load(spark, SF, "orders").withColumn("o_year", F.year("o_orderdate"))
+    path = tempfile.mkdtemp(prefix="dpp_")
+    write_table(o, path, "parquet", partition_by=["o_year"])
+    fact = read_table(spark, path, "parquet")
+
+    dim = (
+        o.select(F.col("o_year").alias("y")).distinct()
+        .withColumn("flag", F.col("y") % 2 == 0)
+    )
+    # one selective dim filter; join on the partition column
+    j = fact.join(F.broadcast(dim.where("flag")), fact.o_year == dim.y)
+    plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+    physical = j._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan or "dynamicpruning" in physical
+    expected = o.join(dim.where("flag"), o.o_year == dim.y).count()
+    assert j.count() == expected
+
+
+def test_static_partition_pruning_reaches_scan(spark):
+    """A literal filter on the partition column must appear in the scan's
+    PartitionFilters (directory-level pruning, no data files of other
+    partitions touched)."""
+    src = load(spark, SF, "customer")
+    path = tempfile.mkdtemp(prefix="spp_")
+    write_table(src, path, "parquet", partition_by=["c_nationkey"])
+    one = read_table(spark, path, "parquet").where(F.col("c_nationkey") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "c_nationkey" in m.group(1)
