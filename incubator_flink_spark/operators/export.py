@@ -21,7 +21,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from incubator_flink_spark.functions.hashing import hash64
@@ -134,3 +134,33 @@ def zorder_key_sql(xexpr: str, yexpr: str, bits: int) -> str:
         terms.append(f"(((({xexpr}) >> {i}) & 1) << {2 * i})")
         terms.append(f"(((({yexpr}) >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def compaction_plan(
+    files: DataFrame,
+    partition_cols: list[str],
+    order_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-files compaction planner (the lakehouse OPTIMIZE/rewrite
+    step): within each table partition, files are walked in a
+    deterministic order and greedily packed into output bins of
+    ~target_bytes by cumulative size — bin = floor(bytes_before /
+    target), so a bin closes as soon as it reaches the target (one file
+    may straddle, the standard greedy bound: every bin except the last
+    is >= target - max_file_size full).
+
+    The per-partition cumulative sum is a window over the FILE LIST —
+    metadata-sized (one row per file), not data-sized, which is why a
+    plain keyed window is the right plan here even at 100 TB: a million
+    files is still a tiny frame.  The actual data movement this plan
+    drives is one partition-local rewrite per bin.  Returns the file
+    rows with their assigned ``bin``."""
+    w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    cum_before = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return files.withColumn(
+        "bin", F.floor(cum_before / F.lit(target_bytes)).cast("bigint")
+    )

@@ -76,6 +76,7 @@ _PRIORITY = [
     "word_closeness_landmarks",
     "subquery_above_group_avg",
     "event_transition_matrix",
+    "compaction_plan",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -754,3 +754,52 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(30)
     )
+
+
+# --- small-files compaction plan ---------------------------------------------
+
+_COMPACT_TARGET = 50_000  # target output-file size (chars as byte proxy)
+
+COMPACTION_ORACLE = f"""
+WITH f AS (
+  SELECT source, doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS bytes_before
+  FROM documents),
+binned AS (
+  SELECT source, doc_id, n_chars,
+         CAST(FLOOR(CAST(bytes_before AS DOUBLE) / {_COMPACT_TARGET}) AS BIGINT) AS bin
+  FROM f)
+SELECT source, bin, COUNT(*) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM binned GROUP BY source, bin ORDER BY source, bin
+"""
+
+
+@register("compaction_plan", COMPACTION_ORACLE)
+def compaction_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse small-files compaction planning (the OPTIMIZE/rewrite
+    step's assignment phase): documents stand in for data files (size =
+    n_chars), greedily packed per source-partition into ~50 KB output
+    bins by cumulative size (operators/export.compaction_plan).  The
+    window runs over the FILE LIST — metadata-sized, one row per file —
+    so a keyed window is the correct plan even when the underlying data
+    is 100 TB; the plan output then drives one partition-local rewrite
+    per bin.  Complements zorder_layout_stats (what order to write) with
+    when-to-rewrite evidence."""
+    from incubator_flink_spark.operators.export import compaction_plan
+
+    files = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    binned = compaction_plan(files, ["source"], "doc_id", "n_chars", _COMPACT_TARGET)
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").cast("bigint").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin")
+    )

@@ -264,6 +264,7 @@ def main():
         "word_closeness_landmarks",
         "subquery_above_group_avg",
         "event_transition_matrix",
+        "compaction_plan",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
