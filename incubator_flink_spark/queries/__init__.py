@@ -77,6 +77,8 @@ _PRIORITY = [
     "subquery_above_group_avg",
     "event_transition_matrix",
     "compaction_plan",
+    "export_manifest",
+    "conversion_latency_cohorts",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1041,3 +1041,119 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("prob"),
     ).orderBy("from_type", "to_type")
+
+
+# --- signup -> first-purchase conversion latency -----------------------------
+
+CONVERSION_LATENCY_ORACLE = """
+WITH su AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+fp AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+  GROUP BY e.user_id),
+u AS (
+  SELECT su.user_id,
+         CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+                              CAST(su.signup_ts AS DATE)) / 7) AS BIGINT)
+           AS cohort_week,
+         CAST(date_diff('second', su.signup_ts, fp.first_purchase_ts) AS BIGINT)
+           AS lat_s
+  FROM su LEFT JOIN fp ON su.user_id = fp.user_id),
+rk AS (
+  SELECT cohort_week, lat_s, user_id,
+         ROW_NUMBER() OVER (PARTITION BY cohort_week ORDER BY lat_s, user_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cohort_week) AS n
+  FROM u WHERE lat_s IS NOT NULL),
+med AS (
+  SELECT cohort_week,
+         CAST(CAST(SUM(CAST(lat_s AS DECIMAL(30,8))) AS STRING) AS DOUBLE)
+           / COUNT(*) AS median_latency_s
+  FROM rk
+  WHERE rn IN (CAST(FLOOR((n+1)/2) AS BIGINT), CAST(FLOOR((n+2)/2) AS BIGINT))
+  GROUP BY cohort_week)
+SELECT u.cohort_week,
+       COUNT(*) AS n_signups,
+       CAST(SUM(CASE WHEN u.lat_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       ROUND(CAST(SUM(CASE WHEN u.lat_s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS conversion_rate,
+       MIN(med.median_latency_s) AS median_latency_s
+FROM u LEFT JOIN med ON u.cohort_week = med.cohort_week
+GROUP BY u.cohort_week ORDER BY u.cohort_week
+"""
+
+
+@register("conversion_latency_cohorts", CONVERSION_LATENCY_ORACLE)
+def conversion_latency_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert funnel analytics: per signup-week cohort, the
+    conversion rate and the exact median signup->first-purchase latency
+    (two-middle-rank median — the same bit-exact discipline as
+    event_outliers_mad, no interpolating percentile).  Both aggregates
+    are user-grain (bounded by distinct users); the ranking partitions
+    by cohort week.  The survival-analysis complement to
+    retention_matrix's activity view."""
+    from incubator_flink_spark.queries.tpch import dsum
+
+    e = load(spark, sf_dir, "events")
+    su = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    u = su.join(fp, "user_id", "left").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("signup_ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+        )
+        .cast("bigint")
+        .alias("cohort_week"),
+        (
+            F.col("first_purchase_ts").cast("long") - F.col("signup_ts").cast("long")
+        ).alias("lat_s"),
+    )
+    conv = u.where(F.col("lat_s").isNotNull())
+    w = W.partitionBy("cohort_week").orderBy("lat_s", "user_id")
+    wn = W.partitionBy("cohort_week")
+    rk = conv.select(
+        "cohort_week",
+        "lat_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        rk.where(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint"))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2).cast("bigint"))
+        )
+        .groupBy("cohort_week")
+        .agg((dsum(F.col("lat_s")) / F.count(F.lit(1))).alias("median_latency_s"))
+    )
+    return (
+        u.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(F.when(F.col("lat_s").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_converted"),
+            F.round(
+                F.sum(F.when(F.col("lat_s").isNotNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("conversion_rate"),
+        )
+        .join(F.broadcast(med), "cohort_week", "left")
+        .select(
+            "cohort_week", "n_signups", "n_converted", "conversion_rate", "median_latency_s"
+        )
+        .orderBy("cohort_week")
+    )

@@ -1354,3 +1354,53 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- export integrity manifest -----------------------------------------------
+
+EXPORT_MANIFEST_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         {hash64_sql("'42:' || CAST(doc_id AS VARCHAR)")} AS skey,
+         {hash64_sql("'m:' || CAST(doc_id AS VARCHAR) || ':' || text")} AS rowhash
+  FROM documents)
+SELECT CAST(skey % {_NUM_SHARDS} AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       bit_xor(rowhash) AS content_checksum
+FROM k GROUP BY 1 ORDER BY shard
+"""
+
+
+@register("export_manifest", EXPORT_MANIFEST_ORACLE)
+def export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard export integrity manifest: doc count, byte volume, and
+    an ORDER-INDEPENDENT content checksum (bit_xor of per-row 60-bit
+    content hashes — a commutative-monoid fold, so it partial-aggregates
+    map-side and is invariant to partitioning/task order, unlike any
+    concatenation digest).  This is the reproducible-ingestion audit a
+    100 TB export pipeline ships alongside its shards: re-run the
+    manifest on the consumer side and compare checksums to prove the
+    transfer byte-exact, shard by shard — without ever re-sorting the
+    data.  Shard assignment matches export_shard_plan (same seeded
+    hash), so the manifest certifies exactly what export_shards wrote."""
+    d = load(spark, sf_dir, "documents")
+    rowhash = hash64(
+        F.concat(F.lit("m:"), F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    )
+    from incubator_flink_spark.operators.export import shard_id
+
+    return (
+        d.select(
+            shard_id("doc_id", _NUM_SHARDS, _SHARD_SEED).alias("shard"),
+            "n_chars",
+            rowhash.alias("rowhash"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").cast("bigint").alias("total_bytes"),
+            F.expr("bit_xor(rowhash)").alias("content_checksum"),
+        )
+        .orderBy("shard")
+    )

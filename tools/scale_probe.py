@@ -265,6 +265,8 @@ def main():
         "subquery_above_group_avg",
         "event_transition_matrix",
         "compaction_plan",
+        "export_manifest",
+        "conversion_latency_cohorts",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
