@@ -79,6 +79,7 @@ _PRIORITY = [
     "compaction_plan",
     "export_manifest",
     "conversion_latency_cohorts",
+    "rake_keyphrases",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -21,7 +21,13 @@ from pyspark.sql import functions as F
 
 from incubator_flink_spark.catalog import load, spread
 from incubator_flink_spark.functions.hashing import hash64, hash64_sql
-from incubator_flink_spark.functions.text import shingles, shingles_sql, tokens, tokens_sql
+from incubator_flink_spark.functions.text import (
+    STOPWORDS,
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
 from incubator_flink_spark.operators.bpe import bpe_train, pair_counts, to_symbols, word_freqs
 from incubator_flink_spark.operators.lines import doc_lines, line_counts, line_dedup
 from incubator_flink_spark.operators.sketch import (
@@ -802,4 +808,118 @@ def compaction_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .orderBy("source", "bin")
+    )
+
+
+# --- RAKE keyphrase extraction -----------------------------------------------
+
+_RAKE_STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
+_RAKE_MAX_LEN = 4
+_RAKE_TOPK = 30
+
+RAKE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, t[j] AS tok, j
+  FROM (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+       unnest(generate_series(1, len(t))) u(j)),
+grp AS (
+  SELECT doc_id, tok, j,
+         SUM(CASE WHEN tok IN {_RAKE_STOP_SQL} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY j) AS g
+  FROM toks),
+ph AS (
+  SELECT doc_id, g, string_agg(tok, ' ' ORDER BY j) AS phrase, COUNT(*) AS plen
+  FROM grp WHERE tok NOT IN {_RAKE_STOP_SQL}
+  GROUP BY doc_id, g),
+ph4 AS (SELECT phrase, plen FROM ph WHERE plen <= {_RAKE_MAX_LEN}),
+pw_all AS (
+  SELECT phrase, plen, w[j] AS word
+  FROM (SELECT phrase, plen, string_split(phrase, ' ') AS w FROM ph4),
+       unnest(generate_series(1, len(w))) u(j)),
+wscore AS (
+  SELECT word, CAST(ROUND(SUM(plen) * 1000000.0 / COUNT(*)) AS BIGINT) AS score_u
+  FROM pw_all GROUP BY word),
+pw_d AS (
+  SELECT phrase, w[j] AS word
+  FROM (SELECT phrase, string_split(phrase, ' ') AS w
+        FROM (SELECT DISTINCT phrase FROM ph4)),
+       unnest(generate_series(1, len(w))) u(j)),
+pscore AS (
+  SELECT pw_d.phrase, CAST(SUM(ws.score_u) AS BIGINT) AS score_micro
+  FROM pw_d JOIN wscore ws USING (word) GROUP BY pw_d.phrase),
+pocc AS (SELECT phrase, COUNT(*) AS n_occ FROM ph4 GROUP BY phrase)
+SELECT p.phrase, o.n_occ, p.score_micro,
+       p.score_micro / 1000000.0 AS score
+FROM pscore p JOIN pocc o USING (phrase)
+ORDER BY p.score_micro DESC, p.phrase LIMIT {_RAKE_TOPK}
+"""
+
+
+@register("rake_keyphrases", RAKE_ORACLE)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (gaps-and-islands segmentation:
+    the running stopword count is the island id), word score =
+    degree/frequency over phrase co-occurrence, phrase score = sum of
+    member word scores.  Scores are fixed-point MICRO-units (bigint) so
+    the cross-word sum is exact integer arithmetic — no float
+    accumulation order anywhere until the single final /1e6 display
+    division.  All joins are word/phrase-keyed equi-joins; the word
+    table is vocabulary-sized.  Top-30 with a total (score, phrase)
+    order."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("j", "tok")
+    )
+    stop = list(STOPWORDS)
+    g = (
+        F.sum(F.when(F.col("tok").isin(stop), 1).otherwise(0))
+        .over(W.partitionBy("doc_id").orderBy("j"))
+        .alias("g")
+    )
+    grp = toks.select("doc_id", "tok", "j", g)
+    ph = (
+        grp.where(~F.col("tok").isin(stop))
+        .groupBy("doc_id", "g")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+    )
+    ph4 = ph.where(F.col("plen") <= _RAKE_MAX_LEN).select("phrase", "plen")
+    pw_all = ph4.select("phrase", "plen", F.explode(F.split("phrase", " ")).alias("word"))
+    wscore = pw_all.groupBy("word").agg(
+        F.round(F.sum("plen") * 1000000.0 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("score_u")
+    )
+    pw_d = (
+        ph4.select("phrase").distinct().select(
+            "phrase", F.explode(F.split("phrase", " ")).alias("word")
+        )
+    )
+    pscore = (
+        pw_d.join(wscore, "word")
+        .groupBy("phrase")
+        .agg(F.sum("score_u").cast("bigint").alias("score_micro"))
+    )
+    pocc = ph4.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        pscore.join(pocc, "phrase")
+        .select(
+            "phrase",
+            "n_occ",
+            "score_micro",
+            (F.col("score_micro") / 1000000.0).alias("score"),
+        )
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(_RAKE_TOPK)
     )

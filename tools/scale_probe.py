@@ -267,6 +267,7 @@ def main():
         "compaction_plan",
         "export_manifest",
         "conversion_latency_cohorts",
+        "rake_keyphrases",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
