@@ -535,3 +535,40 @@ def test_above_group_avg_decorrelates_to_single_aggregate_join(spark):
 def test_event_transition_matrix_single_user_shuffle(spark):
     rep = audit_plan(REGISTRY["event_transition_matrix"].fn(spark, SF))
     assert rep.nested_loop_joins == 0
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """Adaptive execution replans a sort-merge join to broadcast when the
+    runtime size of one side is small — the mechanism that rescues plans
+    whose static stats are wrong at 100 TB.  Static broadcast is disabled
+    so only AQE can make the conversion."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the adaptive threshold falls back to the static one; pin it so only
+    # the RUNTIME (post-shuffle, true-size) path may broadcast
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    try:
+        o = load(spark, SF, "orders")
+        c = load(spark, SF, "customer").where(F.col("c_custkey") < 50)
+        j = o.join(c, o.o_custkey == c.c_custkey)
+        j.collect()  # run THIS plan (count() would finalize a different one)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """AQE merges undersized shuffle partitions at runtime: a small
+    aggregate configured with 32 shuffle partitions must come back with
+    far fewer actual partitions (AQEShuffleRead coalesced) — the knob
+    that keeps task counts proportional to DATA, not to a static conf,
+    on both tiny and 100 TB inputs."""
+    agg = load(spark, SF, "orders").groupBy("o_orderstatus").count()
+    agg.count()
+    n = agg.rdd.getNumPartitions()
+    assert n < 32
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan or "coalesced" in plan.lower()
