@@ -654,3 +654,106 @@ def attribution_stream(
     return df.groupBy(user_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def gapfill_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak: str,
+    value_col: str,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Streaming gap-fill resample: per key, hourly (bucket_s) averages
+    emitted in grid order as the WATERMARK closes each bucket — including
+    synthetic rows for empty buckets, which carry the last observed
+    average forward (the streaming execution of the registered batch
+    query ``timeseries_gapfill``).
+
+    Gap rows are TIMER-DRIVEN: a key with no incoming data still emits
+    its gap rows as the watermark advances, because each key re-arms a
+    GroupStateTimeout.EventTimeTimeout at its next unclosed bucket
+    boundary — the reference's timer-driven window firing
+    (InternalTimerService / WindowOperator.onEventTime), not an
+    input-piggybacked emission.  State per key is the OPEN buckets only
+    ((hour, sum, count) triples past the watermark) plus the fill value —
+    bounded by out-of-orderness, not by history."""
+    key_fields = [f for f in df.schema.fields if f.name == key_col]
+    out_schema = T.StructType(
+        [
+            *key_fields,
+            T.StructField("hour", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("filled_value", T.DoubleType()),
+            T.StructField("is_gap", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hours", T.ArrayType(T.LongType())),
+            T.StructField("sums", T.ArrayType(T.DoubleType())),
+            T.StructField("cnts", T.ArrayType(T.LongType())),
+            T.StructField("next_emit_us", T.LongType()),
+            T.StructField("last_avg", T.DoubleType()),
+            T.StructField("has_last", T.BooleanType()),
+        ]
+    )
+    bucket_us = bucket_s * 1_000_000
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            hours, sums, cnts, next_emit, last_avg, has_last = state.get
+            open_b = {h: [s, c] for h, s, c in zip(hours, sums, cnts)}
+        else:
+            open_b, next_emit, last_avg, has_last = {}, None, 0.0, False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.assign(__us=_ts_us(pdf[ts_col])).sort_values(["__us", tiebreak])
+            for us, v in zip(pdf["__us"], pdf[value_col]):
+                h = int(us) // bucket_us * bucket_us
+                if next_emit is not None and h < next_emit:
+                    continue  # late past the emitted region: dropped (documented)
+                b = open_b.setdefault(h, [0.0, 0])
+                b[0] += float(v)
+                b[1] += 1
+        if next_emit is None and open_b:
+            next_emit = min(open_b)
+        out: list[dict[str, Any]] = []
+        while next_emit is not None and next_emit + bucket_us <= wm_us:
+            b = open_b.pop(next_emit, None)
+            if b is not None:
+                last_avg, has_last = b[0] / b[1], True
+                out.append(
+                    {"hour": pd.Timestamp(next_emit * 1000), "n_events": b[1],
+                     "filled_value": last_avg, "is_gap": 0}
+                )
+            else:
+                out.append(
+                    {"hour": pd.Timestamp(next_emit * 1000), "n_events": 0,
+                     "filled_value": last_avg if has_last else 0.0, "is_gap": 1}
+                )
+            next_emit += bucket_us
+        if next_emit is None and not open_b:
+            if state.exists:
+                state.remove()
+        else:
+            hs = sorted(open_b)
+            state.update(
+                (hs, [open_b[h][0] for h in hs], [open_b[h][1] for h in hs],
+                 next_emit, last_avg, has_last)
+            )
+            # arm the timer at the close of the next unclosed bucket so gap
+            # rows fire on watermark advance even with no input for this key
+            deadline_ms = (next_emit + bucket_us) // 1000 + 1
+            state.setTimeoutTimestamp(max(deadline_ms, wm_us // 1000 + 1))
+        if out:
+            res = pd.DataFrame(out)
+            for f, kv in zip(key_fields, key):
+                res[f.name] = kv
+            yield res[[c.name for c in out_schema.fields]]
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

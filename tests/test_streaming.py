@@ -1137,3 +1137,124 @@ def test_attribution_stream_equals_batch(spark, replay_dir):
         .collect()
     ]
     assert sorted(got) == sorted(expected) and len(got) > 0
+
+
+def test_gapfill_stream_matches_batch_on_closed_region(spark, replay_dir):
+    """Streaming gap-fill (timer-driven synthetic gap rows) equals the
+    batch resample on the watermark-closed region: per event_type, every
+    fully-closed hour appears exactly once, gap hours carry the last
+    average forward, and counts match the batch hourly aggregate."""
+    from incubator_flink_spark.streaming.source import replay_table
+    from incubator_flink_spark.streaming.stateful import gapfill_stream
+
+    stream = (
+        replay_table(spark, SF, "events", replay_dir + "/gapfill_src", n_files=4)
+        .withWatermark("ts", "120 seconds")
+    )
+    out = gapfill_stream(stream, "event_type", "ts", "event_id", "value")
+    got = {}
+    import tempfile as _tf
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda bdf, bid: got.update(
+                {(r.event_type, r.hour): (r.n_events, round(r.filled_value, 6), r.is_gap)
+                 for r in bdf.collect()}
+            )
+        )
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(got) > 0
+
+    # batch truth in pandas with the SAME accumulation order (ts, event_id)
+    import pandas as pd
+
+    e = (
+        load(spark, SF, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    final_wm_us = int(e["ts"].max().value // 1000) - 120_000_000
+    bucket = 3_600_000_000
+    expected = {}
+    for etype, g in e.groupby("event_type"):
+        hours = (g["ts"].astype("int64") // 1000) // bucket * bucket
+        agg = {}
+        for h, v in zip(hours, g["value"]):
+            s, c = agg.get(h, (0.0, 0))
+            agg[h] = (s + float(v), c + 1)
+        if not agg:
+            continue
+        last = 0.0
+        has_last = False
+        h = min(agg)
+        while h + bucket <= final_wm_us:
+            if h in agg:
+                s, c = agg[h]
+                last, has_last = s / c, True
+                expected[(etype, pd.Timestamp(h * 1000))] = (c, round(last, 6), 0)
+            else:
+                expected[(etype, pd.Timestamp(h * 1000))] = (
+                    0, round(last, 6) if has_last else 0.0, 1)
+            h += bucket
+    assert got == expected
+
+
+def test_gapfill_stream_timer_fires_for_silent_key(spark, replay_dir):
+    """A key that stops sending data still emits its gap rows as OTHER
+    keys advance the watermark — the per-key event-time timer re-armed
+    at each unclosed bucket boundary (the reference's WindowOperator
+    onEventTime firing), not input-piggybacked emission."""
+    import os
+    from datetime import datetime
+
+    import pandas as pd
+
+    from incubator_flink_spark.streaming.stateful import gapfill_stream
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    files = [
+        [(1, t("2024-01-01 00:10:00"), "A", 10.0),
+         (2, t("2024-01-01 00:20:00"), "B", 1.0)],  # A and B both start
+        [(3, t("2024-01-01 05:00:00"), "B", 2.0)],  # only B; wm -> ~05:00
+        [(4, t("2024-01-01 06:00:00"), "B", 3.0)],  # one more batch: timers fire
+    ]
+    src_dir = replay_dir + "/gapfill_silent_src"
+    os.makedirs(src_dir, exist_ok=True)
+    schema = "event_id BIGINT, ts TIMESTAMP, k STRING, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withWatermark("ts", "120 seconds")
+    )
+    out = gapfill_stream(stream, "k", "ts", "event_id", "value")
+    got = {}
+    import tempfile as _tf
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, bid: got.update(
+            {(r.k, r.hour): (r.n_events, r.filled_value, r.is_gap) for r in bdf.collect()}
+        ))
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    try:
+        for rows in files:
+            pdf = pd.DataFrame(rows, columns=["event_id", "ts", "k", "value"])
+            spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(src_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    # A sent nothing after 00:10 but must have emitted hour 00 (data) and
+    # hours 01:00-03:00 as gaps carrying 10.0 forward (wm reached 04:58)
+    a_rows = {h.hour: v for (k, h), v in got.items() if k == "A"}
+    assert a_rows[0] == (1, 10.0, 0)
+    for hh in (1, 2, 3):
+        assert a_rows[hh] == (0, 10.0, 1), a_rows
