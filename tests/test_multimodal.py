@@ -257,3 +257,46 @@ class TestVideoAvi:
         r = video_features(df, every_n=1, max_frames=4).collect()[0]
         assert (r["width"], r["height"], r["n_frames"], r["n_sampled"]) == (5, 3, 9, 4)
         assert r["motion_energy"] == 0.0  # identical frames
+
+
+def test_image_dhash_near_dup_detection(spark):
+    """Perceptual dHash dedup: near-identical images (tiny local edit,
+    global brightness shift) land within hamming<=6 of their original;
+    unrelated images stay far.  Banded pairs equal brute-force hamming
+    pairs (pigeonhole recall 1.0 at this threshold)."""
+    import numpy as np
+
+    from incubator_flink_spark.operators.multimodal import (
+        dhash64,
+        dhash_near_pairs,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(7)
+    W_, H_ = 27, 16
+    base = rng.integers(0, 256, size=(H_, W_, 3), dtype=np.uint8)
+    near = base.copy()
+    near[3:5, 4:6] = 255 - near[3:5, 4:6]  # small local edit
+    bright = np.clip(base.astype(np.int16) + 25, 0, 255).astype(np.uint8)  # global shift
+    other = rng.integers(0, 256, size=(H_, W_, 3), dtype=np.uint8)
+
+    payloads = [(1, _make_ppm(base)), (2, _make_ppm(near)),
+                (3, _make_ppm(bright)), (4, _make_ppm(other))]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads], "doc_id LONG, payload BINARY"
+    )
+    hashes = image_dhash(df)
+    got_pairs = {
+        (r.id_a, r.id_b) for r in dhash_near_pairs(hashes, max_hamming=6).collect()
+    }
+    # brute force over the same hashes
+    hs = {i: dhash64(bytes(p)) & ((1 << 63) - 1) for i, p in payloads}
+    expect = {
+        (a, b)
+        for a in hs
+        for b in hs
+        if a < b and bin(hs[a] ^ hs[b]).count("1") <= 6
+    }
+    assert got_pairs == expect
+    assert (1, 3) in got_pairs  # brightness shift is dHash-invariant
+    assert all(4 not in p for p in got_pairs)  # unrelated image stays out
