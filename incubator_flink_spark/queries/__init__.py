@@ -19,6 +19,7 @@ from incubator_flink_spark.queries import (  # noqa: F401
     documents,
     embeddings,
     events,
+    mv_queries,
     pipeline,
     relational,
     scalar,
@@ -80,6 +81,8 @@ _PRIORITY = [
     "export_manifest",
     "conversion_latency_cohorts",
     "rake_keyphrases",
+    "mv_incremental_orders",
+    "mv_affected_group_max",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",
