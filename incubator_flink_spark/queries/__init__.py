@@ -83,6 +83,7 @@ _PRIORITY = [
     "rake_keyphrases",
     "mv_incremental_orders",
     "mv_affected_group_max",
+    "scd2_dimension_build",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1157,3 +1157,60 @@ def conversion_latency_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+# --- SCD2 versioned-dimension build --------------------------------------------
+# The construction side of the temporal-join story: the AS OF operators
+# above PROBE a versioned table; this builds one.  Purchase events are a
+# change history of a per-user spend tier; consecutive same-tier rows
+# compress into one version (gaps-and-islands), then each version gets
+# its validity interval.  Both windows partition by user_id — the
+# dimension key — so there is no global sort at any grain.
+
+_TIER_SQL = "CASE WHEN value < 100 THEN 'bronze' WHEN value < 300 THEN 'silver' ELSE 'gold' END"
+
+SCD2_ORACLE = f"""
+WITH h AS (
+  SELECT user_id, ts, event_id, {_TIER_SQL} AS tier
+  FROM events WHERE event_type = 'purchase'),
+lagged AS (
+  SELECT *, LAG(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier FROM h),
+ver AS (
+  SELECT *, SUM(CASE WHEN prev_tier IS NULL OR tier <> prev_tier THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS version
+  FROM lagged),
+grp AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version, MIN(ts) AS valid_from,
+         MIN(tier) AS tier, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM ver GROUP BY user_id, version)
+SELECT user_id, version, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+       tier, n_rows,
+       CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM grp ORDER BY user_id, version
+"""
+
+
+@register("scd2_dimension_build", SCD2_ORACLE)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-compressed SCD2 dimension from the purchase history: one row
+    per (user, tier-version) with [valid_from, valid_to) intervals and a
+    current flag — the versioned table the AS OF joins probe
+    (TemporalRowTimeJoinOperator.java:78).  Consecutive unchanged-tier
+    rows collapse, so version count is change-bounded, not event-bounded."""
+    from incubator_flink_spark.operators.scd import scd2_build
+
+    e = load(spark, sf_dir, "events")
+    h = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") < 100, "bronze")
+        .when(F.col("value") < 300, "silver")
+        .otherwise("gold")
+        .alias("tier"),
+    )
+    return scd2_build(h, "user_id", "ts", "event_id", ["tier"]).orderBy(
+        "user_id", "version"
+    )
