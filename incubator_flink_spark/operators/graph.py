@@ -969,3 +969,54 @@ def landmark_bfs(
     finally:
         e.unpersist()
     return dist
+
+
+def ktruss(
+    edges: DataFrame, k: int, src: str = "src", dst: str = "dst", max_rounds: int = 20
+) -> DataFrame:
+    """(a, b, support): the k-truss — the maximal subgraph in which every
+    edge is supported by >= k-2 triangles (public: Cohen 2008, "Trusses:
+    cohesive subgraphs for social network analysis").  The edge-grain
+    sibling of ``kcore``: a stricter cohesion filter curation uses to
+    separate genuinely clustered communities from hub-glued ones.
+
+    Iterative peel: per round, per-edge triangle support via the
+    degree-oriented enumeration from ``triangles`` (hub-safe, O(m^1.5)
+    wedges), then drop under-supported edges and repeat to fixpoint.
+    Peel depth is small on sparse graphs; each round localCheckpoints so
+    the plan stays O(1), and only the per-round edge COUNT reaches the
+    driver."""
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    # Pre-filter: the k-truss is contained in the (k-1)-core (every
+    # vertex of a k-truss has >= k-1 neighbors within it), and the core
+    # peel is degree-only — far cheaper per round than triangle
+    # enumeration.  Shrink the graph with it first.
+    core = kcore(e, k - 1, "a", "b").select(F.col("vertex"))
+    e = (
+        e.join(core.select(F.col("vertex").alias("a")), "a", "semi")
+        .join(core.select(F.col("vertex").alias("b")), "b", "semi")
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    n_prev = -1
+    for _ in range(max_rounds):
+        tri = triangles(e, "a", "b")
+        sup = (
+            tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            .unionAll(tri.select(F.col("a").alias("x"), F.col("c").alias("y")))
+            .unionAll(tri.select(F.col("b").alias("x"), F.col("c").alias("y")))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        )
+        kept = (
+            e.join(sup, (e["a"] == sup["x"]) & (e["b"] == sup["y"]))
+            .where(F.col("support") >= k - 2)
+            .select("a", "b", "support")
+            .localCheckpoint(eager=True)
+        )
+        n = kept.count()
+        if n == n_prev or n == 0:
+            return kept.orderBy("a", "b")
+        n_prev = n
+        e = kept.select("a", "b")
+    return kept.orderBy("a", "b")

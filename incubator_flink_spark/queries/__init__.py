@@ -84,6 +84,7 @@ _PRIORITY = [
     "mv_incremental_orders",
     "mv_affected_group_max",
     "scd2_dimension_build",
+    "part_copurchase_ktruss",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

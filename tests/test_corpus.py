@@ -381,3 +381,41 @@ def test_winnowing_density_guarantee(spark):
         .collect()[0][0]
     )
     assert worst <= W_WIN
+
+
+def test_ktruss_matches_python_peel(spark):
+    """Iterative k-truss peel vs a pure-Python reference on a randomized
+    sparse graph (two planted cliques plus noise edges)."""
+    import random as _random
+    from itertools import combinations
+
+    from incubator_flink_spark.operators.graph import ktruss
+
+    rng = _random.Random(11)
+    edges = set()
+    for base in (0, 20):  # two 8-cliques (every edge support 6)
+        clique = range(base, base + 8)
+        edges |= {(u, v) for u, v in combinations(clique, 2)}
+    while len(edges) < 120:  # noise edges over 60 vertices
+        u, v = rng.randrange(60), rng.randrange(60)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+
+    k = 4
+    alive = set(edges)
+    while True:
+        adj = {}
+        for u, v in alive:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        sup = {(u, v): len(adj[u] & adj[v]) for u, v in alive}
+        drop = {e for e in alive if sup[e] < k - 2}
+        if not drop:
+            break
+        alive -= drop
+    want = {(u, v): sup[(u, v)] for u, v in alive}
+
+    e = spark.createDataFrame(sorted(edges), "src LONG, dst LONG")
+    got = {(r["a"], r["b"]): r["support"] for r in ktruss(e, k).collect()}
+    assert got == want
+    assert want and len(want) < len(edges)
