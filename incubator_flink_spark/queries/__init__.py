@@ -85,6 +85,7 @@ _PRIORITY = [
     "mv_affected_group_max",
     "scd2_dimension_build",
     "part_copurchase_ktruss",
+    "embedding_top_pc",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

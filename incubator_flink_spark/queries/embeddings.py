@@ -930,3 +930,66 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = e.where(F.col("label") == 0)
     tgt = e.where(F.col("label") == 1)
     return margin_mining(src, tgt, k=_BITEXT_K).orderBy("src_id")
+
+
+# --- leading principal component (distributed power iteration) -----------------
+
+_PC_ROUNDS = 8
+
+
+def _power_iteration_sql(rounds: int) -> str:
+    """Unroll the power iteration as chained CTEs computing the identical
+    arithmetic: per-row list_inner_product dots (bit-identical to the
+    engine's F.aggregate sequential fold), exact decimal(38,12)
+    coordinate sums routed to double through VARCHAR, and a fixed-order
+    list_inner_product(l, l) norm fold."""
+    parts = ["v0 AS (SELECT [CAST(0.125 AS DOUBLE) FOR x IN range(64)] AS v)"]
+    for t in range(1, rounds + 1):
+        parts.append(f"""s{t} AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT v FROM v{t - 1})) AS s
+  FROM embeddings)""")
+        parts.append(f"""u{t} AS MATERIALIZED (
+  SELECT g.j, CAST(CAST(SUM(CAST(s.s * s.e[g.j] AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS u
+  FROM s{t} s, unnest(generate_series(1, 64)) AS g(j) GROUP BY g.j)""")
+        parts.append(f"""v{t} AS (
+  SELECT LIST(u / sqrt((SELECT list_inner_product(LIST(u ORDER BY j), LIST(u ORDER BY j)) FROM u{t})) ORDER BY j) AS v
+  FROM u{t})""")
+    return ",\n".join(parts)
+
+
+TOP_PC_ORACLE = f"""
+WITH {_power_iteration_sql(_PC_ROUNDS)},
+proj AS (
+  SELECT vec_id, label,
+         ROUND(list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT v FROM v{_PC_ROUNDS})), 6) AS proj
+  FROM embeddings)
+SELECT vec_id, label, proj
+FROM proj ORDER BY abs(proj) DESC, vec_id LIMIT 20
+"""
+
+
+@register("embedding_top_pc", TOP_PC_ORACLE)
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus spectral diagnostic: the 20 most extreme vectors along the
+    leading principal direction of the embedding second-moment matrix —
+    the dominant-axis outliers embedding-whitening / anisotropy reports
+    surface.  Power iteration never materializes the DIM^2 covariance:
+    each of the {_PC_ROUNDS} rounds is one narrow map pass + a DIM-group
+    exact-decimal aggregate, with only DIM coefficients reaching the
+    driver; the oracle unrolls the identical rounds and matches
+    bit-for-bit."""
+    from incubator_flink_spark.operators.similarity import (
+        _dot,
+        _lit_vec,
+        power_iteration_top_pc,
+    )
+
+    e = spread(load(spark, sf_dir, "embeddings"))
+    v = power_iteration_top_pc(e, rounds=_PC_ROUNDS)
+    proj = F.round(_dot(F.col("embedding"), _lit_vec(v)), 6)
+    return (
+        e.select("vec_id", "label", proj.alias("proj"))
+        .orderBy(F.abs(F.col("proj")).desc(), "vec_id")
+        .limit(20)
+    )
