@@ -185,3 +185,37 @@ def hll_estimate(regs: DataFrame, m: int = HLL_M) -> DataFrame:
         denom.alias("denom_scaled"),
         F.round(F.lit(float(HLL_NUM)) / denom, 4).alias("est"),
     )
+
+
+def histogram_quantile(
+    cells: DataFrame, qs: list[float], lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """(q, quantile_est): quantile estimates from fixed-bin histogram
+    cells (the ``windowed_histogram`` layout: bin 0 = underflow,
+    n_bins+1 = overflow).  Returns the LOWER EDGE of the first bin whose
+    cumulative count reaches ceil(q*n) — deterministic, and within one
+    bin width of the exact order statistic whenever the value lies in
+    [lo, hi).  The cumulative window runs over the n_bins+2 cell rows —
+    sketch-sized metadata, never data."""
+    from pyspark.sql import Window as W
+
+    width = (hi - lo) / n_bins
+    cum = F.sum("cnt").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+    tot = F.sum("cnt").over(W.partitionBy())
+    cc = cells.select("bin", "cnt").groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    cc = cc.select("bin", "cnt", cum.alias("cum"), tot.alias("n"))
+    out = None
+    for q in qs:
+        need = F.ceil(F.lit(float(q)) * F.col("n"))
+        edge = F.lit(float(lo)) + (F.col("bin") - 1) * F.lit(float(width))
+        est = F.when(F.col("bin") == 0, F.lit(float(lo) - width)).otherwise(
+            F.least(edge, F.lit(float(hi)))
+        )
+        pick = (
+            cc.where(F.col("cum") >= need)
+            .orderBy("bin")
+            .limit(1)
+            .select(F.lit(float(q)).alias("q"), est.alias("quantile_est"))
+        )
+        out = pick if out is None else out.unionByName(pick)
+    return out

@@ -105,3 +105,44 @@ def windowed_hll(
         )
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def windowed_histogram(
+    stream: DataFrame,
+    ts_col: str,
+    window_s: int,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    watermark_s: int | None = None,
+) -> DataFrame:
+    """(window_start, window_end, bin, cnt): per-tumbling-window
+    fixed-bin counting histogram over a bounded value domain [lo, hi) —
+    the mergeable quantile sketch (bin-wise sums ARE partial
+    aggregation, so micro-batches fold into exactly the batch cells and
+    per-window state is bounded at n_bins+2 cells at any cardinality).
+    Bin 0 / n_bins+1 catch under/overflow so nothing is dropped; feed a
+    window's cells to ``operators.sketch.histogram_quantile`` for
+    quantiles with error bounded by one bin width."""
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    src = stream
+    if watermark_s is not None and stream.isStreaming:
+        src = stream.withWatermark(ts_col, f"{watermark_s} seconds")
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(n_bins))
+    b = (
+        F.when(v < lo, F.lit(-1)).when(v >= hi, F.lit(n_bins)).otherwise(raw) + 1
+    ).cast("int")
+    return (
+        src.select(
+            F.window(F.col(ts_col), f"{window_s} seconds").alias("w"), b.alias("bin")
+        )
+        .groupBy(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bin",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

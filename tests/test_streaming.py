@@ -1258,3 +1258,51 @@ def test_gapfill_stream_timer_fires_for_silent_key(spark, replay_dir):
     assert a_rows[0] == (1, 10.0, 0)
     for hh in (1, 2, 3):
         assert a_rows[hh] == (0, 10.0, 1), a_rows
+
+
+def test_windowed_histogram_stream_matches_batch_and_quantiles(spark, replay_dir):
+    """Streaming per-window histogram cells fold micro-batch-incrementally
+    into exactly the batch cells, and derived quantiles are within one
+    bin width of the exact order statistic."""
+    import math
+
+    from incubator_flink_spark.operators.sketch import histogram_quantile
+    from incubator_flink_spark.streaming.sketches import windowed_histogram
+
+    LO, HI, BINS = 0.0, 500.0, 50
+    stream = replay_table(spark, SF, "events", replay_dir + "/hist", n_files=4)
+    cells = windowed_histogram(stream, "ts", 7200, "value", LO, HI, BINS)
+    state = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            state[(r.window_start, r.bin)] = r.cnt
+
+    run_to_completion(cells, collect, mode="update")
+
+    batch = windowed_histogram(load(spark, SF, "events"), "ts", 7200, "value", LO, HI, BINS)
+    expected = {(r.window_start, r.bin): r.cnt for r in batch.collect()}
+    assert state == expected and state
+
+    some_window = sorted(expected)[0][0]
+    one = spark.createDataFrame(
+        [(b, c) for (w0, b), c in state.items() if w0 == some_window],
+        "bin INT, cnt LONG",
+    )
+    qs = [0.5, 0.9, 0.99]
+    got = {
+        r["q"]: r["quantile_est"]
+        for r in histogram_quantile(one, qs, LO, HI, BINS).collect()
+    }
+    vals = sorted(
+        r["value"]
+        for r in load(spark, SF, "events")
+        .where(F.window("ts", "7200 seconds").start == F.lit(some_window))
+        .select("value")
+        .collect()
+    )
+    width = (HI - LO) / BINS
+    for q in qs:
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        if LO <= exact < HI:
+            assert abs(got[q] - exact) <= width, (q, got[q], exact)
