@@ -116,6 +116,13 @@ EXTRA = [
     "winnowing_pairs",
     "record_linkage_blocked",
     "word_closeness_landmarks",
+    # round 5, third wave
+    "mv_incremental_orders",
+    "scd2_dimension_build",
+    "part_copurchase_ktruss",
+    "embedding_top_pc",
+    "asof_nearest_tolerance",
+    "star_two_hop_exists",
 ]
 
 
@@ -127,10 +134,15 @@ def run(sf_dir: str, n_runs: int = 3) -> tuple[dict, list[float]]:
     # the measurement then reflects steady-state data-proportional cost.
     for name in HEADLINE + EXTRA:
         REGISTRY[name].fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
+    # All headline runs complete BEFORE any extra runs: the headline
+    # series is the apples-to-apples comparison against the recorded
+    # baseline (which predates the EXTRA set), so its measurements must
+    # not absorb heap/GC pressure from the ever-growing extras.  Extras
+    # are timed identically afterwards.
     per_run: list[dict[str, float]] = []
     for _ in range(n_runs):
         timings: dict[str, float] = {}
-        for name in HEADLINE + EXTRA:
+        for name in HEADLINE:
             # Isolate each measurement: the query functions persist shared
             # subtrees (shingle sets, signature tables) that are scoped to
             # one query run; stale entries from the warmup/previous queries
@@ -141,6 +153,13 @@ def run(sf_dir: str, n_runs: int = 3) -> tuple[dict, list[float]]:
             REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             timings[name] = round(time.time() - t0, 3)
         per_run.append(timings)
+    for r in range(n_runs):
+        timings = per_run[r]
+        for name in EXTRA:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.time() - t0, 3)
     medians = {
         name: round(statistics.median(r[name] for r in per_run), 3)
         for name in HEADLINE + EXTRA

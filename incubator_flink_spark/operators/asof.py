@@ -71,3 +71,107 @@ def asof_join(
         + (["__tb"] if tiebreak else [])
     )
     return out.drop(*drop)
+
+
+def asof_join_nearest(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: list[str],
+    probe_ts: str,
+    build_ts: str,
+    payload: dict[str, str],
+    direction: str = "nearest",
+    tolerance_s: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Directional as-of join with tolerance (the pandas ``merge_asof``
+    surface: direction backward / forward / nearest, optional match
+    window) — the generalization of the reference's backward-only
+    temporal join semantics.
+
+    Same scale shape as ``asof_join``: tag-union both sides and run ONE
+    keyed window per direction (last-non-null preceding for backward,
+    first-non-null following for forward) — a single join-key shuffle,
+    no broadcast, no driver collect.  ``nearest`` evaluates both
+    directions in the same two window passes over the same shuffle and
+    picks the smaller |probe_ts - build_ts|, ties to the backward match
+    (pandas' tie rule).  Matches beyond ``tolerance_s`` seconds are
+    nulled out (probe rows are kept — left semantics).
+
+    At equal timestamps the build row matches in BOTH directions
+    (inclusive <=/>= bounds, the reference's inclusive version rule), so
+    a zero-delta match always wins under ``nearest``.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"bad direction: {direction!r}")
+    out_cols = list(payload.values())
+    b = build.select(
+        *keys,
+        F.col(build_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(build_ts).alias("__p_bts"),
+        *((F.col(tiebreak).alias("__tb"),) if tiebreak else ()),
+        *(F.col(src).alias(f"__p_{dst}") for src, dst in payload.items()),
+    )
+    p = probe.withColumn("__ts", F.col(probe_ts)).withColumn("__side", F.lit(1))
+    u = p.unionByName(b, allowMissingColumns=True)
+
+    # Deterministic pick among equal-(key, ts) build rows: the SMALLEST
+    # tiebreak wins in either direction (matching an oracle's
+    # ROW_NUMBER ... ORDER BY delta, build_ts, tiebreak rule) — so the
+    # backward window (last-preceding) orders the tiebreak DESC and the
+    # forward window (first-following) ASC.
+    carried = [*out_cols, "bts"]
+    if direction in ("backward", "nearest"):
+        # build rows sort before probe rows at equal ts -> inclusive <=
+        order_b = [F.col("__ts"), F.col("__side")] + (
+            [F.col("__tb").desc_nulls_last()] if tiebreak else []
+        )
+        wb = (
+            W.partitionBy(*keys)
+            .orderBy(*order_b)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        for c in carried:
+            u = u.withColumn(f"__b_{c}", F.last(f"__p_{c}", ignorenulls=True).over(wb))
+    if direction in ("forward", "nearest"):
+        # probe rows sort before build rows at equal ts -> inclusive >=
+        order_f = [F.col("__ts"), -F.col("__side")] + (
+            [F.col("__tb").asc_nulls_first()] if tiebreak else []
+        )
+        wf = (
+            W.partitionBy(*keys)
+            .orderBy(*order_f)
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        for c in carried:
+            u = u.withColumn(f"__f_{c}", F.first(f"__p_{c}", ignorenulls=True).over(wf))
+
+    out = u.where(F.col("__side") == 1)
+    tol = F.lit(tolerance_s) if tolerance_s is not None else None
+
+    def _ok(delta):
+        cond = delta.isNotNull()
+        if tol is not None:
+            cond = cond & (delta <= tol)
+        return cond
+
+    if direction == "backward":
+        ok = _ok(F.col("__ts").cast("long") - F.col("__b_bts").cast("long"))
+        sel = {c: F.when(ok, F.col(f"__b_{c}")) for c in out_cols}
+    elif direction == "forward":
+        ok = _ok(F.col("__f_bts").cast("long") - F.col("__ts").cast("long"))
+        sel = {c: F.when(ok, F.col(f"__f_{c}")) for c in out_cols}
+    else:
+        db = F.col("__ts").cast("long") - F.col("__b_bts").cast("long")
+        df_ = F.col("__f_bts").cast("long") - F.col("__ts").cast("long")
+        okb, okf = _ok(db), _ok(df_)
+        use_b = okb & (~okf | (db <= df_))  # tie -> backward
+        sel = {
+            c: F.when(use_b, F.col(f"__b_{c}")).when(okf, F.col(f"__f_{c}"))
+            for c in out_cols
+        }
+    for c, expr in sel.items():
+        out = out.withColumn(c, expr)
+    keep = [c for c in probe.columns] + out_cols
+    return out.select(*keep)

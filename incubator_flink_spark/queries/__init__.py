@@ -86,6 +86,8 @@ _PRIORITY = [
     "scd2_dimension_build",
     "part_copurchase_ktruss",
     "embedding_top_pc",
+    "asof_nearest_tolerance",
+    "star_two_hop_exists",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

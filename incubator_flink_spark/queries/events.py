@@ -1214,3 +1214,56 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_build(h, "user_id", "ts", "event_id", ["tier"]).orderBy(
         "user_id", "version"
     )
+
+
+# --- directional as-of with tolerance (merge_asof surface) ----------------------
+
+ASOF_NEAREST_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+b AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+cand AS (
+  SELECT p.event_id, b.click_id, b.click_ts,
+         abs(epoch_us(p.ts) // 1000000 - epoch_us(b.click_ts) // 1000000) AS delta_s,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(p.ts) // 1000000 - epoch_us(b.click_ts) // 1000000),
+                    b.click_ts, b.click_id) AS rn
+  FROM p JOIN b ON p.user_id = b.user_id
+  WHERE abs(epoch_us(p.ts) // 1000000 - epoch_us(b.click_ts) // 1000000) <= 1800)
+SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts, c.delta_s
+FROM p LEFT JOIN (SELECT event_id, click_id, click_ts, delta_s FROM cand WHERE rn = 1) c
+  USING (event_id)
+ORDER BY p.event_id
+"""
+
+
+@register("asof_nearest_tolerance", ASOF_NEAREST_ORACLE)
+def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional as-of with tolerance (the pandas merge_asof surface,
+    direction='nearest'): each purchase matched to its nearest click
+    within 30 minutes, ties to the earlier click.  One keyed shuffle +
+    two window passes (operators/asof.asof_join_nearest) — the oracle is
+    an independent formulation (banded candidate join + ROW_NUMBER pick)
+    of the same semantics."""
+    from incubator_flink_spark.operators.asof import asof_join_nearest
+
+    e = load(spark, sf_dir, "events")
+    probe = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    build = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("b_eid"), "user_id", F.col("ts").alias("b_ts")
+    )
+    j = asof_join_nearest(
+        probe,
+        build,
+        keys=["user_id"],
+        probe_ts="ts",
+        build_ts="b_ts",
+        payload={"b_eid": "click_id", "b_ts": "click_ts"},
+        direction="nearest",
+        tolerance_s=1800,
+        tiebreak="b_eid",
+    )
+    delta = F.abs(F.col("ts").cast("long") - F.col("click_ts").cast("long"))
+    return j.select(
+        "event_id", "user_id", "ts", "click_id", "click_ts", delta.alias("delta_s")
+    ).orderBy("event_id")

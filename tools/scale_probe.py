@@ -268,6 +268,13 @@ def main():
         "export_manifest",
         "conversion_latency_cohorts",
         "rake_keyphrases",
+        "mv_incremental_orders",
+        "mv_affected_group_max",
+        "scd2_dimension_build",
+        "part_copurchase_ktruss",
+        "embedding_top_pc",
+        "asof_nearest_tolerance",
+        "star_two_hop_exists",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
