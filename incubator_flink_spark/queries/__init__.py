@@ -88,6 +88,7 @@ _PRIORITY = [
     "embedding_top_pc",
     "asof_nearest_tolerance",
     "star_two_hop_exists",
+    "weighted_sample_es",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

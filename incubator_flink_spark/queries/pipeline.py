@@ -1404,3 +1404,44 @@ def export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- weighted sampling without replacement (Efraimidis-Spirakis) ---------------
+# The quality/length-weighted corpus sampler: each doc draws a seeded
+# uniform u and scores key = ln(u)/w (the log form of the E-S exponential
+# key u^(1/w)); the global top-k by key IS a weighted sample without
+# replacement.  Deterministic: u derives from hash64, the single ln per
+# row is rounded to 9dp (kills cross-engine ulps; ties broken by doc_id),
+# and selection is TakeOrdered top-k — map-only + k-row reduction, no
+# full sort, no shuffle of the corpus at any scale.
+
+_ES_K = 200
+_ES_DEN = (1 << 60) + 1  # hash64 is 60-bit; (h+1)/DEN is a uniform in (0,1)
+
+ES_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, n_chars,
+       ROUND(ln(({hash64_sql("'esample:' || CAST(doc_id AS VARCHAR)")} + 1) / {_ES_DEN}.0) / n_chars, 9) AS es_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY es_key DESC, doc_id LIMIT {_ES_K}
+"""
+
+
+@register("weighted_sample_es", ES_SAMPLE_ORACLE)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (public: Efraimidis &
+    Spirakis 2006), weight = n_chars: P(doc in sample) follows the
+    weights with no replacement bias — the standard curation move for
+    length/quality-weighted subcorpus draws.  Seeded-hash uniforms make
+    it reproducible and revisit-safe; top-k runs as TakeOrdered (k rows
+    per partition reach the reducer, never a global sort)."""
+    d = spread(load(spark, sf_dir, "documents")).where(F.col("n_chars") > 0)
+    u = (
+        hash64(F.concat(F.lit("esample:"), F.col("doc_id").cast("string"))) + 1
+    ).cast("double") / F.lit(float(_ES_DEN))
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(_ES_K)
+    )
