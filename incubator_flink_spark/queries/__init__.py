@@ -33,13 +33,14 @@ from incubator_flink_spark.queries.registry import REGISTRY, oracle_sql, queries
 _PRIORITY = [
     # The driver samples the first ~50 registered queries per round.  The
     # round-4 evidence map: 176/190 queries driver-green at least once;
-    # 14 have never had a driver row (the round-4 registrations that
+    # 14 never had a driver row (the round-4 registrations that
     # overflowed r4's 50-query window — 11 value-exact locally, 3 newly
     # oracle-backed this round via unrolled-CTE oracles: the BPE train /
     # encode pair and the k-core peel).  Round 5's window packs (a)
     # those 14 — making driver evidence TOTAL across the registry,
-    # (b) the new round-5 registrations, and (c) the stalest greens
-    # (round-1-only evidence) topping the window up to ~50.
+    # (b) tier B: every round-5 registration (each checked exact at
+    # sf0.01 AND sf0.1 at registration time), and (c) the stalest
+    # greens (round-1-only evidence) topping the window up to ~50.
     #
     # -- tier A (1-14): never driver-checked in any round -------------------
     "source_drift",
@@ -89,6 +90,7 @@ _PRIORITY = [
     "asof_nearest_tolerance",
     "star_two_hop_exists",
     "weighted_sample_es",
+    "embedding_abtt_stats",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -993,3 +993,106 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("proj")).desc(), "vec_id")
         .limit(20)
     )
+
+
+# --- all-but-the-top postprocessing stats (Mu & Viswanath 2018) ----------------
+
+_ABTT_ROUNDS = 6
+
+
+def _abtt_sql(rounds: int) -> str:
+    """Unrolled centered power iteration + per-label variance stats —
+    identical arithmetic to operators/similarity.power_iteration_centered
+    (means and the <mu, v> correction are folded in algebraically, the
+    corpus is never centered in place)."""
+    parts = [
+        """m AS MATERIALIZED (
+  SELECT g.j, CAST(CAST(SUM(CAST(CAST(e.embedding[g.j] AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mu
+  FROM embeddings e, unnest(generate_series(1, 64)) AS g(j) GROUP BY g.j)""",
+        "ml AS (SELECT LIST(mu ORDER BY j) AS l FROM m)",
+        "mm AS (SELECT list_inner_product(l, l) AS mumu FROM ml)",
+        "v0 AS (SELECT [CAST(0.125 AS DOUBLE) FOR x IN range(64)] AS v)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""s{t} AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT v FROM v{t - 1}))
+           - list_inner_product((SELECT l FROM ml), (SELECT v FROM v{t - 1})) AS s
+  FROM embeddings)""")
+        parts.append(f"""u{t} AS MATERIALIZED (
+  SELECT g.j,
+         CAST(CAST(SUM(CAST(s.s * s.e[g.j] AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
+           - (SELECT mu FROM m WHERE m.j = g.j)
+             * (SELECT CAST(CAST(SUM(CAST(s2.s AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) FROM s{t} s2) AS u
+  FROM s{t} s, unnest(generate_series(1, 64)) AS g(j) GROUP BY g.j)""")
+        parts.append(f"""v{t} AS (
+  SELECT LIST(u / sqrt((SELECT list_inner_product(LIST(u ORDER BY j), LIST(u ORDER BY j)) FROM u{t})) ORDER BY j) AS v
+  FROM u{t})""")
+    parts.append(f"""fin AS (
+  SELECT label,
+         list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+           - 2 * list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT l FROM ml))
+           + (SELECT mumu FROM mm) AS before,
+         list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT v FROM v{rounds}))
+           - list_inner_product((SELECT l FROM ml), (SELECT v FROM v{rounds})) AS sp
+  FROM embeddings)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT label, COUNT(*) AS n,
+       ROUND(CAST(CAST(SUM(CAST(before AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS var_before,
+       ROUND(CAST(CAST(SUM(CAST(before - sp*sp AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS var_after
+FROM fin GROUP BY label ORDER BY label"""
+    )
+
+
+ABTT_ORACLE = _abtt_sql(_ABTT_ROUNDS)
+
+
+@register("embedding_abtt_stats", ABTT_ORACLE)
+def embedding_abtt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top (public: Mu & Viswanath, ICLR 2018): remove the
+    mean and the top principal direction from every embedding — the
+    standard anisotropy fix before cosine retrieval — and report the
+    per-label mean squared norm before/after (the variance the dominant
+    axis carried).  Per-row quantities decompose into sequential-fold
+    dots against literal mu/v (||x-mu||^2 = <x,x> - 2<x,mu> + <mu,mu>),
+    so the corpus is never rewritten and the full pass is map-only +
+    one label-grain exact-decimal aggregate; the oracle unrolls the
+    identical centered power iteration bit-for-bit."""
+    from incubator_flink_spark.operators.similarity import (
+        _dot,
+        _lit_vec,
+        power_iteration_centered,
+    )
+
+    e = spread(load(spark, sf_dir, "embeddings"))
+    mu, v = power_iteration_centered(e, rounds=_ABTT_ROUNDS)
+
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    mumu, muv = fold_dot(mu, mu), fold_dot(mu, v)
+    dec = "decimal(38,12)"
+    xx = _dot(F.col("embedding"), F.col("embedding"))
+    xmu = _dot(F.col("embedding"), _lit_vec(mu))
+    xv = _dot(F.col("embedding"), _lit_vec(v))
+    before = xx - 2 * xmu + F.lit(mumu)
+    sp = xv - F.lit(muv)
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(before.cast(dec)).cast("double") / F.count(F.lit(1)), 6).alias(
+                "var_before"
+            ),
+            F.round(
+                F.sum((before - sp * sp).cast(dec)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("var_after"),
+        )
+        .orderBy("label")
+    )
