@@ -189,3 +189,62 @@ def growing_dedup_stream(
         )
         .start()
     )
+
+
+class MaterializedViewSink:
+    """Continuously-maintained materialized aggregate — the reference's
+    dynamic table (SURVEY.md §1.3) as a foreachBatch sink.
+
+    Each micro-batch is a signed changelog (``sign_col`` = +1 for
+    +I/+U, -1 for -U/-D rows carrying the record's measure values); the
+    standing count/sum MV is delta-merged per batch
+    (operators/mv.mv_delta_merge — O(|batch| + |keys touched|), the
+    fact history is never rescanned) and persisted write-then-swap so a
+    replayed batch converges (idempotence under Structured Streaming's
+    checkpoint replay — the exactly-once discipline
+    TwoPhaseCommitSinkFunction provides in the reference).
+
+    NOTE on replay semantics: the merge itself is an increment, so
+    exactly-once requires the checkpoint to gate batch replay (Spark's
+    contract); the swap makes a crash BETWEEN write and swap safe.
+    """
+
+    def __init__(self, path: str, keys: list[str], count_col: str, sum_cols: list[str], sign_col: str = "__sign"):
+        self.path = path
+        self.keys = keys
+        self.count_col = count_col
+        self.sum_cols = sum_cols
+        self.sign_col = sign_col
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from incubator_flink_spark.operators.mv import mv_delta_merge
+
+        spark = batch_df.sparkSession
+        if os.path.exists(self.path):
+            mv = spark.read.parquet(self.path)
+            merged = mv_delta_merge(
+                mv, batch_df, self.keys, self.count_col, self.sum_cols, self.sign_col
+            )
+        else:
+            merged = (
+                batch_df.groupBy(*self.keys)
+                .agg(
+                    F.sum(self.sign_col).cast("bigint").alias(self.count_col),
+                    *[
+                        F.sum(F.col(self.sign_col) * F.col(c)).alias(c)
+                        for c in self.sum_cols
+                    ],
+                )
+                .where(F.col(self.count_col) > 0)
+            )
+        tmp = self.path + f".__tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+
+
+def mv_sink(stream: DataFrame, path: str, keys: list[str], count_col: str, sum_cols: list[str]):
+    """Attach the MV-maintenance sink; caller configures trigger/checkpoint
+    and starts the returned writer."""
+    return stream.writeStream.outputMode("append").foreachBatch(
+        MaterializedViewSink(path, keys, count_col, sum_cols)
+    )

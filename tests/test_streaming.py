@@ -1306,3 +1306,44 @@ def test_windowed_histogram_stream_matches_batch_and_quantiles(spark, replay_dir
         exact = vals[math.ceil(q * len(vals)) - 1]
         if LO <= exact < HI:
             assert abs(got[q] - exact) <= width, (q, got[q], exact)
+
+
+def test_streaming_mv_sink_matches_batch_recompute(spark, replay_dir):
+    """foreachBatch MV maintenance (MaterializedViewSink): a signed CDC
+    stream delta-merged into a standing count/sum MV per micro-batch
+    ends exactly at the batch recompute over the full history —
+    including eliminated groups (live count 0 leaves the view)."""
+    import tempfile as _tf
+
+    from incubator_flink_spark.streaming.sinks import mv_sink
+
+    dec = "decimal(30,8)"
+    stream = replay_table(spark, SF, "events", replay_dir + "/mvsink", n_files=4)
+    cdc = stream.select(
+        F.col("user_id").alias("k"),
+        F.when(F.col("event_type") == "error", -1).otherwise(1).alias("__sign"),
+        F.col("value").cast(dec).alias("sum_value"),
+    )
+    path = replay_dir + "/mv_table"
+    q = (
+        mv_sink(cdc, path, ["k"], "live_rows", ["sum_value"])
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_mv_"))
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    got = {r["k"]: (r["live_rows"], r["sum_value"]) for r in spark.read.parquet(path).collect()}
+
+    e = load(spark, SF, "events")
+    sign = F.when(F.col("event_type") == "error", F.lit(-1)).otherwise(F.lit(1))
+    batch = (
+        e.groupBy(F.col("user_id").alias("k"))
+        .agg(
+            F.sum((sign * F.col("value")).cast(dec)).alias("sum_value"),
+            F.sum(sign).cast("bigint").alias("live_rows"),
+        )
+        .where(F.col("live_rows") > 0)
+    )
+    expected = {r["k"]: (r["live_rows"], r["sum_value"]) for r in batch.collect()}
+    assert got == expected and got

@@ -275,6 +275,8 @@ def main():
         "embedding_top_pc",
         "asof_nearest_tolerance",
         "star_two_hop_exists",
+        "weighted_sample_es",
+        "embedding_abtt_stats",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
