@@ -91,6 +91,7 @@ _PRIORITY = [
     "star_two_hop_exists",
     "weighted_sample_es",
     "embedding_abtt_stats",
+    "cep_all_rows_funnel",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -14,6 +14,7 @@ covered by tests/test_cep.py against hand-computed fixtures.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from incubator_flink_spark.catalog import load
 from incubator_flink_spark.cep import Pattern, match_pattern
@@ -145,5 +146,61 @@ def cep_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             B AS B.event_type = 'click' OR B.event_type = 'purchase'
         ) AS T
         ORDER BY user_id, start_id
+        """
+    ).to_df()
+
+
+# ALL ROWS PER MATCH over the same funnel chain: each matched input row
+# is emitted (the reference's per-row MATCH_RECOGNIZE output mode,
+# Table SQL `ALL ROWS PER MATCH`), carrying the match head (running
+# FIRST(A.event_id)) and its CLASSIFIER.  The match SET is identical to
+# cep_funnel's greedy chain, so the oracle reuses that recursive CTE and
+# unnests two rows per match.
+
+CEP_ALL_ROWS_ORACLE = CEP_FUNNEL_ORACLE.replace(
+    "SELECT user_id, click_id, purchase_id FROM chain ORDER BY user_id, click_id",
+    """SELECT ch.user_id, e.event_id, ch.click_id AS match_id,
+       CASE WHEN e.rn = ch.click_rn THEN 'A'
+            WHEN e.rn = ch.purch_rn THEN 'B'
+            ELSE 'C' END AS role
+FROM chain ch JOIN ev e
+  ON e.user_id = ch.user_id AND e.rn BETWEEN ch.click_rn AND ch.purch_rn
+ORDER BY ch.user_id, match_id, e.rn""",
+)
+
+
+@register("cep_all_rows_funnel", CEP_ALL_ROWS_ORACLE)
+def cep_all_rows_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE ALL ROWS PER MATCH through the SQL statement
+    surface: the cep_funnel chain re-emitted one row per MATCHED INPUT
+    ROW with CLASSIFIER() and the running match head — the reference's
+    per-row output mode (StreamExecMatch / SqlMatchRecognize ALL ROWS
+    PER MATCH)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ev.createOrReplaceTempView("cep_allrows_events")
+    return env.sql_query(
+        """
+        SELECT user_id, event_id, match_id, role
+        FROM cep_allrows_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES
+            FIRST(A.event_id) AS match_id,
+            CLASSIFIER() AS role
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A C* B)
+          WITHIN INTERVAL '1' DAY
+          DEFINE
+            A AS A.event_type = 'click',
+            C AS C.event_type = 'click',
+            B AS B.event_type = 'purchase'
+        ) AS T
+        ORDER BY user_id, match_id, role
         """
     ).to_df()
