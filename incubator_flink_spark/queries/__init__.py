@@ -92,6 +92,7 @@ _PRIORITY = [
     "weighted_sample_es",
     "embedding_abtt_stats",
     "cep_all_rows_funnel",
+    "curriculum_order",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1445,3 +1445,46 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(_ES_K)
     )
+
+
+# --- curriculum ordering (difficulty buckets + seeded in-bucket shuffle) -------
+# The training-order construction pass: docs are banded into difficulty
+# quartiles (length as the proxy signal, easy first), then each band is
+# deterministically shuffled by a seeded hash, and the whole corpus gets
+# ONE global curriculum index.  Both stages are the engine's
+# distributed-rank machinery (range partition + offset cumsum — no
+# single-partition window anywhere): ntile_exact for the bands, then
+# distributed_rank over (band, shuffle_key) for the order.
+
+CURRICULUM_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         NTILE(4) OVER (ORDER BY n_chars, doc_id) AS band,
+         {hash64_sql("'cur:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+  FROM documents)
+SELECT doc_id, n_chars, band,
+       ROW_NUMBER() OVER (ORDER BY band, shuffle_key, doc_id) AS global_order
+FROM b
+ORDER BY global_order
+"""
+
+
+@register("curriculum_order", CURRICULUM_ORACLE)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: difficulty quartiles by length (exact
+    NTILE semantics via ntile_exact — range partition + offset cumsum),
+    seeded hash shuffle within each band, one global order index via
+    distributed_rank.  Bit-identical to the oracle's global-window NTILE
+    + ROW_NUMBER, with no single-partition exchange in the plan."""
+    from incubator_flink_spark.operators.rank import distributed_rank, ntile_exact
+
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+    banded = ntile_exact(d, ["n_chars", "doc_id"], 4, bucket_col="band").withColumn(
+        "shuffle_key", hash64(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+    )
+    ordered = distributed_rank(
+        banded, ["band", "shuffle_key", "doc_id"], rank_col="global_order"
+    )
+    return ordered.select(
+        "doc_id", "n_chars", "band", F.col("global_order").cast("bigint").alias("global_order")
+    ).orderBy("global_order")
