@@ -277,6 +277,8 @@ def main():
         "star_two_hop_exists",
         "weighted_sample_es",
         "embedding_abtt_stats",
+        "cep_all_rows_funnel",
+        "curriculum_order",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
