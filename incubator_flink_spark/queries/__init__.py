@@ -93,6 +93,7 @@ _PRIORITY = [
     "embedding_abtt_stats",
     "cep_all_rows_funnel",
     "curriculum_order",
+    "unpivot_quantities",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -807,3 +807,37 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- UNPIVOT (wide -> long; the inverse of agg_pivot) -------------------------
+
+UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE) AS qty_f,
+         CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE) AS qty_o
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, status, qty
+FROM wide UNPIVOT INCLUDE NULLS (qty FOR status IN (qty_f AS 'F', qty_o AS 'O'))
+ORDER BY l_returnflag, status
+"""
+
+
+@register("unpivot_quantities", UNPIVOT_ORACLE)
+def unpivot_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — wide-to-long reshaping via the stack() table generator
+    (Spark's Expand-backed unpivot; the Correlate/row-multiplier family
+    of StreamExecExpand).  Inverse of agg_pivot: pivot the per-flag
+    quantities wide, then melt them back to (flag, status, qty) rows."""
+    l = load(spark, sf_dir, "lineitem")
+    wide = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum(F.col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr("stack(2, 'F', qty_f, 'O', qty_o) AS (status, qty)"),
+    ).orderBy("l_returnflag", "status")
