@@ -94,6 +94,7 @@ _PRIORITY = [
     "cep_all_rows_funnel",
     "curriculum_order",
     "unpivot_quantities",
+    "embedding_top2_pc",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1096,3 +1096,80 @@ def embedding_abtt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- two-component spectral map (deflation) ------------------------------------
+
+
+def _pc_phase_sql(prefix: str, rounds: int, start_cte: str, deflate_by: str | None = None) -> list[str]:
+    """One unrolled power-iteration phase; with ``deflate_by`` each round
+    projects the named unit vector out of u before normalizing (the
+    deflation that yields the SECOND eigenvector)."""
+    parts: list[str] = []
+    for t in range(1, rounds + 1):
+        prev = f"{prefix}v{t - 1}" if t > 1 else start_cte
+        parts.append(f"""{prefix}s{t} AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT v FROM {prev})) AS s
+  FROM embeddings)""")
+        parts.append(f"""{prefix}u{t} AS MATERIALIZED (
+  SELECT g.j, CAST(CAST(SUM(CAST(s.s * s.e[g.j] AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS u
+  FROM {prefix}s{t} s, unnest(generate_series(1, 64)) AS g(j) GROUP BY g.j)""")
+        src = f"{prefix}u{t}"
+        if deflate_by is not None:
+            parts.append(f"""{prefix}d{t} AS MATERIALIZED (
+  SELECT u.j, u.u - (SELECT list_inner_product(LIST(u2.u ORDER BY u2.j), (SELECT v FROM {deflate_by})) FROM {prefix}u{t} u2)
+                 * (SELECT v FROM {deflate_by})[u.j] AS u
+  FROM {prefix}u{t} u)""")
+            src = f"{prefix}d{t}"
+        parts.append(f"""{prefix}v{t} AS (
+  SELECT LIST(u / sqrt((SELECT list_inner_product(LIST(u ORDER BY j), LIST(u ORDER BY j)) FROM {src})) ORDER BY j) AS v
+  FROM {src})""")
+    return parts
+
+
+def _top2_sql(rounds: int) -> str:
+    parts = ["z0 AS (SELECT [CAST(0.125 AS DOUBLE) FOR x IN range(64)] AS v)"]
+    parts += _pc_phase_sql("a", rounds, "z0")
+    parts += _pc_phase_sql("b", rounds, "z0", deflate_by=f"av{rounds}")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, label,
+       ROUND(list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT v FROM av{rounds})), 6) AS proj1,
+       ROUND(list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT v FROM bv{rounds})), 6) AS proj2
+FROM embeddings
+ORDER BY abs(ROUND(list_inner_product(CAST(embedding AS DOUBLE[]), (SELECT v FROM bv{rounds})), 6)) DESC, vec_id
+LIMIT 20"""
+    )
+
+
+TOP2_PC_ORACLE = _top2_sql(_PC_ROUNDS)
+
+
+@register("embedding_top2_pc", TOP2_PC_ORACLE)
+def embedding_top2_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component spectral map: the second principal direction by
+    deflated power iteration (u <- u - <u, v1> v1 per round; v1 from the
+    same top-PC build), reported as the 20 most extreme vectors along
+    PC2 with both projections — the 2-D embedding diagnostic.  Cost is
+    two power-iteration phases of narrow map passes; the oracle unrolls
+    both phases and matches bit-for-bit."""
+    from incubator_flink_spark.operators.similarity import (
+        _dot,
+        _lit_vec,
+        power_iteration_deflated,
+        power_iteration_top_pc,
+    )
+
+    e = spread(load(spark, sf_dir, "embeddings"))
+    v1 = power_iteration_top_pc(e, rounds=_PC_ROUNDS)
+    v2 = power_iteration_deflated(e, v1, rounds=_PC_ROUNDS)
+    p1 = F.round(_dot(F.col("embedding"), _lit_vec(v1)), 6)
+    p2 = F.round(_dot(F.col("embedding"), _lit_vec(v2)), 6)
+    return (
+        e.select("vec_id", "label", p1.alias("proj1"), p2.alias("proj2"))
+        .orderBy(F.abs(F.col("proj2")).desc(), "vec_id")
+        .limit(20)
+    )
