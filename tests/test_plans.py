@@ -572,3 +572,23 @@ def test_aqe_coalesces_shuffle_partitions(spark):
     assert n < 32
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan or "coalesced" in plan.lower()
+
+
+def test_round5_new_ops_no_keyless_window(spark):
+    """The round-5 third-wave operators must not reintroduce the
+    single-partition WindowExec: curriculum_order builds its global
+    order via distributed_rank (no WindowExec at all), weighted
+    sampling selects with TakeOrdered, and the MV merge / two-hop
+    shapes never need a window."""
+    for name in (
+        "curriculum_order",
+        "weighted_sample_es",
+        "mv_incremental_orders",
+        "star_two_hop_exists",
+    ):
+        rep = audit_plan(REGISTRY[name].fn(spark, SF))
+        assert "Window" not in rep.raw, f"{name} has a WindowExec"
+    # weighted_sample_es top-k must plan as TakeOrderedAndProject,
+    # not a global Sort
+    rep = audit_plan(REGISTRY["weighted_sample_es"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in rep.raw

@@ -279,6 +279,7 @@ def main():
         "embedding_abtt_stats",
         "cep_all_rows_funnel",
         "curriculum_order",
+        "embedding_top2_pc",
     ):
         ops[qname] = (
             lambda d, f=REGISTRY[qname].fn: f(spark, d).write.mode("overwrite").format("noop").save()
