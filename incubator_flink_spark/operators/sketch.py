@@ -219,3 +219,47 @@ def histogram_quantile(
         )
         out = pick if out is None else out.unionByName(pick)
     return out
+
+
+def hll_registers_grouped(
+    items: DataFrame, group_cols: list[str], key_col: str, m: int = HLL_M
+) -> DataFrame:
+    """(group_cols..., bucket, reg): per-group HLL registers — the same
+    max-rho cells as ``hll_registers`` keyed by group, so per-group
+    state is bounded at m cells regardless of the group's cardinality
+    (the per-source / per-language distinct profile a corpus data card
+    reports)."""
+    bbits = m.bit_length() - 1
+    if 1 << bbits != m:
+        raise ValueError("m must be a power of two")
+    h = hash64(F.col(key_col).cast("string"))
+    w = F.shiftright(h, bbits)
+    rho = F.when(w == 0, F.lit(HLL_RHO_CAP)).otherwise(_rho(w))
+    return (
+        items.select(*group_cols, (h % F.lit(m)).alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate_grouped(
+    regs: DataFrame, group_cols: list[str], m: int = HLL_M
+) -> DataFrame:
+    """(group_cols..., n_buckets_used, denom_scaled, est) per group, same
+    integer-exact arithmetic as ``hll_estimate``."""
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_CAP} - reg)")),
+            F.lit(0).cast("long"),
+        ).alias("__used_sum"),
+    )
+    denom = F.col("__used_sum") + (F.lit(m) - F.col("n_buckets_used")) * F.lit(
+        2**HLL_RHO_CAP
+    ).cast("long")
+    return agg.select(
+        *group_cols,
+        "n_buckets_used",
+        denom.alias("denom_scaled"),
+        F.round(F.lit(float(HLL_NUM)) / denom, 4).alias("est"),
+    )

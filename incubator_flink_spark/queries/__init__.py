@@ -95,6 +95,7 @@ _PRIORITY = [
     "curriculum_order",
     "unpivot_quantities",
     "embedding_top2_pc",
+    "hll_by_language",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -991,3 +991,53 @@ def part_copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return ktruss(e, 3)
+
+
+# --- per-language HLL distinct-shingle profile --------------------------------
+
+HLL_BY_LANG_ORACLE = f"""
+WITH sh AS (SELECT lang, unnest({shingles_sql(tokens_sql('text'))}) AS sh FROM documents),
+h AS (SELECT lang, {hash64_sql('sh')} AS h FROM sh),
+br AS (
+  SELECT lang, h % {HLL_M} AS bucket,
+         CASE WHEN (h >> 8) = 0 THEN {_CAP}
+              ELSE least({_CAP}, 1 + length(bin(h >> 8)) - length(regexp_replace(bin(h >> 8), '0+$', '')))
+         END AS rho
+  FROM h
+),
+regs AS (SELECT lang, bucket, MAX(rho) AS reg FROM br GROUP BY lang, bucket),
+agg AS (
+  SELECT lang, COUNT(*) AS n_buckets_used,
+         CAST(COALESCE(SUM((1::BIGINT) << ({_CAP} - reg)), 0) AS BIGINT) AS used_sum
+  FROM regs GROUP BY lang
+),
+ex AS (SELECT lang, COUNT(DISTINCT sh) AS exact_distinct FROM sh GROUP BY lang)
+SELECT lang, exact_distinct, n_buckets_used,
+       used_sum + ({HLL_M} - n_buckets_used) * {_POW_CAP} AS denom_scaled,
+       round({HLL_NUM} / (used_sum + ({HLL_M} - n_buckets_used) * {_POW_CAP}), 4) AS est
+FROM agg JOIN ex USING (lang)
+ORDER BY lang
+"""
+
+
+@register("hll_by_language", HLL_BY_LANG_ORACLE)
+def hll_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-shingle profile: grouped deterministic HLL
+    (m cells per language, map-side-combined) next to the exact count —
+    the data-card distinct statistic at per-group grain.  Same
+    integer-exact register/estimate arithmetic as hll_distinct_shingles,
+    so the oracle reproduces every per-group estimate bit-for-bit."""
+    from incubator_flink_spark.operators.sketch import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    d = spread(load(spark, sf_dir, "documents"))
+    sh = d.select("lang", F.explode(shingles(tokens(F.col("text")), 3)).alias("sh"))
+    est = hll_estimate_grouped(hll_registers_grouped(sh, ["lang"], "sh"), ["lang"])
+    exact = sh.groupBy("lang").agg(F.countDistinct("sh").alias("exact_distinct"))
+    return (
+        est.join(exact, "lang")
+        .select("lang", "exact_distinct", "n_buckets_used", "denom_scaled", "est")
+        .orderBy("lang")
+    )
