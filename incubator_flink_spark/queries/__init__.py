@@ -96,6 +96,7 @@ _PRIORITY = [
     "unpivot_quantities",
     "embedding_top2_pc",
     "hll_by_language",
+    "histogram_quantiles",
     # -- tier C: round-1-green only — stalest driver evidence ---------------
     "dedup_exact",
     "dedup_minhash_lsh",

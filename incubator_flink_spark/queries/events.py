@@ -1267,3 +1267,52 @@ def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_id", "user_id", "ts", "click_id", "click_ts", delta.alias("delta_s")
     ).orderBy("event_id")
+
+
+# --- histogram-sketch quantiles (batch registry form) --------------------------
+# The mergeable fixed-bin quantile sketch (streaming form:
+# streaming/sketches.windowed_histogram) at corpus grain: 50 bins over
+# [0, 500) with under/overflow cells, quantiles read as the lower edge
+# of the first bin whose cumulative count reaches ceil(q*n).  The cell
+# build is one map-side-combined aggregate bounded at n_bins+2 cells
+# per task; the quantile extraction runs over sketch-sized metadata.
+
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 500.0, 50
+
+HISTOGRAM_QUANTILES_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(CASE WHEN value < {_HQ_LO} THEN -1
+              WHEN value >= {_HQ_HI} THEN {_HQ_BINS}
+              ELSE FLOOR((value - {_HQ_LO}) / {_HQ_HI - _HQ_LO} * {_HQ_BINS}) END + 1 AS INT) AS bin
+  FROM events),
+cells AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin),
+cum AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM cells),
+qs AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q)
+SELECT q,
+       (SELECT CASE WHEN c.bin = 0 THEN {_HQ_LO} - {(_HQ_HI - _HQ_LO) / _HQ_BINS}
+                    ELSE least({_HQ_LO} + (c.bin - 1) * {(_HQ_HI - _HQ_LO) / _HQ_BINS}, {_HQ_HI}) END
+        FROM cum c WHERE c.cum >= CEIL(q * c.n) ORDER BY c.bin LIMIT 1) AS quantile_est
+FROM qs ORDER BY q
+"""
+
+
+@register("histogram_quantiles", HISTOGRAM_QUANTILES_ORACLE)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from the fixed-bin counting histogram (the mergeable
+    sketch the streaming windowed_histogram maintains): p50/p90/p99 of
+    event value with error bounded by one bin width, deterministic bin
+    arithmetic identical in both engines."""
+    from incubator_flink_spark.operators.sketch import histogram_quantile
+
+    e = load(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    raw = F.floor((v - F.lit(_HQ_LO)) / F.lit(_HQ_HI - _HQ_LO) * F.lit(_HQ_BINS))
+    b = (
+        F.when(v < _HQ_LO, F.lit(-1)).when(v >= _HQ_HI, F.lit(_HQ_BINS)).otherwise(raw) + 1
+    ).cast("int")
+    cells = e.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    return histogram_quantile(cells, [0.5, 0.9, 0.99], _HQ_LO, _HQ_HI, _HQ_BINS).orderBy("q")
