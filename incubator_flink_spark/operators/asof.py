@@ -42,34 +42,38 @@ def asof_join(
     "inner" drops them (the reference's temporal table FUNCTION join is
     inner — LATERAL TABLE(rates(o_time)) emits nothing for unmatched rows,
     TemporalRowTimeJoinOperator.java:78 vs the LEFT temporal join variant).
+
+    The payload columns are packed into ONE struct before the window so a
+    single ``last(ignorenulls=True)`` picks one WHOLE build row — a
+    legitimately-NULL payload value stays NULL instead of being skipped
+    for an older row's value (no column tearing).  Build rows with NULL
+    ``build_ts`` are dropped (they can never be the valid version).
+    Without ``tiebreak``, which of several equal-(keys, ts) build rows is
+    picked is nondeterministic (one whole row, but not a defined one);
+    supply ``tiebreak`` for a deterministic result.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
-    out_types = {c.name: c.dataType for c in build.schema.fields}
-    b = build.select(
+    b = build.where(F.col(build_ts).isNotNull()).select(
         *keys,
         F.col(build_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.lit(1).alias("__p___matched"),
-        *(F.col(src).alias(f"__p_{dst}") for src, dst in payload.items()),
+        F.struct(
+            *(F.col(src).alias(dst) for src, dst in payload.items())
+        ).alias("__p"),
         *((F.col(tiebreak).alias("__tb"),) if tiebreak else ()),
     )
     p = probe.withColumn("__ts", F.col(probe_ts)).withColumn("__side", F.lit(1))
-    if tiebreak:
-        p = p.withColumn("__tb", F.lit(None).cast(out_types[tiebreak]))
     unioned = p.unionByName(b, allowMissingColumns=True)
     order = [F.col("__ts"), F.col("__side")] + ([F.col("__tb")] if tiebreak else [])
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
-    for dst in [*payload.values(), "__matched"]:
-        unioned = unioned.withColumn(dst, F.last(f"__p_{dst}", ignorenulls=True).over(w))
+    unioned = unioned.withColumn("__pick", F.last("__p", ignorenulls=True).over(w))
     out = unioned.where(F.col("__side") == 1)
     if how == "inner":
-        out = out.where(F.col("__matched").isNotNull())
-    drop = (
-        ["__ts", "__side", "__matched", "__p___matched"]
-        + [f"__p_{d}" for d in payload.values()]
-        + (["__tb"] if tiebreak else [])
-    )
+        out = out.where(F.col("__pick").isNotNull())
+    for dst in payload.values():
+        out = out.withColumn(dst, F.col("__pick").getField(dst))
+    drop = ["__ts", "__side", "__p", "__pick"] + (["__tb"] if tiebreak else [])
     return out.drop(*drop)
 
 
@@ -101,17 +105,30 @@ def asof_join_nearest(
     At equal timestamps the build row matches in BOTH directions
     (inclusive <=/>= bounds, the reference's inclusive version rule), so
     a zero-delta match always wins under ``nearest``.
+
+    Build-row payload + build_ts are packed into ONE struct so each
+    direction's single ``last``/``first(ignorenulls=True)`` picks one
+    WHOLE build row — a legitimately-NULL payload value stays NULL (no
+    column tearing across different build rows).  Build rows with NULL
+    ``build_ts`` are dropped (no position on the time axis).  Without
+    ``tiebreak``, the pick among equal-(keys, ts) build rows is one
+    whole row but WHICH row is nondeterministic; supply ``tiebreak``
+    (smallest wins) for a deterministic result.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"bad direction: {direction!r}")
     out_cols = list(payload.values())
-    b = build.select(
+    if "__bts" in out_cols:
+        raise ValueError("payload output name '__bts' is reserved")
+    b = build.where(F.col(build_ts).isNotNull()).select(
         *keys,
         F.col(build_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(build_ts).alias("__p_bts"),
+        F.struct(
+            F.col(build_ts).alias("__bts"),
+            *(F.col(src).alias(dst) for src, dst in payload.items()),
+        ).alias("__p"),
         *((F.col(tiebreak).alias("__tb"),) if tiebreak else ()),
-        *(F.col(src).alias(f"__p_{dst}") for src, dst in payload.items()),
     )
     p = probe.withColumn("__ts", F.col(probe_ts)).withColumn("__side", F.lit(1))
     u = p.unionByName(b, allowMissingColumns=True)
@@ -121,7 +138,6 @@ def asof_join_nearest(
     # ROW_NUMBER ... ORDER BY delta, build_ts, tiebreak rule) — so the
     # backward window (last-preceding) orders the tiebreak DESC and the
     # forward window (first-following) ASC.
-    carried = [*out_cols, "bts"]
     if direction in ("backward", "nearest"):
         # build rows sort before probe rows at equal ts -> inclusive <=
         order_b = [F.col("__ts"), F.col("__side")] + (
@@ -132,8 +148,7 @@ def asof_join_nearest(
             .orderBy(*order_b)
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        for c in carried:
-            u = u.withColumn(f"__b_{c}", F.last(f"__p_{c}", ignorenulls=True).over(wb))
+        u = u.withColumn("__b", F.last("__p", ignorenulls=True).over(wb))
     if direction in ("forward", "nearest"):
         # probe rows sort before build rows at equal ts -> inclusive >=
         order_f = [F.col("__ts"), -F.col("__side")] + (
@@ -144,8 +159,7 @@ def asof_join_nearest(
             .orderBy(*order_f)
             .rowsBetween(W.currentRow, W.unboundedFollowing)
         )
-        for c in carried:
-            u = u.withColumn(f"__f_{c}", F.first(f"__p_{c}", ignorenulls=True).over(wf))
+        u = u.withColumn("__f", F.first("__p", ignorenulls=True).over(wf))
 
     out = u.where(F.col("__side") == 1)
     tol = F.lit(tolerance_s) if tolerance_s is not None else None
@@ -157,18 +171,20 @@ def asof_join_nearest(
         return cond
 
     if direction == "backward":
-        ok = _ok(F.col("__ts").cast("long") - F.col("__b_bts").cast("long"))
-        sel = {c: F.when(ok, F.col(f"__b_{c}")) for c in out_cols}
+        ok = _ok(F.col("__ts").cast("long") - F.col("__b").getField("__bts").cast("long"))
+        sel = {c: F.when(ok, F.col("__b").getField(c)) for c in out_cols}
     elif direction == "forward":
-        ok = _ok(F.col("__f_bts").cast("long") - F.col("__ts").cast("long"))
-        sel = {c: F.when(ok, F.col(f"__f_{c}")) for c in out_cols}
+        ok = _ok(F.col("__f").getField("__bts").cast("long") - F.col("__ts").cast("long"))
+        sel = {c: F.when(ok, F.col("__f").getField(c)) for c in out_cols}
     else:
-        db = F.col("__ts").cast("long") - F.col("__b_bts").cast("long")
-        df_ = F.col("__f_bts").cast("long") - F.col("__ts").cast("long")
+        db = F.col("__ts").cast("long") - F.col("__b").getField("__bts").cast("long")
+        df_ = F.col("__f").getField("__bts").cast("long") - F.col("__ts").cast("long")
         okb, okf = _ok(db), _ok(df_)
         use_b = okb & (~okf | (db <= df_))  # tie -> backward
         sel = {
-            c: F.when(use_b, F.col(f"__b_{c}")).when(okf, F.col(f"__f_{c}"))
+            c: F.when(use_b, F.col("__b").getField(c)).when(
+                okf, F.col("__f").getField(c)
+            )
             for c in out_cols
         }
     for c, expr in sel.items():

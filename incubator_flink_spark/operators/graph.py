@@ -985,7 +985,21 @@ def ktruss(
     wedges), then drop under-supported edges and repeat to fixpoint.
     Peel depth is small on sparse graphs; each round localCheckpoints so
     the plan stays O(1), and only the per-round edge COUNT reaches the
-    driver."""
+    driver.
+
+    ``k`` must be >= 3: for k <= 2 the support threshold k-2 <= 0 means
+    EVERY edge belongs to the truss, but the support inner-join would
+    wrongly drop triangle-free edges — rejected loudly instead of
+    returning that wrong answer.  If the peel exits via ``max_rounds``
+    before reaching a fixpoint, a warning is raised (the returned edge
+    set is a superset of the k-truss)."""
+    import warnings
+
+    if k < 3:
+        raise ValueError(
+            f"ktruss requires k >= 3 (k={k}: threshold k-2 <= 0 keeps every "
+            "edge, which the support join cannot represent)"
+        )
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     # Pre-filter: the k-truss is contained in the (k-1)-core (every
     # vertex of a k-truss has >= k-1 neighbors within it), and the core
@@ -1019,4 +1033,11 @@ def ktruss(
             return kept.orderBy("a", "b")
         n_prev = n
         e = kept.select("a", "b")
+    warnings.warn(
+        f"ktruss: max_rounds={max_rounds} exhausted before fixpoint "
+        f"(edge count still shrinking, last={n_prev}); result is a "
+        "SUPERSET of the k-truss — raise max_rounds",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     return kept.orderBy("a", "b")

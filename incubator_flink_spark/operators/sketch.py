@@ -195,8 +195,11 @@ def histogram_quantile(
     n_bins+1 = overflow).  Returns the LOWER EDGE of the first bin whose
     cumulative count reaches ceil(q*n) — deterministic, and within one
     bin width of the exact order statistic whenever the value lies in
-    [lo, hi).  The cumulative window runs over the n_bins+2 cell rows —
-    sketch-sized metadata, never data."""
+    [lo, hi).  ONE pass: the cumulated cells (a window over the
+    n_bins+2 sketch rows — metadata, never data) are cross-joined
+    against an exploded literal array of the requested quantiles and the
+    min qualifying bin per q is taken in a single aggregate, so the
+    sketch aggregation runs once however many quantiles are asked."""
     from pyspark.sql import Window as W
 
     width = (hi - lo) / n_bins
@@ -204,21 +207,19 @@ def histogram_quantile(
     tot = F.sum("cnt").over(W.partitionBy())
     cc = cells.select("bin", "cnt").groupBy("bin").agg(F.sum("cnt").alias("cnt"))
     cc = cc.select("bin", "cnt", cum.alias("cum"), tot.alias("n"))
-    out = None
-    for q in qs:
-        need = F.ceil(F.lit(float(q)) * F.col("n"))
-        edge = F.lit(float(lo)) + (F.col("bin") - 1) * F.lit(float(width))
-        est = F.when(F.col("bin") == 0, F.lit(float(lo) - width)).otherwise(
-            F.least(edge, F.lit(float(hi)))
-        )
-        pick = (
-            cc.where(F.col("cum") >= need)
-            .orderBy("bin")
-            .limit(1)
-            .select(F.lit(float(q)).alias("q"), est.alias("quantile_est"))
-        )
-        out = pick if out is None else out.unionByName(pick)
-    return out
+    qlit = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    need = F.ceil(F.col("q") * F.col("n"))
+    picked = (
+        cc.select("bin", "cum", "n", qlit)
+        .where(F.col("cum") >= need)
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    edge = F.lit(float(lo)) + (F.col("bin") - 1) * F.lit(float(width))
+    est = F.when(F.col("bin") == 0, F.lit(float(lo) - width)).otherwise(
+        F.least(edge, F.lit(float(hi)))
+    )
+    return picked.select("q", est.alias("quantile_est"))
 
 
 def hll_registers_grouped(

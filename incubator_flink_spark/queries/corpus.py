@@ -928,9 +928,12 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
     """Unroll the k-truss peel as chained MATERIALIZED CTEs (the kcore
     oracle's technique at edge grain).  Idempotent at the fixpoint, so
-    any ``rounds`` >= the actual peel depth yields the converged truss;
-    measured depth at sf0.01/sf0.1 is <= 8 for k=12 — 10 rounds is
-    headroom, and post-fixpoint rounds are no-ops."""
+    any ``rounds`` >= the actual peel depth yields the converged truss —
+    and the final SELECT ASSERTS convergence (|e_rounds| == |e_rounds-1|
+    must hold, else DuckDB's error() fires), so a deeper-than-unrolled
+    peel at a larger scale factor fails LOUDLY instead of silently
+    disagreeing with the operator's converged result.  Measured depth at
+    sf0.01/sf0.1 is <= 8 for k=3; 10 rounds is headroom."""
     parts = [
         """e0 AS MATERIALIZED (
   SELECT least(a.l_partkey, b.l_partkey) AS a, greatest(a.l_partkey, b.l_partkey) AS b
@@ -955,11 +958,15 @@ def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
         "WITH "
         + ",\n".join(parts)
         + f"""
-SELECT a, b, support FROM s{rounds - 1} WHERE support >= {k - 2} ORDER BY a, b"""
+SELECT a, b, support FROM s{rounds - 1}
+WHERE support >= {k - 2}
+  AND (SELECT CASE WHEN (SELECT COUNT(*) FROM e{rounds}) = (SELECT COUNT(*) FROM e{rounds - 1})
+       THEN TRUE ELSE error('ktruss oracle: {rounds} unrolled rounds did not converge') END)
+ORDER BY a, b"""
     )
 
 
-KTRUSS_ORACLE = _ktruss_unrolled_sql(3, 8)
+KTRUSS_ORACLE = _ktruss_unrolled_sql(3, 10)
 
 
 @register("part_copurchase_ktruss", KTRUSS_ORACLE)

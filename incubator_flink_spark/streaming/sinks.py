@@ -199,15 +199,22 @@ class MaterializedViewSink:
     +I/+U, -1 for -U/-D rows carrying the record's measure values); the
     standing count/sum MV is delta-merged per batch
     (operators/mv.mv_delta_merge — O(|batch| + |keys touched|), the
-    fact history is never rescanned) and persisted write-then-swap so a
-    replayed batch converges (idempotence under Structured Streaming's
-    checkpoint replay — the exactly-once discipline
-    TwoPhaseCommitSinkFunction provides in the reference).
+    fact history is never rescanned).
 
-    NOTE on replay semantics: the merge itself is an increment, so
-    exactly-once requires the checkpoint to gate batch replay (Spark's
-    contract); the swap makes a crash BETWEEN write and swap safe.
+    Exactly-once discipline (the contract TwoPhaseCommitSinkFunction
+    provides in the reference): the merge is an INCREMENT, so it is NOT
+    naturally idempotent — foreachBatch is at-least-once and replays the
+    last in-flight batch after a crash.  The sink therefore persists the
+    last-applied batch_id in an atomically-swapped pointer file and makes
+    a replayed batch (batch_id <= applied) a NO-OP.  Each batch writes a
+    fresh snapshot directory ``v<batch_id>`` under ``path`` and commits
+    it by ``os.replace`` of the pointer (atomic on POSIX), so a crash at
+    ANY point leaves the previous committed snapshot intact and readable;
+    superseded snapshot dirs are garbage-collected after the swap.  Read
+    the view with ``MaterializedViewSink.read(spark, path)``.
     """
+
+    POINTER = "_LATEST"
 
     def __init__(self, path: str, keys: list[str], count_col: str, sum_cols: list[str], sign_col: str = "__sign"):
         self.path = path
@@ -216,12 +223,39 @@ class MaterializedViewSink:
         self.sum_cols = sum_cols
         self.sign_col = sign_col
 
+    @classmethod
+    def committed(cls, path: str) -> tuple[int, str] | None:
+        """(applied batch_id, snapshot dir name) from the pointer file,
+        or None if no batch has ever committed."""
+        import json
+
+        ptr = os.path.join(path, cls.POINTER)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            meta = json.load(f)
+        return int(meta["batch_id"]), meta["dir"]
+
+    @classmethod
+    def read(cls, spark, path: str) -> DataFrame:
+        """The current committed view (raises if nothing committed yet)."""
+        c = cls.committed(path)
+        if c is None:
+            raise FileNotFoundError(f"no committed MV snapshot under {path}")
+        return spark.read.parquet(os.path.join(path, c[1]))
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import shutil
+
         from incubator_flink_spark.operators.mv import mv_delta_merge
 
         spark = batch_df.sparkSession
-        if os.path.exists(self.path):
-            mv = spark.read.parquet(self.path)
+        committed = self.committed(self.path)
+        if committed is not None and batch_id <= committed[0]:
+            return  # checkpoint replay of an already-applied batch: no-op
+        if committed is not None:
+            mv = spark.read.parquet(os.path.join(self.path, committed[1]))
             merged = mv_delta_merge(
                 mv, batch_df, self.keys, self.count_col, self.sum_cols, self.sign_col
             )
@@ -237,9 +271,18 @@ class MaterializedViewSink:
                 )
                 .where(F.col(self.count_col) > 0)
             )
-        tmp = self.path + f".__tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        os.makedirs(self.path, exist_ok=True)
+        vdir = f"v{batch_id:012d}"
+        # mode=overwrite: a retried batch that crashed mid-write replaces
+        # its own partial snapshot before the commit point
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, vdir))
+        tmp_ptr = os.path.join(self.path, self.POINTER + ".tmp")
+        with open(tmp_ptr, "w") as f:
+            json.dump({"batch_id": batch_id, "dir": vdir}, f)
+        os.replace(tmp_ptr, os.path.join(self.path, self.POINTER))  # commit point
+        for d in os.listdir(self.path):
+            if d.startswith("v") and d != vdir:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
 
 def mv_sink(stream: DataFrame, path: str, keys: list[str], count_col: str, sum_cols: list[str]):

@@ -1312,10 +1312,12 @@ def test_streaming_mv_sink_matches_batch_recompute(spark, replay_dir):
     """foreachBatch MV maintenance (MaterializedViewSink): a signed CDC
     stream delta-merged into a standing count/sum MV per micro-batch
     ends exactly at the batch recompute over the full history —
-    including eliminated groups (live count 0 leaves the view)."""
+    including eliminated groups (live count 0 leaves the view) — and a
+    REPLAYED batch (foreachBatch's at-least-once crash semantics) is a
+    no-op thanks to the committed-batch_id guard."""
     import tempfile as _tf
 
-    from incubator_flink_spark.streaming.sinks import mv_sink
+    from incubator_flink_spark.streaming.sinks import MaterializedViewSink, mv_sink
 
     dec = "decimal(30,8)"
     stream = replay_table(spark, SF, "events", replay_dir + "/mvsink", n_files=4)
@@ -1333,7 +1335,26 @@ def test_streaming_mv_sink_matches_batch_recompute(spark, replay_dir):
     )
     q.awaitTermination(300)
     assert not q.isActive
-    got = {r["k"]: (r["live_rows"], r["sum_value"]) for r in spark.read.parquet(path).collect()}
+    view = MaterializedViewSink.read(spark, path)
+    got = {r["k"]: (r["live_rows"], r["sum_value"]) for r in view.collect()}
+
+    # crash-replay simulation: re-applying the last committed batch (and
+    # any earlier one) must be a no-op — the increment is guarded, not
+    # blindly re-applied
+    applied_id, _ = MaterializedViewSink.committed(path)
+    sink = MaterializedViewSink(path, ["k"], "live_rows", ["sum_value"])
+    replay = cdc_batch = spark.read.parquet(replay_dir + "/mvsink").select(
+        F.col("user_id").alias("k"),
+        F.when(F.col("event_type") == "error", -1).otherwise(1).alias("__sign"),
+        F.col("value").cast(dec).alias("sum_value"),
+    )
+    sink(replay, applied_id)
+    sink(cdc_batch, 0)
+    after = {
+        r["k"]: (r["live_rows"], r["sum_value"])
+        for r in MaterializedViewSink.read(spark, path).collect()
+    }
+    assert after == got
 
     e = load(spark, SF, "events")
     sign = F.when(F.col("event_type") == "error", F.lit(-1)).otherwise(F.lit(1))
