@@ -123,6 +123,12 @@ EXTRA = [
     "embedding_top_pc",
     "asof_nearest_tolerance",
     "star_two_hop_exists",
+    # round 5, late registrations + heaviest CEP form (knobbed under fast)
+    "cep_all_rows_funnel",
+    "multi_signal_dedup",
+    "embedding_top2_pc",
+    "hll_by_language",
+    "histogram_quantiles",
 ]
 
 
@@ -132,7 +138,7 @@ def run(sf_dir: str, n_runs: int = 3) -> tuple[dict, list[float]]:
     # whole-stage-codegen compilation (dominant for the wide minhash/
     # simhash expression trees) are amortized out of the measured numbers;
     # the measurement then reflects steady-state data-proportional cost.
-    for name in HEADLINE + EXTRA:
+    for name in HEADLINE:
         REGISTRY[name].fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
     # All headline runs complete BEFORE any extra runs: the headline
     # series is the apples-to-apples comparison against the recorded
@@ -153,13 +159,26 @@ def run(sf_dir: str, n_runs: int = 3) -> tuple[dict, list[float]]:
             REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             timings[name] = round(time.time() - t0, 3)
         per_run.append(timings)
-    for r in range(n_runs):
-        timings = per_run[r]
+    # Extras pass runs under SPARK_GRAFT_BENCH_FAST=1: the knobbed heavy
+    # iterative entries (ivfpq training rounds, ktruss floor, ALL-ROWS CEP
+    # key subset — see bench_knobs.py) keep their plan shapes but stop the
+    # extras wall time growing linearly with registry size.  The headline
+    # series above NEVER runs fast — it must stay comparable to the
+    # recorded baseline.  The output records extras_fast=true so these
+    # numbers are never mistaken for full-semantics timings.
+    os.environ["SPARK_GRAFT_BENCH_FAST"] = "1"
+    try:
         for name in EXTRA:
-            spark.catalog.clearCache()
-            t0 = time.time()
-            REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
+            REGISTRY[name].fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
+        for r in range(n_runs):
+            timings = per_run[r]
+            for name in EXTRA:
+                spark.catalog.clearCache()
+                t0 = time.time()
+                REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                timings[name] = round(time.time() - t0, 3)
+    finally:
+        del os.environ["SPARK_GRAFT_BENCH_FAST"]
     medians = {
         name: round(statistics.median(r[name] for r in per_run), 3)
         for name in HEADLINE + EXTRA
@@ -194,7 +213,17 @@ def main() -> None:
         # expose the host-noise spread behind "value"
         "runs": n_runs,
         "run_totals": run_totals,
+        # extras were timed under SPARK_GRAFT_BENCH_FAST=1 (reduced
+        # iteration counts on the heavy iterative entries; headline
+        # numbers are always full-semantics)
+        "extras_fast": True,
     }
+    # Durable artifact: round 5's driver capture truncated the stdout tail
+    # mid-JSON and lost the headline value; the file copy makes every
+    # run's record robust to capture loss.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as f:
+        json.dump(out, f)
+        f.write("\n")
     print(json.dumps(out))
 
 

@@ -982,9 +982,16 @@ def part_copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration (hub-safe wedges) + one support aggregate + one edge
     filter, localCheckpoint keeping the plan O(1); only the per-round
     edge count reaches the driver."""
+    from incubator_flink_spark.bench_knobs import bench_fast
     from incubator_flink_spark.operators.graph import ktruss
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    if bench_fast():
+        # bench fast path: half the parts — shrinks edges superlinearly
+        # (co-purchase pairs need both endpoints to survive) while the
+        # peel still converges on a non-empty truss, so every round's
+        # plan shape and the fixpoint loop stay exercised
+        li = li.where(F.col("l_partkey") % 2 == 0)
     a = li.withColumnRenamed("l_partkey", "pa")
     b = li.withColumnRenamed("l_partkey", "pb")
     e = (

