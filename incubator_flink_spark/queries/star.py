@@ -1560,3 +1560,222 @@ def star_two_hop_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double").alias("total_price"),
     )
+
+
+# --- wave 7 (round 6): q72 inventory-shortage week chain, q75 three-channel
+# year-over-year decline -------------------------------------------------------
+
+STAR_SHORTAGE_WEEKS_ORACLE = """
+WITH s AS (
+  SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS sd, l_quantity AS sq
+  FROM lineitem),
+r AS (
+  SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS rd, l_quantity AS rq
+  FROM lineitem),
+pairs AS (
+  SELECT s.pk,
+         CAST(FLOOR(DATE_DIFF('day', DATE '1992-01-01', s.sd) / 7) AS BIGINT) AS wk,
+         s.sd
+  FROM s JOIN r ON s.pk = r.pk
+   AND r.rd >= s.sd + INTERVAL 1 DAY AND r.rd <= s.sd + INTERVAL 5 DAY
+   AND r.rq < s.sq)
+SELECT p_brand, wk,
+       CAST(SUM(CASE WHEN p_size <= 5 THEN 0 ELSE 1 END) AS BIGINT) AS no_promo,
+       CAST(SUM(CASE WHEN p_size <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS promo,
+       COUNT(*) AS total_cnt
+FROM pairs JOIN part ON p_partkey = pk
+GROUP BY p_brand, wk
+ORDER BY total_cnt DESC, p_brand, wk LIMIT 50
+"""
+
+
+@register("star_shortage_weeks", STAR_SHORTAGE_WEEKS_ORACLE)
+def star_shortage_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q72 signature (TpcdsTestProgram.java:76-86): the fact
+    joined against a second fact-grain table on item + a FORWARD date
+    window (q72's catalog_sales x inventory "is there stock in the week
+    after the sale" probe), with an inequality shortage condition
+    (inv_quantity_on_hand < cs_quantity -> restock qty < sale qty), a
+    LEFT promotion join whose NULL side is counted separately, and a
+    (brand, week) count rollup — the reference's hardest join-order
+    case.
+
+    Scale: the date-RANGE join is rewritten as a candidate-proportional
+    EQUI join — the <=5-day forward window spans at most two 7-day
+    buckets, so the probe side explodes to <=2 (partkey, week-bucket)
+    keys and the join runs on that composite key with the exact date +
+    quantity predicates as residual filters.  Never a broadcast NLJ
+    range join: key cardinality (part x week) grows with the fact, so
+    the shuffle stays fine-grained and skew-free; part (true dim)
+    broadcasts for brand and the promo flag."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    epoch = F.lit("1992-01-01").cast("date")
+    s = li.select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+        F.col("l_quantity").alias("sq"),
+    )
+    r = li.select(
+        F.col("l_partkey").alias("rk"),
+        F.col("l_shipdate").cast("date").alias("rd"),
+        F.col("l_quantity").alias("rq"),
+    ).withColumn("rbucket", F.floor(F.datediff(F.col("rd"), epoch) / 7))
+    probe = s.withColumn(
+        "sbucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.datediff(F.date_add(F.col("sd"), 1), epoch) / 7),
+                    F.floor(F.datediff(F.date_add(F.col("sd"), 5), epoch) / 7),
+                )
+            )
+        ),
+    )
+    pairs = probe.join(
+        r,
+        (F.col("pk") == F.col("rk"))
+        & (F.col("sbucket") == F.col("rbucket"))
+        & (F.col("rd") >= F.date_add(F.col("sd"), 1))
+        & (F.col("rd") <= F.date_add(F.col("sd"), 5))
+        & (F.col("rq") < F.col("sq")),
+    )
+    promo_flag = F.when(F.col("p_size") <= 5, F.lit(1)).otherwise(F.lit(0))
+    return (
+        pairs.join(F.broadcast(p), F.col("pk") == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.floor(F.datediff(F.col("sd"), epoch) / 7).alias("wk"),
+        )
+        .agg(
+            F.sum(F.lit(1) - promo_flag).alias("no_promo"),
+            F.sum(promo_flag).alias("promo"),
+            F.count(F.lit(1)).alias("total_cnt"),
+        )
+        .orderBy(F.col("total_cnt").desc(), "p_brand", "wk")
+        .limit(50)
+    )
+
+
+STAR_YOY_DECLINE_ORACLE = """
+WITH returns AS (
+  SELECT l_orderkey, l_linenumber, l_quantity AS r_qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS r_amt
+  FROM lineitem WHERE l_returnflag = 'R'),
+legs AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'web'
+              WHEN o_orderpriority = '2-HIGH' THEN 'catalog'
+              ELSE 'store' END AS channel,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         p_brand, p_type,
+         l.l_quantity - COALESCE(r.r_qty, 0) AS net_qty,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+           - COALESCE(r.r_amt, 0) AS net_amt
+  FROM lineitem l
+  LEFT JOIN returns r USING (l_orderkey, l_linenumber)
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part ON p_partkey = l.l_partkey
+  WHERE EXTRACT(year FROM o_orderdate) IN (1998, 1999)),
+all_sales AS (
+  SELECT yr, p_brand, p_type,
+         CAST(SUM(CAST(net_qty AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS sales_cnt,
+         CAST(SUM(CAST(net_amt AS DECIMAL(30,4))) AS DECIMAL(30,4)) AS sales_amt
+  FROM legs GROUP BY yr, p_brand, p_type)
+SELECT c.p_brand, c.p_type,
+       CAST(CAST(prev.sales_cnt AS VARCHAR) AS DOUBLE) AS prev_cnt,
+       CAST(CAST(c.sales_cnt AS VARCHAR) AS DOUBLE) AS curr_cnt,
+       ROUND(CAST(CAST(c.sales_cnt AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(prev.sales_cnt AS VARCHAR) AS DOUBLE), 6) AS cnt_ratio,
+       CAST(CAST(c.sales_cnt - prev.sales_cnt AS VARCHAR) AS DOUBLE) AS cnt_diff,
+       CAST(CAST(c.sales_amt - prev.sales_amt AS VARCHAR) AS DOUBLE) AS amt_diff
+FROM all_sales c JOIN all_sales prev
+  ON c.p_brand = prev.p_brand AND c.p_type = prev.p_type
+WHERE c.yr = 1999 AND prev.yr = 1998 AND c.sales_cnt < prev.sales_cnt
+ORDER BY cnt_diff, c.p_brand, c.p_type LIMIT 50
+"""
+
+
+@register("star_yoy_decline", STAR_YOY_DECLINE_ORACLE)
+def star_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q75 signature (TpcdsTestProgram.java:76-86): three channel
+    legs (priority-derived web/catalog/store), each netted against its
+    returns AT LINE GRAIN (LEFT join on the composite line key, qty and
+    amount both netted), UNION ALLed into one (year, brand, type)
+    aggregate, and the aggregate self-joined prev-year (1998) vs curr-year (1999)
+    keeping only DECLINING groups (curr sales_cnt < prev) — reported as
+    ratio + absolute qty/amount deltas, worst declines first.
+
+    Scale: legs union BEFORE the shared returns join so there is ONE
+    fact-fact exchange on the line key regardless of channel count;
+    part broadcasts; the (yr, brand, type) aggregate rides one shuffle
+    with partial agg, and the year-over-year self-join runs on the
+    group-cardinality aggregate, never on the fact."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    amt = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    returns = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("r_qty"),
+        amt.alias("r_amt"),
+    )
+
+    def channel_leg(name: str, pred) -> DataFrame:
+        sel = o.where(pred & F.year("o_orderdate").isin(1998, 1999))
+        return li.join(sel, li.l_orderkey == o.o_orderkey).select(
+            F.lit(name).alias("channel"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.col("l_quantity").alias("qty"),
+            amt.alias("gross"),
+        )
+
+    legs = (
+        channel_leg("web", F.col("o_orderpriority") == "1-URGENT")
+        .unionAll(channel_leg("catalog", F.col("o_orderpriority") == "2-HIGH"))
+        .unionAll(
+            channel_leg("store", ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        )
+    )
+    netted = (
+        legs.join(returns, ["l_orderkey", "l_linenumber"], "left")
+        .withColumn("net_qty", F.col("qty") - F.coalesce(F.col("r_qty"), F.lit(0.0)))
+        .withColumn(
+            "net_amt",
+            F.col("gross").cast("decimal(30,4)")
+            - F.coalesce(F.col("r_amt").cast("decimal(30,4)"), F.lit(0).cast("decimal(30,4)")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+    )
+    all_sales = netted.groupBy("yr", "p_brand", "p_type").agg(
+        F.sum(F.col("net_qty").cast("decimal(18,2)")).cast("decimal(30,2)").alias("sales_cnt"),
+        F.sum("net_amt").cast("decimal(30,4)").alias("sales_amt"),
+    )
+    c = all_sales.where(F.col("yr") == 1999).alias("c")
+    prev = all_sales.where(F.col("yr") == 1998).alias("p")
+    return (
+        c.join(
+            prev,
+            (F.col("c.p_brand") == F.col("p.p_brand"))
+            & (F.col("c.p_type") == F.col("p.p_type"))
+            & (F.col("c.sales_cnt") < F.col("p.sales_cnt")),
+        )
+        .select(
+            F.col("c.p_brand").alias("p_brand"),
+            F.col("c.p_type").alias("p_type"),
+            F.col("p.sales_cnt").cast("double").alias("prev_cnt"),
+            F.col("c.sales_cnt").cast("double").alias("curr_cnt"),
+            F.round(
+                F.col("c.sales_cnt").cast("double") / F.col("p.sales_cnt").cast("double"), 6
+            ).alias("cnt_ratio"),
+            (F.col("c.sales_cnt") - F.col("p.sales_cnt")).cast("double").alias("cnt_diff"),
+            (F.col("c.sales_amt") - F.col("p.sales_amt")).cast("double").alias("amt_diff"),
+        )
+        .orderBy("cnt_diff", "p_brand", "p_type")
+        .limit(50)
+    )

@@ -592,3 +592,23 @@ def test_round5_new_ops_no_keyless_window(spark):
     # not a global Sort
     rep = audit_plan(REGISTRY["weighted_sample_es"].fn(spark, SF))
     assert "TakeOrderedAndProject" in rep.raw
+
+
+def test_tpcds_wave7_q72_q75_plan_shapes(spark):
+    """q72/q75 signatures (round 6).  q72's forward date-range join must
+    plan as an EQUI join on the (partkey, week-bucket) composite — never
+    a broadcast nested loop range join — with part broadcast for the
+    promo flag.  q75's netting LEFT join stays a single fact-fact
+    exchange pair and the year-over-year self-join runs over the
+    aggregate (no NLJ anywhere, part broadcast)."""
+    rep = audit_plan(REGISTRY["star_shortage_weeks"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    # pair probe + part dim are both HASH-family equi joins (at test SF
+    # AQE may broadcast the probe side too; at scale the composite-key
+    # join shuffles — either way it is never a range NLJ)
+    assert (
+        rep.broadcast_hash_joins + rep.sort_merge_joins + rep.shuffled_hash_joins >= 2
+    )
+    rep = audit_plan(REGISTRY["star_yoy_decline"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert rep.broadcast_hash_joins >= 1  # part dim
