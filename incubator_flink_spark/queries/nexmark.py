@@ -1,0 +1,237 @@
+"""Nexmark-shaped streaming SQL queries (public benchmark: Tucker et
+al., "NEXMark — A Benchmark for Queries over Data Streams", and the
+nexmark-benchmark suite used by Flink) mapped onto the ``events`` table:
+
+- auctions := ``signup`` events (auction_id = event_id, seller =
+  user_id, category = user_id % 5, open = ts, expires = open + 7 days)
+- bids     := ``click``/``view`` events (price = value, bid time = ts)
+- persons  := distinct user_ids (registration = signup, activity =
+  purchase)
+
+Each entry is the BATCH form, value-exact against the DuckDB oracle;
+tests/test_nexmark.py proves the streaming executions (watermarked
+stream-stream interval join, update-mode windowed aggs, windowed
+stream-stream equi join) produce the same final state — the reference
+runs these same shapes through its streaming SQL planner
+(flink-table/flink-table-planner — StreamExecIntervalJoin,
+StreamExecWindowAggregate, StreamExecWindowRank, StreamExecWindowJoin).
+
+Scale notes per query in the docstrings; none of the four shuffles more
+than the key/window grain, and no window function ever runs unkeyed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.catalog import load
+from incubator_flink_spark.operators.windows import hop, tumble
+from incubator_flink_spark.queries.registry import register
+
+DAY = 86400
+
+
+def _auctions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("auction_id"),
+        (F.col("user_id") % 5).alias("category"),
+        F.col("user_id").alias("seller"),
+        F.col("ts").alias("open_ts"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAY")).alias("expires"),
+    )
+
+
+def _bids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("user_id").alias("bid_seller"),
+        F.col("value").alias("price"),
+        F.col("ts").alias("bts"),
+    )
+
+
+NEXMARK_Q4_ORACLE = """
+WITH a AS (
+  SELECT event_id AS auction_id, user_id % 5 AS category, user_id AS seller,
+         ts AS open_ts, ts + INTERVAL 7 DAY AS expires
+  FROM events WHERE event_type = 'signup'),
+b AS (
+  SELECT user_id AS bid_seller, value AS price, ts AS bts
+  FROM events WHERE event_type IN ('click', 'view')),
+win AS (
+  SELECT auction_id, category, MAX(price) AS final
+  FROM a JOIN b ON a.seller = b.bid_seller
+   AND b.bts >= a.open_ts AND b.bts < a.expires
+  GROUP BY 1, 2)
+SELECT category, COUNT(*) AS n_auctions,
+       ROUND(CAST(CAST(SUM(CAST(final AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*), 6) AS avg_final
+FROM win GROUP BY category ORDER BY category
+"""
+
+
+@register("nexmark_q4", NEXMARK_Q4_ORACLE)
+def nexmark_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q4 (average final price per category): bids interval-
+    joined to their auction's open window (the streaming form is a
+    watermarked stream-stream join — StreamExecIntervalJoin), winning
+    bid = MAX(price) per auction, averaged per category.
+
+    Scale: the join is EQUI on the seller key with the time range as a
+    residual predicate (never a range NLJ); the per-auction max rides
+    one (auction) shuffle with partial agg, and the category average
+    runs over the auction-cardinality aggregate.  The average divides
+    an exact decimal sum — order-independent in both engines."""
+    a = _auctions(spark, sf_dir)
+    b = _bids(spark, sf_dir)
+    win = (
+        a.join(
+            b,
+            (a.seller == b.bid_seller)
+            & (b.bts >= a.open_ts)
+            & (b.bts < a.expires),
+        )
+        .groupBy("auction_id", "category")
+        .agg(F.max("price").alias("final"))
+    )
+    return (
+        win.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_auctions"),
+            F.round(
+                F.sum(F.col("final").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_final"),
+        )
+        .orderBy("category")
+    )
+
+
+NEXMARK_Q5_ORACLE = """
+WITH b AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+w AS (
+  SELECT user_id, (epoch_us(ts) // 21600000000 - i.i) * 21600 AS start_s
+  FROM b, (SELECT unnest([0, 1, 2, 3]) AS i) i
+  WHERE epoch_us(ts) >= (epoch_us(ts) // 21600000000 - i.i) * 21600 * 1000000
+    AND epoch_us(ts) <  ((epoch_us(ts) // 21600000000 - i.i) * 21600 + 86400) * 1000000),
+c AS (SELECT start_s, user_id, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+m AS (SELECT start_s, MAX(cnt) AS mx FROM c GROUP BY 1)
+SELECT CAST(to_timestamp(c.start_s) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(c.start_s + 86400) AS TIMESTAMP) AS window_end,
+       c.user_id AS item, c.cnt
+FROM c JOIN m ON c.start_s = m.start_s AND c.cnt = m.mx
+ORDER BY window_start, item
+"""
+
+
+@register("nexmark_q5", NEXMARK_Q5_ORACLE)
+def nexmark_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q5 (hot items): bid count per item per SLIDING window
+    (1 day size / 6 h slide), keeping every item whose count equals the
+    window maximum (q5 keeps all ties — no nondeterministic rank cut).
+
+    Scale: the hop assigner is a fixed ×4 row expansion fused into the
+    (window, item) count shuffle (partial agg rides it); the per-window
+    max is a window function KEYED by window_start over the aggregate
+    (window-cardinality input, never the raw bid stream)."""
+    b = load(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    c = (
+        hop(b, "ts", DAY, 21600)
+        .groupBy("window_start", "window_end", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mx = F.max("cnt").over(W.partitionBy("window_start"))
+    return (
+        c.withColumn("mx", mx)
+        .where(F.col("cnt") == F.col("mx"))
+        .select(
+            "window_start", "window_end", F.col("user_id").alias("item"), "cnt"
+        )
+        .orderBy("window_start", "item")
+    )
+
+
+NEXMARK_Q7_ORACLE = """
+WITH b AS (
+  SELECT user_id, value AS price, (epoch_us(ts) // 86400000000) * 86400 AS start_s
+  FROM events WHERE event_type = 'click'),
+m AS (SELECT start_s, MAX(price) AS mx FROM b GROUP BY 1)
+SELECT DISTINCT CAST(to_timestamp(b.start_s) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(b.start_s + 86400) AS TIMESTAMP) AS window_end,
+       b.user_id AS bidder, b.price
+FROM b JOIN m ON b.start_s = m.start_s AND b.price = m.mx
+ORDER BY window_start, bidder
+"""
+
+
+@register("nexmark_q7", NEXMARK_Q7_ORACLE)
+def nexmark_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q7 (highest bid per window): tumbling 1-day windows over
+    bids, returning the bidder(s) holding the window's maximum price
+    (all ties, as q7's price = MAX(price) self-join does).
+
+    Scale: one (window, bidder, price) distinct shuffle; the max is a
+    window function keyed by window_start over per-window rows — the
+    reference plans the same shape as StreamExecWindowRank with a
+    value-equality predicate instead of a row cut."""
+    b = tumble(
+        load(spark, sf_dir, "events").where(F.col("event_type") == "click"),
+        "ts",
+        DAY,
+    )
+    rows = b.select(
+        "window_start", "window_end", F.col("user_id").alias("bidder"), F.col("value").alias("price")
+    ).distinct()
+    mx = F.max("price").over(W.partitionBy("window_start"))
+    return (
+        rows.withColumn("mx", mx)
+        .where(F.col("price") == F.col("mx"))
+        .select("window_start", "window_end", "bidder", "price")
+        .orderBy("window_start", "bidder")
+    )
+
+
+NEXMARK_Q8_ORACLE = """
+WITH s AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) * 86400 AS start_s
+  FROM events WHERE event_type = 'signup'),
+p AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) * 86400 AS start_s
+  FROM events WHERE event_type = 'purchase')
+SELECT CAST(to_timestamp(s.start_s) AS TIMESTAMP) AS window_start,
+       s.user_id
+FROM s JOIN p USING (user_id, start_s)
+ORDER BY window_start, user_id
+"""
+
+
+@register("nexmark_q8", NEXMARK_Q8_ORACLE)
+def nexmark_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q8 (new users active in the same window): users who
+    signed up AND purchased inside the same tumbling 1-day window — the
+    canonical windowed stream-stream equi join (StreamExecWindowJoin;
+    streaming form joins two watermarked streams on (user, window)).
+
+    Scale: both sides reduce to distinct (user, window) BEFORE the
+    join, so the join input is bounded by key-grain cardinality and the
+    equi join shares one (user_id, window) partitioning."""
+    e = load(spark, sf_dir, "events")
+    s = (
+        tumble(e.where(F.col("event_type") == "signup"), "ts", DAY)
+        .select("user_id", "window_start")
+        .distinct()
+    )
+    p = (
+        tumble(e.where(F.col("event_type") == "purchase"), "ts", DAY)
+        .select("user_id", "window_start")
+        .distinct()
+    )
+    return (
+        s.join(p, ["user_id", "window_start"])
+        .select("window_start", "user_id")
+        .orderBy("window_start", "user_id")
+    )

@@ -1,0 +1,202 @@
+"""Streaming executions of the Nexmark-shaped queries
+(incubator_flink_spark/queries/nexmark.py): each batch registry entry is
+oracle-exact; these tests prove the STREAMING form — watermarked
+stream-stream interval join (q4), update-mode sliding/tumbling windowed
+aggregation (q5/q7), windowed stream-stream equi join (q8) — reaches the
+same final state as the batch query when the stream is replayed to
+completion (the reference's nexmark ITCase pattern through its streaming
+SQL planner: StreamExecIntervalJoin / StreamExecWindowAggregate /
+StreamExecWindowJoin)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.queries import REGISTRY
+from incubator_flink_spark.queries.nexmark import DAY, _auctions, _bids
+from incubator_flink_spark.streaming.source import replay_table
+from incubator_flink_spark.streaming.windows import hop_agg, tumble_agg
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def replay_dir():
+    d = tempfile.mkdtemp(prefix="nexmark_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def drain(stream_df, collect, mode="update"):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .foreachBatch(lambda bdf, bid: collect(bdf, bid))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+
+def test_nexmark_q4_stream_interval_join_matches_batch(spark, replay_dir):
+    """q4 streaming = watermarked stream-stream interval join; the
+    per-auction winning bid is folded in foreachBatch (Structured
+    Streaming allows one aggregation per query; the category average is
+    the window-fire projection) and the finalized per-category averages
+    must equal the batch registry entry."""
+    a = (
+        replay_table(spark, SF, "events", replay_dir + "/q4a", n_files=3)
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("auction_id"),
+            (F.col("user_id") % 5).alias("category"),
+            F.col("user_id").alias("seller"),
+            F.col("ts").alias("open_ts"),
+            (F.col("ts") + F.expr("INTERVAL 7 DAY")).alias("expires"),
+        )
+        .withWatermark("open_ts", "1 hour")
+    )
+    b = (
+        replay_table(spark, SF, "events", replay_dir + "/q4b", n_files=3)
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("user_id").alias("bid_seller"),
+            F.col("value").alias("price"),
+            F.col("ts").alias("bts"),
+        )
+        .withWatermark("bts", "1 hour")
+    )
+    joined = a.join(
+        b,
+        (F.col("seller") == F.col("bid_seller"))
+        & (F.col("bts") >= F.col("open_ts"))
+        & (F.col("bts") < F.col("expires")),
+    )
+    best: dict[int, tuple[int, float]] = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.groupBy("auction_id", "category").agg(
+            F.max("price").alias("p")
+        ).collect():
+            cur = best.get(r.auction_id)
+            if cur is None or r.p > cur[1]:
+                best[r.auction_id] = (r.category, r.p)
+
+    drain(joined, collect, mode="append")
+
+    from collections import defaultdict
+
+    agg = defaultdict(list)
+    for cat, p in best.values():
+        agg[cat].append(p)
+    got = {
+        cat: (len(ps), round(sum(ps) / len(ps), 6)) for cat, ps in agg.items()
+    }
+    expected = {
+        r.category: (r.n_auctions, round(r.avg_final, 6))
+        for r in REGISTRY["nexmark_q4"].fn(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_nexmark_q5_stream_hot_items_matches_batch(spark, replay_dir):
+    """q5 streaming = update-mode hop-window count per item; the hot-item
+    cut (cnt == window max) is the window-fire projection over the final
+    per-window counts."""
+    stream = replay_table(spark, SF, "events", replay_dir + "/q5", n_files=4).where(
+        F.col("event_type") == "click"
+    )
+    agg = hop_agg(
+        stream, "ts", DAY, 21600, 3600, ["user_id"],
+        [F.count(F.lit(1)).alias("cnt")],
+    )
+    counts = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            counts[(r.window_start, r.window_end, r.user_id)] = r.cnt
+
+    drain(agg, collect, mode="update")
+
+    from collections import defaultdict
+
+    mx = defaultdict(int)
+    for (ws, _we, _u), c in counts.items():
+        mx[ws] = max(mx[ws], c)
+    got = {
+        (ws, we, u, c) for (ws, we, u), c in counts.items() if c == mx[ws]
+    }
+    expected = {
+        (r.window_start, r.window_end, r.item, r.cnt)
+        for r in REGISTRY["nexmark_q5"].fn(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_nexmark_q7_stream_highest_bid_matches_batch(spark, replay_dir):
+    """q7 streaming = update-mode tumble-window max per (window, bidder);
+    the highest-bid cut is the window-fire projection."""
+    stream = replay_table(spark, SF, "events", replay_dir + "/q7", n_files=4).where(
+        F.col("event_type") == "click"
+    )
+    agg = tumble_agg(
+        stream, "ts", DAY, 3600, ["user_id"],
+        [F.max("value").alias("price")],
+    )
+    by_bidder = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            by_bidder[(r.window_start, r.window_end, r.user_id)] = r.price
+
+    drain(agg, collect, mode="update")
+
+    from collections import defaultdict
+
+    mx = defaultdict(float)
+    for (ws, _we, _u), p in by_bidder.items():
+        mx[ws] = max(mx[ws], p)
+    got = {
+        (ws, we, u, p) for (ws, we, u), p in by_bidder.items() if p == mx[ws]
+    }
+    expected = {
+        (r.window_start, r.window_end, r.bidder, r.price)
+        for r in REGISTRY["nexmark_q7"].fn(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_nexmark_q8_stream_window_join_matches_batch(spark, replay_dir):
+    """q8 streaming = windowed stream-stream equi join: both watermarked
+    streams derive their tumble window column and join on (user, window)
+    — Spark plans the window-equality as the join's state time bound."""
+    from incubator_flink_spark.operators.windows import tumble
+
+    s = tumble(
+        replay_table(spark, SF, "events", replay_dir + "/q8s", n_files=3).where(
+            F.col("event_type") == "signup"
+        ).withWatermark("ts", "1 hour"),
+        "ts",
+        DAY,
+    ).select("user_id", "window_start")
+    p = tumble(
+        replay_table(spark, SF, "events", replay_dir + "/q8p", n_files=3).where(
+            F.col("event_type") == "purchase"
+        ).withWatermark("ts", "1 hour"),
+        "ts",
+        DAY,
+    ).select(F.col("user_id").alias("p_user"), F.col("window_start").alias("p_ws"))
+    joined = s.join(
+        p, (F.col("user_id") == F.col("p_user")) & (F.col("window_start") == F.col("p_ws"))
+    ).select("window_start", "user_id")
+    got = set()
+    drain(joined, lambda b, _i: got.update((r.window_start, r.user_id) for r in b.collect()), mode="append")
+
+    expected = {
+        (r.window_start, r.user_id)
+        for r in REGISTRY["nexmark_q8"].fn(spark, SF).collect()
+    }
+    assert got == expected
