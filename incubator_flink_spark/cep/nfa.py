@@ -7,8 +7,12 @@ Semantics implemented (mirroring the reference's documented behavior):
 - STRICT contiguity: the stage's first event must be the event
   immediately after the previous stage's last event; within a
   multi-`times` stage the repeats are also contiguous.
-- RELAXED contiguity: any number of non-matching events may be skipped
-  before each accepted event.
+- RELAXED contiguity (followedBy / SKIP_TILL_NEXT): non-matching events
+  may be skipped before each accepted event, but an event MATCHING the
+  stage cannot be skipped (NFACompiler getIgnoreCondition =
+  NOT(takeCondition)) — ``a followedBy b`` on ``a b1 b2`` matches only
+  {a, b1}.  RELAXED_ANY (followedByAny / SKIP_TILL_ANY) may also skip
+  matching events.  Stage 0 starts a fresh computation at every event.
 - Quantifiers: times(n,m), one_or_more (unbounded), optional. Under
   NO_SKIP every repetition count is emitted (reluctant default); with
   greedy() a looping stage consumes maximally per run and shorter
@@ -98,7 +102,7 @@ def _stage_matches(
     within_s: float | None,
     ts_key: str,
     capture: dict,
-):
+):  # noqa: C901
     """Yield (next_idx, captured) for stage si starting at start_idx.
     captured: list of event indices taken by this stage."""
     stage = stages[si]
@@ -174,9 +178,29 @@ def _stage_matches(
         while j < len(events):
             ctx = ctx_for([], j)
             if stage.until_fires(events[j], ctx):
-                break
-            if stage.accepts(events[j], ctx) and in_window(j):
-                yield from extend([j], j + 1)
+                if si > 0:
+                    # within a computation the looping state can neither
+                    # take nor ignore an until-firing event
+                    # (NFACompiler.java:683,847: take/ignore are guarded
+                    # with NOT(until)) — the scan dies here
+                    break
+                # stage 0: a fresh NFA computation starts at every later
+                # event (the start state restarts per event); only THIS
+                # event is excluded as a start
+                j += 1
+                continue
+            if stage.accepts(events[j], ctx):
+                if in_window(j):
+                    yield from extend([j], j + 1)
+                if si > 0 and stage.contiguity == RELAXED:
+                    # SKIP_TILL_NEXT (followedBy): the IGNORE edge is
+                    # NOT(takeCondition) (NFACompiler.java
+                    # getIgnoreCondition:923) — an event matching this
+                    # stage cannot be skipped, so no later start exists
+                    # for this computation.  RELAXED_ANY (followedByAny)
+                    # and stage 0 (per-event computation starts) keep
+                    # scanning.
+                    break
             j += 1
 
 
@@ -256,7 +280,14 @@ def _enumerate(pattern: Pattern, events: list[dict], ts_key: str = "ts"):
         if key not in seen:
             seen.add(key)
             uniq.append((first_i, last_i, cap, sidx))
-    uniq.sort(key=lambda m: (m[0], m[1]))
+    # total deterministic order: (first, last) then the stage-ordered
+    # capture index tuples — ties on (first, last) are real (e.g. a loop
+    # emitting (1,) and (1,2) that both complete with the same suffix)
+    # and the after-match skip cursor depends on which is seen first
+    stage_order = [s.name for s in stages]
+    uniq.sort(
+        key=lambda m: (m[0], m[1], tuple(tuple(m[3].get(nm, ())) for nm in stage_order))
+    )
     return uniq
 
 

@@ -38,7 +38,8 @@ from dataclasses import dataclass, field
 from typing import Any
 
 STRICT = "strict"  # next()
-RELAXED = "relaxed"  # followedBy()
+RELAXED = "relaxed"  # followedBy() — SKIP_TILL_NEXT
+RELAXED_ANY = "relaxed_any"  # followedByAny() — SKIP_TILL_ANY
 
 NO_SKIP = "no_skip"
 SKIP_PAST_LAST_EVENT = "skip_past_last_event"
@@ -125,7 +126,21 @@ class Pattern:
         return self
 
     def followed_by(self, name: str) -> "Pattern":
+        """Relaxed contiguity (Pattern.java followedBy:291 —
+        ConsumingStrategy.SKIP_TILL_NEXT): non-matching events between
+        the previous stage and this one are skipped, but an event that
+        MATCHES this stage cannot be skipped (NFACompiler
+        getIgnoreCondition: NOT(takeCondition)) — ``a followedBy b`` on
+        ``a b1 b2`` matches only {a, b1}."""
         self.stages.append(Stage(name, contiguity=RELAXED))
+        return self
+
+    def followed_by_any(self, name: str) -> "Pattern":
+        """Non-deterministic relaxed contiguity (Pattern.java
+        followedByAny:322 — ConsumingStrategy.SKIP_TILL_ANY): matching
+        events may also be skipped, so ``a followedByAny b`` on
+        ``a b1 b2`` matches {a, b1} AND {a, b2}."""
+        self.stages.append(Stage(name, contiguity=RELAXED_ANY))
         return self
 
     def not_next(self, name: str) -> "Pattern":

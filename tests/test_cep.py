@@ -223,8 +223,11 @@ def test_iterative_condition_refers_to_earlier_stage():
     pairs = sorted(
         (match["first"][0]["event_id"], match["bigger"][0]["event_id"]) for match in m
     )
-    # first=b@1(2.0): bigger candidates b@3(3.0), c@4(4.0); first=b@3(3.0): c@4(4.0)
-    assert pairs == [(1, 3), (1, 4), (3, 4)]
+    # first=b@1(2.0): bigger takes b@3(3.0) — c@4 is NOT reachable from
+    # b@1 because b@3 already matches "bigger" and SKIP_TILL_NEXT cannot
+    # ignore a matching event (NFACompiler getIgnoreCondition =
+    # NOT(take)); first=b@3(3.0): c@4(4.0)
+    assert pairs == [(1, 3), (3, 4)]
 
 
 def test_greedy_one_or_more():
@@ -252,11 +255,12 @@ def test_until_stops_loop():
     )
     m = find_matches(p, SEQ)
     captured = sorted(tuple(e["event_id"] for e in match["bs"]) for match in m)
-    # only events before x@2 can loop: a@0, b@1 — b@3 after the until event
-    # can still START a run? No: the scan stops at the until event, so runs
-    # starting after it are produced from later start positions the same
-    # way — the reference stops the looping state entirely at until.
-    assert captured == [(0,), (0, 1), (1,)]
+    # within a computation the loop can neither take nor ignore the until
+    # event x@2 (NFACompiler.java:683,847 guard take/ignore with
+    # NOT(until)), so runs through it are impossible — but the NFA start
+    # state opens a FRESH computation at every event, so b@3 after the
+    # until event still starts its own run.
+    assert captured == [(0,), (0, 1), (1,), (3,)]
 
 
 def test_skip_to_first():

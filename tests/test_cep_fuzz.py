@@ -1,0 +1,377 @@
+"""Randomized CEP cross-check (VERDICT r5 item 5): fuzz small event
+sequences and verify cep/nfa.py against an INDEPENDENT enumerator.
+
+The reference enumerator below is written validation-first (enumerate
+candidate index assignments per stage, filter by declarative rules)
+rather than scan-first like the NFA, and its rules are derived directly
+from the reference compiler, not from nfa.py:
+
+- SKIP_TILL_NEXT (followedBy): the IGNORE edge is NOT(takeCondition)
+  (NFACompiler.java getIgnoreCondition:923 / getInnerIgnoreCondition:876)
+  — no event matching the stage may sit in a skipped gap.
+- SKIP_TILL_ANY (followedByAny / allowCombinations): IGNORE is true —
+  matching events may be skipped (entry gaps for followedByAny, inner
+  loop gaps for allowCombinations).
+- STRICT (next): no gap at entry, repeats contiguous.
+- until: take and ignore are both guarded with NOT(until)
+  (NFACompiler.java:683,847), so a computation can cross neither a
+  captured nor a skipped until-firing event; stage 0 starts a fresh
+  computation at every event, so later starts survive an earlier until.
+- greedy: the loop cannot stop while its scan would accept another
+  in-window event (and shorter prefixes of that run are not emitted).
+- negation: notNext forbids a match of the negated predicate at the
+  position immediately after the previous stage; notFollowedBy forbids
+  it anywhere in the gap before the next stage's first event (trailing
+  notFollowedBy: to end of stream).
+- within: every captured event within [first.ts, first.ts + within].
+- after-match skip: NO_SKIP emits all; SKIP_PAST_LAST_EVENT /
+  SKIP_TO_FIRST(p) / SKIP_TO_LAST(p) prune matches starting before the
+  cursor advanced by the previously emitted match.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+from incubator_flink_spark.cep.nfa import find_matches
+from incubator_flink_spark.cep.pattern import (
+    NO_SKIP,
+    RELAXED,
+    RELAXED_ANY,
+    SKIP_PAST_LAST_EVENT,
+    SKIP_TO_FIRST,
+    SKIP_TO_LAST,
+    STRICT,
+    Pattern,
+)
+
+EPOCH = datetime(2021, 1, 1)
+
+
+class RefCtx:
+    """Minimal IterativeCondition context for the reference enumerator."""
+
+    def __init__(self, capture, stage_name, stage_taken):
+        self._capture = capture
+        self._stage_name = stage_name
+        self._stage_taken = stage_taken
+
+    def get_events_for_pattern(self, name):
+        if name == self._stage_name:
+            return list(self._capture.get(name, [])) + list(self._stage_taken)
+        return list(self._capture.get(name, []))
+
+
+def ref_find_matches(pattern, events, ts_key="ts"):
+    stages = pattern.stages
+    n = len(events)
+    within = pattern.within_s
+    found = []  # (first_idx, last_idx, sidx)
+
+    def in_window(j, first_idx):
+        if within is None or first_idx is None:
+            return True
+        return (events[j][ts_key] - events[first_idx][ts_key]).total_seconds() <= within
+
+    def acc(st, j, capture, taken):
+        ctx = RefCtx(capture, st.name, [events[i] for i in taken])
+        return st.accepts(events[j], ctx)
+
+    def unt(st, j, capture, taken):
+        ctx = RefCtx(capture, st.name, [events[i] for i in taken])
+        return st.until_fires(events[j], ctx)
+
+    def gen_stage(st, si, pos, first_idx, capture):
+        """Yield (taken_tuple, next_pos) for stage si scanning from pos."""
+        if st.optional:
+            yield ((), pos)
+        maxt = st.max_times if st.max_times != -1 else n
+
+        if st.contiguity == STRICT:
+            start = pos
+            taken = []
+            j = start
+            emitted = []
+            while j < n and len(taken) < maxt:
+                if unt(st, j, capture, taken) or not acc(st, j, capture, taken):
+                    break
+                fi = first_idx if first_idx is not None else start
+                if not in_window(j, fi):
+                    break
+                taken.append(j)
+                j += 1
+                if len(taken) >= st.min_times:
+                    emitted.append((tuple(taken), j))
+            if st.greedy and emitted:
+                yield emitted[-1]
+            else:
+                yield from emitted
+            return
+
+        # relaxed / relaxed_any: enumerate candidate increasing tuples and
+        # validate each against the gap/until/window/greedy rules
+        any_entry = st.contiguity == RELAXED_ANY or si == 0
+        any_inner = st.combinations
+
+        def entry_gap_ok(first):
+            for j in range(pos, first):
+                if unt(st, j, capture, []):
+                    return si == 0  # fresh computations restart after until
+                if not any_entry and acc(st, j, capture, []):
+                    return False
+            return True
+
+        def inner_gap_ok(prefix, lo, hi):
+            for j in range(lo, hi):
+                if unt(st, j, capture, prefix):
+                    return False
+                if not any_inner and acc(st, j, capture, prefix):
+                    return False
+            return True
+
+        def greedy_maximal(taken, fi):
+            if not st.greedy or len(taken) >= maxt:
+                return True if not st.greedy else len(taken) >= maxt or _no_ext(taken, fi)
+            return _no_ext(taken, fi)
+
+        def _no_ext(taken, fi):
+            j = taken[-1] + 1
+            while j < n:
+                if unt(st, j, capture, taken):
+                    return True
+                if acc(st, j, capture, taken):
+                    if in_window(j, fi):
+                        return False  # an extension exists — must take it
+                    if not any_inner:
+                        return True  # scan dies at unskippable event
+                j += 1
+            return True
+
+        def build(taken, next_scan):
+            fi = first_idx if first_idx is not None else (taken[0] if taken else None)
+            if st.min_times <= len(taken) and greedy_maximal(taken, fi):
+                yield (tuple(taken), taken[-1] + 1)
+            if len(taken) >= maxt:
+                return
+            for j in range(next_scan, n):
+                if not inner_gap_ok(taken, next_scan, j):
+                    break  # gaps only get worse as j grows
+                if unt(st, j, capture, taken):
+                    break
+                if acc(st, j, capture, taken) and in_window(j, fi):
+                    yield from build(taken + [j], j + 1)
+                # a matching-but-out-of-window event still blocks the scan
+                # under SKIP_TILL_NEXT; handled by inner_gap_ok on later j
+
+        for first in range(pos, n):
+            if not entry_gap_ok(first):
+                continue
+            if unt(st, first, capture, []):
+                if si == 0:
+                    continue
+                break
+            if acc(st, first, capture, []):
+                fi = first_idx if first_idx is not None else first
+                if in_window(first, fi):
+                    yield from build([first], first + 1)
+
+    def violates(neg, lo, hi, strict_pos):
+        if neg.contiguity == STRICT:
+            return strict_pos is not None and strict_pos < n and neg.accepts(events[strict_pos])
+        return any(neg.accepts(events[j]) for j in range(lo, hi))
+
+    def rec(si, pos, first_idx, capture, sidx):
+        if si == len(stages):
+            idxs = [i for v in sidx.values() for i in v]
+            if idxs:
+                found.append((min(idxs), max(idxs), dict(sidx)))
+            return
+        st = stages[si]
+        if st.negated:
+            if si + 1 == len(stages):
+                if not violates(st, pos, n, pos):
+                    rec(si + 1, pos, first_idx, capture, sidx)
+                return
+            nxt = stages[si + 1]
+            for tup, np in gen_stage(nxt, si + 1, pos, first_idx, capture):
+                if not tup:
+                    continue
+                if violates(st, pos, tup[0], pos):
+                    continue
+                fi = first_idx if first_idx is not None else tup[0]
+                cap2 = dict(capture)
+                cap2[nxt.name] = [events[i] for i in tup]
+                rec(si + 2, np, fi, cap2, {**sidx, nxt.name: list(tup)})
+            return
+        for tup, np in gen_stage(st, si, pos, first_idx, capture):
+            fi = first_idx
+            if tup and fi is None:
+                fi = tup[0]
+            cap2 = dict(capture)
+            cap2[st.name] = [events[i] for i in tup]
+            rec(si + 1, np, fi, cap2, {**sidx, st.name: list(tup)})
+
+    rec(0, 0, None, {}, {})
+
+    seen = set()
+    uniq = []
+    for first_i, last_i, sidx in found:
+        key = tuple(sorted((k, tuple(v)) for k, v in sidx.items()))
+        if key not in seen:
+            seen.add(key)
+            uniq.append((first_i, last_i, sidx))
+    stage_order = [s.name for s in stages]
+    uniq.sort(
+        key=lambda m: (m[0], m[1], tuple(tuple(m[2].get(nm, ())) for nm in stage_order))
+    )
+
+    if pattern.skip_strategy == NO_SKIP:
+        return [sidx for _, _, sidx in uniq]
+    out = []
+    cursor = 0
+    for first_i, last_i, sidx in uniq:
+        if first_i < cursor:
+            continue
+        out.append(sidx)
+        if pattern.skip_strategy == SKIP_PAST_LAST_EVENT:
+            cursor = last_i + 1
+        elif pattern.skip_strategy == SKIP_TO_FIRST:
+            idxs = sidx.get(pattern.skip_stage, [])
+            cursor = max(cursor, min(idxs)) if idxs else cursor
+        elif pattern.skip_strategy == SKIP_TO_LAST:
+            idxs = sidx.get(pattern.skip_stage, [])
+            cursor = max(cursor, max(idxs)) if idxs else cursor
+    return out
+
+
+# ---------------------------------------------------------------- fuzz --
+
+
+def _events(seq):
+    return [
+        {"ts": EPOCH + timedelta(seconds=3 * i), "label": ch, "value": float(i), "event_id": i}
+        for i, ch in enumerate(seq)
+    ]
+
+
+def _nfa_keys(pattern, events):
+    out = []
+    for cap in find_matches(pattern, events):
+        out.append(tuple(sorted((k, tuple(e["event_id"] for e in v)) for k, v in cap.items())))
+    return sorted(out)
+
+
+def _ref_keys(pattern, events):
+    out = []
+    for sidx in ref_find_matches(pattern, events):
+        out.append(tuple(sorted((k, tuple(v)) for k, v in sidx.items())))
+    return sorted(out)
+
+
+def _rand_pattern(rng):
+    def pred(ch):
+        return lambda e, c=ch: e["label"] == c
+
+    p = Pattern.begin("s0").where(pred(rng.choice("ab")))
+    n_stages = rng.randint(1, 3)
+    quant = rng.choice(["one", "one", "times12", "times2", "oneormore", "optional"])
+    _apply_quant(p, quant, rng)
+    neg_used = False
+    for k in range(1, n_stages):
+        link = rng.choice(["followed_by", "followed_by", "next", "followed_by_any", "neg"])
+        if link == "neg" and not neg_used and k < n_stages:
+            neg_used = True
+            if rng.random() < 0.5:
+                p.not_followed_by(f"n{k}").where(pred(rng.choice("abc")))
+            else:
+                p.not_next(f"n{k}").where(pred(rng.choice("abc")))
+            p.followed_by(f"s{k}").where(pred(rng.choice("abc")))
+            continue
+        if link == "neg":
+            link = "followed_by"
+        getattr(p, link)(f"s{k}").where(pred(rng.choice("abc")))
+        _apply_quant(p, rng.choice(["one", "one", "times12", "oneormore", "optional"]), rng)
+    skip = rng.choice(["none", "none", "past", "first", "last"])
+    if skip == "past":
+        p.after_match_skip_past_last_event()
+    elif skip == "first":
+        p.after_match_skip_to_first("s0")
+    elif skip == "last":
+        p.after_match_skip_to_last("s0")
+    if rng.random() < 0.3:
+        p.within(3 * rng.randint(2, 6))
+    return p
+
+
+def _apply_quant(p, quant, rng):
+    if quant == "times12":
+        p.times(1, 2)
+    elif quant == "times2":
+        p.times(2)
+    elif quant == "oneormore":
+        p.one_or_more()
+    elif quant == "optional":
+        p.optional()
+    if quant in ("times12", "times2", "oneormore"):
+        if rng.random() < 0.4:
+            p.greedy()
+        if rng.random() < 0.3:
+            p.allow_combinations()
+        if rng.random() < 0.3:
+            p.until(lambda e: e["label"] == "u")
+
+
+def test_fuzz_nfa_vs_reference_enumerator():
+    rng = random.Random(20260815)
+    divergences = []
+    for case in range(400):
+        n = rng.randint(3, 10)
+        alphabet = "aabbcu" if rng.random() < 0.4 else "aabbc"
+        seq = "".join(rng.choice(alphabet) for _ in range(n))
+        events = _events(seq)
+        pattern = _rand_pattern(rng)
+        got = _nfa_keys(pattern, events)
+        want = _ref_keys(pattern, events)
+        if got != want:
+            divergences.append((case, seq, _describe(pattern), got, want))
+    assert not divergences, f"{len(divergences)} divergences; first: {divergences[0]}"
+
+
+def _describe(p):
+    return [
+        (
+            s.name,
+            s.contiguity,
+            s.min_times,
+            s.max_times,
+            s.optional,
+            s.negated,
+            s.greedy,
+            s.combinations,
+            s.until_cond is not None,
+        )
+        for s in p.stages
+    ] + [p.skip_strategy, p.within_s]
+
+
+def test_fuzz_iterative_conditions():
+    """Iterative (capture-dependent) predicates across the same engines:
+    the second stage must exceed the max value captured so far by the
+    first — exactly where ctx-threading bugs would hide."""
+    rng = random.Random(99)
+    for _ in range(150):
+        n = rng.randint(3, 9)
+        seq = "".join(rng.choice("aabb") for _ in range(n))
+        events = _events(seq)
+        p = (
+            Pattern.begin("xs")
+            .where(lambda e: e["label"] == "a")
+            .times(1, 2)
+            .followed_by("big")
+            .where_iterative(
+                lambda e, ctx: e["label"] == "b"
+                and e["value"] > max(x["value"] for x in ctx.get_events_for_pattern("xs"))
+            )
+        )
+        assert _nfa_keys(p, events) == _ref_keys(p, events), seq

@@ -41,12 +41,13 @@ def _idx(match, stage):
 
 @given(labels)
 @settings(max_examples=200, deadline=None)
-def test_followed_by_matches_all_pairs(seq):
-    """begin(A=a).followed_by(B=b) relaxed, NO_SKIP == every (i<j) pair."""
+def test_followed_by_any_matches_all_pairs(seq):
+    """begin(A=a).followed_by_any(B=b) (SKIP_TILL_ANY), NO_SKIP == every
+    (i<j) pair — followedByAny may skip matching events too."""
     events = _events(seq)
     p = (
         Pattern.begin("A").where(lambda e: e["label"] == "a")
-        .followed_by("B").where(lambda e: e["label"] == "b")
+        .followed_by_any("B").where(lambda e: e["label"] == "b")
     )
     got = {(m["A"][0]["ts"], m["B"][0]["ts"]) for m in find_matches(p, events)}
     want = {
@@ -54,6 +55,33 @@ def test_followed_by_matches_all_pairs(seq):
         for i, x in enumerate(seq)
         for j, y in enumerate(seq)
         if i < j and x == "a" and y == "b"
+    }
+    assert got == want
+
+
+def _first_after(seq, i, ch):
+    for j in range(i + 1, len(seq)):
+        if seq[j] == ch:
+            return j
+    return None
+
+
+@given(labels)
+@settings(max_examples=200, deadline=None)
+def test_followed_by_matches_first_b_only(seq):
+    """begin(A=a).followed_by(B=b) (SKIP_TILL_NEXT), NO_SKIP: each a pairs
+    with ONLY the first following b — an event matching B cannot be
+    skipped (NFACompiler getIgnoreCondition = NOT(take))."""
+    events = _events(seq)
+    p = (
+        Pattern.begin("A").where(lambda e: e["label"] == "a")
+        .followed_by("B").where(lambda e: e["label"] == "b")
+    )
+    got = {(m["A"][0]["ts"], m["B"][0]["ts"]) for m in find_matches(p, events)}
+    want = {
+        (i, _first_after(seq, i, "b"))
+        for i, x in enumerate(seq)
+        if x == "a" and _first_after(seq, i, "b") is not None
     }
     assert got == want
 
@@ -81,7 +109,7 @@ def test_not_followed_by_blocks_intervening(seq):
     p = (
         Pattern.begin("A").where(lambda e: e["label"] == "a")
         .not_followed_by("N").where(lambda e: e["label"] == "b")
-        .followed_by("C").where(lambda e: e["label"] == "c")
+        .followed_by_any("C").where(lambda e: e["label"] == "c")
     )
     got = {(m["A"][0]["ts"], m["C"][0]["ts"]) for m in find_matches(p, events)}
     want = {
@@ -96,15 +124,15 @@ def test_not_followed_by_blocks_intervening(seq):
 @given(labels)
 @settings(max_examples=200, deadline=None)
 def test_within_window_prunes_pairs(seq):
-    """followed_by with within(3s): last.ts - first.ts <= 3 (datetime ts,
-    matching the NFA's total_seconds() window arithmetic)."""
+    """followed_by_any with within(3s): last.ts - first.ts <= 3 (datetime
+    ts, matching the NFA's total_seconds() window arithmetic)."""
     from datetime import datetime, timedelta
 
     epoch = datetime(2020, 1, 1)
     events = [{"ts": epoch + timedelta(seconds=i), "label": ch} for i, ch in enumerate(seq)]
     p = (
         Pattern.begin("A").where(lambda e: e["label"] == "a")
-        .followed_by("B").where(lambda e: e["label"] == "b")
+        .followed_by_any("B").where(lambda e: e["label"] == "b")
         .within(3)
     )
     got = {
