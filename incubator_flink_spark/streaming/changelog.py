@@ -100,3 +100,72 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
         F.lit(UPDATE_AFTER).alias(ROWKIND), *keys, *[F.col(f"__new_{c}").alias(c) for c in val_cols]
     )
     return inserts.unionByName(deletes).unionByName(upd_before).unionByName(upd_after)
+
+
+def retract_aggregate_stream(
+    df: DataFrame, keys: list[str], value_col: str, op_col: str = ROWKIND
+) -> DataFrame:
+    """STREAMING retract aggregate that itself EMITS a retraction
+    changelog (reference: GroupAggFunction.java:43 — on every change the
+    operator sends UPDATE_BEFORE with the previous aggregate row, then
+    UPDATE_AFTER/INSERT with the new one; when the live-row count drops
+    to zero it sends DELETE and clears state).  This is the
+    mid-pipeline form whose output a RetractableTopNFunction consumes —
+    the composition FlinkChangelogModeInferenceProgram.scala:40 plans.
+
+    State per key: (sum, live_rows) — O(1).  Input rows carry
+    ``op_col`` (+I/+U add, -U/-D retract).  Output columns:
+    (op_col, keys..., sum_value).
+
+    Scale: one shuffle on the keys; per-batch contributions fold
+    vectorized in pandas before the O(1) state update."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_fields = [f for f in df.schema.fields if f.name in keys]
+    out_schema = T.StructType(
+        [
+            T.StructField(op_col, T.StringType()),
+            *key_fields,
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("s", T.DoubleType()), T.StructField("n", T.LongType())]
+    )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        s, n = state.get if state.exists else (0.0, 0)
+        had = state.exists and n > 0
+        old_s = s
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            sign = pdf[op_col].isin(_ADDS).astype(int) * 2 - 1
+            s += float((sign * pdf[value_col].astype(float)).sum())
+            n += int(sign.sum())
+        out = []
+        if n > 0:
+            if not had:
+                out.append({op_col: INSERT, "sum_value": s})
+            elif s != old_s:
+                out.append({op_col: UPDATE_BEFORE, "sum_value": old_s})
+                out.append({op_col: UPDATE_AFTER, "sum_value": s})
+            state.update((s, n))
+        else:
+            if had:
+                out.append({op_col: DELETE, "sum_value": old_s})
+            state.remove()
+        if not out:
+            return
+        res = pd.DataFrame(out)
+        for f, kv in zip(key_fields, key):
+            res[f.name] = kv
+        yield res[[c.name for c in out_schema.fields]]
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -164,10 +164,26 @@ def topn_output_schema(key_fields: list[T.StructField]) -> T.StructType:
     )
 
 
-def streaming_topn(df: DataFrame, keys: list[str], id_col: str, value_col: str, n: int) -> DataFrame:
+def streaming_topn(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    value_col: str,
+    n: int,
+    op_col: str | None = None,
+) -> DataFrame:
     """Per-key top-N by value (desc, id asc tiebreak) with retract-tagged
     delta output: on each change, -D rows retract displaced entries and
-    +I rows insert new ones (consumers reconstruct the ranked list)."""
+    +I rows insert new ones (consumers reconstruct the ranked list).
+
+    With ``op_col`` the INPUT is itself a retracting changelog
+    (RetractableTopNFunction.java consuming an upstream retract
+    aggregate): +I/+U rows add a (value, id) entry, -D/-U rows remove
+    the exact (value, id) entry — so an upstream update arrives as
+    -U(old value) then +U(new value) and replaces the entry instead of
+    duplicating the id.  Retractions may displace entries back INTO the
+    top-N; state therefore keeps ALL live entries per key (like the
+    reference's data-state map), not just the head."""
     key_fields = [f for f in df.schema.fields if f.name in keys]
     out_schema = topn_output_schema(key_fields)
     state_schema = T.StructType(
@@ -176,15 +192,34 @@ def streaming_topn(df: DataFrame, keys: list[str], id_col: str, value_col: str, 
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         vals, ids = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
-        old = list(zip(vals, ids))
-        entries = {(v, i) for v, i in old}
+        if op_col is None:
+            old = list(zip(vals, ids))
+            live = {(v, i) for v, i in old}
+        else:
+            # with retraction input, state = [top-N entries..., remainder];
+            # the emitted old ranking is the first n entries
+            live_list = list(zip(vals, ids))
+            old = live_list[:n]
+            live = set(live_list)
         for pdf in pdfs:
-            for v, i in zip(pdf[value_col].astype(float), pdf[id_col].astype(int)):
-                entries.add((float(v), int(i)))
-        new = sorted(entries, key=lambda e: (-e[0], e[1]))[:n]
+            if op_col is None:
+                for v, i in zip(pdf[value_col].astype(float), pdf[id_col].astype(int)):
+                    live.add((float(v), int(i)))
+            else:
+                for op, v, i in zip(
+                    pdf[op_col], pdf[value_col].astype(float), pdf[id_col].astype(int)
+                ):
+                    if op in ("+I", "+U"):
+                        live.add((float(v), int(i)))
+                    else:  # -D / -U retract the exact entry
+                        live.discard((float(v), int(i)))
+        ordered = sorted(live, key=lambda e: (-e[0], e[1]))
+        new = ordered[:n]
+        kept = new if op_col is None else ordered
+        if kept != list(zip(vals, ids)):
+            state.update(([v for v, _ in kept], [i for _, i in kept]))
         if new == old:
             return
-        state.update(([v for v, _ in new], [i for _, i in new]))
         out: list[dict[str, Any]] = []
         old_set, new_set = set(old), set(new)
         for rank, (v, i) in enumerate(old, start=1):
