@@ -777,3 +777,63 @@ def test_sql_skip_to_unknown_variable_raises(spark):
               DEFINE A AS A.ev = 'a', B AS B.ev = 'b'
             )
         """)
+
+
+def test_segmented_execution_matches_per_key(spark):
+    """match_pattern_segmented (the hot-key mitigation) must produce the
+    EXACT per-key result set for a within-bounded NO_SKIP pattern — every
+    match fits in two consecutive within-sized segments and is claimed by
+    the segment holding its first event."""
+    from pyspark.sql import functions as F
+
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.cep.executor import match_pattern, match_pattern_segmented
+
+    events = load(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    p = (
+        Pattern.begin("c")
+        .where(lambda e: e["event_type"] == "click")
+        .followed_by("v")
+        .where(lambda e: e["event_type"] == "view")
+        .times(1, 2)
+        .followed_by("p")
+        .where(lambda e: e["event_type"] == "purchase")
+        .within(43200)
+    )
+
+    def select(key, m):
+        return {
+            "user_id": int(key["user_id"]),
+            "c": int(m["c"][0]["event_id"]),
+            "v_last": int(m["v"][-1]["event_id"]),
+            "p": int(m["p"][0]["event_id"]),
+        }
+
+    schema = "user_id BIGINT, c BIGINT, v_last BIGINT, p BIGINT"
+    base = {
+        tuple(r) for r in match_pattern(events, ["user_id"], "ts", p, select, schema, tiebreak="event_id").collect()
+    }
+    seg = {
+        tuple(r)
+        for r in match_pattern_segmented(
+            events, ["user_id"], "ts", p, select, schema, tiebreak="event_id"
+        ).collect()
+    }
+    assert seg == base and len(base) > 0
+
+
+def test_segmented_execution_rejects_unsupported(spark):
+    import pytest
+
+    from incubator_flink_spark.catalog import load
+    from incubator_flink_spark.cep.executor import match_pattern_segmented
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    no_within = Pattern.begin("c").where(lambda e: True)
+    with pytest.raises(ValueError):
+        match_pattern_segmented(events, ["user_id"], "ts", no_within, lambda k, m: {}, "x INT")
+    skip = Pattern.begin("c").where(lambda e: True).within(60).after_match_skip_past_last_event()
+    with pytest.raises(ValueError):
+        match_pattern_segmented(events, ["user_id"], "ts", skip, lambda k, m: {}, "x INT")
