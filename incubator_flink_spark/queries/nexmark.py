@@ -235,3 +235,70 @@ def nexmark_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "user_id")
         .orderBy("window_start", "user_id")
     )
+
+
+NEXMARK_Q6_ORACLE = """
+WITH a AS (
+  SELECT event_id AS auction_id, user_id AS seller,
+         ts AS open_ts, ts + INTERVAL 7 DAY AS expires
+  FROM events WHERE event_type = 'signup'),
+b AS (
+  SELECT user_id AS bid_seller, value AS price, ts AS bts
+  FROM events WHERE event_type IN ('click', 'view')),
+win AS (
+  SELECT auction_id, seller, open_ts, MAX(price) AS final
+  FROM a JOIN b ON a.seller = b.bid_seller
+   AND b.bts >= a.open_ts AND b.bts < a.expires
+  GROUP BY 1, 2, 3),
+o AS (
+  SELECT seller, final,
+         ROW_NUMBER() OVER (PARTITION BY seller
+                            ORDER BY open_ts DESC, auction_id DESC) AS rn
+  FROM win)
+SELECT seller, COUNT(*) AS n_last,
+       ROUND(CAST(CAST(SUM(CAST(final AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*), 6) AS avg_last10
+FROM o WHERE rn <= 10 GROUP BY seller ORDER BY seller
+"""
+
+
+@register("nexmark_q6", NEXMARK_Q6_ORACLE)
+def nexmark_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q6 (average selling price of a seller's LAST 10 closed
+    auctions): winning bid per auction (same interval join + per-auction
+    max as q4), then a per-seller recency rank keeps the 10 newest wins
+    and averages them — the final state of q6's ROWS 9 PRECEDING running
+    average.
+
+    Scale: the rank window is KEYED by seller and runs over the
+    auction-cardinality winning-bid aggregate, never the raw bid
+    stream; the average divides an exact decimal sum."""
+    a = _auctions(spark, sf_dir)
+    b = _bids(spark, sf_dir)
+    win = (
+        a.join(
+            b,
+            (a.seller == b.bid_seller)
+            & (b.bts >= a.open_ts)
+            & (b.bts < a.expires),
+        )
+        .groupBy("auction_id", "seller", "open_ts")
+        .agg(F.max("price").alias("final"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("seller").orderBy(F.col("open_ts").desc(), F.col("auction_id").desc())
+    )
+    return (
+        win.withColumn("rn", rn)
+        .where(F.col("rn") <= 10)
+        .groupBy("seller")
+        .agg(
+            F.count(F.lit(1)).alias("n_last"),
+            F.round(
+                F.sum(F.col("final").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_last10"),
+        )
+        .orderBy("seller")
+    )
