@@ -126,6 +126,7 @@ EXTRA = [
     # round 5, late registrations + heaviest CEP form (knobbed under fast)
     "cep_all_rows_funnel",
     "multi_signal_dedup",
+    "semdedup_kmeans",
     "embedding_top2_pc",
     "hll_by_language",
     "histogram_quantiles",

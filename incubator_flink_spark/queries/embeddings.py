@@ -1185,3 +1185,91 @@ def embedding_top2_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("proj2")).desc(), "vec_id")
         .limit(20)
     )
+
+
+def _semdedup_kmeans_oracle(
+    t: float = 0.8, n_clusters: int = 8, iters: int = 3, train_mod: int = 4
+) -> str:
+    """Unrolled SemDeDup: planted-near-dup augmentation (the shared
+    integer-arithmetic perturbation), coarse k-means over the augmented
+    corpus (same init/assign/mean conventions as the IVF oracle:
+    first-k-by-id init, dot-product argmax with ties to the smallest
+    cluster, decimal-exact mean sums), within-cluster exact cosine, and
+    recursive min-id connected components."""
+    parts = [
+        f"""WITH RECURSIVE eb AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+auge AS (
+  SELECT vec_id, d, x FROM eb
+  UNION ALL
+  SELECT vec_id + 100000, d, x + ((vec_id * 31 + d * 17) % 7 - 3) * 0.01
+  FROM eb WHERE vec_id % 5 = 0),
+earr AS (SELECT vec_id, list(x ORDER BY d) AS v FROM auge GROUP BY vec_id),
+init AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+  FROM (SELECT vec_id FROM earr WHERE vec_id % {train_mod} = 0
+        ORDER BY vec_id LIMIT {n_clusters}) t),
+carr0 AS (SELECT i.c, e.v AS cv FROM init i JOIN earr e ON e.vec_id = i.vec_id)"""
+    ]
+    for r in range(iters):
+        parts.append(
+            f""",
+ka{r} AS (
+  SELECT e.vec_id, c.c, list_inner_product(e.v, c.cv) AS dot
+  FROM earr e CROSS JOIN carr{r} c WHERE e.vec_id % {train_mod} = 0),
+kb{r} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+    FROM ka{r}) t WHERE rn = 1),
+km{r} AS (
+  SELECT b.c, a.d, CAST(CAST(SUM(CAST(a.x AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS val
+  FROM kb{r} b JOIN auge a ON a.vec_id = b.vec_id GROUP BY b.c, a.d),
+carr{r + 1} AS (
+  SELECT p.c, COALESCE(n.cv, p.cv) AS cv
+  FROM carr{r} p LEFT JOIN (
+    SELECT c, list(val ORDER BY d) AS cv FROM km{r} GROUP BY c) n ON n.c = p.c)"""
+        )
+    parts.append(
+        f""",
+fa AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, c.c,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_inner_product(e.v, c.cv) DESC, c.c) AS rn
+    FROM earr e CROSS JOIN carr{iters} c) t WHERE rn = 1),
+pairs AS (
+  SELECT p.vec_id AS id_a, q.vec_id AS id_b
+  FROM fa p JOIN fa q ON p.c = q.c AND p.vec_id < q.vec_id
+  JOIN earr a ON a.vec_id = p.vec_id JOIN earr b ON b.vec_id = q.vec_id
+  WHERE ROUND(list_inner_product(a.v, b.v)
+              / (SQRT(list_inner_product(a.v, a.v)) * SQRT(list_inner_product(b.v, b.v))), 6) >= {t}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
+SELECT u AS vec_id, MIN(r) AS rep_id, CAST(u = MIN(r) AS BIGINT) AS kept
+FROM reach GROUP BY u ORDER BY vec_id"""
+    )
+    return "".join(parts)
+
+
+@register("semdedup_kmeans", _semdedup_kmeans_oracle())
+def semdedup_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup by cluster-scoped comparison (Abbas et al. 2023): k-means
+    clusters the planted-near-dup corpus, exact cosine runs only within
+    each cluster, connected components pick the min-id representative —
+    (vec_id, rep_id, kept) for every duplicate-group member.  The
+    cluster-scoped alternative to the banded-LSH ``semantic_dedup_t08``
+    (comparisons Σ n_c² with k growing with corpus size, vs candidate
+    buckets).  The oracle unrolls the identical k-means (init, argmax
+    tie-break, decimal-exact means) and the min-id CC, so membership,
+    representatives, and kept flags must match exactly."""
+    from incubator_flink_spark.bench_knobs import knob
+    from incubator_flink_spark.operators.similarity import semdedup_kmeans
+
+    e = load(spark, sf_dir, "embeddings")
+    # bench fast path: one Lloyd round (same plan shape per round)
+    return semdedup_kmeans(_augment_near_dups(e), 0.8, iters=knob(3, 1)).orderBy("vec_id")
