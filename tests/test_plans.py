@@ -612,3 +612,25 @@ def test_tpcds_wave7_q72_q75_plan_shapes(spark):
     rep = audit_plan(REGISTRY["star_yoy_decline"].fn(spark, SF))
     assert rep.nested_loop_joins == 0
     assert rep.broadcast_hash_joins >= 1  # part dim
+
+
+def test_nexmark_and_semdedup_plan_shapes(spark):
+    """Round-6 entries: the q4/q6 interval join plans as an EQUI join on
+    the seller key with the time range residual (never an NLJ range
+    join); semdedup's within-cluster pairing is an equi join on the
+    cluster id (never a cartesian)."""
+    for name in ("nexmark_q4", "nexmark_q6"):
+        rep = audit_plan(REGISTRY[name].fn(spark, SF))
+        assert rep.nested_loop_joins == 0, name
+        assert (
+            rep.broadcast_hash_joins + rep.sort_merge_joins + rep.shuffled_hash_joins >= 1
+        ), name
+    rep = audit_plan(REGISTRY["semdedup_kmeans"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    for name in ("nexmark_q5", "nexmark_q7"):
+        # hot-items / highest-bid windows must be KEYED by window_start
+        rep = audit_plan(REGISTRY[name].fn(spark, SF))
+        for line in rep.raw.splitlines():
+            s = line.strip()
+            if s.startswith("Window ["):
+                assert re.search(r"\], \[[^\]]+\], \[", s), f"{name} keyless window: {s}"
