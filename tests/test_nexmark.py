@@ -200,3 +200,63 @@ def test_nexmark_q8_stream_window_join_matches_batch(spark, replay_dir):
         for r in REGISTRY["nexmark_q8"].fn(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_nexmark_q6_stream_last10_matches_batch(spark, replay_dir):
+    """q6 streaming = the q4 interval join with per-(auction, seller,
+    open_ts) winning-bid folding; the last-10-per-seller average is the
+    window-fire projection over the folded state."""
+    a = (
+        replay_table(spark, SF, "events", replay_dir + "/q6a", n_files=3)
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("auction_id"),
+            F.col("user_id").alias("seller"),
+            F.col("ts").alias("open_ts"),
+            (F.col("ts") + F.expr("INTERVAL 7 DAY")).alias("expires"),
+        )
+        .withWatermark("open_ts", "1 hour")
+    )
+    b = (
+        replay_table(spark, SF, "events", replay_dir + "/q6b", n_files=3)
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("user_id").alias("bid_seller"),
+            F.col("value").alias("price"),
+            F.col("ts").alias("bts"),
+        )
+        .withWatermark("bts", "1 hour")
+    )
+    joined = a.join(
+        b,
+        (F.col("seller") == F.col("bid_seller"))
+        & (F.col("bts") >= F.col("open_ts"))
+        & (F.col("bts") < F.col("expires")),
+    )
+    best: dict[int, tuple[int, object, float]] = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.groupBy("auction_id", "seller", "open_ts").agg(
+            F.max("price").alias("p")
+        ).collect():
+            cur = best.get(r.auction_id)
+            if cur is None or r.p > cur[2]:
+                best[r.auction_id] = (r.seller, r.open_ts, r.p)
+
+    drain(joined, collect, mode="append")
+
+    from collections import defaultdict
+
+    wins = defaultdict(list)  # seller -> [(open_ts, auction_id, final)]
+    for auction_id, (seller, open_ts, p) in best.items():
+        wins[seller].append((open_ts, auction_id, p))
+    got = {}
+    for seller, rows in wins.items():
+        rows.sort(key=lambda r: (r[0], r[1]), reverse=True)
+        last = rows[:10]
+        got[seller] = (len(last), round(sum(p for _, _, p in last) / len(last), 6))
+    expected = {
+        r.seller: (r.n_last, round(r.avg_last10, 6))
+        for r in REGISTRY["nexmark_q6"].fn(spark, SF).collect()
+    }
+    assert got == expected
