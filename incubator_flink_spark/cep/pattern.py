@@ -162,6 +162,13 @@ class Pattern:
         s.min_times, s.max_times = 1, -1
         return self
 
+    def times_or_more(self, n: int) -> "Pattern":
+        """At least ``n`` repetitions, unbounded above
+        (Pattern.java timesOrMore:416)."""
+        s = self.stages[-1]
+        s.min_times, s.max_times = n, -1
+        return self
+
     def optional(self) -> "Pattern":
         self.stages[-1].optional = True
         return self

@@ -211,3 +211,44 @@ def cep_all_rows_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id, match_id, role
         """
     ).to_df()
+
+
+CEP_PAIRS_ANY_ORACLE = """
+SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+  AND epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000
+ORDER BY c.user_id, click_id, purchase_id
+"""
+
+
+@register("cep_pairs_any", CEP_PAIRS_ANY_ORACLE)
+def cep_pairs_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """followedByAny end-to-end (Pattern.java followedByAny:322,
+    ConsumingStrategy.SKIP_TILL_ANY): click followedByAny purchase
+    within 1 day, NO_SKIP — unlike followedBy, matching events may be
+    skipped, so the match set is EVERY (click, later purchase) pair in
+    the window, which is exactly an interval join: the closed-form
+    oracle that pins the SKIP_TILL_ANY semantics on real data (the
+    randomized fuzz suite pins it on synthetic sequences)."""
+    events = load(spark, sf_dir, "events")
+    p = (
+        Pattern.begin("click")
+        .where(lambda e: e["event_type"] == "click")
+        .followed_by_any("purchase")
+        .where(lambda e: e["event_type"] == "purchase")
+        .within(86400)
+    )
+
+    def select(key, m):
+        return {
+            "user_id": int(key["user_id"]),
+            "click_id": int(m["click"][0]["event_id"]),
+            "purchase_id": int(m["purchase"][0]["event_id"]),
+        }
+
+    return match_pattern(
+        events, ["user_id"], "ts", p, select,
+        "user_id BIGINT, click_id BIGINT, purchase_id BIGINT", tiebreak="event_id",
+    ).orderBy("user_id", "click_id", "purchase_id")

@@ -275,7 +275,7 @@ def _rand_pattern(rng):
 
     p = Pattern.begin("s0").where(pred(rng.choice("ab")))
     n_stages = rng.randint(1, 3)
-    quant = rng.choice(["one", "one", "times12", "times2", "oneormore", "optional"])
+    quant = rng.choice(["one", "one", "times12", "times2", "oneormore", "timesormore2", "optional"])
     _apply_quant(p, quant, rng)
     neg_used = False
     for k in range(1, n_stages):
@@ -291,7 +291,7 @@ def _rand_pattern(rng):
         if link == "neg":
             link = "followed_by"
         getattr(p, link)(f"s{k}").where(pred(rng.choice("abc")))
-        _apply_quant(p, rng.choice(["one", "one", "times12", "oneormore", "optional"]), rng)
+        _apply_quant(p, rng.choice(["one", "one", "times12", "oneormore", "timesormore2", "optional"]), rng)
     skip = rng.choice(["none", "none", "past", "first", "last"])
     if skip == "past":
         p.after_match_skip_past_last_event()
@@ -311,9 +311,11 @@ def _apply_quant(p, quant, rng):
         p.times(2)
     elif quant == "oneormore":
         p.one_or_more()
+    elif quant == "timesormore2":
+        p.times_or_more(2)
     elif quant == "optional":
         p.optional()
-    if quant in ("times12", "times2", "oneormore"):
+    if quant in ("times12", "times2", "oneormore", "timesormore2"):
         if rng.random() < 0.4:
             p.greedy()
         if rng.random() < 0.3:
