@@ -170,6 +170,11 @@ def _stage_matches(
                             yield from extend(taken + [j], j + 1)
                         if not stage.combinations:
                             break  # a matching event cannot be skipped
+                    elif stage.inner_strict:
+                        # consecutive(): repeats strictly contiguous — a
+                        # non-matching event at the next position ends
+                        # the run (Pattern.java consecutive:477)
+                        break
                     j += 1
             if len(taken) >= stage.min_times and not (stage.greedy and extended):
                 yield (taken[-1] + 1, list(taken))

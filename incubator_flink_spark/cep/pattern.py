@@ -66,6 +66,7 @@ class Stage:
     negated: bool = False  # notNext/notFollowedBy
     greedy: bool = False
     combinations: bool = False  # allowCombinations(): loop repeats may skip matching events
+    inner_strict: bool = False  # consecutive(): loop repeats strictly contiguous
     until_cond: Cond | None = None
 
     def accepts(self, event: dict, ctx: Any = None) -> bool:
@@ -184,6 +185,17 @@ class Pattern:
         ConsumingStrategy.SKIP_TILL_ANY).  The default relaxed loop skips
         only non-matching events between repeats, like the reference."""
         self.stages[-1].combinations = True
+        self.stages[-1].inner_strict = False
+        return self
+
+    def consecutive(self) -> "Pattern":
+        """STRICT contiguity between the looping stage's repeats
+        (Pattern.java consecutive:477 — inner ConsumingStrategy.STRICT);
+        the stage's ENTRY contiguity stays whatever the connector set.
+        Mutually exclusive with allow_combinations, as in the
+        reference (the inner strategy is a single assignment)."""
+        self.stages[-1].inner_strict = True
+        self.stages[-1].combinations = False
         return self
 
     def until(self, pred: Predicate) -> "Pattern":

@@ -837,3 +837,24 @@ def test_segmented_execution_rejects_unsupported(spark):
     skip = Pattern.begin("c").where(lambda e: True).within(60).after_match_skip_past_last_event()
     with pytest.raises(ValueError):
         match_pattern_segmented(events, ["user_id"], "ts", skip, lambda k, m: {}, "x INT")
+
+
+def test_consecutive_inner_strict():
+    """consecutive() (Pattern.java:477): repeats strictly contiguous —
+    'b+ consecutive' on b b x b yields runs (0,), (0,1), (1,), (3,):
+    never (1,3) across the gap, unlike the default relaxed loop."""
+    from datetime import datetime, timedelta
+
+    epoch = datetime(2020, 1, 1)
+    seq = ["b", "b", "x", "b"]
+    events = [
+        {"ts": epoch + timedelta(seconds=i), "event_type": c, "event_id": i}
+        for i, c in enumerate(seq)
+    ]
+    p = Pattern.begin("bs").where(lambda e: e["event_type"] == "b").one_or_more().consecutive()
+    got = sorted(tuple(e["event_id"] for e in m["bs"]) for m in find_matches(p, events))
+    assert got == [(0,), (0, 1), (1,), (3,)]
+    # control: default relaxed loop also bridges the gap
+    p2 = Pattern.begin("bs").where(lambda e: e["event_type"] == "b").one_or_more()
+    got2 = sorted(tuple(e["event_id"] for e in m["bs"]) for m in find_matches(p2, events))
+    assert (1, 3) in got2 and (0, 1, 3) in got2

@@ -136,6 +136,14 @@ def ref_find_matches(pattern, events, ts_key="ts"):
             return _no_ext(taken, fi)
 
         def _no_ext(taken, fi):
+            if st.inner_strict:
+                j = taken[-1] + 1
+                return not (
+                    j < n
+                    and not unt(st, j, capture, taken)
+                    and acc(st, j, capture, taken)
+                    and in_window(j, fi)
+                )
             j = taken[-1] + 1
             while j < n:
                 if unt(st, j, capture, taken):
@@ -153,6 +161,18 @@ def ref_find_matches(pattern, events, ts_key="ts"):
             if st.min_times <= len(taken) and greedy_maximal(taken, fi):
                 yield (tuple(taken), taken[-1] + 1)
             if len(taken) >= maxt:
+                return
+            if st.inner_strict:
+                # consecutive(): the only candidate repeat is the very
+                # next event — contiguous, accepted, in window, no until
+                j = next_scan
+                if (
+                    j < n
+                    and not unt(st, j, capture, taken)
+                    and acc(st, j, capture, taken)
+                    and in_window(j, fi)
+                ):
+                    yield from build(taken + [j], j + 1)
                 return
             for j in range(next_scan, n):
                 if not inner_gap_ok(taken, next_scan, j):
@@ -318,8 +338,11 @@ def _apply_quant(p, quant, rng):
     if quant in ("times12", "times2", "oneormore", "timesormore2"):
         if rng.random() < 0.4:
             p.greedy()
-        if rng.random() < 0.3:
+        inner = rng.random()
+        if inner < 0.25:
             p.allow_combinations()
+        elif inner < 0.5:
+            p.consecutive()
         if rng.random() < 0.3:
             p.until(lambda e: e["label"] == "u")
 
