@@ -9,6 +9,7 @@ per key). Skewed keys are the caveat, as in the reference.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 import pandas as pd
@@ -131,12 +132,30 @@ def match_pattern_segmented(
         raise ValueError("segmented execution requires pattern.within(...)")
     if pattern.skip_strategy != NO_SKIP:
         raise ValueError("segmented execution supports NO_SKIP only")
+    if pattern.stages[-1].negated:
+        # a trailing notFollowedBy's forbidden region runs to END OF
+        # STREAM (nfa._violates_negation), which the 2-segment horizon
+        # truncates — segmented execution could emit matches the plain
+        # executor suppresses.  Non-trailing negation regions are bounded
+        # by the next captured event, which the within window keeps
+        # inside the horizon, so they stay exact.
+        raise ValueError(
+            "segmented execution does not support a trailing negated stage "
+            "(its forbidden region extends beyond the segment horizon)"
+        )
     w = float(segment_s if segment_s is not None else pattern.within_s)
     if w < float(pattern.within_s):
         raise ValueError("segment_s must be >= pattern.within_s")
     order = [ts_col] + ([tiebreak] if tiebreak else [])
-    seg = F.floor(F.col(ts_col).cast("double") / w).cast("long")
-    rep = df.withColumn("__seg", F.explode(F.array(seg, seg - F.lit(1).cast("long"))))
+    # __epoch is computed by Spark with the SAME cast that derives __seg,
+    # so the Python-side first-event segment floor below agrees with the
+    # Spark-side assignment regardless of spark.sql.session.timeZone
+    # (pandas Timestamp.timestamp() would re-interpret the naive value).
+    epoch = F.col(ts_col).cast("double")
+    seg = F.floor(epoch / w).cast("long")
+    rep = df.withColumn("__epoch", epoch).withColumn(
+        "__seg", F.explode(F.array(seg, seg - F.lit(1).cast("long")))
+    )
     # EXPLICIT partition count: CEP events are small in bytes but heavy in
     # Python compute, so AQE's byte-targeted partition coalescing would
     # collapse this shuffle to one task and serialize the NFA work —
@@ -150,12 +169,17 @@ def match_pattern_segmented(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order)
         seg_val = int(pdf["__seg"].iloc[0])
+        # keep __epoch in the event dicts: predicates ignore unknown keys
+        # and the ownership test below needs the Spark-computed epoch
         events = pdf.drop(columns=["__seg"]).to_dict("records")
         key_dict = {k: pdf[k].iloc[0] for k in keys}
         rows = []
         for m in find_matches(pattern, events, ts_key=ts_col):
-            first = min(e[ts_col] for evs in m.values() for e in evs if evs)
-            if int(first.timestamp() // w) == seg_val:
+            first_epoch = min(e["__epoch"] for evs in m.values() for e in evs if evs)
+            # math.floor(a / b) matches Spark's FLOOR(a / b) bit-for-bit
+            # (same IEEE divide); Python's a // b corrects the rounding
+            # and can disagree exactly at segment boundaries
+            if math.floor(first_epoch / w) == seg_val:
                 rows.append(select_fn(key_dict, m))
         if not rows:
             return pd.DataFrame(columns=[c.strip().split(" ")[0] for c in output_schema.split(",")])

@@ -280,8 +280,15 @@ class MaterializedViewSink:
         with open(tmp_ptr, "w") as f:
             json.dump({"batch_id": batch_id, "dir": vdir}, f)
         os.replace(tmp_ptr, os.path.join(self.path, self.POINTER))  # commit point
+        # GC with a one-snapshot grace period: a concurrent read() that
+        # resolved the pointer just before the swap may still be scanning
+        # the previous snapshot, so keep it and only delete older dirs —
+        # a reader is never more than one commit behind the pointer.
+        keep = {vdir}
+        if committed is not None:
+            keep.add(committed[1])
         for d in os.listdir(self.path):
-            if d.startswith("v") and d != vdir:
+            if d.startswith("v") and d not in keep:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
 

@@ -837,6 +837,19 @@ def test_segmented_execution_rejects_unsupported(spark):
     skip = Pattern.begin("c").where(lambda e: True).within(60).after_match_skip_past_last_event()
     with pytest.raises(ValueError):
         match_pattern_segmented(events, ["user_id"], "ts", skip, lambda k, m: {}, "x INT")
+    # trailing notFollowedBy: forbidden region runs to end-of-stream,
+    # which the 2-segment horizon truncates — must be rejected
+    trailing_neg = (
+        Pattern.begin("c")
+        .where(lambda e: True)
+        .not_followed_by("n")
+        .where(lambda e: True)
+        .within(60)
+    )
+    with pytest.raises(ValueError, match="negated"):
+        match_pattern_segmented(
+            events, ["user_id"], "ts", trailing_neg, lambda k, m: {}, "x INT"
+        )
 
 
 def test_consecutive_inner_strict():

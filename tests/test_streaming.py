@@ -1368,3 +1368,17 @@ def test_streaming_mv_sink_matches_batch_recompute(spark, replay_dir):
     )
     expected = {r["k"]: (r["live_rows"], r["sum_value"]) for r in batch.collect()}
     assert got == expected and got
+
+    # GC grace period: a fresh commit keeps the immediately-previous
+    # snapshot on disk (a concurrent reader resolving the old pointer
+    # mid-swap can finish its scan) and removes anything older
+    import os as _os
+
+    _, cur_dir = MaterializedViewSink.committed(path)
+    sink(replay.limit(0), applied_id + 1)
+    _, new_dir = MaterializedViewSink.committed(path)
+    vdirs = {d for d in _os.listdir(path) if d.startswith("v")}
+    assert new_dir in vdirs and cur_dir in vdirs and len(vdirs) == 2
+    sink(replay.limit(0), applied_id + 2)
+    vdirs2 = {d for d in _os.listdir(path) if d.startswith("v")}
+    assert cur_dir not in vdirs2 and len(vdirs2) == 2
