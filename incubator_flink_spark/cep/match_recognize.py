@@ -141,13 +141,16 @@ def _pattern_vars(pattern: str) -> list[str]:
 
 def _apply_skip(p, after_match_skip):
     """AFTER MATCH strategy → Pattern skip config.  ``True`` = SKIP PAST
-    LAST ROW (the SQL default), ``False`` = SKIP TO NEXT ROW (no skip),
-    ``("skip_to_first"|"skip_to_last", var)`` = SKIP TO FIRST/LAST var —
-    all four reference AfterMatchSkipStrategy variants."""
+    LAST ROW (the SQL default), ``False`` = SKIP TO NEXT ROW
+    (AfterMatchSkipStrategy.skipToNext — at most one match per start
+    row, NOT the library-only NO_SKIP which also emits same-start
+    alternatives), ``("skip_to_first"|"skip_to_last", var)`` = SKIP TO
+    FIRST/LAST var — all SQL-spellable AfterMatchSkipStrategy
+    variants."""
     if after_match_skip is True:
         return p.after_match_skip_past_last_event()
     if after_match_skip is False:
-        return p
+        return p.after_match_skip_to_next()
     if isinstance(after_match_skip, tuple) and len(after_match_skip) == 2:
         strat, stage = after_match_skip
         if strat == "skip_to_first":

@@ -31,10 +31,11 @@ Semantics implemented (mirroring the reference's documented behavior):
   match (relaxed). A trailing notFollowedBy is checked to end-of-stream.
 - within: last_event.ts - first_event.ts <= window.
 - After-match skip (nfa/aftermatch/AfterMatchSkipStrategy.java):
-  NO_SKIP emits every match combination; SKIP_PAST_LAST_EVENT restarts
-  after the previous match's last index; SKIP_TO_FIRST(p)/SKIP_TO_LAST(p)
-  discard matches starting before the first/last event mapped to stage p
-  of the previously emitted match.
+  NO_SKIP emits every match combination; SKIP_TO_NEXT keeps only the
+  first match per start event (SkipToNextStrategy.java:30);
+  SKIP_PAST_LAST_EVENT restarts after the previous match's last index;
+  SKIP_TO_FIRST(p)/SKIP_TO_LAST(p) discard matches starting before the
+  first/last event mapped to stage p of the previously emitted match.
 """
 
 from __future__ import annotations
@@ -42,9 +43,11 @@ from __future__ import annotations
 from incubator_flink_spark.cep.pattern import (
     NO_SKIP,
     RELAXED,
+    RELAXED_ANY,
     SKIP_PAST_LAST_EVENT,
     SKIP_TO_FIRST,
     SKIP_TO_LAST,
+    SKIP_TO_NEXT,
     STRICT,
     Pattern,
     Stage,
@@ -94,8 +97,8 @@ class Context:
 
 
 def _stage_matches(
-    stages: list[Stage],
-    si: int,
+    stage: Stage,
+    is_start: bool,
     events: list[dict],
     start_idx: int,
     first_ts,
@@ -103,9 +106,10 @@ def _stage_matches(
     ts_key: str,
     capture: dict,
 ):  # noqa: C901
-    """Yield (next_idx, captured) for stage si starting at start_idx.
-    captured: list of event indices taken by this stage."""
-    stage = stages[si]
+    """Yield (next_idx, captured) for a scalar stage starting its scan at
+    start_idx; captured: list of event indices taken by this stage.
+    ``is_start`` marks the pattern's start state (a fresh computation
+    begins at every event, so relaxed scanning never dies)."""
 
     def in_window(idx: int, ref_ts=None) -> bool:
         ref = first_ts if first_ts is not None else ref_ts
@@ -183,30 +187,134 @@ def _stage_matches(
         while j < len(events):
             ctx = ctx_for([], j)
             if stage.until_fires(events[j], ctx):
-                if si > 0:
+                if not is_start:
                     # within a computation the looping state can neither
                     # take nor ignore an until-firing event
                     # (NFACompiler.java:683,847: take/ignore are guarded
                     # with NOT(until)) — the scan dies here
                     break
-                # stage 0: a fresh NFA computation starts at every later
-                # event (the start state restarts per event); only THIS
-                # event is excluded as a start
+                # start state: a fresh NFA computation starts at every
+                # later event (the start state restarts per event); only
+                # THIS event is excluded as a start
                 j += 1
                 continue
             if stage.accepts(events[j], ctx):
                 if in_window(j):
                     yield from extend([j], j + 1)
-                if si > 0 and stage.contiguity == RELAXED:
+                if not is_start and stage.contiguity == RELAXED:
                     # SKIP_TILL_NEXT (followedBy): the IGNORE edge is
                     # NOT(takeCondition) (NFACompiler.java
                     # getIgnoreCondition:923) — an event matching this
                     # stage cannot be skipped, so no later start exists
                     # for this computation.  RELAXED_ANY (followedByAny)
-                    # and stage 0 (per-event computation starts) keep
-                    # scanning.
+                    # and the start state (per-event computation starts)
+                    # keep scanning.
                     break
             j += 1
+
+
+def _group_matches(
+    stage: Stage,
+    is_start: bool,
+    events: list[dict],
+    start_idx: int,
+    first_ts,
+    within_s: float | None,
+    ts_key: str,
+    capture: dict,
+):
+    """Yield (next_idx, taken_map) for a GROUP stage (GroupPattern.java:30;
+    NFACompiler createGroupPatternState / createLoopingGroupPatternState).
+
+    One iteration = one full match of the inner linear stage sequence.
+    The group's ENTRY contiguity governs the first event of iteration 1;
+    between iterations the group's loop contiguity applies
+    (consecutive → STRICT, allowCombinations → SKIP_TILL_ANY, default
+    SKIP_TILL_NEXT against the iteration's first taking stage).  Inner
+    stages keep their own contiguity/quantifiers within an iteration.
+    taken_map accumulates inner stage name → event indices across
+    iterations."""
+    from dataclasses import replace
+
+    sub = stage.sub_stages
+    max_t = stage.max_times if stage.max_times != -1 else len(events)
+    if stage.inner_strict:
+        loop_contig = STRICT
+    elif stage.combinations:
+        loop_contig = RELAXED_ANY
+    else:
+        loop_contig = RELAXED
+
+    if stage.optional:
+        yield (start_idx, {})
+
+    def one_iteration(pos, entry_contig, entry_is_start, f_ts, cap):
+        """Yield (next_idx, iter_map, first_ts') for ONE inner match.
+        The entry contiguity override applies to the first inner stage
+        that actually takes an event (earlier optional stages may be
+        skipped with the override still pending)."""
+
+        def dfs(k, p, ft, cap_k, m, pending):
+            if k == len(sub):
+                if any(m.values()):
+                    yield (p, m, ft)
+                return
+            st = sub[k]
+            eff = replace(st, contiguity=entry_contig) if pending else st
+            for nxt, taken in _stage_matches(
+                eff, entry_is_start and pending, events, p, ft, within_s, ts_key, cap_k
+            ):
+                ft2 = ft
+                if taken and ft2 is None:
+                    ft2 = events[taken[0]][ts_key]
+                cap2 = dict(cap_k)
+                cap2[st.name] = cap2.get(st.name, []) + [events[i] for i in taken]
+                m2 = dict(m)
+                m2[st.name] = m2.get(st.name, []) + list(taken)
+                yield from dfs(k + 1, nxt, ft2, cap2, m2, pending and not taken)
+
+        yield from dfs(0, pos, f_ts, cap, {}, True)
+
+    def iterate(pos, f_ts, cap, acc, count):
+        if count >= stage.min_times and count > 0:
+            yield (pos, {k: list(v) for k, v in acc.items()})
+        if count >= max_t:
+            return
+        contig = stage.contiguity if count == 0 else loop_contig
+        for nxt, m, ft2 in one_iteration(
+            pos, contig, is_start and count == 0, f_ts, cap
+        ):
+            cap2 = dict(cap)
+            acc2 = {k: list(v) for k, v in acc.items()}
+            for name, idxs in m.items():
+                cap2[name] = cap2.get(name, []) + [events[i] for i in idxs]
+                acc2[name] = acc2.get(name, []) + list(idxs)
+            yield from iterate(nxt, ft2, cap2, acc2, count + 1)
+
+    yield from iterate(start_idx, first_ts, dict(capture), {}, 0)
+
+
+def _matches_for(
+    stage: Stage,
+    is_start: bool,
+    events: list[dict],
+    start_idx: int,
+    first_ts,
+    within_s: float | None,
+    ts_key: str,
+    capture: dict,
+):
+    """Uniform stage-match generator: yields (next_idx, taken_map) for
+    scalar and group stages alike (taken_map: stage name → indices)."""
+    if stage.sub_stages is not None:
+        yield from _group_matches(
+            stage, is_start, events, start_idx, first_ts, within_s, ts_key, capture
+        )
+    else:
+        for nxt, taken in _stage_matches(
+            stage, is_start, events, start_idx, first_ts, within_s, ts_key, capture
+        ):
+            yield nxt, {stage.name: list(taken)}
 
 
 def _violates_negation(stage: Stage, events: list[dict], lo: int, hi: int, strict_pos: int | None) -> bool:
@@ -224,7 +332,25 @@ def _enumerate(pattern: Pattern, events: list[dict], ts_key: str = "ts"):
     after-match skip strategy) and find_timed_out_matches (which needs
     the set of completed start indices)."""
     stages = pattern.stages
+    capture_names: list[str] = []
+    for s in stages:
+        if s.sub_stages is not None:
+            capture_names.extend(x.name for x in s.sub_stages)
+        elif not s.negated:
+            capture_names.append(s.name)
+    if any(s.sub_stages is not None for s in stages) and len(set(capture_names)) != len(
+        capture_names
+    ):
+        raise ValueError(f"duplicate stage names across pattern/groups: {capture_names}")
     matches: list[tuple[int, int, dict, dict]] = []  # (first, last, capture, stage_idxs)
+
+    def merge(capture: dict, stage_idxs: dict, tmap: dict):
+        cap = dict(capture)
+        sidx = dict(stage_idxs)
+        for name, idxs in tmap.items():
+            cap[name] = cap.get(name, []) + [events[i] for i in idxs]
+            sidx[name] = sidx.get(name, []) + list(idxs)
+        return cap, sidx
 
     def search(si: int, start_idx: int, first_ts, capture: dict, stage_idxs: dict, last_idx: int):
         if si == len(stages):
@@ -236,19 +362,23 @@ def _enumerate(pattern: Pattern, events: list[dict], ts_key: str = "ts"):
         if stage.negated:
             search_negated(si, start_idx, first_ts, capture, stage_idxs, last_idx)
             return
-        for nxt, taken in _stage_matches(
-            stages, si, events, start_idx, first_ts, pattern.within_s, ts_key, capture
+        for nxt, tmap in _matches_for(
+            stage, si == 0, events, start_idx, first_ts, pattern.within_s, ts_key, capture
         ):
+            all_idx = sorted(i for v in tmap.values() for i in v)
             f_ts = first_ts
-            if taken and f_ts is None:
-                f_ts = events[taken[0]][ts_key]
-            if taken and si > 0 and stage.contiguity == STRICT and start_idx != taken[0]:
+            if all_idx and f_ts is None:
+                f_ts = events[all_idx[0]][ts_key]
+            if (
+                all_idx
+                and si > 0
+                and stage.contiguity == STRICT
+                and stage.sub_stages is None
+                and start_idx != all_idx[0]
+            ):
                 continue
-            cap = dict(capture)
-            cap[stage.name] = [events[i] for i in taken]
-            sidx = dict(stage_idxs)
-            sidx[stage.name] = list(taken)
-            search(si + 1, nxt, f_ts, cap, sidx, taken[-1] if taken else last_idx)
+            cap, sidx = merge(capture, stage_idxs, tmap)
+            search(si + 1, nxt, f_ts, cap, sidx, all_idx[-1] if all_idx else last_idx)
 
     def search_negated(si: int, start_idx: int, first_ts, capture: dict, stage_idxs: dict, last_idx: int):
         neg = stages[si]
@@ -260,20 +390,18 @@ def _enumerate(pattern: Pattern, events: list[dict], ts_key: str = "ts"):
             return
         # find each match of the remaining pattern and check the gap region
         nxt_stage = stages[rest]
-        for nxt, taken in _stage_matches(
-            stages, rest, events, start_idx, first_ts, pattern.within_s, ts_key, capture
+        for nxt, tmap in _matches_for(
+            nxt_stage, False, events, start_idx, first_ts, pattern.within_s, ts_key, capture
         ):
-            if not taken:
+            all_idx = sorted(i for v in tmap.values() for i in v)
+            if not all_idx:
                 continue
-            region_hi = taken[0]
+            region_hi = all_idx[0]
             if _violates_negation(neg, events, start_idx, region_hi, start_idx):
                 continue
-            f_ts = first_ts if first_ts is not None else events[taken[0]][ts_key]
-            cap = dict(capture)
-            cap[nxt_stage.name] = [events[i] for i in taken]
-            sidx = dict(stage_idxs)
-            sidx[nxt_stage.name] = list(taken)
-            search(rest + 1, nxt, f_ts, cap, sidx, taken[-1])
+            f_ts = first_ts if first_ts is not None else events[all_idx[0]][ts_key]
+            cap, sidx = merge(capture, stage_idxs, tmap)
+            search(rest + 1, nxt, f_ts, cap, sidx, all_idx[-1])
 
     search(0, 0, None, {}, {}, -1)
 
@@ -286,10 +414,11 @@ def _enumerate(pattern: Pattern, events: list[dict], ts_key: str = "ts"):
             seen.add(key)
             uniq.append((first_i, last_i, cap, sidx))
     # total deterministic order: (first, last) then the stage-ordered
-    # capture index tuples — ties on (first, last) are real (e.g. a loop
-    # emitting (1,) and (1,2) that both complete with the same suffix)
-    # and the after-match skip cursor depends on which is seen first
-    stage_order = [s.name for s in stages]
+    # capture index tuples (inner group names in declaration order) —
+    # ties on (first, last) are real (e.g. a loop emitting (1,) and
+    # (1,2) that both complete with the same suffix) and the after-match
+    # skip cursor depends on which is seen first
+    stage_order = capture_names
     uniq.sort(
         key=lambda m: (m[0], m[1], tuple(tuple(m[3].get(nm, ())) for nm in stage_order))
     )
@@ -312,7 +441,11 @@ def find_matches(pattern: Pattern, events: list[dict], ts_key: str = "ts") -> li
         if first_i < cursor:
             continue
         out.append(cap)
-        if pattern.skip_strategy == SKIP_PAST_LAST_EVENT:
+        if pattern.skip_strategy == SKIP_TO_NEXT:
+            # SkipToNextStrategy.java:30 — discard every other match
+            # starting with the same event as the emitted one
+            cursor = first_i + 1
+        elif pattern.skip_strategy == SKIP_PAST_LAST_EVENT:
             cursor = last_i + 1
         elif pattern.skip_strategy == SKIP_TO_FIRST:
             idxs = sidx.get(pattern.skip_stage, [])
@@ -360,10 +493,12 @@ def find_timed_out_matches(
     out: list[dict[str, list[dict]]] = []
 
     first_stage = stages[0]
+    # a group's partial opens when its first inner stage accepts the event
+    acc_stage = first_stage.sub_stages[0] if first_stage.sub_stages else first_stage
     for i in range(len(events)):
         if i in completed:
             continue
-        if not first_stage.accepts(events[i], Context({}, first_stage.name, [], events, i)):
+        if not acc_stage.accepts(events[i], Context({}, acc_stage.name, [], events, i)):
             continue
         start_ts = events[i][ts_key]
         if now is not None and (now - start_ts).total_seconds() <= pattern.within_s:
@@ -380,19 +515,27 @@ def find_timed_out_matches(
                 # negation constrains full matches; partials pass through
                 dfs(si + 1, start_idx, first_ts, capture, nevents, start_i)
                 return
-            for nxt, taken in _stage_matches(
-                stages, si, events, start_idx, first_ts, pattern.within_s, ts_key, capture
+            for nxt, tmap in _matches_for(
+                stage, si == 0, events, start_idx, first_ts, pattern.within_s, ts_key, capture
             ):
-                if si == 0 and (not taken or taken[0] != start_i):
+                all_idx = sorted(j for v in tmap.values() for j in v)
+                if si == 0 and (not all_idx or all_idx[0] != start_i):
                     continue  # pin the partial to this start event
-                if taken and si > 0 and stage.contiguity == STRICT and start_idx != taken[0]:
+                if (
+                    all_idx
+                    and si > 0
+                    and stage.contiguity == STRICT
+                    and stage.sub_stages is None
+                    and start_idx != all_idx[0]
+                ):
                     continue
                 f_ts = first_ts
-                if taken and f_ts is None:
-                    f_ts = events[taken[0]][ts_key]
+                if all_idx and f_ts is None:
+                    f_ts = events[all_idx[0]][ts_key]
                 cap = dict(capture)
-                cap[stage.name] = [events[j] for j in taken]
-                dfs(si + 1, nxt, f_ts, cap, nevents + len(taken), start_i)
+                for name, idxs in tmap.items():
+                    cap[name] = cap.get(name, []) + [events[j] for j in idxs]
+                dfs(si + 1, nxt, f_ts, cap, nevents + len(all_idx), start_i)
 
         dfs(0, i, None, {}, 0, i)
         if best["cap"]:

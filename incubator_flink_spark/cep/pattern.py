@@ -42,6 +42,7 @@ RELAXED = "relaxed"  # followedBy() — SKIP_TILL_NEXT
 RELAXED_ANY = "relaxed_any"  # followedByAny() — SKIP_TILL_ANY
 
 NO_SKIP = "no_skip"
+SKIP_TO_NEXT = "skip_to_next"
 SKIP_PAST_LAST_EVENT = "skip_past_last_event"
 SKIP_TO_FIRST = "skip_to_first"
 SKIP_TO_LAST = "skip_to_last"
@@ -68,6 +69,7 @@ class Stage:
     combinations: bool = False  # allowCombinations(): loop repeats may skip matching events
     inner_strict: bool = False  # consecutive(): loop repeats strictly contiguous
     until_cond: Cond | None = None
+    sub_stages: list["Stage"] | None = None  # GroupPattern body (pattern-valued stage)
 
     def accepts(self, event: dict, ctx: Any = None) -> bool:
         return all(
@@ -81,6 +83,27 @@ class Stage:
         return c.pred(event, ctx) if c.iterative else c.pred(event)
 
 
+def _group_body(sub: "Pattern") -> list[Stage]:
+    """Validate and extract a GroupPattern body (GroupPattern.java:30 —
+    a whole Pattern used as one stage; NFACompiler compiles it as a
+    sub-automaton).  Supported bodies are linear scalar sequences:
+    nested groups and negated stages are rejected (a group-internal
+    notFollowedBy would need a per-iteration forbidden region the
+    enumerator doesn't model), and a group-level within/skip strategy is
+    meaningless (the OUTER pattern owns both) — all raise rather than
+    silently diverging."""
+    if sub.within_s is not None:
+        raise ValueError("within() belongs on the outer pattern, not a group body")
+    if sub.skip_strategy != NO_SKIP:
+        raise ValueError("after-match skip belongs on the outer pattern, not a group body")
+    for s in sub.stages:
+        if s.sub_stages is not None:
+            raise ValueError("nested group patterns are not supported")
+        if s.negated:
+            raise ValueError("negated stages inside a group pattern are not supported")
+    return list(sub.stages)
+
+
 class Pattern:
     """Linear pattern builder. All mutators return self for chaining."""
 
@@ -92,23 +115,35 @@ class Pattern:
 
     # --- constructors ---------------------------------------------------------
     @staticmethod
-    def begin(name: str) -> "Pattern":
+    def begin(name: "str | Pattern") -> "Pattern":
+        if isinstance(name, Pattern):
+            return Pattern(Stage("__group0", contiguity=RELAXED, sub_stages=_group_body(name)))
         return Pattern(Stage(name, contiguity=RELAXED))
 
     # --- predicates -----------------------------------------------------------
+    def _positive(self) -> Stage:
+        """The last stage, rejecting group stages — conditions apply to
+        scalar stages only (GroupPattern.java where/or/until throw
+        UnsupportedOperationException)."""
+        s = self.stages[-1]
+        if s.sub_stages is not None:
+            raise ValueError("conditions are not supported on group patterns "
+                             "(GroupPattern.java:52 — where/or/until throw)")
+        return s
+
     def where(self, pred: Predicate) -> "Pattern":
-        self.stages[-1].conditions.append(Cond(pred))
+        self._positive().conditions.append(Cond(pred))
         return self
 
     def where_iterative(self, pred: Callable[[dict, Any], bool]) -> "Pattern":
         """IterativeCondition: pred(event, ctx);
         ctx.get_events_for_pattern(name) -> accepted events of a stage."""
-        self.stages[-1].conditions.append(Cond(pred, iterative=True))
+        self._positive().conditions.append(Cond(pred, iterative=True))
         return self
 
     def or_(self, pred: Predicate) -> "Pattern":
         """OR with the previous predicate (Pattern.or)."""
-        stage = self.stages[-1]
+        stage = self._positive()
         if not stage.conditions:
             stage.conditions.append(Cond(pred))
             return self
@@ -122,27 +157,39 @@ class Pattern:
         return self
 
     # --- sequencing -----------------------------------------------------------
-    def next(self, name: str) -> "Pattern":
-        self.stages.append(Stage(name, contiguity=STRICT))
+    def _seq(self, name: "str | Pattern", contiguity: str) -> "Pattern":
+        if isinstance(name, Pattern):
+            self.stages.append(
+                Stage(f"__group{len(self.stages)}", contiguity=contiguity,
+                      sub_stages=_group_body(name))
+            )
+        else:
+            self.stages.append(Stage(name, contiguity=contiguity))
         return self
 
-    def followed_by(self, name: str) -> "Pattern":
+    def next(self, name: "str | Pattern") -> "Pattern":
+        return self._seq(name, STRICT)
+
+    def followed_by(self, name: "str | Pattern") -> "Pattern":
         """Relaxed contiguity (Pattern.java followedBy:291 —
         ConsumingStrategy.SKIP_TILL_NEXT): non-matching events between
         the previous stage and this one are skipped, but an event that
         MATCHES this stage cannot be skipped (NFACompiler
         getIgnoreCondition: NOT(takeCondition)) — ``a followedBy b`` on
-        ``a b1 b2`` matches only {a, b1}."""
-        self.stages.append(Stage(name, contiguity=RELAXED))
-        return self
+        ``a b1 b2`` matches only {a, b1}.
 
-    def followed_by_any(self, name: str) -> "Pattern":
+        A ``Pattern`` argument makes this a GROUP stage
+        (GroupPattern.java:30): the sub-pattern matches as a unit and the
+        group takes the quantifiers — ``followed_by(sub).times(2)`` is
+        ``(sub){2}``."""
+        return self._seq(name, RELAXED)
+
+    def followed_by_any(self, name: "str | Pattern") -> "Pattern":
         """Non-deterministic relaxed contiguity (Pattern.java
         followedByAny:322 — ConsumingStrategy.SKIP_TILL_ANY): matching
         events may also be skipped, so ``a followedByAny b`` on
         ``a b1 b2`` matches {a, b1} AND {a, b2}."""
-        self.stages.append(Stage(name, contiguity=RELAXED_ANY))
-        return self
+        return self._seq(name, RELAXED_ANY)
 
     def not_next(self, name: str) -> "Pattern":
         self.stages.append(Stage(name, contiguity=STRICT, negated=True))
@@ -175,7 +222,12 @@ class Pattern:
         return self
 
     def greedy(self) -> "Pattern":
-        """Looping stage consumes maximally per run (Pattern.java:380)."""
+        """Looping stage consumes maximally per run (Pattern.java:380).
+        Not supported on group stages, as in the reference
+        (Pattern.java greedy() calls checkIfNoGroupPattern)."""
+        if self.stages[-1].sub_stages is not None:
+            raise ValueError("greedy() is not supported on group patterns "
+                             "(Pattern.java checkIfNoGroupPattern)")
         self.stages[-1].greedy = True
         return self
 
@@ -201,16 +253,27 @@ class Pattern:
     def until(self, pred: Predicate) -> "Pattern":
         """Stop the looping stage at the first event where pred fires
         (Pattern.java:500); the until event is not consumed."""
-        self.stages[-1].until_cond = Cond(pred)
+        self._positive().until_cond = Cond(pred)
         return self
 
     def until_iterative(self, pred: Callable[[dict, Any], bool]) -> "Pattern":
-        self.stages[-1].until_cond = Cond(pred, iterative=True)
+        self._positive().until_cond = Cond(pred, iterative=True)
         return self
 
     # --- window / skip --------------------------------------------------------
     def within(self, seconds: float) -> "Pattern":
         self.within_s = seconds
+        return self
+
+    def after_match_skip_to_next(self) -> "Pattern":
+        """AfterMatchSkipStrategy.skipToNext
+        (nfa/aftermatch/SkipToNextStrategy.java:30): after emitting a
+        match, discard every other match that STARTED WITH THE SAME
+        EVENT — at most one match per start event, resuming at the event
+        after the match's first.  This is SQL's AFTER MATCH SKIP TO NEXT
+        ROW; unlike NO_SKIP it suppresses same-start alternatives (e.g.
+        the longer runs of a reluctant loop)."""
+        self.skip_strategy = SKIP_TO_NEXT
         return self
 
     def after_match_skip_past_last_event(self) -> "Pattern":

@@ -252,3 +252,127 @@ def cep_pairs_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, ["user_id"], "ts", p, select,
         "user_id BIGINT, click_id BIGINT, purchase_id BIGINT", tiebreak="event_id",
     ).orderBy("user_id", "click_id", "purchase_id")
+
+
+@register("cep_pairs_any_segmented", CEP_PAIRS_ANY_ORACLE)
+def cep_pairs_any_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cep_pairs_any match set computed through the SEGMENTED hot-key
+    executor (cep/executor.match_pattern_segmented): events are
+    replicated into 2x within-sized segments, the NFA runs per
+    (key, segment) group, and a match is claimed by the segment holding
+    its first event — exact for within-bounded NO_SKIP patterns and the
+    100 TB answer to a hot key serializing the per-key NFA (the
+    reference's CepOperator is per-key with no such mitigation).  Same
+    closed-form interval-join oracle as cep_pairs_any, so the driver
+    gate pins the segmented code path itself."""
+    from incubator_flink_spark.cep.executor import match_pattern_segmented
+
+    events = load(spark, sf_dir, "events")
+    p = (
+        Pattern.begin("click")
+        .where(lambda e: e["event_type"] == "click")
+        .followed_by_any("purchase")
+        .where(lambda e: e["event_type"] == "purchase")
+        .within(86400)
+    )
+
+    def select(key, m):
+        return {
+            "user_id": int(key["user_id"]),
+            "click_id": int(m["click"][0]["event_id"]),
+            "purchase_id": int(m["purchase"][0]["event_id"]),
+        }
+
+    return match_pattern_segmented(
+        events, ["user_id"], "ts", p, select,
+        "user_id BIGINT, click_id BIGINT, purchase_id BIGINT", tiebreak="event_id",
+        segment_s=4 * 86400.0,  # W = 4x within: segments hold ~days of events
+    ).orderBy("user_id", "click_id", "purchase_id")
+
+
+# --- GroupPattern: (click NEXT view)+ consecutive, then next purchase --------
+# Closed form: a group iteration is a strictly-contiguous (click, view)
+# pair; consecutive() chains pairs back-to-back, so the match set is
+# every sub-run of every maximal alternating pair-run (NO_SKIP emits all
+# start pairs x all lengths), each followed by the FIRST later purchase
+# (SKIP_TILL_NEXT: a matching purchase cannot be skipped) inside the
+# within window.  Pair-runs group by (user, parity, rn - 2*row_number)
+# — plain window functions, no recursion.
+
+CEP_GROUP_CHAIN_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+pr AS (
+  SELECT c.user_id, c.rn, c.event_id, c.ts
+  FROM ev c JOIN ev v ON v.user_id = c.user_id AND v.rn = c.rn + 1
+  WHERE c.event_type = 'click' AND v.event_type = 'view'
+),
+runs AS (
+  SELECT *, rn % 2 AS par,
+         rn - 2 * ROW_NUMBER() OVER (PARTITION BY user_id, rn % 2 ORDER BY rn) AS grp
+  FROM pr
+),
+chains AS (
+  SELECT a.user_id, a.event_id AS start_id, a.ts AS start_ts,
+         b.rn + 1 AS end_rn, CAST((b.rn - a.rn) / 2 + 1 AS BIGINT) AS n_pairs
+  FROM runs a JOIN runs b
+    ON b.user_id = a.user_id AND b.par = a.par AND b.grp = a.grp AND b.rn >= a.rn
+),
+purch AS (
+  SELECT user_id, rn, event_id, ts FROM ev WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT c.*,
+         (SELECT MIN(p.rn) FROM purch p
+          WHERE p.user_id = c.user_id AND p.rn > c.end_rn) AS np_rn
+  FROM chains c
+)
+SELECT m.user_id AS user_id, m.start_id AS start_id, m.n_pairs AS n_pairs,
+       p.event_id AS purchase_id
+FROM m JOIN purch p ON p.user_id = m.user_id AND p.rn = m.np_rn
+WHERE epoch_us(p.ts) - epoch_us(m.start_ts) <= 86400000000
+ORDER BY user_id, start_id, n_pairs
+"""
+
+
+@register("cep_group_chain", CEP_GROUP_CHAIN_ORACLE)
+def cep_group_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupPattern end-to-end (GroupPattern.java:30 — a quantified
+    sub-pattern stage; NFACompiler createLoopingGroupPatternState):
+    ``(click next view) oneOrMore consecutive followedBy purchase``
+    within 1 day — alternating pair-runs whose every sub-run pairs with
+    the next purchase.  The closed-form window-function oracle pins the
+    group-iteration semantics on real data (the randomized group fuzz
+    suite pins them on synthetic sequences)."""
+    events = load(spark, sf_dir, "events")
+    pair = (
+        Pattern.begin("c")
+        .where(lambda e: e["event_type"] == "click")
+        .next("v")
+        .where(lambda e: e["event_type"] == "view")
+    )
+    p = (
+        Pattern.begin(pair)
+        .one_or_more()
+        .consecutive()
+        .followed_by("p")
+        .where(lambda e: e["event_type"] == "purchase")
+        .within(86400)
+    )
+
+    def select(key, m):
+        return {
+            "user_id": int(key["user_id"]),
+            "start_id": int(m["c"][0]["event_id"]),
+            "n_pairs": len(m["c"]),
+            "purchase_id": int(m["p"][0]["event_id"]),
+        }
+
+    return match_pattern(
+        events, ["user_id"], "ts", p, select,
+        "user_id BIGINT, start_id BIGINT, n_pairs BIGINT, purchase_id BIGINT",
+        tiebreak="event_id",
+    ).orderBy("user_id", "start_id", "n_pairs")

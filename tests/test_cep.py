@@ -871,3 +871,159 @@ def test_consecutive_inner_strict():
     p2 = Pattern.begin("bs").where(lambda e: e["event_type"] == "b").one_or_more()
     got2 = sorted(tuple(e["event_id"] for e in m["bs"]) for m in find_matches(p2, events))
     assert (1, 3) in got2 and (0, 1, 3) in got2
+
+
+def test_after_match_skip_to_next():
+    """SKIP_TO_NEXT (SkipToNextStrategy.java:30): at most one match per
+    start event — 'a b+' (reluctant) on a b b emits {a0,b1} and {a0,b1,b2}
+    under NO_SKIP, but SKIP_TO_NEXT keeps only the first-completed match
+    per start, distinguishing it from every other strategy."""
+    from datetime import datetime, timedelta
+
+    epoch = datetime(2020, 1, 1)
+    events = [
+        {"ts": epoch + timedelta(seconds=i), "event_type": c, "event_id": i}
+        for i, c in enumerate(["a", "b", "b"])
+    ]
+
+    def build():
+        return (
+            Pattern.begin("a")
+            .where(lambda e: e["event_type"] == "a")
+            .followed_by("bs")
+            .where(lambda e: e["event_type"] == "b")
+            .one_or_more()
+        )
+
+    def runs(p):
+        return sorted(
+            tuple(e["event_id"] for e in m["bs"]) for m in find_matches(p, events)
+        )
+
+    assert runs(build()) == [(1,), (1, 2)]  # NO_SKIP: both lengths
+    assert runs(build().after_match_skip_to_next()) == [(1,)]  # one per start
+    # and unlike SKIP_PAST_LAST_EVENT, a later start INSIDE the emitted
+    # match survives: greedy 'b+' on b b b emits maximal runs; skipToNext
+    # keeps one per start event while skipPastLast consumes the run
+    bs = [
+        {"ts": epoch + timedelta(seconds=i), "event_type": "b", "event_id": i}
+        for i in range(3)
+    ]
+
+    def bruns(p):
+        return sorted(tuple(e["event_id"] for e in m["bs"]) for m in find_matches(p, bs))
+
+    loop = lambda: Pattern.begin("bs").where(lambda e: e["event_type"] == "b").one_or_more().greedy()  # noqa: E731
+    assert bruns(loop()) == [(0, 1, 2), (1, 2), (2,)]
+    assert bruns(loop().after_match_skip_to_next()) == [(0, 1, 2), (1, 2), (2,)]
+    assert bruns(loop().after_match_skip_past_last_event()) == [(0, 1, 2)]
+
+
+def _labeled(seq):
+    from datetime import datetime, timedelta
+
+    epoch = datetime(2020, 1, 1)
+    return [
+        {"ts": epoch + timedelta(seconds=i), "event_type": c, "event_id": i}
+        for i, c in enumerate(seq)
+    ]
+
+
+def _group_runs(p, seq, names):
+    return sorted(
+        tuple((n, tuple(e["event_id"] for e in m.get(n, []))) for n in names)
+        for m in find_matches(p, _labeled(seq))
+    )
+
+
+def test_group_pattern_quantifiers():
+    """GroupPattern (GroupPattern.java:30; NFACompiler compiles the body
+    as a sub-automaton): a whole Pattern used as one quantified stage.
+    '(a b){2}' on 'abab' captures a=(0,2) b=(1,3); '(a b)+' additionally
+    emits each single iteration; inner captures accumulate across
+    iterations under the inner stage names."""
+
+    def sub(pa="a", pb="b", ia="a", ib="b"):
+        return (
+            Pattern.begin(pa)
+            .where(lambda e, c=ia: e["event_type"] == c)
+            .followed_by(pb)
+            .where(lambda e, c=ib: e["event_type"] == c)
+        )
+
+    assert _group_runs(Pattern.begin(sub()).times(2), "abab", ["a", "b"]) == [
+        (("a", (0, 2)), ("b", (1, 3)))
+    ]
+    assert _group_runs(Pattern.begin(sub()).one_or_more(), "abab", ["a", "b"]) == [
+        (("a", (0,)), ("b", (1,))),
+        (("a", (0, 2)), ("b", (1, 3))),
+        (("a", (2,)), ("b", (3,))),
+    ]
+    # entry contiguity: s followedBy (a next b) times(1,2)
+    g = (
+        Pattern.begin("s")
+        .where(lambda e: e["event_type"] == "s")
+        .followed_by(
+            Pattern.begin("x").where(lambda e: e["event_type"] == "a")
+            .next("y").where(lambda e: e["event_type"] == "b")
+        )
+        .times(1, 2)
+    )
+    assert _group_runs(g, "sabab", ["s", "x", "y"]) == [
+        (("s", (0,)), ("x", (1,)), ("y", (2,))),
+        (("s", (0,)), ("x", (1, 3)), ("y", (2, 4))),
+    ]
+
+
+def test_group_pattern_inner_contiguity():
+    """Between-iteration contiguity: consecutive() makes iteration k+1
+    start immediately after iteration k (no bridging a gap event), the
+    default relaxed loop skips non-matching gaps."""
+
+    def sub():
+        return (
+            Pattern.begin("p")
+            .where(lambda e: e["event_type"] == "a")
+            .next("q")
+            .where(lambda e: e["event_type"] == "b")
+        )
+
+    cons = Pattern.begin(sub()).one_or_more().consecutive()
+    assert _group_runs(cons, "abxab", ["p", "q"]) == [
+        (("p", (0,)), ("q", (1,))),
+        (("p", (3,)), ("q", (4,))),
+    ]
+    relaxed = Pattern.begin(sub()).one_or_more()
+    assert _group_runs(relaxed, "abxab", ["p", "q"]) == [
+        (("p", (0,)), ("q", (1,))),
+        (("p", (0, 3)), ("q", (1, 4))),
+        (("p", (3,)), ("q", (4,))),
+    ]
+
+
+def test_group_pattern_restrictions():
+    """Reference-parity guards: greedy()/where()/until() on a group
+    raise (Pattern.java checkIfNoGroupPattern; GroupPattern.java throws
+    for conditions); nested groups, negated bodies, and group-level
+    within/skip raise at construction."""
+    import pytest
+
+    def sub():
+        return Pattern.begin("a").where(lambda e: True).followed_by("b").where(lambda e: True)
+
+    with pytest.raises(ValueError, match="greedy"):
+        Pattern.begin(sub()).one_or_more().greedy()
+    with pytest.raises(ValueError, match="conditions"):
+        Pattern.begin(sub()).where(lambda e: True)
+    with pytest.raises(ValueError, match="conditions"):
+        Pattern.begin(sub()).one_or_more().until(lambda e: True)
+    with pytest.raises(ValueError, match="nested"):
+        Pattern.begin(Pattern.begin(sub()).times(2))
+    with pytest.raises(ValueError, match="negated"):
+        Pattern.begin(Pattern.begin("a").where(lambda e: True).not_followed_by("n").where(lambda e: True).followed_by("b").where(lambda e: True))
+    with pytest.raises(ValueError, match="within"):
+        Pattern.begin(sub().within(10))
+    # duplicate stage names across outer + group body raise at match time
+    dup = Pattern.begin("a").where(lambda e: True).followed_by(sub())
+    with pytest.raises(ValueError, match="duplicate"):
+        find_matches(dup, _labeled("ab"))

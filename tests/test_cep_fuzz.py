@@ -24,9 +24,10 @@ from the reference compiler, not from nfa.py:
   it anywhere in the gap before the next stage's first event (trailing
   notFollowedBy: to end of stream).
 - within: every captured event within [first.ts, first.ts + within].
-- after-match skip: NO_SKIP emits all; SKIP_PAST_LAST_EVENT /
-  SKIP_TO_FIRST(p) / SKIP_TO_LAST(p) prune matches starting before the
-  cursor advanced by the previously emitted match.
+- after-match skip: NO_SKIP emits all; SKIP_TO_NEXT keeps one match per
+  start event; SKIP_PAST_LAST_EVENT / SKIP_TO_FIRST(p) / SKIP_TO_LAST(p)
+  prune matches starting before the cursor advanced by the previously
+  emitted match.
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ from incubator_flink_spark.cep.pattern import (
     SKIP_PAST_LAST_EVENT,
     SKIP_TO_FIRST,
     SKIP_TO_LAST,
+    SKIP_TO_NEXT,
     STRICT,
     Pattern,
 )
@@ -196,10 +198,80 @@ def ref_find_matches(pattern, events, ts_key="ts"):
                 if in_window(first, fi):
                     yield from build([first], first + 1)
 
+    def gen_group(g, si, pos, first_idx, capture):
+        """Yield (taken_map, next_pos) for a GROUP stage: iterations are
+        full inner-sequence matches; the group's entry contiguity guards
+        iteration 1's first taken event, the loop contiguity
+        (consecutive → STRICT / allowCombinations → SKIP_TILL_ANY /
+        default SKIP_TILL_NEXT) guards later iterations — each rule
+        applied against the first inner stage that takes an event."""
+        from dataclasses import replace as _rp
+
+        maxt = g.max_times if g.max_times != -1 else n
+        if g.inner_strict:
+            loop_c = STRICT
+        elif g.combinations:
+            loop_c = RELAXED_ANY
+        else:
+            loop_c = RELAXED
+        if g.optional:
+            yield ({}, pos)
+
+        def iter_once(p, contig, entry_si, fi, cap):
+            def d(k, q, fi2, cap2, m, pending):
+                if k == len(g.sub_stages):
+                    if any(m.values()):
+                        yield (m, q, fi2)
+                    return
+                st = g.sub_stages[k]
+                eff = _rp(st, contiguity=contig) if pending else st
+                for tup, nq in gen_stage(eff, entry_si if pending else 1, q, fi2, cap2):
+                    fi3 = fi2 if fi2 is not None else (tup[0] if tup else None)
+                    c3 = dict(cap2)
+                    c3[st.name] = c3.get(st.name, []) + [events[i] for i in tup]
+                    m2 = dict(m)
+                    m2[st.name] = m2.get(st.name, []) + list(tup)
+                    yield from d(k + 1, nq, fi3, c3, m2, pending and not tup)
+
+            yield from d(0, p, fi, cap, {}, True)
+
+        def loop(p, fi, cap, acc, count):
+            if count >= g.min_times and count > 0:
+                yield ({k: list(v) for k, v in acc.items()}, p)
+            if count >= maxt:
+                return
+            contig = g.contiguity if count == 0 else loop_c
+            entry_si = si if count == 0 else 1
+            for m, nq, fi2 in iter_once(p, contig, entry_si, fi, cap):
+                cap2 = dict(cap)
+                acc2 = {k: list(v) for k, v in acc.items()}
+                for name, idxs in m.items():
+                    cap2[name] = cap2.get(name, []) + [events[i] for i in idxs]
+                    acc2[name] = acc2.get(name, []) + list(idxs)
+                yield from loop(nq, fi2, cap2, acc2, count + 1)
+
+        yield from loop(pos, first_idx, dict(capture), {}, 0)
+
+    def gen_any(st, si, pos, first_idx, capture):
+        """Uniform (taken_map, next_pos) generator over scalar + group."""
+        if st.sub_stages is not None:
+            yield from gen_group(st, si, pos, first_idx, capture)
+        else:
+            for tup, np in gen_stage(st, si, pos, first_idx, capture):
+                yield ({st.name: list(tup)}, np)
+
     def violates(neg, lo, hi, strict_pos):
         if neg.contiguity == STRICT:
             return strict_pos is not None and strict_pos < n and neg.accepts(events[strict_pos])
         return any(neg.accepts(events[j]) for j in range(lo, hi))
+
+    def merge(capture, sidx, tmap):
+        cap2 = dict(capture)
+        s2 = dict(sidx)
+        for name, idxs in tmap.items():
+            cap2[name] = cap2.get(name, []) + [events[i] for i in idxs]
+            s2[name] = s2.get(name, []) + list(idxs)
+        return cap2, s2
 
     def rec(si, pos, first_idx, capture, sidx):
         if si == len(stages):
@@ -214,23 +286,23 @@ def ref_find_matches(pattern, events, ts_key="ts"):
                     rec(si + 1, pos, first_idx, capture, sidx)
                 return
             nxt = stages[si + 1]
-            for tup, np in gen_stage(nxt, si + 1, pos, first_idx, capture):
-                if not tup:
+            for tmap, np in gen_any(nxt, si + 1, pos, first_idx, capture):
+                all_idx = sorted(i for v in tmap.values() for i in v)
+                if not all_idx:
                     continue
-                if violates(st, pos, tup[0], pos):
+                if violates(st, pos, all_idx[0], pos):
                     continue
-                fi = first_idx if first_idx is not None else tup[0]
-                cap2 = dict(capture)
-                cap2[nxt.name] = [events[i] for i in tup]
-                rec(si + 2, np, fi, cap2, {**sidx, nxt.name: list(tup)})
+                fi = first_idx if first_idx is not None else all_idx[0]
+                cap2, s2 = merge(capture, sidx, tmap)
+                rec(si + 2, np, fi, cap2, s2)
             return
-        for tup, np in gen_stage(st, si, pos, first_idx, capture):
+        for tmap, np in gen_any(st, si, pos, first_idx, capture):
+            all_idx = sorted(i for v in tmap.values() for i in v)
             fi = first_idx
-            if tup and fi is None:
-                fi = tup[0]
-            cap2 = dict(capture)
-            cap2[st.name] = [events[i] for i in tup]
-            rec(si + 1, np, fi, cap2, {**sidx, st.name: list(tup)})
+            if all_idx and fi is None:
+                fi = all_idx[0]
+            cap2, s2 = merge(capture, sidx, tmap)
+            rec(si + 1, np, fi, cap2, s2)
 
     rec(0, 0, None, {}, {})
 
@@ -241,7 +313,12 @@ def ref_find_matches(pattern, events, ts_key="ts"):
         if key not in seen:
             seen.add(key)
             uniq.append((first_i, last_i, sidx))
-    stage_order = [s.name for s in stages]
+    stage_order = []
+    for s in stages:
+        if s.sub_stages is not None:
+            stage_order.extend(x.name for x in s.sub_stages)
+        else:
+            stage_order.append(s.name)
     uniq.sort(
         key=lambda m: (m[0], m[1], tuple(tuple(m[2].get(nm, ())) for nm in stage_order))
     )
@@ -254,7 +331,9 @@ def ref_find_matches(pattern, events, ts_key="ts"):
         if first_i < cursor:
             continue
         out.append(sidx)
-        if pattern.skip_strategy == SKIP_PAST_LAST_EVENT:
+        if pattern.skip_strategy == SKIP_TO_NEXT:
+            cursor = first_i + 1
+        elif pattern.skip_strategy == SKIP_PAST_LAST_EVENT:
             cursor = last_i + 1
         elif pattern.skip_strategy == SKIP_TO_FIRST:
             idxs = sidx.get(pattern.skip_stage, [])
@@ -312,19 +391,21 @@ def _rand_pattern(rng):
             link = "followed_by"
         getattr(p, link)(f"s{k}").where(pred(rng.choice("abc")))
         _apply_quant(p, rng.choice(["one", "one", "times12", "oneormore", "timesormore2", "optional"]), rng)
-    skip = rng.choice(["none", "none", "past", "first", "last"])
+    skip = rng.choice(["none", "none", "past", "first", "last", "next"])
     if skip == "past":
         p.after_match_skip_past_last_event()
     elif skip == "first":
         p.after_match_skip_to_first("s0")
     elif skip == "last":
         p.after_match_skip_to_last("s0")
+    elif skip == "next":
+        p.after_match_skip_to_next()
     if rng.random() < 0.3:
         p.within(3 * rng.randint(2, 6))
     return p
 
 
-def _apply_quant(p, quant, rng):
+def _apply_quant(p, quant, rng, allow_modes=True):
     if quant == "times12":
         p.times(1, 2)
     elif quant == "times2":
@@ -335,7 +416,7 @@ def _apply_quant(p, quant, rng):
         p.times_or_more(2)
     elif quant == "optional":
         p.optional()
-    if quant in ("times12", "times2", "oneormore", "timesormore2"):
+    if allow_modes and quant in ("times12", "times2", "oneormore", "timesormore2"):
         if rng.random() < 0.4:
             p.greedy()
         inner = rng.random()
@@ -345,6 +426,84 @@ def _apply_quant(p, quant, rng):
             p.consecutive()
         if rng.random() < 0.3:
             p.until(lambda e: e["label"] == "u")
+
+
+def _rand_group(rng, gi):
+    """A random GroupPattern body: 1-2 scalar inner stages with their own
+    contiguity and (limited) quantifiers."""
+
+    def pred(ch):
+        return lambda e, c=ch: e["label"] == c
+
+    sub = Pattern.begin(f"g{gi}_0").where(pred(rng.choice("ab")))
+    if rng.random() < 0.3:
+        _apply_quant(sub, rng.choice(["times12", "oneormore"]), rng, allow_modes=False)
+    if rng.random() < 0.75:
+        link = rng.choice(["followed_by", "followed_by", "next", "followed_by_any"])
+        getattr(sub, link)(f"g{gi}_1").where(pred(rng.choice("abc")))
+        if rng.random() < 0.3:
+            _apply_quant(sub, rng.choice(["times12", "optional"]), rng, allow_modes=False)
+    return sub
+
+
+def _rand_group_pattern(rng):
+    """Pattern with at least one group stage (plus optional scalar
+    neighbors), exercising group quantifiers × inner contiguity ×
+    entry contiguity × skip strategies."""
+
+    def pred(ch):
+        return lambda e, c=ch: e["label"] == c
+
+    lead = rng.random() < 0.4
+    gi = 0
+    if lead:
+        p = Pattern.begin("s0").where(pred(rng.choice("ab")))
+        link = rng.choice(["followed_by", "followed_by", "next", "followed_by_any"])
+        getattr(p, link)(_rand_group(rng, gi))
+    else:
+        p = Pattern.begin(_rand_group(rng, gi))
+    _apply_group_quant(p, rng)
+    if rng.random() < 0.5:
+        if rng.random() < 0.3:
+            p.not_followed_by("nn").where(pred(rng.choice("abc")))
+        if rng.random() < 0.4:
+            gi += 1
+            link = rng.choice(["followed_by", "next", "followed_by_any"])
+            getattr(p, link)(_rand_group(rng, gi))
+            _apply_group_quant(p, rng)
+        else:
+            p.followed_by("s9").where(pred(rng.choice("abc")))
+            _apply_quant(p, rng.choice(["one", "one", "times12", "oneormore", "optional"]), rng)
+    skip = rng.choice(["none", "none", "past", "next", "first"])
+    if skip == "past":
+        p.after_match_skip_past_last_event()
+    elif skip == "next":
+        p.after_match_skip_to_next()
+    elif skip == "first":
+        p.after_match_skip_to_first("g0_0")
+    if rng.random() < 0.3:
+        p.within(3 * rng.randint(2, 6))
+    return p
+
+
+def _apply_group_quant(p, rng):
+    q = rng.choice(["one", "times2", "times12", "oneormore", "timesormore2", "optional"])
+    if q == "times2":
+        p.times(2)
+    elif q == "times12":
+        p.times(1, 2)
+    elif q == "oneormore":
+        p.one_or_more()
+    elif q == "timesormore2":
+        p.times_or_more(2)
+    elif q == "optional":
+        p.optional()
+    if q != "one":
+        inner = rng.random()
+        if inner < 0.25:
+            p.allow_combinations()
+        elif inner < 0.5:
+            p.consecutive()
 
 
 def test_fuzz_nfa_vs_reference_enumerator():
@@ -363,9 +522,28 @@ def test_fuzz_nfa_vs_reference_enumerator():
     assert not divergences, f"{len(divergences)} divergences; first: {divergences[0]}"
 
 
+def test_fuzz_group_patterns_vs_reference_enumerator():
+    """GroupPattern fuzz (GroupPattern.java:30): quantified sub-pattern
+    stages — group quantifier × inner contiguity (default / consecutive /
+    allowCombinations) × entry contiguity × skip strategy × within —
+    cross-checked against the independent validation enumerator."""
+    rng = random.Random(7_2026)
+    divergences = []
+    for case in range(800):
+        n = rng.randint(5, 12)
+        seq = "".join(rng.choice("aabbc") for _ in range(n))
+        events = _events(seq)
+        pattern = _rand_group_pattern(rng)
+        got = _nfa_keys(pattern, events)
+        want = _ref_keys(pattern, events)
+        if got != want:
+            divergences.append((case, seq, _describe(pattern), got, want))
+    assert not divergences, f"{len(divergences)} divergences; first: {divergences[0]}"
+
+
 def _describe(p):
-    return [
-        (
+    def one(s):
+        d = (
             s.name,
             s.contiguity,
             s.min_times,
@@ -374,10 +552,14 @@ def _describe(p):
             s.negated,
             s.greedy,
             s.combinations,
+            s.inner_strict,
             s.until_cond is not None,
         )
-        for s in p.stages
-    ] + [p.skip_strategy, p.within_s]
+        if s.sub_stages is not None:
+            return (d, [one(x) for x in s.sub_stages])
+        return d
+
+    return [one(s) for s in p.stages] + [p.skip_strategy, p.within_s]
 
 
 def test_fuzz_iterative_conditions():

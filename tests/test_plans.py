@@ -614,6 +614,27 @@ def test_tpcds_wave7_q72_q75_plan_shapes(spark):
     assert rep.broadcast_hash_joins >= 1  # part dim
 
 
+def test_segmented_cep_explicit_repartition_survives_aqe(spark):
+    """The segmented CEP executor must shuffle with an EXPLICIT partition
+    count (REPARTITION_BY_NUM): CEP groups are tiny in bytes but heavy in
+    Python compute, so AQE's byte-targeted coalescing would collapse the
+    shuffle to one task and re-serialize the hot key — the exact
+    regression the executor exists to prevent (cep/executor.py:142).
+    Also pins that the groupBy reuses the repartitioning (one exchange
+    total) and runtime partition count stays at the requested value."""
+    import re as _re
+
+    q = REGISTRY["cep_pairs_any_segmented"].fn(spark, SF)
+    rep = audit_plan(q)
+    assert "REPARTITION_BY_NUM" in rep.raw
+    assert rep.exchanges <= 2  # explicit repartition + final orderBy range
+    # the explicit shuffle partitions on (keys, __seg) with the requested
+    # count — AQE exempts user-specified numPartitions from coalescing
+    n = spark.sparkContext.defaultParallelism
+    m = _re.search(r"hashpartitioning\([^)]*__seg[^)]*?,\s*(\d+)\)", rep.raw)
+    assert m is not None and int(m.group(1)) == n, rep.raw[:2000]
+
+
 def test_nexmark_and_semdedup_plan_shapes(spark):
     """Round-6 entries: the q4/q6 interval join plans as an EQUI join on
     the seller key with the time range residual (never an NLJ range
