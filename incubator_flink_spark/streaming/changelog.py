@@ -7,7 +7,10 @@ produce or consume those tags.
 Design-level policy in this engine (replacing the reference's
 FlinkChangelogModeInferenceProgram): insert-only streams are plain
 DataFrames; retracting streams carry an explicit ``__rowkind`` string
-column. The operators here convert between the two worlds:
+column.  The composition-time validator lives in streaming/modes.py
+(declared consumed/produced RowKind sets per operator, edge-by-edge
+inference, invalid wiring raises).  The operators here convert between
+the two worlds:
 
 - ``changelog_normalize``   upsert/CDC stream → current-state rows
   (StreamExecChangelogNormalize.java:61)

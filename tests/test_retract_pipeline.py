@@ -31,6 +31,16 @@ from incubator_flink_spark.streaming.changelog import (
     retract_aggregate,
     retract_aggregate_stream,
 )
+from incubator_flink_spark.streaming.modes import (
+    ALL_KINDS,
+    INSERT_DELETE,
+    ChangelogModeError,
+    infer_modes,
+    map_op,
+    retract_aggregate_op,
+    retracting_join_op,
+    streaming_topn_op,
+)
 from incubator_flink_spark.streaming.retract_join import retracting_join_stream
 from incubator_flink_spark.streaming.stateful import streaming_topn
 
@@ -101,16 +111,40 @@ def batch_truth_topn(left, right, n=3):
     return entries[:n]
 
 
+def pipeline_ops():
+    """The 3-stage composition, declared through the changelog-mode layer
+    (streaming/modes.py — the FlinkChangelogModeInferenceProgram.scala:40
+    analog).  The stages still run as separate relay-chained queries, but
+    the edge modes are inferred/validated for the WHOLE chain up front."""
+    return [
+        retracting_join_op(["k"], "side", "id", "v"),
+        map_op(
+            "pair_product",
+            lambda df: df.select(
+                ROWKIND, "k", (F.col("left_value") * F.col("right_value")).alias("prod")
+            ),
+        ),
+        retract_aggregate_op(["k"], "prod"),
+        streaming_topn_op(["g"], "k", "sum_value", 3, op_col=ROWKIND),
+    ]
+
+
 @pytest.mark.parametrize("seed", [7, 21, 1234])
 def test_retract_pipeline_topn_matches_batch(spark, seed):
     rng = random.Random(seed)
     batches, final_left, final_right = gen_ops(rng)
 
+    # composition-time validation: every edge mode is consumable, and the
+    # inferred edge modes are exactly the protocol each stage emits
+    ops = pipeline_ops()
+    modes = infer_modes(INSERT_DELETE, ops)
+    assert modes == [INSERT_DELETE, INSERT_DELETE, INSERT_DELETE, ALL_KINDS, INSERT_DELETE]
+
     # --- stage 1: retracting join ------------------------------------------
     s1_in = tempfile.mkdtemp(prefix="rp1_")
     write_batches(spark, s1_in, batches, JOIN_SCHEMA)
     s2_in = tempfile.mkdtemp(prefix="rp2_")
-    joined = retracting_join_stream(file_stream(spark, s1_in, JOIN_SCHEMA), ["k"], "side", "id", "v")
+    joined = ops[0].transform(file_stream(spark, s1_in, JOIN_SCHEMA))
 
     def relay1(bdf, bid):
         bdf.coalesce(1).write.mode("overwrite").parquet(f"{s2_in}/__file={bid:04d}")
@@ -119,10 +153,8 @@ def test_retract_pipeline_topn_matches_batch(spark, seed):
 
     # --- stage 2: streaming retract aggregate (sum of pair products) -------
     s2_schema = "__rowkind STRING, k BIGINT, left_id BIGINT, left_value DOUBLE, right_id BIGINT, right_value DOUBLE"
-    pairs = file_stream(spark, s2_in, s2_schema).select(
-        ROWKIND, "k", (F.col("left_value") * F.col("right_value")).alias("prod")
-    )
-    agg_stream = retract_aggregate_stream(pairs, ["k"], "prod")
+    pairs = ops[1].transform(file_stream(spark, s2_in, s2_schema))
+    agg_stream = ops[2].transform(pairs)
     s3_in = tempfile.mkdtemp(prefix="rp3_")
 
     def relay2(bdf, bid):
@@ -134,9 +166,7 @@ def test_retract_pipeline_topn_matches_batch(spark, seed):
 
     # --- stage 3: retract-consuming global top-3 ----------------------------
     s3_schema = "__rowkind STRING, k BIGINT, sum_value DOUBLE, g INT"
-    topn = streaming_topn(
-        file_stream(spark, s3_in, s3_schema), ["g"], "k", "sum_value", 3, op_col=ROWKIND
-    )
+    topn = ops[3].transform(file_stream(spark, s3_in, s3_schema))
     entries: set[tuple[float, int]] = set()
 
     def fold(bdf, _bid):
@@ -195,3 +225,63 @@ def test_retract_aggregate_stream_matches_batch_form(spark):
         r.k: r.sum_value for r in retract_aggregate(batch_df, ["k"], "v").collect()
     }
     assert state == want
+
+
+# ------------------------------------------------ mode-inference validator --
+
+
+def test_changelog_mode_validator_rejects_invalid_wiring():
+    """The composition-time policy (FlinkChangelogModeInferenceProgram
+    analog): an APPEND-ONLY consumer fed a retracting stream is rejected
+    with the offending operator and row kinds named — before any query
+    is wired.  Also pins the converting fix: drop_update_before turns a
+    full retraction stream into upsert mode (still not append, so the
+    append-only TopN stays rejected), and the retraction-consuming TopN
+    variant accepts everything."""
+    from incubator_flink_spark.streaming.modes import (
+        INSERT_ONLY,
+        UPSERT,
+        drop_update_before_op,
+    )
+
+    append_topn = streaming_topn_op(["g"], "k", "sum_value", 3, op_col=None)
+
+    # retract aggregate (produces +I/-U/+U/-D) → append-only TopN: invalid
+    with pytest.raises(ChangelogModeError, match="streaming_topn.*append-only"):
+        infer_modes(INSERT_DELETE, [retract_aggregate_op(["k"], "prod"), append_topn])
+
+    # the error names the rejected kinds
+    with pytest.raises(ChangelogModeError, match=r"\-D"):
+        infer_modes(INSERT_DELETE, [retract_aggregate_op(["k"], "prod"), append_topn])
+
+    # dropping -U converts to upsert mode but append-only still rejects
+    modes = infer_modes(
+        INSERT_DELETE, [retract_aggregate_op(["k"], "prod"), drop_update_before_op()]
+    )
+    assert modes[-1] == UPSERT
+    with pytest.raises(ChangelogModeError):
+        infer_modes(
+            INSERT_DELETE,
+            [retract_aggregate_op(["k"], "prod"), drop_update_before_op(), append_topn],
+        )
+
+    # insert-only upstream is fine for the append-only consumer
+    assert infer_modes(INSERT_ONLY, [append_topn])[-1] == INSERT_DELETE
+
+    # retraction-consuming variant accepts the full protocol
+    full = streaming_topn_op(["g"], "k", "sum_value", 3, op_col=ROWKIND)
+    assert infer_modes(INSERT_DELETE, [retract_aggregate_op(["k"], "prod"), full])[-1] == INSERT_DELETE
+
+    # compose() must validate BEFORE wiring: transform never runs on error
+    from incubator_flink_spark.streaming.modes import ChangelogOp, compose
+
+    ran = []
+    boom = ChangelogOp(
+        name="boom",
+        consumes=ALL_KINDS,
+        produces=ALL_KINDS,
+        transform=lambda df: ran.append(1) or df,
+    )
+    with pytest.raises(ChangelogModeError):
+        compose(None, ALL_KINDS, [boom, append_topn])
+    assert ran == []
