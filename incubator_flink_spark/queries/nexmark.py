@@ -302,3 +302,61 @@ def nexmark_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seller")
     )
+
+
+NEXMARK_Q9_ORACLE = """
+WITH a AS (
+  SELECT event_id AS auction_id, user_id % 5 AS category, user_id AS seller,
+         ts AS open_ts, ts + INTERVAL 7 DAY AS expires
+  FROM events WHERE event_type = 'signup'),
+b AS (
+  SELECT user_id AS bid_seller, event_id AS bid_id, value AS price, ts AS bts
+  FROM events WHERE event_type IN ('click', 'view')),
+ranked AS (
+  SELECT a.auction_id, a.category, a.seller, b.bid_id, b.price, b.bts,
+         ROW_NUMBER() OVER (PARTITION BY a.auction_id
+                            ORDER BY b.price DESC, b.bts ASC, b.bid_id ASC) AS rn
+  FROM a JOIN b ON a.seller = b.bid_seller
+   AND b.bts >= a.open_ts AND b.bts < a.expires)
+SELECT auction_id, category, seller, bid_id, price, bts
+FROM ranked WHERE rn = 1
+ORDER BY auction_id
+"""
+
+
+@register("nexmark_q9", NEXMARK_Q9_ORACLE)
+def nexmark_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q9 (winning bids): emit the (auction, winning bid) JOIN
+    ROW itself — highest price, earliest-bid tiebreak — rather than the
+    aggregate q4/q6 consume (the reference plans this as
+    StreamExecIntervalJoin + StreamExecRank with rank=1, i.e. a per-key
+    argmax DEDUP at row grain).
+
+    Scale: the interval join is EQUI on the seller key with the time
+    range residual; the rank window is KEYED by auction_id over the
+    joined bid set (one shuffle), and rank=1 means the window state is
+    a single running argmax per auction — never an unkeyed sort."""
+    a = _auctions(spark, sf_dir)
+    b = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("user_id").alias("bid_seller"),
+        F.col("event_id").alias("bid_id"),
+        F.col("value").alias("price"),
+        F.col("ts").alias("bts"),
+    )
+    joined = a.join(
+        b,
+        (a.seller == b.bid_seller) & (b.bts >= a.open_ts) & (b.bts < a.expires),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("auction_id").orderBy(
+            F.col("price").desc(), F.col("bts").asc(), F.col("bid_id").asc()
+        )
+    )
+    return (
+        joined.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("auction_id", "category", "seller", "bid_id", "price", "bts")
+        .orderBy("auction_id")
+    )

@@ -260,3 +260,60 @@ def test_nexmark_q6_stream_last10_matches_batch(spark, replay_dir):
         for r in REGISTRY["nexmark_q6"].fn(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_nexmark_q9_stream_winning_bid_rows_match_batch(spark, replay_dir):
+    """q9 streaming = the same watermarked interval join as q4 in append
+    mode, with the per-auction ARGMAX (price desc, bts asc, bid_id asc)
+    folded incrementally in foreachBatch — the StreamExecRank rank=1
+    state discipline at row grain.  The finalized winning-bid ROWS must
+    equal the batch registry entry."""
+    a = (
+        replay_table(spark, SF, "events", replay_dir + "/q9a", n_files=3)
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("auction_id"),
+            (F.col("user_id") % 5).alias("category"),
+            F.col("user_id").alias("seller"),
+            F.col("ts").alias("open_ts"),
+            (F.col("ts") + F.expr("INTERVAL 7 DAY")).alias("expires"),
+        )
+        .withWatermark("open_ts", "1 hour")
+    )
+    b = (
+        replay_table(spark, SF, "events", replay_dir + "/q9b", n_files=3)
+        .where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("user_id").alias("bid_seller"),
+            F.col("event_id").alias("bid_id"),
+            F.col("value").alias("price"),
+            F.col("ts").alias("bts"),
+        )
+        .withWatermark("bts", "1 hour")
+    )
+    joined = a.join(
+        b,
+        (F.col("seller") == F.col("bid_seller"))
+        & (F.col("bts") >= F.col("open_ts"))
+        & (F.col("bts") < F.col("expires")),
+    )
+    # per-auction argmax state: (price desc, bts asc, bid_id asc)
+    best: dict[int, tuple] = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.select(
+            "auction_id", "category", "seller", "bid_id", "price", "bts"
+        ).collect():
+            key = (-r.price, r.bts, r.bid_id)
+            cur = best.get(r.auction_id)
+            if cur is None or key < cur[0]:
+                best[r.auction_id] = (key, (r.category, r.seller, r.bid_id, r.price, r.bts))
+
+    drain(joined, collect, mode="append")
+
+    got = {aid: v for aid, (_, v) in best.items()}
+    expected = {
+        r.auction_id: (r.category, r.seller, r.bid_id, r.price, r.bts)
+        for r in REGISTRY["nexmark_q9"].fn(spark, SF).collect()
+    }
+    assert got == expected and len(got) > 0
