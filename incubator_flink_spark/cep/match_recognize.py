@@ -91,52 +91,117 @@ class MatchAccess(dict):
         return max((x[field] for x in r), default=None)
 
 
-def parse_pattern(pattern: str, define: dict[str, Callable], strict: bool = False) -> Pattern:
-    tokens = pattern.split()
-    if not tokens:
-        raise ValueError("empty pattern")
-    built: Pattern | None = None
-    for tok in tokens:
-        m = _TOKEN.match(tok)
-        if not m:
-            raise ValueError(f"bad pattern token: {tok}")
-        name, quant = m.group(1), m.group(2)
-        if built is None:
-            built = Pattern.begin(name)
-        elif strict:
-            built = built.next(name)
+_QUANT = r"(?:\+\??|\*\??|\?|\{\d+(?:,\d+)?\})"
+_PTOKEN = re.compile(rf"\(|\){_QUANT}?|\w+{_QUANT}?")
+
+
+def _append_scalar(built: Pattern | None, tok: str, define: dict[str, Callable], strict: bool) -> Pattern:
+    m = _TOKEN.match(tok)
+    if not m:
+        raise ValueError(f"bad pattern token: {tok}")
+    name, quant = m.group(1), m.group(2)
+    if built is None:
+        built = Pattern.begin(name)
+    elif strict:
+        built = built.next(name)
+    else:
+        built = built.followed_by(name)
+    pred = define.get(name)
+    if pred is not None:
+        # two-arg DEFINE conditions get RUNNING/navigation context
+        # (PREV/NEXT, LAST(var.x) via ctx.get_events_for_pattern)
+        if len(inspect.signature(pred).parameters) >= 2:
+            built = built.where_iterative(pred)
         else:
-            built = built.followed_by(name)
-        pred = define.get(name)
-        if pred is not None:
-            # two-arg DEFINE conditions get RUNNING/navigation context
-            # (PREV/NEXT, LAST(var.x) via ctx.get_events_for_pattern)
-            if len(inspect.signature(pred).parameters) >= 2:
-                built = built.where_iterative(pred)
+            built = built.where(pred)
+    # SQL MATCH_RECOGNIZE quantifiers are GREEDY by default; the
+    # reluctant variants are spelled with a trailing '?' (B+?), unlike
+    # the Pattern API where greedy() is opt-in (Pattern.java:380).
+    if quant in ("+", "+?"):
+        built = built.one_or_more()
+        if quant == "+":
+            built = built.greedy()
+    elif quant in ("*", "*?"):
+        built = built.one_or_more().optional()
+        if quant == "*":
+            built = built.greedy()
+    elif quant == "?":
+        built = built.optional()
+    elif quant and quant.startswith("{"):
+        n = int(m.group(3))
+        mx = int(m.group(4)) if m.group(4) else n
+        built = built.times(n, mx)
+    return built
+
+
+def parse_pattern(pattern: str, define: dict[str, Callable], strict: bool = False) -> Pattern:
+    """Row-pattern text → Pattern.  Beyond the scalar token grammar,
+    one level of PARENTHESIZED GROUPS is supported — ``(A B)+? C`` /
+    ``(A B){2}`` — compiling to the engine's GroupPattern
+    (GroupPattern.java:30; a Spark-side superset: the reference's SQL
+    surface rejects grouped quantifiers, its CEP library accepts them).
+    Because the reference forbids GREEDY groups (Pattern.java
+    checkIfNoGroupPattern), the greedy spellings ``(..)+``/``(..)*``
+    raise — use the reluctant ``+?``/``*?`` forms."""
+    toks = _PTOKEN.findall(pattern)
+    if not toks:
+        raise ValueError("empty pattern")
+    if "".join(toks).replace(" ", "") != pattern.replace(" ", ""):
+        raise ValueError(f"bad pattern: {pattern!r}")
+    built: Pattern | None = None
+    i = 0
+    while i < len(toks):
+        if toks[i] == "(":
+            j = i + 1
+            sub_toks: list[str] = []
+            while j < len(toks) and not toks[j].startswith(")"):
+                if toks[j] == "(":
+                    raise ValueError("nested group patterns are not supported")
+                sub_toks.append(toks[j])
+                j += 1
+            if j >= len(toks):
+                raise ValueError(f"unbalanced '(' in pattern: {pattern!r}")
+            if not sub_toks:
+                raise ValueError("empty group in pattern")
+            quant = toks[j][1:] or None
+            sub: Pattern | None = None
+            for t in sub_toks:
+                sub = _append_scalar(sub, t, define, strict)
+            if built is None:
+                built = Pattern.begin(sub)
+            elif strict:
+                built = built.next(sub)
             else:
-                built = built.where(pred)
-        # SQL MATCH_RECOGNIZE quantifiers are GREEDY by default; the
-        # reluctant variants are spelled with a trailing '?' (B+?), unlike
-        # the Pattern API where greedy() is opt-in (Pattern.java:380).
-        if quant in ("+", "+?"):
-            built = built.one_or_more()
-            if quant == "+":
-                built = built.greedy()
-        elif quant in ("*", "*?"):
-            built = built.one_or_more().optional()
-            if quant == "*":
-                built = built.greedy()
-        elif quant == "?":
-            built = built.optional()
-        elif quant and quant.startswith("{"):
-            n = int(m.group(3))
-            mx = int(m.group(4)) if m.group(4) else n
-            built = built.times(n, mx)
+                built = built.followed_by(sub)
+            if quant in ("+", "*"):
+                raise ValueError(
+                    f"greedy group quantifier '(...){quant}' is not supported "
+                    "(Pattern.java checkIfNoGroupPattern); use the reluctant "
+                    f"spelling '(...){quant}?'"
+                )
+            if quant == "+?":
+                built = built.one_or_more()
+            elif quant == "*?":
+                built = built.one_or_more().optional()
+            elif quant == "?":
+                built = built.optional()
+            elif quant and quant.startswith("{"):
+                qm = re.fullmatch(r"\{(\d+)(?:,(\d+))?\}", quant)
+                n = int(qm.group(1))
+                built = built.times(n, int(qm.group(2)) if qm.group(2) else n)
+            if strict and quant and quant != "?":
+                # SQL row patterns are REGEX concatenation: the group's
+                # iterations are strictly contiguous, not SKIP_TILL_NEXT
+                built = built.consecutive()
+            i = j + 1
+        else:
+            built = _append_scalar(built, toks[i], define, strict)
+            i += 1
     return built
 
 
 def _pattern_vars(pattern: str) -> list[str]:
-    return [_TOKEN.match(t).group(1) for t in pattern.split()]
+    return re.findall(r"[A-Za-z_]\w*", pattern)
 
 
 def _apply_skip(p, after_match_skip):

@@ -1511,10 +1511,11 @@ def multi_signal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
     if bench_fast():
-        # bench fast path: half the corpus — both pair generators and the
-        # CC pass keep their plan shapes on candidate-proportional input
-        d = d.where(F.col("doc_id") % 2 == 0)
-        e = e.where(F.col("vec_id") % 2 == 0)
+        # bench fast path: quarter of the corpus — both pair generators
+        # and the CC pass keep their plan shapes on candidate-proportional
+        # input, and BOTH legs (lexical minhash + semantic LSH) shrink
+        d = d.where(F.col("doc_id") % 4 == 0)
+        e = e.where(F.col("vec_id") % 4 == 0)
     pt = minhash_lsh_pairs(d, threshold=0.8).select("id_a", "id_b")
     ps = near_pairs_lsh(e, 0.35).select("id_a", "id_b")
     return dedup_clusters(pt.unionAll(ps)).orderBy("doc_id")

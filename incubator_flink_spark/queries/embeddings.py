@@ -1267,9 +1267,13 @@ def semdedup_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets).  The oracle unrolls the identical k-means (init, argmax
     tie-break, decimal-exact means) and the min-id CC, so membership,
     representatives, and kept flags must match exactly."""
-    from incubator_flink_spark.bench_knobs import knob
+    from incubator_flink_spark.bench_knobs import bench_fast, knob
     from incubator_flink_spark.operators.similarity import semdedup_kmeans
 
     e = load(spark, sf_dir, "embeddings")
+    if bench_fast():
+        # bench fast path: half the corpus (train/assign/pair/CC keep
+        # their plan shapes; within-cluster pair cost drops ~4x)
+        e = e.where(F.col("vec_id") % 2 == 0)
     # bench fast path: one Lloyd round (same plan shape per round)
     return semdedup_kmeans(_augment_near_dups(e), 0.8, iters=knob(3, 1)).orderBy("vec_id")

@@ -1027,3 +1027,56 @@ def test_group_pattern_restrictions():
     dup = Pattern.begin("a").where(lambda e: True).followed_by(sub())
     with pytest.raises(ValueError, match="duplicate"):
         find_matches(dup, _labeled("ab"))
+
+
+def test_sql_pattern_group_quantifier(spark):
+    """Row-pattern GROUPS through the SQL statement surface:
+    PATTERN ((A B){2} C) — parenthesized sub-pattern with a quantifier,
+    compiled to the engine's GroupPattern (a Spark-side superset: the
+    reference's SQL planner rejects grouped quantifiers while its CEP
+    library supports them via GroupPattern.java).  Strict SQL regex
+    concatenation: the two (a b) iterations must be contiguous."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    rows = [
+        ("K", 1, "a"), ("K", 2, "b"), ("K", 3, "a"), ("K", 4, "b"), ("K", 5, "c"),
+        ("K", 10, "a"), ("K", 11, "b"), ("K", 12, "x"),  # broken run: no match
+        ("K", 13, "a"), ("K", 14, "b"), ("K", 15, "c"),  # only ONE pair before c
+    ]
+    import datetime as _dt
+
+    env = TableEnvironment(spark)
+    spark.createDataFrame(
+        [(k, _dt.datetime.fromtimestamp(t, _dt.timezone.utc).replace(tzinfo=None), e) for k, t, e in rows],
+        "k STRING, ts TIMESTAMP, ev STRING",
+    ).createOrReplaceTempView("grp_seqs")
+    out = env.sql_query("""
+        SELECT k, a1, b2, c_ts
+        FROM grp_seqs MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES FIRST(A.ts) AS a1, LAST(B.ts) AS b2, LAST(C.ts) AS c_ts
+          PATTERN ((A B){2} C)
+          DEFINE A AS A.ev = 'a', B AS B.ev = 'b', C AS C.ev = 'c'
+        )
+    """).to_df()
+
+    def ep(ts):
+        return int(ts.replace(tzinfo=_dt.timezone.utc).timestamp())
+
+    got = {(ep(r.a1), ep(r.b2), ep(r.c_ts)) for r in out.collect()}
+    # only the 1..5 run has two contiguous (a b) pairs followed by c
+    assert got == {(1, 4, 5)}
+
+    # greedy group spelling rejected with a clear error
+    import pytest
+
+    with pytest.raises(ValueError, match="greedy group"):
+        env.sql_query("""
+            SELECT k FROM grp_seqs MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY ts
+              MEASURES FIRST(A.ts) AS a1
+              PATTERN ((A B)+ C)
+              DEFINE A AS A.ev = 'a', B AS B.ev = 'b', C AS C.ev = 'c'
+            )
+        """)
