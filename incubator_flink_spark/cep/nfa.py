@@ -294,6 +294,77 @@ def _group_matches(
     yield from iterate(start_idx, first_ts, dict(capture), {}, 0)
 
 
+def _group_partial_captures(
+    stage: Stage,
+    is_start: bool,
+    events: list[dict],
+    start_idx: int,
+    first_ts,
+    within_s: float | None,
+    ts_key: str,
+    capture: dict,
+):
+    """Partial capture maps for an INCOMPLETE group stage (the timeout
+    side output's view into a sub-automaton): iteration prefixes below
+    the quantifier minimum AND partial progress inside an iteration
+    (inner stages captured so far).  These states are dead ends — they
+    never resume into later pattern stages — and are consumed only by
+    find_timed_out_matches to surface the deepest timed-out capture."""
+    from dataclasses import replace
+
+    sub = stage.sub_stages
+    max_t = stage.max_times if stage.max_times != -1 else len(events)
+    if stage.inner_strict:
+        loop_contig = STRICT
+    elif stage.combinations:
+        loop_contig = RELAXED_ANY
+    else:
+        loop_contig = RELAXED
+
+    def one_iter_states(pos, entry_contig, entry_is_start, f_ts, cap):
+        """Yield (iter_map, next_idx, first_ts', complete)."""
+
+        def dfs(k, p, ft, cap_k, m, pending):
+            if k == len(sub):
+                if any(m.values()):
+                    yield (m, p, ft, True)
+                return
+            if any(m.values()):
+                yield (m, p, ft, False)  # prefix: inner stages 0..k-1 only
+            st = sub[k]
+            eff = replace(st, contiguity=entry_contig) if pending else st
+            for nxt, taken in _stage_matches(
+                eff, entry_is_start and pending, events, p, ft, within_s, ts_key, cap_k
+            ):
+                ft2 = ft
+                if taken and ft2 is None:
+                    ft2 = events[taken[0]][ts_key]
+                cap2 = dict(cap_k)
+                cap2[st.name] = cap2.get(st.name, []) + [events[i] for i in taken]
+                m2 = dict(m)
+                m2[st.name] = m2.get(st.name, []) + list(taken)
+                yield from dfs(k + 1, nxt, ft2, cap2, m2, pending and not taken)
+
+        yield from dfs(0, pos, f_ts, cap, {}, True)
+
+    def walk(pos, f_ts, cap, acc, count):
+        contig = stage.contiguity if count == 0 else loop_contig
+        for m, nxt, ft2, complete in one_iter_states(
+            pos, contig, is_start and count == 0, f_ts, cap
+        ):
+            acc2 = {k: list(v) for k, v in acc.items()}
+            for name, idxs in m.items():
+                acc2[name] = acc2.get(name, []) + list(idxs)
+            yield acc2
+            if complete and count + 1 < max_t:
+                cap2 = dict(cap)
+                for name, idxs in m.items():
+                    cap2[name] = cap2.get(name, []) + [events[i] for i in idxs]
+                yield from walk(nxt, ft2, cap2, acc2, count + 1)
+
+    yield from walk(start_idx, first_ts, dict(capture), {}, 0)
+
+
 def _matches_for(
     stage: Stage,
     is_start: bool,
@@ -515,6 +586,22 @@ def find_timed_out_matches(
                 # negation constrains full matches; partials pass through
                 dfs(si + 1, start_idx, first_ts, capture, nevents, start_i)
                 return
+            if stage.sub_stages is not None:
+                # a sub-automaton can time out MID-GROUP: surface partial
+                # iteration progress as capture depth (dead-end states —
+                # they never resume into later stages)
+                for acc in _group_partial_captures(
+                    stage, si == 0, events, start_idx, first_ts, pattern.within_s, ts_key, capture
+                ):
+                    p_idx = sorted(j for v in acc.values() for j in v)
+                    if si == 0 and (not p_idx or p_idx[0] != start_i):
+                        continue
+                    n_ev = nevents + len(p_idx)
+                    if n_ev > 0 and (si, n_ev) > (best["depth"], best["events"]):
+                        ncap = dict(capture)
+                        for name, idxs in acc.items():
+                            ncap[name] = ncap.get(name, []) + [events[j] for j in idxs]
+                        best.update(depth=si, events=n_ev, cap=ncap)
             for nxt, tmap in _matches_for(
                 stage, si == 0, events, start_idx, first_ts, pattern.within_s, ts_key, capture
             ):

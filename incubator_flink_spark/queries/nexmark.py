@@ -360,3 +360,110 @@ def nexmark_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("auction_id", "category", "seller", "bid_id", "price", "bts")
         .orderBy("auction_id")
     )
+
+
+NEXMARK_Q1_ORACLE = """
+SELECT user_id AS auction, event_id AS bidder,
+       CAST(CAST(value AS DECIMAL(18,6)) * CAST(0.908 AS DECIMAL(4,3)) AS DOUBLE) AS price_eur,
+       ts AS bid_ts
+FROM events WHERE event_type IN ('click', 'view')
+ORDER BY bidder
+"""
+
+
+@register("nexmark_q1", NEXMARK_Q1_ORACLE)
+def nexmark_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q1 (currency conversion): a pure per-row projection over
+    the bid stream — dollars to euros at a fixed rate.  The reference
+    plans this as a stateless Calc; here it is a narrow map with the
+    multiply in decimal so both engines round identically.
+
+    Scale: zero shuffles (plan is scan -> project); the only cost is
+    scan width."""
+    b = load(spark, sf_dir, "events").where(F.col("event_type").isin("click", "view"))
+    rate = F.lit("0.908").cast("decimal(4,3)")  # decimal x decimal: exact product
+    return b.select(
+        F.col("user_id").alias("auction"),
+        F.col("event_id").alias("bidder"),
+        (F.col("value").cast("decimal(18,6)") * rate).cast("double").alias("price_eur"),
+        F.col("ts").alias("bid_ts"),
+    ).orderBy("bidder")
+
+
+NEXMARK_Q2_ORACLE = """
+SELECT user_id AS auction, event_id AS bid_id, value AS price
+FROM events
+WHERE event_type IN ('click', 'view') AND user_id % 123 = 0
+ORDER BY bid_id
+"""
+
+
+@register("nexmark_q2", NEXMARK_Q2_ORACLE)
+def nexmark_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q2 (selection): bids for a sparse set of auctions
+    (auction % 123 = 0) — a stateless filter the reference plans as a
+    Calc with the predicate pushed to the source.
+
+    Scale: the modulo predicate reaches the parquet scan as a pushed
+    filter; zero shuffles."""
+    b = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view") & (F.col("user_id") % 123 == 0)
+    )
+    return b.select(
+        F.col("user_id").alias("auction"),
+        F.col("event_id").alias("bid_id"),
+        F.col("value").alias("price"),
+    ).orderBy("bid_id")
+
+
+NEXMARK_Q3_ORACLE = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         user_id % 50 AS city, user_id % 3 AS state
+  FROM events WHERE event_type = 'signup'),
+a AS (
+  SELECT event_id AS auction_id, user_id AS seller, user_id % 5 AS category
+  FROM events WHERE event_type = 'signup')
+SELECT p.user_id AS seller, p.city AS city, p.state AS state, a.auction_id AS auction_id
+FROM a JOIN p ON a.seller = p.user_id
+WHERE a.category = 2 AND p.state IN (0, 1)
+ORDER BY auction_id
+"""
+
+
+@register("nexmark_q3", NEXMARK_Q3_ORACLE)
+def nexmark_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q3 (local item suggestion): auctions in one category
+    joined to their sellers filtered by location — the reference's
+    canonical INCREMENTAL two-sided join (materialize both sides keyed
+    by seller, emit on either side's arrival).  Batch form here; the
+    streaming two-sided append join is proven in
+    tests/test_stream_stream.py.
+
+    Scale: both predicates push below the join (auction category,
+    person state), so the join touches only the filtered slices; the
+    person side is a distinct over signups (auction-cardinality) and
+    broadcasts when small."""
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            (F.col("user_id") % 50).alias("city"),
+            (F.col("user_id") % 3).alias("state"),
+        )
+        .distinct()
+    )
+    a = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("auction_id"),
+        F.col("user_id").alias("seller"),
+        (F.col("user_id") % 5).alias("category"),
+    )
+    return (
+        a.where(F.col("category") == 2)
+        .join(p.where(F.col("state").isin(0, 1)), a.seller == p.user_id)
+        .select(
+            F.col("user_id").alias("seller"), "city", "state", "auction_id"
+        )
+        .orderBy("auction_id")
+    )

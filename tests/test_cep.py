@@ -1080,3 +1080,32 @@ def test_sql_pattern_group_quantifier(spark):
               DEFINE A AS A.ev = 'a', B AS B.ev = 'b', C AS C.ev = 'c'
             )
         """)
+
+
+def test_group_pattern_timeout_partials():
+    """Timed-out partial matches open through a GROUP first stage: the
+    partial is pinned to the start event accepted by the group's first
+    inner stage, and the deepest reachable capture is returned (the
+    CepOperator timeout side-output discipline, extended to
+    GroupPattern sub-automata)."""
+    from incubator_flink_spark.cep.nfa import find_timed_out_matches
+
+    events = _labeled("abax")  # (a b) complete at 0-1; a@2 never pairs
+    pair = (
+        Pattern.begin("ga")
+        .where(lambda e: e["event_type"] == "a")
+        .next("gb")
+        .where(lambda e: e["event_type"] == "b")
+    )
+    p = (
+        Pattern.begin(pair)
+        .times(2)
+        .within(100)
+    )
+    # no complete (a b)(a b) exists; every a-start opens a partial
+    partials = find_timed_out_matches(p, events, ts_key="ts")
+    starts = sorted(m["ga"][0]["event_id"] for m in partials if m.get("ga"))
+    assert starts == [0, 2]
+    deepest = max(partials, key=lambda m: sum(len(v) for v in m.values()))
+    assert [e["event_id"] for e in deepest["ga"]] == [0, 2]
+    assert [e["event_id"] for e in deepest["gb"]] == [1]
