@@ -49,11 +49,17 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
         {
             "i_item_sk": np.arange(1, ITEMS + 1),
             "i_item_desc": [f"item description {i:05d}" for i in range(1, ITEMS + 1)],
+            "i_product_name": [f"product {i:05d}" for i in range(1, ITEMS + 1)],
             "i_brand_id": rng.randint(1, 9, ITEMS),
             "i_class_id": rng.randint(1, 5, ITEMS),
             "i_category_id": rng.randint(1, 4, ITEMS),
             "i_manufact_id": rng.randint(1, 11, ITEMS),
             "i_category": rng.choice(["Books", "Music", "Home"], ITEMS),
+            "i_current_price": rng.randint(60, 81, ITEMS).astype(float),
+            "i_color": rng.choice(
+                ["purple", "burlywood", "indian", "spring", "floral", "medium", "azure", "rose"],
+                ITEMS,
+            ),
         }
     )
     warehouse = pd.DataFrame(
@@ -73,6 +79,25 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
         {
             "hd_demo_sk": np.arange(1, DEMOS + 1),
             "hd_buy_potential": rng.choice([">10000", "5001-10000"], DEMOS),
+            "hd_income_band_sk": rng.randint(1, 6, DEMOS),
+        }
+    )
+    income_band = pd.DataFrame({"ib_income_band_sk": np.arange(1, 6)})
+    store = pd.DataFrame(
+        {
+            "s_store_sk": np.arange(1, 4),
+            "s_store_name": [f"Store {i}" for i in range(1, 4)],
+            "s_zip": [f"{10000 + i}" for i in range(1, 4)],
+        }
+    )
+    n_addr = 60
+    ca = pd.DataFrame(
+        {
+            "ca_address_sk": np.arange(1, n_addr + 1),
+            "ca_street_number": [str(100 + i) for i in range(1, n_addr + 1)],
+            "ca_street_name": [f"street {i % 12}" for i in range(1, n_addr + 1)],
+            "ca_city": [f"city {i % 8}" for i in range(1, n_addr + 1)],
+            "ca_zip": [f"{20000 + i % 30}" for i in range(1, n_addr + 1)],
         }
     )
     # weekly inventory snapshots for every (item, warehouse)
@@ -114,7 +139,25 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     cs["cs_promo_sk"] = np.where(
         rng.rand(CS_ROWS) < 0.4, rng.randint(1, 7, CS_ROWS), np.int64(-1)
     )
+    cs["cs_ext_list_price"] = price(CS_ROWS) * 10
     ss = sales("ss", SS_ROWS, "ss_ticket_number", "ss_customer_sk")
+    ss["ss_store_sk"] = rng.randint(1, 4, SS_ROWS)
+    ss["ss_cdemo_sk"] = rng.randint(1, DEMOS + 1, SS_ROWS)
+    ss["ss_hdemo_sk"] = rng.randint(1, DEMOS + 1, SS_ROWS)
+    ss["ss_addr_sk"] = rng.randint(1, n_addr + 1, SS_ROWS)
+    ss["ss_promo_sk"] = rng.randint(1, 7, SS_ROWS)
+    ss["ss_list_price"] = price(SS_ROWS)
+    ss["ss_coupon_amt"] = rng.randint(0, 20, SS_ROWS) * 0.25
+    customer = pd.DataFrame(
+        {
+            "c_customer_sk": np.arange(1, 200),
+            "c_current_cdemo_sk": rng.randint(1, DEMOS + 1, 199),
+            "c_current_hdemo_sk": rng.randint(1, DEMOS + 1, 199),
+            "c_current_addr_sk": rng.randint(1, n_addr + 1, 199),
+            "c_first_sales_date_sk": rng.randint(1, n_dates - 20, 199),
+            "c_first_shipto_date_sk": rng.randint(1, n_dates - 20, 199),
+        }
+    )
     ws = sales("ws", WS_ROWS, "ws_order_number", "ws_bill_customer_sk")
 
     def returns(sdf, prefix, rprefix, order_col, rorder_col, amt_col):
@@ -130,6 +173,10 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
         return ret.drop(columns=[f"{prefix}_quantity"]).reset_index(drop=True)
 
     cr = returns(cs, "cs", "cr", "cs_order_number", "cr_order_number", "cr_return_amount")
+    # q64's cs_ui leg: refund components, small so sale > 2*refund mostly holds
+    cr["cr_refunded_cash"] = rng.randint(0, 40, len(cr)) * 0.25
+    cr["cr_reversed_charge"] = rng.randint(0, 20, len(cr)) * 0.25
+    cr["cr_store_credit"] = rng.randint(0, 20, len(cr)) * 0.25
     sr = returns(ss, "ss", "sr", "ss_ticket_number", "sr_ticket_number", "sr_return_amt")
     wr = returns(ws, "ws", "wr", "ws_order_number", "wr_order_number", "wr_return_amt")
 
@@ -140,6 +187,10 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
         "promotion": promotion,
         "customer_demographics": cd,
         "household_demographics": hd,
+        "income_band": income_band,
+        "store": store,
+        "customer": customer,
+        "customer_address": ca,
         "inventory": inv,
         "catalog_sales": cs,
         "catalog_returns": cr,
@@ -174,7 +225,7 @@ def tpcds(spark, tmp_path_factory):
     con.close()
 
 
-def _compare(spark, con, sql, ordered, min_rows=1, oracle_sql=None):
+def _compare(spark, con, sql, ordered, min_rows=1, oracle_sql=None, check_names=True):
     from incubator_flink_spark.api.table import TableEnvironment
 
     env = TableEnvironment(spark)
@@ -182,7 +233,10 @@ def _compare(spark, con, sql, ordered, min_rows=1, oracle_sql=None):
     cols = got_df.columns
     got = [tuple(r) for r in got_df.collect()]
     want_pdf = con.execute(oracle_sql or sql).fetchdf()
-    assert [c.lower() for c in want_pdf.columns] == [c.lower() for c in cols]
+    if check_names:
+        # positional compare only for queries whose template emits
+        # duplicate output names (q64) — engines disambiguate differently
+        assert [c.lower() for c in want_pdf.columns] == [c.lower() for c in cols]
     want = [tuple(r) for r in want_pdf.itertuples(index=False, name=None)]
 
     def norm(rows):
@@ -392,3 +446,137 @@ def test_tpcds_q78_text(tpcds):
     returned-order exclusion via null-extended left joins."""
     spark, con = tpcds
     _compare(spark, con, Q78, ordered=False, min_rows=3)
+
+
+Q64 = """
+with cs_ui as
+ (select cs_item_sk
+        ,sum(cs_ext_list_price) as sale
+        ,sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit) as refund
+  from catalog_sales
+      ,catalog_returns
+  where cs_item_sk = cr_item_sk
+    and cs_order_number = cr_order_number
+  group by cs_item_sk
+  having sum(cs_ext_list_price) > 2 * sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit)),
+cross_sales as
+ (select i_product_name product_name
+     ,i_item_sk item_sk
+     ,s_store_name store_name
+     ,s_zip store_zip
+     ,ad1.ca_street_number b_street_number
+     ,ad1.ca_street_name b_street_name
+     ,ad1.ca_city b_city
+     ,ad1.ca_zip b_zip
+     ,ad2.ca_street_number c_street_number
+     ,ad2.ca_street_name c_street_name
+     ,ad2.ca_city c_city
+     ,ad2.ca_zip c_zip
+     ,d1.d_year as syear
+     ,d2.d_year as fsyear
+     ,d3.d_year s2year
+     ,count(*) cnt
+     ,sum(ss_wholesale_cost) s1
+     ,sum(ss_list_price) s2
+     ,sum(ss_coupon_amt) s3
+  from   store_sales
+        ,store_returns
+        ,cs_ui
+        ,date_dim d1
+        ,date_dim d2
+        ,date_dim d3
+        ,store
+        ,customer
+        ,customer_demographics cd1
+        ,customer_demographics cd2
+        ,promotion
+        ,household_demographics hd1
+        ,household_demographics hd2
+        ,customer_address ad1
+        ,customer_address ad2
+        ,income_band ib1
+        ,income_band ib2
+        ,item
+  where  ss_store_sk = s_store_sk and
+         ss_sold_date_sk = d1.d_date_sk and
+         ss_customer_sk = c_customer_sk and
+         ss_cdemo_sk = cd1.cd_demo_sk and
+         ss_hdemo_sk = hd1.hd_demo_sk and
+         ss_addr_sk = ad1.ca_address_sk and
+         ss_item_sk = i_item_sk and
+         ss_item_sk = sr_item_sk and
+         ss_ticket_number = sr_ticket_number and
+         ss_item_sk = cs_ui.cs_item_sk and
+         c_current_cdemo_sk = cd2.cd_demo_sk and
+         c_current_hdemo_sk = hd2.hd_demo_sk and
+         c_current_addr_sk = ad2.ca_address_sk and
+         c_first_sales_date_sk = d2.d_date_sk and
+         c_first_shipto_date_sk = d3.d_date_sk and
+         ss_promo_sk = p_promo_sk and
+         hd1.hd_income_band_sk = ib1.ib_income_band_sk and
+         hd2.hd_income_band_sk = ib2.ib_income_band_sk and
+         cd1.cd_marital_status <> cd2.cd_marital_status and
+         i_color in ('purple','burlywood','indian','spring','floral','medium') and
+         i_current_price between 64 and 64 + 10 and
+         i_current_price between 64 + 1 and 64 + 15
+group by i_product_name
+       ,i_item_sk
+       ,s_store_name
+       ,s_zip
+       ,ad1.ca_street_number
+       ,ad1.ca_street_name
+       ,ad1.ca_city
+       ,ad1.ca_zip
+       ,ad2.ca_street_number
+       ,ad2.ca_street_name
+       ,ad2.ca_city
+       ,ad2.ca_zip
+       ,d1.d_year
+       ,d2.d_year
+       ,d3.d_year
+)
+select cs1.product_name
+     ,cs1.store_name
+     ,cs1.store_zip
+     ,cs1.b_street_number
+     ,cs1.b_street_name
+     ,cs1.b_city
+     ,cs1.b_zip
+     ,cs1.c_street_number
+     ,cs1.c_street_name
+     ,cs1.c_city
+     ,cs1.c_zip
+     ,cs1.syear
+     ,cs1.cnt
+     ,cs1.s1 as s11
+     ,cs1.s2 as s21
+     ,cs1.s3 as s31
+     ,cs2.s1 as s12
+     ,cs2.s2 as s22
+     ,cs2.s3 as s32
+     ,cs2.syear
+     ,cs2.cnt
+from cross_sales cs1, cross_sales cs2
+where cs1.item_sk = cs2.item_sk and
+     cs1.syear = 1999 and
+     cs2.syear = 1999 + 1 and
+     cs2.cnt <= cs1.cnt and
+     cs1.store_name = cs2.store_name and
+     cs1.store_zip = cs2.store_zip
+order by cs1.product_name
+       ,cs1.store_name
+       ,cs2.cnt
+       ,cs1.s1
+       ,cs2.s1
+"""
+
+
+def test_tpcds_q64_text(tpcds):
+    """q64 verbatim — the spec's largest single query: a 17-table
+    cross_sales CTE (triple date_dim, paired demographics/addresses/
+    income bands, returns-qualified items via the cs_ui HAVING) self-
+    joined across consecutive years.  Sorted compare (the template's
+    ORDER BY admits ties) and positional columns (the template emits
+    duplicate output names syear/cnt)."""
+    spark, con = tpcds
+    _compare(spark, con, Q64, ordered=False, min_rows=1, check_names=False)
