@@ -123,12 +123,12 @@ class Pattern:
     # --- predicates -----------------------------------------------------------
     def _positive(self) -> Stage:
         """The last stage, rejecting group stages — conditions apply to
-        scalar stages only (GroupPattern.java where/or/until throw
+        scalar stages only (GroupPattern.java:46,51 — where/or throw
         UnsupportedOperationException)."""
         s = self.stages[-1]
         if s.sub_stages is not None:
             raise ValueError("conditions are not supported on group patterns "
-                             "(GroupPattern.java:52 — where/or/until throw)")
+                             "(GroupPattern.java:46,51 — where/or throw)")
         return s
 
     def where(self, pred: Predicate) -> "Pattern":
@@ -222,12 +222,12 @@ class Pattern:
         return self
 
     def greedy(self) -> "Pattern":
-        """Looping stage consumes maximally per run (Pattern.java:380).
+        """Looping stage consumes maximally per run (Pattern.java:365).
         Not supported on group stages, as in the reference
-        (Pattern.java greedy() calls checkIfNoGroupPattern)."""
+        (Pattern.java greedy():367 calls checkIfNoGroupPattern:568)."""
         if self.stages[-1].sub_stages is not None:
             raise ValueError("greedy() is not supported on group patterns "
-                             "(Pattern.java checkIfNoGroupPattern)")
+                             "(Pattern.java checkIfNoGroupPattern:568)")
         self.stages[-1].greedy = True
         return self
 
@@ -250,14 +250,28 @@ class Pattern:
         self.stages[-1].combinations = False
         return self
 
+    def _until_target(self) -> Stage:
+        s = self.stages[-1]
+        if s.sub_stages is not None:
+            # engine limitation, NOT reference parity: the reference's
+            # GroupPattern inherits Pattern.until (only where/or/subtype
+            # throw) — this engine's group matcher doesn't model an until
+            # guard across sub-automaton edges yet.  Bound group loops
+            # with within() or put the until on the inner looping stage.
+            raise ValueError(
+                "until() on group patterns is not supported by this engine "
+                "(bound with within() or apply until inside the sub-pattern)"
+            )
+        return s
+
     def until(self, pred: Predicate) -> "Pattern":
         """Stop the looping stage at the first event where pred fires
         (Pattern.java:500); the until event is not consumed."""
-        self._positive().until_cond = Cond(pred)
+        self._until_target().until_cond = Cond(pred)
         return self
 
     def until_iterative(self, pred: Callable[[dict, Any], bool]) -> "Pattern":
-        self._positive().until_cond = Cond(pred, iterative=True)
+        self._until_target().until_cond = Cond(pred, iterative=True)
         return self
 
     # --- window / skip --------------------------------------------------------
