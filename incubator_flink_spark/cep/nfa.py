@@ -213,6 +213,24 @@ def _stage_matches(
             j += 1
 
 
+def _merge_until(a, b):
+    """OR of two until conditions (a group's until layered onto an inner
+    stage that may carry its own)."""
+    from incubator_flink_spark.cep.pattern import Cond
+
+    if a is None:
+        return b
+    if b is None:
+        return a
+
+    def fire(e, ctx, _a=a, _b=b):
+        fa = _a.pred(e, ctx) if _a.iterative else _a.pred(e)
+        fb = _b.pred(e, ctx) if _b.iterative else _b.pred(e)
+        return fa or fb
+
+    return Cond(fire, iterative=True)
+
+
 def _group_matches(
     stage: Stage,
     is_start: bool,
@@ -232,8 +250,11 @@ def _group_matches(
     (consecutive → STRICT, allowCombinations → SKIP_TILL_ANY, default
     SKIP_TILL_NEXT against the iteration's first taking stage).  Inner
     stages keep their own contiguity/quantifiers within an iteration.
-    taken_map accumulates inner stage name → event indices across
-    iterations."""
+    A group-level until() guards EVERY inner stage's take/ignore
+    (NFACompiler getTakeCondition:950/getIgnoreCondition:932 extend with
+    NOT(until) while compiling a group body), so the sub-automaton's
+    consumption stops at the first until-firing event.  taken_map
+    accumulates inner stage name → event indices across iterations."""
     from dataclasses import replace
 
     sub = stage.sub_stages
@@ -261,6 +282,8 @@ def _group_matches(
                 return
             st = sub[k]
             eff = replace(st, contiguity=entry_contig) if pending else st
+            if stage.until_cond is not None:
+                eff = replace(eff, until_cond=_merge_until(st.until_cond, stage.until_cond))
             for nxt, taken in _stage_matches(
                 eff, entry_is_start and pending, events, p, ft, within_s, ts_key, cap_k
             ):
@@ -333,6 +356,8 @@ def _group_partial_captures(
                 yield (m, p, ft, False)  # prefix: inner stages 0..k-1 only
             st = sub[k]
             eff = replace(st, contiguity=entry_contig) if pending else st
+            if stage.until_cond is not None:
+                eff = replace(eff, until_cond=_merge_until(st.until_cond, stage.until_cond))
             for nxt, taken in _stage_matches(
                 eff, entry_is_start and pending, events, p, ft, within_s, ts_key, cap_k
             ):

@@ -250,28 +250,19 @@ class Pattern:
         self.stages[-1].combinations = False
         return self
 
-    def _until_target(self) -> Stage:
-        s = self.stages[-1]
-        if s.sub_stages is not None:
-            # engine limitation, NOT reference parity: the reference's
-            # GroupPattern inherits Pattern.until (only where/or/subtype
-            # throw) — this engine's group matcher doesn't model an until
-            # guard across sub-automaton edges yet.  Bound group loops
-            # with within() or put the until on the inner looping stage.
-            raise ValueError(
-                "until() on group patterns is not supported by this engine "
-                "(bound with within() or apply until inside the sub-pattern)"
-            )
-        return s
-
     def until(self, pred: Predicate) -> "Pattern":
         """Stop the looping stage at the first event where pred fires
-        (Pattern.java:500); the until event is not consumed."""
-        self._until_target().until_cond = Cond(pred)
+        (Pattern.java:500); the until event is not consumed.  On a GROUP
+        stage the guard extends every inner state's take/ignore edge
+        (NFACompiler.java getTakeCondition:950 / getIgnoreCondition:932 /
+        getInnerIgnoreCondition:885 extend with NOT(until) while
+        currentGroupPattern is set): the whole sub-automaton's
+        consumption stops at the first until-firing event."""
+        self.stages[-1].until_cond = Cond(pred)
         return self
 
     def until_iterative(self, pred: Callable[[dict, Any], bool]) -> "Pattern":
-        self._until_target().until_cond = Cond(pred, iterative=True)
+        self.stages[-1].until_cond = Cond(pred, iterative=True)
         return self
 
     # --- window / skip --------------------------------------------------------

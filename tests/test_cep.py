@@ -1015,9 +1015,29 @@ def test_group_pattern_restrictions():
         Pattern.begin(sub()).one_or_more().greedy()
     with pytest.raises(ValueError, match="conditions"):
         Pattern.begin(sub()).where(lambda e: True)
-    with pytest.raises(ValueError, match="until"):
-        # engine limitation (the reference's GroupPattern inherits until)
-        Pattern.begin(sub()).one_or_more().until(lambda e: True)
+    # until() on a group guards EVERY inner take/ignore edge
+    # (NFACompiler getTakeCondition:950/getIgnoreCondition:932 extend
+    # with NOT(until) while compiling a group body): the sub-automaton
+    # stops at the first until-firing event, mid-iteration included
+    def gsub():
+        return (
+            Pattern.begin("p")
+            .where(lambda e: e["event_type"] == "a")
+            .followed_by("q")
+            .where(lambda e: e["event_type"] == "b")
+        )
+
+    pu = Pattern.begin(gsub()).one_or_more().until(lambda e: e["event_type"] == "u")
+    got = _group_runs(pu, "abaubab", ["p", "q"])
+    # events: a0 b1 a2 u3 b4 a5 b6 — (a0 b1) completes before u3; a2's
+    # iteration cannot cross u3 to reach b4 (inner take/ignore die at
+    # until); fresh stage-0 computations restart after the until, so
+    # (a5 b6) matches; no 2-iteration chain exists (the inter-iteration
+    # scan also dies at u3)
+    assert got == [
+        (("p", (0,)), ("q", (1,))),
+        (("p", (5,)), ("q", (6,))),
+    ]
     with pytest.raises(ValueError, match="nested"):
         Pattern.begin(Pattern.begin(sub()).times(2))
     with pytest.raises(ValueError, match="negated"):

@@ -217,6 +217,19 @@ def ref_find_matches(pattern, events, ts_key="ts"):
         if g.optional:
             yield ({}, pos)
 
+        def _ored_until(a, b):
+            from incubator_flink_spark.cep.pattern import Cond
+
+            if a is None:
+                return b
+
+            def f(e, ctx, _a=a, _b=b):
+                fa = _a.pred(e, ctx) if _a.iterative else _a.pred(e)
+                fb = _b.pred(e, ctx) if _b.iterative else _b.pred(e)
+                return fa or fb
+
+            return Cond(f, iterative=True)
+
         def iter_once(p, contig, entry_si, fi, cap):
             def d(k, q, fi2, cap2, m, pending):
                 if k == len(g.sub_stages):
@@ -225,6 +238,10 @@ def ref_find_matches(pattern, events, ts_key="ts"):
                     return
                 st = g.sub_stages[k]
                 eff = _rp(st, contiguity=contig) if pending else st
+                if g.until_cond is not None:
+                    # group until guards every inner take/ignore
+                    # (NFACompiler getTakeCondition:950/getIgnoreCondition:932)
+                    eff = _rp(eff, until_cond=_ored_until(st.until_cond, g.until_cond))
                 for tup, nq in gen_stage(eff, entry_si if pending else 1, q, fi2, cap2):
                     fi3 = fi2 if fi2 is not None else (tup[0] if tup else None)
                     c3 = dict(cap2)
@@ -504,6 +521,8 @@ def _apply_group_quant(p, rng):
             p.allow_combinations()
         elif inner < 0.5:
             p.consecutive()
+        if rng.random() < 0.3:
+            p.until(lambda e: e["label"] == "u")
 
 
 def test_fuzz_nfa_vs_reference_enumerator():
@@ -531,7 +550,8 @@ def test_fuzz_group_patterns_vs_reference_enumerator():
     divergences = []
     for case in range(800):
         n = rng.randint(5, 12)
-        seq = "".join(rng.choice("aabbc") for _ in range(n))
+        alphabet = "aabbcu" if rng.random() < 0.4 else "aabbc"
+        seq = "".join(rng.choice(alphabet) for _ in range(n))
         events = _events(seq)
         pattern = _rand_group_pattern(rng)
         got = _nfa_keys(pattern, events)
