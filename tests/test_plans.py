@@ -635,6 +635,23 @@ def test_segmented_cep_explicit_repartition_survives_aqe(spark):
     assert m is not None and int(m.group(1)) == n, rep.raw[:2000]
 
 
+def test_nexmark_q1_q2_q3_plan_shapes(spark):
+    """q1 is a pure map (no data shuffle beyond the ORDER BY range
+    exchange); q2's selection reaches the parquet scan as pushed
+    filters; q3's join has both predicates below the join and no
+    nested loop."""
+    rep1 = audit_plan(REGISTRY["nexmark_q1"].fn(spark, SF))
+    assert rep1.exchanges <= 1  # only the final orderBy range partition
+    rep2 = audit_plan(REGISTRY["nexmark_q2"].fn(spark, SF))
+    assert rep2.scans_with_pushed_filters >= 1
+    assert rep2.exchanges <= 1
+    rep3 = audit_plan(REGISTRY["nexmark_q3"].fn(spark, SF))
+    assert rep3.nested_loop_joins == 0
+    # category/state filters sit below the join: the post-join plan never
+    # re-filters (PushedFilters on both scans)
+    assert rep3.scans_with_pushed_filters >= 2
+
+
 def test_nexmark_and_semdedup_plan_shapes(spark):
     """Round-6 entries: the q4/q6 interval join plans as an EQUI join on
     the seller key with the time range residual (never an NLJ range
