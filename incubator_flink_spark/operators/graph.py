@@ -152,9 +152,14 @@ def pagerank(
     # name must differ from __w by more than case (Spark resolution is
     # case-insensitive by default)
     ewn = ew.withColumn("__outw", F.sum("__w").over(W.partitionBy("__src"))).persist()
+    # derive nodes FROM the persisted ewn (not the raw ew): the eager
+    # checkpoint below is the first materialization, so routing it
+    # through ewn caches the upstream edge lineage once — deriving from
+    # ew would execute a potentially expensive edge derivation twice
+    # (once here uncached, once when the loop first touches ewn)
     nodes = (
-        ew.select(F.col("__src").alias("node"))
-        .union(ew.select(F.col("__dst").alias("node")))
+        ewn.select(F.col("__src").alias("node"))
+        .union(ewn.select(F.col("__dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -911,9 +916,11 @@ def personalized_pagerank(
     )
     ewn = ew.withColumn("__outw", F.sum("__w").over(W.partitionBy("__src"))).persist()
     sd = seeds.select(F.col(seed_node).alias("node"), F.col(seed_mass).alias("__s"))
+    # nodes FROM the persisted ewn so the first eager materialization
+    # caches the upstream edge lineage once (see pagerank above)
     nodes = (
-        ew.select(F.col("__src").alias("node"))
-        .union(ew.select(F.col("__dst").alias("node")))
+        ewn.select(F.col("__src").alias("node"))
+        .union(ewn.select(F.col("__dst").alias("node")))
         .distinct()
         .join(F.broadcast(sd), "node", "left")
         .select("node", F.coalesce("__s", F.lit(0.0)).alias("s"))
