@@ -467,3 +467,168 @@ def nexmark_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("auction_id")
     )
+
+
+NEXMARK_Q11_ORACLE = """
+WITH b AS (
+  SELECT user_id AS bidder, ts, event_id
+  FROM events WHERE event_type IN ('click', 'view')),
+marked AS (
+  SELECT bidder, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM b
+  WINDOW w AS (PARTITION BY bidder ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY bidder ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT bidder, MIN(ts) AS session_start, MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+       COUNT(*) AS bid_count
+FROM numbered GROUP BY bidder, session_id
+ORDER BY bidder, session_start
+"""
+
+
+@register("nexmark_q11", NEXMARK_Q11_ORACLE)
+def nexmark_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q11 (user sessions): bids per bidder per SESSION window
+    (30 min gap) — the reference plans this as a session-window
+    aggregate with merging window state; here the batch session
+    assignment is the gaps-and-islands composition
+    (operators/windows.session_col), one keyed shuffle.
+
+    Scale: sessionization is a window function over (bidder, ts) — one
+    shuffle on the bidder key, no self-join."""
+    from incubator_flink_spark.operators.windows import session_col
+
+    b = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    ).select(F.col("user_id").alias("bidder"), "ts")
+    return (
+        b.groupBy(session_col("ts", 1800).alias("w"), F.col("bidder"))
+        .agg(F.count(F.lit(1)).alias("bid_count"))
+        .select(
+            "bidder",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "bid_count",
+        )
+        .orderBy("bidder", "session_start")
+    )
+
+
+NEXMARK_Q15_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS total_bids,
+       COUNT(DISTINCT user_id) AS distinct_bidders,
+       COUNT(DISTINCT event_id % 997) AS distinct_auctions
+FROM events WHERE event_type IN ('click', 'view')
+GROUP BY 1 ORDER BY day
+"""
+
+
+@register("nexmark_q15", NEXMARK_Q15_ORACLE)
+def nexmark_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q15 (bidding statistics report): per-day bid totals with
+    MULTIPLE DISTINCT aggregates (bidders, auctions) — the reference
+    plans distinct aggregates with a split-distinct expansion; Catalyst
+    does the same expand + two-phase aggregation automatically.
+
+    Scale: one expand + keyed aggregation; no joins."""
+    b = load(spark, sf_dir, "events").where(F.col("event_type").isin("click", "view"))
+    return (
+        b.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("total_bids"),
+            F.countDistinct("user_id").alias("distinct_bidders"),
+            F.countDistinct(F.col("event_id") % 997).alias("distinct_auctions"),
+        )
+        .orderBy("day")
+    )
+
+
+NEXMARK_Q18_ORACLE = """
+SELECT bidder, auction, price, bts
+FROM (
+  SELECT user_id AS bidder, event_id % 211 AS auction, value AS price, ts AS bts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_id % 211
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type IN ('click', 'view')
+) t WHERE rn = 1
+ORDER BY bidder, auction
+"""
+
+
+@register("nexmark_q18", NEXMARK_Q18_ORACLE)
+def nexmark_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q18 (find the LAST bid per bidder+auction): keep-last
+    dedup — the reference plans this as a Deduplicate (order by rowtime
+    desc, keep first) with per-key state; the batch form is a keyed
+    rank=1.
+
+    Scale: one shuffle on the (bidder, auction) key; rank=1 state is a
+    single row per key in the streaming form
+    (streaming/stateful.keep_last_dedup)."""
+    b = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("user_id").alias("bidder"),
+        (F.col("event_id") % 211).alias("auction"),
+        F.col("value").alias("price"),
+        F.col("ts").alias("bts"),
+        "event_id",
+    )
+    rn = F.row_number().over(
+        W.partitionBy("bidder", "auction").orderBy(F.col("bts").desc(), F.col("event_id").desc())
+    )
+    return (
+        b.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("bidder", "auction", "price", "bts")
+        .orderBy("bidder", "auction")
+    )
+
+
+NEXMARK_Q19_ORACLE = """
+SELECT auction, bid_id, price, bts
+FROM (
+  SELECT event_id % 97 AS auction, event_id AS bid_id, value AS price, ts AS bts,
+         ROW_NUMBER() OVER (PARTITION BY event_id % 97
+                            ORDER BY value DESC, ts ASC, event_id ASC) AS rn
+  FROM events WHERE event_type IN ('click', 'view')
+) t WHERE rn <= 10
+ORDER BY auction, rn
+"""
+
+
+@register("nexmark_q19", NEXMARK_Q19_ORACLE)
+def nexmark_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q19 (auction TOP-10 prices): per-auction top-10 bids —
+    the reference's Rank operator with top-N state (keeps 10 rows per
+    key).  Batch form: keyed rank <= 10, never a global sort.
+
+    Scale: one shuffle on the auction key; the rank window is keyed so
+    WindowExec state is bounded by the per-auction bid count (and the
+    streaming form, streaming/stateful.streaming_topn, keeps exactly
+    the live top list)."""
+    b = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        (F.col("event_id") % 97).alias("auction"),
+        F.col("event_id").alias("bid_id"),
+        F.col("value").alias("price"),
+        F.col("ts").alias("bts"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("auction").orderBy(F.col("price").desc(), F.col("bts").asc(), F.col("bid_id").asc())
+    )
+    return (
+        b.withColumn("rn", rn)
+        .where(F.col("rn") <= 10)
+        .select("auction", "bid_id", "price", "bts")
+        .orderBy("auction", "rn")
+        .drop("rn")
+    )
