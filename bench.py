@@ -130,6 +130,17 @@ EXTRA = [
     "embedding_top2_pc",
     "hll_by_language",
     "histogram_quantiles",
+    # round 7
+    "cep_group_chain",
+    "cep_pairs_any_segmented",
+    "nexmark_q1",
+    "nexmark_q2",
+    "nexmark_q3",
+    "nexmark_q9",
+    "nexmark_q11",
+    "nexmark_q15",
+    "nexmark_q18",
+    "nexmark_q19",
 ]
 
 
