@@ -1382,3 +1382,108 @@ def test_streaming_mv_sink_matches_batch_recompute(spark, replay_dir):
     sink(replay.limit(0), applied_id + 2)
     vdirs2 = {d for d in _os.listdir(path) if d.startswith("v")}
     assert cur_dir not in vdirs2 and len(vdirs2) == 2
+
+def test_streaming_cep_group_pattern_matches_batch(spark, replay_dir):
+    """GroupPattern through the STREAMING CEP executor
+    (streaming/cep_stream.match_pattern_stream): the quantified
+    sub-pattern ((click next view)+ consecutive, followedBy purchase)
+    replayed under a watermark emits exactly the batch NFA's matches for
+    every match that CLOSES mid-stream (a later same-key batch with the
+    watermark past the match's last event triggers the emission — the
+    reference's CepOperator has the same emit-on-watermark discipline);
+    emitted rows are always a subset of the batch match set."""
+    import random
+    from datetime import datetime, timedelta
+
+    from incubator_flink_spark.cep import Pattern
+    from incubator_flink_spark.cep.nfa import find_matches
+    from incubator_flink_spark.streaming.cep_stream import match_pattern_stream
+
+    def make_pattern():
+        pair = (
+            Pattern.begin("c")
+            .where(lambda e: e["event_type"] == "click")
+            .next("v")
+            .where(lambda e: e["event_type"] == "view")
+        )
+        return (
+            Pattern.begin(pair)
+            .one_or_more()
+            .consecutive()
+            .followed_by("p")
+            .where(lambda e: e["event_type"] == "purchase")
+            .within(600)
+        )
+
+    # deterministic dense 2-user traffic: pattern-friendly event mix,
+    # one event every ~5s, so every mid-stream match is followed by
+    # plenty of same-key batches with an advanced watermark
+    rng = random.Random(77)
+    epoch = datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                rng.randint(1, 2),
+                i,
+                rng.choice(["click", "view", "purchase", "click", "view"]),
+                epoch + timedelta(seconds=5 * i + rng.randint(0, 2)),
+            )
+        )
+    schema = "user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP"
+    base = replay_dir + "/cepgrp"
+    quarter = len(rows) // 4
+    for b in range(4):
+        spark.createDataFrame(rows[b * quarter : (b + 1) * quarter], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{base}/__file={b:04d}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/__file=*")
+        .withWatermark("ts", "30 seconds")
+    )
+
+    def select(key, m):
+        return {
+            "user_id": int(key["user_id"]),
+            "start_id": int(m["c"][0]["event_id"]),
+            "n_pairs": len(m["c"]),
+            "purchase_id": int(m["p"][0]["event_id"]),
+        }
+
+    out = match_pattern_stream(
+        stream, ["user_id"], "ts", make_pattern(), select,
+        "user_id BIGINT, start_id BIGINT, n_pairs BIGINT, purchase_id BIGINT",
+        tiebreak="event_id",
+    )
+    got = set()
+
+    def collect(bdf, _bid):
+        got.update(
+            (r.user_id, r.start_id, r.n_pairs, r.purchase_id) for r in bdf.collect()
+        )
+
+    run_to_completion(out, collect, mode="append")
+
+    per_user = {}
+    for uid, eid, et, ts in rows:
+        per_user.setdefault(uid, []).append(
+            {"ts": ts, "event_type": et, "event_id": eid}
+        )
+    all_matches = set()
+    closed_midstream = set()
+    # a match is guaranteed emittable once a LATER batch's watermark
+    # passes its last event: require the last event to precede the final
+    # file by more than the 30s watermark delay (+jitter margin)
+    horizon = rows[3 * quarter][3] - timedelta(seconds=40)
+    for uid, evs in per_user.items():
+        evs.sort(key=lambda x: (x["ts"], x["event_id"]))
+        for m in find_matches(make_pattern(), evs, ts_key="ts"):
+            row = (uid, m["c"][0]["event_id"], len(m["c"]), m["p"][0]["event_id"])
+            all_matches.add(row)
+            if max(x["ts"] for v in m.values() for x in v) < horizon:
+                closed_midstream.add(row)
+    assert got <= all_matches  # soundness: never a non-batch match
+    assert closed_midstream <= got  # completeness for mid-stream closures
+    assert len(closed_midstream) > 5
