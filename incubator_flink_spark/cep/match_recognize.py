@@ -134,69 +134,80 @@ def _append_scalar(built: Pattern | None, tok: str, define: dict[str, Callable],
     return built
 
 
+def _attach_group(built: Pattern | None, sub: Pattern, quant: str | None, strict: bool) -> Pattern:
+    if built is None:
+        built = Pattern.begin(sub)
+    elif strict:
+        built = built.next(sub)
+    else:
+        built = built.followed_by(sub)
+    if quant in ("+", "*"):
+        raise ValueError(
+            f"greedy group quantifier '(...){quant}' is not supported "
+            "(Pattern.java checkIfNoGroupPattern); use the reluctant "
+            f"spelling '(...){quant}?'"
+        )
+    if quant == "+?":
+        built = built.one_or_more()
+    elif quant == "*?":
+        built = built.one_or_more().optional()
+    elif quant == "?":
+        built = built.optional()
+    elif quant and quant.startswith("{"):
+        qm = re.fullmatch(r"\{(\d+)(?:,(\d+))?\}", quant)
+        n = int(qm.group(1))
+        built = built.times(n, int(qm.group(2)) if qm.group(2) else n)
+    if strict and quant and quant != "?":
+        # SQL row patterns are REGEX concatenation: the group's
+        # iterations are strictly contiguous, not SKIP_TILL_NEXT
+        built = built.consecutive()
+    return built
+
+
+def _parse_seq(
+    toks: list[str], i: int, define: dict[str, Callable], strict: bool
+) -> tuple[Pattern | None, int]:
+    """Parse pattern items until an unmatched ')' or end of tokens;
+    recursive descent, so groups NEST — ``((A B)+? C){2}`` — mirroring
+    the reference's recursive group compilation (NFACompiler
+    createGroupPatternState)."""
+    built: Pattern | None = None
+    while i < len(toks) and not toks[i].startswith(")"):
+        if toks[i] == "(":
+            sub, j = _parse_seq(toks, i + 1, define, strict)
+            if j >= len(toks) or not toks[j].startswith(")"):
+                raise ValueError("unbalanced '(' in pattern")
+            if sub is None:
+                raise ValueError("empty group in pattern")
+            quant = toks[j][1:] or None
+            built = _attach_group(built, sub, quant, strict)
+            i = j + 1
+        else:
+            built = _append_scalar(built, toks[i], define, strict)
+            i += 1
+    return built, i
+
+
 def parse_pattern(pattern: str, define: dict[str, Callable], strict: bool = False) -> Pattern:
     """Row-pattern text → Pattern.  Beyond the scalar token grammar,
-    one level of PARENTHESIZED GROUPS is supported — ``(A B)+? C`` /
-    ``(A B){2}`` — compiling to the engine's GroupPattern
-    (GroupPattern.java:30; a Spark-side superset: the reference's SQL
-    surface rejects grouped quantifiers, its CEP library accepts them).
-    Because the reference forbids GREEDY groups (Pattern.java
-    checkIfNoGroupPattern), the greedy spellings ``(..)+``/``(..)*``
-    raise — use the reluctant ``+?``/``*?`` forms."""
+    PARENTHESIZED GROUPS are supported — ``(A B)+? C`` / ``(A B){2}`` —
+    and nest — ``((A B)+? C){2}`` — compiling to the engine's
+    (recursively compiled) GroupPattern (GroupPattern.java:30; a
+    Spark-side superset: the reference's SQL surface rejects grouped
+    quantifiers, its CEP library accepts them).  Because the reference
+    forbids GREEDY groups (Pattern.java checkIfNoGroupPattern), the
+    greedy spellings ``(..)+``/``(..)*`` raise — use the reluctant
+    ``+?``/``*?`` forms."""
     toks = _PTOKEN.findall(pattern)
     if not toks:
         raise ValueError("empty pattern")
     if "".join(toks).replace(" ", "") != pattern.replace(" ", ""):
         raise ValueError(f"bad pattern: {pattern!r}")
-    built: Pattern | None = None
-    i = 0
-    while i < len(toks):
-        if toks[i] == "(":
-            j = i + 1
-            sub_toks: list[str] = []
-            while j < len(toks) and not toks[j].startswith(")"):
-                if toks[j] == "(":
-                    raise ValueError("nested group patterns are not supported")
-                sub_toks.append(toks[j])
-                j += 1
-            if j >= len(toks):
-                raise ValueError(f"unbalanced '(' in pattern: {pattern!r}")
-            if not sub_toks:
-                raise ValueError("empty group in pattern")
-            quant = toks[j][1:] or None
-            sub: Pattern | None = None
-            for t in sub_toks:
-                sub = _append_scalar(sub, t, define, strict)
-            if built is None:
-                built = Pattern.begin(sub)
-            elif strict:
-                built = built.next(sub)
-            else:
-                built = built.followed_by(sub)
-            if quant in ("+", "*"):
-                raise ValueError(
-                    f"greedy group quantifier '(...){quant}' is not supported "
-                    "(Pattern.java checkIfNoGroupPattern); use the reluctant "
-                    f"spelling '(...){quant}?'"
-                )
-            if quant == "+?":
-                built = built.one_or_more()
-            elif quant == "*?":
-                built = built.one_or_more().optional()
-            elif quant == "?":
-                built = built.optional()
-            elif quant and quant.startswith("{"):
-                qm = re.fullmatch(r"\{(\d+)(?:,(\d+))?\}", quant)
-                n = int(qm.group(1))
-                built = built.times(n, int(qm.group(2)) if qm.group(2) else n)
-            if strict and quant and quant != "?":
-                # SQL row patterns are REGEX concatenation: the group's
-                # iterations are strictly contiguous, not SKIP_TILL_NEXT
-                built = built.consecutive()
-            i = j + 1
-        else:
-            built = _append_scalar(built, toks[i], define, strict)
-            i += 1
+    built, i = _parse_seq(toks, 0, define, strict)
+    if i < len(toks):
+        raise ValueError(f"unbalanced ')' in pattern: {pattern!r}")
+    if built is None:
+        raise ValueError("empty pattern")
     return built
 
 
@@ -208,14 +219,20 @@ def _apply_skip(p, after_match_skip):
     """AFTER MATCH strategy → Pattern skip config.  ``True`` = SKIP PAST
     LAST ROW (the SQL default), ``False`` = SKIP TO NEXT ROW
     (AfterMatchSkipStrategy.skipToNext — at most one match per start
-    row, NOT the library-only NO_SKIP which also emits same-start
-    alternatives), ``("skip_to_first"|"skip_to_last", var)`` = SKIP TO
-    FIRST/LAST var — all SQL-spellable AfterMatchSkipStrategy
-    variants."""
+    row), ``"no_skip"`` = the library-only NO_SKIP that also emits
+    same-start alternatives (every reluctant-loop prefix),
+    ``("skip_to_first"|"skip_to_last", var)`` = SKIP TO FIRST/LAST var.
+
+    BEHAVIOR CHANGE (r7): ``False`` used to mean NO_SKIP; it now maps to
+    SKIP TO NEXT ROW per the SQL spelling it documents — callers wanting
+    the old every-alternative enumeration must pass ``"no_skip"``
+    explicitly (also noted in COVERAGE.md)."""
     if after_match_skip is True:
         return p.after_match_skip_past_last_event()
     if after_match_skip is False:
         return p.after_match_skip_to_next()
+    if after_match_skip == "no_skip":
+        return p  # Pattern default: NO_SKIP
     if isinstance(after_match_skip, tuple) and len(after_match_skip) == 2:
         strat, stage = after_match_skip
         if strat == "skip_to_first":
@@ -224,7 +241,8 @@ def _apply_skip(p, after_match_skip):
             return p.after_match_skip_to_last(stage)
     raise ValueError(
         f"unsupported after_match_skip {after_match_skip!r}: use True (past last row), "
-        "False (to next row), or ('skip_to_first'|'skip_to_last', variable)"
+        "False (to next row), 'no_skip' (library-only: all same-start alternatives), "
+        "or ('skip_to_first'|'skip_to_last', variable)"
     )
 
 

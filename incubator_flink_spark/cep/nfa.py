@@ -158,30 +158,35 @@ def _stage_matches(
         # skipping matching events too (SKIP_TILL_ANY). greedy: only the
         # maximal extension of each run is yielded. until: the scan for
         # further repeats stops at the first event where the until
-        # condition fires.
-        def extend(taken: list[int], idx: int):
-            ref = events[taken[0]][ts_key]
-            extended = False
-            if len(taken) < max_t:
-                j = idx
-                while j < len(events):
-                    ctx = ctx_for(taken, j)
-                    if stage.until_fires(events[j], ctx):
-                        break
-                    if stage.accepts(events[j], ctx):
-                        if in_window(j, ref):
-                            extended = True
-                            yield from extend(taken + [j], j + 1)
-                        if not stage.combinations:
-                            break  # a matching event cannot be skipped
-                    elif stage.inner_strict:
-                        # consecutive(): repeats strictly contiguous — a
-                        # non-matching event at the next position ends
-                        # the run (Pattern.java consecutive:477)
-                        break
-                    j += 1
-            if len(taken) >= stage.min_times and not (stage.greedy and extended):
-                yield (taken[-1] + 1, list(taken))
+        # condition fires.  Explicit stack, not recursion: a hot key with
+        # a run of thousands of contiguous repeats must not trip Python's
+        # recursion limit (one stack entry per accepted repeat).
+        def extend(taken0: list[int], idx0: int):
+            stack = [(taken0, idx0)]
+            while stack:
+                taken, idx = stack.pop()
+                ref = events[taken[0]][ts_key]
+                extended = False
+                if len(taken) < max_t:
+                    j = idx
+                    while j < len(events):
+                        ctx = ctx_for(taken, j)
+                        if stage.until_fires(events[j], ctx):
+                            break
+                        if stage.accepts(events[j], ctx):
+                            if in_window(j, ref):
+                                extended = True
+                                stack.append((taken + [j], j + 1))
+                            if not stage.combinations:
+                                break  # a matching event cannot be skipped
+                        elif stage.inner_strict:
+                            # consecutive(): repeats strictly contiguous — a
+                            # non-matching event at the next position ends
+                            # the run (Pattern.java consecutive:477)
+                            break
+                        j += 1
+                if len(taken) >= stage.min_times and not (stage.greedy and extended):
+                    yield (taken[-1] + 1, list(taken))
 
         j = start_idx
         while j < len(events):
@@ -249,12 +254,18 @@ def _group_matches(
     between iterations the group's loop contiguity applies
     (consecutive → STRICT, allowCombinations → SKIP_TILL_ANY, default
     SKIP_TILL_NEXT against the iteration's first taking stage).  Inner
-    stages keep their own contiguity/quantifiers within an iteration.
-    A group-level until() guards EVERY inner stage's take/ignore
-    (NFACompiler getTakeCondition:950/getIgnoreCondition:932 extend with
-    NOT(until) while compiling a group body), so the sub-automaton's
-    consumption stops at the first until-firing event.  taken_map
-    accumulates inner stage name → event indices across iterations."""
+    stages keep their own contiguity/quantifiers within an iteration —
+    including NESTED group stages (the reference compiles group bodies
+    recursively: NFACompiler createGroupPatternState calls back into the
+    generic state construction, so ``((a b)+ c)+`` is legal); nesting
+    recurses through _matches_for.  A group-level until() guards EVERY
+    inner stage's take/ignore (NFACompiler getTakeCondition:950/
+    getIgnoreCondition:932 extend with NOT(until) while compiling a group
+    body), so the sub-automaton's consumption stops at the first
+    until-firing event; across nesting levels untils compose by OR (an
+    outer group's until also stops every nested sub-automaton).
+    taken_map accumulates inner LEAF stage name → event indices across
+    iterations (group stage names never capture)."""
     from dataclasses import replace
 
     sub = stage.sub_stages
@@ -284,25 +295,33 @@ def _group_matches(
             eff = replace(st, contiguity=entry_contig) if pending else st
             if stage.until_cond is not None:
                 eff = replace(eff, until_cond=_merge_until(st.until_cond, stage.until_cond))
-            for nxt, taken in _stage_matches(
+            for nxt, tmap in _matches_for(
                 eff, entry_is_start and pending, events, p, ft, within_s, ts_key, cap_k
             ):
+                all_i = sorted(i for v in tmap.values() for i in v)
                 ft2 = ft
-                if taken and ft2 is None:
-                    ft2 = events[taken[0]][ts_key]
+                if all_i and ft2 is None:
+                    ft2 = events[all_i[0]][ts_key]
                 cap2 = dict(cap_k)
-                cap2[st.name] = cap2.get(st.name, []) + [events[i] for i in taken]
                 m2 = dict(m)
-                m2[st.name] = m2.get(st.name, []) + list(taken)
-                yield from dfs(k + 1, nxt, ft2, cap2, m2, pending and not taken)
+                for name, idxs in tmap.items():
+                    cap2[name] = cap2.get(name, []) + [events[i] for i in idxs]
+                    m2[name] = m2.get(name, []) + list(idxs)
+                yield from dfs(k + 1, nxt, ft2, cap2, m2, pending and not all_i)
 
         yield from dfs(0, pos, f_ts, cap, {}, True)
 
-    def iterate(pos, f_ts, cap, acc, count):
+    # explicit stack, not recursion: a hot key with thousands of
+    # contiguous iterations (× inner-stage frames) must not trip Python's
+    # recursion limit — one stack entry per group iteration, DFS depth
+    # now bounded by the pattern's stage count only (ADVICE r7)
+    stack = [(start_idx, first_ts, dict(capture), {}, 0)]
+    while stack:
+        pos, f_ts, cap, acc, count = stack.pop()
         if count >= stage.min_times and count > 0:
             yield (pos, {k: list(v) for k, v in acc.items()})
         if count >= max_t:
-            return
+            continue
         contig = stage.contiguity if count == 0 else loop_contig
         for nxt, m, ft2 in one_iteration(
             pos, contig, is_start and count == 0, f_ts, cap
@@ -312,9 +331,7 @@ def _group_matches(
             for name, idxs in m.items():
                 cap2[name] = cap2.get(name, []) + [events[i] for i in idxs]
                 acc2[name] = acc2.get(name, []) + list(idxs)
-            yield from iterate(nxt, ft2, cap2, acc2, count + 1)
-
-    yield from iterate(start_idx, first_ts, dict(capture), {}, 0)
+            stack.append((nxt, ft2, cap2, acc2, count + 1))
 
 
 def _group_partial_captures(
@@ -358,21 +375,37 @@ def _group_partial_captures(
             eff = replace(st, contiguity=entry_contig) if pending else st
             if stage.until_cond is not None:
                 eff = replace(eff, until_cond=_merge_until(st.until_cond, stage.until_cond))
-            for nxt, taken in _stage_matches(
+            if st.sub_stages is not None:
+                # a NESTED group can itself be mid-iteration when the
+                # window expires: surface its partial capture maps too
+                for acc_n in _group_partial_captures(
+                    eff, entry_is_start and pending, events, p, ft, within_s, ts_key, cap_k
+                ):
+                    m2 = dict(m)
+                    for name, idxs in acc_n.items():
+                        m2[name] = m2.get(name, []) + list(idxs)
+                    if any(m2.values()):
+                        yield (m2, p, ft, False)
+            for nxt, tmap in _matches_for(
                 eff, entry_is_start and pending, events, p, ft, within_s, ts_key, cap_k
             ):
+                all_i = sorted(i for v in tmap.values() for i in v)
                 ft2 = ft
-                if taken and ft2 is None:
-                    ft2 = events[taken[0]][ts_key]
+                if all_i and ft2 is None:
+                    ft2 = events[all_i[0]][ts_key]
                 cap2 = dict(cap_k)
-                cap2[st.name] = cap2.get(st.name, []) + [events[i] for i in taken]
                 m2 = dict(m)
-                m2[st.name] = m2.get(st.name, []) + list(taken)
-                yield from dfs(k + 1, nxt, ft2, cap2, m2, pending and not taken)
+                for name, idxs in tmap.items():
+                    cap2[name] = cap2.get(name, []) + [events[i] for i in idxs]
+                    m2[name] = m2.get(name, []) + list(idxs)
+                yield from dfs(k + 1, nxt, ft2, cap2, m2, pending and not all_i)
 
         yield from dfs(0, pos, f_ts, cap, {}, True)
 
-    def walk(pos, f_ts, cap, acc, count):
+    # explicit stack (same recursion-limit rationale as _group_matches)
+    stack = [(start_idx, first_ts, dict(capture), {}, 0)]
+    while stack:
+        pos, f_ts, cap, acc, count = stack.pop()
         contig = stage.contiguity if count == 0 else loop_contig
         for m, nxt, ft2, complete in one_iter_states(
             pos, contig, is_start and count == 0, f_ts, cap
@@ -385,9 +418,7 @@ def _group_partial_captures(
                 cap2 = dict(cap)
                 for name, idxs in m.items():
                     cap2[name] = cap2.get(name, []) + [events[i] for i in idxs]
-                yield from walk(nxt, ft2, cap2, acc2, count + 1)
-
-    yield from walk(start_idx, first_ts, dict(capture), {}, 0)
+                stack.append((nxt, ft2, cap2, acc2, count + 1))
 
 
 def _matches_for(
@@ -413,6 +444,19 @@ def _matches_for(
             yield nxt, {stage.name: list(taken)}
 
 
+def _leaf_names(stages: list[Stage], include_negated: bool) -> list[str]:
+    """Scalar (capturing) stage names in declaration order, recursing
+    through nested group bodies; group stage names themselves never
+    capture and are excluded."""
+    names: list[str] = []
+    for s in stages:
+        if s.sub_stages is not None:
+            names.extend(_leaf_names(s.sub_stages, include_negated))
+        elif include_negated or not s.negated:
+            names.append(s.name)
+    return names
+
+
 def _violates_negation(stage: Stage, events: list[dict], lo: int, hi: int, strict_pos: int | None) -> bool:
     """True if a negated stage's predicate fires in the forbidden region.
     strict (notNext): only position strict_pos matters; relaxed
@@ -428,16 +472,13 @@ def _enumerate(pattern: Pattern, events: list[dict], ts_key: str = "ts"):
     after-match skip strategy) and find_timed_out_matches (which needs
     the set of completed start indices)."""
     stages = pattern.stages
-    capture_names: list[str] = []
-    for s in stages:
-        if s.sub_stages is not None:
-            capture_names.extend(x.name for x in s.sub_stages)
-        elif not s.negated:
-            capture_names.append(s.name)
-    if any(s.sub_stages is not None for s in stages) and len(set(capture_names)) != len(
-        capture_names
-    ):
-        raise ValueError(f"duplicate stage names across pattern/groups: {capture_names}")
+    all_names = _leaf_names(stages, include_negated=True)
+    if len(set(all_names)) != len(all_names):
+        # the reference throws MalformedPatternException on ANY duplicate
+        # stage name (NFACompiler checkPatternNameUniqueness) — raising
+        # unconditionally avoids silent append-capture semantics (ADVICE r7)
+        raise ValueError(f"duplicate stage names in pattern: {all_names}")
+    capture_names = _leaf_names(stages, include_negated=False)
     matches: list[tuple[int, int, dict, dict]] = []  # (first, last, capture, stage_idxs)
 
     def merge(capture: dict, stage_idxs: dict, tmap: dict):
@@ -588,28 +629,44 @@ def find_timed_out_matches(
     completed = {first_i for first_i, _, _, _ in _enumerate(pattern, events, ts_key)}
     out: list[dict[str, list[dict]]] = []
 
-    first_stage = stages[0]
-    # a group's partial opens when its first inner stage accepts the event
-    acc_stage = first_stage.sub_stages[0] if first_stage.sub_stages else first_stage
+    # a partial opens at event i when any OPENER stage accepts it — the
+    # openers walk the (possibly nested) stage list past optional stages
+    # (ADVICE r7: a group whose first inner stage is optional can open a
+    # partial via the second inner stage)
+    openers = _openers(stages)
     for i in range(len(events)):
         if i in completed:
             continue
-        if not acc_stage.accepts(events[i], Context({}, acc_stage.name, [], events, i)):
+        if not any(
+            st.accepts(events[i], Context({}, st.name, [], events, i)) for st in openers
+        ):
             continue
         start_ts = events[i][ts_key]
         if now is not None and (now - start_ts).total_seconds() <= pattern.within_s:
             continue  # window still open; may yet complete
         best: dict = {"depth": 0, "events": 0, "cap": None}
+        start_i = i
 
-        def dfs(si: int, start_idx: int, first_ts, capture: dict, nevents: int, start_i: int):
-            if nevents > 0 and (si, nevents) > (best["depth"], best["events"]):
-                best.update(depth=si, events=nevents, cap=dict(capture))
+        def bump(si, n_ev, capture, min_taken):
+            if (
+                min_taken == start_i
+                and n_ev > 0
+                and (si, n_ev) > (best["depth"], best["events"])
+            ):
+                best.update(depth=si, events=n_ev, cap=dict(capture))
+
+        def dfs(si: int, start_idx: int, first_ts, capture: dict, nevents: int, min_taken):
+            """min_taken: index of the partial's first captured event
+            (None while nothing captured) — the partial is pinned to
+            start_i by requiring min_taken == start_i at scoring time,
+            which lets optional leading stages take nothing."""
+            bump(si, nevents, capture, min_taken)
             if si >= len(stages):
                 return
             stage = stages[si]
             if stage.negated:
                 # negation constrains full matches; partials pass through
-                dfs(si + 1, start_idx, first_ts, capture, nevents, start_i)
+                dfs(si + 1, start_idx, first_ts, capture, nevents, min_taken)
                 return
             if stage.sub_stages is not None:
                 # a sub-automaton can time out MID-GROUP: surface partial
@@ -619,19 +676,18 @@ def find_timed_out_matches(
                     stage, si == 0, events, start_idx, first_ts, pattern.within_s, ts_key, capture
                 ):
                     p_idx = sorted(j for v in acc.values() for j in v)
-                    if si == 0 and (not p_idx or p_idx[0] != start_i):
+                    if min_taken is None and (not p_idx or p_idx[0] != start_i):
                         continue
-                    n_ev = nevents + len(p_idx)
-                    if n_ev > 0 and (si, n_ev) > (best["depth"], best["events"]):
-                        ncap = dict(capture)
-                        for name, idxs in acc.items():
-                            ncap[name] = ncap.get(name, []) + [events[j] for j in idxs]
-                        best.update(depth=si, events=n_ev, cap=ncap)
+                    mt = min_taken if min_taken is not None else p_idx[0]
+                    ncap = dict(capture)
+                    for name, idxs in acc.items():
+                        ncap[name] = ncap.get(name, []) + [events[j] for j in idxs]
+                    bump(si, nevents + len(p_idx), ncap, mt)
             for nxt, tmap in _matches_for(
                 stage, si == 0, events, start_idx, first_ts, pattern.within_s, ts_key, capture
             ):
                 all_idx = sorted(j for v in tmap.values() for j in v)
-                if si == 0 and (not all_idx or all_idx[0] != start_i):
+                if min_taken is None and all_idx and all_idx[0] != start_i:
                     continue  # pin the partial to this start event
                 if (
                     all_idx
@@ -644,12 +700,37 @@ def find_timed_out_matches(
                 f_ts = first_ts
                 if all_idx and f_ts is None:
                     f_ts = events[all_idx[0]][ts_key]
+                mt = min_taken
+                if mt is None and all_idx:
+                    mt = all_idx[0]
                 cap = dict(capture)
                 for name, idxs in tmap.items():
                     cap[name] = cap.get(name, []) + [events[j] for j in idxs]
-                dfs(si + 1, nxt, f_ts, cap, nevents + len(all_idx), start_i)
+                dfs(si + 1, nxt, f_ts, cap, nevents + len(all_idx), mt)
 
-        dfs(0, i, None, {}, 0, i)
+        dfs(0, i, None, {}, 0, None)
         if best["cap"]:
             out.append(best["cap"])
+    return out
+
+
+def _openers(stages: list[Stage]) -> list[Stage]:
+    """Stages whose acceptance of an event can OPEN a partial match:
+    collect stages (recursing into group bodies) until the first
+    non-optional positive stage, inclusive — optional stages may take
+    nothing, passing the opening to the next stage; negated stages never
+    capture.  A non-optional group must take at least one event, so it
+    ends the walk after contributing its inner openers."""
+    out: list[Stage] = []
+    for s in stages:
+        if s.negated:
+            continue
+        if s.sub_stages is not None:
+            out.extend(_openers(s.sub_stages))
+            if not s.optional:
+                break
+            continue
+        out.append(s)
+        if not s.optional:
+            break
     return out

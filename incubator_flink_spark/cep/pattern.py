@@ -86,19 +86,19 @@ class Stage:
 def _group_body(sub: "Pattern") -> list[Stage]:
     """Validate and extract a GroupPattern body (GroupPattern.java:30 —
     a whole Pattern used as one stage; NFACompiler compiles it as a
-    sub-automaton).  Supported bodies are linear scalar sequences:
-    nested groups and negated stages are rejected (a group-internal
-    notFollowedBy would need a per-iteration forbidden region the
-    enumerator doesn't model), and a group-level within/skip strategy is
-    meaningless (the OUTER pattern owns both) — all raise rather than
-    silently diverging."""
+    sub-automaton).  Bodies are linear sequences whose stages may
+    themselves be groups — the reference compiles group bodies
+    recursively (NFACompiler createGroupPatternState calls back into
+    generic state construction), so ``((a b)+ c)+`` is legal.  Negated
+    stages are rejected (a group-internal notFollowedBy would need a
+    per-iteration forbidden region the enumerator doesn't model), and a
+    group-level within/skip strategy is meaningless (the OUTER pattern
+    owns both) — both raise rather than silently diverging."""
     if sub.within_s is not None:
         raise ValueError("within() belongs on the outer pattern, not a group body")
     if sub.skip_strategy != NO_SKIP:
         raise ValueError("after-match skip belongs on the outer pattern, not a group body")
     for s in sub.stages:
-        if s.sub_stages is not None:
-            raise ValueError("nested group patterns are not supported")
         if s.negated:
             raise ValueError("negated stages inside a group pattern are not supported")
     return list(sub.stages)

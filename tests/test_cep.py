@@ -1038,8 +1038,10 @@ def test_group_pattern_restrictions():
         (("p", (0,)), ("q", (1,))),
         (("p", (5,)), ("q", (6,))),
     ]
-    with pytest.raises(ValueError, match="nested"):
-        Pattern.begin(Pattern.begin(sub()).times(2))
+    # nested groups are legal (the reference compiles group bodies
+    # recursively — NFACompiler createGroupPatternState) — see
+    # test_nested_group_pattern for behavior
+    Pattern.begin(Pattern.begin(sub()).times(2))
     with pytest.raises(ValueError, match="negated"):
         Pattern.begin(Pattern.begin("a").where(lambda e: True).not_followed_by("n").where(lambda e: True).followed_by("b").where(lambda e: True))
     with pytest.raises(ValueError, match="within"):
@@ -1048,6 +1050,40 @@ def test_group_pattern_restrictions():
     dup = Pattern.begin("a").where(lambda e: True).followed_by(sub())
     with pytest.raises(ValueError, match="duplicate"):
         find_matches(dup, _labeled("ab"))
+
+
+def test_nested_group_pattern():
+    """One level of GROUP NESTING — ``((a b)+ c){1,2}`` with strict inner
+    pair, consecutive loops at both levels (the reference compiles group
+    bodies recursively: NFACompiler createGroupPatternState calls back
+    into generic state construction, so GroupPattern bodies may contain
+    GroupPattern stages).  Expected matches hand-enumerated, independent
+    of both engines."""
+    inner = (
+        Pattern.begin("a")
+        .where(lambda e: e["event_type"] == "a")
+        .next("b")
+        .where(lambda e: e["event_type"] == "b")
+    )
+    body = (
+        Pattern.begin(inner)
+        .one_or_more()
+        .consecutive()
+        .next("c")
+        .where(lambda e: e["event_type"] == "c")
+    )
+    p = Pattern.begin(body).times(1, 2).consecutive()
+    # events: a0 b1 a2 b3 c4 a5 b6 c7
+    got = _group_runs(p, "ababcabc", ["a", "b", "c"])
+    assert got == sorted(
+        [
+            (("a", (0, 2)), ("b", (1, 3)), ("c", (4,))),
+            (("a", (0, 2, 5)), ("b", (1, 3, 6)), ("c", (4, 7))),
+            (("a", (2,)), ("b", (3,)), ("c", (4,))),
+            (("a", (2, 5)), ("b", (3, 6)), ("c", (4, 7))),
+            (("a", (5,)), ("b", (6,)), ("c", (7,))),
+        ]
+    )
 
 
 def test_sql_pattern_group_quantifier(spark):
@@ -1101,6 +1137,170 @@ def test_sql_pattern_group_quantifier(spark):
               DEFINE A AS A.ev = 'a', B AS B.ev = 'b', C AS C.ev = 'c'
             )
         """)
+
+
+def test_sql_pattern_nested_group(spark):
+    """NESTED row-pattern groups through the SQL statement surface:
+    PATTERN (((A B)+? C){1,2}) — a group whose body contains a group,
+    recursive-descent parsed to nested GroupPattern (r8; the reference
+    compiles group bodies recursively via NFACompiler
+    createGroupPatternState)."""
+    import datetime as _dt
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    rows = [("K", i + 1, e) for i, e in enumerate("ababcabc")]
+    env = TableEnvironment(spark)
+    spark.createDataFrame(
+        [(k, _dt.datetime.fromtimestamp(t, _dt.timezone.utc).replace(tzinfo=None), e) for k, t, e in rows],
+        "k STRING, ts TIMESTAMP, ev STRING",
+    ).createOrReplaceTempView("nested_grp_seqs")
+    out = env.sql_query("""
+        SELECT k, a1, c_ts, n_a
+        FROM nested_grp_seqs MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES FIRST(A.ts) AS a1, LAST(C.ts) AS c_ts, COUNT(A.*) AS n_a
+          PATTERN (((A B)+? C){1,2})
+          DEFINE A AS A.ev = 'a', B AS B.ev = 'b', C AS C.ev = 'c'
+        )
+    """).to_df()
+
+    def ep(ts):
+        return int(ts.replace(tzinfo=_dt.timezone.utc).timestamp())
+
+    got = {(ep(r.a1), ep(r.c_ts), r.n_a) for r in out.collect()}
+    # events a1 b2 a3 b4 c5 a6 b7 c8; SQL default AFTER MATCH SKIP PAST
+    # LAST ROW: the first emitted match is the 1-iteration ((a b)+ c) at
+    # a1..c5 (reluctant +? and {1,2} prefer minimal counts; the sort
+    # emits the (first,last)=(0,4) match before (0,7)), then the cursor
+    # jumps past c5 and a6..c8 matches
+    assert got == {(1, 5, 2), (6, 8, 1)}
+
+
+def test_timeout_partial_opens_via_optional_first_inner_stage():
+    """ADVICE r7: if a group's FIRST inner stage is optional, a timed-out
+    partial that opens via the second inner stage must still surface on
+    the timeout side output (openers walk past optional stages)."""
+    from incubator_flink_spark.cep.nfa import find_timed_out_matches
+
+    events = _labeled("bx")  # b@0 opens via gb (ga optional); never completes
+    body = (
+        Pattern.begin("ga")
+        .where(lambda e: e["event_type"] == "a")
+        .optional()
+        .followed_by("gb")
+        .where(lambda e: e["event_type"] == "b")
+    )
+    p = (
+        Pattern.begin(body)
+        .followed_by("end")
+        .where(lambda e: e["event_type"] == "e")
+        .within(100)
+    )
+    partials = find_timed_out_matches(p, events, ts_key="ts")
+    assert any(
+        not m.get("ga") and [e["event_id"] for e in m.get("gb", [])] == [0] for m in partials
+    ), partials
+
+
+def test_duplicate_stage_names_raise_unconditionally():
+    """The reference throws MalformedPatternException on ANY duplicate
+    stage name (NFACompiler checkPatternNameUniqueness) — group-free
+    patterns included (ADVICE r7: the old behavior silently appended
+    captures under the duplicated name)."""
+    import pytest
+
+    p = (
+        Pattern.begin("a")
+        .where(lambda e: e["event_type"] == "a")
+        .followed_by("a")
+        .where(lambda e: e["event_type"] == "b")
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        find_matches(p, _labeled("ab"))
+
+
+def test_group_pattern_hand_pinned_matrices():
+    """Hand-enumerated expectations (independent of BOTH the NFA and the
+    fuzz enumerator — ADVICE r7: the differential oracle shares the
+    _group_matches reading, so pin the contested semantics by hand):
+    allowCombinations loops, relaxed vs relaxed-any ENTRY, and
+    until() × allowCombinations on groups."""
+
+    def pair():
+        return (
+            Pattern.begin("ga")
+            .where(lambda e: e["event_type"] == "a")
+            .next("gb")
+            .where(lambda e: e["event_type"] == "b")
+        )
+
+    # --- allowCombinations loop: iteration 2 may skip a MATCHING pair ---
+    # events a0 b1 a2 b3 a4 b5; pairs (0,1) (2,3) (4,5)
+    p_any = Pattern.begin(pair()).times(1, 2).allow_combinations()
+    assert _group_runs(p_any, "ababab", ["ga", "gb"]) == sorted(
+        [
+            (("ga", (0,)), ("gb", (1,))),
+            (("ga", (2,)), ("gb", (3,))),
+            (("ga", (4,)), ("gb", (5,))),
+            (("ga", (0, 2)), ("gb", (1, 3))),
+            (("ga", (0, 4)), ("gb", (1, 5))),  # skipped the matching (2,3)
+            (("ga", (2, 4)), ("gb", (3, 5))),
+        ]
+    )
+    # default SKIP_TILL_NEXT loop: the a@2 (matching the iteration's
+    # first taking stage) cannot sit in the inter-iteration gap
+    p_next = Pattern.begin(pair()).times(1, 2)
+    assert _group_runs(p_next, "ababab", ["ga", "gb"]) == sorted(
+        [
+            (("ga", (0,)), ("gb", (1,))),
+            (("ga", (2,)), ("gb", (3,))),
+            (("ga", (4,)), ("gb", (5,))),
+            (("ga", (0, 2)), ("gb", (1, 3))),
+            (("ga", (2, 4)), ("gb", (3, 5))),
+        ]
+    )
+
+    # --- entry contiguity: followedByAny may skip a matching entry -------
+    # events s0 a1 b2 a3 b4
+    lead_any = (
+        Pattern.begin("s")
+        .where(lambda e: e["event_type"] == "s")
+        .followed_by_any(pair())
+    )
+    assert _group_runs(lead_any, "sabab", ["s", "ga", "gb"]) == sorted(
+        [
+            (("s", (0,)), ("ga", (1,)), ("gb", (2,))),
+            (("s", (0,)), ("ga", (3,)), ("gb", (4,))),
+        ]
+    )
+    lead_next = (
+        Pattern.begin("s")
+        .where(lambda e: e["event_type"] == "s")
+        .followed_by(pair())
+    )
+    assert _group_runs(lead_next, "sabab", ["s", "ga", "gb"]) == [
+        (("s", (0,)), ("ga", (1,)), ("gb", (2,))),
+    ]
+
+    # --- until() beats allowCombinations: the RELAXED_ANY loop scan still
+    # dies at the until event (take AND ignore guarded with NOT(until),
+    # NFACompiler.java:932,950) --------------------------------------------
+    # events a0 b1 u2 a3 b4
+    p_u = (
+        Pattern.begin(pair())
+        .times(1, 2)
+        .allow_combinations()
+        .until(lambda e: e["event_type"] == "u")
+    )
+    assert _group_runs(p_u, "abuab", ["ga", "gb"]) == sorted(
+        [
+            (("ga", (0,)), ("gb", (1,))),
+            (("ga", (3,)), ("gb", (4,))),  # fresh start past the until
+            # NOT ((0,3),(1,4)): the inter-iteration scan cannot cross u@2
+        ]
+    )
 
 
 def test_group_pattern_timeout_partials():

@@ -240,15 +240,19 @@ def ref_find_matches(pattern, events, ts_key="ts"):
                 eff = _rp(st, contiguity=contig) if pending else st
                 if g.until_cond is not None:
                     # group until guards every inner take/ignore
-                    # (NFACompiler getTakeCondition:950/getIgnoreCondition:932)
+                    # (NFACompiler getTakeCondition:950/getIgnoreCondition:932);
+                    # across nesting levels untils compose by OR
                     eff = _rp(eff, until_cond=_ored_until(st.until_cond, g.until_cond))
-                for tup, nq in gen_stage(eff, entry_si if pending else 1, q, fi2, cap2):
-                    fi3 = fi2 if fi2 is not None else (tup[0] if tup else None)
+                # gen_any recurses for NESTED group inner stages
+                for tmap, nq in gen_any(eff, entry_si if pending else 1, q, fi2, cap2):
+                    all_i = sorted(i for v in tmap.values() for i in v)
+                    fi3 = fi2 if fi2 is not None else (all_i[0] if all_i else None)
                     c3 = dict(cap2)
-                    c3[st.name] = c3.get(st.name, []) + [events[i] for i in tup]
                     m2 = dict(m)
-                    m2[st.name] = m2.get(st.name, []) + list(tup)
-                    yield from d(k + 1, nq, fi3, c3, m2, pending and not tup)
+                    for name, idxs in tmap.items():
+                        c3[name] = c3.get(name, []) + [events[i] for i in idxs]
+                        m2[name] = m2.get(name, []) + list(idxs)
+                    yield from d(k + 1, nq, fi3, c3, m2, pending and not all_i)
 
             yield from d(0, p, fi, cap, {}, True)
 
@@ -330,12 +334,16 @@ def ref_find_matches(pattern, events, ts_key="ts"):
         if key not in seen:
             seen.add(key)
             uniq.append((first_i, last_i, sidx))
-    stage_order = []
-    for s in stages:
-        if s.sub_stages is not None:
-            stage_order.extend(x.name for x in s.sub_stages)
-        else:
-            stage_order.append(s.name)
+    def leaf_names(ss):
+        out = []
+        for s in ss:
+            if s.sub_stages is not None:
+                out.extend(leaf_names(s.sub_stages))
+            else:
+                out.append(s.name)
+        return out
+
+    stage_order = leaf_names(stages)
     uniq.sort(
         key=lambda m: (m[0], m[1], tuple(tuple(m[2].get(nm, ())) for nm in stage_order))
     )
@@ -501,6 +509,71 @@ def _rand_group_pattern(rng):
     if rng.random() < 0.3:
         p.within(3 * rng.randint(2, 6))
     return p
+
+
+def _rand_nested_group(rng, gi):
+    """A group body that CONTAINS a group stage (nested GroupPattern —
+    the reference compiles group bodies recursively, NFACompiler
+    createGroupPatternState): optional scalar lead, a quantified nested
+    group, optional scalar tail."""
+
+    def pred(ch):
+        return lambda e, c=ch: e["label"] == c
+
+    inner = _rand_group(rng, 10 + gi)  # distinct leaf-name namespace
+    if rng.random() < 0.4:
+        sub = Pattern.begin(f"g{gi}_L").where(pred(rng.choice("ab")))
+        link = rng.choice(["followed_by", "next", "followed_by_any"])
+        getattr(sub, link)(inner)
+    else:
+        sub = Pattern.begin(inner)
+    _apply_group_quant(sub, rng)
+    if rng.random() < 0.5:
+        sub.followed_by(f"g{gi}_T").where(pred(rng.choice("abc")))
+    return sub
+
+
+def _rand_nested_pattern(rng):
+    def pred(ch):
+        return lambda e, c=ch: e["label"] == c
+
+    if rng.random() < 0.35:
+        p = Pattern.begin("s0").where(pred(rng.choice("ab")))
+        link = rng.choice(["followed_by", "next", "followed_by_any"])
+        getattr(p, link)(_rand_nested_group(rng, 0))
+    else:
+        p = Pattern.begin(_rand_nested_group(rng, 0))
+    _apply_group_quant(p, rng)
+    if rng.random() < 0.4:
+        p.followed_by("s9").where(pred(rng.choice("abc")))
+    skip = rng.choice(["none", "none", "past", "next"])
+    if skip == "past":
+        p.after_match_skip_past_last_event()
+    elif skip == "next":
+        p.after_match_skip_to_next()
+    if rng.random() < 0.3:
+        p.within(3 * rng.randint(2, 6))
+    return p
+
+
+def test_fuzz_nested_group_patterns_vs_reference_enumerator():
+    """NESTED GroupPattern fuzz: a group whose body contains a group
+    (``((a b)+ c)+`` shapes) — nested quantifiers × contiguity modes ×
+    group until × skip strategies, cross-checked against the independent
+    validation enumerator (which recurses through gen_any)."""
+    rng = random.Random(8_2026)
+    divergences = []
+    for case in range(400):
+        n = rng.randint(5, 10)
+        alphabet = "aabbcu" if rng.random() < 0.4 else "aabbc"
+        seq = "".join(rng.choice(alphabet) for _ in range(n))
+        events = _events(seq)
+        pattern = _rand_nested_pattern(rng)
+        got = _nfa_keys(pattern, events)
+        want = _ref_keys(pattern, events)
+        if got != want:
+            divergences.append((case, seq, _describe(pattern), got, want))
+    assert not divergences, f"{len(divergences)} divergences; first: {divergences[0]}"
 
 
 def _apply_group_quant(p, rng):
