@@ -36,8 +36,19 @@ def _date_dim() -> pd.DataFrame:
     rows = []
     for i in range(days):
         d = start + datetime.timedelta(days=i)
-        rows.append((i + 1, d, i // 7 + 5200, d.year))
-    return pd.DataFrame(rows, columns=["d_date_sk", "d_date", "d_week_seq", "d_year"])
+        # d_month_seq follows dsdgen's convention (Jan 2000 = 1200)
+        rows.append(
+            (i + 1, d, i // 7 + 5200, d.year, d.month, d.day,
+             (d.month - 1) // 3 + 1, (d.year - 1900) * 12 + d.month - 1)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["d_date_sk", "d_date", "d_week_seq", "d_year", "d_moy", "d_dom", "d_qoy", "d_month_seq"],
+    )
+
+
+def _date_sk(date: datetime.date) -> int:
+    return (date - datetime.date(1998, 12, 28)).days + 1
 
 
 def _gen_tables() -> dict[str, pd.DataFrame]:
@@ -160,6 +171,28 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     )
     ws = sales("ws", WS_ROWS, "ws_order_number", "ws_bill_customer_sk")
 
+    # ---- round-8 additions (q14/q23/q39/q67/q95): a SEPARATE rng keeps
+    # every pre-existing draw identical, so the r7 tests see the same data
+    rng2 = np.random.RandomState(777)
+    cs["cs_list_price"] = rng2.randint(4, 401, CS_ROWS) * 0.25
+    ws["ws_list_price"] = rng2.randint(4, 401, WS_ROWS) * 0.25
+    ws["ws_warehouse_sk"] = rng2.randint(1, WAREHOUSES + 1, WS_ROWS)
+    ws["ws_ship_date_sk"] = ws["ws_sold_date_sk"] + rng2.randint(1, 16, WS_ROWS)
+    ws["ws_ship_addr_sk"] = rng2.randint(1, n_addr + 1, WS_ROWS)
+    ws["ws_web_site_sk"] = rng2.randint(1, 5, WS_ROWS)
+    ws["ws_ext_ship_cost"] = rng2.randint(4, 200, WS_ROWS) * 0.25
+    ws["ws_net_profit"] = rng2.randint(-100, 400, WS_ROWS) * 0.25
+    # q95 needs multi-warehouse web orders: rows 0..399 pair up into 200
+    # two-line orders with DIFFERENT warehouses (before wr is sampled,
+    # so returns stay consistent with the remapped order numbers)
+    ws.loc[: 400 - 1, "ws_order_number"] = 100000 + np.arange(400) // 2
+    ws.loc[: 400 - 1, "ws_warehouse_sk"] = np.tile([1, 2], 200)
+    # ...and 60 of those pair-rows ship to IL addresses via site 'pri'
+    # inside the q95 date window (Feb-Apr 1999)
+    ws.loc[: 60 - 1, "ws_ship_date_sk"] = _date_sk(datetime.date(1999, 2, 15))
+    ws.loc[: 60 - 1, "ws_ship_addr_sk"] = rng2.randint(1, 16, 60)
+    ws.loc[: 60 - 1, "ws_web_site_sk"] = 1
+
     def returns(sdf, prefix, rprefix, order_col, rorder_col, amt_col):
         ret = sdf.sample(frac=0.3, random_state=7)[
             [f"{prefix}_item_sk", order_col, f"{prefix}_quantity"]
@@ -180,7 +213,126 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     sr = returns(ss, "ss", "sr", "ss_ticket_number", "sr_ticket_number", "sr_return_amt")
     wr = returns(ws, "ws", "wr", "ws_order_number", "wr_order_number", "wr_return_amt")
 
+    # ---- round-8 schema/table extensions (new columns via rng2 only) ----
+    item["i_brand"] = [f"brand{b}" for b in item.i_brand_id]
+    item["i_class"] = [f"class{c}" for c in item.i_class_id]
+    store["s_store_id"] = [f"S{i:03d}" for i in store.s_store_sk]
+    ca["ca_state"] = rng2.choice(["IL", "CA", "TX", "GA"], len(ca))
+    ca.loc[:14, "ca_state"] = "IL"  # q95 ship addresses 1..15
+    customer["c_first_name"] = [f"First{i % 40}" for i in customer.c_customer_sk]
+    customer["c_last_name"] = [f"Last{i % 60}" for i in customer.c_customer_sk]
+    web_site = pd.DataFrame(
+        {
+            "web_site_sk": np.arange(1, 5),
+            "web_company_name": ["pri", "pri", "able", "ese"],
+        }
+    )
+    # q39 wants within-month inventory variance: half the items turn
+    # BURSTY (mostly zero with occasional spikes → cov > 1), the rest
+    # stay steady (cov << 1).  Overwrite only the VALUES (draw counts via
+    # rng2), leaving the original rng stream untouched.
+    bursty = (inv.inv_item_sk % 2 == 0).to_numpy()
+    spike = rng2.rand(len(inv)) < 0.2
+    qty = np.where(spike, rng2.randint(40, 120, len(inv)), 0)
+    inv["inv_quantity_on_hand"] = np.where(
+        bursty, qty, rng2.randint(10, 21, len(inv))
+    ).astype(np.int64)
+
+    # q95: guarantee some qualifying pair-orders have web returns
+    wr_inject = ws.iloc[:20][["ws_item_sk", "ws_order_number"]].rename(
+        columns={"ws_item_sk": "wr_item_sk", "ws_order_number": "wr_order_number"}
+    )
+    wr_inject["wr_return_quantity"] = 1
+    wr_inject["wr_return_amt"] = rng2.randint(1, 40, len(wr_inject)) * 0.25
+    wr = pd.concat([wr, wr_inject], ignore_index=True)
+
+    # q23: force frequent store items (count>4 per item+date), a tight
+    # best-customer set (4 customers with near-equal dominant store
+    # sales), and catalog/web purchases by them in Feb 2000
+    q23_dates = [_date_sk(datetime.date(2000, 2, 10)), _date_sk(datetime.date(2000, 5, 3)),
+                 _date_sk(datetime.date(2000, 9, 17))]
+    q23_rows = []
+    for it in (1, 2, 3):
+        for dsk in q23_dates:
+            for k in range(8):  # 8 rows: count(*) > 4 and 2 rows per customer
+                q23_rows.append((it, dsk, 1 + (k % 4)))
+    ss_inject = pd.DataFrame(q23_rows, columns=["ss_item_sk", "ss_sold_date_sk", "ss_customer_sk"])
+    n_inj = len(ss_inject)
+    ss_inject["ss_ticket_number"] = 900000 + np.arange(n_inj)
+    ss_inject["ss_quantity"] = 50
+    ss_inject["ss_ext_sales_price"] = 100.0
+    ss_inject["ss_wholesale_cost"] = 50.0
+    ss_inject["ss_sales_price"] = 2500.0  # 50*2500 = 125k/row ⇒ base noise < 5%
+    ss_inject["ss_store_sk"] = 1
+    ss_inject["ss_cdemo_sk"] = 1
+    ss_inject["ss_hdemo_sk"] = 1
+    ss_inject["ss_addr_sk"] = 1
+    ss_inject["ss_promo_sk"] = 1
+    ss_inject["ss_list_price"] = 100.0
+    ss_inject["ss_coupon_amt"] = 0.0
+    feb2000 = _date_sk(datetime.date(2000, 2, 20))
+    cs_inject = pd.DataFrame(
+        {
+            "cs_item_sk": [1, 2, 3, 1, 2, 3],
+            "cs_order_number": 900000 + np.arange(6),
+            "cs_quantity": [5, 6, 7, 8, 9, 10],
+            "cs_ext_sales_price": 100.0,
+            "cs_sold_date_sk": feb2000,
+            "cs_bill_customer_sk": [1, 2, 3, 4, 1, 2],
+            "cs_wholesale_cost": 50.0,
+            "cs_sales_price": 75.0,
+            "cs_ship_date_sk": feb2000 + 7,
+            "cs_bill_cdemo_sk": 1,
+            "cs_bill_hdemo_sk": 1,
+            "cs_promo_sk": 1,
+            "cs_ext_list_price": 500.0,
+            "cs_list_price": [20.0, 30.25, 40.5, 50.75, 60.0, 70.25],
+        }
+    )
+    ws_inject = pd.DataFrame(
+        {
+            "ws_item_sk": [1, 2, 3, 1],
+            "ws_order_number": 910000 + np.arange(4),
+            "ws_quantity": [4, 5, 6, 7],
+            "ws_ext_sales_price": 100.0,
+            "ws_sold_date_sk": feb2000,
+            "ws_bill_customer_sk": [3, 4, 1, 2],
+            "ws_wholesale_cost": 50.0,
+            "ws_sales_price": 75.0,
+            "ws_list_price": [25.0, 35.25, 45.5, 55.75],
+            "ws_warehouse_sk": 1,
+            "ws_ship_date_sk": feb2000 + 5,
+            "ws_ship_addr_sk": 1,
+            "ws_web_site_sk": 2,
+            "ws_ext_ship_cost": 10.0,
+            "ws_net_profit": 5.0,
+        }
+    )
+    # q14b: one (brand,class,category) with above-average store sales in
+    # the weeks containing Dec 11 of 1999 AND 2000 (item 10's triple)
+    q14b_rows = []
+    for dsk in (_date_sk(datetime.date(1999, 12, 11)), _date_sk(datetime.date(2000, 12, 11))):
+        for k in range(6):
+            q14b_rows.append((10, dsk - (k % 3), 20 + k))
+    ss14 = pd.DataFrame(q14b_rows, columns=["ss_item_sk", "ss_sold_date_sk", "ss_customer_sk"])
+    ss14["ss_ticket_number"] = 950000 + np.arange(len(ss14))
+    ss14["ss_quantity"] = 30
+    ss14["ss_ext_sales_price"] = 100.0
+    ss14["ss_wholesale_cost"] = 50.0
+    ss14["ss_sales_price"] = 60.0
+    ss14["ss_store_sk"] = 2
+    ss14["ss_cdemo_sk"] = 2
+    ss14["ss_hdemo_sk"] = 2
+    ss14["ss_addr_sk"] = 2
+    ss14["ss_promo_sk"] = 2
+    ss14["ss_list_price"] = 200.0  # 30*200 = 6k per row ≫ average single sale
+    ss14["ss_coupon_amt"] = 0.0
+    ss = pd.concat([ss, ss_inject, ss14], ignore_index=True)
+    cs = pd.concat([cs, cs_inject], ignore_index=True)
+    ws = pd.concat([ws, ws_inject], ignore_index=True)
+
     return {
+        "web_site": web_site,
         "date_dim": dd,
         "item": item,
         "warehouse": warehouse,
@@ -209,6 +361,10 @@ def tpcds(spark, tmp_path_factory):
 
     root = tmp_path_factory.mktemp("tpcds")
     con = duckdb.connect()
+    # ANSI leaves null ordering to the engine: Spark sorts NULLS FIRST on
+    # ASC, DuckDB defaults NULLS LAST — align them so LIMIT cutoffs under
+    # the templates' ORDER BY (rollup rows carry NULL keys) agree
+    con.execute("SET default_null_order='nulls_first'")
     for name, pdf in _gen_tables().items():
         sdf = spark.createDataFrame(pdf)
         if "d_date" in pdf.columns:
@@ -225,7 +381,7 @@ def tpcds(spark, tmp_path_factory):
     con.close()
 
 
-def _compare(spark, con, sql, ordered, min_rows=1, oracle_sql=None, check_names=True):
+def _compare(spark, con, sql, ordered, min_rows=1, oracle_sql=None, check_names=True, approx=False):
     from incubator_flink_spark.api.table import TableEnvironment
 
     env = TableEnvironment(spark)
@@ -242,13 +398,16 @@ def _compare(spark, con, sql, ordered, min_rows=1, oracle_sql=None, check_names=
     def norm(rows):
         out = []
         for r in rows:
-            out.append(
-                tuple(
-                    float(x) if isinstance(x, (int, float, np.integer, np.floating)) and not isinstance(x, bool)
-                    else x
-                    for x in r
-                )
-            )
+            vals = []
+            for x in r:
+                if isinstance(x, (int, float, np.integer, np.floating)) and not isinstance(x, bool):
+                    x = None if (isinstance(x, (float, np.floating)) and np.isnan(x)) else float(x)
+                    if approx and x is not None:
+                        # stddev_samp merge order differs between engines
+                        # by last-ulp amounts: compare 10 significant digits
+                        x = float(f"{x:.10g}")
+                vals.append(x)
+            out.append(tuple(vals))
         return out
 
     got_n, want_n = norm(got), norm(want)
@@ -580,3 +739,515 @@ def test_tpcds_q64_text(tpcds):
     duplicate output names syear/cnt)."""
     spark, con = tpcds
     _compare(spark, con, Q64, ordered=False, min_rows=1, check_names=False)
+
+
+# ---------------------------------------------------------- round 8 ----
+# Five more distinctive families (VERDICT r7 item 1): q14 (cross-channel
+# INTERSECT + best-selling), q23 (frequent-item / best-customer CTE
+# stack), q39 (inventory stdev correlation), q67 (rollup + windowed rank
+# over it), q95 (EXISTS-chain over multi-warehouse web orders).  Public
+# TPC-DS spec templates with qualification parameters; the only dialect
+# substitutions (same discipline as the reference's TPC-H modified-query
+# dir) are q95's double-quoted output aliases -> plain identifiers and
+# its dsdgen-only "+ N days" date arithmetic -> interval syntax, so ONE
+# text parses on both Spark and DuckDB.
+
+Q14A = """
+with cross_items as
+ (select i_item_sk ss_item_sk
+ from item,
+ (select iss.i_brand_id brand_id
+     ,iss.i_class_id class_id
+     ,iss.i_category_id category_id
+ from store_sales
+     ,item iss
+     ,date_dim d1
+ where ss_item_sk = iss.i_item_sk
+   and ss_sold_date_sk = d1.d_date_sk
+   and d1.d_year between 1999 AND 1999 + 2
+ intersect
+ select ics.i_brand_id
+     ,ics.i_class_id
+     ,ics.i_category_id
+ from catalog_sales
+     ,item ics
+     ,date_dim d2
+ where cs_item_sk = ics.i_item_sk
+   and cs_sold_date_sk = d2.d_date_sk
+   and d2.d_year between 1999 AND 1999 + 2
+ intersect
+ select iws.i_brand_id
+     ,iws.i_class_id
+     ,iws.i_category_id
+ from web_sales
+     ,item iws
+     ,date_dim d3
+ where ws_item_sk = iws.i_item_sk
+   and ws_sold_date_sk = d3.d_date_sk
+   and d3.d_year between 1999 AND 1999 + 2) x
+ where i_brand_id = brand_id
+   and i_class_id = class_id
+   and i_category_id = category_id
+),
+ avg_sales as
+ (select avg(quantity*list_price) average_sales
+  from (select ss_quantity quantity
+             ,ss_list_price list_price
+        from store_sales
+            ,date_dim
+        where ss_sold_date_sk = d_date_sk
+          and d_year between 1999 and 1999 + 2
+        union all
+        select cs_quantity quantity
+             ,cs_list_price list_price
+        from catalog_sales
+            ,date_dim
+        where cs_sold_date_sk = d_date_sk
+          and d_year between 1999 and 1999 + 2
+        union all
+        select ws_quantity quantity
+             ,ws_list_price list_price
+        from web_sales
+            ,date_dim
+        where ws_sold_date_sk = d_date_sk
+          and d_year between 1999 and 1999 + 2) x)
+select channel, i_brand_id,i_class_id,i_category_id,sum(sales),sum(number_sales)
+ from(
+       select 'store' channel, i_brand_id,i_class_id
+             ,i_category_id,sum(ss_quantity*ss_list_price) sales
+             , count(*) number_sales
+       from store_sales
+           ,item
+           ,date_dim
+       where ss_item_sk in (select ss_item_sk from cross_items)
+         and ss_item_sk = i_item_sk
+         and ss_sold_date_sk = d_date_sk
+         and d_year = 1999+2
+         and d_moy = 11
+       group by i_brand_id,i_class_id,i_category_id
+       having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)
+       union all
+       select 'catalog' channel, i_brand_id,i_class_id,i_category_id, sum(cs_quantity*cs_list_price) sales, count(*) number_sales
+       from catalog_sales
+           ,item
+           ,date_dim
+       where cs_item_sk in (select ss_item_sk from cross_items)
+         and cs_item_sk = i_item_sk
+         and cs_sold_date_sk = d_date_sk
+         and d_year = 1999+2
+         and d_moy = 11
+       group by i_brand_id,i_class_id,i_category_id
+       having sum(cs_quantity*cs_list_price) > (select average_sales from avg_sales)
+       union all
+       select 'web' channel, i_brand_id,i_class_id,i_category_id, sum(ws_quantity*ws_list_price) sales , count(*) number_sales
+       from web_sales
+           ,item
+           ,date_dim
+       where ws_item_sk in (select ss_item_sk from cross_items)
+         and ws_item_sk = i_item_sk
+         and ws_sold_date_sk = d_date_sk
+         and d_year = 1999+2
+         and d_moy = 11
+       group by i_brand_id,i_class_id,i_category_id
+       having sum(ws_quantity*ws_list_price) > (select average_sales from avg_sales)
+ ) y
+ group by rollup (channel, i_brand_id,i_class_id,i_category_id)
+ order by channel,i_brand_id,i_class_id,i_category_id
+ limit 100
+"""
+
+
+def test_tpcds_q14a_text(tpcds):
+    """q14a verbatim — 3-channel INTERSECT of (brand,class,category)
+    triples feeding per-channel best-seller sums over a shared
+    avg_sales scalar, rolled up.  Sorted compare: the trailing rollup
+    rows tie on the (NULL-keyed) ORDER BY columns."""
+    spark, con = tpcds
+    _compare(spark, con, Q14A, ordered=False, min_rows=3)
+
+
+Q14B = """
+with cross_items as
+ (select i_item_sk ss_item_sk
+ from item,
+ (select iss.i_brand_id brand_id
+     ,iss.i_class_id class_id
+     ,iss.i_category_id category_id
+ from store_sales
+     ,item iss
+     ,date_dim d1
+ where ss_item_sk = iss.i_item_sk
+   and ss_sold_date_sk = d1.d_date_sk
+   and d1.d_year between 1999 AND 1999 + 2
+ intersect
+ select ics.i_brand_id
+     ,ics.i_class_id
+     ,ics.i_category_id
+ from catalog_sales
+     ,item ics
+     ,date_dim d2
+ where cs_item_sk = ics.i_item_sk
+   and cs_sold_date_sk = d2.d_date_sk
+   and d2.d_year between 1999 AND 1999 + 2
+ intersect
+ select iws.i_brand_id
+     ,iws.i_class_id
+     ,iws.i_category_id
+ from web_sales
+     ,item iws
+     ,date_dim d3
+ where ws_item_sk = iws.i_item_sk
+   and ws_sold_date_sk = d3.d_date_sk
+   and d3.d_year between 1999 AND 1999 + 2) x
+ where i_brand_id = brand_id
+   and i_class_id = class_id
+   and i_category_id = category_id
+),
+ avg_sales as
+ (select avg(quantity*list_price) average_sales
+  from (select ss_quantity quantity
+             ,ss_list_price list_price
+        from store_sales
+            ,date_dim
+        where ss_sold_date_sk = d_date_sk
+          and d_year between 1999 and 1999 + 2
+        union all
+        select cs_quantity quantity
+             ,cs_list_price list_price
+        from catalog_sales
+            ,date_dim
+        where cs_sold_date_sk = d_date_sk
+          and d_year between 1999 and 1999 + 2
+        union all
+        select ws_quantity quantity
+             ,ws_list_price list_price
+        from web_sales
+            ,date_dim
+        where ws_sold_date_sk = d_date_sk
+          and d_year between 1999 and 1999 + 2) x)
+select this_year.channel ty_channel
+                        ,this_year.i_brand_id ty_brand
+                        ,this_year.i_class_id ty_class
+                        ,this_year.i_category_id ty_category
+                        ,this_year.sales ty_sales
+                        ,this_year.number_sales ty_number_sales
+                        ,last_year.channel ly_channel
+                        ,last_year.i_brand_id ly_brand
+                        ,last_year.i_class_id ly_class
+                        ,last_year.i_category_id ly_category
+                        ,last_year.sales ly_sales
+                        ,last_year.number_sales ly_number_sales
+ from
+ (select 'store' channel, i_brand_id,i_class_id,i_category_id
+        ,sum(ss_quantity*ss_list_price) sales, count(*) number_sales
+ from store_sales
+     ,item
+     ,date_dim
+ where ss_item_sk in (select ss_item_sk from cross_items)
+   and ss_item_sk = i_item_sk
+   and ss_sold_date_sk = d_date_sk
+   and d_week_seq = (select d_week_seq
+                     from date_dim
+                     where d_year = 1999 + 1
+                       and d_moy = 12
+                       and d_dom = 11)
+ group by i_brand_id,i_class_id,i_category_id
+ having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)) this_year,
+ (select 'store' channel, i_brand_id,i_class_id
+        ,i_category_id, sum(ss_quantity*ss_list_price) sales, count(*) number_sales
+ from store_sales
+     ,item
+     ,date_dim
+ where ss_item_sk in (select ss_item_sk from cross_items)
+   and ss_item_sk = i_item_sk
+   and ss_sold_date_sk = d_date_sk
+   and d_week_seq = (select d_week_seq
+                     from date_dim
+                     where d_year = 1999
+                       and d_moy = 12
+                       and d_dom = 11)
+ group by i_brand_id,i_class_id,i_category_id
+ having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)) last_year
+ where this_year.i_brand_id= last_year.i_brand_id
+   and this_year.i_class_id = last_year.i_class_id
+   and this_year.i_category_id = last_year.i_category_id
+ order by this_year.channel, this_year.i_brand_id, this_year.i_class_id, this_year.i_category_id
+ limit 100
+"""
+
+
+def test_tpcds_q14b_text(tpcds):
+    """q14b verbatim — the week-over-year variant: this-year vs last-year
+    store sales for the week containing Dec 11, joined on the INTERSECTed
+    item triples, each leg gated by the shared avg_sales scalar."""
+    spark, con = tpcds
+    _compare(spark, con, Q14B, ordered=False, min_rows=1)
+
+
+Q23A = """
+with frequent_ss_items as
+ (select substr(i_item_desc,1,30) itemdesc,i_item_sk item_sk,d_date solddate,count(*) cnt
+  from store_sales
+      ,date_dim
+      ,item
+  where ss_sold_date_sk = d_date_sk
+    and ss_item_sk = i_item_sk
+    and d_year in (2000,2000+1,2000+2,2000+3)
+  group by substr(i_item_desc,1,30),i_item_sk,d_date
+  having count(*) >4),
+ max_store_sales as
+ (select max(csales) tpcds_cmax
+  from (select c_customer_sk,sum(ss_quantity*ss_sales_price) csales
+        from store_sales
+            ,customer
+            ,date_dim
+        where ss_customer_sk = c_customer_sk
+         and ss_sold_date_sk = d_date_sk
+         and d_year in (2000,2000+1,2000+2,2000+3)
+        group by c_customer_sk) x),
+ best_ss_customer as
+ (select c_customer_sk,sum(ss_quantity*ss_sales_price) ssales
+  from store_sales
+      ,customer
+  where ss_customer_sk = c_customer_sk
+  group by c_customer_sk
+  having sum(ss_quantity*ss_sales_price) > (95/100.0) * (select
+  *
+ from
+ max_store_sales))
+  select sum(sales)
+ from (select cs_quantity*cs_list_price sales
+       from catalog_sales
+           ,date_dim
+       where d_year = 2000
+         and d_moy = 2
+         and cs_sold_date_sk = d_date_sk
+         and cs_item_sk in (select item_sk from frequent_ss_items)
+         and cs_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+      union all
+      select ws_quantity*ws_list_price sales
+       from web_sales
+           ,date_dim
+       where d_year = 2000
+         and d_moy = 2
+         and ws_sold_date_sk = d_date_sk
+         and ws_item_sk in (select item_sk from frequent_ss_items)
+         and ws_bill_customer_sk in (select c_customer_sk from best_ss_customer)) y
+ limit 100
+"""
+
+
+def test_tpcds_q23a_text(tpcds):
+    """q23a verbatim — the frequent-item (count>4 per item+day) /
+    best-customer (within 5% of the max store spend) CTE stack feeding a
+    cross-channel Feb-2000 purchase sum."""
+    spark, con = tpcds
+    _compare(spark, con, Q23A, ordered=True, min_rows=1)
+
+
+Q23B = """
+with frequent_ss_items as
+ (select substr(i_item_desc,1,30) itemdesc,i_item_sk item_sk,d_date solddate,count(*) cnt
+  from store_sales
+      ,date_dim
+      ,item
+  where ss_sold_date_sk = d_date_sk
+    and ss_item_sk = i_item_sk
+    and d_year in (2000,2000+1,2000+2,2000+3)
+  group by substr(i_item_desc,1,30),i_item_sk,d_date
+  having count(*) >4),
+ max_store_sales as
+ (select max(csales) tpcds_cmax
+  from (select c_customer_sk,sum(ss_quantity*ss_sales_price) csales
+        from store_sales
+            ,customer
+            ,date_dim
+        where ss_customer_sk = c_customer_sk
+         and ss_sold_date_sk = d_date_sk
+         and d_year in (2000,2000+1,2000+2,2000+3)
+        group by c_customer_sk) x),
+ best_ss_customer as
+ (select c_customer_sk,sum(ss_quantity*ss_sales_price) ssales
+  from store_sales
+      ,customer
+  where ss_customer_sk = c_customer_sk
+  group by c_customer_sk
+  having sum(ss_quantity*ss_sales_price) > (95/100.0) * (select
+  *
+ from max_store_sales))
+  select c_last_name,c_first_name,sales
+ from (select c_last_name,c_first_name,sum(cs_quantity*cs_list_price) sales
+        from catalog_sales
+            ,customer
+            ,date_dim
+        where d_year = 2000
+         and d_moy = 2
+         and cs_sold_date_sk = d_date_sk
+         and cs_item_sk in (select item_sk from frequent_ss_items)
+         and cs_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+         and cs_bill_customer_sk = c_customer_sk
+       group by c_last_name,c_first_name
+      union all
+      select c_last_name,c_first_name,sum(ws_quantity*ws_list_price) sales
+       from web_sales
+           ,customer
+           ,date_dim
+       where d_year = 2000
+         and d_moy = 2
+         and ws_sold_date_sk = d_date_sk
+         and ws_item_sk in (select item_sk from frequent_ss_items)
+         and ws_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+         and ws_bill_customer_sk = c_customer_sk
+       group by c_last_name,c_first_name) y
+     order by c_last_name,c_first_name,sales
+  limit 100
+"""
+
+
+def test_tpcds_q23b_text(tpcds):
+    """q23b verbatim — same CTE stack, per-customer-name channel sums."""
+    spark, con = tpcds
+    _compare(spark, con, Q23B, ordered=True, min_rows=1)
+
+
+Q39A = """
+with inv as
+(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+       ,stdev,mean, case mean when 0 then null else stdev/mean end cov
+ from(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+            ,stddev_samp(inv_quantity_on_hand) stdev,avg(inv_quantity_on_hand) mean
+      from inventory
+          ,item
+          ,warehouse
+          ,date_dim
+      where inv_item_sk = i_item_sk
+        and inv_warehouse_sk = w_warehouse_sk
+        and inv_date_sk = d_date_sk
+        and d_year =2001
+      group by w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy) foo
+ where case mean when 0 then 0 else stdev/mean end > 1)
+select inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean, inv1.cov
+        ,inv2.w_warehouse_sk,inv2.i_item_sk,inv2.d_moy,inv2.mean, inv2.cov
+from inv inv1,inv inv2
+where inv1.i_item_sk = inv2.i_item_sk
+  and inv1.w_warehouse_sk =  inv2.w_warehouse_sk
+  and inv1.d_moy=1
+  and inv2.d_moy=1+1
+order by inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean,inv1.cov
+        ,inv2.d_moy,inv2.mean, inv2.cov
+"""
+
+Q39B = Q39A.replace(
+    "  and inv1.d_moy=1\n  and inv2.d_moy=1+1",
+    "  and inv1.d_moy=1\n  and inv2.d_moy=1+1\n  and inv1.cov > 1.5",
+)
+
+
+def test_tpcds_q39a_text(tpcds):
+    """q39a verbatim — per-(warehouse,item,month) inventory coefficient of
+    variation (stddev_samp/mean > 1) self-joined Jan-vs-Feb.  Positional
+    columns (the template emits duplicate output names) and 10-sig-digit
+    compare: the engines' stddev merge orders differ by last-ulp."""
+    spark, con = tpcds
+    _compare(spark, con, Q39A, ordered=True, min_rows=2, check_names=False, approx=True)
+
+
+def test_tpcds_q39b_text(tpcds):
+    """q39b verbatim — q39a plus the cov > 1.5 January gate."""
+    spark, con = tpcds
+    _compare(spark, con, Q39B, ordered=True, min_rows=1, check_names=False, approx=True)
+
+
+Q67 = """
+select  *
+from (select i_category
+            ,i_class
+            ,i_brand
+            ,i_product_name
+            ,d_year
+            ,d_qoy
+            ,d_moy
+            ,s_store_id
+            ,sumsales
+            ,rank() over (partition by i_category order by sumsales desc) rk
+      from (select i_category
+                  ,i_class
+                  ,i_brand
+                  ,i_product_name
+                  ,d_year
+                  ,d_qoy
+                  ,d_moy
+                  ,s_store_id
+                  ,sum(coalesce(ss_sales_price*ss_quantity,0)) sumsales
+            from store_sales
+                ,date_dim
+                ,store
+                ,item
+       where  ss_sold_date_sk=d_date_sk
+          and ss_item_sk=i_item_sk
+          and ss_store_sk = s_store_sk
+          and d_month_seq between 1200 and 1200+11
+       group by  rollup(i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,s_store_id))dw1) dw2
+where rk <= 100
+order by i_category
+        ,i_class
+        ,i_brand
+        ,i_product_name
+        ,d_year
+        ,d_qoy
+        ,d_moy
+        ,s_store_id
+        ,sumsales
+        ,rk
+limit 100
+"""
+
+
+def test_tpcds_q67_text(tpcds):
+    """q67 verbatim — 8-level ROLLUP over a year of store sales with a
+    per-category rank() over the rollup rows, top-100.  The fixture pins
+    DuckDB to NULLS FIRST so the LIMIT cutoff under the NULL-keyed ORDER
+    BY agrees with Spark's ASC default."""
+    spark, con = tpcds
+    _compare(spark, con, Q67, ordered=True, min_rows=10)
+
+
+Q95 = """
+with ws_wh as
+(select ws1.ws_order_number,ws1.ws_warehouse_sk wh1,ws2.ws_warehouse_sk wh2
+ from web_sales ws1,web_sales ws2
+ where ws1.ws_order_number = ws2.ws_order_number
+   and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+ select
+   count(distinct ws_order_number) as order_count
+  ,sum(ws_ext_ship_cost) as total_shipping_cost
+  ,sum(ws_net_profit) as total_net_profit
+from
+   web_sales ws1
+  ,date_dim
+  ,customer_address
+  ,web_site
+where
+    d_date between '1999-2-01' and
+           (cast('1999-2-01' as date) + interval '60' day)
+and ws1.ws_ship_date_sk = d_date_sk
+and ws1.ws_ship_addr_sk = ca_address_sk
+and ca_state = 'IL'
+and ws1.ws_web_site_sk = web_site_sk
+and web_company_name = 'pri'
+and ws1.ws_order_number in (select ws_order_number
+                            from ws_wh)
+and ws1.ws_order_number in (select wr_order_number
+                            from web_returns,ws_wh
+                            where wr_order_number = ws_wh.ws_order_number)
+order by count(distinct ws_order_number)
+limit 100
+"""
+
+
+def test_tpcds_q95_text(tpcds):
+    """q95 verbatim (dialect: quoted aliases -> identifiers, '+ 60 days'
+    -> interval) — returned multi-warehouse web orders shipped to IL via
+    site 'pri': a self-join CTE probed through two IN-subqueries."""
+    spark, con = tpcds
+    _compare(spark, con, Q95, ordered=True, min_rows=1)
