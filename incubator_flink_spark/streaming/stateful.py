@@ -516,6 +516,59 @@ def temporal_join_stream(
     )
 
 
+def streaming_multi_distinct(
+    df: DataFrame, keys: list[str], distinct_cols: list[str], total_col: str = "total"
+) -> DataFrame:
+    """Update-mode EXACT ``COUNT(*)`` + ``COUNT(DISTINCT col)...`` per key
+    (Structured Streaming rejects distinct aggregates natively).
+    Reference: distinct aggregates on streams carry per-key distinct
+    map-view state (flink-table-planner/.../rules/logical/
+    SplitAggregateRule.scala splits them into partial/final with a
+    distinct accumulator view); here the per-key state IS the distinct
+    value sets, the same asymptotics as the reference's map views.
+
+    ``distinct_cols`` must be integral columns.  Scale: state per key is
+    O(distinct values) — identical to the reference's distinct view; for
+    sketch-bounded state use streaming/sketches.py (per-group HLL)
+    instead."""
+    out_fields = [f for f in df.schema.fields if f.name in keys]
+    out_schema = T.StructType(
+        out_fields
+        + [T.StructField(total_col, T.LongType())]
+        + [T.StructField(f"distinct_{c}", T.LongType()) for c in distinct_cols]
+    )
+    state_schema = T.StructType(
+        [T.StructField("cnt", T.LongType())]
+        + [T.StructField(f"s_{c}", T.ArrayType(T.LongType())) for c in distinct_cols]
+    )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = state.get
+            cnt, sets = st[0], [set(x) for x in st[1:]]
+        else:
+            cnt, sets = 0, [set() for _ in distinct_cols]
+        seen = 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            seen += len(pdf)
+            for s, c in zip(sets, distinct_cols):
+                s.update(int(v) for v in pdf[c].dropna())
+        if seen:
+            cnt += seen
+            state.update((cnt, *[sorted(s) for s in sets]))
+            row = {k: v for k, v in zip(keys, key)}
+            row[total_col] = cnt
+            for c, s in zip(distinct_cols, sets):
+                row[f"distinct_{c}"] = len(s)
+            yield pd.DataFrame([row])
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def keep_last_dedup_ttl(
     df: DataFrame, keys: list[str], ts_col: str, tiebreak: str, ttl_s: int
 ) -> DataFrame:

@@ -317,3 +317,137 @@ def test_nexmark_q9_stream_winning_bid_rows_match_batch(spark, replay_dir):
         for r in REGISTRY["nexmark_q9"].fn(spark, SF).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_nexmark_q11_stream_sessions_match_batch(spark, replay_dir):
+    """q11 streaming = per-bidder SESSION windows (30 min gap) in append
+    mode; a far-future sentinel bidder in the final replay file pushes
+    the closing watermark past every real session, so the emitted set is
+    the COMPLETE session table and must equal the batch registry entry
+    (the reference's merging session-window state, StreamExecWindowAggregate)."""
+    import datetime as _dt
+
+    from incubator_flink_spark.streaming.windows import session_agg
+
+    d = replay_dir + "/q11"
+    stream = replay_table(spark, SF, "events", d, n_files=3)
+    # sentinel file: one event a decade out flushes all session state
+    spark.createDataFrame(
+        [(-1, _dt.datetime(2035, 1, 1), -1, "click", 0.0, None)],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/__file=9")
+
+    bids = stream.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("bidder"), "ts"
+    )
+    agg = session_agg(bids, "ts", 1800, 120, ["bidder"], [F.count(F.lit(1)).alias("bid_count")])
+    got = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            if r.bidder == -1:
+                continue
+            got[(r.bidder, r.window_start)] = (r.window_end, r.bid_count)
+
+    drain(agg, collect, mode="append")
+    expected = {
+        (r.bidder, r.session_start): (r.session_end, r.bid_count)
+        for r in REGISTRY["nexmark_q11"].fn(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_nexmark_q15_stream_multi_distinct_matches_batch(spark, replay_dir):
+    """q15 streaming = exact incremental multi-distinct per day via
+    per-key distinct-set state (streaming_multi_distinct — the
+    SplitAggregateRule distinct-view analog); the final update per day
+    must equal the batch multi-distinct aggregate."""
+    from incubator_flink_spark.streaming.stateful import streaming_multi_distinct
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/q15", n_files=4).where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("user_id"),
+        (F.col("event_id") % 997).alias("auction"),
+    )
+    agg = streaming_multi_distinct(stream, ["day"], ["user_id", "auction"], total_col="total_bids")
+    got = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            got[r.day] = (r.total_bids, r.distinct_user_id, r.distinct_auction)
+
+    drain(agg, collect, mode="update")
+    expected = {
+        r.day: (r.total_bids, r.distinct_bidders, r.distinct_auctions)
+        for r in REGISTRY["nexmark_q15"].fn(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_nexmark_q18_stream_keep_last_matches_batch(spark, replay_dir):
+    """q18 streaming = keep-last dedup per (bidder, auction)
+    (StreamExecDeduplicate keep-last state); the final winner per key
+    must equal the batch rank=1 form."""
+    from incubator_flink_spark.streaming.stateful import keep_last_dedup
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/q18", n_files=4).where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("user_id").alias("bidder"),
+        (F.col("event_id") % 211).alias("auction"),
+        F.col("value").alias("price"),
+        F.col("ts").alias("bts"),
+        "event_id",
+    )
+    out = keep_last_dedup(stream, ["bidder", "auction"], "bts", "event_id")
+    got = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            got[(r.bidder, r.auction)] = (r.price, r.bts)
+
+    drain(out, collect, mode="update")
+    expected = {
+        (r.bidder, r.auction): (r.price, r.bts)
+        for r in REGISTRY["nexmark_q18"].fn(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_nexmark_q19_stream_topn_matches_batch(spark, replay_dir):
+    """q19 streaming = per-auction top-10 with retract-tagged deltas
+    (streaming_topn, the RetractableTopNFunction analog): replaying the
+    -D/+I delta stream into per-auction sets must reconstruct exactly the
+    batch keyed rank<=10 rows (event_id order == event-time order here,
+    so the tiebreaks coincide)."""
+    from collections import defaultdict
+
+    from incubator_flink_spark.streaming.stateful import streaming_topn
+
+    stream = replay_table(spark, SF, "events", replay_dir + "/q19", n_files=4).where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        (F.col("event_id") % 97).alias("auction"),
+        F.col("event_id").alias("bid_id"),
+        F.col("value").alias("price"),
+    )
+    out = streaming_topn(stream, ["auction"], "bid_id", "price", 10)
+    live = defaultdict(set)
+
+    def collect(bdf, _bid):
+        rows = [r.asDict() for r in bdf.collect()]
+        for r in rows:  # retractions first, then inserts
+            if r["__rowkind"] == "-D":
+                live[r["auction"]].discard((r["id"], r["value"]))
+        for r in rows:
+            if r["__rowkind"] == "+I":
+                live[r["auction"]].add((r["id"], r["value"]))
+
+    drain(out, collect, mode="update")
+    got = {a: s for a, s in live.items() if s}
+    expected = defaultdict(set)
+    for r in REGISTRY["nexmark_q19"].fn(spark, SF).collect():
+        expected[r.auction].add((r.bid_id, r.price))
+    assert got == dict(expected)
