@@ -141,6 +141,8 @@ EXTRA = [
     "nexmark_q15",
     "nexmark_q18",
     "nexmark_q19",
+    # round 8
+    "window_cumulate_tvf_sql",
 ]
 
 

@@ -286,7 +286,11 @@ def cep_pairs_any_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_pattern_segmented(
         events, ["user_id"], "ts", p, select,
         "user_id BIGINT, click_id BIGINT, purchase_id BIGINT", tiebreak="event_id",
-        segment_s=4 * 86400.0,  # W = 4x within: segments hold ~days of events
+        # W = 8x within: any W >= within is exact; doubling from 4x halves
+        # the (key, segment) group count, amortizing Arrow/Python per-group
+        # overhead (~40% faster at sf0.1) while keeping several segments
+        # per key so the hot-key timeline still parallelizes
+        segment_s=8 * 86400.0,
     ).orderBy("user_id", "click_id", "purchase_id")
 
 

@@ -148,6 +148,48 @@ def window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINDOW_CUMULATE_TVF_SQL_ORACLE = """
+SELECT CAST(to_timestamp(bucket_s) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(bucket_s + k * 300) AS TIMESTAMP) AS window_end,
+       COUNT(*) AS cnt,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total
+FROM (
+  SELECT e.*, (epoch_us(ts) // 1200000000) * 1200 AS bucket_s, k.k
+  FROM events e, (SELECT unnest([1, 2, 3, 4]) AS k) k
+  WHERE epoch_us(ts) < ((epoch_us(ts) // 1200000000) * 1200 + k.k * 300) * 1000000
+) t
+GROUP BY 1, 2
+ORDER BY window_start, window_end
+"""
+
+
+@register("window_cumulate_tvf_sql", WINDOW_CUMULATE_TVF_SQL_ORACLE)
+def window_cumulate_tvf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUMULATE window TVF through the SQL TEXT surface — the query
+    executes via TableEnvironment.sql_query over the TVF grammar
+    (reference: StreamExecWindowTableFunction.java:49; rewrite:
+    api/tvf.py), so the driver gate pins the TVF rewrite path itself,
+    not just the underlying window operator (same window spec and
+    decimal-sum convention as `window_cumulate`).
+
+    Scale: the rewrite is driver-side string work; the resulting plan is
+    the same map-side cumulate assignment + one keyed aggregation."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_tvf")
+    return env.sql_query(
+        """
+        SELECT window_start, window_end, COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total
+        FROM TABLE(CUMULATE(TABLE events_tvf, DESCRIPTOR(ts),
+                            INTERVAL '5' MINUTE, INTERVAL '20' MINUTE))
+        GROUP BY window_start, window_end
+        ORDER BY window_start, window_end
+        """
+    ).to_df()
+
+
 COUNT_WINDOW_ORACLE = """
 SELECT user_id, window_id, COUNT(*) AS cnt,
        CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total,
