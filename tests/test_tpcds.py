@@ -216,6 +216,11 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     # ---- round-8 schema/table extensions (new columns via rng2 only) ----
     item["i_brand"] = [f"brand{b}" for b in item.i_brand_id]
     item["i_class"] = [f"class{c}" for c in item.i_class_id]
+    item["i_item_id"] = [f"AAAA{i:04d}" for i in item.i_item_sk]
+    item["i_manager_id"] = rng2.randint(1, 41, ITEMS)
+    item.loc[4:6, "i_manager_id"] = 1    # q42/q52 qualification manager
+    item.loc[7:8, "i_manager_id"] = 28   # q55 qualification manager
+    item.loc[3:7, "i_manufact_id"] = 128  # q3 qualification manufacturer
     store["s_store_id"] = [f"S{i:03d}" for i in store.s_store_sk]
     ca["ca_state"] = rng2.choice(["IL", "CA", "TX", "GA"], len(ca))
     ca.loc[:14, "ca_state"] = "IL"  # q95 ship addresses 1..15
@@ -1251,3 +1256,152 @@ def test_tpcds_q95_text(tpcds):
     site 'pri': a self-join CTE probed through two IN-subqueries."""
     spark, con = tpcds
     _compare(spark, con, Q95, ordered=True, min_rows=1)
+
+
+# Reporting family (brand/category monthly sums) + windowed revenue ratio
+# — public spec templates, qualification parameters.  q98's dsdgen-only
+# "+ 30 days" is the interval substitution (same dialect discipline as q95).
+
+Q3 = """
+select dt.d_year
+       ,item.i_brand_id brand_id
+       ,item.i_brand brand
+       ,sum(ss_ext_sales_price) sum_agg
+ from  date_dim dt
+      ,store_sales
+      ,item
+ where dt.d_date_sk = store_sales.ss_sold_date_sk
+   and store_sales.ss_item_sk = item.i_item_sk
+   and item.i_manufact_id = 128
+   and dt.d_moy=11
+ group by dt.d_year
+      ,item.i_brand_id
+      ,item.i_brand
+ order by dt.d_year
+         ,sum_agg desc
+         ,brand_id
+ limit 100
+"""
+
+Q42 = """
+select dt.d_year
+ 	,item.i_category_id
+ 	,item.i_category
+ 	,sum(ss_ext_sales_price)
+ from 	date_dim dt
+ 	,store_sales
+ 	,item
+ where dt.d_date_sk = store_sales.ss_sold_date_sk
+ 	and store_sales.ss_item_sk = item.i_item_sk
+ 	and item.i_manager_id = 1
+ 	and dt.d_moy=11
+ 	and dt.d_year=2000
+ group by 	dt.d_year
+ 		,item.i_category_id
+ 		,item.i_category
+ order by       sum(ss_ext_sales_price) desc,dt.d_year
+ 		,item.i_category_id
+ 		,item.i_category
+limit 100
+"""
+
+Q52 = """
+select dt.d_year
+ 	,item.i_brand_id brand_id
+ 	,item.i_brand brand
+ 	,sum(ss_ext_sales_price) ext_price
+ from date_dim dt
+     ,store_sales
+     ,item
+ where dt.d_date_sk = store_sales.ss_sold_date_sk
+    and store_sales.ss_item_sk = item.i_item_sk
+    and item.i_manager_id = 1
+    and dt.d_moy=11
+    and dt.d_year=2000
+ group by dt.d_year
+ 	,item.i_brand_id
+ 	,item.i_brand
+ order by dt.d_year
+ 	,ext_price desc
+ 	,brand_id
+limit 100
+"""
+
+Q55 = """
+select i_brand_id brand_id, i_brand brand,
+ 	sum(ss_ext_sales_price) ext_price
+ from date_dim, store_sales, item
+ where d_date_sk = ss_sold_date_sk
+ 	and ss_item_sk = i_item_sk
+ 	and i_manager_id=28
+ 	and d_moy=11
+ 	and d_year=1999
+ group by i_brand_id, i_brand
+ order by ext_price desc, brand_id
+limit 100
+"""
+
+Q98 = """
+select i_item_id
+      ,i_item_desc
+      ,i_category
+      ,i_class
+      ,i_current_price
+      ,sum(ss_ext_sales_price) as itemrevenue
+      ,sum(ss_ext_sales_price)*100/sum(sum(ss_ext_sales_price)) over
+          (partition by i_class) as revenueratio
+from
+	store_sales
+    	,item
+    	,date_dim
+where
+	ss_item_sk = i_item_sk
+  	and i_category in ('Sports', 'Books', 'Home')
+  	and ss_sold_date_sk = d_date_sk
+	and d_date between cast('1999-02-22' as date)
+				and (cast('1999-02-22' as date) + interval '30' day)
+group by
+	i_item_id
+        ,i_item_desc
+        ,i_category
+        ,i_class
+        ,i_current_price
+order by
+	i_category
+        ,i_class
+        ,i_item_id
+        ,i_item_desc
+        ,revenueratio
+"""
+
+
+def test_tpcds_q3_text(tpcds):
+    """q3 verbatim — per-year November brand sums for one manufacturer."""
+    spark, con = tpcds
+    _compare(spark, con, Q3, ordered=False, min_rows=3)
+
+
+def test_tpcds_q42_text(tpcds):
+    """q42 verbatim — Nov-2000 category sums for manager 1 (unnamed
+    aggregate column round-trips both engines' naming)."""
+    spark, con = tpcds
+    _compare(spark, con, Q42, ordered=False, min_rows=1)
+
+
+def test_tpcds_q52_text(tpcds):
+    """q52 verbatim — Nov-2000 brand sums for manager 1."""
+    spark, con = tpcds
+    _compare(spark, con, Q52, ordered=False, min_rows=1)
+
+
+def test_tpcds_q55_text(tpcds):
+    """q55 verbatim — Nov-1999 brand sums for manager 28."""
+    spark, con = tpcds
+    _compare(spark, con, Q55, ordered=False, min_rows=1)
+
+
+def test_tpcds_q98_text(tpcds):
+    """q98 verbatim (interval dialect) — per-item revenue with a
+    windowed per-class revenue ratio over a 30-day window."""
+    spark, con = tpcds
+    _compare(spark, con, Q98, ordered=True, min_rows=5)
