@@ -132,25 +132,36 @@ def _stage_matches(
     max_t = stage.max_times if stage.max_times != -1 else len(events)
 
     if stage.contiguity == STRICT:
-        # must start exactly at start_idx, repeats contiguous
-        taken: list[int] = []
-        idx = start_idx
-        ref = None
-        collected = []
-        while idx < len(events) and len(taken) < max_t and in_window(idx, ref):
-            ctx = ctx_for(taken, idx)
-            if stage.until_fires(events[idx], ctx) or not stage.accepts(events[idx], ctx):
-                break
-            taken.append(idx)
-            if ref is None:
-                ref = events[taken[0]][ts_key]
-            idx += 1
-            if len(taken) >= stage.min_times:
-                collected.append((idx, list(taken)))
-        if stage.greedy and collected:
-            yield collected[-1]  # maximal consumption only
+        # repeats contiguous; the run starts exactly at start_idx — UNLESS
+        # this stage is the computation's effective START (stage 0, or
+        # every earlier optional stage took nothing): the start state
+        # opens a computation at EVERY event, so contiguity binds the
+        # repeats, not the (nonexistent) previous stage
+        def strict_runs(s: int):
+            taken: list[int] = []
+            idx = s
+            ref = None
+            collected = []
+            while idx < len(events) and len(taken) < max_t and in_window(idx, ref):
+                ctx = ctx_for(taken, idx)
+                if stage.until_fires(events[idx], ctx) or not stage.accepts(events[idx], ctx):
+                    break
+                taken.append(idx)
+                if ref is None:
+                    ref = events[taken[0]][ts_key]
+                idx += 1
+                if len(taken) >= stage.min_times:
+                    collected.append((idx, list(taken)))
+            if stage.greedy and collected:
+                yield collected[-1]  # maximal consumption only
+            else:
+                yield from collected
+
+        if is_start:
+            for s in range(start_idx, len(events)):
+                yield from strict_runs(s)
         else:
-            yield from collected
+            yield from strict_runs(start_idx)
     else:
         # relaxed: choose any first index >= start_idx; between repeats the
         # loop skips NON-matching events only (the reference's relaxed
@@ -489,7 +500,11 @@ def _enumerate(pattern: Pattern, events: list[dict], ts_key: str = "ts"):
             sidx[name] = sidx.get(name, []) + list(idxs)
         return cap, sidx
 
-    def search(si: int, start_idx: int, first_ts, capture: dict, stage_idxs: dict, last_idx: int):
+    def search(si: int, start_idx: int, first_ts, capture: dict, stage_idxs: dict, last_idx: int, fresh: bool):
+        """``fresh``: no stage has captured anything yet (stage 0, or every
+        earlier optional stage took nothing) — the current stage is then
+        the computation's effective START STATE: it opens at every event
+        (relaxed scans never die, strict runs start anywhere)."""
         if si == len(stages):
             idxs = [i for v in stage_idxs.values() for i in v]
             if idxs:
@@ -497,10 +512,10 @@ def _enumerate(pattern: Pattern, events: list[dict], ts_key: str = "ts"):
             return
         stage = stages[si]
         if stage.negated:
-            search_negated(si, start_idx, first_ts, capture, stage_idxs, last_idx)
+            search_negated(si, start_idx, first_ts, capture, stage_idxs, last_idx, fresh)
             return
         for nxt, tmap in _matches_for(
-            stage, si == 0, events, start_idx, first_ts, pattern.within_s, ts_key, capture
+            stage, fresh, events, start_idx, first_ts, pattern.within_s, ts_key, capture
         ):
             all_idx = sorted(i for v in tmap.values() for i in v)
             f_ts = first_ts
@@ -508,22 +523,25 @@ def _enumerate(pattern: Pattern, events: list[dict], ts_key: str = "ts"):
                 f_ts = events[all_idx[0]][ts_key]
             if (
                 all_idx
-                and si > 0
+                and not fresh
                 and stage.contiguity == STRICT
                 and stage.sub_stages is None
                 and start_idx != all_idx[0]
             ):
                 continue
             cap, sidx = merge(capture, stage_idxs, tmap)
-            search(si + 1, nxt, f_ts, cap, sidx, all_idx[-1] if all_idx else last_idx)
+            search(
+                si + 1, nxt, f_ts, cap, sidx,
+                all_idx[-1] if all_idx else last_idx, fresh and not all_idx,
+            )
 
-    def search_negated(si: int, start_idx: int, first_ts, capture: dict, stage_idxs: dict, last_idx: int):
+    def search_negated(si: int, start_idx: int, first_ts, capture: dict, stage_idxs: dict, last_idx: int, fresh: bool):
         neg = stages[si]
         rest = si + 1
         if rest == len(stages):
             # trailing negation: forbidden anywhere to end of stream
             if not _violates_negation(neg, events, start_idx, len(events), start_idx):
-                search(rest, start_idx, first_ts, capture, stage_idxs, last_idx)
+                search(rest, start_idx, first_ts, capture, stage_idxs, last_idx, fresh)
             return
         # find each match of the remaining pattern and check the gap region
         nxt_stage = stages[rest]
@@ -538,9 +556,9 @@ def _enumerate(pattern: Pattern, events: list[dict], ts_key: str = "ts"):
                 continue
             f_ts = first_ts if first_ts is not None else events[all_idx[0]][ts_key]
             cap, sidx = merge(capture, stage_idxs, tmap)
-            search(rest + 1, nxt, f_ts, cap, sidx, all_idx[-1])
+            search(rest + 1, nxt, f_ts, cap, sidx, all_idx[-1], False)
 
-    search(0, 0, None, {}, {}, -1)
+    search(0, 0, None, {}, {}, -1, True)
 
     # deduplicate identical captures (relaxed enumeration can revisit)
     seen = set()
@@ -673,7 +691,7 @@ def find_timed_out_matches(
                 # iteration progress as capture depth (dead-end states —
                 # they never resume into later stages)
                 for acc in _group_partial_captures(
-                    stage, si == 0, events, start_idx, first_ts, pattern.within_s, ts_key, capture
+                    stage, min_taken is None, events, start_idx, first_ts, pattern.within_s, ts_key, capture
                 ):
                     p_idx = sorted(j for v in acc.values() for j in v)
                     if min_taken is None and (not p_idx or p_idx[0] != start_i):
@@ -684,14 +702,14 @@ def find_timed_out_matches(
                         ncap[name] = ncap.get(name, []) + [events[j] for j in idxs]
                     bump(si, nevents + len(p_idx), ncap, mt)
             for nxt, tmap in _matches_for(
-                stage, si == 0, events, start_idx, first_ts, pattern.within_s, ts_key, capture
+                stage, min_taken is None, events, start_idx, first_ts, pattern.within_s, ts_key, capture
             ):
                 all_idx = sorted(j for v in tmap.values() for j in v)
                 if min_taken is None and all_idx and all_idx[0] != start_i:
                     continue  # pin the partial to this start event
                 if (
                     all_idx
-                    and si > 0
+                    and min_taken is not None
                     and stage.contiguity == STRICT
                     and stage.sub_stages is None
                     and start_idx != all_idx[0]

@@ -1204,6 +1204,53 @@ def test_timeout_partial_opens_via_optional_first_inner_stage():
     ), partials
 
 
+def test_optional_start_passes_start_state_to_next_stage():
+    """When an optional FIRST stage takes nothing, the next stage is the
+    computation's effective START STATE (the reference's start state
+    opens a computation at every event; the optional stage contributes a
+    PROCEED edge) — so it must match at ANY position, for strict and
+    relaxed contiguity alike (found by the strict brute-force oracle,
+    r8)."""
+
+    def runs(p, seq, names):
+        return _group_runs(p, seq, names)
+
+    strict = (
+        Pattern.begin("a")
+        .where(lambda e: e["event_type"] == "a")
+        .optional()
+        .next("b")
+        .where(lambda e: e["event_type"] == "b")
+    )
+    # x0 b1: no 'a' anywhere; the skipped-optional path must still reach
+    # b@1 (a strict start pinned to position 0 would miss it)
+    assert runs(strict, "xb", ["a", "b"]) == [(("a", ()), ("b", (1,)))]
+    # b0 b1: one match per start event
+    assert runs(strict, "bb", ["a", "b"]) == [
+        (("a", ()), ("b", (0,))),
+        (("a", ()), ("b", (1,))),
+    ]
+    # a0 b1: both the captured-a path and the skipped-a fresh starts
+    assert runs(strict, "ab", ["a", "b"]) == [
+        (("a", ()), ("b", (1,))),
+        (("a", (0,)), ("b", (1,))),
+    ]
+
+    relaxed = (
+        Pattern.begin("a")
+        .where(lambda e: e["event_type"] == "a")
+        .optional()
+        .followed_by("b")
+        .where(lambda e: e["event_type"] == "b")
+    )
+    # under SKIP_TILL_NEXT a non-start b-scan stops at the first b; as a
+    # fresh start it must emit BOTH
+    assert runs(relaxed, "bb", ["a", "b"]) == [
+        (("a", ()), ("b", (0,))),
+        (("a", ()), ("b", (1,))),
+    ]
+
+
 def test_duplicate_stage_names_raise_unconditionally():
     """The reference throws MalformedPatternException on ANY duplicate
     stage name (NFACompiler checkPatternNameUniqueness) — group-free

@@ -91,24 +91,32 @@ def ref_find_matches(pattern, events, ts_key="ts"):
         maxt = st.max_times if st.max_times != -1 else n
 
         if st.contiguity == STRICT:
-            start = pos
-            taken = []
-            j = start
-            emitted = []
-            while j < n and len(taken) < maxt:
-                if unt(st, j, capture, taken) or not acc(st, j, capture, taken):
-                    break
-                fi = first_idx if first_idx is not None else start
-                if not in_window(j, fi):
-                    break
-                taken.append(j)
-                j += 1
-                if len(taken) >= st.min_times:
-                    emitted.append((tuple(taken), j))
-            if st.greedy and emitted:
-                yield emitted[-1]
+            # an effective START stage (si == 0) opens at every event;
+            # otherwise the run is pinned to pos
+            def strict_from(start):
+                taken = []
+                j = start
+                emitted = []
+                while j < n and len(taken) < maxt:
+                    if unt(st, j, capture, taken) or not acc(st, j, capture, taken):
+                        break
+                    fi = first_idx if first_idx is not None else start
+                    if not in_window(j, fi):
+                        break
+                    taken.append(j)
+                    j += 1
+                    if len(taken) >= st.min_times:
+                        emitted.append((tuple(taken), j))
+                if st.greedy and emitted:
+                    yield emitted[-1]
+                else:
+                    yield from emitted
+
+            if si == 0:
+                for start in range(pos, n):
+                    yield from strict_from(start)
             else:
-                yield from emitted
+                yield from strict_from(pos)
             return
 
         # relaxed / relaxed_any: enumerate candidate increasing tuples and
@@ -294,7 +302,9 @@ def ref_find_matches(pattern, events, ts_key="ts"):
             s2[name] = s2.get(name, []) + list(idxs)
         return cap2, s2
 
-    def rec(si, pos, first_idx, capture, sidx):
+    def rec(si, pos, first_idx, capture, sidx, fresh):
+        # fresh: nothing captured yet — current stage is the effective
+        # start state (gen_* treat si==0 as the start-state marker)
         if si == len(stages):
             idxs = [i for v in sidx.values() for i in v]
             if idxs:
@@ -304,10 +314,10 @@ def ref_find_matches(pattern, events, ts_key="ts"):
         if st.negated:
             if si + 1 == len(stages):
                 if not violates(st, pos, n, pos):
-                    rec(si + 1, pos, first_idx, capture, sidx)
+                    rec(si + 1, pos, first_idx, capture, sidx, fresh)
                 return
             nxt = stages[si + 1]
-            for tmap, np in gen_any(nxt, si + 1, pos, first_idx, capture):
+            for tmap, np in gen_any(nxt, 1, pos, first_idx, capture):
                 all_idx = sorted(i for v in tmap.values() for i in v)
                 if not all_idx:
                     continue
@@ -315,17 +325,17 @@ def ref_find_matches(pattern, events, ts_key="ts"):
                     continue
                 fi = first_idx if first_idx is not None else all_idx[0]
                 cap2, s2 = merge(capture, sidx, tmap)
-                rec(si + 2, np, fi, cap2, s2)
+                rec(si + 2, np, fi, cap2, s2, False)
             return
-        for tmap, np in gen_any(st, si, pos, first_idx, capture):
+        for tmap, np in gen_any(st, 0 if fresh else 1, pos, first_idx, capture):
             all_idx = sorted(i for v in tmap.values() for i in v)
             fi = first_idx
             if all_idx and fi is None:
                 fi = all_idx[0]
             cap2, s2 = merge(capture, sidx, tmap)
-            rec(si + 1, np, fi, cap2, s2)
+            rec(si + 1, np, fi, cap2, s2, fresh and not all_idx)
 
-    rec(0, 0, None, {}, {})
+    rec(0, 0, None, {}, {}, True)
 
     seen = set()
     uniq = []
@@ -675,3 +685,142 @@ def test_fuzz_iterative_conditions():
             )
         )
         assert _nfa_keys(p, events) == _ref_keys(p, events), seq
+
+
+# ------------------------------------------------- brute-force oracle --
+# ADVICE r7: gen_group shares the production algorithm's reading of the
+# reference; this third oracle shares NOTHING with either — for patterns
+# whose contiguity is fully STRICT (next() links, consecutive() loops,
+# strict group entry+loop), every match is a CONTIGUOUS label run, so the
+# complete NO_SKIP match set is enumerable by expanding quantifier counts
+# into literal token strings and sliding them over the event labels.  No
+# scanning, no gap rules, no ignore edges.
+
+
+def _spec_pattern(spec, within):
+    """spec: list of stage specs; scalar = (name, label, lo, hi, optional),
+    group = ('GROUP', body_spec, lo, hi, optional)."""
+
+    def pred(ch):
+        return lambda e, c=ch: e["label"] == c
+
+    def build(items):
+        p = None
+        for it in items:
+            if it[0] == "GROUP":
+                _, body, lo, hi, opt = it
+                sub = build(body)
+                p = Pattern.begin(sub) if p is None else p.next(sub)
+                p.times(lo, hi).consecutive()
+                if opt:
+                    p.optional()
+            else:
+                name, label, lo, hi, opt = it
+                p = Pattern.begin(name) if p is None else p.next(name)
+                p.where(pred(label))
+                if (lo, hi) != (1, 1):
+                    p.times(lo, hi).consecutive()
+                if opt:
+                    p.optional()
+        return p
+
+    p = build(spec)
+    if within is not None:
+        p.within(within)
+    return p
+
+
+def _expansions(items, cap):
+    """All (tokens, names) for a strict spec; tokens = [(name, label)...]."""
+
+    def stage_exp(it):
+        out = []
+        if it[0] == "GROUP":
+            _, body, lo, hi, opt = it
+            if opt:
+                out.append(([], frozenset()))
+            body_exps = [e for e in _expansions(body, cap) if e[0]]  # an iteration takes >=1 event
+            names = frozenset().union(*[n for _, n in _expansions(body, cap)]) if body else frozenset()
+            import itertools as _it
+
+            for c in range(max(lo, 1), hi + 1):
+                for combo in _it.product(body_exps, repeat=c):
+                    toks = [t for e, _ in combo for t in e]
+                    out.append((toks, names))
+        else:
+            name, label, lo, hi, opt = it
+            if opt:
+                out.append(([], frozenset([name])))
+            for c in range(lo, hi + 1):
+                if c == 0:
+                    continue
+                out.append(([(name, label)] * c, frozenset([name])))
+        return out
+
+    if not items:
+        return [([], frozenset())]
+    head, rest = items[0], items[1:]
+    outs = []
+    for toks, names in stage_exp(head):
+        for t2, n2 in _expansions(rest, cap):
+            outs.append((toks + t2, names | n2))
+    return outs
+
+
+def brute_force_strict(spec, events, within):
+    keys = set()
+    for toks, names in _expansions(spec, len(events)):
+        if not toks:
+            continue
+        L = len(toks)
+        for s in range(len(events) - L + 1):
+            if within is not None and 3 * (L - 1) > within:
+                continue
+            if all(events[s + j]["label"] == toks[j][1] for j in range(L)):
+                cap = {n: [] for n in names}
+                for j, (n, _) in enumerate(toks):
+                    cap[n].append(s + j)
+                keys.add(tuple(sorted((k, tuple(v)) for k, v in cap.items())))
+    return sorted(keys)
+
+
+def _rand_strict_spec(rng):
+    spec = []
+    gi = 0
+    for k in range(rng.randint(1, 3)):
+        if rng.random() < 0.3:
+            body = []
+            for j in range(rng.randint(1, 2)):
+                lo, hi = rng.choice([(1, 1), (1, 2)])
+                body.append((f"g{gi}_{j}", rng.choice("ab"), lo, hi, rng.random() < 0.2))
+            if all(b[4] for b in body):  # an iteration must be able to take
+                body[0] = body[0][:4] + (False,)
+            lo, hi = rng.choice([(1, 1), (1, 2), (2, 2), (1, 3)])
+            spec.append(("GROUP", body, lo, hi, rng.random() < 0.2))
+            gi += 1
+        else:
+            lo, hi = rng.choice([(1, 1), (1, 1), (1, 2), (2, 2), (0, 2), (1, 3)])
+            opt = rng.random() < 0.25 if lo > 0 else False
+            spec.append((f"s{k}", rng.choice("abc"), max(lo, 1) if lo else 1, max(hi, 1), opt or lo == 0))
+    return spec
+
+
+def test_fuzz_strict_patterns_vs_bruteforce():
+    """Strict-contiguity patterns (groups included) against the
+    token-expansion brute force — an oracle with no scan/gap logic at
+    all, so a shared misreading of the reference's consuming strategies
+    cannot hide here."""
+    rng = random.Random(81_2026)
+    divergences = []
+    for case in range(400):
+        n = rng.randint(4, 9)
+        seq = "".join(rng.choice("aabbc") for _ in range(n))
+        events = _events(seq)
+        spec = _rand_strict_spec(rng)
+        within = 3 * rng.randint(2, 6) if rng.random() < 0.3 else None
+        pattern = _spec_pattern(spec, within)
+        got = _nfa_keys(pattern, events)
+        want = brute_force_strict(spec, events, within)
+        if got != want:
+            divergences.append((case, seq, spec, within, got, want))
+    assert not divergences, f"{len(divergences)} divergences; first: {divergences[0]}"
