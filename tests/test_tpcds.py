@@ -221,6 +221,34 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     item.loc[4:6, "i_manager_id"] = 1    # q42/q52 qualification manager
     item.loc[7:8, "i_manager_id"] = 28   # q55 qualification manager
     item.loc[3:7, "i_manufact_id"] = 128  # q3 qualification manufacturer
+    # q56's qualification colors (items 35..40 leave q64's color set)
+    item.loc[34:39, "i_color"] = ["slate", "blanched", "burnished"] * 2
+    cd["cd_gender"] = rng2.choice(["M", "F"], DEMOS)
+    cd["cd_education_status"] = rng2.choice(["College", "2 yr Degree", "4 yr Degree"], DEMOS)
+    cd.loc[0:1, ["cd_gender", "cd_marital_status", "cd_education_status"]] = (
+        ["M", "S", "College"]  # q7/q26 qualification demographic
+    )
+    promotion["p_channel_email"] = rng2.choice(["N", "Y"], len(promotion))
+    promotion["p_channel_event"] = rng2.choice(["N", "Y"], len(promotion))
+    hd["hd_dep_count"] = rng2.randint(0, 10, DEMOS)
+    hd["hd_vehicle_count"] = rng2.randint(0, 6, DEMOS)
+    hd.loc[0:3, "hd_dep_count"] = 7  # q96 qualification
+    hd.loc[4:9, "hd_dep_count"] = [4, 4, 2, 2, 0, 0]  # q88 combos
+    hd.loc[4:9, "hd_vehicle_count"] = [4, 5, 3, 2, 1, 0]
+    ca["ca_gmt_offset"] = rng2.choice([-5.0, -5.0, -6.0, -7.0], len(ca))
+    store.loc[1, "s_store_name"] = "ese"  # q88/q96 qualification store
+    cs["cs_coupon_amt"] = rng2.randint(0, 20, CS_ROWS) * 0.25
+    cs["cs_bill_addr_sk"] = rng2.randint(1, n_addr + 1, CS_ROWS)
+    ws["ws_bill_addr_sk"] = rng2.randint(1, n_addr + 1, WS_ROWS)
+    # seconds-of-day dimension at minute grain for the time-of-day queries
+    time_dim = pd.DataFrame(
+        {
+            "t_time_sk": [h * 3600 + mi * 60 for h in range(24) for mi in range(60)],
+            "t_hour": [h for h in range(24) for _ in range(60)],
+            "t_minute": [mi for _ in range(24) for mi in range(60)],
+        }
+    )
+    ss["ss_sold_time_sk"] = rng2.choice(time_dim.t_time_sk.to_numpy(), SS_ROWS)
     store["s_store_id"] = [f"S{i:03d}" for i in store.s_store_sk]
     ca["ca_state"] = rng2.choice(["IL", "CA", "TX", "GA"], len(ca))
     ca.loc[:14, "ca_state"] = "IL"  # q95 ship addresses 1..15
@@ -275,6 +303,7 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     ss_inject["ss_promo_sk"] = 1
     ss_inject["ss_list_price"] = 100.0
     ss_inject["ss_coupon_amt"] = 0.0
+    ss_inject["ss_sold_time_sk"] = 10 * 3600
     feb2000 = _date_sk(datetime.date(2000, 2, 20))
     cs_inject = pd.DataFrame(
         {
@@ -292,6 +321,8 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
             "cs_promo_sk": 1,
             "cs_ext_list_price": 500.0,
             "cs_list_price": [20.0, 30.25, 40.5, 50.75, 60.0, 70.25],
+            "cs_coupon_amt": 0.0,
+            "cs_bill_addr_sk": 1,
         }
     )
     ws_inject = pd.DataFrame(
@@ -311,6 +342,7 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
             "ws_web_site_sk": 2,
             "ws_ext_ship_cost": 10.0,
             "ws_net_profit": 5.0,
+            "ws_bill_addr_sk": 1,
         }
     )
     # q14b: one (brand,class,category) with above-average store sales in
@@ -332,12 +364,14 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     ss14["ss_promo_sk"] = 2
     ss14["ss_list_price"] = 200.0  # 30*200 = 6k per row ≫ average single sale
     ss14["ss_coupon_amt"] = 0.0
+    ss14["ss_sold_time_sk"] = 11 * 3600
     ss = pd.concat([ss, ss_inject, ss14], ignore_index=True)
     cs = pd.concat([cs, cs_inject], ignore_index=True)
     ws = pd.concat([ws, ws_inject], ignore_index=True)
 
     return {
         "web_site": web_site,
+        "time_dim": time_dim,
         "date_dim": dd,
         "item": item,
         "warehouse": warehouse,
@@ -1405,3 +1439,287 @@ def test_tpcds_q98_text(tpcds):
     windowed per-class revenue ratio over a 30-day window."""
     spark, con = tpcds
     _compare(spark, con, Q98, ordered=True, min_rows=5)
+
+
+# Demographics / time-of-day / multi-channel-by-address families —
+# public spec templates, qualification parameters.
+
+Q7 = """
+select i_item_id,
+        avg(ss_quantity) agg1,
+        avg(ss_list_price) agg2,
+        avg(ss_coupon_amt) agg3,
+        avg(ss_sales_price) agg4
+ from store_sales, customer_demographics, date_dim, item, promotion
+ where ss_sold_date_sk = d_date_sk and
+       ss_item_sk = i_item_sk and
+       ss_cdemo_sk = cd_demo_sk and
+       ss_promo_sk = p_promo_sk and
+       cd_gender = 'M' and
+       cd_marital_status = 'S' and
+       cd_education_status = 'College' and
+       (p_channel_email = 'N' or p_channel_event = 'N') and
+       d_year = 2000
+ group by i_item_id
+ order by i_item_id
+ limit 100
+"""
+
+Q26 = """
+select i_item_id,
+        avg(cs_quantity) agg1,
+        avg(cs_list_price) agg2,
+        avg(cs_coupon_amt) agg3,
+        avg(cs_sales_price) agg4
+ from catalog_sales, customer_demographics, date_dim, item, promotion
+ where cs_sold_date_sk = d_date_sk and
+       cs_item_sk = i_item_sk and
+       cs_bill_cdemo_sk = cd_demo_sk and
+       cs_promo_sk = p_promo_sk and
+       cd_gender = 'M' and
+       cd_marital_status = 'S' and
+       cd_education_status = 'College' and
+       (p_channel_email = 'N' or p_channel_event = 'N') and
+       d_year = 2000
+ group by i_item_id
+ order by i_item_id
+ limit 100
+"""
+
+Q45 = """
+select ca_zip, ca_city, sum(ws_sales_price)
+ from web_sales, customer, customer_address, date_dim, item
+ where ws_bill_customer_sk = c_customer_sk
+ 	and c_current_addr_sk = ca_address_sk
+ 	and ws_item_sk = i_item_sk
+ 	and ( substr(ca_zip,1,5) in ('85669', '86197','88274','83405','86475', '85392', '85460', '80348', '81792')
+ 	      or
+ 	      i_item_id in (select i_item_id
+                             from item
+                             where i_item_sk in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+                             )
+ 	    )
+ 	and ws_sold_date_sk = d_date_sk
+ 	and d_qoy = 2 and d_year = 2001
+ group by ca_zip, ca_city
+ order by ca_zip, ca_city
+ limit 100
+"""
+
+Q56 = """
+with ssales as
+ (select i_item_id,sum(ss_ext_sales_price) total_sales
+ from
+ 	store_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where i_item_id in (select
+     i_item_id
+from item
+where i_color in ('slate','blanched','burnished'))
+ and     ss_item_sk              = i_item_sk
+ and     ss_sold_date_sk         = d_date_sk
+ and     d_year                  = 2001
+ and     d_moy                   = 2
+ and     ss_addr_sk              = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_item_id),
+ csales as
+ (select i_item_id,sum(cs_ext_sales_price) total_sales
+ from
+ 	catalog_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_item_id               in (select
+  i_item_id
+from item
+where i_color in ('slate','blanched','burnished'))
+ and     cs_item_sk              = i_item_sk
+ and     cs_sold_date_sk         = d_date_sk
+ and     d_year                  = 2001
+ and     d_moy                   = 2
+ and     cs_bill_addr_sk         = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_item_id),
+ wsales as
+ (select i_item_id,sum(ws_ext_sales_price) total_sales
+ from
+ 	web_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_item_id               in (select
+  i_item_id
+from item
+where i_color in ('slate','blanched','burnished'))
+ and     ws_item_sk              = i_item_sk
+ and     ws_sold_date_sk         = d_date_sk
+ and     d_year                  = 2001
+ and     d_moy                   = 2
+ and     ws_bill_addr_sk         = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_item_id)
+ select  i_item_id ,sum(total_sales) total_sales
+ from  (select * from ssales
+        union all
+        select * from csales
+        union all
+        select * from wsales) tmp1
+ group by i_item_id
+ order by total_sales
+ limit 100
+"""
+
+Q96 = """
+select  count(*)
+from store_sales
+    ,household_demographics
+    ,time_dim, store
+where ss_sold_time_sk = time_dim.t_time_sk
+    and ss_hdemo_sk = household_demographics.hd_demo_sk
+    and ss_store_sk = s_store_sk
+    and time_dim.t_hour = 20
+    and time_dim.t_minute >= 30
+    and household_demographics.hd_dep_count = 7
+    and store.s_store_name = 'ese'
+order by count(*)
+limit 100
+"""
+
+Q88 = """
+select  *
+from
+ (select count(*) h8_30_to_9
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 8
+     and time_dim.t_minute >= 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'ese') s1,
+ (select count(*) h9_to_9_30
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 9
+     and time_dim.t_minute < 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'ese') s2,
+ (select count(*) h9_30_to_10
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 9
+     and time_dim.t_minute >= 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'ese') s3,
+ (select count(*) h10_to_10_30
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 10
+     and time_dim.t_minute < 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'ese') s4,
+ (select count(*) h10_30_to_11
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 10
+     and time_dim.t_minute >= 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'ese') s5,
+ (select count(*) h11_to_11_30
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 11
+     and time_dim.t_minute < 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'ese') s6,
+ (select count(*) h11_30_to_12
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 11
+     and time_dim.t_minute >= 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'ese') s7,
+ (select count(*) h12_to_12_30
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 12
+     and time_dim.t_minute < 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'ese') s8
+"""
+
+
+def test_tpcds_q7_text(tpcds):
+    """q7 verbatim — demographic/promotion store-sales averages."""
+    spark, con = tpcds
+    _compare(spark, con, Q7, ordered=True, min_rows=5)
+
+
+def test_tpcds_q26_text(tpcds):
+    """q26 verbatim — the catalog-channel twin of q7."""
+    spark, con = tpcds
+    _compare(spark, con, Q26, ordered=True, min_rows=3)
+
+
+def test_tpcds_q45_text(tpcds):
+    """q45 verbatim — web sales by city/zip, zip-list OR item-subquery
+    disjunction (unnamed aggregate column)."""
+    spark, con = tpcds
+    _compare(spark, con, Q45, ordered=True, min_rows=3)
+
+
+def test_tpcds_q56_text(tpcds):
+    """q56 verbatim — per-item 3-channel February sums for color-picked
+    items shipped to gmt-5 addresses."""
+    spark, con = tpcds
+    _compare(spark, con, Q56, ordered=False, min_rows=1)
+
+
+def test_tpcds_q96_text(tpcds):
+    """q96 verbatim — 20:30+ store-traffic count for dep_count=7.
+    Positional columns: the engines name a bare count(*) differently
+    (Spark count(1) vs DuckDB count_star())."""
+    spark, con = tpcds
+    _compare(spark, con, Q96, ordered=True, min_rows=1, check_names=False)
+
+
+def test_tpcds_q88_text(tpcds):
+    """q88 verbatim — 8 half-hour traffic counters cross-joined into one
+    row (scalar-count cross join)."""
+    spark, con = tpcds
+    _compare(spark, con, Q88, ordered=True, min_rows=1)
