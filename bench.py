@@ -143,6 +143,7 @@ EXTRA = [
     "nexmark_q19",
     # round 8
     "window_cumulate_tvf_sql",
+    "cep_optional_start",
 ]
 
 

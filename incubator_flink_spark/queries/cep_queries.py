@@ -254,6 +254,78 @@ def cep_pairs_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "click_id", "purchase_id")
 
 
+CEP_OPTIONAL_START_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+         lpad(CAST(event_id AS VARCHAR), 12, '0') AS k,
+         CASE WHEN event_type = 'purchase'
+              THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+                   lpad(CAST(event_id AS VARCHAR), 12, '0') END AS pk
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, ts, event_type,
+         MIN(pk) OVER (PARTITION BY user_id ORDER BY k
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_pk
+  FROM e
+)
+SELECT user_id, click_id, purchase_id FROM (
+  -- skipped-optional variant: the purchase stage is the effective start
+  -- state, so EVERY purchase matches alone
+  SELECT user_id, CAST(-1 AS BIGINT) AS click_id, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  -- captured variant: SKIP_TILL_NEXT cannot skip a purchase, so each
+  -- click pairs with its NEXT purchase, window permitting
+  SELECT user_id, event_id AS click_id,
+         CAST(split_part(next_pk, '|', 2) AS BIGINT) AS purchase_id
+  FROM w
+  WHERE event_type = 'click' AND next_pk IS NOT NULL
+    AND CAST(split_part(next_pk, '|', 1) AS BIGINT) - epoch_us(ts) <= 600 * 1000000
+) t
+ORDER BY user_id, click_id, purchase_id
+"""
+
+
+@register("cep_optional_start", CEP_OPTIONAL_START_ORACLE)
+def cep_optional_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL FIRST STAGE semantics behind the driver gate (r8 fix):
+    ``begin(click).optional().followed_by(purchase)`` — when the optional
+    stage takes nothing, the purchase stage is the computation's
+    EFFECTIVE START STATE (the reference's start state opens a
+    computation at every event; the optional stage contributes a PROCEED
+    edge — NFACompiler createState/addStopStates + optional branching),
+    so every purchase matches alone; the captured variant pairs each
+    click with its next purchase (SKIP_TILL_NEXT: an intervening purchase
+    cannot be skipped) inside the window.  Closed-form window-function
+    oracle; the skipped variant spells click_id = -1 (sentinel instead of
+    NULL so both engines sort identically).
+
+    Scale: one user-key shuffle, per-key linear NFA scan."""
+    events = load(spark, sf_dir, "events")
+    p = (
+        Pattern.begin("click")
+        .where(lambda e: e["event_type"] == "click")
+        .optional()
+        .followed_by("purchase")
+        .where(lambda e: e["event_type"] == "purchase")
+        .within(600)
+    )
+
+    def select(key, m):
+        return {
+            "user_id": int(key["user_id"]),
+            "click_id": int(m["click"][0]["event_id"]) if m.get("click") else -1,
+            "purchase_id": int(m["purchase"][0]["event_id"]),
+        }
+
+    return match_pattern(
+        events, ["user_id"], "ts", p, select,
+        "user_id BIGINT, click_id BIGINT, purchase_id BIGINT", tiebreak="event_id",
+    ).orderBy("user_id", "click_id", "purchase_id")
+
+
 @register("cep_pairs_any_segmented", CEP_PAIRS_ANY_ORACLE)
 def cep_pairs_any_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cep_pairs_any match set computed through the SEGMENTED hot-key

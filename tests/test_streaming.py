@@ -1487,3 +1487,105 @@ def test_streaming_cep_group_pattern_matches_batch(spark, replay_dir):
     assert got <= all_matches  # soundness: never a non-batch match
     assert closed_midstream <= got  # completeness for mid-stream closures
     assert len(closed_midstream) > 5
+
+
+def test_streaming_cep_nested_group_pattern_matches_batch(spark, replay_dir):
+    """NESTED GroupPattern through the streaming CEP executor: the outer
+    group's body itself contains a group — (((click next view)+ consec)
+    next purchase){1,2} consec — replayed under a watermark; mid-stream
+    closures equal the batch NFA (same harness discipline as the
+    one-level group test above)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from incubator_flink_spark.cep import Pattern
+    from incubator_flink_spark.cep.nfa import find_matches
+    from incubator_flink_spark.streaming.cep_stream import match_pattern_stream
+
+    def make_pattern():
+        pair = (
+            Pattern.begin("c")
+            .where(lambda e: e["event_type"] == "click")
+            .next("v")
+            .where(lambda e: e["event_type"] == "view")
+        )
+        body = (
+            Pattern.begin(pair)
+            .one_or_more()
+            .consecutive()
+            .next("p")
+            .where(lambda e: e["event_type"] == "purchase")
+        )
+        return Pattern.begin(body).times(1, 2).consecutive().within(600)
+
+    rng = random.Random(177)
+    epoch = datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                rng.randint(1, 2),
+                i,
+                rng.choice(["click", "view", "purchase", "click", "view"]),
+                epoch + timedelta(seconds=5 * i + rng.randint(0, 2)),
+            )
+        )
+    schema = "user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP"
+    base = replay_dir + "/cepnested"
+    quarter = len(rows) // 4
+    for b in range(4):
+        spark.createDataFrame(rows[b * quarter : (b + 1) * quarter], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{base}/__file={b:04d}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/__file=*")
+        .withWatermark("ts", "30 seconds")
+    )
+
+    def select(key, m):
+        return {
+            "user_id": int(key["user_id"]),
+            "start_id": int(m["c"][0]["event_id"]),
+            "n_pairs": len(m["c"]),
+            "n_buys": len(m["p"]),
+            "last_buy": int(m["p"][-1]["event_id"]),
+        }
+
+    out = match_pattern_stream(
+        stream, ["user_id"], "ts", make_pattern(), select,
+        "user_id BIGINT, start_id BIGINT, n_pairs BIGINT, n_buys BIGINT, last_buy BIGINT",
+        tiebreak="event_id",
+    )
+    got = set()
+
+    def collect(bdf, _bid):
+        got.update(
+            (r.user_id, r.start_id, r.n_pairs, r.n_buys, r.last_buy)
+            for r in bdf.collect()
+        )
+
+    run_to_completion(out, collect, mode="append")
+
+    per_user = {}
+    for uid, eid, et, ts in rows:
+        per_user.setdefault(uid, []).append(
+            {"ts": ts, "event_type": et, "event_id": eid}
+        )
+    all_matches = set()
+    closed_midstream = set()
+    horizon = rows[3 * quarter][3] - timedelta(seconds=40)
+    for uid, evs in per_user.items():
+        evs.sort(key=lambda x: (x["ts"], x["event_id"]))
+        for m in find_matches(make_pattern(), evs, ts_key="ts"):
+            row = (
+                uid, m["c"][0]["event_id"], len(m["c"]),
+                len(m["p"]), m["p"][-1]["event_id"],
+            )
+            all_matches.add(row)
+            if max(x["ts"] for v in m.values() for x in v) < horizon:
+                closed_midstream.add(row)
+    assert got <= all_matches
+    assert closed_midstream <= got
+    assert len(closed_midstream) > 5

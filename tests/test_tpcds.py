@@ -223,6 +223,16 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     item.loc[3:7, "i_manufact_id"] = 128  # q3 qualification manufacturer
     # q56's qualification colors (items 35..40 leave q64's color set)
     item.loc[34:39, "i_color"] = ["slate", "blanched", "burnished"] * 2
+    # q32/q92/q37/q82 qualification manufacturers; q40's dollar items
+    item.loc[13:15, "i_manufact_id"] = 977
+    item.loc[16:18, "i_manufact_id"] = 350
+    item.loc[19:22, "i_manufact_id"] = [677, 940, 694, 808]
+    item.loc[23:26, "i_manufact_id"] = [129, 270, 821, 423]
+    item.loc[27:28, "i_current_price"] = [1.25, 1.0]
+    cs["cs_ext_discount_amt"] = rng2.randint(0, 120, CS_ROWS) * 0.25
+    ws["ws_ext_discount_amt"] = rng2.randint(0, 120, WS_ROWS) * 0.25
+    cs["cs_warehouse_sk"] = rng2.randint(1, WAREHOUSES + 1, CS_ROWS)
+    warehouse["w_state"] = ["TN", "OH"][: WAREHOUSES]
     cd["cd_gender"] = rng2.choice(["M", "F"], DEMOS)
     cd["cd_education_status"] = rng2.choice(["College", "2 yr Degree", "4 yr Degree"], DEMOS)
     cd.loc[0:1, ["cd_gender", "cd_marital_status", "cd_education_status"]] = (
@@ -323,6 +333,8 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
             "cs_list_price": [20.0, 30.25, 40.5, 50.75, 60.0, 70.25],
             "cs_coupon_amt": 0.0,
             "cs_bill_addr_sk": 1,
+            "cs_ext_discount_amt": 0.0,
+            "cs_warehouse_sk": 1,
         }
     )
     ws_inject = pd.DataFrame(
@@ -343,6 +355,7 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
             "ws_ext_ship_cost": 10.0,
             "ws_net_profit": 5.0,
             "ws_bill_addr_sk": 1,
+            "ws_ext_discount_amt": 0.0,
         }
     )
     # q14b: one (brand,class,category) with above-average store sales in
@@ -420,7 +433,7 @@ def tpcds(spark, tmp_path_factory):
     con.close()
 
 
-def _compare(spark, con, sql, ordered, min_rows=1, oracle_sql=None, check_names=True, approx=False):
+def _compare(spark, con, sql, ordered, min_rows=1, oracle_sql=None, check_names=True, approx=False, nonnull=False):
     from incubator_flink_spark.api.table import TableEnvironment
 
     env = TableEnvironment(spark)
@@ -451,6 +464,8 @@ def _compare(spark, con, sql, ordered, min_rows=1, oracle_sql=None, check_names=
 
     got_n, want_n = norm(got), norm(want)
     assert len(got_n) >= min_rows, f"suspiciously small result ({len(got_n)} rows)"
+    if nonnull:
+        assert all(v is not None for r in got_n for v in r), got_n
     if ordered:
         assert got_n == want_n
     else:
@@ -1723,3 +1738,161 @@ def test_tpcds_q88_text(tpcds):
     row (scalar-count cross join)."""
     spark, con = tpcds
     _compare(spark, con, Q88, ordered=True, min_rows=1)
+
+
+# Excess-discount / inventory-window / warehouse-state families — public
+# spec templates, qualification parameters; quoted output aliases and
+# dsdgen "+ N days" arithmetic take the same dialect substitutions as q95.
+
+Q32 = """
+select  sum(cs_ext_discount_amt)  as excess_discount_amount
+from
+   catalog_sales
+   ,item
+   ,date_dim
+where
+i_manufact_id = 977
+and i_item_sk = cs_item_sk
+and d_date between '2000-01-27' and
+        (cast('2000-01-27' as date) + interval '90' day)
+and d_date_sk = cs_sold_date_sk
+and cs_ext_discount_amt
+     > (
+         select
+            1.3 * avg(cs_ext_discount_amt)
+         from
+            catalog_sales
+           ,date_dim
+         where
+              cs_item_sk = i_item_sk
+          and d_date between '2000-01-27' and
+                             (cast('2000-01-27' as date) + interval '90' day)
+          and d_date_sk = cs_sold_date_sk
+      )
+limit 100
+"""
+
+Q92 = """
+select
+   sum(ws_ext_discount_amt)  as excess_discount_amount
+from
+    web_sales
+   ,item
+   ,date_dim
+where
+i_manufact_id = 350
+and i_item_sk = ws_item_sk
+and d_date between '2000-01-27' and
+        (cast('2000-01-27' as date) + interval '90' day)
+and d_date_sk = ws_sold_date_sk
+and ws_ext_discount_amt
+     > (
+         SELECT
+            1.3 * avg(ws_ext_discount_amt)
+         FROM
+            web_sales
+           ,date_dim
+         WHERE
+              ws_item_sk = i_item_sk
+          and d_date between '2000-01-27' and
+                             (cast('2000-01-27' as date) + interval '90' day)
+          and d_date_sk = ws_sold_date_sk
+      )
+order by sum(ws_ext_discount_amt)
+limit 100
+"""
+
+Q37 = """
+select  i_item_id
+       ,i_item_desc
+       ,i_current_price
+ from item, inventory, date_dim, catalog_sales
+ where i_current_price between 68 and 68 + 30
+ and inv_item_sk = i_item_sk
+ and d_date_sk=inv_date_sk
+ and d_date between cast('2000-02-01' as date) and (cast('2000-02-01' as date) + interval '60' day)
+ and i_manufact_id in (677,940,694,808)
+ and inv_quantity_on_hand between 100 and 500
+ and cs_item_sk = i_item_sk
+ group by i_item_id,i_item_desc,i_current_price
+ order by i_item_id
+ limit 100
+"""
+
+Q82 = """
+select  i_item_id
+       ,i_item_desc
+       ,i_current_price
+ from item, inventory, date_dim, store_sales
+ where i_current_price between 62 and 62+30
+ and inv_item_sk = i_item_sk
+ and d_date_sk=inv_date_sk
+ and d_date between cast('2000-05-25' as date) and (cast('2000-05-25' as date) + interval '60' day)
+ and i_manufact_id in (129,270,821,423)
+ and inv_quantity_on_hand between 100 and 500
+ and ss_item_sk = i_item_sk
+ group by i_item_id,i_item_desc,i_current_price
+ order by i_item_id
+ limit 100
+"""
+
+Q40 = """
+select
+   w_state
+  ,i_item_id
+  ,sum(case when (cast(d_date as date) < cast ('2000-03-11' as date))
+ 		then cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) as sales_before
+  ,sum(case when (cast(d_date as date) >= cast ('2000-03-11' as date))
+ 		then cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) as sales_after
+ from
+   catalog_sales left outer join catalog_returns on
+       (cs_order_number = cr_order_number
+        and cs_item_sk = cr_item_sk)
+  ,warehouse
+  ,item
+  ,date_dim
+ where
+     i_current_price between 0.99 and 1.49
+ and i_item_sk          = cs_item_sk
+ and cs_warehouse_sk    = w_warehouse_sk
+ and cs_sold_date_sk    = d_date_sk
+ and d_date between (cast ('2000-03-11' as date) - interval '30' day)
+                and (cast ('2000-03-11' as date) + interval '30' day)
+ group by
+    w_state,i_item_id
+ order by w_state,i_item_id
+limit 100
+"""
+
+
+def test_tpcds_q32_text(tpcds):
+    """q32 verbatim — catalog excess discount vs a correlated 1.3x
+    per-item average."""
+    spark, con = tpcds
+    _compare(spark, con, Q32, ordered=True, min_rows=1, nonnull=True)
+
+
+def test_tpcds_q92_text(tpcds):
+    """q92 verbatim — the web twin of q32."""
+    spark, con = tpcds
+    _compare(spark, con, Q92, ordered=True, min_rows=1, nonnull=True)
+
+
+def test_tpcds_q37_text(tpcds):
+    """q37 verbatim — catalog-sold items with mid-range inventory in a
+    60-day window."""
+    spark, con = tpcds
+    _compare(spark, con, Q37, ordered=True, min_rows=1)
+
+
+def test_tpcds_q82_text(tpcds):
+    """q82 verbatim — the store twin of q37."""
+    spark, con = tpcds
+    _compare(spark, con, Q82, ordered=True, min_rows=1)
+
+
+def test_tpcds_q40_text(tpcds):
+    """q40 verbatim — returns-netted catalog sales by warehouse state
+    before/after a pivot date for dollar-priced items."""
+    spark, con = tpcds
+    _compare(spark, con, Q40, ordered=True, min_rows=1)
