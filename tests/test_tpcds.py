@@ -36,14 +36,16 @@ def _date_dim() -> pd.DataFrame:
     rows = []
     for i in range(days):
         d = start + datetime.timedelta(days=i)
-        # d_month_seq follows dsdgen's convention (Jan 2000 = 1200)
+        # d_month_seq follows dsdgen's convention (Jan 2000 = 1200);
+        # d_dow follows dsdgen's Sunday=0 convention
         rows.append(
             (i + 1, d, i // 7 + 5200, d.year, d.month, d.day,
-             (d.month - 1) // 3 + 1, (d.year - 1900) * 12 + d.month - 1)
+             (d.month - 1) // 3 + 1, (d.year - 1900) * 12 + d.month - 1,
+             (d.weekday() + 1) % 7)
         )
     return pd.DataFrame(
         rows,
-        columns=["d_date_sk", "d_date", "d_week_seq", "d_year", "d_moy", "d_dom", "d_qoy", "d_month_seq"],
+        columns=["d_date_sk", "d_date", "d_week_seq", "d_year", "d_moy", "d_dom", "d_qoy", "d_month_seq", "d_dow"],
     )
 
 
@@ -281,6 +283,41 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
         bursty, qty, rng2.randint(10, 21, len(inv))
     ).astype(np.int64)
 
+    # --- q1/q34/q46/q68/q73/q79 schema: store attributes, customer ids,
+    # returns linkage (mapped from the pre-remap base rows), ticket sums
+    store["s_city"] = ["Fairview", "Midway", "Fairview"]
+    store["s_county"] = "Williamson County"
+    store["s_state"] = "TN"
+    store["s_number_employees"] = [250, 280, 300]
+    customer["c_customer_id"] = [f"CUST{i:06d}" for i in customer.c_customer_sk]
+    customer["c_salutation"] = rng2.choice(["Mr.", "Mrs.", "Ms.", "Dr."], len(customer))
+    customer["c_preferred_cust_flag"] = rng2.choice(["Y", "N"], len(customer))
+    hd.loc[10, ["hd_buy_potential", "hd_dep_count", "hd_vehicle_count"]] = (
+        [">10000", 5, 3]  # q34's ratio > 1.2 qualification demographic
+    )
+    ss["ss_net_profit"] = rng2.randint(-200, 400, SS_ROWS) * 0.25
+    ss["ss_ext_list_price"] = rng2.randint(40, 2000, SS_ROWS) * 0.25
+    ss["ss_ext_tax"] = rng2.randint(0, 80, SS_ROWS) * 0.25
+    base_by_ticket = ss.set_index("ss_ticket_number")
+    sr["sr_customer_sk"] = sr.sr_ticket_number.map(base_by_ticket.ss_customer_sk)
+    sr["sr_store_sk"] = sr.sr_ticket_number.map(base_by_ticket.ss_store_sk)
+    sr["sr_returned_date_sk"] = sr.sr_ticket_number.map(
+        base_by_ticket.ss_sold_date_sk
+    ) + rng2.randint(1, 30, len(sr))
+    # q34's 15-20-line tickets: remap rows 500..899 into 25 sixteen-line
+    # tickets (one customer/store/demo/date each; d_dom=2, d_year=2000)
+    q34_date = _date_sk(datetime.date(2000, 3, 2))
+    idx = ss.index[500:900]
+    ss.loc[idx, "ss_ticket_number"] = 800000 + (np.arange(400) // 16)
+    ss.loc[idx, "ss_customer_sk"] = 30 + (np.arange(400) // 16)
+    ss.loc[idx, "ss_store_sk"] = 1
+    ss.loc[idx, "ss_hdemo_sk"] = 11
+    ss.loc[idx, "ss_sold_date_sk"] = q34_date
+    # one address per remapped ticket: q68 groups by (ticket, addr, city),
+    # and a ticket split across cities would tie on its ORDER BY columns
+    # at the LIMIT cutoff (engines break ties differently)
+    ss.loc[idx, "ss_addr_sk"] = 1 + (np.arange(400) // 16) % 60
+
     # q95: guarantee some qualifying pair-orders have web returns
     wr_inject = ws.iloc[:20][["ws_item_sk", "ws_order_number"]].rename(
         columns={"ws_item_sk": "wr_item_sk", "ws_order_number": "wr_order_number"}
@@ -314,6 +351,9 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     ss_inject["ss_list_price"] = 100.0
     ss_inject["ss_coupon_amt"] = 0.0
     ss_inject["ss_sold_time_sk"] = 10 * 3600
+    ss_inject["ss_net_profit"] = 2.0
+    ss_inject["ss_ext_list_price"] = 110.0
+    ss_inject["ss_ext_tax"] = 1.0
     feb2000 = _date_sk(datetime.date(2000, 2, 20))
     cs_inject = pd.DataFrame(
         {
@@ -378,6 +418,9 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     ss14["ss_list_price"] = 200.0  # 30*200 = 6k per row ≫ average single sale
     ss14["ss_coupon_amt"] = 0.0
     ss14["ss_sold_time_sk"] = 11 * 3600
+    ss14["ss_net_profit"] = 2.0
+    ss14["ss_ext_list_price"] = 110.0
+    ss14["ss_ext_tax"] = 1.0
     ss = pd.concat([ss, ss_inject, ss14], ignore_index=True)
     cs = pd.concat([cs, cs_inject], ignore_index=True)
     ws = pd.concat([ws, ws_inject], ignore_index=True)
@@ -1896,3 +1939,233 @@ def test_tpcds_q40_text(tpcds):
     before/after a pivot date for dollar-priced items."""
     spark, con = tpcds
     _compare(spark, con, Q40, ordered=True, min_rows=1)
+
+
+# Customer-behavior families: returns-above-average (q1), multi-line
+# ticket demographics (q34/q73), bought-city vs home-city (q46/q68),
+# store-traffic profit (q79) — public spec templates, qualification
+# parameters.
+
+Q1 = """
+with customer_total_return as
+(select sr_customer_sk as ctr_customer_sk
+,sr_store_sk as ctr_store_sk
+,sum(SR_RETURN_AMT) as ctr_total_return
+from store_returns
+,date_dim
+where sr_returned_date_sk = d_date_sk
+and d_year =2000
+group by sr_customer_sk
+,sr_store_sk)
+ select  c_customer_id
+from customer_total_return ctr1
+,store
+,customer
+where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+from customer_total_return ctr2
+where ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+and s_store_sk = ctr1.ctr_store_sk
+and s_state = 'TN'
+and ctr1.ctr_customer_sk = c_customer_sk
+order by c_customer_id
+limit 100
+"""
+
+Q34 = """
+select c_last_name
+       ,c_first_name
+       ,c_salutation
+       ,c_preferred_cust_flag
+       ,ss_ticket_number
+       ,cnt from
+   (select ss_ticket_number
+          ,ss_customer_sk
+          ,count(*) cnt
+    from store_sales,date_dim,store,household_demographics
+    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    and store_sales.ss_store_sk = store.s_store_sk
+    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    and (date_dim.d_dom between 1 and 3 or date_dim.d_dom between 25 and 28)
+    and (household_demographics.hd_buy_potential = '>10000' or
+         household_demographics.hd_buy_potential = 'unknown')
+    and household_demographics.hd_vehicle_count > 0
+    and (case when household_demographics.hd_vehicle_count > 0
+	then household_demographics.hd_dep_count/ household_demographics.hd_vehicle_count
+	else null
+	end)  > 1.2
+    and date_dim.d_year in (1999,1999+1,1999+2)
+    and store.s_county in ('Williamson County','Williamson County','Williamson County','Williamson County',
+                           'Williamson County','Williamson County','Williamson County','Williamson County')
+    group by ss_ticket_number,ss_customer_sk) dn,customer
+    where ss_customer_sk = c_customer_sk
+      and cnt between 15 and 20
+    order by c_last_name,c_first_name,c_salutation,c_preferred_cust_flag desc, ss_ticket_number
+"""
+
+Q73 = """
+select c_last_name
+       ,c_first_name
+       ,c_salutation
+       ,c_preferred_cust_flag
+       ,ss_ticket_number
+       ,cnt from
+   (select ss_ticket_number
+          ,ss_customer_sk
+          ,count(*) cnt
+    from store_sales,date_dim,store,household_demographics
+    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    and store_sales.ss_store_sk = store.s_store_sk
+    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    and date_dim.d_dom between 1 and 2
+    and (household_demographics.hd_buy_potential = '>10000' or
+         household_demographics.hd_buy_potential = 'unknown')
+    and household_demographics.hd_vehicle_count > 0
+    and case when household_demographics.hd_vehicle_count > 0 then
+             household_demographics.hd_dep_count/ household_demographics.hd_vehicle_count else null end > 1
+    and date_dim.d_year in (1999,1999+1,1999+2)
+    and store.s_county in ('Williamson County','Williamson County','Williamson County','Williamson County')
+    group by ss_ticket_number,ss_customer_sk) dj,customer
+    where ss_customer_sk = c_customer_sk
+      and cnt between 1 and 5
+    order by cnt desc, c_last_name asc
+"""
+
+Q46 = """
+select c_last_name
+       ,c_first_name
+       ,ca_city
+       ,bought_city
+       ,ss_ticket_number
+       ,amt,profit
+ from
+   (select ss_ticket_number
+          ,ss_customer_sk
+          ,ca_city bought_city
+          ,sum(ss_coupon_amt) amt
+          ,sum(ss_net_profit) profit
+    from store_sales,date_dim,store,household_demographics,customer_address
+    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    and store_sales.ss_store_sk = store.s_store_sk
+    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    and store_sales.ss_addr_sk = customer_address.ca_address_sk
+    and (household_demographics.hd_dep_count = 4 or
+         household_demographics.hd_vehicle_count= 3)
+    and date_dim.d_dow in (6,0)
+    and date_dim.d_year in (1999,1999+1,1999+2)
+    and store.s_city in ('Fairview','Midway','Fairview','Fairview',
+                         'Fairview')
+    group by ss_ticket_number,ss_customer_sk,ss_addr_sk,ca_city) dn,customer,customer_address current_addr
+    where ss_customer_sk = c_customer_sk
+      and customer.c_current_addr_sk = current_addr.ca_address_sk
+      and current_addr.ca_city <> bought_city
+  order by c_last_name
+          ,c_first_name
+          ,ca_city
+          ,bought_city
+          ,ss_ticket_number
+  limit 100
+"""
+
+Q68 = """
+select  c_last_name
+       ,c_first_name
+       ,ca_city
+       ,bought_city
+       ,ss_ticket_number
+       ,extended_price
+       ,extended_tax
+       ,list_price
+ from (select ss_ticket_number
+             ,ss_customer_sk
+             ,ca_city bought_city
+             ,sum(ss_ext_sales_price) extended_price
+             ,sum(ss_ext_list_price) list_price
+             ,sum(ss_ext_tax) extended_tax
+       from store_sales
+           ,date_dim
+           ,store
+           ,household_demographics
+           ,customer_address
+       where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         and store_sales.ss_store_sk = store.s_store_sk
+        and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        and store_sales.ss_addr_sk = customer_address.ca_address_sk
+        and date_dim.d_dom between 1 and 2
+        and (household_demographics.hd_dep_count = 4 or
+             household_demographics.hd_vehicle_count= 3)
+        and date_dim.d_year in (1999,1999+1,1999+2)
+        and store.s_city in ('Fairview','Midway')
+       group by ss_ticket_number
+               ,ss_customer_sk
+               ,ss_addr_sk,ca_city) dn
+      ,customer
+      ,customer_address current_addr
+ where ss_customer_sk = c_customer_sk
+   and customer.c_current_addr_sk = current_addr.ca_address_sk
+   and current_addr.ca_city <> bought_city
+ order by c_last_name
+         ,ss_ticket_number
+ limit 100
+"""
+
+Q79 = """
+select
+  c_last_name,c_first_name,substr(s_city,1,30),ss_ticket_number,amt,profit
+  from
+   (select ss_ticket_number
+          ,ss_customer_sk
+          ,store.s_city
+          ,sum(ss_coupon_amt) amt
+          ,sum(ss_net_profit) profit
+  from store_sales,date_dim,store,household_demographics
+  where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+  and store_sales.ss_store_sk = store.s_store_sk
+  and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+  and (household_demographics.hd_dep_count = 6 or household_demographics.hd_vehicle_count > 2)
+  and date_dim.d_dow = 1
+  and date_dim.d_year in (1998,1998+1,1998+2)
+  and store.s_number_employees between 200 and 295
+  group by ss_ticket_number,ss_customer_sk,ss_store_sk,store.s_city) ms,customer
+  where ss_customer_sk = c_customer_sk
+ order by c_last_name,c_first_name,substr(s_city,1,30), profit
+limit 100
+"""
+
+
+def test_tpcds_q1_text(tpcds):
+    """q1 verbatim — customers whose store returns exceed 1.2x their
+    store's average (correlated CTE self-reference)."""
+    spark, con = tpcds
+    _compare(spark, con, Q1, ordered=True, min_rows=1)
+
+
+def test_tpcds_q34_text(tpcds):
+    """q34 verbatim — 15-20-line tickets for high-dependency households
+    around month boundaries."""
+    spark, con = tpcds
+    _compare(spark, con, Q34, ordered=False, min_rows=5)
+
+
+def test_tpcds_q73_text(tpcds):
+    """q73 verbatim — the 1-5-line-ticket variant of q34."""
+    spark, con = tpcds
+    _compare(spark, con, Q73, ordered=False, min_rows=5)
+
+
+def test_tpcds_q46_text(tpcds):
+    """q46 verbatim — weekend tickets bought in a city different from the
+    customer's home city."""
+    spark, con = tpcds
+    _compare(spark, con, Q46, ordered=False, min_rows=3)
+
+
+def test_tpcds_q68_text(tpcds):
+    """q68 verbatim — the month-boundary price/tax variant of q46."""
+    spark, con = tpcds
+    _compare(spark, con, Q68, ordered=False, min_rows=3)
+
+
+def test_tpcds_q79_text(tpcds):
+    """q79 verbatim — Monday profit per ticket at mid-size stores."""
+    spark, con = tpcds
+    _compare(spark, con, Q79, ordered=False, min_rows=5)
