@@ -425,6 +425,12 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     cs = pd.concat([cs, cs_inject], ignore_index=True)
     ws = pd.concat([ws, ws_inject], ignore_index=True)
 
+    # ---- round-8 batch-5 additions: a FRESH rng keeps every rng/rng2
+    # draw identical (existing tests see unchanged data); new columns are
+    # assigned on the post-concat frames so injected rows get values too
+    rng3 = np.random.RandomState(888)
+    ws["ws_net_paid"] = rng3.randint(4, 400, len(ws)) * 0.25
+
     return {
         "web_site": web_site,
         "time_dim": time_dim,
@@ -2169,3 +2175,424 @@ def test_tpcds_q79_text(tpcds):
     """q79 verbatim — Monday profit per ticket at mid-size stores."""
     spark, con = tpcds
     _compare(spark, con, Q79, ordered=False, min_rows=5)
+
+
+# Batch 5: inventory / bucket-report / channel-overlap / shipping
+# families — public spec templates, qualification parameters (dialect:
+# "+ N days" -> interval, quoted aliases -> identifiers, as before).
+
+Q12 = """
+select i_item_id
+      ,i_item_desc
+      ,i_category
+      ,i_class
+      ,i_current_price
+      ,sum(ws_ext_sales_price) as itemrevenue
+      ,sum(ws_ext_sales_price)*100/sum(sum(ws_ext_sales_price)) over
+          (partition by i_class) as revenueratio
+from
+	web_sales
+    	,item
+    	,date_dim
+where
+	ws_item_sk = i_item_sk
+  	and i_category in ('Sports', 'Books', 'Home')
+  	and ws_sold_date_sk = d_date_sk
+	and d_date between cast('1999-02-22' as date)
+				and (cast('1999-02-22' as date) + interval '30' day)
+group by
+	i_item_id
+        ,i_item_desc
+        ,i_category
+        ,i_class
+        ,i_current_price
+order by
+	i_category
+        ,i_class
+        ,i_item_id
+        ,i_item_desc
+        ,revenueratio
+limit 100
+"""
+
+Q20 = """
+select i_item_id
+       ,i_item_desc
+       ,i_category
+       ,i_class
+       ,i_current_price
+       ,sum(cs_ext_sales_price) as itemrevenue
+       ,sum(cs_ext_sales_price)*100/sum(sum(cs_ext_sales_price)) over
+           (partition by i_class) as revenueratio
+ from	catalog_sales
+     ,item
+     ,date_dim
+ where cs_item_sk = i_item_sk
+   and i_category in ('Sports', 'Books', 'Home')
+   and cs_sold_date_sk = d_date_sk
+ and d_date between cast('1999-02-22' as date)
+ 				and (cast('1999-02-22' as date) + interval '30' day)
+ group by i_item_id
+         ,i_item_desc
+         ,i_category
+         ,i_class
+         ,i_current_price
+ order by i_category
+         ,i_class
+         ,i_item_id
+         ,i_item_desc
+         ,revenueratio
+limit 100
+"""
+
+Q15 = """
+select ca_zip
+       ,sum(cs_sales_price)
+ from catalog_sales
+     ,customer
+     ,customer_address
+     ,date_dim
+ where cs_bill_customer_sk = c_customer_sk
+ 	and c_current_addr_sk = ca_address_sk
+ 	and ( substr(ca_zip,1,5) in ('85669', '86197','88274','83405','86475',
+                                   '85392', '85460', '80348', '81792')
+ 	      or ca_state in ('CA','WA','GA')
+ 	      or cs_sales_price > 500)
+ 	and cs_sold_date_sk = d_date_sk
+ 	and d_qoy = 2 and d_year = 2000
+ group by ca_zip
+ order by ca_zip
+ limit 100
+"""
+
+Q21 = """
+select *
+ from(select w_warehouse_name
+            ,i_item_id
+            ,sum(case when (cast(d_date as date) < cast ('2000-03-11' as date))
+	                then inv_quantity_on_hand
+                      else 0 end) as inv_before
+            ,sum(case when (cast(d_date as date) >= cast ('2000-03-11' as date))
+                      then inv_quantity_on_hand
+                      else 0 end) as inv_after
+   from inventory
+       ,warehouse
+       ,item
+       ,date_dim
+   where i_current_price between 0.99 and 1.49
+     and i_item_sk          = inv_item_sk
+     and inv_warehouse_sk   = w_warehouse_sk
+     and inv_date_sk    = d_date_sk
+     and d_date between (cast ('2000-03-11' as date) - interval '30' day)
+                    and (cast ('2000-03-11' as date) + interval '30' day)
+   group by w_warehouse_name, i_item_id) x
+ where (case when inv_before > 0
+             then inv_after / inv_before
+             else null
+             end) between 2.0/3.0 and 3.0/2.0
+ order by w_warehouse_name
+         ,i_item_id
+ limit 100
+"""
+
+Q22 = """
+select i_product_name
+             ,i_brand
+             ,i_class
+             ,i_category
+             ,avg(inv_quantity_on_hand) qoh
+       from inventory
+           ,date_dim
+           ,item
+       where inv_date_sk=d_date_sk
+              and inv_item_sk=i_item_sk
+              and d_month_seq between 1200 and 1200 + 11
+       group by rollup(i_product_name
+                       ,i_brand
+                       ,i_class
+                       ,i_category)
+order by qoh, i_product_name, i_brand, i_class, i_category
+limit 100
+"""
+
+Q27 = """
+select i_item_id,
+        s_state, grouping(s_state) g_state,
+        avg(ss_quantity) agg1,
+        avg(ss_list_price) agg2,
+        avg(ss_coupon_amt) agg3,
+        avg(ss_sales_price) agg4
+ from store_sales, customer_demographics, date_dim, store, item
+ where ss_sold_date_sk = d_date_sk and
+       ss_item_sk = i_item_sk and
+       ss_store_sk = s_store_sk and
+       ss_cdemo_sk = cd_demo_sk and
+       cd_gender = 'M' and
+       cd_marital_status = 'S' and
+       cd_education_status = 'College' and
+       d_year = 2000 and
+       s_state in ('TN','TN', 'TN', 'TN', 'TN', 'TN')
+ group by rollup (i_item_id, s_state)
+ order by i_item_id
+         ,s_state
+ limit 100
+"""
+
+Q28 = """
+select  *
+from (select avg(ss_list_price) B1_LP
+            ,count(ss_list_price) B1_CNT
+            ,count(distinct ss_list_price) B1_CNTD
+      from store_sales
+      where ss_quantity between 0 and 5
+        and (ss_list_price between 8 and 8+10
+             or ss_coupon_amt between 459 and 459+1000
+             or ss_wholesale_cost between 57 and 57+20)) B1,
+     (select avg(ss_list_price) B2_LP
+            ,count(ss_list_price) B2_CNT
+            ,count(distinct ss_list_price) B2_CNTD
+      from store_sales
+      where ss_quantity between 6 and 10
+        and (ss_list_price between 90 and 90+10
+             or ss_coupon_amt between 2323 and 2323+1000
+             or ss_wholesale_cost between 31 and 31+20)) B2,
+     (select avg(ss_list_price) B3_LP
+            ,count(ss_list_price) B3_CNT
+            ,count(distinct ss_list_price) B3_CNTD
+      from store_sales
+      where ss_quantity between 11 and 15
+        and (ss_list_price between 142 and 142+10
+             or ss_coupon_amt between 12214 and 12214+1000
+             or ss_wholesale_cost between 79 and 79+20)) B3,
+     (select avg(ss_list_price) B4_LP
+            ,count(ss_list_price) B4_CNT
+            ,count(distinct ss_list_price) B4_CNTD
+      from store_sales
+      where ss_quantity between 16 and 20
+        and (ss_list_price between 135 and 135+10
+             or ss_coupon_amt between 6071 and 6071+1000
+             or ss_wholesale_cost between 38 and 38+20)) B4,
+     (select avg(ss_list_price) B5_LP
+            ,count(ss_list_price) B5_CNT
+            ,count(distinct ss_list_price) B5_CNTD
+      from store_sales
+      where ss_quantity between 21 and 25
+        and (ss_list_price between 122 and 122+10
+             or ss_coupon_amt between 836 and 836+1000
+             or ss_wholesale_cost between 17 and 17+20)) B5,
+     (select avg(ss_list_price) B6_LP
+            ,count(ss_list_price) B6_CNT
+            ,count(distinct ss_list_price) B6_CNTD
+      from store_sales
+      where ss_quantity between 26 and 30
+        and (ss_list_price between 154 and 154+10
+             or ss_coupon_amt between 7326 and 7326+1000
+             or ss_wholesale_cost between 7 and 7+20)) B6
+limit 100
+"""
+
+Q38 = """
+select count(*) from (
+    select distinct c_last_name, c_first_name, d_date
+    from store_sales, date_dim, customer
+          where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      and store_sales.ss_customer_sk = customer.c_customer_sk
+      and d_month_seq between 1200 and 1200 + 11
+  intersect
+    select distinct c_last_name, c_first_name, d_date
+    from catalog_sales, date_dim, customer
+          where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+      and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+      and d_month_seq between 1200 and 1200 + 11
+  intersect
+    select distinct c_last_name, c_first_name, d_date
+    from web_sales, date_dim, customer
+          where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+      and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+      and d_month_seq between 1200 and 1200 + 11
+) hot_cust
+limit 100
+"""
+
+Q87 = """
+select count(*)
+from ((select distinct c_last_name, c_first_name, d_date
+       from store_sales, date_dim, customer
+       where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         and store_sales.ss_customer_sk = customer.c_customer_sk
+         and d_month_seq between 1200 and 1200+11)
+       except
+      (select distinct c_last_name, c_first_name, d_date
+       from catalog_sales, date_dim, customer
+       where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+         and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+         and d_month_seq between 1200 and 1200+11)
+       except
+      (select distinct c_last_name, c_first_name, d_date
+       from web_sales, date_dim, customer
+       where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+         and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+         and d_month_seq between 1200 and 1200+11)
+) cool_cust
+"""
+
+Q97 = """
+with ssci as (
+select ss_customer_sk customer_sk
+      ,ss_item_sk item_sk
+from store_sales,date_dim
+where ss_sold_date_sk = d_date_sk
+  and d_month_seq between 1200 and 1200+11
+group by ss_customer_sk
+        ,ss_item_sk),
+csci as(
+ select cs_bill_customer_sk customer_sk
+      ,cs_item_sk item_sk
+from catalog_sales,date_dim
+where cs_sold_date_sk = d_date_sk
+  and d_month_seq between 1200 and 1200+11
+group by cs_bill_customer_sk
+        ,cs_item_sk)
+ select sum(case when ssci.customer_sk is not null and csci.customer_sk is null then 1 else 0 end) store_only
+      ,sum(case when ssci.customer_sk is null and csci.customer_sk is not null then 1 else 0 end) catalog_only
+      ,sum(case when ssci.customer_sk is not null and csci.customer_sk is not null then 1 else 0 end) store_and_catalog
+from ssci full outer join csci on (ssci.customer_sk=csci.customer_sk
+                               and ssci.item_sk = csci.item_sk)
+limit 100
+"""
+
+Q94 = """
+select
+   count(distinct ws_order_number) as order_count
+  ,sum(ws_ext_ship_cost) as total_shipping_cost
+  ,sum(ws_net_profit) as total_net_profit
+from
+   web_sales ws1
+  ,date_dim
+  ,customer_address
+  ,web_site
+where
+    d_date between '1999-2-01' and
+           (cast('1999-2-01' as date) + interval '60' day)
+and ws1.ws_ship_date_sk = d_date_sk
+and ws1.ws_ship_addr_sk = ca_address_sk
+and ca_state = 'IL'
+and ws1.ws_web_site_sk = web_site_sk
+and web_company_name = 'pri'
+and exists (select *
+            from web_sales ws2
+            where ws1.ws_order_number = ws2.ws_order_number
+              and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+and not exists(select *
+               from web_returns wr1
+               where ws1.ws_order_number = wr1.wr_order_number)
+order by count(distinct ws_order_number)
+limit 100
+"""
+
+Q86 = """
+select
+    sum(ws_net_paid) as total_sum
+   ,i_category
+   ,i_class
+   ,grouping(i_category)+grouping(i_class) as lochierarchy
+   ,rank() over (
+ 	partition by grouping(i_category)+grouping(i_class),
+ 	case when grouping(i_class) = 0 then i_category end
+ 	order by sum(ws_net_paid) desc) as rank_within_parent
+ from
+    web_sales
+   ,date_dim       d1
+   ,item
+ where
+    d1.d_month_seq between 1200 and 1200+11
+ and d1.d_date_sk = ws_sold_date_sk
+ and i_item_sk  = ws_item_sk
+ group by rollup(i_category,i_class)
+ order by
+   lochierarchy desc,
+   case when lochierarchy = 0 then i_category end,
+   rank_within_parent
+ limit 100
+"""
+
+
+def test_tpcds_q12_text(tpcds):
+    """q12 verbatim — web per-item revenue with windowed per-class ratio."""
+    spark, con = tpcds
+    _compare(spark, con, Q12, ordered=True, min_rows=5)
+
+
+def test_tpcds_q20_text(tpcds):
+    """q20 verbatim — catalog per-item revenue with windowed ratio."""
+    spark, con = tpcds
+    _compare(spark, con, Q20, ordered=True, min_rows=5)
+
+
+def test_tpcds_q15_text(tpcds):
+    """q15 verbatim — Q2-2000 catalog sales by zip (zip-prefix OR state OR
+    high-price disjunction)."""
+    spark, con = tpcds
+    _compare(spark, con, Q15, ordered=True, min_rows=5, check_names=False)
+
+
+def test_tpcds_q21_text(tpcds):
+    """q21 verbatim — inventory before/after ratio around a cutoff date
+    for sub-$1.49 items."""
+    spark, con = tpcds
+    _compare(spark, con, Q21, ordered=True, min_rows=1)
+
+
+def test_tpcds_q22_text(tpcds):
+    """q22 verbatim — avg quantity-on-hand over a 12-month window, 4-level
+    rollup (NULL-first ordering aligned)."""
+    spark, con = tpcds
+    _compare(spark, con, Q22, ordered=True, min_rows=50)
+
+
+def test_tpcds_q27_text(tpcds):
+    """q27 verbatim — demographic store-sales averages, rollup over
+    (item, state) with grouping()."""
+    spark, con = tpcds
+    _compare(spark, con, Q27, ordered=True, min_rows=10)
+
+
+def test_tpcds_q28_text(tpcds):
+    """q28 verbatim — six quantity-bucket list-price profiles as a 6-way
+    cross join of 1-row aggregates (empty buckets stay NULL/0)."""
+    spark, con = tpcds
+    _compare(spark, con, Q28, ordered=False, min_rows=1)
+
+
+def test_tpcds_q38_text(tpcds):
+    """q38 verbatim — 3-channel INTERSECT of distinct (name, date)
+    shoppers (count(*) naming differs by engine)."""
+    spark, con = tpcds
+    _compare(spark, con, Q38, ordered=False, min_rows=1, check_names=False, nonnull=True)
+
+
+def test_tpcds_q87_text(tpcds):
+    """q87 verbatim — the EXCEPT twin of q38."""
+    spark, con = tpcds
+    _compare(spark, con, Q87, ordered=False, min_rows=1, check_names=False, nonnull=True)
+
+
+def test_tpcds_q97_text(tpcds):
+    """q97 verbatim — store/catalog shopper overlap via FULL OUTER JOIN
+    on (customer, item)."""
+    spark, con = tpcds
+    _compare(spark, con, Q97, ordered=False, min_rows=1, nonnull=True)
+
+
+def test_tpcds_q94_text(tpcds):
+    """q94 verbatim — unreturned multi-warehouse web orders via
+    correlated EXISTS / NOT EXISTS (q95's decorrelated twin)."""
+    spark, con = tpcds
+    _compare(spark, con, Q94, ordered=True, min_rows=1, nonnull=True)
+
+
+def test_tpcds_q86_text(tpcds):
+    """q86 verbatim — web net-paid rollup with rank-within-parent over
+    grouping() keys."""
+    spark, con = tpcds
+    _compare(spark, con, Q86, ordered=False, min_rows=5)
