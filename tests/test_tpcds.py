@@ -500,6 +500,43 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     cs["cs_ship_addr_sk"] = cs["cs_ship_addr_sk"].astype(float)
     cs.loc[1000:1049, "cs_ship_addr_sk"] = np.nan
 
+    # batch-8 schema: country/manufact columns, store-zip-aligned
+    # addresses (q8's 2-char prefix match), NULL ss_addr slice (q44's
+    # anchor subquery), and four sale-free q41 items (sk 41..44) crafted
+    # for the color/units/size branch predicates — no sales row touches
+    # them, so every sales-joining query is unaffected.
+    ca["ca_country"] = "United States"
+    ca.loc[0:9, "ca_zip"] = "10001"
+    item["i_manufact"] = [f"manufact {m}" for m in item.i_manufact_id]
+    ss.loc[2850:2899, "ss_addr_sk"] = np.nan
+    item["i_size"] = "N/A"
+    item["i_units"] = "Unknown"
+    q41_rows = pd.DataFrame(
+        [
+            (41, "item description q41a", "amalgamalg q41 #1", 740, "Women",
+             "powder", "Ounce", "medium"),
+            (42, "item description q41b", "amalgamalg q41 #2", 740, "Women",
+             "forest", "Ton", "small"),
+            (43, "item description q41c", "amalgamalg q41 #3", 741, "Men",
+             "floral", "Dozen", "petite"),
+            (44, "item description q41d", "amalgamalg q41 #4", 742, "Men",
+             "light", "Pound", "extra large"),
+        ],
+        columns=["i_item_sk", "i_item_desc", "i_product_name", "i_manufact_id",
+                 "i_category", "i_color", "i_units", "i_size"],
+    )
+    q41_rows["i_manufact"] = [f"manufact {m}" for m in q41_rows.i_manufact_id]
+    q41_rows["i_brand_id"] = 9
+    q41_rows["i_class_id"] = 9
+    q41_rows["i_category_id"] = 9
+    q41_rows["i_current_price"] = 65.0
+    q41_rows["i_brand"] = "brand9"
+    q41_rows["i_class"] = "class9"
+    q41_rows["i_item_id"] = [f"AAAA{i:04d}" for i in q41_rows.i_item_sk]
+    q41_rows["i_manager_id"] = 35
+    q41_rows["i_wholesale_cost"] = 30.0
+    item = pd.concat([item, q41_rows], ignore_index=True)
+
     return {
         "reason": reason,
         "ship_mode": ship_mode,
@@ -3976,3 +4013,306 @@ def test_tpcds_q89_text(tpcds):
     average."""
     spark, con = tpcds
     _compare(spark, con, Q89, ordered=False, min_rows=5)
+
+
+# Batch 8: zip-prefix store report, tri-branch demographic filters,
+# item self-join existence, best/worst rank join — public spec
+# templates, qualification parameters.
+
+Q8 = """
+select s_store_name
+      ,sum(ss_net_profit)
+ from store_sales
+     ,date_dim
+     ,store,
+     (select ca_zip
+     from (
+      (SELECT substr(ca_zip,1,5) ca_zip
+      FROM customer_address
+      WHERE substr(ca_zip,1,5) IN ('10001','24128','76232','65084','87816','83926','77556','20548'))
+      intersect
+      (select ca_zip
+      from (SELECT substr(ca_zip,1,5) ca_zip,count(*) cnt
+            FROM customer_address, customer
+            WHERE ca_address_sk = c_current_addr_sk and
+                  c_preferred_cust_flag='Y'
+            group by ca_zip
+            having count(*) > 10)A1)
+     )A2) V1
+ where ss_store_sk = s_store_sk
+  and ss_sold_date_sk = d_date_sk
+  and d_qoy = 2 and d_year = 2000
+  and (substr(s_zip,1,2) = substr(V1.ca_zip,1,2))
+ group by s_store_name
+ order by s_store_name
+ limit 100
+"""
+
+Q13 = """
+select avg(ss_quantity)
+       ,avg(ss_ext_sales_price)
+       ,avg(ss_ext_wholesale_cost)
+       ,sum(ss_ext_wholesale_cost)
+ from store_sales
+     ,store
+     ,customer_demographics
+     ,household_demographics
+     ,customer_address
+     ,date_dim
+ where s_store_sk = ss_store_sk
+ and  ss_sold_date_sk = d_date_sk and d_year = 2001
+ and((ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'D'
+  and cd_education_status = '4 yr Degree'
+  and ss_sales_price between 50.00 and 100.00
+  and hd_dep_count = 7
+     )or
+     (ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'S'
+  and cd_education_status = 'College'
+  and ss_sales_price between 25.00 and 75.00
+  and hd_dep_count = 4
+     ) or
+     (ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'M'
+  and cd_education_status = '4 yr Degree'
+  and ss_sales_price between 0.00 and 50.00
+  and hd_dep_count = 2
+     ))
+ and((ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('IL','TX','OH')
+  and ss_net_profit between 0 and 200
+     ) or
+     (ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('CA','NM','KY')
+  and ss_net_profit between 50 and 300
+     ) or
+     (ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('GA','TX','MS')
+  and ss_net_profit between 0 and 250
+     ))
+"""
+
+Q19 = """
+select i_brand_id brand_id, i_brand brand, i_manufact_id, i_manufact,
+ 	sum(ss_ext_sales_price) ext_price
+ from date_dim, store_sales, item,customer,customer_address,store
+ where d_date_sk = ss_sold_date_sk
+   and ss_item_sk = i_item_sk
+   and i_manager_id=1
+   and d_moy=11
+   and d_year=2000
+   and ss_customer_sk = c_customer_sk
+   and c_current_addr_sk = ca_address_sk
+   and substr(ca_zip,1,5) <> substr(s_zip,1,5)
+   and ss_store_sk = s_store_sk
+ group by i_brand
+      ,i_brand_id
+      ,i_manufact_id
+      ,i_manufact
+ order by ext_price desc
+         ,i_brand
+         ,i_brand_id
+         ,i_manufact_id
+         ,i_manufact
+limit 100
+"""
+
+Q41 = """
+select distinct(i_product_name)
+ from item i1
+ where i_manufact_id between 738 and 738+40
+   and (select count(*) as item_cnt
+from item
+where (i_manufact = i1.i_manufact and
+        ((i_category = 'Women' and
+        (i_color = 'powder' or i_color = 'khaki') and
+        (i_units = 'Ounce' or i_units = 'Oz') and
+        (i_size = 'medium' or i_size = 'extra large')
+        ) or
+        (i_category = 'Women' and
+        (i_color = 'brown' or i_color = 'forest') and
+        (i_units = 'Lb' or i_units = 'Ton') and
+        (i_size = 'N/A' or i_size = 'small')
+        ) or
+        (i_category = 'Men' and
+        (i_color = 'floral' or i_color = 'deep') and
+        (i_units = 'N/A' or i_units = 'Dozen') and
+        (i_size = 'petite' or i_size = 'large')
+        ) or
+        (i_category = 'Men' and
+        (i_color = 'light' or i_color = 'cornflower') and
+        (i_units = 'Box' or i_units = 'Pound') and
+        (i_size = 'medium' or i_size = 'extra large')
+        ))) or
+       (i_manufact = i1.i_manufact and
+        ((i_category = 'Women' and
+        (i_color = 'midnight' or i_color = 'snow') and
+        (i_units = 'Pallet' or i_units = 'Gross') and
+        (i_size = 'medium' or i_size = 'extra large')
+        ) or
+        (i_category = 'Women' and
+        (i_color = 'cyan' or i_color = 'papaya') and
+        (i_units = 'Cup' or i_units = 'Dram') and
+        (i_size = 'N/A' or i_size = 'small')
+        ) or
+        (i_category = 'Men' and
+        (i_color = 'orange' or i_color = 'frosted') and
+        (i_units = 'Each' or i_units = 'Tbl') and
+        (i_size = 'petite' or i_size = 'large')
+        ) or
+        (i_category = 'Men' and
+        (i_color = 'forest' or i_color = 'ghost') and
+        (i_units = 'Lb' or i_units = 'Bundle') and
+        (i_size = 'medium' or i_size = 'extra large')
+        )))) > 0
+ order by i_product_name
+ limit 100
+"""
+
+Q44 = """
+select asceding.rnk, i1.i_product_name best_performing, i2.i_product_name worst_performing
+from(select *
+     from (select item_sk,rank() over (order by rank_col asc) rnk
+           from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col
+                 from store_sales ss1
+                 where ss_store_sk = 1
+                 group by ss_item_sk
+                 having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col
+                                                  from store_sales
+                                                  where ss_store_sk = 1
+                                                    and ss_addr_sk is null
+                                                  group by ss_store_sk))V1)V11
+     where rnk  < 11) asceding,
+    (select *
+     from (select item_sk,rank() over (order by rank_col desc) rnk
+           from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col
+                 from store_sales ss1
+                 where ss_store_sk = 1
+                 group by ss_item_sk
+                 having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col
+                                                  from store_sales
+                                                  where ss_store_sk = 1
+                                                    and ss_addr_sk is null
+                                                  group by ss_store_sk))V2)V21
+     where rnk  < 11) descending,
+item i1, item i2
+where asceding.rnk = descending.rnk
+  and i1.i_item_sk=asceding.item_sk
+  and i2.i_item_sk=descending.item_sk
+order by asceding.rnk
+limit 100
+"""
+
+Q48 = """
+select sum (ss_quantity)
+ from store_sales, store, customer_demographics, customer_address, date_dim
+ where s_store_sk = ss_store_sk
+ and  ss_sold_date_sk = d_date_sk and d_year = 2001
+ and
+ (
+  (
+   cd_demo_sk = ss_cdemo_sk
+   and
+   cd_marital_status = 'M'
+   and
+   cd_education_status = '4 yr Degree'
+   and
+   ss_sales_price between 50.00 and 100.00
+   )
+ or
+  (
+  cd_demo_sk = ss_cdemo_sk
+   and
+   cd_marital_status = 'D'
+   and
+   cd_education_status = '2 yr Degree'
+   and
+   ss_sales_price between 25.00 and 75.00
+  )
+ or
+ (
+  cd_demo_sk = ss_cdemo_sk
+  and
+   cd_marital_status = 'S'
+   and
+   cd_education_status = 'College'
+   and
+   ss_sales_price between 0.00 and 50.00
+ )
+ )
+ and
+ (
+  (
+  ss_addr_sk = ca_address_sk
+  and
+  ca_country = 'United States'
+  and
+  ca_state in ('IL', 'OH', 'TX')
+  and ss_net_profit between 0 and 2000
+  )
+ or
+  (ss_addr_sk = ca_address_sk
+  and
+  ca_country = 'United States'
+  and
+  ca_state in ('CA', 'MN', 'KY')
+  and ss_net_profit between 150 and 3000
+  )
+ or
+  (ss_addr_sk = ca_address_sk
+  and
+  ca_country = 'United States'
+  and
+  ca_state in ('GA', 'TX', 'MS')
+  and ss_net_profit between 50 and 25000
+  )
+ )
+"""
+
+
+def test_tpcds_q8_text(tpcds):
+    """q8 verbatim — store profit for zip prefixes shared with
+    preferred-customer-heavy zips (INTERSECT + HAVING subquery)."""
+    spark, con = tpcds
+    _compare(spark, con, Q8, ordered=True, min_rows=1, check_names=False)
+
+
+def test_tpcds_q13_text(tpcds):
+    """q13 verbatim — tri-branch demographic x address disjunction
+    averages."""
+    spark, con = tpcds
+    _compare(spark, con, Q13, ordered=False, min_rows=1, check_names=False, nonnull=True)
+
+
+def test_tpcds_q19_text(tpcds):
+    """q19 verbatim — brand/manufacturer revenue where customer and store
+    zips differ."""
+    spark, con = tpcds
+    _compare(spark, con, Q19, ordered=True, min_rows=3)
+
+
+def test_tpcds_q41_text(tpcds):
+    """q41 verbatim — correlated COUNT(*) scalar subquery over the item
+    dimension's color/units/size branches."""
+    spark, con = tpcds
+    _compare(spark, con, Q41, ordered=True, min_rows=3)
+
+
+def test_tpcds_q44_text(tpcds):
+    """q44 verbatim — best/worst performing items joined by rank (the
+    NULL-addr anchor subquery sets the profitability bar)."""
+    spark, con = tpcds
+    _compare(spark, con, Q44, ordered=False, min_rows=5)
+
+
+def test_tpcds_q48_text(tpcds):
+    """q48 verbatim — the un-windowed quantity twin of q13."""
+    spark, con = tpcds
+    _compare(spark, con, Q48, ordered=False, min_rows=1, check_names=False, nonnull=True)
