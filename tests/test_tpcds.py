@@ -537,10 +537,51 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     q41_rows["i_wholesale_cost"] = 30.0
     item = pd.concat([item, q41_rows], ignore_index=True)
 
+    # batch-9 schema: full customer demographics, promotion channels,
+    # meal times + per-channel sold-time keys, web_page dim, income-band
+    # bounds (bands 2-3 sit inside q84's [38128, 88128] window), call
+    # center identity, and catalog-return linkage columns
+    cd["cd_purchase_estimate"] = rng3.choice([500, 1000, 1500, 2000], DEMOS)
+    cd["cd_credit_rating"] = rng3.choice(["Low Risk", "Good", "High Risk", "Unknown"], DEMOS)
+    cd["cd_dep_count"] = rng3.randint(0, 7, DEMOS)
+    cd["cd_dep_employed_count"] = rng3.randint(0, 5, DEMOS)
+    cd["cd_dep_college_count"] = rng3.randint(0, 3, DEMOS)
+    cs["cs_ship_customer_sk"] = rng3.randint(1, 200, len(cs))
+    promotion["p_channel_dmail"] = rng3.choice(["N", "Y"], len(promotion))
+    promotion["p_channel_tv"] = rng3.choice(["N", "Y"], len(promotion))
+    hours = time_dim.t_hour.to_numpy()
+    time_dim["t_meal_time"] = np.select(
+        [(hours >= 6) & (hours <= 9), (hours >= 17) & (hours <= 20)],
+        ["breakfast", "dinner"],
+        default=None,
+    )
+    ws["ws_sold_time_sk"] = rng3.choice(time_dim.t_time_sk.to_numpy(), len(ws))
+    cs["cs_sold_time_sk"] = rng3.choice(time_dim.t_time_sk.to_numpy(), len(cs))
+    web_page = pd.DataFrame(
+        {
+            "wp_web_page_sk": np.arange(1, 7),
+            "wp_char_count": [5010, 5120, 4800, 5200, 2500, 5555],
+        }
+    )
+    ws["ws_web_page_sk"] = rng3.randint(1, 7, len(ws))
+    ws["ws_ship_hdemo_sk"] = rng3.randint(1, DEMOS + 1, len(ws))
+    income_band["ib_lower_bound"] = [0, 38128, 60001, 90001, 120001]
+    income_band["ib_upper_bound"] = [30000, 60000, 88128, 120000, 150000]
+    sr["sr_cdemo_sk"] = rng3.randint(1, DEMOS + 1, len(sr))
+    call_center["cc_call_center_id"] = [
+        "AAAAAAAABAAAAAAA", "AAAAAAAACAAAAAAA", "AAAAAAAAEAAAAAAA"
+    ]
+    call_center["cc_manager"] = ["Bob Belcher", "Felipe Perkins", "Mark Hightower"]
+    cr["cr_call_center_sk"] = rng3.randint(1, 4, len(cr))
+    cr["cr_returning_customer_sk"] = rng3.randint(1, 200, len(cr))
+    cr["cr_returned_date_sk"] = rng3.randint(1, n_dates + 1, len(cr))
+    cr["cr_net_loss"] = rng3.randint(1, 100, len(cr)) * 0.25
+
     return {
         "reason": reason,
         "ship_mode": ship_mode,
         "call_center": call_center,
+        "web_page": web_page,
         "web_site": web_site,
         "time_dim": time_dim,
         "date_dim": dd,
@@ -606,10 +647,14 @@ def _compare(spark, con, sql, ordered, min_rows=1, oracle_sql=None, check_names=
     want = [tuple(r) for r in want_pdf.itertuples(index=False, name=None)]
 
     def norm(rows):
+        import decimal
+
         out = []
         for r in rows:
             vals = []
             for x in r:
+                if isinstance(x, decimal.Decimal):
+                    x = float(x)
                 if isinstance(x, (int, float, np.integer, np.floating)) and not isinstance(x, bool):
                     x = None if (isinstance(x, (float, np.floating)) and np.isnan(x)) else float(x)
                     if approx and x is not None:
@@ -4316,3 +4361,264 @@ def test_tpcds_q48_text(tpcds):
     """q48 verbatim — the un-windowed quantity twin of q13."""
     spark, con = tpcds
     _compare(spark, con, Q48, ordered=False, min_rows=1, check_names=False, nonnull=True)
+
+
+# Batch 9: demographic-profile EXISTS (q10), promo-ratio (q61), meal-time
+# brand report (q71), income-band lookup (q84), am/pm ratio (q90), call
+# center loss report (q91) — public spec templates, qualification
+# parameters.
+
+Q10 = """
+select
+  cd_gender,
+  cd_marital_status,
+  cd_education_status,
+  count(*) cnt1,
+  cd_purchase_estimate,
+  count(*) cnt2,
+  cd_credit_rating,
+  count(*) cnt3,
+  cd_dep_count,
+  count(*) cnt4,
+  cd_dep_employed_count,
+  count(*) cnt5,
+  cd_dep_college_count,
+  count(*) cnt6
+ from
+  customer c,customer_address ca,customer_demographics
+ where
+  c.c_current_addr_sk = ca.ca_address_sk and
+  ca_county in ('County 0','County 1','County 2','County 3','County 4') and
+  cd_demo_sk = c.c_current_cdemo_sk and
+  exists (select *
+          from store_sales,date_dim
+          where c.c_customer_sk = ss_customer_sk and
+                ss_sold_date_sk = d_date_sk and
+                d_year = 2002 and
+                d_moy between 1 and 1+3) and
+   (exists (select *
+            from web_sales,date_dim
+            where c.c_customer_sk = ws_bill_customer_sk and
+                  ws_sold_date_sk = d_date_sk and
+                  d_year = 2002 and
+                  d_moy between 1 ANd 1+3) or
+    exists (select *
+            from catalog_sales,date_dim
+            where c.c_customer_sk = cs_ship_customer_sk and
+                  cs_sold_date_sk = d_date_sk and
+                  d_year = 2002 and
+                  d_moy between 1 and 1+3))
+ group by cd_gender,
+          cd_marital_status,
+          cd_education_status,
+          cd_purchase_estimate,
+          cd_credit_rating,
+          cd_dep_count,
+          cd_dep_employed_count,
+          cd_dep_college_count
+ order by cd_gender,
+          cd_marital_status,
+          cd_education_status,
+          cd_purchase_estimate,
+          cd_credit_rating,
+          cd_dep_count,
+          cd_dep_employed_count,
+          cd_dep_college_count
+limit 100
+"""
+
+Q61 = """
+select promotions,total,cast(promotions as decimal(15,4))/cast(total as decimal(15,4))*100
+from
+  (select sum(ss_ext_sales_price) promotions
+   from  store_sales
+        ,store
+        ,promotion
+        ,date_dim
+        ,customer
+        ,customer_address
+        ,item
+   where ss_sold_date_sk = d_date_sk
+   and   ss_store_sk = s_store_sk
+   and   ss_promo_sk = p_promo_sk
+   and   ss_customer_sk= c_customer_sk
+   and   ca_address_sk = c_current_addr_sk
+   and   ss_item_sk = i_item_sk
+   and   ca_gmt_offset = -5
+   and   i_category = 'Books'
+   and   (p_channel_dmail = 'Y' or p_channel_email = 'Y' or p_channel_tv = 'Y')
+   and   s_gmt_offset = -5
+   and   d_year = 2000
+   and   d_moy  = 11) promotional_sales,
+  (select sum(ss_ext_sales_price) total
+   from  store_sales
+        ,store
+        ,date_dim
+        ,customer
+        ,customer_address
+        ,item
+   where ss_sold_date_sk = d_date_sk
+   and   ss_store_sk = s_store_sk
+   and   ss_customer_sk= c_customer_sk
+   and   ca_address_sk = c_current_addr_sk
+   and   ss_item_sk = i_item_sk
+   and   ca_gmt_offset = -5
+   and   i_category = 'Books'
+   and   s_gmt_offset = -5
+   and   d_year = 2000
+   and   d_moy  = 11) all_sales
+order by promotions, total
+limit 100
+"""
+
+Q71 = """
+select i_brand_id brand_id, i_brand brand,t_hour,t_minute,
+ 	sum(ext_price) ext_price
+ from item, (select ws_ext_sales_price as ext_price,
+                        ws_sold_date_sk as sold_date_sk,
+                        ws_item_sk as sold_item_sk,
+                        ws_sold_time_sk as time_sk
+                 from web_sales,date_dim
+                 where d_date_sk = ws_sold_date_sk
+                   and d_moy=11
+                   and d_year=2000
+                 union all
+                 select cs_ext_sales_price as ext_price,
+                        cs_sold_date_sk as sold_date_sk,
+                        cs_item_sk as sold_item_sk,
+                        cs_sold_time_sk as time_sk
+                 from catalog_sales,date_dim
+                 where d_date_sk = cs_sold_date_sk
+                   and d_moy=11
+                   and d_year=2000
+                 union all
+                 select ss_ext_sales_price as ext_price,
+                        ss_sold_date_sk as sold_date_sk,
+                        ss_item_sk as sold_item_sk,
+                        ss_sold_time_sk as time_sk
+                 from store_sales,date_dim
+                 where d_date_sk = ss_sold_date_sk
+                   and d_moy=11
+                   and d_year=2000
+                 ) tmp,time_dim
+ where sold_item_sk = i_item_sk
+   and i_manager_id=1
+   and time_sk = t_time_sk
+   and (t_meal_time = 'breakfast' or t_meal_time = 'dinner')
+ group by i_brand, i_brand_id,t_hour,t_minute
+ order by ext_price desc, i_brand_id
+"""
+
+Q84 = """
+select c_customer_id as customer_id
+       , coalesce(c_last_name,'') || ', ' || coalesce(c_first_name,'') as customername
+ from customer
+     ,customer_address
+     ,customer_demographics
+     ,household_demographics
+     ,income_band
+     ,store_returns
+ where ca_city	        =  'city 3'
+   and c_current_addr_sk = ca_address_sk
+   and ib_lower_bound   >=  38128
+   and ib_upper_bound   <=  38128 + 50000
+   and ib_income_band_sk = hd_income_band_sk
+   and cd_demo_sk = c_current_cdemo_sk
+   and hd_demo_sk = c_current_hdemo_sk
+   and sr_cdemo_sk = cd_demo_sk
+ order by c_customer_id
+ limit 100
+"""
+
+Q90 = """
+select cast(amc as decimal(15,4))/cast(pmc as decimal(15,4)) am_pm_ratio
+ from ( select count(*) amc
+       from web_sales, household_demographics , time_dim, web_page
+       where ws_sold_time_sk = time_dim.t_time_sk
+         and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+         and ws_web_page_sk = web_page.wp_web_page_sk
+         and time_dim.t_hour between 8 and 8+1
+         and household_demographics.hd_dep_count = 2
+         and web_page.wp_char_count between 5000 and 5200) at,
+      ( select count(*) pmc
+       from web_sales, household_demographics , time_dim, web_page
+       where ws_sold_time_sk = time_dim.t_time_sk
+         and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+         and ws_web_page_sk = web_page.wp_web_page_sk
+         and time_dim.t_hour between 19 and 19+1
+         and household_demographics.hd_dep_count = 2
+         and web_page.wp_char_count between 5000 and 5200) pt
+ order by am_pm_ratio
+ limit 100
+"""
+
+Q91 = """
+select
+        cc_call_center_id Call_Center,
+        cc_name Call_Center_Name,
+        cc_manager Manager,
+        sum(cr_net_loss) Returns_Loss
+from
+        call_center,
+        catalog_returns,
+        date_dim,
+        customer,
+        customer_address,
+        customer_demographics,
+        household_demographics
+where
+        cr_call_center_sk       = cc_call_center_sk
+and     cr_returned_date_sk     = d_date_sk
+and     cr_returning_customer_sk= c_customer_sk
+and     cd_demo_sk              = c_current_cdemo_sk
+and     hd_demo_sk              = c_current_hdemo_sk
+and     ca_address_sk           = c_current_addr_sk
+and     d_year                  = 2000
+and     d_moy                   = 11
+and     ( (cd_marital_status       = 'M' and cd_education_status     = 'College')
+        or(cd_marital_status       = 'S' and cd_education_status     = '2 yr Degree'))
+and     hd_buy_potential like '>10000%'
+and     ca_gmt_offset           = -5
+group by cc_call_center_id,cc_name,cc_manager,cd_marital_status,cd_education_status
+order by sum(cr_net_loss) desc
+"""
+
+
+def test_tpcds_q10_text(tpcds):
+    """q10 verbatim — demographic profile of multi-channel Q1 shoppers
+    via correlated EXISTS / OR-EXISTS."""
+    spark, con = tpcds
+    _compare(spark, con, Q10, ordered=True, min_rows=5)
+
+
+def test_tpcds_q61_text(tpcds):
+    """q61 verbatim — promotional share of category sales (decimal-cast
+    ratio compared at 10 significant digits)."""
+    spark, con = tpcds
+    _compare(spark, con, Q61, ordered=False, min_rows=1, check_names=False, approx=True, nonnull=True)
+
+
+def test_tpcds_q71_text(tpcds):
+    """q71 verbatim — 3-channel brand revenue in breakfast/dinner hours."""
+    spark, con = tpcds
+    _compare(spark, con, Q71, ordered=False, min_rows=3)
+
+
+def test_tpcds_q84_text(tpcds):
+    """q84 verbatim — customers in one city within an income-band window
+    (|| concat, returns-linked demographics)."""
+    spark, con = tpcds
+    _compare(spark, con, Q84, ordered=True, min_rows=10)
+
+
+def test_tpcds_q90_text(tpcds):
+    """q90 verbatim — web am/pm order-count ratio (decimal casts)."""
+    spark, con = tpcds
+    _compare(spark, con, Q90, ordered=False, min_rows=1, approx=True, nonnull=True)
+
+
+def test_tpcds_q91_text(tpcds):
+    """q91 verbatim — call-center catalog-return losses for targeted
+    demographics."""
+    spark, con = tpcds
+    _compare(spark, con, Q91, ordered=True, min_rows=1)
