@@ -577,6 +577,29 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     cr["cr_returned_date_sk"] = rng3.randint(1, n_dates + 1, len(cr))
     cr["cr_net_loss"] = rng3.randint(1, 100, len(cr)) * 0.25
 
+    # batch-10 schema: customer birth/review columns, return address
+    # linkage, full address attributes, catalog ship cost + q16's
+    # multi-warehouse two-line catalog orders (rows 2000..2399 pair up;
+    # 60 of them ship to forced-GA addresses inside the Feb-2002 window)
+    cs["cs_ext_ship_cost"] = rng3.randint(4, 200, len(cs)) * 0.25
+    ca.loc[15:19, "ca_state"] = "GA"
+    cs.loc[2000:2399, "cs_order_number"] = 700000 + np.arange(400) // 2
+    cs.loc[2000:2399, "cs_warehouse_sk"] = np.tile([1, 2], 200)
+    cs.loc[2000:2059, "cs_ship_date_sk"] = _date_sk(datetime.date(2002, 2, 20))
+    cs.loc[2000:2059, "cs_ship_addr_sk"] = 16.0 + (np.arange(60) % 5)
+    customer["c_birth_year"] = rng3.randint(1940, 1995, len(customer))
+    customer["c_birth_month"] = rng3.randint(1, 13, len(customer))
+    customer["c_birth_day"] = rng3.randint(1, 29, len(customer))
+    customer["c_last_review_date_sk"] = rng3.randint(1, n_dates + 1, len(customer))
+    wr["wr_returning_customer_sk"] = rng3.randint(1, 200, len(wr))
+    wr["wr_returned_date_sk"] = rng3.randint(1, n_dates + 1, len(wr))
+    wr["wr_returning_addr_sk"] = rng3.randint(1, n_addr + 1, len(wr))
+    cr["cr_returning_addr_sk"] = rng3.randint(1, n_addr + 1, len(cr))
+    cr["cr_return_amt_inc_tax"] = cr["cr_return_amount"] + rng3.randint(0, 8, len(cr)) * 0.25
+    ca["ca_street_type"] = rng3.choice(["Ave", "Blvd", "Ct", "Dr"], len(ca))
+    ca["ca_suite_number"] = [f"Suite {i % 20}" for i in ca.ca_address_sk]
+    ca["ca_location_type"] = rng3.choice(["apartment", "condo", "single family"], len(ca))
+
     return {
         "reason": reason,
         "ship_mode": ship_mode,
@@ -4622,3 +4645,319 @@ def test_tpcds_q91_text(tpcds):
     demographics."""
     spark, con = tpcds
     _compare(spark, con, Q91, ordered=True, min_rows=1)
+
+
+# Batch 10: correlated-average price filter (q6), catalog shipping
+# EXISTS chain (q16), decimal-cast rollup averages (q18), above-average
+# returners by state (q30/q81), demographic EXISTS profiles (q35/q69) —
+# public spec templates, qualification parameters.
+
+Q6 = """
+select a.ca_state state, count(*) cnt
+ from customer_address a
+     ,customer c
+     ,store_sales s
+     ,date_dim d
+     ,item i
+ where       a.ca_address_sk = c.c_current_addr_sk
+ 	and c.c_customer_sk = s.ss_customer_sk
+ 	and s.ss_sold_date_sk = d.d_date_sk
+ 	and s.ss_item_sk = i.i_item_sk
+ 	and d.d_month_seq =
+ 	     (select distinct (d_month_seq)
+ 	      from date_dim
+               where d_year = 2000
+ 	        and d_moy = 3 )
+ 	and i.i_current_price > 1.2 *
+             (select avg(j.i_current_price)
+ 	     from item j
+ 	     where j.i_category = i.i_category)
+ group by a.ca_state
+ having count(*) >= 10
+ order by cnt, a.ca_state
+ limit 100
+"""
+
+Q16 = """
+select
+   count(distinct cs_order_number) as order_count
+  ,sum(cs_ext_ship_cost) as total_shipping_cost
+  ,sum(cs_net_profit) as total_net_profit
+from
+   catalog_sales cs1
+  ,date_dim
+  ,customer_address
+  ,call_center
+where
+    d_date between '2002-2-01' and
+           (cast('2002-2-01' as date) + interval '60' day)
+and cs1.cs_ship_date_sk = d_date_sk
+and cs1.cs_ship_addr_sk = ca_address_sk
+and ca_state = 'GA'
+and cs1.cs_call_center_sk = cc_call_center_sk
+and cc_county in ('Williamson County','Williamson County','Williamson County','Williamson County','Williamson County')
+and exists (select *
+            from catalog_sales cs2
+            where cs1.cs_order_number = cs2.cs_order_number
+              and cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+and not exists(select *
+               from catalog_returns cr1
+               where cs1.cs_order_number = cr1.cr_order_number)
+order by count(distinct cs_order_number)
+limit 100
+"""
+
+Q18 = """
+select i_item_id,
+        ca_country,
+        ca_state,
+        ca_county,
+        avg( cast(cs_quantity as decimal(12,2))) agg1,
+        avg( cast(cs_list_price as decimal(12,2))) agg2,
+        avg( cast(cs_coupon_amt as decimal(12,2))) agg3,
+        avg( cast(cs_sales_price as decimal(12,2))) agg4,
+        avg( cast(cs_net_profit as decimal(12,2))) agg5,
+        avg( cast(c_birth_year as decimal(12,2))) agg6,
+        avg( cast(cd1.cd_dep_count as decimal(12,2))) agg7
+ from catalog_sales, customer_demographics cd1,
+      customer_demographics cd2, customer, customer_address, date_dim, item
+ where cs_sold_date_sk = d_date_sk and
+       cs_item_sk = i_item_sk and
+       cs_bill_cdemo_sk = cd1.cd_demo_sk and
+       cs_bill_customer_sk = c_customer_sk and
+       cd1.cd_gender = 'F' and
+       cd1.cd_education_status = 'College' and
+       c_current_cdemo_sk = cd2.cd_demo_sk and
+       c_current_addr_sk = ca_address_sk and
+       c_birth_month in (1,6,8,9,12,2) and
+       d_year = 2000 and
+       ca_state in ('IL','CA','TX','GA','IL','CA','TX')
+ group by rollup (i_item_id, ca_country, ca_state, ca_county)
+ order by ca_country, ca_state, ca_county, i_item_id
+ limit 100
+"""
+
+Q30 = """
+with customer_total_return as
+ (select wr_returning_customer_sk as ctr_customer_sk
+        ,ca_state as ctr_state,
+ 	sum(wr_return_amt) as ctr_total_return
+ from web_returns
+     ,date_dim
+     ,customer_address
+ where wr_returned_date_sk = d_date_sk
+   and d_year =2002
+   and wr_returning_addr_sk = ca_address_sk
+ group by wr_returning_customer_sk
+         ,ca_state)
+  select c_customer_id,c_salutation,c_first_name,c_last_name,c_preferred_cust_flag
+       ,c_birth_day,c_birth_month,c_birth_year,c_birth_country,c_login,c_email_address
+       ,c_last_review_date_sk,ctr_total_return
+ from customer_total_return ctr1
+     ,customer_address
+     ,customer
+ where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+ 			  from customer_total_return ctr2
+                  	  where ctr1.ctr_state = ctr2.ctr_state)
+       and ca_address_sk = c_current_addr_sk
+       and ca_state = 'GA'
+       and ctr1.ctr_customer_sk = c_customer_sk
+ order by c_customer_id,c_salutation,c_first_name,c_last_name,c_preferred_cust_flag
+                  ,c_birth_day,c_birth_month,c_birth_year,c_birth_country,c_login,c_email_address
+                  ,c_last_review_date_sk,ctr_total_return
+limit 100
+"""
+
+Q35 = """
+select
+  ca_state,
+  cd_gender,
+  cd_marital_status,
+  cd_dep_count,
+  count(*) cnt1,
+  avg(cd_dep_count),
+  max(cd_dep_count),
+  sum(cd_dep_count),
+  cd_dep_employed_count,
+  count(*) cnt2,
+  avg(cd_dep_employed_count),
+  max(cd_dep_employed_count),
+  sum(cd_dep_employed_count),
+  cd_dep_college_count,
+  count(*) cnt3,
+  avg(cd_dep_college_count),
+  max(cd_dep_college_count),
+  sum(cd_dep_college_count)
+ from
+  customer c,customer_address ca,customer_demographics
+ where
+  c.c_current_addr_sk = ca.ca_address_sk and
+  cd_demo_sk = c.c_current_cdemo_sk and
+  exists (select *
+          from store_sales,date_dim
+          where c.c_customer_sk = ss_customer_sk and
+                ss_sold_date_sk = d_date_sk and
+                d_year = 2002 and
+                d_qoy < 4) and
+   (exists (select *
+            from web_sales,date_dim
+            where c.c_customer_sk = ws_bill_customer_sk and
+                  ws_sold_date_sk = d_date_sk and
+                  d_year = 2002 and
+                  d_qoy < 4) or
+    exists (select *
+            from catalog_sales,date_dim
+            where c.c_customer_sk = cs_ship_customer_sk and
+                  cs_sold_date_sk = d_date_sk and
+                  d_year = 2002 and
+                  d_qoy < 4))
+ group by ca_state,
+          cd_gender,
+          cd_marital_status,
+          cd_dep_count,
+          cd_dep_employed_count,
+          cd_dep_college_count
+ order by ca_state,
+          cd_gender,
+          cd_marital_status,
+          cd_dep_count,
+          cd_dep_employed_count,
+          cd_dep_college_count
+ limit 100
+"""
+
+Q69 = """
+select
+  cd_gender,
+  cd_marital_status,
+  cd_education_status,
+  count(*) cnt1,
+  cd_purchase_estimate,
+  count(*) cnt2,
+  cd_credit_rating,
+  count(*) cnt3
+ from
+  customer c,customer_address ca,customer_demographics
+ where
+  c.c_current_addr_sk = ca.ca_address_sk and
+  ca_state in ('IL','TX','GA') and
+  cd_demo_sk = c.c_current_cdemo_sk and
+  exists (select *
+          from store_sales,date_dim
+          where c.c_customer_sk = ss_customer_sk and
+                ss_sold_date_sk = d_date_sk and
+                d_year = 2001 and
+                d_moy between 4 and 4+2) and
+   (not exists (select *
+            from web_sales,date_dim
+            where c.c_customer_sk = ws_bill_customer_sk and
+                  ws_sold_date_sk = d_date_sk and
+                  d_year = 2001 and
+                  d_moy between 4 and 4+2) and
+    not exists (select *
+            from catalog_sales,date_dim
+            where c.c_customer_sk = cs_ship_customer_sk and
+                  cs_sold_date_sk = d_date_sk and
+                  d_year = 2001 and
+                  d_moy between 4 and 4+2))
+ group by cd_gender,
+          cd_marital_status,
+          cd_education_status,
+          cd_purchase_estimate,
+          cd_credit_rating
+ order by cd_gender,
+          cd_marital_status,
+          cd_education_status,
+          cd_purchase_estimate,
+          cd_credit_rating
+ limit 100
+"""
+
+Q81 = """
+with customer_total_return as
+ (select cr_returning_customer_sk as ctr_customer_sk
+        ,ca_state as ctr_state,
+ 	sum(cr_return_amt_inc_tax) as ctr_total_return
+ from catalog_returns
+     ,date_dim
+     ,customer_address
+ where cr_returned_date_sk = d_date_sk
+   and d_year =2000
+   and cr_returning_addr_sk = ca_address_sk
+ group by cr_returning_customer_sk
+         ,ca_state )
+  select c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name
+                   ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset
+                  ,ca_location_type,ctr_total_return
+ from customer_total_return ctr1
+     ,customer_address
+     ,customer
+ where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+ 			  from customer_total_return ctr2
+                  	  where ctr1.ctr_state = ctr2.ctr_state)
+       and ca_address_sk = c_current_addr_sk
+       and ca_state = 'GA'
+       and ctr1.ctr_customer_sk = c_customer_sk
+ order by c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name
+                   ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset
+                  ,ca_location_type,ctr_total_return
+ limit 100
+"""
+
+
+def test_tpcds_q6_text(tpcds):
+    """q6 verbatim — states where >=10 sales of items priced 20% above
+    their category average (correlated scalar average)."""
+    spark, con = tpcds
+    _compare(spark, con, Q6, ordered=True, min_rows=1)
+
+
+def test_tpcds_q16_text(tpcds):
+    """q16 verbatim — unreturned multi-warehouse catalog orders (the
+    catalog twin of q94)."""
+    spark, con = tpcds
+    _compare(spark, con, Q16, ordered=True, min_rows=1, nonnull=True)
+
+
+def test_tpcds_q18_text(tpcds):
+    """q18 verbatim — decimal-cast catalog averages over a 4-level
+    rollup.  Spark's avg(decimal(12,2)) result type is decimal(16,6)
+    (scale+4); DuckDB computes avg in double, so the oracle text casts
+    each average to decimal(16,6) to align the declared result type —
+    the rounded-to-scale-6 values must then match exactly."""
+    spark, con = tpcds
+    import re
+
+    oracle = re.sub(
+        r"avg\( cast\(([\w.]+) as decimal\(12,2\)\)\) (agg\d)",
+        r"cast(avg( cast(\1 as decimal(12,2))) as decimal(16,6)) \2",
+        Q18,
+    )
+    assert oracle.count("decimal(16,6)") == 7, oracle
+    _compare(spark, con, Q18, ordered=True, min_rows=20, oracle_sql=oracle)
+
+
+def test_tpcds_q30_text(tpcds):
+    """q30 verbatim — web returners 20% above their state average."""
+    spark, con = tpcds
+    _compare(spark, con, Q30, ordered=True, min_rows=3)
+
+
+def test_tpcds_q35_text(tpcds):
+    """q35 verbatim — dependent-count stats for multi-channel shoppers
+    (EXISTS + OR-EXISTS)."""
+    spark, con = tpcds
+    _compare(spark, con, Q35, ordered=True, min_rows=20, check_names=False)
+
+
+def test_tpcds_q69_text(tpcds):
+    """q69 verbatim — store-only shoppers (EXISTS + NOT EXISTS x2)."""
+    spark, con = tpcds
+    _compare(spark, con, Q69, ordered=True, min_rows=5)
+
+
+def test_tpcds_q81_text(tpcds):
+    """q81 verbatim — catalog returners 20% above their state average
+    (full address projection)."""
+    spark, con = tpcds
+    _compare(spark, con, Q81, ordered=True, min_rows=3)
