@@ -600,6 +600,28 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     ca["ca_suite_number"] = [f"Suite {i % 20}" for i in ca.ca_address_sk]
     ca["ca_location_type"] = rng3.choice(["apartment", "condo", "single family"], len(ca))
 
+    # batch-11 schema: store market/street attributes (q24/q50), a
+    # Women/maternity item (q54), and ten addresses whose county/state
+    # match the stores' (q54's ca_county = s_county join)
+    store["s_market_id"] = 8
+    store["s_street_number"] = ["100", "200", "300"]
+    store["s_street_name"] = ["Main", "Oak", "Pine"]
+    store["s_street_type"] = "St"
+    store["s_suite_number"] = ["Suite 1", "Suite 2", "Suite 3"]
+    ca.loc[20:29, "ca_county"] = "Williamson County"
+    ca.loc[20:29, "ca_state"] = "TN"
+    item.loc[33, ["i_category", "i_class"]] = ["Women", "maternity"]
+    # q54 qualification: customers 1..6 live at the county-aligned
+    # addresses and buy the maternity item by catalog in Dec 2000 (rows
+    # cloned from base rows so every cs column carries a valid value)
+    customer.loc[0:5, "c_current_addr_sk"] = np.arange(21, 27)
+    cs54 = cs.iloc[100:106].copy()
+    cs54["cs_item_sk"] = 34
+    cs54["cs_bill_customer_sk"] = np.arange(1, 7)
+    cs54["cs_sold_date_sk"] = _date_sk(datetime.date(2000, 12, 15))
+    cs54["cs_order_number"] = 920000 + np.arange(6)
+    cs = pd.concat([cs, cs54], ignore_index=True)
+
     return {
         "reason": reason,
         "ship_mode": ship_mode,
@@ -678,6 +700,10 @@ def _compare(spark, con, sql, ordered, min_rows=1, oracle_sql=None, check_names=
             for x in r:
                 if isinstance(x, decimal.Decimal):
                     x = float(x)
+                if isinstance(x, (pd.Timestamp, datetime.datetime)):
+                    x = x.date()
+                if isinstance(x, datetime.date):
+                    x = str(x)
                 if isinstance(x, (int, float, np.integer, np.floating)) and not isinstance(x, bool):
                     x = None if (isinstance(x, (float, np.floating)) and np.isnan(x)) else float(x)
                     if approx and x is not None:
@@ -4961,3 +4987,314 @@ def test_tpcds_q81_text(tpcds):
     (full address projection)."""
     spark, con = tpcds
     _compare(spark, con, Q81, ordered=True, min_rows=3)
+
+
+# Batch 11: same-zip clerk fraud (q24a/b), return-lag store buckets
+# (q50), web-vs-store cumulative crossover (q51), maternity follow-on
+# revenue segments (q54), state/county profit rollup with top-state
+# subquery (q70) — public spec templates, qualification parameters.
+
+Q24_BODY = """
+with ssales as
+(select c_last_name
+      ,c_first_name
+      ,s_store_name
+      ,ca_state
+      ,s_state
+      ,i_color
+      ,i_current_price
+      ,i_manager_id
+      ,i_units
+      ,i_size
+      ,sum(ss_net_paid) netpaid
+from store_sales
+    ,store_returns
+    ,store
+    ,item
+    ,customer
+    ,customer_address
+where ss_ticket_number = sr_ticket_number
+  and ss_item_sk = sr_item_sk
+  and ss_customer_sk = c_customer_sk
+  and ss_item_sk = i_item_sk
+  and ss_store_sk = s_store_sk
+  and c_current_addr_sk = ca_address_sk
+  and c_birth_country <> upper(ca_country)
+  and s_zip = ca_zip
+and s_market_id=8
+group by c_last_name
+        ,c_first_name
+        ,s_store_name
+        ,ca_state
+        ,s_state
+        ,i_color
+        ,i_current_price
+        ,i_manager_id
+        ,i_units
+        ,i_size)
+select c_last_name
+      ,c_first_name
+      ,s_store_name
+      ,sum(netpaid) paid
+from ssales
+where i_color = '{color}'
+group by c_last_name
+        ,c_first_name
+        ,s_store_name
+having sum(netpaid) > (select 0.05*avg(netpaid)
+                           from ssales)
+order by c_last_name
+        ,c_first_name
+        ,s_store_name
+"""
+
+Q24A = Q24_BODY.format(color="medium")
+Q24B = Q24_BODY.format(color="floral")
+
+Q50 = """
+select
+   s_store_name
+  ,s_company_id
+  ,s_street_number
+  ,s_street_name
+  ,s_street_type
+  ,s_suite_number
+  ,s_city
+  ,s_county
+  ,s_state
+  ,s_zip
+  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk <= 30 ) then 1 else 0 end)  as days_30
+  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 30) and
+                 (sr_returned_date_sk - ss_sold_date_sk <= 60) then 1 else 0 end )  as days_31_60
+  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 60) and
+                 (sr_returned_date_sk - ss_sold_date_sk <= 90) then 1 else 0 end)  as days_61_90
+  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 90) and
+                 (sr_returned_date_sk - ss_sold_date_sk <= 120) then 1 else 0 end)  as days_91_120
+  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk  > 120) then 1 else 0 end)  as days_more_120
+from
+   store_sales
+  ,store_returns
+  ,store
+  ,date_dim d1
+  ,date_dim d2
+where
+    d2.d_year = 2001
+and d2.d_moy  = 8
+and ss_ticket_number = sr_ticket_number
+and ss_item_sk = sr_item_sk
+and ss_sold_date_sk   = d1.d_date_sk
+and sr_returned_date_sk   = d2.d_date_sk
+and ss_customer_sk = sr_customer_sk
+and ss_store_sk = s_store_sk
+group by
+   s_store_name
+  ,s_company_id
+  ,s_street_number
+  ,s_street_name
+  ,s_street_type
+  ,s_suite_number
+  ,s_city
+  ,s_county
+  ,s_state
+  ,s_zip
+order by s_store_name
+        ,s_company_id
+        ,s_street_number
+        ,s_street_name
+        ,s_street_type
+        ,s_suite_number
+        ,s_city
+        ,s_county
+        ,s_state
+        ,s_zip
+        ,days_30
+        ,days_31_60
+        ,days_61_90
+        ,days_91_120
+        ,days_more_120
+limit 100
+"""
+
+Q51 = """
+WITH web_v1 as (
+select
+  ws_item_sk item_sk, d_date,
+  sum(sum(ws_sales_price))
+      over (partition by ws_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+from web_sales
+    ,date_dim
+where ws_sold_date_sk=d_date_sk
+  and d_month_seq between 1200 and 1200+11
+  and ws_item_sk is not NULL
+group by ws_item_sk, d_date),
+store_v1 as (
+select
+  ss_item_sk item_sk, d_date,
+  sum(sum(ss_sales_price))
+      over (partition by ss_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+from store_sales
+    ,date_dim
+where ss_sold_date_sk=d_date_sk
+  and d_month_seq between 1200 and 1200+11
+  and ss_item_sk is not NULL
+group by ss_item_sk, d_date)
+ select  *
+from (select item_sk
+     ,d_date
+     ,web_sales
+     ,store_sales
+     ,max(web_sales)
+         over (partition by item_sk order by d_date rows between unbounded preceding and current row) web_cumulative
+     ,max(store_sales)
+         over (partition by item_sk order by d_date rows between unbounded preceding and current row) store_cumulative
+     from (select case when web.item_sk is not null then web.item_sk else store.item_sk end item_sk
+                 ,case when web.d_date is not null then web.d_date else store.d_date end d_date
+                 ,web.cume_sales web_sales
+                 ,store.cume_sales store_sales
+           from web_v1 web full outer join store_v1 store on (web.item_sk = store.item_sk
+                                                          and web.d_date = store.d_date)
+          )x )y
+where web_cumulative > store_cumulative
+order by item_sk
+        ,d_date
+limit 100
+"""
+
+Q54 = """
+with my_customers as (
+ select distinct c_customer_sk
+        , c_current_addr_sk
+ from
+        ( select cs_sold_date_sk sold_date_sk,
+                 cs_bill_customer_sk customer_sk,
+                 cs_item_sk item_sk
+          from   catalog_sales
+          union all
+          select ws_sold_date_sk sold_date_sk,
+                 ws_bill_customer_sk customer_sk,
+                 ws_item_sk item_sk
+          from   web_sales
+         ) cs_or_ws_sales,
+         item,
+         date_dim,
+         customer
+ where   sold_date_sk = d_date_sk
+         and item_sk = i_item_sk
+         and i_category = 'Women'
+         and i_class = 'maternity'
+         and c_customer_sk = cs_or_ws_sales.customer_sk
+         and d_moy = 12
+         and d_year = 2000
+ )
+ , my_revenue as (
+ select c_customer_sk,
+        sum(ss_ext_sales_price) as revenue
+ from   my_customers,
+        store_sales,
+        customer_address,
+        store,
+        date_dim
+ where  c_current_addr_sk = ca_address_sk
+        and ca_county = s_county
+        and ca_state = s_state
+        and ss_sold_date_sk = d_date_sk
+        and c_customer_sk = ss_customer_sk
+        and d_month_seq between (select distinct d_month_seq+1
+                                 from   date_dim where d_year = 2000 and d_moy = 12)
+                           and  (select distinct d_month_seq+3
+                                 from   date_dim where d_year = 2000 and d_moy = 12)
+ group by c_customer_sk
+ )
+ , segments as
+ (select cast((revenue/50) as int) as segment
+  from   my_revenue
+ )
+  select segment, count(*) as num_customers, segment*50 as segment_base
+ from segments
+ group by segment
+ order by segment, num_customers
+ limit 100
+"""
+
+Q70 = """
+select
+    sum(ss_net_profit) as total_sum
+   ,s_state
+   ,s_county
+   ,grouping(s_state)+grouping(s_county) as lochierarchy
+   ,rank() over (
+ 	partition by grouping(s_state)+grouping(s_county),
+ 	case when grouping(s_county) = 0 then s_state end
+ 	order by sum(ss_net_profit) desc) as rank_within_parent
+ from
+    store_sales
+   ,date_dim       d1
+   ,store
+ where
+    d1.d_month_seq between 1200 and 1200+11
+ and d1.d_date_sk = ss_sold_date_sk
+ and s_store_sk  = ss_store_sk
+ and s_state in
+             ( select s_state
+               from  (select s_state as s_state,
+ 			    rank() over ( partition by s_state order by sum(ss_net_profit) desc) as ranking
+                      from   store_sales, store, date_dim
+                      where  d_month_seq between 1200 and 1200+11
+ 			    and d_date_sk = ss_sold_date_sk
+ 			    and s_store_sk  = ss_store_sk
+                      group by s_state
+                     ) tmp1
+               where ranking <= 5
+             )
+ group by rollup(s_state,s_county)
+ order by
+   lochierarchy desc
+  ,case when lochierarchy = 0 then s_state end
+  ,rank_within_parent
+ limit 100
+"""
+
+
+def test_tpcds_q24a_text(tpcds):
+    """q24a verbatim — same-zip customer/store net-paid with a CTE-wide
+    average HAVING bar (color 'medium')."""
+    spark, con = tpcds
+    _compare(spark, con, Q24A, ordered=True, min_rows=1)
+
+
+def test_tpcds_q24b_text(tpcds):
+    """q24b verbatim — the second color variant ('floral')."""
+    spark, con = tpcds
+    _compare(spark, con, Q24B, ordered=True, min_rows=1)
+
+
+def test_tpcds_q50_text(tpcds):
+    """q50 verbatim — sold-to-returned day buckets per store (full
+    street projection)."""
+    spark, con = tpcds
+    _compare(spark, con, Q50, ordered=True, min_rows=1)
+
+
+def test_tpcds_q51_text(tpcds):
+    """q51 verbatim — running-max cumulative web-vs-store crossover over
+    a FULL OUTER join of two windowed CTEs."""
+    spark, con = tpcds
+    _compare(spark, con, Q51, ordered=True, min_rows=20)
+
+
+def test_tpcds_q54_text(tpcds):
+    """q54 verbatim — $50 revenue segments of maternity buyers' follow-on
+    store spend.  Spark casts double->int by truncation, DuckDB by
+    rounding: the oracle floors before casting to align the declared
+    semantics (revenue is positive)."""
+    spark, con = tpcds
+    oracle = Q54.replace("cast((revenue/50) as int)", "cast(floor(revenue/50) as int)")
+    assert "floor" in oracle
+    _compare(spark, con, Q54, ordered=True, min_rows=1, oracle_sql=oracle)
+
+
+def test_tpcds_q70_text(tpcds):
+    """q70 verbatim — state/county profit rollup restricted to top-ranked
+    states (rank subquery in the WHERE)."""
+    spark, con = tpcds
+    _compare(spark, con, Q70, ordered=False, min_rows=2)
