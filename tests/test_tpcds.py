@@ -622,11 +622,65 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     cs54["cs_order_number"] = 920000 + np.arange(6)
     cs = pd.concat([cs, cs54], ignore_index=True)
 
+    # batch-12 schema: catalog_page dim + page keys, web-return loss and
+    # page keys, web_site id (q5/q77/q80 channel rollups)
+    catalog_page = pd.DataFrame(
+        {
+            "cp_catalog_page_sk": np.arange(1, 11),
+            "cp_catalog_page_id": [f"CPAG{i:04d}" for i in range(1, 11)],
+        }
+    )
+    cs["cs_catalog_page_sk"] = rng3.randint(1, 11, len(cs))
+    cr["cr_catalog_page_sk"] = rng3.randint(1, 11, len(cr))
+    wr["wr_net_loss"] = rng3.randint(1, 100, len(wr)) * 0.25
+    wr["wr_web_page_sk"] = rng3.randint(1, 7, len(wr))
+    web_site["web_site_id"] = [f"WSIT{i:04d}" for i in range(1, len(web_site) + 1)]
+    ws["ws_promo_sk"] = rng3.randint(1, 7, len(ws))
+
+    # q58/q83 qualification: item 5 sells ~equal amounts in all three
+    # channels in the week of 2000-01-03 (inject dwarfs base noise);
+    # item 12 is returned via all three channels in the weeks of the
+    # three q83 dates (synthetic keys stay outside every sales keyspace)
+    d58 = _date_sk(datetime.date(2000, 1, 4))
+    ss58 = ss.iloc[200:202].copy()
+    ss58[["ss_item_sk", "ss_sold_date_sk", "ss_ext_sales_price"]] = [[5, d58, 2500.0]] * 2
+    ss58["ss_ticket_number"] = [985000, 985001]
+    cs58 = cs.iloc[200:202].copy()
+    cs58[["cs_item_sk", "cs_sold_date_sk", "cs_ext_sales_price"]] = [[5, d58, 2500.0]] * 2
+    cs58["cs_order_number"] = [985000, 985001]
+    ws58 = ws.iloc[200:202].copy()
+    ws58[["ws_item_sk", "ws_sold_date_sk", "ws_ext_sales_price"]] = [[5, d58, 2500.0]] * 2
+    ws58["ws_order_number"] = [985000, 985001]
+    ss = pd.concat([ss, ss58], ignore_index=True)
+    cs = pd.concat([cs, cs58], ignore_index=True)
+    ws = pd.concat([ws, ws58], ignore_index=True)
+    q83_dates = [
+        _date_sk(datetime.date(2000, 6, 30)),
+        _date_sk(datetime.date(2000, 9, 27)),
+        _date_sk(datetime.date(2000, 11, 17)),
+    ]
+    sr83 = sr.iloc[10:13].copy()
+    sr83[["sr_item_sk", "sr_return_quantity"]] = [[12, 4]] * 3
+    sr83["sr_returned_date_sk"] = q83_dates
+    sr83["sr_ticket_number"] = 986000 + np.arange(3)
+    cr83 = cr.iloc[10:13].copy()
+    cr83[["cr_item_sk", "cr_return_quantity"]] = [[12, 5]] * 3
+    cr83["cr_returned_date_sk"] = q83_dates
+    cr83["cr_order_number"] = 986000 + np.arange(3)
+    wr83 = wr.iloc[10:13].copy()
+    wr83[["wr_item_sk", "wr_return_quantity"]] = [[12, 6]] * 3
+    wr83["wr_returned_date_sk"] = q83_dates
+    wr83["wr_order_number"] = 986000 + np.arange(3)
+    sr = pd.concat([sr, sr83], ignore_index=True)
+    cr = pd.concat([cr, cr83], ignore_index=True)
+    wr = pd.concat([wr, wr83], ignore_index=True)
+
     return {
         "reason": reason,
         "ship_mode": ship_mode,
         "call_center": call_center,
         "web_page": web_page,
+        "catalog_page": catalog_page,
         "web_site": web_site,
         "time_dim": time_dim,
         "date_dim": dd,
@@ -5298,3 +5352,513 @@ def test_tpcds_q70_text(tpcds):
     states (rank subquery in the WHERE)."""
     spark, con = tpcds
     _compare(spark, con, Q70, ordered=False, min_rows=2)
+
+
+# Batch 12 — the last five variants: channel rollups (q5/q77/q80) and
+# cross-channel item consistency (q58/q83).  Public spec templates,
+# qualification parameters.
+
+Q5 = """
+with ssr as
+ (select s_store_id,
+        sum(sales_price) as sales,
+        sum(profit) as profit,
+        sum(return_amt) as returns,
+        sum(net_loss) as profit_loss
+ from
+  ( select  ss_store_sk as store_sk,
+            ss_sold_date_sk  as date_sk,
+            ss_ext_sales_price as sales_price,
+            ss_net_profit as profit,
+            cast(0 as decimal(7,2)) as return_amt,
+            cast(0 as decimal(7,2)) as net_loss
+    from store_sales
+    union all
+    select sr_store_sk as store_sk,
+           sr_returned_date_sk as date_sk,
+           cast(0 as decimal(7,2)) as sales_price,
+           cast(0 as decimal(7,2)) as profit,
+           sr_return_amt as return_amt,
+           sr_net_loss as net_loss
+    from store_returns
+   ) salesreturns,
+     date_dim,
+     store
+ where date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) +  interval '14' day)
+       and store_sk = s_store_sk
+ group by s_store_id)
+ ,
+ csr as
+ (select cp_catalog_page_id,
+        sum(sales_price) as sales,
+        sum(profit) as profit,
+        sum(return_amt) as returns,
+        sum(net_loss) as profit_loss
+ from
+  ( select  cs_catalog_page_sk as page_sk,
+            cs_sold_date_sk  as date_sk,
+            cs_ext_sales_price as sales_price,
+            cs_net_profit as profit,
+            cast(0 as decimal(7,2)) as return_amt,
+            cast(0 as decimal(7,2)) as net_loss
+    from catalog_sales
+    union all
+    select cr_catalog_page_sk as page_sk,
+           cr_returned_date_sk as date_sk,
+           cast(0 as decimal(7,2)) as sales_price,
+           cast(0 as decimal(7,2)) as profit,
+           cr_return_amount as return_amt,
+           cr_net_loss as net_loss
+    from catalog_returns
+   ) salesreturns,
+     date_dim,
+     catalog_page
+ where date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) +  interval '14' day)
+       and page_sk = cp_catalog_page_sk
+ group by cp_catalog_page_id)
+ ,
+ wsr as
+ (select web_site_id,
+        sum(sales_price) as sales,
+        sum(profit) as profit,
+        sum(return_amt) as returns,
+        sum(net_loss) as profit_loss
+ from
+  ( select  ws_web_site_sk as wsr_web_site_sk,
+            ws_sold_date_sk  as date_sk,
+            ws_ext_sales_price as sales_price,
+            ws_net_profit as profit,
+            cast(0 as decimal(7,2)) as return_amt,
+            cast(0 as decimal(7,2)) as net_loss
+    from web_sales
+    union all
+    select ws_web_site_sk as wsr_web_site_sk,
+           wr_returned_date_sk as date_sk,
+           cast(0 as decimal(7,2)) as sales_price,
+           cast(0 as decimal(7,2)) as profit,
+           wr_return_amt as return_amt,
+           wr_net_loss as net_loss
+    from web_returns left outer join web_sales on
+         ( wr_item_sk = ws_item_sk
+           and wr_order_number = ws_order_number)
+   ) salesreturns,
+     date_dim,
+     web_site
+ where date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) +  interval '14' day)
+       and wsr_web_site_sk = web_site_sk
+ group by web_site_id)
+  select channel
+        ,id
+        ,sum(sales) as sales
+        ,sum(returns) as returns
+        ,sum(profit) as profit
+ from
+ (select 'store channel' as channel
+        ,'store' || s_store_id as id
+        ,sales
+        ,returns
+        ,(profit - profit_loss) as profit
+ from   ssr
+ union all
+ select 'catalog channel' as channel
+        ,'catalog_page' || cp_catalog_page_id as id
+        ,sales
+        ,returns
+        ,(profit - profit_loss) as profit
+ from  csr
+ union all
+ select 'web channel' as channel
+        ,'web_site' || web_site_id as id
+        ,sales
+        ,returns
+        ,(profit - profit_loss) as profit
+ from   wsr
+ ) x
+ group by rollup (channel, id)
+ order by channel
+         ,id
+ limit 100
+"""
+
+Q58 = """
+with ss_items as
+ (select i_item_id item_id
+        ,sum(ss_ext_sales_price) ss_item_rev
+ from store_sales
+     ,item
+     ,date_dim
+ where ss_item_sk = i_item_sk
+   and d_date in (select d_date
+                  from date_dim
+                  where d_week_seq = (select d_week_seq
+                                      from date_dim
+                                      where d_date = '2000-01-03'))
+   and ss_sold_date_sk   = d_date_sk
+ group by i_item_id),
+ cs_items as
+ (select i_item_id item_id
+        ,sum(cs_ext_sales_price) cs_item_rev
+  from catalog_sales
+      ,item
+      ,date_dim
+ where cs_item_sk = i_item_sk
+  and  d_date in (select d_date
+                  from date_dim
+                  where d_week_seq = (select d_week_seq
+                                      from date_dim
+                                      where d_date = '2000-01-03'))
+  and  cs_sold_date_sk = d_date_sk
+ group by i_item_id),
+ ws_items as
+ (select i_item_id item_id
+        ,sum(ws_ext_sales_price) ws_item_rev
+  from web_sales
+      ,item
+      ,date_dim
+ where ws_item_sk = i_item_sk
+  and  d_date in (select d_date
+                  from date_dim
+                  where d_week_seq =(select d_week_seq
+                                     from date_dim
+                                     where d_date = '2000-01-03'))
+  and ws_sold_date_sk   = d_date_sk
+ group by i_item_id)
+  select ss_items.item_id
+       ,ss_item_rev
+       ,ss_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 ss_dev
+       ,cs_item_rev
+       ,cs_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 cs_dev
+       ,ws_item_rev
+       ,ws_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 ws_dev
+       ,(ss_item_rev+cs_item_rev+ws_item_rev)/3 average
+ from ss_items,cs_items,ws_items
+ where ss_items.item_id=cs_items.item_id
+   and ss_items.item_id=ws_items.item_id
+   and ss_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev
+   and ss_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev
+   and cs_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev
+   and cs_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev
+   and ws_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev
+   and ws_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev
+ order by ss_items.item_id
+         ,ss_item_rev
+ limit 100
+"""
+
+Q77 = """
+with ss as
+ (select s_store_sk,
+         sum(ss_ext_sales_price) as sales,
+         sum(ss_net_profit) as profit
+ from store_sales,
+      date_dim,
+      store
+ where ss_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) +  interval '30' day)
+       and ss_store_sk = s_store_sk
+ group by s_store_sk)
+ ,
+ sr as
+ (select s_store_sk,
+         sum(sr_return_amt) as returns,
+         sum(sr_net_loss) as profit_loss
+ from store_returns,
+      date_dim,
+      store
+ where sr_returned_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) +  interval '30' day)
+       and sr_store_sk = s_store_sk
+ group by s_store_sk),
+ cs as
+ (select cs_call_center_sk,
+        sum(cs_ext_sales_price) as sales,
+        sum(cs_net_profit) as profit
+ from catalog_sales,
+      date_dim
+ where cs_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) +  interval '30' day)
+ group by cs_call_center_sk
+ ),
+ cr as
+ (select cr_call_center_sk,
+         sum(cr_return_amount) as returns,
+         sum(cr_net_loss) as profit_loss
+ from catalog_returns,
+      date_dim
+ where cr_returned_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) +  interval '30' day)
+ group by cr_call_center_sk
+ ),
+ ws as
+ ( select wp_web_page_sk,
+        sum(ws_ext_sales_price) as sales,
+        sum(ws_net_profit) as profit
+ from web_sales,
+      date_dim,
+      web_page
+ where ws_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) +  interval '30' day)
+       and ws_web_page_sk = wp_web_page_sk
+ group by wp_web_page_sk),
+ wr as
+ (select wp_web_page_sk,
+        sum(wr_return_amt) as returns,
+        sum(wr_net_loss) as profit_loss
+ from web_returns,
+      date_dim,
+      web_page
+ where wr_returned_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) +  interval '30' day)
+       and wr_web_page_sk = wp_web_page_sk
+ group by wp_web_page_sk)
+  select channel
+        , id
+        , sum(sales) as sales
+        , sum(returns) as returns
+        , sum(profit) as profit
+ from
+ (select 'store channel' as channel
+        , ss.s_store_sk as id
+        , sales
+        , coalesce(returns, 0) as returns
+        , (profit - coalesce(profit_loss,0)) as profit
+ from   ss left join sr
+        on  ss.s_store_sk = sr.s_store_sk
+ union all
+ select 'catalog channel' as channel
+        , cs_call_center_sk as id
+        , sales
+        , returns
+        , (profit - profit_loss) as profit
+ from  cs
+       , cr
+ union all
+ select 'web channel' as channel
+        , ws.wp_web_page_sk as id
+        , sales
+        , coalesce(returns, 0) returns
+        , (profit - coalesce(profit_loss,0)) as profit
+ from   ws left join wr
+        on  ws.wp_web_page_sk = wr.wp_web_page_sk
+ ) x
+ group by rollup (channel, id)
+ order by channel
+         ,id
+ limit 100
+"""
+
+Q80 = """
+with ssr as
+ (select  s_store_id as store_id,
+          sum(ss_ext_sales_price) as sales,
+          sum(coalesce(sr_return_amt, 0)) as returns,
+          sum(ss_net_profit - coalesce(sr_net_loss, 0)) as profit
+  from store_sales left outer join store_returns on
+         (ss_item_sk = sr_item_sk and ss_ticket_number = sr_ticket_number),
+     date_dim,
+     store,
+     item,
+     promotion
+ where ss_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) +  interval '30' day)
+       and ss_store_sk = s_store_sk
+       and ss_item_sk = i_item_sk
+       and i_current_price > 50
+       and ss_promo_sk = p_promo_sk
+       and p_channel_tv = 'N'
+ group by s_store_id)
+ ,
+ csr as
+ (select  cp_catalog_page_id as catalog_page_id,
+          sum(cs_ext_sales_price) as sales,
+          sum(coalesce(cr_return_amount, 0)) as returns,
+          sum(cs_net_profit - coalesce(cr_net_loss, 0)) as profit
+  from catalog_sales left outer join catalog_returns on
+         (cs_item_sk = cr_item_sk and cs_order_number = cr_order_number),
+     date_dim,
+     catalog_page,
+     item,
+     promotion
+ where cs_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) +  interval '30' day)
+        and cs_catalog_page_sk = cp_catalog_page_sk
+       and cs_item_sk = i_item_sk
+       and i_current_price > 50
+       and cs_promo_sk = p_promo_sk
+       and p_channel_tv = 'N'
+group by cp_catalog_page_id)
+ ,
+ wsr as
+ (select  web_site_id,
+          sum(ws_ext_sales_price) as sales,
+          sum(coalesce(wr_return_amt, 0)) as returns,
+          sum(ws_net_profit - coalesce(wr_net_loss, 0)) as profit
+  from web_sales left outer join web_returns on
+         (ws_item_sk = wr_item_sk and ws_order_number = wr_order_number),
+     date_dim,
+     web_site,
+     item,
+     promotion
+ where ws_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) +  interval '30' day)
+        and ws_web_site_sk = web_site_sk
+       and ws_item_sk = i_item_sk
+       and i_current_price > 50
+       and ws_promo_sk = p_promo_sk
+       and p_channel_tv = 'N'
+group by web_site_id)
+  select channel
+        , id
+        , sum(sales) as sales
+        , sum(returns) as returns
+        , sum(profit) as profit
+ from
+ (select 'store channel' as channel
+        , 'store' || store_id as id
+        , sales
+        , returns
+        , profit
+ from   ssr
+ union all
+ select 'catalog channel' as channel
+        , 'catalog_page' || catalog_page_id as id
+        , sales
+        , returns
+        , profit
+ from  csr
+ union all
+ select 'web channel' as channel
+        , 'web_site' || web_site_id as id
+        , sales
+        , returns
+        , profit
+ from   wsr
+ ) x
+ group by rollup (channel, id)
+ order by channel
+         ,id
+ limit 100
+"""
+
+Q83 = """
+with sr_items as
+ (select i_item_id item_id,
+        sum(sr_return_quantity) sr_item_qty
+ from store_returns,
+      item,
+      date_dim
+ where sr_item_sk = i_item_sk
+ and   d_date    in
+	(select d_date
+	from date_dim
+	where d_week_seq in
+		(select d_week_seq
+		from date_dim
+	  where d_date in ('2000-06-30','2000-09-27','2000-11-17')))
+ and   sr_returned_date_sk   = d_date_sk
+ group by i_item_id),
+ cr_items as
+ (select i_item_id item_id,
+        sum(cr_return_quantity) cr_item_qty
+ from catalog_returns,
+      item,
+      date_dim
+ where cr_item_sk = i_item_sk
+ and   d_date    in
+	(select d_date
+	from date_dim
+	where d_week_seq in
+		(select d_week_seq
+		from date_dim
+	  where d_date in ('2000-06-30','2000-09-27','2000-11-17')))
+ and   cr_returned_date_sk   = d_date_sk
+ group by i_item_id),
+ wr_items as
+ (select i_item_id item_id,
+        sum(wr_return_quantity) wr_item_qty
+ from web_returns,
+      item,
+      date_dim
+ where wr_item_sk = i_item_sk
+ and   d_date    in
+	(select d_date
+	from date_dim
+	where d_week_seq in
+		(select d_week_seq
+		from date_dim
+		where d_date in ('2000-06-30','2000-09-27','2000-11-17')))
+ and   wr_returned_date_sk   = d_date_sk
+ group by i_item_id)
+  select sr_items.item_id
+       ,sr_item_qty
+       ,sr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 sr_dev
+       ,cr_item_qty
+       ,cr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 cr_dev
+       ,wr_item_qty
+       ,wr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 wr_dev
+       ,(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 average
+ from sr_items
+     ,cr_items
+     ,wr_items
+ where sr_items.item_id=cr_items.item_id
+   and sr_items.item_id=wr_items.item_id
+ order by sr_items.item_id
+         ,sr_item_qty
+ limit 100
+"""
+
+
+def test_tpcds_q5_text(tpcds):
+    """q5 verbatim — sales/returns/profit rollup across the three
+    channels (typed-zero union legs, web returns re-keyed through a
+    left join)."""
+    spark, con = tpcds
+    _compare(spark, con, Q5, ordered=True, min_rows=10)
+
+
+def test_tpcds_q58_text(tpcds):
+    """q58 verbatim — items with near-equal single-week revenue in all
+    three channels (six mutual BETWEEN bounds)."""
+    spark, con = tpcds
+    _compare(spark, con, Q58, ordered=True, min_rows=1)
+
+
+def test_tpcds_q77_text(tpcds):
+    """q77 verbatim — per-location channel profit rollup with left-join
+    return legs (DuckDB parses bare `returns` only in some positions, so
+    the oracle quotes the identifier; the engine runs the verbatim
+    text)."""
+    spark, con = tpcds
+    import re
+
+    oracle = re.sub(r"\breturns\b", '"returns"', Q77)
+    _compare(spark, con, Q77, ordered=True, min_rows=10, oracle_sql=oracle)
+
+
+def test_tpcds_q80_text(tpcds):
+    """q80 verbatim — promo-filtered channel rollup over left-joined
+    returns."""
+    spark, con = tpcds
+    _compare(spark, con, Q80, ordered=True, min_rows=5)
+
+
+def test_tpcds_q83_text(tpcds):
+    """q83 verbatim — items returned through all three channels in three
+    chosen weeks."""
+    spark, con = tpcds
+    _compare(spark, con, Q83, ordered=True, min_rows=1)
