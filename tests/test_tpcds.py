@@ -675,6 +675,29 @@ def _gen_tables() -> dict[str, pd.DataFrame]:
     cr = pd.concat([cr, cr83], ignore_index=True)
     wr = pd.concat([wr, wr83], ignore_index=True)
 
+    # batch-13 schema (q49/q66/q85): warehouse geography + sq ft, time
+    # value + ship carriers, catalog net-paid-inc-tax, and the web-return
+    # refund columns.  Half the returning cdemo keys equal the refunded
+    # key so q85's cd1=cd2 equality branches have mass.
+    cs["cs_net_paid_inc_tax"] = rng3.randint(4, 420, len(cs)) * 0.25
+    cs["cs_net_paid"] = rng3.randint(4, 400, len(cs)) * 0.25
+    warehouse["w_warehouse_sq_ft"] = [73065, 59061][:WAREHOUSES]
+    warehouse["w_city"] = ["Fairview", "Midway"][:WAREHOUSES]
+    warehouse["w_county"] = "Williamson County"
+    warehouse["w_country"] = "United States"
+    time_dim["t_time"] = time_dim["t_time_sk"]
+    ship_mode["sm_carrier"] = ["DHL", "BARIAN", "UPS", "FEDEX", "AIRBORNE"]
+    wr["wr_refunded_cash"] = rng3.randint(0, 60, len(wr)) * 0.25
+    wr["wr_fee"] = rng3.randint(0, 40, len(wr)) * 0.25
+    wr["wr_refunded_cdemo_sk"] = rng3.randint(1, DEMOS + 1, len(wr))
+    wr["wr_returning_cdemo_sk"] = np.where(
+        rng3.rand(len(wr)) < 0.5,
+        wr["wr_refunded_cdemo_sk"],
+        rng3.randint(1, DEMOS + 1, len(wr)),
+    )
+    wr["wr_refunded_addr_sk"] = rng3.randint(1, n_addr + 1, len(wr))
+    wr["wr_reason_sk"] = rng3.randint(1, 6, len(wr))
+
     return {
         "reason": reason,
         "ship_mode": ship_mode,
@@ -5862,3 +5885,415 @@ def test_tpcds_q83_text(tpcds):
     chosen weeks."""
     spark, con = tpcds
     _compare(spark, con, Q83, ordered=True, min_rows=1)
+
+
+# Batch 13 — final variants: per-channel return-ratio ranks (q49),
+# 12-month warehouse shipping pivot (q66), refund-demographics averages
+# (q85).  Public spec templates, qualification parameters.
+
+Q49 = """
+select channel, item, return_ratio, return_rank, currency_rank from
+ (select
+ 'web' as channel
+ ,web.item
+ ,web.return_ratio
+ ,web.return_rank
+ ,web.currency_rank
+ from (
+ 	select
+ 	 item
+ 	,return_ratio
+ 	,currency_ratio
+ 	,rank() over (order by return_ratio) as return_rank
+ 	,rank() over (order by currency_ratio) as currency_rank
+ 	from
+ 	(	select ws.ws_item_sk as item
+ 		,(cast(sum(coalesce(wr.wr_return_quantity,0)) as decimal(15,4))/
+ 		cast(sum(coalesce(ws.ws_quantity,0)) as decimal(15,4) )) as return_ratio
+ 		,(cast(sum(coalesce(wr.wr_return_amt,0)) as decimal(15,4))/
+ 		cast(sum(coalesce(ws.ws_net_paid,0)) as decimal(15,4) )) as currency_ratio
+ 		from
+ 		 web_sales ws left outer join web_returns wr
+ 			on (ws.ws_order_number = wr.wr_order_number and
+ 			ws.ws_item_sk = wr.wr_item_sk)
+                 ,date_dim
+ 		where
+ 			wr.wr_return_amt > 1
+ 			and ws.ws_net_profit > 1
+                         and ws.ws_net_paid > 0
+                         and ws.ws_quantity > 0
+                         and ws_sold_date_sk = d_date_sk
+                         and d_year = 2001
+                         and d_moy = 12
+ 		group by ws.ws_item_sk
+ 	) in_web
+ ) web
+ where
+ (
+ web.return_rank <= 10
+ or
+ web.currency_rank <= 10
+ )
+ union
+ select
+ 'catalog' as channel
+ ,catalog.item
+ ,catalog.return_ratio
+ ,catalog.return_rank
+ ,catalog.currency_rank
+ from (
+ 	select
+ 	 item
+ 	,return_ratio
+ 	,currency_ratio
+ 	,rank() over (order by return_ratio) as return_rank
+ 	,rank() over (order by currency_ratio) as currency_rank
+ 	from
+ 	(	select
+ 		cs.cs_item_sk as item
+ 		,(cast(sum(coalesce(cr.cr_return_quantity,0)) as decimal(15,4))/
+ 		cast(sum(coalesce(cs.cs_quantity,0)) as decimal(15,4) )) as return_ratio
+ 		,(cast(sum(coalesce(cr.cr_return_amount,0)) as decimal(15,4))/
+ 		cast(sum(coalesce(cs.cs_net_paid,0)) as decimal(15,4) )) as currency_ratio
+ 		from
+ 		catalog_sales cs left outer join catalog_returns cr
+ 			on (cs.cs_order_number = cr.cr_order_number and
+ 			cs.cs_item_sk = cr.cr_item_sk)
+                ,date_dim
+ 		where
+ 			cr.cr_return_amount > 1
+ 			and cs.cs_net_profit > 1
+                         and cs.cs_net_paid > 0
+                         and cs.cs_quantity > 0
+                         and cs_sold_date_sk = d_date_sk
+                         and d_year = 2001
+                         and d_moy = 12
+                 group by cs.cs_item_sk
+ 	) in_cat
+ ) catalog
+ where
+ (
+ catalog.return_rank <= 10
+ or
+ catalog.currency_rank <=10
+ )
+ union
+ select
+ 'store' as channel
+ ,store.item
+ ,store.return_ratio
+ ,store.return_rank
+ ,store.currency_rank
+ from (
+ 	select
+ 	 item
+ 	,return_ratio
+ 	,currency_ratio
+ 	,rank() over (order by return_ratio) as return_rank
+ 	,rank() over (order by currency_ratio) as currency_rank
+ 	from
+ 	(	select sts.ss_item_sk as item
+ 		,(cast(sum(coalesce(sr.sr_return_quantity,0)) as decimal(15,4))/cast(sum(coalesce(sts.ss_quantity,0)) as decimal(15,4) )) as return_ratio
+ 		,(cast(sum(coalesce(sr.sr_return_amt,0)) as decimal(15,4))/cast(sum(coalesce(sts.ss_net_paid,0)) as decimal(15,4) )) as currency_ratio
+ 		from
+ 		store_sales sts left outer join store_returns sr
+ 			on (sts.ss_ticket_number = sr.sr_ticket_number and sts.ss_item_sk = sr.sr_item_sk)
+                ,date_dim
+ 		where
+ 			sr.sr_return_amt > 1
+ 			and sts.ss_net_profit > 1
+                         and sts.ss_net_paid > 0
+                         and sts.ss_quantity > 0
+                         and ss_sold_date_sk = d_date_sk
+                         and d_year = 2001
+                         and d_moy = 12
+ 		group by sts.ss_item_sk
+ 	) in_store
+ ) store
+ where  (
+ store.return_rank <= 10
+ or
+ store.currency_rank <= 10
+ )
+ )
+ order by 1,4,5,2
+ limit 100
+"""
+
+Q66 = """select
+         w_warehouse_name
+ 	,w_warehouse_sq_ft
+ 	,w_city
+ 	,w_county
+ 	,w_state
+ 	,w_country
+        ,ship_carriers
+        ,year
+ 	,sum(jan_sales) as jan_sales
+ 	,sum(feb_sales) as feb_sales
+ 	,sum(mar_sales) as mar_sales
+ 	,sum(apr_sales) as apr_sales
+ 	,sum(may_sales) as may_sales
+ 	,sum(jun_sales) as jun_sales
+ 	,sum(jul_sales) as jul_sales
+ 	,sum(aug_sales) as aug_sales
+ 	,sum(sep_sales) as sep_sales
+ 	,sum(oct_sales) as oct_sales
+ 	,sum(nov_sales) as nov_sales
+ 	,sum(dec_sales) as dec_sales
+ 	,sum(jan_sales/w_warehouse_sq_ft) as jan_sales_per_sq_foot
+ 	,sum(feb_sales/w_warehouse_sq_ft) as feb_sales_per_sq_foot
+ 	,sum(mar_sales/w_warehouse_sq_ft) as mar_sales_per_sq_foot
+ 	,sum(apr_sales/w_warehouse_sq_ft) as apr_sales_per_sq_foot
+ 	,sum(may_sales/w_warehouse_sq_ft) as may_sales_per_sq_foot
+ 	,sum(jun_sales/w_warehouse_sq_ft) as jun_sales_per_sq_foot
+ 	,sum(jul_sales/w_warehouse_sq_ft) as jul_sales_per_sq_foot
+ 	,sum(aug_sales/w_warehouse_sq_ft) as aug_sales_per_sq_foot
+ 	,sum(sep_sales/w_warehouse_sq_ft) as sep_sales_per_sq_foot
+ 	,sum(oct_sales/w_warehouse_sq_ft) as oct_sales_per_sq_foot
+ 	,sum(nov_sales/w_warehouse_sq_ft) as nov_sales_per_sq_foot
+ 	,sum(dec_sales/w_warehouse_sq_ft) as dec_sales_per_sq_foot
+ 	,sum(jan_net) as jan_net
+ 	,sum(feb_net) as feb_net
+ 	,sum(mar_net) as mar_net
+ 	,sum(apr_net) as apr_net
+ 	,sum(may_net) as may_net
+ 	,sum(jun_net) as jun_net
+ 	,sum(jul_net) as jul_net
+ 	,sum(aug_net) as aug_net
+ 	,sum(sep_net) as sep_net
+ 	,sum(oct_net) as oct_net
+ 	,sum(nov_net) as nov_net
+ 	,sum(dec_net) as dec_net
+ from (
+
+ select w_warehouse_name
+ 	,w_warehouse_sq_ft
+ 	,w_city
+ 	,w_county
+ 	,w_state
+ 	,w_country
+ 	,'DHL' || ',' || 'BARIAN' as ship_carriers
+       ,d_year as year
+	,sum(case when d_moy = 1 then ws_ext_sales_price* ws_quantity else 0 end) as jan_sales
+	,sum(case when d_moy = 2 then ws_ext_sales_price* ws_quantity else 0 end) as feb_sales
+	,sum(case when d_moy = 3 then ws_ext_sales_price* ws_quantity else 0 end) as mar_sales
+	,sum(case when d_moy = 4 then ws_ext_sales_price* ws_quantity else 0 end) as apr_sales
+	,sum(case when d_moy = 5 then ws_ext_sales_price* ws_quantity else 0 end) as may_sales
+	,sum(case when d_moy = 6 then ws_ext_sales_price* ws_quantity else 0 end) as jun_sales
+	,sum(case when d_moy = 7 then ws_ext_sales_price* ws_quantity else 0 end) as jul_sales
+	,sum(case when d_moy = 8 then ws_ext_sales_price* ws_quantity else 0 end) as aug_sales
+	,sum(case when d_moy = 9 then ws_ext_sales_price* ws_quantity else 0 end) as sep_sales
+	,sum(case when d_moy = 10 then ws_ext_sales_price* ws_quantity else 0 end) as oct_sales
+	,sum(case when d_moy = 11 then ws_ext_sales_price* ws_quantity else 0 end) as nov_sales
+	,sum(case when d_moy = 12 then ws_ext_sales_price* ws_quantity else 0 end) as dec_sales
+	,sum(case when d_moy = 1 then ws_net_paid * ws_quantity else 0 end) as jan_net
+	,sum(case when d_moy = 2 then ws_net_paid * ws_quantity else 0 end) as feb_net
+	,sum(case when d_moy = 3 then ws_net_paid * ws_quantity else 0 end) as mar_net
+	,sum(case when d_moy = 4 then ws_net_paid * ws_quantity else 0 end) as apr_net
+	,sum(case when d_moy = 5 then ws_net_paid * ws_quantity else 0 end) as may_net
+	,sum(case when d_moy = 6 then ws_net_paid * ws_quantity else 0 end) as jun_net
+	,sum(case when d_moy = 7 then ws_net_paid * ws_quantity else 0 end) as jul_net
+	,sum(case when d_moy = 8 then ws_net_paid * ws_quantity else 0 end) as aug_net
+	,sum(case when d_moy = 9 then ws_net_paid * ws_quantity else 0 end) as sep_net
+	,sum(case when d_moy = 10 then ws_net_paid * ws_quantity else 0 end) as oct_net
+	,sum(case when d_moy = 11 then ws_net_paid * ws_quantity else 0 end) as nov_net
+	,sum(case when d_moy = 12 then ws_net_paid * ws_quantity else 0 end) as dec_net
+     from
+          web_sales
+         ,warehouse
+         ,date_dim
+         ,time_dim
+ 	  ,ship_mode
+     where
+            ws_warehouse_sk =  w_warehouse_sk
+        and ws_sold_date_sk = d_date_sk
+        and ws_sold_time_sk = t_time_sk
+ 	and ws_ship_mode_sk = sm_ship_mode_sk
+       and d_year = 2001
+       and t_time between 30838 and 30838+28800
+       and sm_carrier in ('DHL','BARIAN')
+     group by
+        w_warehouse_name
+ 	,w_warehouse_sq_ft
+ 	,w_city
+ 	,w_county
+ 	,w_state
+ 	,w_country
+       ,d_year
+
+ union all
+
+ select w_warehouse_name
+ 	,w_warehouse_sq_ft
+ 	,w_city
+ 	,w_county
+ 	,w_state
+ 	,w_country
+ 	,'DHL' || ',' || 'BARIAN' as ship_carriers
+       ,d_year as year
+	,sum(case when d_moy = 1 then cs_sales_price* cs_quantity else 0 end) as jan_sales
+	,sum(case when d_moy = 2 then cs_sales_price* cs_quantity else 0 end) as feb_sales
+	,sum(case when d_moy = 3 then cs_sales_price* cs_quantity else 0 end) as mar_sales
+	,sum(case when d_moy = 4 then cs_sales_price* cs_quantity else 0 end) as apr_sales
+	,sum(case when d_moy = 5 then cs_sales_price* cs_quantity else 0 end) as may_sales
+	,sum(case when d_moy = 6 then cs_sales_price* cs_quantity else 0 end) as jun_sales
+	,sum(case when d_moy = 7 then cs_sales_price* cs_quantity else 0 end) as jul_sales
+	,sum(case when d_moy = 8 then cs_sales_price* cs_quantity else 0 end) as aug_sales
+	,sum(case when d_moy = 9 then cs_sales_price* cs_quantity else 0 end) as sep_sales
+	,sum(case when d_moy = 10 then cs_sales_price* cs_quantity else 0 end) as oct_sales
+	,sum(case when d_moy = 11 then cs_sales_price* cs_quantity else 0 end) as nov_sales
+	,sum(case when d_moy = 12 then cs_sales_price* cs_quantity else 0 end) as dec_sales
+	,sum(case when d_moy = 1 then cs_net_paid_inc_tax * cs_quantity else 0 end) as jan_net
+	,sum(case when d_moy = 2 then cs_net_paid_inc_tax * cs_quantity else 0 end) as feb_net
+	,sum(case when d_moy = 3 then cs_net_paid_inc_tax * cs_quantity else 0 end) as mar_net
+	,sum(case when d_moy = 4 then cs_net_paid_inc_tax * cs_quantity else 0 end) as apr_net
+	,sum(case when d_moy = 5 then cs_net_paid_inc_tax * cs_quantity else 0 end) as may_net
+	,sum(case when d_moy = 6 then cs_net_paid_inc_tax * cs_quantity else 0 end) as jun_net
+	,sum(case when d_moy = 7 then cs_net_paid_inc_tax * cs_quantity else 0 end) as jul_net
+	,sum(case when d_moy = 8 then cs_net_paid_inc_tax * cs_quantity else 0 end) as aug_net
+	,sum(case when d_moy = 9 then cs_net_paid_inc_tax * cs_quantity else 0 end) as sep_net
+	,sum(case when d_moy = 10 then cs_net_paid_inc_tax * cs_quantity else 0 end) as oct_net
+	,sum(case when d_moy = 11 then cs_net_paid_inc_tax * cs_quantity else 0 end) as nov_net
+	,sum(case when d_moy = 12 then cs_net_paid_inc_tax * cs_quantity else 0 end) as dec_net
+     from
+          catalog_sales
+         ,warehouse
+         ,date_dim
+         ,time_dim
+ 	 ,ship_mode
+     where
+            cs_warehouse_sk =  w_warehouse_sk
+        and cs_sold_date_sk = d_date_sk
+        and cs_sold_time_sk = t_time_sk
+ 	and cs_ship_mode_sk = sm_ship_mode_sk
+       and d_year = 2001
+       and t_time between 30838 and 30838+28800
+       and sm_carrier in ('DHL','BARIAN')
+     group by
+        w_warehouse_name
+ 	,w_warehouse_sq_ft
+ 	,w_city
+ 	,w_county
+ 	,w_state
+ 	,w_country
+       ,d_year
+
+ ) x
+ group by
+        w_warehouse_name
+ 	,w_warehouse_sq_ft
+ 	,w_city
+ 	,w_county
+ 	,w_state
+ 	,w_country
+ 	,ship_carriers
+        ,year
+ order by w_warehouse_name
+ limit 100"""
+
+Q85 = """
+select substr(r_reason_desc,1,20)
+       ,avg(ws_quantity)
+       ,avg(wr_refunded_cash)
+       ,avg(wr_fee)
+ from web_sales, web_returns, web_page, customer_demographics cd1,
+      customer_demographics cd2, customer_address, date_dim, reason
+ where ws_web_page_sk = wp_web_page_sk
+   and ws_item_sk = wr_item_sk
+   and ws_order_number = wr_order_number
+   and ws_sold_date_sk = d_date_sk and d_year = 2000
+   and cd1.cd_demo_sk = wr_refunded_cdemo_sk
+   and cd2.cd_demo_sk = wr_returning_cdemo_sk
+   and ca_address_sk = wr_refunded_addr_sk
+   and r_reason_sk = wr_reason_sk
+   and
+   (
+    (
+     cd1.cd_marital_status = 'M'
+     and
+     cd1.cd_marital_status = cd2.cd_marital_status
+     and
+     cd1.cd_education_status = '4 yr Degree'
+     and
+     cd1.cd_education_status = cd2.cd_education_status
+     and
+     ws_sales_price between 50.00 and 100.00
+    )
+   or
+    (
+     cd1.cd_marital_status = 'S'
+     and
+     cd1.cd_marital_status = cd2.cd_marital_status
+     and
+     cd1.cd_education_status = 'College'
+     and
+     cd1.cd_education_status = cd2.cd_education_status
+     and
+     ws_sales_price between 25.00 and 75.00
+    )
+   or
+    (
+     cd1.cd_marital_status = 'D'
+     and
+     cd1.cd_marital_status = cd2.cd_marital_status
+     and
+     cd1.cd_education_status = '2 yr Degree'
+     and
+     cd1.cd_education_status = cd2.cd_education_status
+     and
+     ws_sales_price between 0.00 and 50.00
+    )
+   )
+   and
+   (
+    (
+     ca_country = 'United States'
+     and
+     ca_state in ('IL','CA','TX')
+     and ws_net_profit between 0 and 200
+    )
+    or
+    (
+     ca_country = 'United States'
+     and
+     ca_state in ('GA','CA','TX')
+     and ws_net_profit between 50 and 300
+    )
+    or
+    (
+     ca_country = 'United States'
+     and
+     ca_state in ('IL','GA','TX')
+     and ws_net_profit between 0 and 250
+    )
+   )
+group by r_reason_desc
+order by substr(r_reason_desc,1,20)
+        ,avg(ws_quantity)
+        ,avg(wr_refunded_cash)
+        ,avg(wr_fee)
+limit 100
+"""
+
+
+def test_tpcds_q49_text(tpcds):
+    """q49 verbatim — worst return ratios per channel via decimal-cast
+    ratios ranked twice and UNIONed (10 significant digits: the engines'
+    decimal-division result scales differ)."""
+    spark, con = tpcds
+    _compare(spark, con, Q49, ordered=False, min_rows=5, approx=True)
+
+
+def test_tpcds_q66_text(tpcds):
+    """q66 verbatim — 12-month web+catalog warehouse shipping pivot
+    (44-column report, per-square-foot ratios)."""
+    spark, con = tpcds
+    _compare(spark, con, Q66, ordered=True, min_rows=2)
+
+
+def test_tpcds_q85_text(tpcds):
+    """q85 verbatim — refund demographics with cd1=cd2 equality branches
+    over web returns."""
+    spark, con = tpcds
+    _compare(spark, con, Q85, ordered=True, min_rows=1, check_names=False)
