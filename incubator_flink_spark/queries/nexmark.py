@@ -632,3 +632,323 @@ def nexmark_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("auction", "rn")
         .drop("rn")
     )
+
+
+# --- round-8 additions: the remaining oracle-able public Nexmark
+# queries (q13/q14/q16/q17/q20/q21/q22 of the nexmark-benchmark suite
+# the reference's streaming SQL planner is exercised with).  Same
+# events-table mapping as above; each docstring carries the scale note.
+
+NEXMARK_Q13_ORACLE = """
+WITH b AS (
+  SELECT event_id AS bid_id, event_id % 97 AS auction, user_id AS bidder,
+         value AS price, ts AS bts
+  FROM events WHERE event_type IN ('click', 'view')),
+s AS (SELECT i AS skey, concat('side-', CAST(i AS VARCHAR)) AS svalue
+      FROM range(0, 10) t(i))
+SELECT b.bid_id, b.auction, b.bidder, b.price, b.bts, s.svalue
+FROM b JOIN s ON b.auction % 10 = s.skey
+ORDER BY b.bid_id
+"""
+
+
+@register("nexmark_q13", NEXMARK_Q13_ORACLE)
+def nexmark_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q13 (bounded side input join): every bid enriched from a
+    small static side table keyed by auction mod — the reference plans
+    this as a lookup/temporal join against the bounded side input
+    (StreamExecLookupJoin; streaming/lookup.py is the streaming form).
+
+    Scale: the side table is broadcast (10 rows — never a shuffle of
+    the bid stream); the bid scan stays map-only."""
+    b = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("event_id").alias("bid_id"),
+        (F.col("event_id") % 97).alias("auction"),
+        F.col("user_id").alias("bidder"),
+        F.col("value").alias("price"),
+        F.col("ts").alias("bts"),
+    )
+    side = spark.createDataFrame(
+        [(i, f"side-{i}") for i in range(10)], "skey bigint, svalue string"
+    )
+    return (
+        b.join(F.broadcast(side), (F.col("auction") % 10) == F.col("skey"))
+        .select("bid_id", "auction", "bidder", "price", "bts", "svalue")
+        .orderBy("bid_id")
+    )
+
+
+NEXMARK_Q14_ORACLE = """
+SELECT event_id AS bid_id, event_id % 97 AS auction, user_id AS bidder,
+       0.908 * value AS price,
+       CASE WHEN extract(hour FROM ts) >= 8 AND extract(hour FROM ts) <= 18 THEN 'dayTime'
+            WHEN extract(hour FROM ts) <= 6 OR extract(hour FROM ts) >= 20 THEN 'nightTime'
+            ELSE 'otherTime' END AS bidtimetype,
+       ts AS bts, props,
+       length(props) - length(replace(props, 'k', '')) AS c_counts
+FROM events
+WHERE event_type IN ('click', 'view')
+  AND (0.908 * value > 150 OR 0.908 * value < 50)
+ORDER BY bid_id
+"""
+
+
+@register("nexmark_q14", NEXMARK_Q14_ORACLE)
+def nexmark_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q14 (calculation): price conversion, a day/night bucket
+    from the bid hour, and a character count over the extra payload —
+    the reference's Calc with a scalar UDF (countChar); here the char
+    count stays a built-in expression (no Python UDF in the plan).
+
+    Scale: map-only — single scan, filter pushed, no exchange.  The
+    0.908 * value product is one IEEE double multiply, bit-identical
+    in both engines."""
+    e = load(spark, sf_dir, "events").where(F.col("event_type").isin("click", "view"))
+    price = F.lit(0.908) * F.col("value")
+    hour = F.hour("ts")
+    return (
+        e.where((price > 150) | (price < 50))
+        .select(
+            F.col("event_id").alias("bid_id"),
+            (F.col("event_id") % 97).alias("auction"),
+            F.col("user_id").alias("bidder"),
+            price.alias("price"),
+            F.when((hour >= 8) & (hour <= 18), "dayTime")
+            .when((hour <= 6) | (hour >= 20), "nightTime")
+            .otherwise("otherTime")
+            .alias("bidtimetype"),
+            F.col("ts").alias("bts"),
+            "props",
+            (F.length("props") - F.length(F.replace(F.col("props"), F.lit("k"), F.lit("")))).alias(
+                "c_counts"
+            ),
+        )
+        .orderBy("bid_id")
+    )
+
+
+NEXMARK_Q16_ORACLE = """
+SELECT event_type AS channel, strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS total_bids,
+       count(*) FILTER (WHERE value < 50) AS rank1_bids,
+       count(*) FILTER (WHERE value >= 50 AND value < 150) AS rank2_bids,
+       count(*) FILTER (WHERE value >= 150) AS rank3_bids,
+       count(DISTINCT user_id) AS total_bidders,
+       count(DISTINCT user_id) FILTER (WHERE value < 50) AS rank1_bidders,
+       count(DISTINCT user_id) FILTER (WHERE value >= 50 AND value < 150) AS rank2_bidders,
+       count(DISTINCT user_id) FILTER (WHERE value >= 150) AS rank3_bidders,
+       count(DISTINCT event_id % 97) AS total_auctions,
+       count(DISTINCT event_id % 97) FILTER (WHERE value < 50) AS rank1_auctions,
+       count(DISTINCT event_id % 97) FILTER (WHERE value >= 50 AND value < 150) AS rank2_auctions,
+       count(DISTINCT event_id % 97) FILTER (WHERE value >= 150) AS rank3_auctions
+FROM events WHERE event_type IN ('click', 'view')
+GROUP BY channel, day
+ORDER BY channel, day
+"""
+
+
+@register("nexmark_q16", NEXMARK_Q16_ORACLE)
+def nexmark_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q16 (channel statistics report): per channel+day bid
+    counts plus price-band conditional counts and THREE families of
+    conditional COUNT(DISTINCT ...) — the reference splits these with
+    SplitAggregateRule into distinct views; Spark plans the same
+    multi-distinct through Expand.
+
+    Scale: one grouping shuffle; Expand multiplies rows by the distinct
+    count but each replica carries only its grouping columns, and the
+    partial aggregate runs map-side."""
+    e = load(spark, sf_dir, "events").where(F.col("event_type").isin("click", "view"))
+    v = F.col("value")
+    lo, mid, hi = v < 50, (v >= 50) & (v < 150), v >= 150
+    bidder, auction = F.col("user_id"), F.col("event_id") % 97
+    return (
+        e.groupBy(
+            F.col("event_type").alias("channel"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_bids"),
+            F.count(F.when(lo, 1)).alias("rank1_bids"),
+            F.count(F.when(mid, 1)).alias("rank2_bids"),
+            F.count(F.when(hi, 1)).alias("rank3_bids"),
+            F.countDistinct(bidder).alias("total_bidders"),
+            F.countDistinct(F.when(lo, bidder)).alias("rank1_bidders"),
+            F.countDistinct(F.when(mid, bidder)).alias("rank2_bidders"),
+            F.countDistinct(F.when(hi, bidder)).alias("rank3_bidders"),
+            F.countDistinct(auction).alias("total_auctions"),
+            F.countDistinct(F.when(lo, auction)).alias("rank1_auctions"),
+            F.countDistinct(F.when(mid, auction)).alias("rank2_auctions"),
+            F.countDistinct(F.when(hi, auction)).alias("rank3_auctions"),
+        )
+        .orderBy("channel", "day")
+    )
+
+
+NEXMARK_Q17_ORACLE = """
+SELECT event_id % 97 AS auction, strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS total_bids,
+       count(*) FILTER (WHERE value < 50) AS rank1_bids,
+       count(*) FILTER (WHERE value >= 50 AND value < 150) AS rank2_bids,
+       count(*) FILTER (WHERE value >= 150) AS rank3_bids,
+       min(value) AS min_price, max(value) AS max_price,
+       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             / count(*), 6) AS avg_price,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+FROM events WHERE event_type IN ('click', 'view')
+GROUP BY auction, day
+ORDER BY auction, day
+"""
+
+
+@register("nexmark_q17", NEXMARK_Q17_ORACLE)
+def nexmark_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q17 (auction statistics report): per auction+day bid
+    counts, price-band counts, and min/max/avg/sum price — a plain
+    keyed aggregate in both engines.
+
+    Scale: one (auction, day) shuffle with map-side partial agg; the
+    money sum rides an exact decimal so the average is order-
+    independent."""
+    e = load(spark, sf_dir, "events").where(F.col("event_type").isin("click", "view"))
+    v = F.col("value")
+    dsum = F.sum(v.cast("decimal(18,2)")).cast("double")
+    return (
+        e.groupBy(
+            (F.col("event_id") % 97).alias("auction"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_bids"),
+            F.count(F.when(v < 50, 1)).alias("rank1_bids"),
+            F.count(F.when((v >= 50) & (v < 150), 1)).alias("rank2_bids"),
+            F.count(F.when(v >= 150, 1)).alias("rank3_bids"),
+            F.min(v).alias("min_price"),
+            F.max(v).alias("max_price"),
+            F.round(dsum / F.count(F.lit(1)), 6).alias("avg_price"),
+            dsum.alias("sum_price"),
+        )
+        .orderBy("auction", "day")
+    )
+
+
+NEXMARK_Q20_ORACLE = """
+WITH a AS (
+  SELECT event_id AS auction_id, user_id % 5 AS category, user_id AS seller,
+         ts AS open_ts, ts + INTERVAL 7 DAY AS expires
+  FROM events WHERE event_type = 'signup'),
+b AS (
+  SELECT event_id AS bid_id, user_id AS bid_seller, value AS price, ts AS bts
+  FROM events WHERE event_type IN ('click', 'view'))
+SELECT b.bid_id, b.price, b.bts, a.auction_id, a.seller, a.category, a.open_ts, a.expires
+FROM b JOIN a ON b.bid_seller = a.seller
+WHERE a.category = 2
+ORDER BY b.bid_id, a.auction_id
+"""
+
+
+@register("nexmark_q20", NEXMARK_Q20_ORACLE)
+def nexmark_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q20 (expand bid with auction): bids joined to their
+    auction's full row, filtered to one category — the reference's
+    streaming two-sided join with the dimension filter pushed below
+    the join.
+
+    Scale: equi join on the seller key with the category filter pushed
+    to the auction scan (plan-visible PushedFilters); both sides
+    shuffle once on the key."""
+    a = _auctions(spark, sf_dir).where(F.col("category") == 2)
+    b = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("event_id").alias("bid_id"),
+        F.col("user_id").alias("bid_seller"),
+        F.col("value").alias("price"),
+        F.col("ts").alias("bts"),
+    )
+    return (
+        b.join(a, b.bid_seller == a.seller)
+        .select("bid_id", "price", "bts", "auction_id", "seller", "category", "open_ts", "expires")
+        .orderBy("bid_id", "auction_id")
+    )
+
+
+NEXMARK_Q21_ORACLE = """
+SELECT event_id AS bid_id, event_id % 97 AS auction, user_id AS bidder, value AS price,
+       CASE WHEN event_type = 'click' THEN '0'
+            WHEN event_type = 'view' THEN '1'
+            ELSE regexp_extract(props, '"k": ([0-9]+)', 1) END AS channel_id
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase')
+ORDER BY bid_id
+"""
+
+
+@register("nexmark_q21", NEXMARK_Q21_ORACLE)
+def nexmark_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q21 (add channel id): known channels map to fixed ids,
+    the rest extract the id from the payload by regex — the reference's
+    Calc with CASE + REGEXP_EXTRACT.
+
+    Scale: map-only, one scan; the regex runs inside codegen (never a
+    Python UDF)."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    return e.select(
+        F.col("event_id").alias("bid_id"),
+        (F.col("event_id") % 97).alias("auction"),
+        F.col("user_id").alias("bidder"),
+        F.col("value").alias("price"),
+        F.when(F.col("event_type") == "click", "0")
+        .when(F.col("event_type") == "view", "1")
+        .otherwise(F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1))
+        .alias("channel_id"),
+    ).orderBy("bid_id")
+
+
+NEXMARK_Q22_ORACLE = """
+SELECT bid_id, auction, bidder, price,
+       split_part(url, '/', 2) AS dir1,
+       split_part(url, '/', 3) AS dir2,
+       split_part(url, '/', 4) AS dir3
+FROM (
+  SELECT event_id AS bid_id, event_id % 97 AS auction, user_id AS bidder, value AS price,
+         concat('/channel_', event_type, '/user_', CAST(user_id AS VARCHAR),
+                '/item_', CAST(event_id % 97 AS VARCHAR)) AS url
+  FROM events WHERE event_type IN ('click', 'view')) b
+ORDER BY bid_id
+"""
+
+
+@register("nexmark_q22", NEXMARK_Q22_ORACLE)
+def nexmark_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q22 (get URL directories): SPLIT_INDEX over the bid URL —
+    the reference's Flink-only scalar (SPLIT_INDEX is 0-based; the
+    DuckDB oracle's split_part is 1-based, hence k+1).  Pins the
+    functions/compat.py implementation behind the driver's oracle gate.
+
+    Scale: map-only, one scan, codegen string ops."""
+    from incubator_flink_spark.functions import compat
+
+    e = load(spark, sf_dir, "events").where(F.col("event_type").isin("click", "view"))
+    url = F.concat(
+        F.lit("/channel_"), F.col("event_type"),
+        F.lit("/user_"), F.col("user_id").cast("string"),
+        F.lit("/item_"), (F.col("event_id") % 97).cast("string"),
+    )
+    b = e.select(
+        F.col("event_id").alias("bid_id"),
+        (F.col("event_id") % 97).alias("auction"),
+        F.col("user_id").alias("bidder"),
+        F.col("value").alias("price"),
+        url.alias("url"),
+    )
+    return b.select(
+        "bid_id", "auction", "bidder", "price",
+        compat.split_index(F.col("url"), "/", 1).alias("dir1"),
+        compat.split_index(F.col("url"), "/", 2).alias("dir2"),
+        compat.split_index(F.col("url"), "/", 3).alias("dir3"),
+    ).orderBy("bid_id")
