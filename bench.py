@@ -144,6 +144,13 @@ EXTRA = [
     # round 8
     "window_cumulate_tvf_sql",
     "cep_optional_start",
+    "nexmark_q13",
+    "nexmark_q14",
+    "nexmark_q16",
+    "nexmark_q17",
+    "nexmark_q20",
+    "nexmark_q21",
+    "nexmark_q22",
 ]
 
 
