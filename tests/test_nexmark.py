@@ -451,3 +451,106 @@ def test_nexmark_q19_stream_topn_matches_batch(spark, replay_dir):
     for r in REGISTRY["nexmark_q19"].fn(spark, SF).collect():
         expected[r.auction].add((r.bid_id, r.price))
     assert got == dict(expected)
+
+
+# --- round 8: the three non-oracle-able public Nexmark queries --------
+# q0 (passthrough), q10 (partitioned file-system sink), q12
+# (processing-time tumbling count).  These have no deterministic batch
+# oracle (q0/q10 are identity/sink shapes, q12 windows on wall-clock),
+# so each is proven by its defining invariant instead.
+
+BID_TYPES = ("click", "view")
+
+
+def _bid_stream(spark, replay_dir, tag, n_files=4):
+    return replay_table(spark, SF, "events", f"{replay_dir}/{tag}", n_files=n_files).where(
+        F.col("event_type").isin(*BID_TYPES)
+    ).select(
+        F.col("user_id").alias("bid_seller"),
+        F.col("value").alias("price"),
+        F.col("ts").alias("bts"),
+    )
+
+
+def test_nexmark_q0_stream_passthrough(spark, replay_dir):
+    """q0: the bid stream passes through unchanged — output multiset
+    equals the batch table exactly (the reference's q0 is the no-op
+    baseline that pins serialization overhead)."""
+    stream = _bid_stream(spark, replay_dir, "q0", n_files=8)
+    got = []
+    drain(stream, lambda b, _i: got.extend(b.collect()), mode="append")
+    want = sorted(tuple(r) for r in _bids(spark, SF).collect())
+    assert sorted(tuple(r) for r in got) == want
+
+
+def test_nexmark_q10_partitioned_file_sink(spark, replay_dir, tmp_path):
+    """q10: bids logged to a partitioned file-system sink (dt/hm
+    partitions).  The streaming writer lays out dt=/hm= directories, the
+    read-back equals the batch input exactly, and a dt filter prunes to
+    the partition (PartitionFilters in the scan) — the reference's
+    FileSystemTableSink with partition commit."""
+    import tempfile
+
+    def with_parts(df):
+        return df.select(
+            "bid_seller", "price", "bts",
+            F.date_format("bts", "yyyy-MM-dd").alias("dt"),
+            F.date_format("bts", "HH").alias("hm"),
+        )
+
+    out = str(tmp_path / "q10_sink")
+    stream = with_parts(_bid_stream(spark, replay_dir, "q10"))
+    q = (
+        stream.writeStream.format("parquet")
+        .partitionBy("dt", "hm")
+        .option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    bids = with_parts(_bids(spark, SF))
+    # directory partition values round-trip through Spark's partition
+    # TYPE INFERENCE (dt -> date, hm -> int): normalize both sides back
+    # to the written strings before comparing
+    back = spark.read.parquet(out).select(
+        "bid_seller", "price", "bts",
+        F.col("dt").cast("string").alias("dt"),
+        F.lpad(F.col("hm").cast("string"), 2, "0").alias("hm"),
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, bids.collect()))
+    one_dt = bids.select("dt").first()["dt"]
+    pruned = back.where(F.col("dt") == one_dt)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "dt" in plan.split("PartitionFilters")[1][:120]
+    assert pruned.count() == bids.where(F.col("dt") == one_dt).count()
+
+
+def test_nexmark_q12_processing_time_window_invariant(spark, replay_dir):
+    """q12: per-bidder bid counts over PROCESSING-TIME tumbling windows.
+    Wall-clock window boundaries are non-deterministic, so the proof is
+    the defining invariant: every bid lands in exactly one window, so
+    the per-bidder sum across all emitted windows equals the batch
+    count, and every window start sits on the 10s grid."""
+    stream = _bid_stream(spark, replay_dir, "q12")
+    windowed = (
+        stream.withColumn("pt", F.current_timestamp())
+        .groupBy(F.window("pt", "10 seconds").alias("w"), "bid_seller")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = []
+    drain(windowed, lambda b, _i: rows.extend(b.collect()), mode="update")
+    final = {}
+    for r in rows:
+        # update mode re-emits a (window, bidder) pair as it grows: keep the last
+        final[(r["w"]["start"], r["bid_seller"])] = r["cnt"]
+        assert r["w"]["start"].second % 10 == 0 and r["w"]["start"].microsecond == 0
+    per_bidder = {}
+    for (_w, bidder), cnt in final.items():
+        per_bidder[bidder] = per_bidder.get(bidder, 0) + cnt
+    want = {
+        r["bid_seller"]: r["cnt"]
+        for r in _bids(spark, SF).groupBy("bid_seller").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert per_bidder == want
