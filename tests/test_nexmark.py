@@ -554,3 +554,227 @@ def test_nexmark_q12_processing_time_window_invariant(spark, replay_dir):
         for r in _bids(spark, SF).groupBy("bid_seller").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert per_bidder == want
+
+
+# --- round 8: streaming==batch proofs for the new registry entries ----
+
+
+def test_nexmark_q13_stream_lookup_join_matches_batch(spark, replay_dir):
+    """q13 streaming = the bid stream joined to the BOUNDED side input
+    as a stream-static broadcast join (the reference's lookup join over
+    a bounded side input); the appended multiset must equal the batch
+    registry entry."""
+    stream = replay_table(spark, SF, "events", replay_dir + "/q13", n_files=4).where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("event_id").alias("bid_id"),
+        (F.col("event_id") % 97).alias("auction"),
+        F.col("user_id").alias("bidder"),
+        F.col("value").alias("price"),
+        F.col("ts").alias("bts"),
+    )
+    side = spark.createDataFrame(
+        [(i, f"side-{i}") for i in range(10)], "skey bigint, svalue string"
+    )
+    joined = stream.join(F.broadcast(side), (F.col("auction") % 10) == F.col("skey")).select(
+        "bid_id", "auction", "bidder", "price", "bts", "svalue"
+    )
+    got = []
+    drain(joined, lambda b, _i: got.extend(map(tuple, b.collect())), mode="append")
+    want = [tuple(r) for r in REGISTRY["nexmark_q13"].fn(spark, SF).collect()]
+    assert sorted(got) == sorted(want)
+
+
+def _calc_stream_matches_batch(spark, replay_dir, tag, name, exprs, where=None):
+    stream = replay_table(spark, SF, "events", f"{replay_dir}/{tag}", n_files=4)
+    s = stream.where(where) if where is not None else stream
+    out = s.select(*exprs)
+    got = []
+    drain(out, lambda b, _i: got.extend(map(tuple, b.collect())), mode="append")
+    want = [tuple(r) for r in REGISTRY[name].fn(spark, SF).collect()]
+    assert sorted(got, key=repr) == sorted(want, key=repr)
+
+
+def test_nexmark_q14_stream_calc_matches_batch(spark, replay_dir):
+    """q14 streaming: the Calc is stateless, so the appended stream must
+    equal the batch registry entry row-for-row."""
+    price = F.lit(0.908) * F.col("value")
+    hour = F.hour("ts")
+    _calc_stream_matches_batch(
+        spark, replay_dir, "q14s", "nexmark_q14",
+        [
+            F.col("event_id").alias("bid_id"),
+            (F.col("event_id") % 97).alias("auction"),
+            F.col("user_id").alias("bidder"),
+            price.alias("price"),
+            F.when((hour >= 8) & (hour <= 18), "dayTime")
+            .when((hour <= 6) | (hour >= 20), "nightTime")
+            .otherwise("otherTime")
+            .alias("bidtimetype"),
+            F.col("ts").alias("bts"),
+            "props",
+            (F.length("props") - F.length(F.replace(F.col("props"), F.lit("k"), F.lit("")))).alias("c_counts"),
+        ],
+        where=F.col("event_type").isin("click", "view") & ((price > 150) | (price < 50)),
+    )
+
+
+def test_nexmark_q21_stream_calc_matches_batch(spark, replay_dir):
+    """q21 streaming: stateless CASE + REGEXP_EXTRACT channel mapping."""
+    _calc_stream_matches_batch(
+        spark, replay_dir, "q21s", "nexmark_q21",
+        [
+            F.col("event_id").alias("bid_id"),
+            (F.col("event_id") % 97).alias("auction"),
+            F.col("user_id").alias("bidder"),
+            F.col("value").alias("price"),
+            F.when(F.col("event_type") == "click", "0")
+            .when(F.col("event_type") == "view", "1")
+            .otherwise(F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1))
+            .alias("channel_id"),
+        ],
+        where=F.col("event_type").isin("click", "view", "purchase"),
+    )
+
+
+def test_nexmark_q22_stream_calc_matches_batch(spark, replay_dir):
+    """q22 streaming: stateless SPLIT_INDEX directory extraction."""
+    from incubator_flink_spark.functions import compat
+
+    url = F.concat(
+        F.lit("/channel_"), F.col("event_type"),
+        F.lit("/user_"), F.col("user_id").cast("string"),
+        F.lit("/item_"), (F.col("event_id") % 97).cast("string"),
+    )
+    _calc_stream_matches_batch(
+        spark, replay_dir, "q22s", "nexmark_q22",
+        [
+            F.col("event_id").alias("bid_id"),
+            (F.col("event_id") % 97).alias("auction"),
+            F.col("user_id").alias("bidder"),
+            F.col("value").alias("price"),
+            compat.split_index(url, "/", 1).alias("dir1"),
+            compat.split_index(url, "/", 2).alias("dir2"),
+            compat.split_index(url, "/", 3).alias("dir3"),
+        ],
+        where=F.col("event_type").isin("click", "view"),
+    )
+
+
+def test_nexmark_q16_stream_conditional_distinct_matches_batch(spark, replay_dir):
+    """q16 streaming = exact incremental conditional multi-distinct: the
+    price-band conditions project to NULL outside the band, and the
+    distinct-set state ignores NULLs, so distinct-of-banded-column IS
+    the conditional COUNT(DISTINCT) (and banded event_id distincts give
+    the conditional plain counts, event_id being unique).  The final
+    update per (channel, day) must equal the batch registry entry."""
+    from incubator_flink_spark.streaming.stateful import streaming_multi_distinct
+
+    v = F.col("value")
+    lo, mid, hi = v < 50, (v >= 50) & (v < 150), v >= 150
+    bidder, auction = F.col("user_id"), F.col("event_id") % 97
+    stream = replay_table(spark, SF, "events", replay_dir + "/q16s", n_files=4).where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("event_type").alias("channel"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.when(lo, F.col("event_id")).alias("id_lo"),
+        F.when(mid, F.col("event_id")).alias("id_mid"),
+        F.when(hi, F.col("event_id")).alias("id_hi"),
+        bidder.alias("bidder"),
+        F.when(lo, bidder).alias("bidder_lo"),
+        F.when(mid, bidder).alias("bidder_mid"),
+        F.when(hi, bidder).alias("bidder_hi"),
+        auction.alias("auction"),
+        F.when(lo, auction).alias("auction_lo"),
+        F.when(mid, auction).alias("auction_mid"),
+        F.when(hi, auction).alias("auction_hi"),
+    )
+    agg = streaming_multi_distinct(
+        stream, ["channel", "day"],
+        ["id_lo", "id_mid", "id_hi", "bidder", "bidder_lo", "bidder_mid", "bidder_hi",
+         "auction", "auction_lo", "auction_mid", "auction_hi"],
+        total_col="total_bids",
+    )
+    got = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            got[(r.channel, r.day)] = (
+                r.total_bids, r.distinct_id_lo, r.distinct_id_mid, r.distinct_id_hi,
+                r.distinct_bidder, r.distinct_bidder_lo, r.distinct_bidder_mid, r.distinct_bidder_hi,
+                r.distinct_auction, r.distinct_auction_lo, r.distinct_auction_mid, r.distinct_auction_hi,
+            )
+
+    drain(agg, collect, mode="update")
+    expected = {
+        (r.channel, r.day): (
+            r.total_bids, r.rank1_bids, r.rank2_bids, r.rank3_bids,
+            r.total_bidders, r.rank1_bidders, r.rank2_bidders, r.rank3_bidders,
+            r.total_auctions, r.rank1_auctions, r.rank2_auctions, r.rank3_auctions,
+        )
+        for r in REGISTRY["nexmark_q16"].fn(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_nexmark_q17_stream_native_agg_matches_batch(spark, replay_dir):
+    """q17 streaming = a NATIVE update-mode grouped aggregate (counts,
+    conditional counts via count(when), min/max, exact-decimal sum —
+    Structured Streaming handles all of these without custom state);
+    the final update per (auction, day) must equal the batch entry."""
+    stream = replay_table(spark, SF, "events", replay_dir + "/q17s", n_files=4).where(
+        F.col("event_type").isin("click", "view")
+    )
+    v = F.col("value")
+    dsum = F.sum(v.cast("decimal(18,2)")).cast("double")
+    agg = stream.groupBy(
+        (F.col("event_id") % 97).alias("auction"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("total_bids"),
+        F.count(F.when(v < 50, 1)).alias("rank1_bids"),
+        F.count(F.when((v >= 50) & (v < 150), 1)).alias("rank2_bids"),
+        F.count(F.when(v >= 150, 1)).alias("rank3_bids"),
+        F.min(v).alias("min_price"),
+        F.max(v).alias("max_price"),
+        F.round(dsum / F.count(F.lit(1)), 6).alias("avg_price"),
+        dsum.alias("sum_price"),
+    )
+    got = {}
+
+    def collect(bdf, _bid):
+        for r in bdf.collect():
+            got[(r.auction, r.day)] = tuple(r)[2:]
+
+    drain(agg, collect, mode="update")
+    expected = {
+        (r.auction, r.day): tuple(r)[2:]
+        for r in REGISTRY["nexmark_q17"].fn(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_nexmark_q20_stream_expand_join_matches_batch(spark, replay_dir):
+    """q20 streaming = the bid stream joined to the auction DIMENSION as
+    a stream-static join with the category filter on the static side
+    (the reference plans the same filter below the join); the appended
+    multiset must equal the batch registry entry."""
+    from incubator_flink_spark.queries.nexmark import _auctions as batch_auctions
+
+    a = batch_auctions(spark, SF).where(F.col("category") == 2)
+    stream = replay_table(spark, SF, "events", replay_dir + "/q20s", n_files=4).where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("event_id").alias("bid_id"),
+        F.col("user_id").alias("bid_seller"),
+        F.col("value").alias("price"),
+        F.col("ts").alias("bts"),
+    )
+    joined = stream.join(a, stream.bid_seller == a.seller).select(
+        "bid_id", "price", "bts", "auction_id", "seller", "category", "open_ts", "expires"
+    )
+    got = []
+    drain(joined, lambda b, _i: got.extend(map(tuple, b.collect())), mode="append")
+    want = [tuple(r) for r in REGISTRY["nexmark_q20"].fn(spark, SF).collect()]
+    assert sorted(got, key=repr) == sorted(want, key=repr)
