@@ -672,3 +672,28 @@ def test_nexmark_and_semdedup_plan_shapes(spark):
             s = line.strip()
             if s.startswith("Window ["):
                 assert re.search(r"\], \[[^\]]+\], \[", s), f"{name} keyless window: {s}"
+
+
+def test_nexmark_round8_plan_shapes(spark):
+    """Round-8 entries: q13's side table is BROADCAST (the bid stream
+    never shuffles for the lookup); q14/q21/q22 are map-only (the single
+    exchange is the final ORDER BY range partition); q16's conditional
+    multi-distinct plans through Expand with no nested loop; q17 is a
+    single grouping shuffle; q20's category filter is pushed below the
+    join (dim scan carries PushedFilters) and the join is never an NLJ."""
+    rep = audit_plan(REGISTRY["nexmark_q13"].fn(spark, SF))
+    assert rep.broadcast_hash_joins >= 1
+    assert rep.nested_loop_joins == 0
+    for name in ("nexmark_q14", "nexmark_q21", "nexmark_q22"):
+        rep = audit_plan(REGISTRY[name].fn(spark, SF))
+        assert rep.exchanges <= 1, name  # only the final orderBy range
+        assert rep.scans_with_pushed_filters >= 1, name  # event_type IN (...)
+    rep = audit_plan(REGISTRY["nexmark_q16"].fn(spark, SF))
+    assert "Expand" in rep.raw
+    assert rep.nested_loop_joins == 0
+    rep = audit_plan(REGISTRY["nexmark_q17"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges <= 2  # grouping shuffle + final orderBy range
+    rep = audit_plan(REGISTRY["nexmark_q20"].fn(spark, SF))
+    assert rep.nested_loop_joins == 0
+    assert rep.scans_with_pushed_filters >= 2  # category on dim, type on bids
