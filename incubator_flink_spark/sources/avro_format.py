@@ -1,0 +1,519 @@
+"""Pure-Python Avro Object Container File reader/writer.
+
+The reference ships Avro as a first-class table format
+(flink-formats/flink-avro — AvroRowDeserializationSchema /
+AvroFileFormatFactory); this container has no spark-avro jar, so the
+format was env-gated.  This module closes the gap with a dependency-free
+implementation of the PUBLIC Avro 1.x specification
+(https://avro.apache.org/docs/1.11.1/specification/): the Object
+Container File layout (magic 'Obj\\x01', metadata map with avro.schema /
+avro.codec, 16-byte sync marker, sync-delimited blocks), zigzag varint
+primitives, and the null/deflate codecs (deflate = raw zlib, spec
+section "Required Codecs").
+
+Supported schema surface: null, boolean, int, long, float, double,
+bytes, string, enum, fixed, array, map, record, and unions of
+[null, X] (nullable columns) — the surface Flink's AvroSchemaConverter
+maps to table columns — plus the timestamp-micros and date logical
+types.
+
+Scale: ``read_avro`` distributes over Spark's ``binaryFile`` source —
+one task per file, Arrow-batched decode via mapInPandas (never a
+driver-side loop).  Avro OCF is block-splittable by sync marker; this
+reader parallelizes at FILE grain, which matches the reference's
+non-splitting AvroInputFormat default.  At 100 TB you would install
+spark-avro for JVM-side vectorized decode (read_table prefers it when
+the jar is present); file-grain parallelism with many files is the
+dependency-free fallback's honest contract.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+
+# ----------------------------------------------------------- primitives --
+
+
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read_long(self) -> int:
+        u, shift = 0, 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (u >> 1) ^ -(u & 1)
+
+    def read_bytes(self) -> bytes:
+        n = self.read_long()
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def read_fixed(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+
+# ----------------------------------------------------- schema translation --
+
+
+def avro_to_spark_type(sch) -> tuple[T.DataType, bool]:
+    """Returns (spark_type, nullable)."""
+    if isinstance(sch, str):
+        prim = {
+            "null": T.NullType(),
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "bytes": T.BinaryType(),
+            "string": T.StringType(),
+        }
+        return prim[sch], sch == "null"
+    if isinstance(sch, list):  # union
+        non_null = [s for s in sch if s != "null"]
+        if len(non_null) != 1:
+            raise ValueError(f"only [null, X] unions are supported, got {sch}")
+        t, _ = avro_to_spark_type(non_null[0])
+        return t, True
+    typ = sch["type"]
+    lt = sch.get("logicalType")
+    if typ == "long" and lt == "timestamp-micros":
+        return T.TimestampType(), False
+    if typ == "long" and lt == "local-timestamp-micros":
+        return T.TimestampNTZType(), False
+    if typ == "int" and lt == "date":
+        return T.DateType(), False
+    if typ in ("int", "long", "float", "double", "boolean", "bytes", "string", "null"):
+        return avro_to_spark_type(typ)
+    if typ == "enum":
+        return T.StringType(), False
+    if typ == "fixed":
+        return T.BinaryType(), False
+    if typ == "array":
+        t, n = avro_to_spark_type(sch["items"])
+        return T.ArrayType(t, n), False
+    if typ == "map":
+        t, n = avro_to_spark_type(sch["values"])
+        return T.MapType(T.StringType(), t, n), False
+    if typ == "record":
+        fields = []
+        for f in sch["fields"]:
+            t, n = avro_to_spark_type(f["type"])
+            fields.append(T.StructField(f["name"], t, n))
+        return T.StructType(fields), False
+    raise ValueError(f"unsupported avro type: {typ}")
+
+
+# ------------------------------------------------------------- decoding --
+
+
+def _decoder(sch):
+    """Compile an avro schema node into a closure over _Reader."""
+    if isinstance(sch, str):
+        if sch == "null":
+            return lambda r: None
+        if sch == "boolean":
+            return lambda r: bool(r.read_fixed(1)[0])
+        if sch in ("int", "long"):
+            return lambda r: r.read_long()
+        if sch == "float":
+            return lambda r: struct.unpack("<f", r.read_fixed(4))[0]
+        if sch == "double":
+            return lambda r: struct.unpack("<d", r.read_fixed(8))[0]
+        if sch == "bytes":
+            return lambda r: bytes(r.read_bytes())
+        if sch == "string":
+            return lambda r: r.read_bytes().decode("utf-8")
+        raise ValueError(f"unsupported avro primitive: {sch}")
+    if isinstance(sch, list):
+        branches = [_decoder(s) for s in sch]
+        return lambda r: branches[r.read_long()](r)
+    typ = sch["type"]
+    lt = sch.get("logicalType")
+    if typ == "long" and lt in ("timestamp-micros", "local-timestamp-micros"):
+        import datetime
+
+        epoch = datetime.datetime(1970, 1, 1)
+
+        def dec_ts(r):
+            return epoch + datetime.timedelta(microseconds=r.read_long())
+
+        return dec_ts
+    if typ == "int" and lt == "date":
+        import datetime
+
+        epoch_d = datetime.date(1970, 1, 1)
+        return lambda r: epoch_d + datetime.timedelta(days=r.read_long())
+    if typ in ("int", "long", "float", "double", "boolean", "bytes", "string", "null"):
+        return _decoder(typ)
+    if typ == "enum":
+        symbols = sch["symbols"]
+        return lambda r: symbols[r.read_long()]
+    if typ == "fixed":
+        n = sch["size"]
+        return lambda r: bytes(r.read_fixed(n))
+    if typ == "array":
+        item = _decoder(sch["items"])
+
+        def dec_arr(r):
+            out = []
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    return out
+                if n < 0:  # block with byte size prefix
+                    n = -n
+                    r.read_long()
+                for _ in range(n):
+                    out.append(item(r))
+
+        return dec_arr
+    if typ == "map":
+        val = _decoder(sch["values"])
+
+        def dec_map(r):
+            out = {}
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    r.read_long()
+                for _ in range(n):
+                    k = r.read_bytes().decode("utf-8")
+                    out[k] = val(r)
+
+        return dec_map
+    if typ == "record":
+        fdecs = [(f["name"], _decoder(f["type"])) for f in sch["fields"]]
+
+        def dec_rec(r):
+            return {name: d(r) for name, d in fdecs}
+
+        return dec_rec
+    raise ValueError(f"unsupported avro type: {typ}")
+
+
+def decode_container(data: bytes) -> tuple[dict, list[dict]]:
+    """Decode one Object Container File: returns (schema, rows)."""
+    r = _Reader(data)
+    if r.read_fixed(4) != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.read_long()
+        for _ in range(n):
+            k = r.read_bytes().decode("utf-8")
+            meta[k] = bytes(r.read_bytes())
+    sync = r.read_fixed(16)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec: {codec}")
+    dec = _decoder(schema)
+    rows = []
+    while r.pos < len(r.buf):
+        count = r.read_long()
+        size = r.read_long()
+        block = r.read_fixed(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)  # raw deflate per spec
+        br = _Reader(block)
+        for _ in range(count):
+            rows.append(dec(br))
+        if r.read_fixed(16) != sync:
+            raise ValueError("avro block sync marker mismatch")
+    return schema, rows
+
+
+# ------------------------------------------------------------- encoding --
+
+
+def _encoder(sch):
+    if isinstance(sch, str):
+        if sch == "null":
+            return lambda v, w: None
+        if sch == "boolean":
+            return lambda v, w: w.write(b"\x01" if v else b"\x00")
+        if sch in ("int", "long"):
+            return lambda v, w: w.write(_zigzag_encode(int(v)))
+        if sch == "float":
+            return lambda v, w: w.write(struct.pack("<f", float(v)))
+        if sch == "double":
+            return lambda v, w: w.write(struct.pack("<d", float(v)))
+        if sch == "bytes":
+            return lambda v, w: (w.write(_zigzag_encode(len(v))), w.write(v))
+        if sch == "string":
+            def enc_s(v, w):
+                b = v.encode("utf-8")
+                w.write(_zigzag_encode(len(b)))
+                w.write(b)
+
+            return enc_s
+        raise ValueError(sch)
+    if isinstance(sch, list):
+        branch_enc = [_encoder(s) for s in sch]
+        null_idx = sch.index("null") if "null" in sch else -1
+
+        def enc_u(v, w):
+            idx = null_idx if v is None else (1 - null_idx)
+            w.write(_zigzag_encode(idx))
+            branch_enc[idx](v, w)
+
+        return enc_u
+    typ = sch["type"]
+    lt = sch.get("logicalType")
+    if typ == "long" and lt in ("timestamp-micros", "local-timestamp-micros"):
+        import datetime
+
+        epoch = datetime.datetime(1970, 1, 1)
+
+        def enc_ts(v, w):
+            if hasattr(v, "value"):  # pd.Timestamp: exact nanoseconds
+                micros = int(v.value) // 1000
+            elif isinstance(v, datetime.datetime):
+                td = v - epoch  # exact integer arithmetic, no float micros
+                micros = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+            else:
+                micros = int(v)
+            w.write(_zigzag_encode(micros))
+
+        return enc_ts
+    if typ == "int" and lt == "date":
+        import datetime
+
+        epoch_d = datetime.date(1970, 1, 1)
+        return lambda v, w: w.write(_zigzag_encode((v - epoch_d).days))
+    if typ in ("int", "long", "float", "double", "boolean", "bytes", "string", "null"):
+        return _encoder(typ)
+    if typ == "enum":
+        symbols = {s: i for i, s in enumerate(sch["symbols"])}
+        return lambda v, w: w.write(_zigzag_encode(symbols[v]))
+    if typ == "fixed":
+        return lambda v, w: w.write(v)
+    if typ == "array":
+        item = _encoder(sch["items"])
+
+        def enc_arr(v, w):
+            # pandas hands Arrow lists over as numpy arrays: size-test
+            # by len(), never truthiness
+            if v is not None and len(v):
+                w.write(_zigzag_encode(len(v)))
+                for x in v:
+                    item(x, w)
+            w.write(_zigzag_encode(0))
+
+        return enc_arr
+    if typ == "map":
+        val = _encoder(sch["values"])
+
+        def enc_map(v, w):
+            if v is not None and len(v):
+                w.write(_zigzag_encode(len(v)))
+                for k, x in v.items():
+                    b = k.encode("utf-8")
+                    w.write(_zigzag_encode(len(b)))
+                    w.write(b)
+                    val(x, w)
+            w.write(_zigzag_encode(0))
+
+        return enc_map
+    if typ == "record":
+        fencs = [(f["name"], _encoder(f["type"])) for f in sch["fields"]]
+
+        def enc_rec(v, w):
+            for name, e in fencs:
+                e(v[name], w)
+
+        return enc_rec
+    raise ValueError(typ)
+
+
+def encode_container(schema: dict, rows: list[dict], codec: str = "deflate",
+                     block_rows: int = 1000) -> bytes:
+    """Encode rows as an Object Container File (for tests and the sink
+    path; writing at scale goes per-partition through write_avro)."""
+    sync = bytes((i * 37 + 11) % 256 for i in range(16))
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+    out.write(_zigzag_encode(len(meta)))
+    for k, v in meta.items():
+        kb = k.encode()
+        out.write(_zigzag_encode(len(kb)))
+        out.write(kb)
+        out.write(_zigzag_encode(len(v)))
+        out.write(v)
+    out.write(_zigzag_encode(0))
+    out.write(sync)
+    enc = _encoder(schema)
+    for i in range(0, len(rows), block_rows):
+        chunk = rows[i : i + block_rows]
+        body = io.BytesIO()
+        for row in chunk:
+            enc(row, body)
+        block = body.getvalue()
+        if codec == "deflate":
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            block = co.compress(block) + co.flush()
+        out.write(_zigzag_encode(len(chunk)))
+        out.write(_zigzag_encode(len(block)))
+        out.write(block)
+        out.write(sync)
+    return out.getvalue()
+
+
+# ------------------------------------------------------------ Spark I/O --
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed Avro OCF read without spark-avro: binaryFile source
+    (one row per file) -> per-file decode in mapInPandas (Arrow-batched,
+    never a driver loop).  The schema is taken from the first file."""
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(path, "*.avro"))) or sorted(glob.glob(path))
+    if not files:
+        raise FileNotFoundError(f"no avro files under {path}")
+    with open(files[0], "rb") as fh:
+        head = fh.read()
+    schema, _ = decode_container(head)
+    spark_schema, _ = avro_to_spark_type(schema)
+    if not isinstance(spark_schema, T.StructType):
+        raise ValueError("top-level avro schema must be a record")
+    cols = [f.name for f in spark_schema.fields]
+
+    def decode_files(it):
+        import pandas as pd
+
+        for pdf in it:
+            for _, file_row in pdf.iterrows():
+                _, rows = decode_container(bytes(file_row["content"]))
+                yield pd.DataFrame([[row[c] for c in cols] for row in rows], columns=cols)
+
+    binary = spark.read.format("binaryFile").load(files)
+    return binary.select("content").mapInPandas(decode_files, spark_schema)
+
+
+def spark_to_avro_schema(schema: T.StructType, name: str = "row") -> dict:
+    prim = {
+        T.BooleanType(): "boolean",
+        T.IntegerType(): "int",
+        T.LongType(): "long",
+        T.FloatType(): "float",
+        T.DoubleType(): "double",
+        T.BinaryType(): "bytes",
+        T.StringType(): "string",
+    }
+
+    def conv(dt: T.DataType):
+        if dt in prim:
+            return prim[dt]
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.TimestampNTZType):
+            return {"type": "long", "logicalType": "local-timestamp-micros"}
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array", "items": conv(dt.elementType)}
+        if isinstance(dt, T.MapType):
+            return {"type": "map", "values": conv(dt.valueType)}
+        if isinstance(dt, T.StructType):
+            return spark_to_avro_schema(dt, name + "_rec")
+        raise ValueError(f"unsupported spark type for avro: {dt}")
+
+    fields = []
+    for f in schema.fields:
+        t = conv(f.dataType)
+        fields.append({"name": f.name, "type": ["null", t] if f.nullable else t})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
+    """Distributed Avro OCF write: one container file per partition via
+    mapInPandas (the task writes its own file — the same per-partition
+    layout Spark's own file sinks produce)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    schema = spark_to_avro_schema(df.schema)
+    cols = [f.name for f in df.schema.fields]
+    out_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    # pandas surfaces NULLs in non-float columns as NaN/NaT: normalize
+    # those back to None so the union encoder writes the null branch.
+    # Float/double columns keep NaN as a VALUE (NaN is a valid IEEE
+    # double; pandas cannot distinguish it from null there).
+    float_cols = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    }
+
+    def write_part(it):
+        import uuid
+
+        import pandas as pd
+
+        def norm(c, v):
+            if v is None or v is pd.NaT:
+                return None
+            if c not in float_cols:
+                try:
+                    if v != v:  # NaN in a non-float column = pandas null
+                        return None
+                except (TypeError, ValueError):
+                    pass
+            return v
+
+        rows = []
+        for pdf in it:
+            for tup in pdf.itertuples(index=False):
+                rows.append({c: norm(c, v) for c, v in zip(cols, tup)})
+        if rows:
+            blob = encode_container(schema, rows, codec=codec)
+            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+            with open(fname, "wb") as fh:
+                fh.write(blob)
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    df.mapInPandas(write_part, out_schema).collect()

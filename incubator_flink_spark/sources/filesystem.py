@@ -30,7 +30,17 @@ def read_table(
     if schema:
         reader = reader.schema(schema)
     if fmt == "avro" and not _has_avro(spark):
-        raise RuntimeError("avro format requires the spark-avro package (not bundled in this environment)")
+        # dependency-free fallback: pure-Python OCF decode (public Avro
+        # spec), distributed per-file via mapInPandas — see
+        # sources/avro_format.py for the scale contract
+        if streaming:
+            raise RuntimeError(
+                "avro streaming reads require the spark-avro package; "
+                "the pure-Python fallback is batch-only"
+            )
+        from incubator_flink_spark.sources.avro_format import read_avro
+
+        return read_avro(spark, path)
     return reader.load(path)
 
 
@@ -45,7 +55,15 @@ def write_table(
     if fmt == "csv":
         options.setdefault("header", "true")
     if fmt == "avro" and not _has_avro(df.sparkSession):
-        raise RuntimeError("avro format requires the spark-avro package (not bundled in this environment)")
+        from incubator_flink_spark.sources.avro_format import write_avro
+
+        if partition_by:
+            raise RuntimeError(
+                "avro partitioned writes require the spark-avro package; "
+                "the pure-Python fallback writes one container per task"
+            )
+        write_avro(df, path, codec=options.get("codec", "deflate"))
+        return
     writer = df.write.format(fmt).mode(mode).options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

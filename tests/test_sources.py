@@ -64,25 +64,20 @@ def test_datagen_and_blackhole(spark):
 
 
 def test_avro_gate_is_consistent_between_probe_and_io(spark, tmp_path):
-    """The avro format is env-gated on the spark-avro jar: when the probe
-    says the jar is absent, read_table/write_table must fail fast with the
-    clear RuntimeError (not Spark's opaque ClassNotFound stack); when it
-    says present, a round-trip must actually work. Either way the gate and
-    reality agree."""
-    import pytest
-
-    from incubator_flink_spark.sources.filesystem import _has_avro, read_table, write_table
+    """The avro format works with OR without the spark-avro jar: with
+    the jar the native source handles it; without, the pure-Python OCF
+    fallback (sources/avro_format.py) round-trips the same call — the
+    format is never a dead end (r8: the old fail-fast gate became a
+    working fallback)."""
+    from incubator_flink_spark.sources.filesystem import read_table, write_table
 
     df = spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s")
     path = str(tmp_path / "avro_tbl")
-    if _has_avro(spark):
-        write_table(df, path, fmt="avro")
-        assert read_table(spark, path, fmt="avro").count() == 5
-    else:
-        with pytest.raises(RuntimeError, match="spark-avro package"):
-            write_table(df, path, fmt="avro")
-        with pytest.raises(RuntimeError, match="spark-avro package"):
-            read_table(spark, path, fmt="avro")
+    write_table(df, path, fmt="avro")
+    back = read_table(spark, path, fmt="avro")
+    assert sorted(map(tuple, back.select("id", "s").collect())) == sorted(
+        map(tuple, df.collect())
+    )
 
 
 def test_dynamic_partition_pruning_on_partitioned_fact(spark):
@@ -123,3 +118,107 @@ def test_static_partition_pruning_reaches_scan(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "c_nationkey" in m.group(1)
+
+
+# --- pure-Python Avro fallback (sources/avro_format.py) ----------------
+
+
+def test_avro_container_roundtrip_all_types():
+    """Spec-level round-trip: every supported schema node (primitives,
+    nullable unions, enum, fixed, array, map, nested record, logical
+    timestamp-micros/date) through both the null and deflate codecs."""
+    import datetime
+
+    from incubator_flink_spark.sources.avro_format import decode_container, encode_container
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "ns", "type": ["null", "string"]},
+            {"name": "en", "type": {"type": "enum", "name": "e", "symbols": ["A", "B", "C"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "fx8", "size": 4}},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "mp", "type": {"type": "map", "values": "double"}},
+            {"name": "rec", "type": {"type": "record", "name": "inner",
+                                     "fields": [{"name": "x", "type": "long"}]}},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "dt", "type": {"type": "int", "logicalType": "date"}},
+        ],
+    }
+    rows = [
+        {
+            "b": i % 2 == 0, "i": i - 5, "l": i * 10**12, "f": float(i),
+            "d": i * 0.25, "s": f"s{i}", "by": bytes([i, i + 1]),
+            "ns": None if i % 3 == 0 else f"n{i}",
+            "en": ["A", "B", "C"][i % 3], "fx": bytes([i, 0, 1, 2]),
+            "arr": list(range(i % 4)), "mp": {f"k{j}": j * 0.5 for j in range(i % 3)},
+            "rec": {"x": i * 7},
+            "ts": datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i, microseconds=i),
+            "dt": datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+        }
+        for i in range(20)
+    ]
+    for codec in ("null", "deflate"):
+        blob = encode_container(schema, rows, codec=codec, block_rows=7)
+        got_schema, got = decode_container(blob)
+        assert got_schema == schema
+        assert got == rows, codec
+
+
+def test_avro_spark_roundtrip_distributed(spark, tmp_path):
+    """Distributed write -> distributed read through the mapInPandas
+    paths: values, nulls, timestamps, arrays and maps survive exactly;
+    the read parallelizes per container file (one per write task)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from incubator_flink_spark.sources.avro_format import read_avro, write_avro
+
+    df = (
+        spark.range(0, 500, 1, 4)
+        .select(
+            F.col("id"),
+            (F.col("id") * 0.25).alias("price"),
+            F.concat(F.lit("name_"), F.col("id")).alias("name"),
+            F.when(F.col("id") % 3 == 0, F.col("id") % 7).alias("nullable_mod"),
+            F.to_timestamp(F.lit("2024-03-01 12:30:45.123456")).alias("ts"),
+            F.array(F.col("id"), F.col("id") + 1).alias("pair"),
+            F.create_map(F.lit("k"), F.col("id") % 5).alias("m"),
+        )
+    )
+    out = str(tmp_path / "avro_rt")
+    write_avro(df, out)
+    assert len(glob.glob(out + "/*.avro")) == 4  # one container per task
+    back = read_avro(spark, out)
+    assert back.schema == df.schema or [f.name for f in back.schema.fields] == [
+        f.name for f in df.schema.fields
+    ]
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_avro_filesystem_fallback_path(spark, tmp_path):
+    """read_table/write_table with fmt='avro' work WITHOUT the
+    spark-avro jar through the pure-Python fallback (when the jar is
+    present they use it natively — either way the format is usable)."""
+    from pyspark.sql import functions as F
+
+    from incubator_flink_spark.sources.filesystem import read_table, write_table
+
+    df = spark.range(50).select("id", (F.col("id") % 3).alias("g"))
+    path = str(tmp_path / "avro_tbl2")
+    write_table(df, path, fmt="avro")
+    back = read_table(spark, path, fmt="avro")
+    assert sorted(map(tuple, back.select("id", "g").collect())) == sorted(
+        map(tuple, df.collect())
+    )
