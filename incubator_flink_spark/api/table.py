@@ -11,6 +11,7 @@ Expressions are accepted as SQL strings (parsed by ``F.expr``) or Columns.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -425,6 +426,13 @@ class TableEnvironment:
         self._current_db: str = "default_database"
         self._table_db: dict[str, str] = {}  # table name -> owning database
         self._view_db: dict[str, str] = {}  # view name -> owning database
+        # session config set via SET 'key' = 'value' (SqlSet.java; FLIP-163
+        # spelling).  Gates the OPTIONS hint exactly like the reference:
+        # table.dynamic-table-options.enabled defaults to FALSE
+        # (TableConfigOptions.java:61-67)
+        self._config: dict[str, str] = {}
+        self._hint_views = 0
+        self._functions: dict[str, str] = {}  # CREATE FUNCTION name -> identifier
         # Flink-named scalar functions (SPLIT_INDEX, HASH_CODE, …) become
         # session SQL UDFs so reference SQL text runs unmodified.
         from incubator_flink_spark.functions.sqlfuncs import register_flink_sql_functions
@@ -440,7 +448,42 @@ class TableEnvironment:
     def from_elements(self, rows, schema: str) -> Table:
         return Table(self._spark.createDataFrame(rows, schema))
 
+    _HINT_RE = re.compile(r"(\w+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/", re.IGNORECASE)
+
+    def _apply_options_hints(self, sql: str) -> str:
+        """FLIP-113 dynamic table options: ``t /*+ OPTIONS('k'='v') */``
+        merges the hinted options over the table's declared WITH options
+        at read time (reference CatalogSourceTable.java:96-117 —
+        computeContextResolvedTable merges catalogTable options with hints;
+        gated by table.dynamic-table-options.enabled, default false)."""
+
+        def repl(m):
+            name, body = m.group(1), m.group(2)
+            t = self._tables.get(name)
+            if t is None:
+                raise ValueError(f"OPTIONS hint target {name!r} is not a DDL table")
+            if self._config.get("table.dynamic-table-options.enabled", "false") != "true":
+                raise ValueError(
+                    "OPTIONS hint is allowed only when table.dynamic-table-options"
+                    ".enabled is set to true"
+                )
+            import copy
+
+            hinted = copy.deepcopy(t)
+            for om in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", body):
+                hinted.options[om.group(1)] = om.group(2)
+            self._hint_views += 1
+            hinted.name = f"__{name}_hints_{self._hint_views}"
+            from incubator_flink_spark.sources.ddl import execute_ddl
+
+            execute_ddl(self._spark, None, table_def=hinted)
+            return hinted.name
+
+        return self._HINT_RE.sub(repl, sql)
+
     def sql_query(self, sql: str) -> Table:
+        if "/*+" in sql and "OPTIONS" in sql.upper():
+            sql = self._apply_options_hints(sql)
         if "SYSTEM_TIME" in sql.upper():
             from incubator_flink_spark.api.temporal import rewrite_system_time_join
 
@@ -468,13 +511,50 @@ class TableEnvironment:
 
         s = sql.strip().rstrip(";")
         up = s.upper()
+        # SET / RESET session options (SqlSet.java / SqlReset.java; the
+        # FLIP-163 quoted spelling).  SET with no argument lists the
+        # session config; RESET with no argument clears it.
+        sm = _re.fullmatch(r"SET(?:\s+'([^']+)'\s*=\s*'([^']*)')?", s, _re.I)
+        if sm:
+            if sm.group(1) is None:
+                return sorted(self._config.items())
+            self._config[sm.group(1)] = sm.group(2)
+            if sm.group(1).startswith("spark."):
+                self._spark.conf.set(sm.group(1), sm.group(2))
+            return []
+        rm = _re.fullmatch(r"RESET(?:\s+'([^']+)')?", s, _re.I)
+        if rm:
+            if rm.group(1) is None:
+                for k in list(self._config):
+                    if k.startswith("spark."):
+                        self._spark.conf.unset(k)
+                self._config.clear()
+            else:
+                self._config.pop(rm.group(1), None)
+                if rm.group(1).startswith("spark."):
+                    self._spark.conf.unset(rm.group(1))
+            return []
         if up.startswith("CREATE TABLE") or up.startswith("CREATE TEMPORARY TABLE"):
-            from incubator_flink_spark.sources.ddl import execute_ddl, parse_create_table
+            from incubator_flink_spark.sources.ddl import (
+                execute_ddl,
+                merge_table_like,
+                parse_create_table,
+            )
 
             t = parse_create_table(s)
+            if t.like is not None:
+                # CREATE TABLE ... LIKE (SqlTableLike.java:91): resolve the
+                # source definition from this catalog and merge per
+                # MergeTableLikeUtil before the connector table is created
+                src = self._tables.get(t.like[0])
+                if src is None:
+                    raise ValueError(
+                        f"LIKE source table {t.like[0]!r} was not created via execute_sql DDL"
+                    )
+                t = merge_table_like(t, src)
             # register only after the DDL succeeds: a failed CREATE must not
             # leave a phantom entry for SHOW TABLES / INSERT INTO to find
-            execute_ddl(self._spark, s)
+            execute_ddl(self._spark, None, table_def=t)
             self._tables[t.name] = t
             self._table_db[t.name] = self._current_db
             return []
@@ -561,10 +641,67 @@ class TableEnvironment:
             return [self._current_db]
         if _re.fullmatch(r"SHOW\s+(?:USER\s+)?FUNCTIONS", s, _re.I):
             # Flink's ShowFunctionsOperation (USER scope = session-registered):
-            # the Flink-named SQL UDFs installed at TableEnvironment init
+            # the Flink-named SQL UDFs installed at TableEnvironment init,
+            # plus CREATE FUNCTION registrations
             from incubator_flink_spark.functions.sqlfuncs import _SQL_FUNCS
 
-            return sorted(_SQL_FUNCS)
+            return sorted(set(_SQL_FUNCS) | set(self._functions))
+        cfm = _re.fullmatch(
+            r"(CREATE|ALTER)\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+'([^']+)'(?:\s+LANGUAGE\s+(\w+))?",
+            s,
+            _re.I,
+        )
+        if cfm:
+            # CREATE [TEMPORARY] FUNCTION name AS 'dotted.path' LANGUAGE
+            # PYTHON (SqlCreateFunction.java:39; ALTER FUNCTION re-points the
+            # identifier, SqlAlterFunction.java).  The dotted path resolves to
+            # a module attribute — a pandas_udf/udf object or plain callable —
+            # registered in the session function catalog.
+            verb, if_not_exists, name, ident, lang = (
+                cfm.group(1).upper(),
+                cfm.group(2),
+                cfm.group(3),
+                cfm.group(4),
+                (cfm.group(5) or "PYTHON").upper(),
+            )
+            if lang != "PYTHON":
+                raise ValueError(
+                    f"LANGUAGE {lang} is not supported here — this engine loads "
+                    "Python functions (use LANGUAGE PYTHON)"
+                )
+            if verb == "CREATE" and name in self._functions:
+                if if_not_exists:
+                    return []
+                raise ValueError(f"function {name!r} already exists (use IF NOT EXISTS)")
+            if verb == "ALTER" and name not in self._functions:
+                raise ValueError(f"ALTER FUNCTION: {name!r} does not exist")
+            import importlib
+
+            mod_path, _, attr = ident.rpartition(".")
+            if not mod_path:
+                raise ValueError(f"function identifier {ident!r} is not a dotted path")
+            try:
+                fn = getattr(importlib.import_module(mod_path), attr)
+            except (ImportError, AttributeError) as e:
+                raise ValueError(f"cannot resolve function identifier {ident!r}: {e}") from e
+            self._spark.udf.register(name, fn)
+            self._functions[name] = ident
+            return []
+        dfm = _re.fullmatch(
+            r"DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?(\w+)",
+            s,
+            _re.I,
+        )
+        if dfm:
+            name = dfm.group(2)
+            if name not in self._functions:
+                if dfm.group(1):
+                    return []
+                raise ValueError(f"function {name!r} does not exist (use DROP FUNCTION IF EXISTS)")
+            self._spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+            del self._functions[name]
+            return []
         dm = _re.fullmatch(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)", s, _re.I)
         if dm:
             name = dm.group(2)
@@ -692,59 +829,82 @@ class TableEnvironment:
             return sorted(mine)
         m = _re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(.+)", s, _re.I | _re.S)
         if m:
-            from incubator_flink_spark.sources.ddl import execute_ddl
-            from incubator_flink_spark.sources.filesystem import write_table
-
             mode = "overwrite" if m.group(1).upper() == "OVERWRITE" else "append"
             name, query = m.group(2), m.group(3)
-            t = self._tables.get(name)
-            if t is None:
-                raise ValueError(f"INSERT target {name!r} was not created via execute_sql DDL")
-            if t.options.get("connector", "filesystem") != "filesystem":
-                raise ValueError(f"INSERT INTO supports the filesystem connector, not {t.options.get('connector')!r}")
-            if t.options.get("mode") == "streaming":
-                raise ValueError("streaming INSERT goes through writeStream (streaming/sinks.py)")
+            self._validate_insert_target(name)
             df = self.sql_query(query).to_df()
-            # align by the DDL's declared column order/names (Flink inserts
-            # by position against the sink schema)
-            if t.columns:
-                cols = [c for c, _ in t.columns]
-                if len(df.columns) != len(cols):
-                    raise ValueError(
-                        f"INSERT column count {len(df.columns)} != sink schema {len(cols)}"
-                    )
-                df = df.toDF(*cols)
-            if t.partitioned_by and mode == "overwrite":
-                # Flink's filesystem INSERT OVERWRITE replaces only the
-                # partitions receiving data; Spark's static mode would wipe
-                # the whole table directory
-                prev = self._spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-                self._spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-                try:
-                    write_table(
-                        df,
-                        t.options["path"],
-                        t.options.get("format", "parquet"),
-                        mode=mode,
-                        partition_by=t.partitioned_by,
-                    )
-                finally:
-                    self._spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-            else:
+            self._insert_into(name, df, mode)
+            self._refresh_after_inserts([name])
+            return []
+        return self.sql_query(s).to_df().collect()
+
+    def _validate_insert_target(self, name: str):
+        t = self._tables.get(name)
+        if t is None:
+            raise ValueError(f"INSERT target {name!r} was not created via execute_sql DDL")
+        if t.options.get("connector", "filesystem") != "filesystem":
+            raise ValueError(
+                f"INSERT INTO supports the filesystem connector, not {t.options.get('connector')!r}"
+            )
+        if t.options.get("mode") == "streaming":
+            raise ValueError("streaming INSERT goes through writeStream (streaming/sinks.py)")
+        return t
+
+    def _insert_into(self, name: str, df: DataFrame, mode: str):
+        """Write a result through the named sink table's connector (the
+        body of Flink's SinkModifyOperation translation)."""
+        from incubator_flink_spark.sources.filesystem import write_table
+
+        t = self._validate_insert_target(name)
+        # align by the DDL's declared column order/names (Flink inserts
+        # by position against the sink schema)
+        if t.columns:
+            cols = [c for c, _ in t.columns]
+            if len(df.columns) != len(cols):
+                raise ValueError(
+                    f"INSERT column count {len(df.columns)} != sink schema {len(cols)}"
+                )
+            df = df.toDF(*cols)
+        if t.partitioned_by and mode == "overwrite":
+            # Flink's filesystem INSERT OVERWRITE replaces only the
+            # partitions receiving data; Spark's static mode would wipe
+            # the whole table directory
+            prev = self._spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            self._spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
                 write_table(
                     df,
                     t.options["path"],
                     t.options.get("format", "parquet"),
                     mode=mode,
-                    partition_by=t.partitioned_by or None,
+                    partition_by=t.partitioned_by,
                 )
-            execute_ddl(self._spark, None, table_def=t)  # refresh the view
-            # re-plan registered views so they see the new table contents
-            # (their temp views captured the pre-INSERT scan snapshot)
-            for vname, vquery in self._views.items():
-                self.sql_query(vquery).to_df().createOrReplaceTempView(vname)
-            return []
-        return self.sql_query(s).to_df().collect()
+            finally:
+                self._spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            write_table(
+                df,
+                t.options["path"],
+                t.options.get("format", "parquet"),
+                mode=mode,
+                partition_by=t.partitioned_by or None,
+            )
+
+    def _refresh_after_inserts(self, names: list[str]):
+        """Refresh the written tables' registered views, then re-plan all
+        logical views (their temp views captured pre-INSERT scan
+        snapshots)."""
+        from incubator_flink_spark.sources.ddl import execute_ddl
+
+        for name in names:
+            execute_ddl(self._spark, None, table_def=self._tables[name])
+        for vname, vquery in self._views.items():
+            self.sql_query(vquery).to_df().createOrReplaceTempView(vname)
+
+    def create_statement_set(self) -> "StatementSet":
+        """Reference StatementSet.java:32 (TableEnvironment.createStatementSet):
+        buffer several INSERTs and execute them as one unit."""
+        return StatementSet(self)
 
     def create_temporary_view(self, name: str, table: Table) -> None:
         table.to_df().createOrReplaceTempView(name)
@@ -757,3 +917,77 @@ class TableEnvironment:
         ``JOIN <name> FOR SYSTEM_TIME AS OF <probe>.<ts>`` joins."""
         table.to_df().createOrReplaceTempView(name)
         self._versioned[name] = (time_attr, primary_key)
+
+
+class StatementSet:
+    """Multi-sink statement buffer (reference StatementSet.java:32;
+    StatementSetImpl collects ModifyOperations and translates them in ONE
+    job, so every source is snapshotted at plan time and a sink written by
+    one branch is NOT seen by another branch's source scan).
+
+    The Spark mapping keeps that atomic-snapshot semantics: each
+    ``add_insert*`` builds its DataFrame immediately — parquet scans pin
+    their file listing when the plan is created — and ``execute()`` only
+    runs the buffered writes, refreshing catalog views once at the end.
+    """
+
+    def __init__(self, env: TableEnvironment):
+        self._env = env
+        self._inserts: list[tuple[str, DataFrame, str]] = []
+
+    def add_insert_sql(self, stmt: str) -> "StatementSet":
+        import re as _re
+
+        m = _re.match(
+            r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(.+)", stmt.strip().rstrip(";"), _re.I | _re.S
+        )
+        if not m:
+            raise ValueError("add_insert_sql expects INSERT INTO/OVERWRITE <table> <query>")
+        mode = "overwrite" if m.group(1).upper() == "OVERWRITE" else "append"
+        name = m.group(2)
+        self._env._validate_insert_target(name)
+        df = self._env.sql_query(m.group(3)).to_df()
+        self._inserts.append((name, df, mode))
+        return self
+
+    def add_insert(self, target: str, table: Table, overwrite: bool = False) -> "StatementSet":
+        self._env._validate_insert_target(target)
+        self._inserts.append((target, table.to_df(), "overwrite" if overwrite else "append"))
+        return self
+
+    def explain(self) -> str:
+        """Reference StatementSet.explain — the combined plan of every
+        buffered insert."""
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        for i, (name, df, mode) in enumerate(self._inserts):
+            buf.write(f"== Statement {i}: INSERT {mode.upper()} {name} ==\n")
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+        return buf.getvalue()
+
+    def execute(self) -> None:
+        if not self._inserts:
+            raise ValueError("No statement is added to the statement set.")
+        # One-job snapshot semantics: if a buffered query READS a path that
+        # any buffered insert WRITES, pin its pre-job contents before the
+        # first write (Flink's single job scans every source exactly once,
+        # before any sink commits).  Disjoint read/write sets — the normal
+        # case — skip this entirely.
+        sink_paths = [
+            self._env._tables[n].options.get("path", "") for n, _, _ in self._inserts
+        ]
+        staged = []
+        for name, df, mode in self._inserts:
+            reads = [
+                f.replace("file://", "", 1).replace("file:", "", 1) for f in df.inputFiles()
+            ]
+            if any(p and f.startswith(p) for f in reads for p in sink_paths):
+                df = df.localCheckpoint(eager=True)
+            staged.append((name, df, mode))
+        for name, df, mode in staged:
+            self._env._insert_into(name, df, mode)
+        self._env._refresh_after_inserts([n for n, _, _ in staged])
+        self._inserts.clear()

@@ -37,10 +37,30 @@ class TableDef:
     primary_key: list[str] = field(default_factory=list)
     partitioned_by: list[str] = field(default_factory=list)
     options: dict[str, str] = field(default_factory=dict)
+    # CREATE TABLE ... LIKE clause (reference SqlTableLike.java:91):
+    # (source table name, [(strategy, feature), ...]); merged against the
+    # source definition by merge_table_like before execute_ddl runs
+    like: tuple[str, list[tuple[str, str]]] | None = None
 
 
 _CREATE_RE = re.compile(
     r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# CREATE TABLE ... LIKE (SqlTableLike.java:91): the LIKE clause is last;
+# with it present the column body and the WITH clause are both optional
+_LIKE_RE = re.compile(
+    r"\bLIKE\s+(\w+)\s*(?:\(\s*((?:INCLUDING|EXCLUDING|OVERWRITING)[^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_LIKE_OPT_RE = re.compile(
+    r"(INCLUDING|EXCLUDING|OVERWRITING)\s+"
+    r"(ALL|CONSTRAINTS|GENERATED|METADATA|OPTIONS|PARTITIONS|WATERMARKS)",
+    re.IGNORECASE,
+)
+_CREATE_LIKE_RE = re.compile(
+    r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"(?:\((.*)\))?\s*(?:WITH\s*\((.*?)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # the PARTITIONED BY clause sits between the column list and WITH; it is
@@ -72,19 +92,47 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
+def _parse_like_options(opts_text: str | None) -> list[tuple[str, str]]:
+    """Parse and validate the LIKE option list per SqlTableLike.validate
+    (SqlTableLike.java:201-227): each feature may be declared only once,
+    and OVERWRITING is invalid for ALL, PARTITIONS, and CONSTRAINTS."""
+    if not opts_text:
+        return []
+    parsed = [
+        (m.group(1).upper(), m.group(2).upper())
+        for m in _LIKE_OPT_RE.finditer(opts_text)
+    ]
+    feats = [f for _, f in parsed]
+    if len(feats) != len(set(feats)):
+        raise ValueError("Each like option feature can be declared only once.")
+    for strat, feat in parsed:
+        if strat == "OVERWRITING" and feat in ("ALL", "PARTITIONS", "CONSTRAINTS"):
+            raise ValueError(f"Illegal merging strategy 'OVERWRITING' for '{feat}' option.")
+    return parsed
+
+
 def parse_create_table(sql: str) -> TableDef:
     sql = sql.strip()
+    like: tuple[str, list[tuple[str, str]]] | None = None
+    lm = _LIKE_RE.search(sql)
+    if lm:
+        like = (lm.group(1), _parse_like_options(lm.group(2)))
+        sql = sql[: lm.start()].rstrip()
     part_by: list[str] = []
-    pm = _PART_RE.search(sql)
+    pm = _PART_RE.search(sql) if like is None else _PART_RE.search(sql + " WITH")
     if pm:
         part_by = [c.strip() for c in pm.group(1).split(",") if c.strip()]
         sql = sql[: pm.start()] + sql[pm.end() :]
     m = _CREATE_RE.search(sql)
+    if not m and like is not None:
+        # with a LIKE clause the column body and WITH are both optional
+        m = _CREATE_LIKE_RE.search(sql)
     if not m:
         raise ValueError("unsupported DDL (expected CREATE TABLE name (...) WITH (...))")
-    name, body, opts = m.group(1), m.group(2), m.group(3)
+    name, body, opts = m.group(1), m.group(2) or "", m.group(3) or ""
     t = TableDef(name=name)
     t.partitioned_by = part_by
+    t.like = like
     for part in _split_top_level(body):
         wm = _WM_RE.match(part)
         if wm:
@@ -105,6 +153,136 @@ def parse_create_table(sql: str) -> TableDef:
     for om in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", opts):
         t.options[om.group(1)] = om.group(2)
     return t
+
+
+_LIKE_DEFAULTS = {
+    "OPTIONS": "OVERWRITING",
+    "WATERMARKS": "INCLUDING",
+    "GENERATED": "INCLUDING",
+    "METADATA": "INCLUDING",
+    "CONSTRAINTS": "INCLUDING",
+    "PARTITIONS": "INCLUDING",
+}
+
+
+def merge_table_like(derived: TableDef, source: TableDef) -> TableDef:
+    """Merge a CREATE TABLE ... LIKE definition against its source table
+    per the reference's MergeTableLikeUtil (flink-table-planner
+    MergeTableLikeUtil.java:66-199 — default strategies at :71-78, ALL
+    expansion at :94-118, option merge at :184-207, partition merge at
+    :164-181) and SchemaBuilder (:209-520 — physical columns always
+    inherit and may never collide, computed columns overwrite only under
+    OVERWRITING GENERATED, watermark re-declaration requires OVERWRITING
+    WATERMARKS, a derived PRIMARY KEY clashes with an included source key).
+    """
+    strategies = dict(_LIKE_DEFAULTS)
+    opts = derived.like[1] if derived.like else []
+    for strat, feat in opts:
+        if feat == "ALL":
+            for f in strategies:
+                strategies[f] = strat
+    for strat, feat in opts:
+        if feat != "ALL":
+            strategies[feat] = strat
+
+    merged = TableDef(name=derived.name)
+
+    # --- physical columns: source's always inherit; derived append; any
+    # name collision with a source column is an error (SchemaBuilder
+    # collectPhysicalFieldsTypes, MergeTableLikeUtil.java:482-500)
+    source_cols = {c for c, _ in source.columns}
+    source_computed = {c for c, _ in source.computed}
+    merged.columns = list(source.columns)
+    for c, ty in derived.columns:
+        if c in source_cols or c in source_computed:
+            raise ValueError(f"A column named '{c}' already exists in the base table.")
+        merged.columns.append((c, ty))
+
+    # --- computed (GENERATED) columns (MergeTableLikeUtil.java:404-433)
+    gen = strategies["GENERATED"]
+    merged.computed = [] if gen == "EXCLUDING" else list(source.computed)
+    kept_computed = {c for c, _ in merged.computed}
+    all_physical = {c for c, _ in merged.columns}
+    for c, expr in derived.computed:
+        if c in all_physical:
+            raise ValueError(
+                f"A column named '{c}' already exists in the base table. "
+                "Computed columns can only overwrite other computed columns."
+            )
+        if c in kept_computed:
+            if gen != "OVERWRITING":
+                raise ValueError(
+                    f"A generated column named '{c}' already exists in the base "
+                    "table. You might want to specify EXCLUDING GENERATED or "
+                    "OVERWRITING GENERATED."
+                )
+            merged.computed = [(n, e) if n != c else (c, expr) for n, e in merged.computed]
+        else:
+            merged.computed.append((c, expr))
+
+    # --- watermark (MergeTableLikeUtil.java:260-268, 344-360)
+    wm = strategies["WATERMARKS"]
+    merged.watermark = None if wm == "EXCLUDING" else source.watermark
+    if derived.watermark is not None:
+        if merged.watermark is not None:
+            if merged.watermark[0] == derived.watermark[0]:
+                if wm != "OVERWRITING":
+                    raise ValueError(
+                        f"There already exists a watermark spec for column "
+                        f"'{derived.watermark[0]}' in the base table. You might "
+                        "want to specify EXCLUDING WATERMARKS or OVERWRITING "
+                        "WATERMARKS."
+                    )
+            else:
+                raise ValueError("Multiple watermark definitions are not supported.")
+        merged.watermark = derived.watermark
+
+    # --- primary key (MergeTableLikeUtil.java:270-310): source key carries
+    # only under INCLUDING CONSTRAINTS; a derived key next to a carried one
+    # is an error; key columns must be physical
+    merged.primary_key = (
+        list(source.primary_key) if strategies["CONSTRAINTS"] == "INCLUDING" else []
+    )
+    if derived.primary_key:
+        if merged.primary_key:
+            raise ValueError(
+                "The base table already has a primary key. You might want to "
+                "specify EXCLUDING CONSTRAINTS."
+            )
+        for c in derived.primary_key:
+            if c not in all_physical:
+                raise ValueError(
+                    f"Could not create a PRIMARY KEY with column '{c}'.\n"
+                    "A PRIMARY KEY constraint must be declared on physical columns."
+                )
+        merged.primary_key = list(derived.primary_key)
+
+    # --- partitions (MergeTableLikeUtil.java:164-181, reference-faithful:
+    # EXCLUDING only waives the both-declared error; a derived list wins,
+    # otherwise the source list carries)
+    if (
+        derived.partitioned_by
+        and source.partitioned_by
+        and strategies["PARTITIONS"] != "EXCLUDING"
+    ):
+        raise ValueError(
+            "The base table already has partitions defined. You might want to "
+            "specify EXCLUDING PARTITIONS."
+        )
+    merged.partitioned_by = list(derived.partitioned_by or source.partitioned_by)
+
+    # --- options (MergeTableLikeUtil.java:184-207)
+    om = strategies["OPTIONS"]
+    merged.options = {} if om == "EXCLUDING" else dict(source.options)
+    for k, v in derived.options.items():
+        if om != "OVERWRITING" and k in merged.options:
+            raise ValueError(
+                f"There already exists an option ['{k}' -> '{merged.options[k]}'] "
+                "in the base table. You might want to specify EXCLUDING OPTIONS "
+                "or OVERWRITING OPTIONS."
+            )
+        merged.options[k] = v
+    return merged
 
 
 def execute_ddl(spark: SparkSession, sql: str | None, table_def: TableDef | None = None) -> DataFrame:

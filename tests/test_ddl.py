@@ -342,3 +342,330 @@ def test_views_respect_database_namespace(spark):
     env.execute_sql("DROP DATABASE vdb CASCADE")
     assert env.execute_sql("SHOW VIEWS") == []
     assert not spark.catalog.tableExists("nsv")
+
+
+# ------------------------------------------------- CREATE TABLE ... LIKE --
+
+BASE_LIKE_DDL = """
+CREATE TABLE like_base (
+  id BIGINT,
+  ts TIMESTAMP,
+  v DOUBLE,
+  v_cents AS CAST(v * 100 AS BIGINT),
+  PRIMARY KEY (id) NOT ENFORCED,
+  WATERMARK FOR ts AS ts - INTERVAL '30' SECOND
+) PARTITIONED BY (id) WITH (
+  'connector' = 'filesystem',
+  'path' = '{path}',
+  'format' = 'parquet'
+)
+"""
+
+
+def _like_env(spark, tmp_path):
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    base = str(tmp_path / "like_base_tbl")
+    spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 5.0)], "id long, ts timestamp, v double"
+    ).write.parquet(base)
+    env.execute_sql(BASE_LIKE_DDL.format(path=base))
+    return env
+
+
+def test_like_parse_options():
+    from incubator_flink_spark.sources.ddl import parse_create_table
+
+    t = parse_create_table(
+        "CREATE TABLE d (x INT) WITH ('a'='1') "
+        "LIKE b (INCLUDING ALL, OVERWRITING OPTIONS, EXCLUDING PARTITIONS)"
+    )
+    assert t.name == "d" and t.columns == [("x", "INT")]
+    assert t.like == (
+        "b",
+        [("INCLUDING", "ALL"), ("OVERWRITING", "OPTIONS"), ("EXCLUDING", "PARTITIONS")],
+    )
+    # bare LIKE without body or WITH
+    t2 = parse_create_table("CREATE TABLE d2 LIKE b")
+    assert t2.like == ("b", []) and t2.columns == [] and t2.options == {}
+
+
+def test_like_invalid_option_combinations():
+    from incubator_flink_spark.sources.ddl import parse_create_table
+
+    with pytest.raises(ValueError, match="OVERWRITING"):
+        parse_create_table("CREATE TABLE d LIKE b (OVERWRITING ALL)")
+    with pytest.raises(ValueError, match="OVERWRITING"):
+        parse_create_table("CREATE TABLE d LIKE b (OVERWRITING PARTITIONS)")
+    with pytest.raises(ValueError, match="OVERWRITING"):
+        parse_create_table("CREATE TABLE d LIKE b (OVERWRITING CONSTRAINTS)")
+    with pytest.raises(ValueError, match="only once"):
+        parse_create_table("CREATE TABLE d LIKE b (INCLUDING OPTIONS, EXCLUDING OPTIONS)")
+
+
+def test_like_inherits_everything_by_default(spark, tmp_path):
+    """SqlTableLike.java:44-89's worked example: the derived table gets the
+    source's schema, computed column, watermark, PK, partitions, and
+    options; its own WITH entries overwrite (default OVERWRITING OPTIONS)."""
+    env = _like_env(spark, tmp_path)
+    derived_path = str(tmp_path / "derived_tbl")
+    env.execute_sql(
+        f"CREATE TABLE like_derived WITH ('path' = '{derived_path}') LIKE like_base"
+    )
+    t = env._tables["like_derived"]
+    assert [c for c, _ in t.columns] == ["id", "ts", "v"]
+    assert t.computed == [("v_cents", "CAST(v * 100 AS BIGINT)")]
+    assert t.watermark == ("ts", 30)
+    assert t.primary_key == ["id"]
+    assert t.partitioned_by == ["id"]
+    assert t.options["path"] == derived_path  # overwritten
+    assert t.options["connector"] == "filesystem"  # inherited
+    # the registered (empty — new path) view carries the merged schema
+    cols = env.execute_sql("SELECT * FROM like_derived").__len__()  # no rows
+    assert cols == 0
+    assert "v_cents" in spark.table("like_derived").columns
+
+
+def test_like_excluding_all_then_including(spark, tmp_path):
+    env = _like_env(spark, tmp_path)
+    p = str(tmp_path / "d2_tbl")
+    env.execute_sql(
+        f"""CREATE TABLE like_d2 (
+              extra STRING,
+              WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+            ) WITH ('connector'='filesystem','path'='{p}','format'='parquet')
+            LIKE like_base (EXCLUDING ALL)"""
+    )
+    t = env._tables["like_d2"]
+    # physical columns ALWAYS inherit (strategies govern the other features)
+    assert [c for c, _ in t.columns] == ["id", "ts", "v", "extra"]
+    assert t.computed == [] and t.primary_key == []
+    assert t.watermark == ("ts", 5)  # source's excluded; derived's applies
+    assert t.options == {"connector": "filesystem", "path": p, "format": "parquet"}
+
+
+def test_like_merge_errors(spark, tmp_path):
+    env = _like_env(spark, tmp_path)
+    p = str(tmp_path / "err_tbl")
+    with pytest.raises(ValueError, match="already exists in the base table"):
+        env.execute_sql(f"CREATE TABLE e1 (id BIGINT) WITH ('path'='{p}') LIKE like_base")
+    with pytest.raises(ValueError, match="watermark spec"):
+        env.execute_sql(
+            f"""CREATE TABLE e2 (WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+                WITH ('path'='{p}') LIKE like_base"""
+        )
+    with pytest.raises(ValueError, match="already has a primary key"):
+        env.execute_sql(
+            f"CREATE TABLE e3 (PRIMARY KEY (id) NOT ENFORCED) WITH ('path'='{p}') LIKE like_base"
+        )
+    with pytest.raises(ValueError, match="already exists an option"):
+        env.execute_sql(
+            f"CREATE TABLE e4 WITH ('path'='{p}') LIKE like_base (INCLUDING OPTIONS)"
+        )
+    with pytest.raises(ValueError, match="already has partitions"):
+        env.execute_sql(
+            f"CREATE TABLE e5 PARTITIONED BY (v) WITH ('path'='{p}') LIKE like_base"
+        )
+    with pytest.raises(ValueError, match="was not created via execute_sql"):
+        env.execute_sql("CREATE TABLE e6 LIKE no_such_table")
+    # a failed LIKE must not leave phantom entries
+    assert "e1" not in env.execute_sql("SHOW TABLES")
+
+
+def test_like_overwriting_generated_and_watermarks(spark, tmp_path):
+    env = _like_env(spark, tmp_path)
+    p = str(tmp_path / "ow_tbl")
+    env.execute_sql(
+        f"""CREATE TABLE like_ow (
+              v_cents AS CAST(v * 1000 AS BIGINT),
+              WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+            ) WITH ('path'='{p}')
+            LIKE like_base (OVERWRITING GENERATED, OVERWRITING WATERMARKS)"""
+    )
+    t = env._tables["like_ow"]
+    assert t.computed == [("v_cents", "CAST(v * 1000 AS BIGINT)")]
+    assert t.watermark == ("ts", 5)
+
+
+def test_like_reads_source_data_when_path_inherited(spark, tmp_path):
+    """A LIKE table that inherits the path reads the same files — the
+    docs' 'adjusted copy' use case."""
+    env = _like_env(spark, tmp_path)
+    env.execute_sql("CREATE TABLE like_same LIKE like_base (EXCLUDING PARTITIONS)")
+    rows = env.execute_sql("SELECT id, v_cents FROM like_same ORDER BY id")
+    assert [(r.id, r.v_cents) for r in rows] == [(1, 1000), (2, 500)]
+
+
+# ------------------------------------- SET / RESET + OPTIONS hints --
+
+
+def test_set_reset_statements(spark):
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    assert env.execute_sql("SET 'table.dynamic-table-options.enabled' = 'true'") == []
+    assert env.execute_sql("SET") == [("table.dynamic-table-options.enabled", "true")]
+    assert env.execute_sql("RESET 'table.dynamic-table-options.enabled'") == []
+    assert env.execute_sql("SET") == []
+    # spark.* keys pass through to the session conf
+    env.execute_sql("SET 'spark.sql.shuffle.partitions' = '7'")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    env.execute_sql("RESET")
+    assert spark.conf.get("spark.sql.shuffle.partitions") != "7"
+
+
+def test_options_hint_gated_and_merges(spark, tmp_path):
+    """FLIP-113 dynamic table options: disabled by default
+    (TableConfigOptions.java:61-67 defaultValue(false)); when enabled the
+    hinted options overwrite the declared WITH options at read time
+    (CatalogSourceTable.java:96-117)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    p1, p2 = str(tmp_path / "h1"), str(tmp_path / "h2")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(p1)
+    spark.createDataFrame([(2, "b"), (3, "c")], "id long, s string").write.parquet(p2)
+    env.execute_sql(f"""
+        CREATE TABLE hint_t (id BIGINT, s STRING)
+        WITH ('connector'='filesystem','path'='{p1}','format'='parquet')
+    """)
+    # default: hint rejected exactly like the reference
+    with pytest.raises(ValueError, match="dynamic-table-options"):
+        env.execute_sql("SELECT * FROM hint_t /*+ OPTIONS('path'='x') */")
+    env.execute_sql("SET 'table.dynamic-table-options.enabled' = 'true'")
+    rows = env.execute_sql(
+        f"SELECT id FROM hint_t /*+ OPTIONS('path'='{p2}') */ ORDER BY id"
+    )
+    assert [r.id for r in rows] == [2, 3]
+    # unhinted reads keep the declared path
+    assert [r.id for r in env.execute_sql("SELECT id FROM hint_t")] == [1]
+    # hint on an unknown table
+    with pytest.raises(ValueError, match="not a DDL table"):
+        env.execute_sql("SELECT * FROM nope /*+ OPTIONS('path'='x') */")
+
+
+# ----------------------------------------------- CREATE FUNCTION DDL --
+
+
+def test_create_function_lifecycle(spark):
+    """CREATE [TEMPORARY] FUNCTION name AS 'dotted.path' LANGUAGE PYTHON
+    (SqlCreateFunction.java:39): the identifier resolves to a Python UDF
+    object registered in the session catalog; DROP removes it; ALTER
+    re-points it (SqlAlterFunction.java)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        "CREATE TEMPORARY FUNCTION my_upper AS "
+        "'incubator_flink_spark.functions.udf_examples.to_upper' LANGUAGE PYTHON"
+    )
+    assert "my_upper" in env.execute_sql("SHOW USER FUNCTIONS")
+    out = env.execute_sql("SELECT my_upper('abc') AS u")
+    assert out[0].u == "ABC"
+    # duplicate create fails; IF NOT EXISTS is a no-op
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql(
+            "CREATE FUNCTION my_upper AS 'incubator_flink_spark.functions.udf_examples.to_upper'"
+        )
+    env.execute_sql(
+        "CREATE FUNCTION IF NOT EXISTS my_upper AS "
+        "'incubator_flink_spark.functions.udf_examples.to_upper'"
+    )
+    # ALTER re-points to a different implementation
+    env.execute_sql(
+        "ALTER FUNCTION my_upper AS 'incubator_flink_spark.functions.udf_examples.char_count'"
+    )
+    assert env.execute_sql("SELECT my_upper('abcd') AS n")[0].n == 4
+    env.execute_sql("DROP TEMPORARY FUNCTION my_upper")
+    assert "my_upper" not in env.execute_sql("SHOW USER FUNCTIONS")
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("DROP FUNCTION my_upper")
+    env.execute_sql("DROP FUNCTION IF EXISTS my_upper")  # no-op
+
+
+def test_create_function_errors(spark):
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    with pytest.raises(ValueError, match="LANGUAGE JAVA"):
+        env.execute_sql("CREATE FUNCTION j AS 'com.example.F' LANGUAGE JAVA")
+    with pytest.raises(ValueError, match="cannot resolve"):
+        env.execute_sql("CREATE FUNCTION g AS 'no.such.module.fn'")
+    with pytest.raises(ValueError, match="dotted path"):
+        env.execute_sql("CREATE FUNCTION h AS 'bare'")
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("ALTER FUNCTION nope AS 'incubator_flink_spark.functions.udf_examples.add_one'")
+
+
+# ---------------------------------------------------- StatementSet --
+
+
+def test_statement_set_multi_sink(spark, tmp_path):
+    """StatementSet.java:32: several INSERTs buffered and executed as one
+    unit — both sinks written, catalog views refreshed once."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    src = str(tmp_path / "ss_src")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 20.0)], "id long, v double"
+    ).write.parquet(src)
+    env.execute_sql(f"CREATE TABLE ss_src (id BIGINT, v DOUBLE) WITH ('path'='{src}')")
+    env.execute_sql(
+        f"CREATE TABLE ss_hi (id BIGINT, v DOUBLE) WITH ('path'='{tmp_path / 'ss_hi'}')"
+    )
+    env.execute_sql(
+        f"CREATE TABLE ss_lo (id BIGINT, v DOUBLE) WITH ('path'='{tmp_path / 'ss_lo'}')"
+    )
+    ss = env.create_statement_set()
+    assert (
+        ss.add_insert_sql("INSERT INTO ss_hi SELECT id, v FROM ss_src WHERE v >= 10")
+        .add_insert_sql("INSERT INTO ss_lo SELECT id, v FROM ss_src WHERE v < 10")
+        is ss
+    )
+    plan = ss.explain()
+    assert "Statement 0" in plan and "Statement 1" in plan
+    ss.execute()
+    assert {r.id for r in env.execute_sql("SELECT id FROM ss_hi")} == {1, 3}
+    assert {r.id for r in env.execute_sql("SELECT id FROM ss_lo")} == {2}
+    # buffer drains after execute
+    with pytest.raises(ValueError, match="No statement is added"):
+        ss.execute()
+
+
+def test_statement_set_snapshot_semantics(spark, tmp_path):
+    """A branch reading a table that another branch writes sees the
+    PRE-JOB contents (the reference's single-job translation scans each
+    source once, before any sink commits)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    a, b = str(tmp_path / "ss_a"), str(tmp_path / "ss_b")
+    spark.createDataFrame([(1,)], "id long").write.parquet(a)
+    spark.createDataFrame([(100,)], "id long").write.parquet(b)
+    env.execute_sql(f"CREATE TABLE ss_a (id BIGINT) WITH ('path'='{a}')")
+    env.execute_sql(f"CREATE TABLE ss_b (id BIGINT) WITH ('path'='{b}')")
+    ss = env.create_statement_set()
+    # branch 1 overwrites ss_b; branch 2 copies ss_b's (pre-job) rows to ss_a
+    ss.add_insert_sql("INSERT OVERWRITE ss_b SELECT id + 1 FROM ss_a")
+    ss.add_insert_sql("INSERT INTO ss_a SELECT id FROM ss_b")
+    ss.execute()
+    assert {r.id for r in env.execute_sql("SELECT id FROM ss_b")} == {2}
+    assert {r.id for r in env.execute_sql("SELECT id FROM ss_a")} == {1, 100}
+
+
+def test_statement_set_add_insert_table_api(spark, tmp_path):
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    sink = str(tmp_path / "ss_api_sink")
+    env.execute_sql(f"CREATE TABLE ss_api (n BIGINT) WITH ('path'='{sink}')")
+    t = env.from_dataframe(spark.range(3).toDF("n"))
+    env.create_statement_set().add_insert("ss_api", t).execute()
+    assert env.execute_sql("SELECT COUNT(*) AS c FROM ss_api")[0].c == 3
+    # overwrite flag
+    env.create_statement_set().add_insert("ss_api", t, overwrite=True).execute()
+    assert env.execute_sql("SELECT COUNT(*) AS c FROM ss_api")[0].c == 3
+    with pytest.raises(ValueError, match="INSERT target"):
+        env.create_statement_set().add_insert_sql("INSERT INTO nope SELECT 1")
