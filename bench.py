@@ -151,6 +151,8 @@ EXTRA = [
     "nexmark_q20",
     "nexmark_q21",
     "nexmark_q22",
+    "dsir_importance_select",
+    "avro_roundtrip_agg",
 ]
 
 

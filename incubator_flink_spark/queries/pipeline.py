@@ -1488,3 +1488,81 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered.select(
         "doc_id", "n_chars", "band", F.col("global_order").cast("bigint").alias("global_order")
     ).orderBy("global_order")
+
+
+# --- DSIR-style importance selection ------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023, public):
+# rank raw documents by how much more likely their hashed-feature bag is
+# under a TARGET distribution than under the RAW corpus distribution.
+# Features are word unigrams hashed into _DSIR_B buckets (the paper's
+# hashed n-gram generative model); both bucket models are add-1-smoothed
+# count models, so the per-document log importance weight is
+#   sum over tokens of [ln p_target(bucket) - ln p_raw(bucket)].
+# The target here is the corpus's own English slice (lang = 'en'),
+# standing in for the paper's high-quality target corpus.
+#
+# Scale shape: the model is VOCABULARY-BOUNDED (exactly _DSIR_B rows), so
+# training is one 64-key aggregate with map-side combine, scoring is a
+# broadcast join over the token stream + one doc-keyed aggregate, and the
+# selection is TakeOrdered (top-k, no global window).  Determinism: each
+# ln() term is cast to DECIMAL(30,12) (both engines' doubles agree far
+# past 12 fractional digits on identical rational inputs — the
+# lm_perplexity discipline), summed exactly, and rounded to 6 at the end.
+
+_DSIR_B = 64
+_DSIR_K = 100
+
+DSIR_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang = 'en' AS is_t, unnest({_TOKS}) AS w FROM documents),
+tb AS (SELECT doc_id, is_t, ({hash64_sql("w")}) % {_DSIR_B} AS b FROM t),
+stats AS (SELECT b, COUNT(*) AS c_r,
+                 SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+          FROM tb GROUP BY b),
+tot AS (SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM stats),
+model AS (SELECT b,
+            CAST(ln((c_t + 1) / CAST(t_t + {_DSIR_B} AS DOUBLE)) AS DECIMAL(30,12))
+          - CAST(ln((c_r + 1) / CAST(t_r + {_DSIR_B} AS DOUBLE)) AS DECIMAL(30,12)) AS delta
+          FROM stats, tot),
+sc AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(delta) AS s
+       FROM tb JOIN model USING (b) GROUP BY doc_id)
+SELECT doc_id, n_tokens, ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE), 6) AS iw
+FROM sc ORDER BY iw DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
+@register("dsir_importance_select", DSIR_ORACLE)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 documents by DSIR importance weight (hashed-unigram target
+    vs raw bucket models, target = the English slice)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    ).select("doc_id", "is_t", (hash64(F.col("w")) % _DSIR_B).alias("b"))
+    stats = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
+    )
+    tot = stats.agg(F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t"))
+    model = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c_t") + 1) / (F.col("t_t") + F.lit(_DSIR_B))).cast("decimal(30,12)")
+            - F.log((F.col("c_r") + 1) / (F.col("t_r") + F.lit(_DSIR_B))).cast("decimal(30,12)")
+        ).alias("delta"),
+    )
+    sc = (
+        toks.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("delta").alias("s"))
+    )
+    return (
+        sc.select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("s").cast("double"), 6).alias("iw"),
+        )
+        .orderBy(F.desc("iw"), "doc_id")
+        .limit(_DSIR_K)
+    )
