@@ -420,12 +420,21 @@ class TableEnvironment:
         self._versioned: dict[str, tuple[str, str]] = {}
         self._tables: dict[str, object] = {}  # name -> sources.ddl.TableDef
         self._views: dict[str, str] = {}  # name -> defining query text
-        # database namespace emulation (Flink: default_catalog.default_database);
-        # Spark temp views are flat, so the namespace scopes SHOW/DROP
-        self._databases: set[str] = {"default_database"}
+        # catalog.database namespace emulation (Flink: default_catalog.
+        # default_database, GenericInMemoryCatalog); Spark temp views are
+        # flat, so the namespace scopes SHOW/DROP
+        self._catalogs: dict[str, set[str]] = {"default_catalog": {"default_database"}}
+        self._current_cat: str = "default_catalog"
         self._current_db: str = "default_database"
         self._table_db: dict[str, str] = {}  # table name -> owning database
         self._view_db: dict[str, str] = {}  # view name -> owning database
+        self._table_cat: dict[str, str] = {}  # table name -> owning catalog
+        self._view_cat: dict[str, str] = {}  # view name -> owning catalog
+        # module registry (Flink LOAD/UNLOAD MODULE, USE MODULES —
+        # SqlUseModules.java; ModuleManager resolution order).  'core' is
+        # Spark's built-in surface; 'flink' is the Flink-named SQL-UDF
+        # module registered below — both loaded and used initially.
+        self._modules: dict[str, bool] = {"core": True, "flink": True}
         # session config set via SET 'key' = 'value' (SqlSet.java; FLIP-163
         # spelling).  Gates the OPTIONS hint exactly like the reference:
         # table.dynamic-table-options.enabled defaults to FALSE
@@ -438,6 +447,26 @@ class TableEnvironment:
         from incubator_flink_spark.functions.sqlfuncs import register_flink_sql_functions
 
         register_flink_sql_functions(spark)
+
+    @property
+    def _databases(self) -> set[str]:
+        """Database set of the CURRENT catalog (live reference)."""
+        return self._catalogs[self._current_cat]
+
+    def _set_flink_module(self, used: bool) -> None:
+        """Enable/disable the 'flink' function module: the Flink-named SQL
+        UDFs are (de)registered so name resolution honors the module state
+        (the ModuleManager function-resolution analog)."""
+        from incubator_flink_spark.functions.sqlfuncs import (
+            _SQL_FUNCS,
+            register_flink_sql_functions,
+        )
+
+        if used:
+            register_flink_sql_functions(self._spark)
+        else:
+            for name in _SQL_FUNCS:
+                self._spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
 
     def from_path(self, table: str) -> Table:
         return Table(load(self._spark, self._sf_dir, table))
@@ -557,6 +586,7 @@ class TableEnvironment:
             execute_ddl(self._spark, None, table_def=t)
             self._tables[t.name] = t
             self._table_db[t.name] = self._current_db
+            self._table_cat[t.name] = self._current_cat
             return []
         vm = _re.fullmatch(
             r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(.+)",
@@ -578,6 +608,7 @@ class TableEnvironment:
             self.sql_query(query).to_df().createOrReplaceTempView(name)
             self._views[name] = query
             self._view_db[name] = self._current_db
+            self._view_cat[name] = self._current_cat
             return []
         dv = _re.fullmatch(r"DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?(\w+)", s, _re.I)
         if dv:
@@ -589,9 +620,121 @@ class TableEnvironment:
             self._spark.catalog.dropTempView(name)
             del self._views[name]
             self._view_db.pop(name, None)
+            self._view_cat.pop(name, None)
             return []
         if _re.fullmatch(r"SHOW\s+VIEWS", s, _re.I):
             return sorted(self._views)
+        # --- catalog namespace (SqlCreateCatalog/SqlDropCatalog/
+        # SqlUseCatalog; GenericInMemoryCatalog ships one 'default' db) ---
+        cc = _re.fullmatch(
+            r"CREATE\s+CATALOG\s+(\w+)(?:\s+WITH\s*\((.*?)\))?", s, _re.I | _re.S
+        )
+        if cc:
+            name, opts = cc.group(1), cc.group(2) or ""
+            kind = dict(_re.findall(r"'([^']+)'\s*=\s*'([^']*)'", opts)).get(
+                "type", "generic_in_memory"
+            )
+            if kind != "generic_in_memory":
+                raise ValueError(f"unsupported catalog type {kind!r} (generic_in_memory only)")
+            if name in self._catalogs:
+                raise ValueError(f"catalog {name!r} already exists")
+            self._catalogs[name] = {"default"}
+            return []
+        dc = _re.fullmatch(r"DROP\s+CATALOG\s+(IF\s+EXISTS\s+)?(\w+)", s, _re.I)
+        if dc:
+            name = dc.group(2)
+            if name not in self._catalogs:
+                if dc.group(1):
+                    return []
+                raise ValueError(f"catalog {name!r} does not exist")
+            if name == self._current_cat:
+                raise ValueError(f"cannot drop the current catalog {name!r}")
+            if name == "default_catalog":
+                raise ValueError("cannot drop the default catalog")
+            owned = [t for t, c in self._table_cat.items() if c == name]
+            owned_v = [v for v, c in self._view_cat.items() if c == name]
+            for t in owned:
+                self._spark.catalog.dropTempView(t)
+                self._tables.pop(t, None)
+                self._table_db.pop(t, None)
+                self._table_cat.pop(t, None)
+            for v in owned_v:
+                self._spark.catalog.dropTempView(v)
+                self._views.pop(v, None)
+                self._view_db.pop(v, None)
+                self._view_cat.pop(v, None)
+            del self._catalogs[name]
+            return []
+        ucat = _re.fullmatch(r"USE\s+CATALOG\s+(\w+)", s, _re.I)
+        if ucat:
+            name = ucat.group(1)
+            if name not in self._catalogs:
+                raise ValueError(f"catalog {name!r} does not exist")
+            self._current_cat = name
+            self._current_db = (
+                "default_database" if name == "default_catalog" else "default"
+            )
+            return []
+        if _re.fullmatch(r"SHOW\s+CATALOGS", s, _re.I):
+            return sorted(self._catalogs)
+        if _re.fullmatch(r"SHOW\s+CURRENT\s+CATALOG", s, _re.I):
+            return [self._current_cat]
+        # --- module statements (SqlUseModules.java; ModuleManager order:
+        # SHOW MODULES lists USED modules in resolution order, SHOW FULL
+        # MODULES adds the used flag; functions resolve only from used
+        # modules) ---
+        lmm = _re.fullmatch(r"LOAD\s+MODULE\s+(\w+)(?:\s+WITH\s*\(.*?\))?", s, _re.I | _re.S)
+        if lmm:
+            name = lmm.group(1).lower()
+            if name in self._modules:
+                raise ValueError(f"module {name!r} is already loaded")
+            if name != "flink":
+                raise ValueError(
+                    f"could not find a module named {name!r} (loadable here: 'flink')"
+                )
+            self._set_flink_module(True)
+            self._modules[name] = True
+            return []
+        umm = _re.fullmatch(r"UNLOAD\s+MODULE\s+(\w+)", s, _re.I)
+        if umm:
+            name = umm.group(1).lower()
+            if name not in self._modules:
+                raise ValueError(f"module {name!r} is not loaded")
+            if name == "core":
+                raise ValueError(
+                    "unloading the core module is not supported here — Spark's "
+                    "built-in functions cannot be removed from the session "
+                    "(documented divergence)"
+                )
+            self._set_flink_module(False)
+            del self._modules[name]
+            return []
+        usm = _re.fullmatch(r"USE\s+MODULES\s+(.+)", s, _re.I)
+        if usm:
+            names = [n.strip().lower() for n in usm.group(1).split(",")]
+            if len(set(names)) != len(names):
+                raise ValueError("module names in USE MODULES must be unique")
+            for n in names:
+                if n not in self._modules:
+                    raise ValueError(f"module {n!r} is not loaded (LOAD MODULE first)")
+            if "core" not in names:
+                raise ValueError(
+                    "disabling the core module is not supported here (documented "
+                    "divergence — Spark built-ins cannot be removed)"
+                )
+            # re-order: used modules in the given order, unused keep loaded
+            new: dict[str, bool] = {n: True for n in names}
+            for n in self._modules:
+                if n not in new:
+                    new[n] = False
+            if self._modules.get("flink", False) != new.get("flink", False):
+                self._set_flink_module(new.get("flink", False))
+            self._modules = new
+            return []
+        if _re.fullmatch(r"SHOW\s+MODULES", s, _re.I):
+            return [n for n, used in self._modules.items() if used]
+        if _re.fullmatch(r"SHOW\s+FULL\s+MODULES", s, _re.I):
+            return list(self._modules.items())
         cdb = _re.fullmatch(r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)", s, _re.I)
         if cdb:
             name = cdb.group(2)
@@ -610,20 +753,30 @@ class TableEnvironment:
                 raise ValueError(f"database {name!r} does not exist")
             if name == "default_database":
                 raise ValueError("cannot drop the default database")
-            owned = [t for t, db in self._table_db.items() if db == name]
+            owned = [
+                t
+                for t, db in self._table_db.items()
+                if db == name and self._table_cat.get(t, "default_catalog") == self._current_cat
+            ]
             if owned and not cascade:
                 raise ValueError(f"database {name!r} is not empty (use DROP DATABASE ... CASCADE)")
-            owned_views = [v for v, db in self._view_db.items() if db == name]
+            owned_views = [
+                v
+                for v, db in self._view_db.items()
+                if db == name and self._view_cat.get(v, "default_catalog") == self._current_cat
+            ]
             if owned_views and not cascade:
                 raise ValueError(f"database {name!r} is not empty (use DROP DATABASE ... CASCADE)")
             for t in owned:
                 self._spark.catalog.dropTempView(t)
                 del self._tables[t]
                 del self._table_db[t]
+                self._table_cat.pop(t, None)
             for v in owned_views:
                 self._spark.catalog.dropTempView(v)
                 del self._views[v]
                 del self._view_db[v]
+                self._view_cat.pop(v, None)
             self._databases.discard(name)
             if self._current_db == name:
                 self._current_db = "default_database"
@@ -641,11 +794,13 @@ class TableEnvironment:
             return [self._current_db]
         if _re.fullmatch(r"SHOW\s+(?:USER\s+)?FUNCTIONS", s, _re.I):
             # Flink's ShowFunctionsOperation (USER scope = session-registered):
-            # the Flink-named SQL UDFs installed at TableEnvironment init,
-            # plus CREATE FUNCTION registrations
+            # the 'flink' module's SQL UDFs (only while that module is USED —
+            # the ModuleManager resolution contract) plus CREATE FUNCTION
+            # registrations
             from incubator_flink_spark.functions.sqlfuncs import _SQL_FUNCS
 
-            return sorted(set(_SQL_FUNCS) | set(self._functions))
+            mod = set(_SQL_FUNCS) if self._modules.get("flink", False) else set()
+            return sorted(mod | set(self._functions))
         cfm = _re.fullmatch(
             r"(CREATE|ALTER)\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
             r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+'([^']+)'(?:\s+LANGUAGE\s+(\w+))?",
@@ -711,6 +866,7 @@ class TableEnvironment:
             if name in self._tables:
                 del self._tables[name]
                 self._table_db.pop(name, None)
+                self._table_cat.pop(name, None)
             elif not known and not dm.group(1):
                 raise ValueError(f"table {name!r} does not exist (use DROP TABLE IF EXISTS)")
             return []
@@ -805,6 +961,7 @@ class TableEnvironment:
             self._tables[new] = t
             del self._tables[old]
             self._table_db[new] = self._table_db.pop(old, self._current_db)
+            self._table_cat[new] = self._table_cat.pop(old, self._current_cat)
             return []
         if _re.fullmatch(r"SHOW\s+TABLES", s, _re.I):
             # DDL tables plus temporary views (Flink's SHOW TABLES lists
@@ -818,12 +975,14 @@ class TableEnvironment:
             mine = {
                 t for t in self._tables
                 if self._table_db.get(t, "default_database") == self._current_db
+                and self._table_cat.get(t, "default_catalog") == self._current_cat
             }
             mine |= {
                 v for v in self._views
                 if self._view_db.get(v, "default_database") == self._current_db
+                and self._view_cat.get(v, "default_catalog") == self._current_cat
             }
-            if self._current_db == "default_database":
+            if self._current_db == "default_database" and self._current_cat == "default_catalog":
                 # plain temp views (created outside DDL) live in the default db
                 return sorted(mine | (temp - set(self._tables) - set(self._views)))
             return sorted(mine)

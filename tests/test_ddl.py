@@ -669,3 +669,88 @@ def test_statement_set_add_insert_table_api(spark, tmp_path):
     assert env.execute_sql("SELECT COUNT(*) AS c FROM ss_api")[0].c == 3
     with pytest.raises(ValueError, match="INSERT target"):
         env.create_statement_set().add_insert_sql("INSERT INTO nope SELECT 1")
+
+
+# --------------------------------------------- catalogs and modules --
+
+
+def test_catalog_lifecycle(spark, tmp_path):
+    """CREATE/DROP/USE CATALOG + SHOW CATALOGS (SqlCreateCatalog /
+    SqlUseCatalog; GenericInMemoryCatalog ships a 'default' database).
+    Tables are scoped by (catalog, database)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    assert env.execute_sql("SHOW CATALOGS") == ["default_catalog"]
+    assert env.execute_sql("SHOW CURRENT CATALOG") == ["default_catalog"]
+    env.execute_sql("CREATE CATALOG c2 WITH ('type'='generic_in_memory')")
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("CREATE CATALOG c2")
+    with pytest.raises(ValueError, match="unsupported catalog type"):
+        env.execute_sql("CREATE CATALOG c3 WITH ('type'='hive')")
+    # a table created in c2 is invisible from default_catalog
+    p = str(tmp_path / "cat_tbl")
+    spark.createDataFrame([(1,)], "id long").write.parquet(p)
+    env.execute_sql("USE CATALOG c2")
+    assert env.execute_sql("SHOW CURRENT DATABASE") == ["default"]
+    assert env.execute_sql("SHOW DATABASES") == ["default"]
+    env.execute_sql(f"CREATE TABLE cat_t (id BIGINT) WITH ('path'='{p}')")
+    assert "cat_t" in env.execute_sql("SHOW TABLES")
+    env.execute_sql("USE CATALOG default_catalog")
+    assert "cat_t" not in env.execute_sql("SHOW TABLES")
+    # guards
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("USE CATALOG nope")
+    with pytest.raises(ValueError, match="cannot drop"):
+        env.execute_sql("DROP CATALOG default_catalog")
+    env.execute_sql("USE CATALOG c2")
+    with pytest.raises(ValueError, match="current catalog"):
+        env.execute_sql("DROP CATALOG c2")
+    env.execute_sql("USE CATALOG default_catalog")
+    env.execute_sql("DROP CATALOG c2")
+    assert env.execute_sql("SHOW CATALOGS") == ["default_catalog"]
+    assert not spark.catalog.tableExists("cat_t")  # cascaded
+    env.execute_sql("DROP CATALOG IF EXISTS c2")  # no-op
+
+
+def test_module_lifecycle(spark):
+    """LOAD/UNLOAD MODULE, USE MODULES, SHOW [FULL] MODULES
+    (SqlUseModules.java; ModuleManager resolution): the 'flink' module
+    carries the Flink-named SQL UDFs — unloading it removes those names
+    from resolution, reloading restores them."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    assert env.execute_sql("SHOW MODULES") == ["core", "flink"]
+    assert env.execute_sql("SHOW FULL MODULES") == [("core", True), ("flink", True)]
+    assert env.execute_sql("SELECT SPLIT_INDEX('a,b,c', ',', 1) AS x")[0].x == "b"
+    env.execute_sql("UNLOAD MODULE flink")
+    assert env.execute_sql("SHOW MODULES") == ["core"]
+    with pytest.raises(Exception):  # noqa: B017 — name no longer resolves
+        env.execute_sql("SELECT SPLIT_INDEX('a,b,c', ',', 1) AS x")
+    assert "split_index" not in env.execute_sql("SHOW USER FUNCTIONS")
+    with pytest.raises(ValueError, match="not loaded"):
+        env.execute_sql("UNLOAD MODULE flink")
+    env.execute_sql("LOAD MODULE flink")
+    assert env.execute_sql("SELECT SPLIT_INDEX('a,b,c', ',', 1) AS x")[0].x == "b"
+    # USE MODULES disables without unloading
+    env.execute_sql("USE MODULES core")
+    assert env.execute_sql("SHOW MODULES") == ["core"]
+    assert env.execute_sql("SHOW FULL MODULES") == [("core", True), ("flink", False)]
+    with pytest.raises(Exception):  # noqa: B017
+        env.execute_sql("SELECT SPLIT_INDEX('a,b,c', ',', 1) AS x")
+    env.execute_sql("USE MODULES core, flink")
+    assert env.execute_sql("SELECT SPLIT_INDEX('a,b,c', ',', 1) AS x")[0].x == "b"
+    # guards (documented divergences + reference errors)
+    with pytest.raises(ValueError, match="core module"):
+        env.execute_sql("UNLOAD MODULE core")
+    with pytest.raises(ValueError, match="core"):
+        env.execute_sql("USE MODULES flink")
+    with pytest.raises(ValueError, match="unique"):
+        env.execute_sql("USE MODULES core, core")
+    with pytest.raises(ValueError, match="could not find"):
+        env.execute_sql("LOAD MODULE hive")
+    with pytest.raises(ValueError, match="already loaded"):
+        env.execute_sql("LOAD MODULE flink")
+    # leave the session functions registered for other tests
+    env.execute_sql("SHOW MODULES") == ["core", "flink"]
