@@ -943,6 +943,63 @@ class TableEnvironment:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             return [buf.getvalue()]
+        aset = _re.fullmatch(r"ALTER\s+TABLE\s+(\w+)\s+SET\s*\((.*)\)", s, _re.I | _re.S)
+        if aset:
+            # SqlAlterTableOptions: merge the given options into the table's
+            # WITH clause and re-resolve the connector view
+            from incubator_flink_spark.sources.ddl import execute_ddl
+
+            name = aset.group(1)
+            t = self._tables.get(name)
+            if t is None:
+                raise ValueError(f"ALTER TABLE: {name!r} was not created via execute_sql DDL")
+            for om in _re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", aset.group(2)):
+                t.options[om.group(1)] = om.group(2)
+            execute_ddl(self._spark, None, table_def=t)
+            return []
+        areset = _re.fullmatch(r"ALTER\s+TABLE\s+(\w+)\s+RESET\s*\((.*)\)", s, _re.I | _re.S)
+        if areset:
+            # SqlAlterTableReset.java:37 — an empty key list is rejected
+            # ("ALTER TABLE RESET does not support empty key")
+            from incubator_flink_spark.sources.ddl import execute_ddl
+
+            name = areset.group(1)
+            t = self._tables.get(name)
+            if t is None:
+                raise ValueError(f"ALTER TABLE: {name!r} was not created via execute_sql DDL")
+            keys = _re.findall(r"'([^']+)'", areset.group(2))
+            if not keys:
+                raise ValueError("ALTER TABLE RESET does not support empty key")
+            if "connector" in keys:
+                raise ValueError("ALTER TABLE RESET does not support changing 'connector'")
+            for k in keys:
+                t.options.pop(k, None)
+            execute_ddl(self._spark, None, table_def=t)
+            return []
+        avr = _re.fullmatch(r"ALTER\s+VIEW\s+(\w+)\s+RENAME\s+TO\s+(\w+)", s, _re.I)
+        if avr:
+            # SqlAlterViewRename.java:32
+            old, new = avr.group(1), avr.group(2)
+            if old not in self._views:
+                raise ValueError(f"ALTER VIEW: {old!r} is not a view")
+            if new in self._views or new in self._tables or self._spark.catalog.tableExists(new):
+                raise ValueError(f"ALTER VIEW: target name {new!r} already exists")
+            query = self._views.pop(old)
+            self._spark.catalog.dropTempView(old)
+            self.sql_query(query).to_df().createOrReplaceTempView(new)
+            self._views[new] = query
+            self._view_db[new] = self._view_db.pop(old, self._current_db)
+            self._view_cat[new] = self._view_cat.pop(old, self._current_cat)
+            return []
+        ava = _re.fullmatch(r"ALTER\s+VIEW\s+(\w+)\s+AS\s+(.+)", s, _re.I | _re.S)
+        if ava:
+            # SqlAlterViewAs.java:32 — replace the defining query
+            name, query = ava.group(1), ava.group(2)
+            if name not in self._views:
+                raise ValueError(f"ALTER VIEW: {name!r} is not a view")
+            self.sql_query(query).to_df().createOrReplaceTempView(name)
+            self._views[name] = query
+            return []
         alt = _re.fullmatch(
             r"ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)", s, _re.I
         )

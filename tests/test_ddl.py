@@ -754,3 +754,45 @@ def test_module_lifecycle(spark):
         env.execute_sql("LOAD MODULE flink")
     # leave the session functions registered for other tests
     env.execute_sql("SHOW MODULES") == ["core", "flink"]
+
+
+def test_alter_table_set_reset_options(spark, tmp_path):
+    """ALTER TABLE SET ('k'='v') merges options and re-resolves the
+    connector (SqlAlterTableOptions); RESET removes keys, rejects an
+    empty list and the 'connector' key (SqlAlterTableReset.java:37)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    p1, p2 = str(tmp_path / "a1"), str(tmp_path / "a2")
+    spark.createDataFrame([(1,)], "id long").write.parquet(p1)
+    spark.createDataFrame([(2,), (3,)], "id long").write.parquet(p2)
+    env.execute_sql(f"CREATE TABLE alt_t (id BIGINT) WITH ('path'='{p1}')")
+    env.execute_sql(f"ALTER TABLE alt_t SET ('path'='{p2}')")
+    assert {r.id for r in env.execute_sql("SELECT id FROM alt_t")} == {2, 3}
+    assert env._tables["alt_t"].options["path"] == p2
+    env.execute_sql("ALTER TABLE alt_t SET ('custom.opt'='x')")
+    env.execute_sql("ALTER TABLE alt_t RESET ('custom.opt')")
+    assert "custom.opt" not in env._tables["alt_t"].options
+    with pytest.raises(ValueError, match="empty key"):
+        env.execute_sql("ALTER TABLE alt_t RESET ()")
+    with pytest.raises(ValueError, match="connector"):
+        env.execute_sql("ALTER TABLE alt_t RESET ('connector')")
+    with pytest.raises(ValueError, match="was not created"):
+        env.execute_sql("ALTER TABLE nope SET ('a'='b')")
+
+
+def test_alter_view_rename_and_as(spark):
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE VIEW av AS SELECT 1 AS one")
+    env.execute_sql("ALTER VIEW av RENAME TO av2")
+    assert "av2" in env.execute_sql("SHOW VIEWS") and "av" not in env.execute_sql("SHOW VIEWS")
+    assert env.execute_sql("SELECT * FROM av2")[0].one == 1
+    env.execute_sql("ALTER VIEW av2 AS SELECT 2 AS two")
+    assert env.execute_sql("SELECT * FROM av2")[0].two == 2
+    with pytest.raises(ValueError, match="is not a view"):
+        env.execute_sql("ALTER VIEW nope RENAME TO x")
+    env.execute_sql("CREATE VIEW av3 AS SELECT 3 AS three")
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("ALTER VIEW av3 RENAME TO av2")
