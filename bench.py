@@ -153,6 +153,8 @@ EXTRA = [
     "nexmark_q22",
     "dsir_importance_select",
     "avro_roundtrip_agg",
+    "window_session_tvf_sql",
+    "cep_nested_group_sql",
 ]
 
 

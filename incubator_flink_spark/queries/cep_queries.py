@@ -452,3 +452,65 @@ def cep_group_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id BIGINT, start_id BIGINT, n_pairs BIGINT, purchase_id BIGINT",
         tiebreak="event_id",
     ).orderBy("user_id", "start_id", "n_pairs")
+
+
+# --- nested row-pattern groups through the SQL statement --------------------
+# PATTERN (((A B){2} C){1}): a quantified group whose body contains a
+# quantified group (r8 — the reference compiles group bodies recursively,
+# NFACompiler createGroupPatternState; GroupPattern.java:30).  Fixed
+# quantifiers flatten the match to exactly five consecutive rows
+# (A B A B C), so a lead()-based window oracle is closed-form; the
+# candidate set is provably non-overlapping for this shape (a second
+# start inside a match would need a click where the first match pins a
+# view/purchase), so AFTER MATCH SKIP PAST LAST ROW emits every
+# candidate and the oracle needs no skip simulation.
+
+CEP_NESTED_GROUP_SQL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2,
+         lead(event_type, 3) OVER w AS t3,
+         lead(event_type, 4) OVER w AS t4,
+         lead(event_id, 4) OVER w AS p_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, event_id AS a1, p_id
+FROM e
+WHERE event_type = 'click' AND t1 <> 'click' AND t2 = 'click'
+      AND t3 <> 'click' AND t4 = 'purchase'
+ORDER BY user_id, a1
+"""
+
+
+@register("cep_nested_group_sql", CEP_NESTED_GROUP_SQL_ORACLE)
+def cep_nested_group_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested GroupPattern through the MATCH_RECOGNIZE SQL text surface,
+    pinned by the flattened closed-form oracle on real data (the nested
+    fuzz matrix pins it on synthetic sequences).
+
+    Scale: one user_id shuffle, per-key Arrow-batched NFA — the same
+    plan as every other MATCH_RECOGNIZE entry."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_ng")
+    return (
+        env.sql_query(
+            """
+            SELECT user_id, a1, p_id
+            FROM events_ng MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              MEASURES FIRST(A.event_id) AS a1, LAST(C.event_id) AS p_id
+              PATTERN (((A B){2} C){1})
+              DEFINE A AS A.event_type = 'click',
+                     B AS B.event_type <> 'click',
+                     C AS C.event_type = 'purchase'
+            )
+            """
+        )
+        .to_df()
+        .orderBy("user_id", "a1")
+    )

@@ -1358,3 +1358,53 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     cells = e.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
     return histogram_quantile(cells, [0.5, 0.9, 0.99], _HQ_LO, _HQ_HI, _HQ_BINS).orderBy("q")
+
+
+WINDOW_SESSION_TVF_SQL_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS window_start,
+       MAX(ts) + INTERVAL 300 SECOND AS window_end,
+       COUNT(*) AS cnt,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, window_start
+"""
+
+
+@register("window_session_tvf_sql", WINDOW_SESSION_TVF_SQL_ORACLE)
+def window_session_tvf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SESSION window TVF through the SQL TEXT surface (PARTITION BY
+    key form — StreamExecWindowTableFunction.java:49 / the FLIP-145
+    session TVF grammar): pins api/tvf.py's SESSION branch — keyed
+    gaps-and-islands merge, window_end = last event + gap — behind the
+    driver's oracle gate the way window_cumulate_tvf_sql pins CUMULATE.
+
+    Scale: keyed sessions run at full parallelism (one window partition
+    per user); no keyless window exists in the plan."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_stvf")
+    return env.sql_query(
+        """
+        SELECT user_id, window_start, window_end, COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total
+        FROM TABLE(SESSION(TABLE events_stvf PARTITION BY user_id,
+                           DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        GROUP BY user_id, window_start, window_end
+        ORDER BY user_id, window_start
+        """
+    ).to_df()
