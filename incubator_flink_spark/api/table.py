@@ -233,8 +233,43 @@ class Table:
     def execute(self):
         return self._df.collect()
 
-    def explain(self, mode: str = "formatted") -> None:
-        self._df.explain(mode)
+    def explain(self, *details: str, mode: str = "formatted") -> str:
+        """Reference Table.explain(ExplainDetail...) (ExplainDetail.java:
+        ESTIMATED_COST, CHANGELOG_MODE, JSON_EXECUTION_PLAN).  Returns the
+        plan text (and prints it, matching the pyflink convenience):
+
+        - default            -> Catalyst formatted physical plan
+        - ESTIMATED_COST     -> Catalyst 'cost' mode (logical plan with
+                                sizeInBytes/rowCount statistics — the
+                                cumulative-cost analog)
+        - JSON_EXECUTION_PLAN-> the optimized logical plan as JSON
+        - CHANGELOG_MODE     -> batch DataFrames are insert-only by
+                                construction; the line is emitted for
+                                parity (streaming changelog modes live in
+                                streaming/modes.py, which validates real
+                                retract pipelines)
+        """
+        import contextlib
+        import io
+
+        out = io.StringIO()
+        wants = {d.upper() for d in details}
+        unknown = wants - {"ESTIMATED_COST", "CHANGELOG_MODE", "JSON_EXECUTION_PLAN"}
+        if unknown:
+            raise ValueError(f"unknown ExplainDetail(s): {sorted(unknown)}")
+        with contextlib.redirect_stdout(out):
+            self._df.explain("cost" if "ESTIMATED_COST" in wants else mode)
+        if "CHANGELOG_MODE" in wants:
+            out.write(
+                "changelogMode=[I]  -- bounded (batch) plan: insert-only\n"
+                if not self._df.isStreaming
+                else "changelogMode: see streaming/modes.py pipeline validation\n"
+            )
+        if "JSON_EXECUTION_PLAN" in wants:
+            out.write(self._df._jdf.queryExecution().optimizedPlan().toJSON() + "\n")
+        text = out.getvalue()
+        print(text, end="")
+        return text
 
     @property
     def columns(self) -> list[str]:

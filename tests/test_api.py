@@ -586,3 +586,22 @@ def test_join_hints_map_to_spark_strategies(spark):
                      hint="REPARTITION_SORT_MERGE")
     assert "SortMergeJoin" in physical(j2)
     assert j2.to_df().count() == 25
+
+
+def test_table_explain_details(spark):
+    """Table.explain(ExplainDetail...) (ExplainDetail.java): ESTIMATED_COST
+    switches to the statistics-annotated plan, JSON_EXECUTION_PLAN appends
+    the optimized plan as JSON, CHANGELOG_MODE reports insert-only for
+    bounded plans; unknown details raise."""
+    import pytest
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    t = env.from_dataframe(spark.range(10).toDF("n")).filter("n > 3")
+    assert "Physical Plan" in t.explain()
+    assert "sizeInBytes" in t.explain("ESTIMATED_COST")
+    s = t.explain("JSON_EXECUTION_PLAN", "CHANGELOG_MODE")
+    assert '"class"' in s and "changelogMode=[I]" in s
+    with pytest.raises(ValueError, match="unknown ExplainDetail"):
+        t.explain("BOGUS")
