@@ -1540,10 +1540,15 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("is_t"),
         F.explode(tokens(F.col("text"))).alias("w"),
     ).select("doc_id", "is_t", (hash64(F.col("w")) % _DSIR_B).alias("b"))
+    # persisted: 64 rows — tot and model both derive from it, and without
+    # the persist the whole corpus tokenize+aggregate lineage would run
+    # TWICE (the loop-input lesson from ARCHITECTURE.md applied to a
+    # shared model subtree); the scoring pass below is then the corpus's
+    # second and last scan
     stats = toks.groupBy("b").agg(
         F.count(F.lit(1)).alias("c_r"),
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_t"),
-    )
+    ).persist()
     tot = stats.agg(F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t"))
     model = stats.crossJoin(F.broadcast(tot)).select(
         "b",

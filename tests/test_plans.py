@@ -697,3 +697,37 @@ def test_nexmark_round8_plan_shapes(spark):
     rep = audit_plan(REGISTRY["nexmark_q20"].fn(spark, SF))
     assert rep.nested_loop_joins == 0
     assert rep.scans_with_pushed_filters >= 2  # category on dim, type on bids
+
+
+def test_dsir_plan_shape(spark):
+    """dsir_importance_select: the bucket model is broadcast (64 rows),
+    the token stream shuffles only for the two aggregates (bucket stats,
+    per-doc scores), selection is TakeOrdered — no keyless window, no
+    nested loop beyond the 1-row broadcast totals join."""
+    rep = audit_plan(REGISTRY["dsir_importance_select"].fn(spark, SF))
+    assert rep.broadcast_hash_joins >= 1  # model join onto the token stream
+    assert "TakeOrderedAndProject" in rep.raw
+    assert "Window" not in rep.raw  # no global/keyless window anywhere
+    # the corpus is scanned exactly twice — model-training pass + scoring
+    # pass (the persisted 64-row stats table feeds both tot and model)
+    assert rep.scans == 2
+    # shuffles: 2 spread repartitions + stats agg + 64-row tot agg +
+    # per-doc score agg
+    assert rep.exchanges <= 5
+
+
+def test_session_tvf_sql_plan_keyed_window(spark):
+    """window_session_tvf_sql (PARTITION BY user_id): every WindowExec is
+    keyed — the gaps-and-islands merge must not fall back to a global
+    sort partition."""
+    rep = audit_plan(REGISTRY["window_session_tvf_sql"].fn(spark, SF))
+    import re as _re
+
+    for m in _re.finditer(r"Arguments: .*windowspecdefinition\(([^)]*)\)", rep.raw):
+        spec = m.group(1)
+        assert "user_id" in spec, f"keyless window spec: {spec[:120]}"
+    # defensive: the explain's Window operator lines must mention the key
+    for line in rep.raw.splitlines():
+        if "(Window" in line and "user_id" not in line:
+            # operator summary lines don't carry args; detail checked above
+            continue
