@@ -1078,12 +1078,45 @@ class TableEnvironment:
                 # plain temp views (created outside DDL) live in the default db
                 return sorted(mine | (temp - set(self._tables) - set(self._views)))
             return sorted(mine)
-        m = _re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(.+)", s, _re.I | _re.S)
+        m = _re.match(
+            r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(?:PARTITION\s*\(([^)]*)\)\s+)?(.+)",
+            s,
+            _re.I | _re.S,
+        )
         if m:
             mode = "overwrite" if m.group(1).upper() == "OVERWRITE" else "append"
-            name, query = m.group(2), m.group(3)
-            self._validate_insert_target(name)
+            name, part_spec, query = m.group(2), m.group(3), m.group(4)
+            t = self._validate_insert_target(name)
             df = self.sql_query(query).to_df()
+            if part_spec:
+                # static partition spec (RichSqlInsert.java:38
+                # staticPartitions): PARTITION (k='v', ...) — the SELECT
+                # list omits these columns; each is appended as a constant
+                # cast to its declared type.  Keys must be partition keys.
+                decl = dict(t.columns)
+                static = {
+                    pm.group(1): pm.group(2)
+                    for pm in _re.finditer(r"(\w+)\s*=\s*'([^']*)'", part_spec)
+                }
+                for k in static:
+                    if k not in t.partitioned_by:
+                        raise ValueError(
+                            f"static partition column {k!r} is not a partition key of {name!r}"
+                        )
+                if t.columns:
+                    # alignment is positional (Flink inserts by position):
+                    # the query must supply exactly the non-static columns
+                    dynamic = [c for c, _ in t.columns if c not in static]
+                    if len(df.columns) != len(dynamic):
+                        raise ValueError(
+                            f"INSERT column count {len(df.columns)} != "
+                            f"sink schema minus static partitions {len(dynamic)}"
+                        )
+                    df = df.toDF(*dynamic)
+                for k, v in static.items():
+                    df = df.withColumn(k, F.expr(f"CAST('{v}' AS {decl.get(k, 'STRING')})"))
+                if t.columns:
+                    df = df.select(*[c for c, _ in t.columns])
             self._insert_into(name, df, mode)
             self._refresh_after_inserts([name])
             return []
@@ -1116,6 +1149,18 @@ class TableEnvironment:
                     f"INSERT column count {len(df.columns)} != sink schema {len(cols)}"
                 )
             df = df.toDF(*cols)
+            # insert-cast to the declared sink types (Flink applies the
+            # sink schema positionally — a DECIMAL literal inserted into a
+            # DOUBLE column must be widened BEFORE the write, or the
+            # parquet file's physical type diverges from the declared
+            # schema the readers use)
+            casted = []
+            for c, ty in t.columns:
+                try:
+                    casted.append(F.col(c).cast(ty))
+                except Exception:  # noqa: BLE001 — Flink-only type spelling
+                    casted.append(F.col(c))
+            df = df.select(*casted)
         if t.partitioned_by and mode == "overwrite":
             # Flink's filesystem INSERT OVERWRITE replaces only the
             # partitions receiving data; Spark's static mode would wipe

@@ -796,3 +796,35 @@ def test_alter_view_rename_and_as(spark):
     env.execute_sql("CREATE VIEW av3 AS SELECT 3 AS three")
     with pytest.raises(ValueError, match="already exists"):
         env.execute_sql("ALTER VIEW av3 RENAME TO av2")
+
+
+def test_insert_static_partition_spec(spark, tmp_path):
+    """INSERT INTO/OVERWRITE t PARTITION (k='v') <query> (RichSqlInsert
+    staticPartitions): the SELECT omits the static columns, which are
+    appended as constants cast to their declared types; OVERWRITE with a
+    static spec replaces only that partition (dynamic overwrite mode)."""
+    import os
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    sink = str(tmp_path / "sp_sink")
+    env.execute_sql(f"""
+        CREATE TABLE sp_t (id BIGINT, v DOUBLE, lang STRING)
+        PARTITIONED BY (lang)
+        WITH ('path'='{sink}')
+    """)
+    env.execute_sql("INSERT INTO sp_t PARTITION (lang='en') SELECT 1, 1.5")
+    env.execute_sql("INSERT INTO sp_t PARTITION (lang='fr') VALUES (2, CAST(2.5 AS DOUBLE))")
+    rows = {(r.id, r.v, r.lang) for r in env.execute_sql("SELECT * FROM sp_t")}
+    assert rows == {(1, 1.5, "en"), (2, 2.5, "fr")}
+    assert sorted(d for d in os.listdir(sink) if d.startswith("lang=")) == ["lang=en", "lang=fr"]
+    # static-spec OVERWRITE replaces only the named partition
+    env.execute_sql("INSERT OVERWRITE sp_t PARTITION (lang='en') SELECT 10, 10.0")
+    rows = {(r.id, r.lang) for r in env.execute_sql("SELECT id, lang FROM sp_t")}
+    assert rows == {(10, "en"), (2, "fr")}
+    # errors: non-partition static key; wrong column count
+    with pytest.raises(ValueError, match="not a partition key"):
+        env.execute_sql("INSERT INTO sp_t PARTITION (v='1.0') SELECT 3, 'x'")
+    with pytest.raises(ValueError, match="column count"):
+        env.execute_sql("INSERT INTO sp_t PARTITION (lang='de') SELECT 3")
