@@ -68,6 +68,15 @@ _SQL_FUNCS: dict[str, tuple[str, str, str]] = {
     ),
     "JSON_VALUE": ("(j STRING, p STRING)", "STRING", "get_json_object(j, p)"),
     "JSON_EXISTS": ("(j STRING, p STRING)", "BOOLEAN", "get_json_object(j, p) IS NOT NULL"),
+    # Flink's fixed-width SHA-2 family names (FlinkSqlOperatorTable:
+    # SHA224/SHA256/SHA384/SHA512) — Spark spells them sha2(x, bits)
+    "SHA224": ("(s STRING)", "STRING", "sha2(s, 224)"),
+    "SHA256": ("(s STRING)", "STRING", "sha2(s, 256)"),
+    "SHA384": ("(s STRING)", "STRING", "sha2(s, 384)"),
+    "SHA512": ("(s STRING)", "STRING", "sha2(s, 512)"),
+    # CURRENT_ROW_TIMESTAMP() — per-row processing-time stamp (same
+    # PROCTIME divergence note as compat.proctime: evaluation-time value)
+    "CURRENT_ROW_TIMESTAMP": ("()", "TIMESTAMP", "now()"),
 }
 
 

@@ -435,6 +435,20 @@ def test_flink_sql_functions_register_and_inline(spark):
     assert r.jv == "7"
     assert r.je1 is True and r.je2 is False
 
+    # fixed-width SHA-2 family + CURRENT_ROW_TIMESTAMP (r8)
+    import hashlib
+
+    r2 = spark.sql(
+        "SELECT SHA224('abc') AS h224, SHA256('abc') AS h256, "
+        "SHA384('abc') AS h384, SHA512('abc') AS h512, "
+        "CURRENT_ROW_TIMESTAMP() AS prt"
+    ).collect()[0]
+    assert r2.h224 == hashlib.sha224(b"abc").hexdigest()
+    assert r2.h256 == hashlib.sha256(b"abc").hexdigest()
+    assert r2.h384 == hashlib.sha384(b"abc").hexdigest()
+    assert r2.h512 == hashlib.sha512(b"abc").hexdigest()
+    assert r2.prt is not None
+
     # HASH_CODE agrees with the portable Column-layer hash
     from incubator_flink_spark.functions.hashing import hash64
 
