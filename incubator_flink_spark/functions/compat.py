@@ -115,3 +115,15 @@ def convert_tz(ts_str: Column, from_tz: str, to_tz: str) -> Column:
         F.from_utc_timestamp(F.to_utc_timestamp(F.to_timestamp(ts_str), from_tz), to_tz),
         "yyyy-MM-dd HH:mm:ss",
     )
+
+
+def temporal_overlaps(
+    l_start: Column, l_end: Column, r_start: Column, r_end: Column
+) -> Column:
+    """temporalOverlaps / SQL ``(s1, e1) OVERLAPS (s2, e2)``
+    (BuiltInFunctionDefinitions TEMPORAL_OVERLAPS; Calcite
+    SqlStdOperatorTable.OVERLAPS): inclusive period intersection after
+    normalizing each period so start <= end."""
+    s1, e1 = F.least(l_start, l_end), F.greatest(l_start, l_end)
+    s2, e2 = F.least(r_start, r_end), F.greatest(r_start, r_end)
+    return (s1 <= e2) & (s2 <= e1)

@@ -77,6 +77,14 @@ _SQL_FUNCS: dict[str, tuple[str, str, str]] = {
     # CURRENT_ROW_TIMESTAMP() — per-row processing-time stamp (same
     # PROCTIME divergence note as compat.proctime: evaluation-time value)
     "CURRENT_ROW_TIMESTAMP": ("()", "TIMESTAMP", "now()"),
+    # SQL-standard (s1, e1) OVERLAPS (s2, e2) — Spark has no OVERLAPS
+    # operator, so the Flink Table-API name TEMPORAL_OVERLAPS is the SQL
+    # spelling here (periods normalized, bounds inclusive)
+    "TEMPORAL_OVERLAPS": (
+        "(s1 TIMESTAMP, e1 TIMESTAMP, s2 TIMESTAMP, e2 TIMESTAMP)",
+        "BOOLEAN",
+        "least(s1, e1) <= greatest(s2, e2) AND least(s2, e2) <= greatest(s1, e1)",
+    ),
 }
 
 

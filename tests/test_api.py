@@ -619,3 +619,33 @@ def test_table_explain_details(spark):
     assert '"class"' in s and "changelogMode=[I]" in s
     with pytest.raises(ValueError, match="unknown ExplainDetail"):
         t.explain("BOGUS")
+
+
+def test_temporal_overlaps(spark):
+    """TEMPORAL_OVERLAPS (SQL-standard OVERLAPS): inclusive bounds,
+    periods normalized when end < start — both the Column compat layer
+    and the SQL spelling."""
+    from incubator_flink_spark.functions.compat import temporal_overlaps
+    from incubator_flink_spark.functions.sqlfuncs import register_flink_sql_functions
+
+    register_flink_sql_functions(spark)
+    rows = spark.sql("""
+        SELECT TEMPORAL_OVERLAPS(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 02:00:00',
+                                 TIMESTAMP '2024-01-01 01:00:00', TIMESTAMP '2024-01-01 03:00:00') AS o1,
+               TEMPORAL_OVERLAPS(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 01:00:00',
+                                 TIMESTAMP '2024-01-01 01:00:00', TIMESTAMP '2024-01-01 02:00:00') AS o2,
+               TEMPORAL_OVERLAPS(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 01:00:00',
+                                 TIMESTAMP '2024-01-01 01:00:01', TIMESTAMP '2024-01-01 02:00:00') AS o3,
+               TEMPORAL_OVERLAPS(TIMESTAMP '2024-01-01 02:00:00', TIMESTAMP '2024-01-01 00:00:00',
+                                 TIMESTAMP '2024-01-01 01:00:00', TIMESTAMP '2024-01-01 03:00:00') AS o4
+    """).collect()[0]
+    assert rows.o1 is True          # plain intersection
+    assert rows.o2 is True          # touching endpoints are inclusive
+    assert rows.o3 is False         # disjoint
+    assert rows.o4 is True          # reversed period normalized
+    df = spark.sql("""
+        SELECT TIMESTAMP '2024-01-01 00:00:00' AS s1, TIMESTAMP '2024-01-01 02:00:00' AS e1,
+               TIMESTAMP '2024-01-01 01:00:00' AS s2, TIMESTAMP '2024-01-01 03:00:00' AS e2
+    """)
+    got = df.select(temporal_overlaps(df.s1, df.e1, df.s2, df.e2).alias("o")).collect()[0].o
+    assert got is True
