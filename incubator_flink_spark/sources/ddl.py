@@ -1,6 +1,7 @@
 """SQL DDL layer (reference: flink-sql-parser SqlCreateTable.java:70 /
-SqlWatermark.java:39 — CREATE TABLE with columns, computed columns, a
-WATERMARK FOR clause, and WITH ('connector'= ..., ...) options).
+SqlWatermark.java:39 / SqlTableLike.java:91 — CREATE TABLE with columns,
+computed columns, a WATERMARK FOR clause, WITH ('connector'= ..., ...)
+options, and a LIKE clause merged per MergeTableLikeUtil).
 
 Maps declaratively onto Spark readers:
 - connector 'filesystem' + format  → read_table (batch or streaming per
