@@ -155,6 +155,7 @@ EXTRA = [
     "avro_roundtrip_agg",
     "window_session_tvf_sql",
     "cep_nested_group_sql",
+    "dedup_prefix_filter",
 ]
 
 

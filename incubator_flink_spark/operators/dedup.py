@@ -392,3 +392,53 @@ def incremental_dedup(
         .where(F.col("__rn") == 1)
         .select(F.col("new_id").alias(id_col), "ref_id", "jaccard")
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT jaccard-threshold similarity join via prefix filtering — the
+    All-Pairs / PPJoin candidate scheme (Bayardo et al. WWW'07; Xiao et
+    al. WWW'08, both public): order every document's shingles by a GLOBAL
+    rarity order (document frequency asc, shingle asc — total and
+    deterministic), and index only each document's first
+    floor((1-t)*s) + 1 shingles (s = set size).  Any pair with
+    jaccard >= t MUST share a prefix shingle under a common total order
+    (if all shared shingles sat past both prefixes, the overlap would be
+    too small for t) — so recall is 1.0 BY CONSTRUCTION, unlike the
+    df-capped ``jaccard_pairs`` (which trades hot-shingle-only pairs away)
+    or MinHash banding (probabilistic recall).
+
+    Scale shape: the candidate self-join runs on the PREFIX index —
+    (1-t)-proportional in each set's size, so at t=0.8 it carries ~20% of
+    the inverted index and rare shingles first means the hottest shingles
+    sit at the END of big sets' orderings and rarely enter any prefix.
+    One df aggregate, one doc-keyed window for ranks (keyed — full
+    parallelism), candidate-first verify as everywhere else."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    ds = doc_shingle_set(docs, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    ranked = (
+        ds.join(dfreq, "shingle")
+        .withColumn("__r", F.row_number().over(w))
+        .withColumn("__s", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    prefix = ranked.where(
+        F.col("__r") <= F.floor(F.lit(1.0 - threshold) * F.col("__s")) + 1
+    ).select(id_col, "shingle")
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return verify_jaccard(docs, cand, id_col, text_col, k, threshold, ds=ds)

@@ -36,6 +36,7 @@ from incubator_flink_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     normalize_text,
+    prefix_filter_pairs,
     simhash_pairs,
     verify_jaccard,
 )
@@ -1913,3 +1914,36 @@ def word_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+# --- exact prefix-filter similarity join (All-Pairs / PPJoin) ----------------
+# Same ground-truth all-pairs oracle family as dedup_minhash_lsh, at the
+# lower threshold the prefix filter is built for — the hash match proves
+# the prefix-filter candidate scheme has recall 1.0 on real data (the
+# oracle enumerates every pair; the engine only scores pairs sharing a
+# rarity-ordered prefix shingle).
+
+DEDUP_PREFIX_FILTER_ORACLE = f"""
+WITH ds AS ({_DS_CTE}),
+cnt AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(n * 1.0 / (ca.sz + cb.sz - n), 6) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+WHERE ROUND(n * 1.0 / (ca.sz + cb.sz - n), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_prefix_filter", DEDUP_PREFIX_FILTER_ORACLE)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact jaccard >= 0.5 pairs via prefix filtering (Bayardo et al.
+    WWW'07 All-Pairs / Xiao et al. WWW'08 PPJoin candidate scheme):
+    recall 1.0 by construction, no LSH probability and no df-cap loss —
+    the third member of the near-dup family next to dedup_minhash_lsh
+    (probabilistic recall) and ngram_jaccard_pairs (df-capped)."""
+    d = load(spark, sf_dir, "documents")
+    return prefix_filter_pairs(d, threshold=0.5).orderBy("id_a", "id_b")

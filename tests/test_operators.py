@@ -1255,3 +1255,50 @@ def test_asof_join_nearest_matches_pandas_merge_asof(spark):
             assert (wk, wt) == (gk, gt) or (
                 abs(wt - p_by_id[pid][2]) == abs(gt - p_by_id[pid][2])
             ), (direction, pid, want_bid, got_bid)
+
+
+def test_prefix_filter_exact_and_smaller_index(spark):
+    """prefix_filter_pairs (All-Pairs/PPJoin): (a) pairs == brute-force
+    ground truth on a planted corpus (recall 1.0 — the scheme's defining
+    guarantee), (b) the prefix index is strictly smaller than the full
+    inverted index (the efficiency the scheme exists for)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from incubator_flink_spark.operators.dedup import (
+        doc_shingle_set,
+        prefix_filter_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    docs = []
+    for i in range(30):
+        # rotated/perturbed variants: plenty of near pairs at t=0.5
+        w = words[i % 5 :] + words[: i % 5] + [f"tail{i % 7}", f"tail{(i+1) % 7}"]
+        docs.append((i, " ".join(w)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_pairs(df, threshold=0.5).collect()
+    }
+    # brute force ground truth over the same shingle sets
+    ds = doc_shingle_set(df).collect()
+    sets = {}
+    for r in ds:
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    truth = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if round(j, 6) >= 0.5:
+            truth[(a, b)] = round(j, 6)
+    assert got == truth and len(truth) > 0
+    # the prefix index at t=0.5 must be about half the full index
+    full = doc_shingle_set(df).count()
+    dfreq = doc_shingle_set(df).groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    assert full > 0
+    # index reduction: ceil((1-t)*s)+1 per doc vs s per doc
+    sizes = {d: len(s) for d, s in sets.items()}
+    prefix_rows = sum(int((1 - 0.5) * s) + 1 for s in sizes.values())
+    assert prefix_rows < full
