@@ -1202,6 +1202,35 @@ class TableEnvironment:
         buffer several INSERTs and execute them as one unit."""
         return StatementSet(self)
 
+    def create_temporary_table(self, path: str, descriptor: "TableDescriptor") -> None:
+        """Register a connector table from a TableDescriptor (reference
+        TableEnvironment.createTemporaryTable:616, FLIP-129) — the
+        programmatic equivalent of CREATE TEMPORARY TABLE DDL."""
+        from incubator_flink_spark.sources.ddl import execute_ddl
+
+        t = descriptor.to_table_def(path)
+        execute_ddl(self._spark, None, table_def=t)
+        self._tables[path] = t
+        self._table_db[path] = self._current_db
+        self._table_cat[path] = self._current_cat
+        return None
+
+    def from_descriptor(self, descriptor: "TableDescriptor") -> Table:
+        """TableEnvironment.from(TableDescriptor) — register under a unique
+        anonymous name and return the Table (reference
+        TableEnvironment.java:749).  Works for streaming descriptors too
+        (the returned Table wraps the readStream DataFrame directly)."""
+        from incubator_flink_spark.sources.ddl import execute_ddl
+
+        self._hint_views += 1
+        name = f"__anon_tbl_{self._hint_views}"
+        t = descriptor.to_table_def(name)
+        df = execute_ddl(self._spark, None, table_def=t)
+        self._tables[name] = t
+        self._table_db[name] = self._current_db
+        self._table_cat[name] = self._current_cat
+        return Table(df)
+
     def create_temporary_view(self, name: str, table: Table) -> None:
         table.to_df().createOrReplaceTempView(name)
 
@@ -1213,6 +1242,112 @@ class TableEnvironment:
         ``JOIN <name> FOR SYSTEM_TIME AS OF <probe>.<ts>`` joins."""
         table.to_df().createOrReplaceTempView(name)
         self._versioned[name] = (time_attr, primary_key)
+
+
+class Schema:
+    """Declarative schema (reference flink-table-common api/Schema.java —
+    Schema.newBuilder().column(...).columnByExpression(...).watermark(...)
+    .primaryKey(...).build(); PyFlink spells it new_builder)."""
+
+    def __init__(self, columns, computed, watermark, primary_key):
+        self.columns = columns
+        self.computed = computed
+        self.watermark = watermark
+        self.primary_key = primary_key
+
+    class Builder:
+        def __init__(self):
+            self._columns: list[tuple[str, str]] = []
+            self._computed: list[tuple[str, str]] = []
+            self._watermark: tuple[str, int] | None = None
+            self._primary_key: list[str] = []
+
+        def column(self, name: str, data_type: str) -> "Schema.Builder":
+            self._columns.append((name, data_type))
+            return self
+
+        def column_by_expression(self, name: str, sql_expression: str) -> "Schema.Builder":
+            self._computed.append((name, sql_expression))
+            return self
+
+        def watermark(self, column: str, sql_expression: str) -> "Schema.Builder":
+            m = re.search(
+                r"INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR)", sql_expression, re.IGNORECASE
+            )
+            if not m:
+                raise ValueError(
+                    "watermark expression must be <col> - INTERVAL 'n' SECOND|MINUTE|HOUR"
+                )
+            unit = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600}[m.group(2).upper()]
+            self._watermark = (column, int(m.group(1)) * unit)
+            return self
+
+        def primary_key(self, *columns: str) -> "Schema.Builder":
+            self._primary_key = list(columns)
+            return self
+
+        def build(self) -> "Schema":
+            return Schema(self._columns, self._computed, self._watermark, self._primary_key)
+
+    @staticmethod
+    def new_builder() -> "Schema.Builder":
+        return Schema.Builder()
+
+
+class TableDescriptor:
+    """Programmatic CREATE TABLE (reference TableDescriptor.java:54,
+    FLIP-129): TableDescriptor.for_connector('filesystem').schema(...)
+    .option('path', ...).format('parquet').partitioned_by(...).build()."""
+
+    def __init__(self, schema, options, partition_keys):
+        self.schema = schema
+        self.options = options
+        self.partition_keys = partition_keys
+
+    class Builder:
+        def __init__(self, connector: str):
+            self._options: dict[str, str] = {"connector": connector}
+            self._schema: Schema | None = None
+            self._partition_keys: list[str] = []
+
+        def schema(self, schema: Schema) -> "TableDescriptor.Builder":
+            self._schema = schema
+            return self
+
+        def option(self, key: str, value: str) -> "TableDescriptor.Builder":
+            self._options[key] = value
+            return self
+
+        def format(self, fmt: str) -> "TableDescriptor.Builder":
+            self._options["format"] = fmt
+            return self
+
+        def partitioned_by(self, *columns: str) -> "TableDescriptor.Builder":
+            self._partition_keys = list(columns)
+            return self
+
+        def build(self) -> "TableDescriptor":
+            if self._schema is None:
+                raise ValueError("Table descriptors require a schema.")
+            return TableDescriptor(self._schema, dict(self._options), self._partition_keys)
+
+    @staticmethod
+    def for_connector(connector: str) -> "TableDescriptor.Builder":
+        return TableDescriptor.Builder(connector)
+
+    def to_table_def(self, name: str):
+        from incubator_flink_spark.sources.ddl import TableDef
+
+        s = self.schema
+        return TableDef(
+            name=name,
+            columns=list(s.columns),
+            computed=list(s.computed),
+            watermark=s.watermark,
+            primary_key=list(s.primary_key),
+            partitioned_by=list(self.partition_keys),
+            options=dict(self.options),
+        )
 
 
 class StatementSet:

@@ -649,3 +649,52 @@ def test_temporal_overlaps(spark):
     """)
     got = df.select(temporal_overlaps(df.s1, df.e1, df.s2, df.e2).alias("o")).collect()[0].o
     assert got is True
+
+
+def test_table_descriptor_api(spark, tmp_path):
+    """Schema + TableDescriptor + createTemporaryTable/from_descriptor
+    (FLIP-129; TableDescriptor.java:54, TableEnvironment.java:616,749):
+    the programmatic CREATE TABLE — computed columns, watermark, PK, and
+    partition keys all land in the registered definition."""
+    import pytest
+
+    from incubator_flink_spark.api.table import Schema, TableDescriptor, TableEnvironment
+
+    env = TableEnvironment(spark)
+    p = str(tmp_path / "td_tbl")
+    spark.createDataFrame(
+        [(1, 10.0, "en"), (2, 5.0, "fr")], "id long, v double, lang string"
+    ).write.parquet(p)
+    desc = (
+        TableDescriptor.for_connector("filesystem")
+        .schema(
+            Schema.new_builder()
+            .column("id", "BIGINT")
+            .column("v", "DOUBLE")
+            .column("lang", "STRING")
+            .column_by_expression("v_cents", "CAST(v * 100 AS BIGINT)")
+            .primary_key("id")
+            .build()
+        )
+        .option("path", p)
+        .format("parquet")
+        .build()
+    )
+    env.create_temporary_table("td_t", desc)
+    rows = env.execute_sql("SELECT id, v_cents FROM td_t ORDER BY id")
+    assert [(r.id, r.v_cents) for r in rows] == [(1, 1000), (2, 500)]
+    assert env._tables["td_t"].primary_key == ["id"]
+    # from_descriptor: anonymous registration returning the Table
+    t = env.from_descriptor(desc)
+    assert t.to_df().count() == 2
+    # descriptors require a schema (reference error text)
+    with pytest.raises(ValueError, match="require a schema"):
+        TableDescriptor.for_connector("filesystem").option("path", p).build()
+    # watermark parse
+    s = (
+        Schema.new_builder()
+        .column("ts", "TIMESTAMP")
+        .watermark("ts", "ts - INTERVAL '30' SECOND")
+        .build()
+    )
+    assert s.watermark == ("ts", 30)
