@@ -523,14 +523,21 @@ class TableEnvironment:
 
         def repl(m):
             name, body = m.group(1), m.group(2)
-            t = self._tables.get(name)
-            if t is None:
-                raise ValueError(f"OPTIONS hint target {name!r} is not a DDL table")
+            # Gate BEFORE target resolution: the reference rejects a disabled
+            # hint regardless of what it is attached to (HintOptionChecker),
+            # so a hint on a view/alias must not leak a 'not a DDL table'
+            # error while the feature is off.
             if self._config.get("table.dynamic-table-options.enabled", "false") != "true":
                 raise ValueError(
                     "OPTIONS hint is allowed only when table.dynamic-table-options"
                     ".enabled is set to true"
                 )
+            t = self._tables.get(name)
+            if t is None:
+                # Hint attached to an alias / view / CTE (e.g. the \w+ the
+                # regex grabbed is 'a' in `FROM t AS a /*+ OPTIONS(...) */`):
+                # tolerate by stripping the hint and leaving the relation.
+                return name
             import copy
 
             hinted = copy.deepcopy(t)
@@ -786,7 +793,14 @@ class TableEnvironment:
                 if ddb.group(1):
                     return []
                 raise ValueError(f"database {name!r} does not exist")
-            if name == "default_database":
+            # Each catalog's default database is protected: 'default_database'
+            # in default_catalog, 'default' in user catalogs (mirrors
+            # GenericInMemoryCatalog's builtin db) — keyed on the CURRENT
+            # catalog, not a hardcoded name.
+            cat_default = (
+                "default_database" if self._current_cat == "default_catalog" else "default"
+            )
+            if name == cat_default:
                 raise ValueError("cannot drop the default database")
             owned = [
                 t
@@ -814,7 +828,7 @@ class TableEnvironment:
                 self._view_cat.pop(v, None)
             self._databases.discard(name)
             if self._current_db == name:
-                self._current_db = "default_database"
+                self._current_db = cat_default
             return []
         um = _re.fullmatch(r"USE\s+(\w+)", s, _re.I)
         if um:
@@ -1407,15 +1421,33 @@ class StatementSet:
         # first write (Flink's single job scans every source exactly once,
         # before any sink commits).  Disjoint read/write sets — the normal
         # case — skip this entirely.
+        import os
+
+        # Normalize both sides to absolute paths and compare PATH COMPONENTS
+        # (commonpath), not raw startswith: a relative sink path must still
+        # match absolute inputFiles(), and '/data/x' must not claim files
+        # under the sibling '/data/x2'.
         sink_paths = [
-            self._env._tables[n].options.get("path", "") for n, _, _ in self._inserts
+            os.path.abspath(p)
+            for p in (
+                self._env._tables[n].options.get("path", "") for n, _, _ in self._inserts
+            )
+            if p
         ]
+
+        def _under(f: str, p: str) -> bool:
+            try:
+                return os.path.commonpath([f, p]) == p
+            except ValueError:
+                return False
+
         staged = []
         for name, df, mode in self._inserts:
             reads = [
-                f.replace("file://", "", 1).replace("file:", "", 1) for f in df.inputFiles()
+                os.path.abspath(f.replace("file://", "", 1).replace("file:", "", 1))
+                for f in df.inputFiles()
             ]
-            if any(p and f.startswith(p) for f in reads for p in sink_paths):
+            if any(_under(f, p) for f in reads for p in sink_paths):
                 df = df.localCheckpoint(eager=True)
             staged.append((name, df, mode))
         for name, df, mode in staged:

@@ -74,8 +74,15 @@ _SQL_FUNCS: dict[str, tuple[str, str, str]] = {
     "SHA256": ("(s STRING)", "STRING", "sha2(s, 256)"),
     "SHA384": ("(s STRING)", "STRING", "sha2(s, 384)"),
     "SHA512": ("(s STRING)", "STRING", "sha2(s, 512)"),
-    # CURRENT_ROW_TIMESTAMP() — per-row processing-time stamp (same
-    # PROCTIME divergence note as compat.proctime: evaluation-time value)
+    # CURRENT_ROW_TIMESTAMP() — DOCUMENTED DIVERGENCE: the reference
+    # evaluates this per ROW (FlinkSqlOperatorTable CURRENT_ROW_TIMESTAMP,
+    # isDeterministic=false), but Spark's now() is a query-scoped constant
+    # (one value per query execution, like CURRENT_TIMESTAMP).  Within one
+    # micro-batch/job the reference's per-row values differ only by
+    # intra-job wall-clock skew, so a query-constant stamp is the closest
+    # Catalyst-native semantics; callers needing strictly monotone per-row
+    # stamps should use a monotonically_increasing_id tiebreaker.  Same
+    # class of divergence as compat.proctime's note.
     "CURRENT_ROW_TIMESTAMP": ("()", "TIMESTAMP", "now()"),
     # SQL-standard (s1, e1) OVERLAPS (s2, e2) — Spark has no OVERLAPS
     # operator, so the Flink Table-API name TEMPORAL_OVERLAPS is the SQL

@@ -406,7 +406,9 @@ def prefix_filter_pairs(
     al. WWW'08, both public): order every document's shingles by a GLOBAL
     rarity order (document frequency asc, shingle asc — total and
     deterministic), and index only each document's first
-    floor((1-t)*s) + 1 shingles (s = set size).  Any pair with
+    s - ceil(t*s) + 1 shingles (s = set size; equal to floor((1-t)*s)+1
+    in exact arithmetic, computed with a guard against binary-float
+    representation error — see the inline comment).  Any pair with
     jaccard >= t MUST share a prefix shingle under a common total order
     (if all shared shingles sat past both prefixes, the overlap would be
     too small for t) — so recall is 1.0 BY CONSTRUCTION, unlike the
@@ -430,9 +432,15 @@ def prefix_filter_pairs(
         .withColumn("__r", F.row_number().over(w))
         .withColumn("__s", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     )
-    prefix = ranked.where(
-        F.col("__r") <= F.floor(F.lit(1.0 - threshold) * F.col("__s")) + 1
-    ).select(id_col, "shingle")
+    # Prefix length is s - ceil(t*s) + 1 (the All-Pairs bound).  Compute it
+    # with a round() before the ceil so binary-float representation error
+    # can't shift the bound: e.g. 0.9*10 evaluates to 9.000000000000002,
+    # whose raw ceil is 10 and would give prefix 1 instead of the required
+    # 2, silently dropping qualifying pairs (jaccard exactly t).
+    prefix_len = (
+        F.col("__s") - F.ceil(F.round(F.lit(float(threshold)) * F.col("__s"), 9)) + 1
+    )
+    prefix = ranked.where(F.col("__r") <= prefix_len).select(id_col, "shingle")
     a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
     b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
     cand = (

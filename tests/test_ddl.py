@@ -540,8 +540,21 @@ def test_options_hint_gated_and_merges(spark, tmp_path):
     assert [r.id for r in rows] == [2, 3]
     # unhinted reads keep the declared path
     assert [r.id for r in env.execute_sql("SELECT id FROM hint_t")] == [1]
-    # hint on an unknown table
-    with pytest.raises(ValueError, match="not a DDL table"):
+    # hint attached to an alias (the \w+ the regex binds is the alias, not
+    # the table): tolerated — the hint is stripped, the query still runs
+    rows = env.execute_sql("SELECT a.id FROM hint_t AS a /*+ OPTIONS('path'='x') */")
+    assert [r.id for r in rows] == [1]
+    # hint on an unknown relation: the hint layer skips it and the error is
+    # the ordinary table-not-found from the validator, not a hint error
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        env.execute_sql("SELECT * FROM nope /*+ OPTIONS('path'='x') */")
+    # gate is checked BEFORE target resolution (reference order): with the
+    # feature re-disabled, even an alias/view-attached hint raises the gate
+    # error, never 'not a DDL table' / table-not-found
+    env.execute_sql("SET 'table.dynamic-table-options.enabled' = 'false'")
+    with pytest.raises(ValueError, match="dynamic-table-options"):
         env.execute_sql("SELECT * FROM nope /*+ OPTIONS('path'='x') */")
 
 
@@ -711,6 +724,31 @@ def test_catalog_lifecycle(spark, tmp_path):
     assert env.execute_sql("SHOW CATALOGS") == ["default_catalog"]
     assert not spark.catalog.tableExists("cat_t")  # cascaded
     env.execute_sql("DROP CATALOG IF EXISTS c2")  # no-op
+
+
+def test_drop_database_in_user_catalog(spark):
+    """DROP DATABASE protections are per-catalog: a user catalog's default
+    database is named 'default' (GenericInMemoryCatalog) and must be
+    protected there, and dropping the CURRENT database inside a user
+    catalog resets the session to THAT catalog's default — never to
+    default_catalog's 'default_database' (which does not exist in c2)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE CATALOG c2 WITH ('type'='generic_in_memory')")
+    env.execute_sql("USE CATALOG c2")
+    # c2's default db is protected even though its name is not 'default_database'
+    with pytest.raises(ValueError, match="cannot drop"):
+        env.execute_sql("DROP DATABASE default")
+    env.execute_sql("CREATE DATABASE scratch")
+    env.execute_sql("USE scratch")
+    assert env.execute_sql("SHOW CURRENT DATABASE") == ["scratch"]
+    env.execute_sql("DROP DATABASE scratch")
+    # session lands on c2's OWN default — a database that exists
+    assert env.execute_sql("SHOW CURRENT DATABASE") == ["default"]
+    assert "default" in env.execute_sql("SHOW DATABASES")
+    env.execute_sql("USE CATALOG default_catalog")
+    env.execute_sql("DROP CATALOG c2")
 
 
 def test_module_lifecycle(spark):

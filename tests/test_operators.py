@@ -1302,3 +1302,24 @@ def test_prefix_filter_exact_and_smaller_index(spark):
     sizes = {d: len(s) for d, s in sets.items()}
     prefix_rows = sum(int((1 - 0.5) * s) + 1 for s in sizes.values())
     assert prefix_rows < full
+
+
+def test_prefix_filter_float_boundary_t09(spark):
+    """Regression for the ADVICE-r8 float hazard: at t=0.9 with a 10-shingle
+    doc, (1-0.9)*10 evaluates to 0.9999999999999998 in binary, so a raw
+    floor(...)+1 gives prefix length 1 instead of the required 2 and a
+    jaccard-exactly-0.9 containment pair is silently missed.  Plant that
+    pair: A = 12 words (10 shingles), B = A minus its first word (the 9
+    trailing shingles, a strict subset) -> jaccard = 9/10 = 0.9.  A's one
+    unique shingle has df=1 (globally rarest), so under the buggy bound A's
+    prefix is ONLY the unique shingle and the pair never becomes a
+    candidate.  The fixed s - ceil(round(t*s)) + 1 bound must find it."""
+    from incubator_flink_spark.operators.dedup import prefix_filter_pairs
+
+    words = [f"w{i:02d}" for i in range(12)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(words[1:]))],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in prefix_filter_pairs(df, threshold=0.9).collect()}
+    assert got == {(1, 2): 0.9}
