@@ -946,6 +946,19 @@ class TableEnvironment:
                     (c, "AS " + expr, True, None, "computed", None)
                     for c, expr in t.computed
                 ]
+                rows += [
+                    (
+                        c,
+                        ty,
+                        True,
+                        None,
+                        "METADATA"
+                        + (f" FROM '{key}'" if key else "")
+                        + (" VIRTUAL" if virtual else ""),
+                        None,
+                    )
+                    for c, ty, key, virtual in t.metadata_cols
+                ]
                 return rows
             if self._spark.catalog.tableExists(name):
                 return [
@@ -963,6 +976,12 @@ class TableEnvironment:
                 raise ValueError(f"SHOW CREATE TABLE: {name!r} was not created via execute_sql DDL")
             body = [f"  {c} {ty}" for c, ty in t.columns]
             body += [f"  {c} AS {expr}" for c, expr in t.computed]
+            body += [
+                f"  {c} {ty} METADATA"
+                + (f" FROM '{key}'" if key else "")
+                + (" VIRTUAL" if virtual else "")
+                for c, ty, key, virtual in t.metadata_cols
+            ]
             if t.watermark:
                 body.append(
                     f"  WATERMARK FOR {t.watermark[0]} AS {t.watermark[0]}"
@@ -1146,6 +1165,17 @@ class TableEnvironment:
             )
         if t.options.get("mode") == "streaming":
             raise ValueError("streaming INSERT goes through writeStream (streaming/sinks.py)")
+        # VIRTUAL metadata columns are excluded from INSERT schemas by
+        # construction (they are not in t.columns); a PERSISTED metadata
+        # column requires writable connector metadata, which the filesystem
+        # connector does not have (reference: DynamicSinkUtils
+        # validateMetadataColumns) — reject it at the sink boundary.
+        persisted_md = [c for c, _, _, virtual in t.metadata_cols if not virtual]
+        if persisted_md:
+            raise ValueError(
+                f"INSERT into {name!r}: metadata column(s) {persisted_md} are not "
+                "writable on the filesystem connector; declare them VIRTUAL"
+            )
         return t
 
     def _insert_into(self, name: str, df: DataFrame, mode: str):
@@ -1263,11 +1293,12 @@ class Schema:
     Schema.newBuilder().column(...).columnByExpression(...).watermark(...)
     .primaryKey(...).build(); PyFlink spells it new_builder)."""
 
-    def __init__(self, columns, computed, watermark, primary_key):
+    def __init__(self, columns, computed, watermark, primary_key, metadata_cols=None):
         self.columns = columns
         self.computed = computed
         self.watermark = watermark
         self.primary_key = primary_key
+        self.metadata_cols = metadata_cols or []
 
     class Builder:
         def __init__(self):
@@ -1275,6 +1306,7 @@ class Schema:
             self._computed: list[tuple[str, str]] = []
             self._watermark: tuple[str, int] | None = None
             self._primary_key: list[str] = []
+            self._metadata_cols: list[tuple[str, str, str | None, bool]] = []
 
         def column(self, name: str, data_type: str) -> "Schema.Builder":
             self._columns.append((name, data_type))
@@ -1282,6 +1314,18 @@ class Schema:
 
         def column_by_expression(self, name: str, sql_expression: str) -> "Schema.Builder":
             self._computed.append((name, sql_expression))
+            return self
+
+        def column_by_metadata(
+            self,
+            name: str,
+            data_type: str,
+            metadata_key: str | None = None,
+            is_virtual: bool = False,
+        ) -> "Schema.Builder":
+            """Reference Schema.Builder.columnByMetadata (Schema.java) —
+            the programmatic `name TYPE METADATA [FROM 'key'] [VIRTUAL]`."""
+            self._metadata_cols.append((name, data_type, metadata_key, is_virtual))
             return self
 
         def watermark(self, column: str, sql_expression: str) -> "Schema.Builder":
@@ -1301,7 +1345,13 @@ class Schema:
             return self
 
         def build(self) -> "Schema":
-            return Schema(self._columns, self._computed, self._watermark, self._primary_key)
+            return Schema(
+                self._columns,
+                self._computed,
+                self._watermark,
+                self._primary_key,
+                self._metadata_cols,
+            )
 
     @staticmethod
     def new_builder() -> "Schema.Builder":
@@ -1361,6 +1411,7 @@ class TableDescriptor:
             primary_key=list(s.primary_key),
             partitioned_by=list(self.partition_keys),
             options=dict(self.options),
+            metadata_cols=list(getattr(s, "metadata_cols", [])),
         )
 
 

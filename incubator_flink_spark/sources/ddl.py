@@ -34,6 +34,13 @@ class TableDef:
     name: str
     columns: list[tuple[str, str]] = field(default_factory=list)  # (name, type)
     computed: list[tuple[str, str]] = field(default_factory=list)  # (name, expr)
+    # METADATA columns (SqlTableColumn.SqlMetadataColumn, flink-sql-parser
+    # .../ddl/SqlTableColumn.java): `name TYPE METADATA [FROM 'key']
+    # [VIRTUAL]` — (name, type, metadata key or None = column name,
+    # virtual).  VIRTUAL columns are read-only and excluded from INSERT
+    # schemas; persisted ones are writable only on connectors with
+    # writable metadata.
+    metadata_cols: list[tuple[str, str, str | None, bool]] = field(default_factory=list)
     watermark: tuple[str, int] | None = None  # (column, delay_s)
     primary_key: list[str] = field(default_factory=list)
     partitioned_by: list[str] = field(default_factory=list)
@@ -73,6 +80,14 @@ _WM_RE = re.compile(
     re.IGNORECASE,
 )
 _PK_RE = re.compile(r"PRIMARY\s+KEY\s*\(([^)]*)\)(\s+NOT\s+ENFORCED)?", re.IGNORECASE)
+# `name TYPE METADATA [FROM 'key'] [VIRTUAL]` (SqlTableColumn.java's
+# SqlMetadataColumn branch; grammar in docs/content/docs/dev/table/sql/
+# create.md "Metadata columns").  The type is lazy so multi-word types
+# (TIMESTAMP(3) WITH LOCAL TIME ZONE) parse; METADATA anchors the tail.
+_META_COL_RE = re.compile(
+    r"(\w+)\s+(.+?)\s+METADATA(?:\s+FROM\s+'([^']+)')?(\s+VIRTUAL)?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -148,6 +163,12 @@ def parse_create_table(sql: str) -> TableDef:
         if cm and not re.match(r"(\w+)\s+AS\s+\w+\s*-\s*INTERVAL", part, re.IGNORECASE):
             t.computed.append((cm.group(1), cm.group(2)))
             continue
+        mm = _META_COL_RE.match(part)
+        if mm:
+            t.metadata_cols.append(
+                (mm.group(1), mm.group(2).strip(), mm.group(3), mm.group(4) is not None)
+            )
+            continue
         col = re.match(r"(\w+)\s+(.+)", part)
         if col:
             t.columns.append((col.group(1), col.group(2).strip()))
@@ -193,19 +214,48 @@ def merge_table_like(derived: TableDef, source: TableDef) -> TableDef:
     # collectPhysicalFieldsTypes, MergeTableLikeUtil.java:482-500)
     source_cols = {c for c, _ in source.columns}
     source_computed = {c for c, _ in source.computed}
+    source_metadata = {c for c, _, _, _ in source.metadata_cols}
     merged.columns = list(source.columns)
     for c, ty in derived.columns:
-        if c in source_cols or c in source_computed:
+        if c in source_cols or c in source_computed or c in source_metadata:
             raise ValueError(f"A column named '{c}' already exists in the base table.")
         merged.columns.append((c, ty))
+
+    # --- METADATA columns (MergeTableLikeUtil SchemaBuilder
+    # appendDerivedColumns, metadata branch): carried under INCLUDING
+    # METADATA (the default), dropped under EXCLUDING, redefinable only
+    # under OVERWRITING METADATA
+    md = strategies["METADATA"]
+    merged.metadata_cols = [] if md == "EXCLUDING" else list(source.metadata_cols)
+    kept_metadata = {c for c, _, _, _ in merged.metadata_cols}
+    phys_names = {c for c, _ in merged.columns}
+    for c, ty, key, virtual in derived.metadata_cols:
+        if c in phys_names:
+            raise ValueError(
+                f"A column named '{c}' already exists in the base table. "
+                "Metadata columns can only overwrite other metadata columns."
+            )
+        if c in kept_metadata:
+            if md != "OVERWRITING":
+                raise ValueError(
+                    f"A metadata column named '{c}' already exists in the base "
+                    "table. You might want to specify EXCLUDING METADATA or "
+                    "OVERWRITING METADATA."
+                )
+            merged.metadata_cols = [
+                m if m[0] != c else (c, ty, key, virtual) for m in merged.metadata_cols
+            ]
+        else:
+            merged.metadata_cols.append((c, ty, key, virtual))
 
     # --- computed (GENERATED) columns (MergeTableLikeUtil.java:404-433)
     gen = strategies["GENERATED"]
     merged.computed = [] if gen == "EXCLUDING" else list(source.computed)
     kept_computed = {c for c, _ in merged.computed}
     all_physical = {c for c, _ in merged.columns}
+    merged_metadata_names = {c for c, _, _, _ in merged.metadata_cols}
     for c, expr in derived.computed:
-        if c in all_physical:
+        if c in all_physical or c in merged_metadata_names:
             raise ValueError(
                 f"A column named '{c}' already exists in the base table. "
                 "Computed columns can only overwrite other computed columns."
@@ -286,6 +336,108 @@ def merge_table_like(derived: TableDef, source: TableDef) -> TableDef:
     return merged
 
 
+# Flink's filesystem readable metadata keys (FileSystemTableSource
+# listReadableMetadata: file.path/file.name/file.size/
+# file.modification-time) → Spark's hidden ``_metadata`` struct on file
+# scans (the exact same four fields).
+_FILESYSTEM_METADATA = {
+    "file.path": "_metadata.file_path",
+    "file.name": "_metadata.file_name",
+    "file.size": "_metadata.file_size",
+    "file.modification-time": "_metadata.file_modification_time",
+}
+# Flink's kafka readable metadata keys (KafkaDynamicSource.ReadableMetadata)
+# → the columns Spark's ``format("kafka")`` reader produces natively.
+_KAFKA_METADATA = {
+    "topic": "topic",
+    "partition": "partition",
+    "offset": "offset",
+    "timestamp": "timestamp",
+    "timestamp-type": "timestampType",
+}
+
+
+def _apply_metadata_columns(df: DataFrame, t: TableDef, mapping: dict[str, str]) -> DataFrame:
+    """Materialize the DDL's METADATA columns from the connector's native
+    metadata fields (the reference's applyReadableMetadata push-down)."""
+    for name, typ, key, _virtual in t.metadata_cols:
+        k = key if key is not None else name
+        if k not in mapping:
+            raise ValueError(
+                f"metadata column {name!r}: key {k!r} is not readable on connector "
+                f"{t.options.get('connector', 'filesystem')!r} "
+                f"(supported: {sorted(mapping)})"
+            )
+        df = df.withColumn(name, F.col(mapping[k]).cast(typ))
+    return df
+
+
+def _read_kafka_table(spark: SparkSession, t: TableDef, streaming: bool) -> DataFrame:
+    """connector 'kafka': decode kafka-shaped frames into the declared
+    schema (KafkaDynamicTableFactory wiring: key format + value format +
+    requested metadata).  Broker-less sandbox: frames are read from the
+    'frames-path' option as parquet with exactly the columns Spark's
+    ``format("kafka")`` reader produces (key/value BINARY + topic/
+    partition/offset/timestamp/timestampType), so against a real broker
+    only the frame source line changes."""
+    from incubator_flink_spark.sources.kafka import parse_kafka
+
+    if "frames-path" not in t.options:
+        raise ValueError(
+            "connector 'kafka': no broker exists in this sandbox — provide "
+            "'frames-path' pointing at kafka-shaped parquet frames "
+            "(key/value BINARY + topic/partition/offset/timestamp columns)"
+        )
+    frames = read_table(spark, t.options["frames-path"], "parquet", streaming=streaming)
+    prefix = t.options.get("key.fields-prefix", "")
+    key_fields = [c.strip() for c in t.options.get("key.fields", "").split(";") if c.strip()]
+    phys = dict(t.columns)
+    missing = [c for c in key_fields if c not in phys]
+    if missing:
+        raise ValueError(f"key.fields {missing} are not physical columns of {t.name!r}")
+    if key_fields and "key.format" not in t.options:
+        raise ValueError("'key.fields' requires 'key.format' (reference: KafkaConnectorOptionsUtil)")
+    key_schema = ", ".join(
+        # the key format sees key fields with the prefix stripped
+        f"{c[len(prefix):] if prefix and c.startswith(prefix) else c} {phys[c]}"
+        for c in key_fields
+    )
+    value_schema = ", ".join(f"{c} {ty}" for c, ty in t.columns if c not in key_fields)
+    df = parse_kafka(
+        frames,
+        value_format=t.options.get("value.format", t.options.get("format", "json")),
+        value_schema=value_schema or None,
+        key_format=t.options.get("key.format") if key_fields else None,
+        key_schema=key_schema or None,
+        key_prefix=prefix,
+        metadata=tuple(
+            dict.fromkeys(
+                _KAFKA_METADATA[(k if k is not None else n)]
+                for n, _, k, _ in t.metadata_cols
+                if (k if k is not None else n) in _KAFKA_METADATA
+            )
+        ),
+    )
+    bad = [
+        (n, k)
+        for n, _, k, _ in t.metadata_cols
+        if (k if k is not None else n) not in _KAFKA_METADATA
+    ]
+    if bad:
+        raise ValueError(
+            f"metadata column(s) {bad}: not readable on connector 'kafka' "
+            f"(supported: {sorted(_KAFKA_METADATA)})"
+        )
+    # rename/cast the native metadata fields to the declared column names,
+    # then restore the declared order: physical columns, then metadata
+    for name, typ, key, _virtual in t.metadata_cols:
+        native = _KAFKA_METADATA[key if key is not None else name]
+        df = df.withColumn(name, F.col(native).cast(typ))
+    return df.select(
+        *[c for c, _ in t.columns], *[n for n, _, _, _ in t.metadata_cols]
+    )
+
+
 def execute_ddl(spark: SparkSession, sql: str | None, table_def: TableDef | None = None) -> DataFrame:
     """Create the table described by the DDL (or an already-parsed
     ``table_def`` — used to refresh a view after an INSERT writes through
@@ -314,7 +466,20 @@ def execute_ddl(spark: SparkSession, sql: str | None, table_def: TableDef | None
                     f"table {t.name!r}: path does not exist and no schema declared"
                 ) from e
             df = spark.createDataFrame([], schema)
+        if t.metadata_cols:
+            if not df.isStreaming and not df.inputFiles():
+                # empty sink-table registration (no files yet): the hidden
+                # _metadata struct only exists on a real file scan — declare
+                # the columns as typed nulls until the first INSERT refresh
+                for name, typ, _key, _virtual in t.metadata_cols:
+                    df = df.withColumn(name, F.lit(None).cast(typ))
+            else:
+                df = _apply_metadata_columns(df, t, _FILESYSTEM_METADATA)
+    elif connector == "kafka":
+        df = _read_kafka_table(spark, t, streaming)
     elif connector == "datagen":
+        if t.metadata_cols:
+            raise ValueError("connector 'datagen' exposes no readable metadata")
         df = datagen(
             spark,
             rows_per_second=int(t.options.get("rows-per-second", "100")),

@@ -866,3 +866,203 @@ def test_insert_static_partition_spec(spark, tmp_path):
         env.execute_sql("INSERT INTO sp_t PARTITION (v='1.0') SELECT 3, 'x'")
     with pytest.raises(ValueError, match="column count"):
         env.execute_sql("INSERT INTO sp_t PARTITION (lang='de') SELECT 3")
+
+
+# ----------------------------------------------- METADATA columns --
+
+
+def test_metadata_column_parse_and_show_create_roundtrip(spark, tmp_path):
+    """`col TYPE METADATA [FROM 'key'] [VIRTUAL]` (SqlTableColumn.java's
+    SqlMetadataColumn branch): parses into TableDef.metadata_cols, appears
+    in DESCRIBE, and SHOW CREATE TABLE emits DDL that re-parses to the
+    same definition."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    ddl = """
+        CREATE TABLE md_t (
+          id BIGINT,
+          fname STRING METADATA FROM 'file.name' VIRTUAL,
+          mtime TIMESTAMP METADATA FROM 'file.modification-time' VIRTUAL
+        ) WITH ('connector'='filesystem','path'='{p}','format'='parquet')
+    """
+    t = parse_create_table(ddl.format(p="/x"))
+    assert t.columns == [("id", "BIGINT")]
+    assert t.metadata_cols == [
+        ("fname", "STRING", "file.name", True),
+        ("mtime", "TIMESTAMP", "file.modification-time", True),
+    ]
+    p = str(tmp_path / "md_t")
+    spark.createDataFrame([(1,), (2,)], "id long").write.parquet(p)
+    env = TableEnvironment(spark)
+    env.execute_sql(ddl.format(p=p))
+    # DESCRIBE carries the metadata kind
+    desc = env.execute_sql("DESCRIBE md_t")
+    kinds = {r[0]: r[4] for r in desc}
+    assert kinds["fname"] == "METADATA FROM 'file.name' VIRTUAL"
+    # SHOW CREATE TABLE round-trips through the parser
+    created = env.execute_sql("SHOW CREATE TABLE md_t")[0]
+    t2 = parse_create_table(created)
+    assert t2.metadata_cols == t.metadata_cols and t2.columns == t.columns
+
+
+def test_metadata_columns_filesystem_values(spark, tmp_path):
+    """Filesystem readable metadata (FileSystemTableSource
+    listReadableMetadata: file.path/file.name/file.size/
+    file.modification-time) maps to Spark's hidden _metadata struct — the
+    values are the real scanned-file facts, not constants."""
+    import os
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    p = str(tmp_path / "fs_md")
+    spark.createDataFrame([(1,), (2,)], "id long").coalesce(1).write.parquet(p)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE fs_md (
+          id BIGINT,
+          fpath STRING METADATA FROM 'file.path' VIRTUAL,
+          fname STRING METADATA FROM 'file.name' VIRTUAL,
+          fsize BIGINT METADATA FROM 'file.size' VIRTUAL
+        ) WITH ('path'='{p}')
+    """)
+    rows = env.execute_sql("SELECT DISTINCT fpath, fname, fsize FROM fs_md")
+    assert len(rows) == 1
+    part_files = [f for f in os.listdir(p) if f.startswith("part-")]
+    assert rows[0].fname in part_files
+    assert rows[0].fpath.endswith(rows[0].fname)
+    assert rows[0].fsize == os.path.getsize(os.path.join(p, rows[0].fname))
+    # unsupported key is rejected with the supported list
+    with pytest.raises(ValueError, match="not readable"):
+        env.execute_sql(f"""
+            CREATE TABLE fs_bad (id BIGINT, x STRING METADATA FROM 'nope')
+            WITH ('path'='{p}')
+        """)
+
+
+def test_metadata_columns_kafka_ddl(spark, tmp_path):
+    """Kafka metadata through DDL (KafkaDynamicSource.ReadableMetadata →
+    the native columns of Spark's kafka reader): timestamp/offset/
+    partition/topic read through `METADATA [FROM 'key']`, value fields
+    decoded by the declared format — broker-less via kafka-shaped frames."""
+    import datetime
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    frames = spark.createDataFrame(
+        [
+            ('{"id":10,"name":"a"}', 5, 0, datetime.datetime(2024, 1, 1, 0, 0, 5)),
+            ('{"id":20,"name":"b"}', 6, 1, datetime.datetime(2024, 1, 1, 0, 0, 6)),
+        ],
+        "v STRING, offset BIGINT, partition INT, timestamp TIMESTAMP",
+    ).select(
+        F.lit(None).cast("binary").alias("key"),
+        F.encode("v", "UTF-8").alias("value"),
+        F.lit("orders").alias("topic"),
+        "partition",
+        "offset",
+        "timestamp",
+        F.lit(0).alias("timestampType"),
+    )
+    fp = str(tmp_path / "frames")
+    frames.write.parquet(fp)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE k_orders (
+          id BIGINT,
+          name STRING,
+          off BIGINT METADATA FROM 'offset' VIRTUAL,
+          part INT METADATA FROM 'partition' VIRTUAL,
+          ts TIMESTAMP METADATA FROM 'timestamp' VIRTUAL,
+          topic STRING METADATA VIRTUAL
+        ) WITH (
+          'connector'='kafka', 'topic'='orders', 'value.format'='json',
+          'frames-path'='{fp}'
+        )
+    """)
+    rows = sorted(
+        env.execute_sql("SELECT id, name, off, part, ts, topic FROM k_orders"),
+        key=lambda r: r.id,
+    )
+    assert [(r.id, r.name, r.off, r.part, r.topic) for r in rows] == [
+        (10, "a", 5, 0, "orders"),
+        (20, "b", 6, 1, "orders"),
+    ]
+    assert rows[0].ts == datetime.datetime(2024, 1, 1, 0, 0, 5)
+    # unknown metadata key on kafka
+    with pytest.raises(ValueError, match="not readable"):
+        env.execute_sql(f"""
+            CREATE TABLE k_bad (id BIGINT, h STRING METADATA FROM 'headers')
+            WITH ('connector'='kafka','value.format'='json','frames-path'='{fp}')
+        """)
+
+
+def test_metadata_like_merge(spark, tmp_path):
+    """LIKE's INCLUDING/EXCLUDING/OVERWRITING METADATA now acts on real
+    metadata columns (MergeTableLikeUtil metadata branch): default carries
+    them, EXCLUDING drops, redefinition requires OVERWRITING."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    p = str(tmp_path / "like_md")
+    spark.createDataFrame([(1,)], "id long").write.parquet(p)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE base_md (
+          id BIGINT,
+          fname STRING METADATA FROM 'file.name' VIRTUAL
+        ) WITH ('path'='{p}')
+    """)
+    # default = INCLUDING METADATA
+    env.execute_sql("CREATE TABLE inc_md WITH ('path'='%s') LIKE base_md" % p)
+    assert env.execute_sql("SELECT fname FROM inc_md")[0].fname.startswith("part-")
+    # EXCLUDING METADATA drops the column
+    env.execute_sql(
+        "CREATE TABLE exc_md WITH ('path'='%s') LIKE base_md (EXCLUDING METADATA)" % p
+    )
+    assert "fname" not in env.sql_query("SELECT * FROM exc_md").to_df().columns
+    # redefinition without OVERWRITING raises the reference error
+    with pytest.raises(ValueError, match="metadata column named 'fname'"):
+        env.execute_sql(
+            "CREATE TABLE re_md (fname STRING METADATA FROM 'file.path' VIRTUAL) "
+            "WITH ('path'='%s') LIKE base_md" % p
+        )
+    env.execute_sql(
+        "CREATE TABLE ov_md (fname STRING METADATA FROM 'file.path' VIRTUAL) "
+        "WITH ('path'='%s') LIKE base_md (OVERWRITING METADATA)" % p
+    )
+    assert "/" in env.execute_sql("SELECT fname FROM ov_md")[0].fname  # path, not name
+    # physical column colliding with a source metadata column
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql(
+            "CREATE TABLE col_md (fname STRING) WITH ('path'='%s') LIKE base_md" % p
+        )
+
+
+def test_metadata_insert_rules(spark, tmp_path):
+    """VIRTUAL metadata columns are excluded from the INSERT schema (the
+    query supplies only physical columns, and the refreshed view exposes
+    fresh metadata); a PERSISTED metadata column is rejected at the
+    filesystem sink (no writable metadata — DynamicSinkUtils
+    validateMetadataColumns)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    sink = str(tmp_path / "md_sink")
+    env.execute_sql(f"""
+        CREATE TABLE md_sink (
+          id BIGINT,
+          fname STRING METADATA FROM 'file.name' VIRTUAL
+        ) WITH ('path'='{sink}')
+    """)
+    env.execute_sql("INSERT INTO md_sink SELECT 7")  # one physical column only
+    rows = env.execute_sql("SELECT id, fname FROM md_sink")
+    assert [(r.id,) for r in rows] == [(7,)]
+    assert rows[0].fname.startswith("part-")
+    # persisted (non-VIRTUAL) metadata is not writable on filesystem
+    env.execute_sql(f"""
+        CREATE TABLE md_persist (
+          id BIGINT,
+          fname STRING METADATA FROM 'file.name'
+        ) WITH ('path'='{sink}')
+    """)
+    with pytest.raises(ValueError, match="not writable"):
+        env.execute_sql("INSERT INTO md_persist SELECT 8")
