@@ -1,0 +1,389 @@
+"""Driver-gated streaming semantics (VERDICT-r8 item 2): the
+pytest-only §2.9 operators — per-batch-refresh lookup join
+(streaming/lookup.py), CountTrigger early firing and allowed-lateness
+side output (streaming/triggers.py) — re-registered as registry queries
+whose execution path IS the streaming module (a real Structured
+Streaming query over file-replay micro-batches), with closed-form batch
+oracles DuckDB can verify exactly.
+
+Determinism rules used throughout (so the driver's value-hash matches):
+
+- money/value columns are quantized to integer cents
+  (``CAST(x * 100 AS BIGINT)``) BEFORE any streaming aggregation, so
+  every running/partial sum is an exact integer — independent of
+  association order in Spark, pandas, and DuckDB alike;
+- micro-batch boundaries are pinned by construction: one file per
+  intended batch, written sequentially with strictly increasing mtimes
+  (FileStreamSource orders by modification time), or two separate
+  checkpointed runs where the batch boundary is the run boundary;
+- every query output carries a total ORDER BY with a unique tiebreak.
+
+Reference parity: StreamExecLookupJoin.java:43 (FOR SYSTEM_TIME AS OF
+proc-time against a refreshable dimension), CountTrigger.java:31 +
+WindowOperator early firing, WindowedStream.allowedLateness:108 +
+sideOutputLateData:124.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_flink_spark.catalog import load
+from incubator_flink_spark.queries.registry import register
+
+_DAY_US = 86_400_000_000
+
+
+def _bump_mtimes(root: str, seq: int) -> None:
+    """Force strictly increasing file mtimes per replay step so the file
+    stream source's modification-time order equals the intended batch
+    order even on coarse-mtime filesystems."""
+    base = 1_700_000_000 + seq * 10
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            os.utime(p, (base, base))
+
+
+def _run_stream(writer, checkpoint: str) -> None:
+    q = (
+        writer.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    # availableNow drains all currently-visible files then stops; generous
+    # deadline with isActive polling (slow-host hardening, VERDICT-r8 #8)
+    deadline = time.time() + 600
+    while q.isActive and time.time() < deadline:
+        q.awaitTermination(5)
+    if q.isActive:  # pragma: no cover — genuine hang
+        q.stop()
+        raise TimeoutError(f"streaming query did not drain: {q.lastProgress}")
+
+
+# --------------------------------------------------------------------------
+# (a) lookup join with per-batch dimension refresh: two snapshot epochs
+# --------------------------------------------------------------------------
+
+LOOKUP_JOIN_REFRESH_ORACLE = """
+SELECT o.o_orderkey % 2 AS epoch,
+       c.c_mktsegment AS mktsegment,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o.o_custkey) AS n_custs,
+       CAST(SUM(CAST(FLOOR(c.c_acctbal * 100) AS BIGINT) + 100000 * (o.o_orderkey % 2)) AS BIGINT) AS bal_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+ORDER BY epoch, mktsegment
+"""
+
+
+@register("lookup_join_refresh", LOOKUP_JOIN_REFRESH_ORACLE)
+def lookup_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch-refresh lookup join (streaming/lookup.py
+    lookup_join_per_batch; reference StreamExecLookupJoin.java:43 — FOR
+    SYSTEM_TIME AS OF PROCTIME() re-reads the dimension every batch):
+
+    Two genuine snapshot epochs drive the proof.  Run 1: the stream
+    source dir holds only the even-orderkey orders file and the dimension
+    path holds snapshot v0 (bal_cents = acctbal cents).  Run 2 resumes
+    the SAME checkpoint after the dimension was overwritten with snapshot
+    v1 (cents + 100000) and the odd-orderkey file appeared — the file
+    source replays only the new file, and the freshly loaded dimension is
+    joined by the module's broadcast per-batch join.  Rows therefore
+    carry v0 values iff their orderkey is even — exactly the oracle's
+    `epoch = o_orderkey % 2` reconstruction; any stale-dimension reuse or
+    re-processing of epoch-0 rows breaks the hash.
+
+    Scale: the dimension is broadcast per micro-batch (small-dim side),
+    the stream side is an ordinary file-source scan — no keyed shuffle at
+    all; this is the reference's recommended shape for slowly-changing
+    small dimensions."""
+    from incubator_flink_spark.streaming.lookup import lookup_join_per_batch
+
+    root = tempfile.mkdtemp(prefix="lookup_refresh_")
+    src = os.path.join(root, "src")
+    dim_path = os.path.join(root, "dim")
+    res = os.path.join(root, "res")
+    cp = os.path.join(root, "ckpt")
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load(spark, sf_dir, "customer")
+
+    def dim_snapshot(version: int) -> DataFrame:
+        return customer.select(
+            F.col("c_custkey").alias("o_custkey"),
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100).cast("bigint") + F.lit(100000 * version).cast("bigint"),
+        ).toDF("o_custkey", "mktsegment", "bal_cents")
+
+    def sink(joined: DataFrame, _batch_id: int) -> None:
+        joined.write.mode("append").parquet(res)
+
+    def dim_loader(s: SparkSession) -> DataFrame:
+        return s.read.parquet(dim_path)
+
+    # epoch 0: even orderkeys against dimension snapshot v0
+    dim_snapshot(0).write.mode("overwrite").parquet(dim_path)
+    orders.where(F.col("o_orderkey") % 2 == 0).write.parquet(os.path.join(src, "b0"))
+    _bump_mtimes(src, 0)
+    stream = spark.readStream.schema(orders.schema).parquet(src + "/b*")
+    writer = lookup_join_per_batch(stream, dim_loader, ["o_custkey"], "left", sink)
+    _run_stream(writer, cp)
+
+    # epoch 1: dimension refreshed to v1, odd orderkeys arrive; the same
+    # checkpoint resumes so only the new file is processed
+    dim_snapshot(1).write.mode("overwrite").parquet(dim_path)
+    orders.where(F.col("o_orderkey") % 2 == 1).write.parquet(os.path.join(src, "b1"))
+    _bump_mtimes(os.path.join(src, "b1"), 1)
+    writer = lookup_join_per_batch(stream, dim_loader, ["o_custkey"], "left", sink)
+    _run_stream(writer, cp)
+
+    out = spark.read.parquet(res)
+    return (
+        out.groupBy(
+            (F.col("o_orderkey") % 2).alias("epoch"), F.col("mktsegment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.sum("bal_cents").alias("bal_cents"),
+        )
+        .orderBy("epoch", "mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# (b) CountTrigger early firing: every-n-th-row prefix aggregates
+# --------------------------------------------------------------------------
+
+COUNT_TRIGGER_EARLY_FIRE_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         CAST(to_timestamp((epoch_us(ts) // 86400000000) * 86400) AS TIMESTAMP) AS window_start,
+         CAST(to_timestamp((epoch_us(ts) // 86400000000) * 86400 + 86400) AS TIMESTAMP) AS window_end,
+         ROW_NUMBER() OVER w AS rn,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+           PARTITION BY event_type, epoch_us(ts) // 86400000000
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS run_cents
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, epoch_us(ts) // 86400000000 ORDER BY ts, event_id)
+)
+SELECT event_type, window_start, window_end,
+       rn AS cnt, run_cents AS total_cents
+FROM c
+WHERE rn % 5 = 0
+ORDER BY event_type, window_start, cnt
+"""
+
+
+@register("count_trigger_early_fire", COUNT_TRIGGER_EARLY_FIRE_ORACLE)
+def count_trigger_early_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountTrigger early firing through the stateful streaming operator
+    (streaming/triggers.py early_firing_tumble_agg; reference
+    CountTrigger.java:31 — fire on every n-th element of the window,
+    without purging): the events table replays as ONE micro-batch, so the
+    watermark is still at the sentinel during processing and the operator
+    emits ONLY the early fires — every 5th row of each (event_type, day)
+    window in (ts, event_id) arrival order, each carrying the running
+    (cnt, sum) prefix aggregate.  The oracle is the closed form: prefix
+    sums over the same total order, rows where rn % 5 = 0.  Values are
+    integer cents so running sums are exact in every engine.
+
+    Scale: state is O(open windows) per key and emission is ∝ fires;
+    keys shard across the state store like every stateful op here."""
+    from incubator_flink_spark.streaming.source import replay_table
+    from incubator_flink_spark.streaming.triggers import early_firing_tumble_agg
+
+    root = tempfile.mkdtemp(prefix="count_trig_")
+    events = load(spark, sf_dir, "events")
+    # quantize BEFORE streaming: integral doubles sum exactly
+    prep = events.select(
+        "event_id", "ts", "event_type", F.floor(F.col("value") * 100).cast("double").alias("cents")
+    )
+    prep.createOrReplaceTempView("__ct_prep")
+    stream_dir = os.path.join(root, "replay")
+    prep.coalesce(1).write.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .parquet(stream_dir)
+        .withWatermark("ts", "1 minute")
+    )
+    fired = early_firing_tumble_agg(
+        stream, ["event_type"], "ts", "event_id", "cents", size_s=86400, every_n=5
+    )
+    res = os.path.join(root, "res")
+
+    def sink(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(res)
+
+    _run_stream(fired.writeStream.foreachBatch(sink), os.path.join(root, "ckpt"))
+    out = spark.read.parquet(res)
+    return (
+        out.where(F.col("fire_kind") == "early")
+        .select(
+            "event_type",
+            "window_start",
+            "window_end",
+            F.col("cnt"),
+            F.col("total").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("event_type", "window_start", "cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# (c) allowed lateness: late_update re-fires + late side-output accounting
+# --------------------------------------------------------------------------
+
+# Replay construction (mirrored EXACTLY by the oracle's scalar subqueries):
+#   file 0: ts < CUT and NOT held      (the on-time bulk)
+#   file 1: ts >= CUT                  (advances the watermark to T1)
+#   file 2: held rows (event_id % 97 = 0 and ts < CUT) — now late
+# With delay 0: the true watermark while file 2 processes is T1 (global
+# max ts), and a held row's window [W, We) is
+#   - side output ('late_dropped')  iff We + lateness <= T1
+#   - re-fire ('late_update')       iff not dropped and We <= T0
+#     (T0 = max on-time ts before CUT: the window had already fired final
+#      while file 1 processed)
+#   - silently added otherwise (its final fires later and is not part of
+#     this query's late accounting)
+_LATE_CUT = "TIMESTAMP '2024-01-16 00:00:00'"
+_LATE_LATENESS_S = 16 * 86400
+
+ALLOWED_LATENESS_ACCOUNTING_ORACLE = f"""
+WITH held AS (
+  SELECT event_type, ts, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+         (epoch_us(ts) // 86400000000) * 86400 AS w_s
+  FROM events
+  WHERE event_id % 97 = 0 AND ts < {_LATE_CUT}
+),
+t0 AS (
+  SELECT MAX(ts) AS v FROM events
+  WHERE ts < {_LATE_CUT} AND NOT (event_id % 97 = 0)
+),
+t1 AS (SELECT MAX(ts) AS v FROM events),
+base AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) * 86400 AS w_s,
+         COUNT(*) AS base_cnt,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS base_cents
+  FROM events
+  WHERE ts < {_LATE_CUT} AND NOT (event_id % 97 = 0)
+  GROUP BY 1, 2
+),
+tagged AS (
+  SELECT h.*,
+         CASE
+           WHEN (h.w_s + 86400 + {_LATE_LATENESS_S}) * 1000000 <= epoch_us(t1.v) THEN 'dropped'
+           WHEN (h.w_s + 86400) * 1000000 <= epoch_us(t0.v) THEN 'update'
+           ELSE 'silent'
+         END AS regime
+  FROM held h, t0, t1
+)
+SELECT g.event_type,
+       CAST(to_timestamp(g.w_s) AS TIMESTAMP) AS window_start,
+       COUNT(*) FILTER (WHERE g.regime = 'dropped') AS n_dropped,
+       CAST(COALESCE(SUM(g.cents) FILTER (WHERE g.regime = 'dropped'), 0) AS BIGINT) AS dropped_cents,
+       COUNT(*) FILTER (WHERE g.regime = 'update') AS n_updates,
+       CASE WHEN COUNT(*) FILTER (WHERE g.regime = 'update') > 0
+            THEN MAX(b.base_cnt) + COUNT(*) FILTER (WHERE g.regime = 'update')
+            ELSE NULL END AS last_update_cnt,
+       CAST(CASE WHEN COUNT(*) FILTER (WHERE g.regime = 'update') > 0
+            THEN MAX(b.base_cents) + SUM(g.cents) FILTER (WHERE g.regime = 'update')
+            ELSE NULL END AS BIGINT) AS last_update_cents
+FROM tagged g
+LEFT JOIN base b ON b.event_type = g.event_type AND b.w_s = g.w_s
+WHERE g.regime IN ('dropped', 'update')
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("allowed_lateness_accounting", ALLOWED_LATENESS_ACCOUNTING_ORACLE)
+def allowed_lateness_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allowed lateness + late side output through the stateful operator
+    (streaming/triggers.py tumble_agg_with_lateness; reference
+    WindowedStream.allowedLateness:108 / sideOutputLateData:124): three
+    pinned micro-batches — on-time bulk, watermark advancer, held-back
+    late rows — make every held row fall into one of the reference's
+    three regimes: beyond end+lateness (side output 'late_dropped'),
+    within lateness on an already-final window (re-fire 'late_update'
+    with the corrected running aggregate), or pre-final (silently merged;
+    excluded from this accounting, as in the reference where such rows
+    are simply not late).  The query returns the per-window late ledger:
+    side-output row count + cents, update count, and the LAST update's
+    corrected (cnt, cents) = on-time base plus all held rows.
+
+    The oracle reconstructs the watermark cutoffs as scalar subqueries
+    (T0 = max on-time ts before the cut, T1 = global max ts) — the exact
+    values the operator's reconstructed event-time watermark takes while
+    each file processes.
+
+    Scale: same applyInPandasWithState sharding as the other stateful
+    ops; the replay fixture is the test harness, not the operator."""
+    from incubator_flink_spark.streaming.triggers import tumble_agg_with_lateness
+
+    root = tempfile.mkdtemp(prefix="lateness_")
+    src = os.path.join(root, "src")
+    events = load(spark, sf_dir, "events")
+    prep = events.select(
+        "event_id", "ts", "event_type", F.floor(F.col("value") * 100).cast("double").alias("cents")
+    )
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    held = F.col("event_id") % 97 == 0
+    files = [
+        prep.where((F.col("ts") < cut) & ~held),
+        prep.where(F.col("ts") >= cut),
+        prep.where((F.col("ts") < cut) & held),
+    ]
+    for i, f in enumerate(files):
+        d = os.path.join(src, f"b{i}")
+        f.coalesce(1).write.parquet(d)
+        _bump_mtimes(d, i)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    fired = tumble_agg_with_lateness(
+        stream,
+        ["event_type"],
+        "ts",
+        "event_id",
+        "cents",
+        size_s=86400,
+        lateness_s=_LATE_LATENESS_S,
+        delay_s=0,
+        side_slack_s=365 * 86400,
+    )
+    res = os.path.join(root, "res")
+
+    def sink(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(res)
+
+    _run_stream(fired.writeStream.foreachBatch(sink), os.path.join(root, "ckpt"))
+    out = spark.read.parquet(res).where(
+        F.col("fire_kind").isin("late_dropped", "late_update")
+    )
+    upd = F.col("fire_kind") == "late_update"
+    drp = F.col("fire_kind") == "late_dropped"
+    return (
+        out.groupBy("event_type", "window_start")
+        .agg(
+            F.sum(drp.cast("long")).alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(drp, F.col("total").cast("bigint"))), F.lit(0)
+            ).alias("dropped_cents"),
+            F.sum(upd.cast("long")).alias("n_updates"),
+            F.max(F.when(upd, F.col("cnt"))).alias("last_update_cnt"),
+            F.max(F.when(upd, F.col("total").cast("bigint"))).alias("last_update_cents"),
+        )
+        .orderBy("event_type", "window_start")
+    )
