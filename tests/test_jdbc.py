@@ -18,6 +18,7 @@ from incubator_flink_spark.sources.jdbc import (
 )
 from incubator_flink_spark.streaming.lookup import lookup_join_per_batch
 from incubator_flink_spark.streaming.source import replay_table
+from tests.conftest import drain_stream
 
 SF = "/root/testdata/sf0.001"
 
@@ -133,7 +134,7 @@ def test_jdbc_lookup_join_stream(spark):
         sink,
     )
     q = writer.trigger(availableNow=True).option("checkpointLocation", tempfile.mkdtemp()).start()
-    q.awaitTermination(240)
+    drain_stream(q)
     events = load(spark, SF, "events")
     expect = events.join(dim, "user_id", "inner").count()
     assert sum(results) == expect

@@ -11,6 +11,7 @@ from incubator_flink_spark.catalog import load
 from incubator_flink_spark.operators.async_io import async_map
 from incubator_flink_spark.streaming.lookup import lookup_join_per_batch, side_outputs
 from incubator_flink_spark.streaming.source import replay_table
+from tests.conftest import drain_stream
 
 SF = "/root/testdata/sf0.001"
 
@@ -64,7 +65,7 @@ def test_lookup_join_per_batch_refresh(spark):
 
     writer = lookup_join_per_batch(stream, dim_loader, ["user_id"], "left", sink)
     q = writer.trigger(availableNow=True).option("checkpointLocation", tempfile.mkdtemp()).start()
-    q.awaitTermination(240)
+    drain_stream(q)
     assert len(calls) >= 2  # dim re-loaded each micro-batch
     assert sum(results) == load(spark, SF, "events").count()
 

@@ -18,6 +18,7 @@ from incubator_flink_spark.queries import REGISTRY
 from incubator_flink_spark.queries.nexmark import DAY, _auctions, _bids
 from incubator_flink_spark.streaming.source import replay_table
 from incubator_flink_spark.streaming.windows import hop_agg, tumble_agg
+from tests.conftest import drain_stream
 
 SF = "/root/testdata/sf0.001"
 
@@ -37,8 +38,7 @@ def drain(stream_df, collect, mode="update"):
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
         .start()
     )
-    q.awaitTermination(300)
-    assert not q.isActive
+    drain_stream(q)
 
 
 def test_nexmark_q4_stream_interval_join_matches_batch(spark, replay_dir):
@@ -508,8 +508,7 @@ def test_nexmark_q10_partitioned_file_sink(spark, replay_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    assert not q.isActive
+    drain_stream(q)
     bids = with_parts(_bids(spark, SF))
     # directory partition values round-trip through Spark's partition
     # TYPE INFERENCE (dt -> date, hm -> int): normalize both sides back

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from incubator_flink_spark.streaming.changelog import DELETE, INSERT, ROWKIND
 from incubator_flink_spark.streaming.retract_join import retracting_join_stream
+from tests.conftest import drain_stream
 
 
 def t(s):
@@ -32,7 +33,7 @@ def run_join(spark, files):
         .option("checkpointLocation", tempfile.mkdtemp())
         .start()
     )
-    q.awaitTermination(240)
+    drain_stream(q)
     return emitted
 
 

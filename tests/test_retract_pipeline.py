@@ -43,6 +43,7 @@ from incubator_flink_spark.streaming.modes import (
 )
 from incubator_flink_spark.streaming.retract_join import retracting_join_stream
 from incubator_flink_spark.streaming.stateful import streaming_topn
+from tests.conftest import drain_stream
 
 EPOCH = datetime(2024, 1, 1)
 JOIN_SCHEMA = "__rowkind STRING, k BIGINT, side STRING, id BIGINT, v DOUBLE, ts TIMESTAMP"
@@ -63,8 +64,7 @@ def drive(stream_df, sink, mode="update"):
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
         .start()
     )
-    q.awaitTermination(300)
-    assert not q.isActive
+    drain_stream(q)
 
 
 def file_stream(spark, base, schema):

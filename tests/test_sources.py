@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from incubator_flink_spark.catalog import load
 from incubator_flink_spark.sources import blackhole, datagen, read_table, write_table
+from tests.conftest import drain_stream
 
 SF = "/root/testdata/sf0.001"
 
@@ -51,7 +52,7 @@ def test_streaming_file_source_roundtrip(spark):
         .option("checkpointLocation", tempfile.mkdtemp())
         .start()
     )
-    q.awaitTermination(120)
+    drain_stream(q)
     assert len(rows) == 25
 
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from incubator_flink_spark.catalog import load
 from incubator_flink_spark.operators.windows import window_cogroup
 from incubator_flink_spark.streaming.source import replay_table
+from tests.conftest import drain_stream
 
 SF = "/root/testdata/sf0.001"
 
@@ -43,7 +44,7 @@ def test_stream_stream_interval_join_matches_batch(spark):
         .option("checkpointLocation", tempfile.mkdtemp())
         .start()
     )
-    q.awaitTermination(300)
+    drain_stream(q)
 
     e = load(spark, SF, "events")
     a = e.where(F.col("event_type") == "click").select(

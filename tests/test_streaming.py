@@ -19,6 +19,7 @@ from incubator_flink_spark.streaming.stateful import (
     streaming_topn,
 )
 from incubator_flink_spark.streaming.windows import tumble_agg
+from tests.conftest import drain_stream
 
 SF = "/root/testdata/sf0.001"
 
@@ -40,8 +41,7 @@ def run_to_completion(stream_df, collect, mode="update"):
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
         .start()
     )
-    q.awaitTermination(300)
-    assert not q.isActive
+    drain_stream(q)
 
 
 def test_streaming_tumble_agg_matches_batch(spark, replay_dir):
@@ -381,7 +381,7 @@ def test_checkpoint_recovery_resumes_state(spark, replay_dir):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        q.awaitTermination(240)
+        drain_stream(q)
         return emitted
 
     write_file(0, [(1, t("2024-01-01 10:00:00"), 100), (2, t("2024-01-01 10:00:00"), 200)])
@@ -547,7 +547,7 @@ def test_upsert_sink_materializes_latest_table(spark, replay_dir):
         .option("checkpointLocation", tf.mkdtemp())
         .start()
     )
-    q.awaitTermination(240)
+    drain_stream(q)
 
     # the materialized parquet table equals batch keep-last
     got = {
@@ -771,8 +771,7 @@ def test_incremental_dedup_stream_equals_batch(spark, replay_dir):
             got[r.doc_id] = (r.ref_id, r.jaccard)
 
     q = incremental_dedup_stream(stream, ref, on_batch, threshold=0.8)
-    q.awaitTermination(300)
-    assert not q.isActive
+    drain_stream(q)
     expected = {
         r.doc_id: (r.ref_id, r.jaccard)
         for r in incremental_dedup(new, ref, threshold=0.8).collect()
@@ -975,7 +974,7 @@ def test_growing_dedup_stream_keep_first_across_batches(spark, replay_dir):
         seen["matches"].update((r["doc_id"], r["ref_id"]) for r in matches.collect())
 
     q = growing_dedup_stream(stream, ref_dir, on_batch, threshold=0.9)
-    q.awaitTermination(300)
+    drain_stream(q)
     assert seen["survivors"] == {1, 2, 3, 11, 22}
     assert seen["matches"] == {(12, 1), (13, 2), (21, 11)}
     final = {r["doc_id"] for r in spark.read.parquet(ref_dir + "/b*").collect()}
@@ -1018,7 +1017,7 @@ def test_checkpoint_resume_continues_stateful_agg(spark, replay_dir):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        q.awaitTermination(300)
+        drain_stream(q)
 
     parts[0].coalesce(1).write.mode("append").parquet(src)
     run_once(1)
@@ -1062,7 +1061,7 @@ def test_growing_dedup_stream_replay_is_idempotent(spark, replay_dir):
     def run():
         stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
         q = growing_dedup_stream(stream, ref_dir, lambda s, m, b: None, threshold=0.9)
-        q.awaitTermination(300)
+        drain_stream(q)
 
     run()
     first = sorted(r["doc_id"] for r in spark.read.parquet(ref_dir + "/b*").collect())
@@ -1333,8 +1332,7 @@ def test_streaming_mv_sink_matches_batch_recompute(spark, replay_dir):
         .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_mv_"))
         .start()
     )
-    q.awaitTermination(300)
-    assert not q.isActive
+    drain_stream(q)
     view = MaterializedViewSink.read(spark, path)
     got = {r["k"]: (r["live_rows"], r["sum_value"]) for r in view.collect()}
 

@@ -18,6 +18,7 @@ from incubator_flink_spark.streaming.triggers import (
     early_firing_tumble_agg,
     tumble_agg_with_lateness,
 )
+from tests.conftest import drain_stream
 
 SF = "/root/testdata/sf0.001"
 
@@ -37,8 +38,7 @@ def run_to_completion(stream_df, collect, mode="append"):
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
         .start()
     )
-    q.awaitTermination(300)
-    assert not q.isActive
+    drain_stream(q)
 
 
 def batch_tumble_truth(spark, size_s):
