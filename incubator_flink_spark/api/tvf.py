@@ -107,7 +107,15 @@ def _build_view(spark: SparkSession, kind: str, tbl: str, part: str | None, ts_c
     else:  # SESSION
         (gap,) = ivals
         keys = [k.strip() for k in part.strip("() ").split(",")] if part else []
-        out = _session_merged(df, keys, ts_col, gap)
+        if df.isStreaming:
+            # row-level session merge needs per-key state on a stream; the
+            # batch gaps-and-islands rewrite uses lag/over windows Spark
+            # forbids on streaming plans
+            from incubator_flink_spark.streaming.windows import session_rows_streaming
+
+            out = session_rows_streaming(df, keys, ts_col, gap)
+        else:
+            out = _session_merged(df, keys, ts_col, gap)
     return out.withColumn(
         "window_time", F.timestamp_micros(F.unix_micros(F.col("window_end")) - 1_000)
     )

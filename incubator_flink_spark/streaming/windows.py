@@ -119,3 +119,132 @@ def _agg_names(aggs: list[Column]) -> list[str]:
         s = c._jc.toString()
         names.append(s.split(" AS ")[-1].strip("`") if " AS " in s else s)
     return names
+
+
+def session_rows_streaming(
+    df: DataFrame, keys: list[str], ts_col: str, gap_s: int
+) -> DataFrame:
+    """Row-level merged session windows on a STREAM — the streaming form
+    of the SESSION window TVF's row-level output (reference:
+    StreamExecWindowTableFunction.java:49 with a SessionWindowSpec; docs'
+    "Session window TVF" emits every input row tagged with its merged
+    window_start/window_end).
+
+    Spark's native ``session_window`` only exists fused into an
+    aggregation, so the row-level form is a keyed stateful operator:
+    open sessions buffer their rows (ts + JSON payload) in state, merge
+    as new rows arrive (gaps-and-islands over the buffered + new rows),
+    and a session EMITS all its rows — tagged with the final merged
+    bounds — once the watermark passes session_end (+gap), exactly when
+    the reference's merging window operator fires.  Requires
+    ``withWatermark(ts_col, ...)`` upstream.
+
+    State per key is O(rows of OPEN sessions) — bounded by the watermark
+    horizon like the reference's merging window state (which also buffers
+    per-row state for row-emitting session TVFs).  Keys shard across the
+    state store; an unkeyed call degenerates to one state partition
+    (same caveat as the batch gaps-and-islands rewrite).
+
+    Timestamps in the payload are serialized as unix micros (exact);
+    floats round-trip through JSON repr (exact for IEEE doubles)."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from incubator_flink_spark.streaming.stateful import _ts_us
+
+    in_fields = list(df.schema.fields)
+    col_order = [f.name for f in in_fields]
+    ts_fields = [f.name for f in in_fields if isinstance(f.dataType, T.TimestampType)]
+    int_fields = [
+        f.name for f in in_fields if isinstance(f.dataType, (T.LongType, T.IntegerType))
+    ]
+    out_schema = T.StructType(
+        [
+            *in_fields,
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("window_end", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_us", T.ArrayType(T.LongType())),
+            T.StructField("payload", T.ArrayType(T.StringType())),
+        ]
+    )
+    gap_us = gap_s * 1_000_000
+
+    def _encode(pdf: pd.DataFrame) -> list[str]:
+        p = pdf[col_order].copy()
+        for c in ts_fields:
+            p[c] = p[c].astype("int64") // 1000
+        return [json.dumps(rec) for rec in p.to_dict("records")]
+
+    def _decode(payload: list[str], w_start_us: int, w_end_us: int) -> pd.DataFrame:
+        res = pd.DataFrame([json.loads(s) for s in payload], columns=col_order)
+        for c in ts_fields:
+            res[c] = pd.to_datetime(res[c] * 1000, utc=False)
+        for c in int_fields:
+            res[c] = res[c].astype("int64")
+        res["window_start"] = pd.Timestamp(w_start_us * 1000)
+        res["window_end"] = pd.Timestamp(w_end_us * 1000)
+        return res
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        if state.exists:
+            st = state.get
+            ts_buf, pl_buf = list(st[0]), list(st[1])
+        else:
+            ts_buf, pl_buf = [], []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                ts_buf.extend(int(t) for t in _ts_us(pdf[ts_col]))
+                pl_buf.extend(_encode(pdf))
+        if not ts_buf:
+            if state.exists:
+                state.remove()
+            return
+        order = sorted(range(len(ts_buf)), key=lambda i: (ts_buf[i], pl_buf[i]))
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000 if wm_ms > 0 else -(1 << 62)
+
+        # gaps-and-islands over the merged buffer
+        sessions: list[list[int]] = [[order[0]]]
+        for i in order[1:]:
+            if ts_buf[i] - ts_buf[sessions[-1][-1]] > gap_us:
+                sessions.append([i])
+            else:
+                sessions[-1].append(i)
+
+        out: list[pd.DataFrame] = []
+        keep_ts: list[int] = []
+        keep_pl: list[str] = []
+        open_ends: list[int] = []
+        for sess in sessions:
+            start_us = ts_buf[sess[0]]
+            end_us = ts_buf[sess[-1]] + gap_us
+            if end_us <= wm_us:  # merged for good: fire row-level output
+                out.append(_decode([pl_buf[i] for i in sess], start_us, end_us))
+            else:
+                keep_ts.extend(ts_buf[i] for i in sess)
+                keep_pl.extend(pl_buf[i] for i in sess)
+                open_ends.append(end_us)
+
+        if keep_ts:
+            state.update((keep_ts, keep_pl))
+            state.setTimeoutTimestamp(max(min(open_ends) // 1000, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+
+        if out:
+            res = pd.concat(out, ignore_index=True)
+            yield res[[c.name for c in out_schema.fields]]
+
+    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(1).alias("__all"))
+    return grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
