@@ -116,6 +116,8 @@ def avro_to_spark_type(sch) -> tuple[T.DataType, bool]:
         return T.TimestampNTZType(), False
     if typ == "int" and lt == "date":
         return T.DateType(), False
+    if typ in ("bytes", "fixed") and lt == "decimal":
+        return T.DecimalType(sch["precision"], sch.get("scale", 0)), False
     if typ in ("int", "long", "float", "double", "boolean", "bytes", "string", "null"):
         return avro_to_spark_type(typ)
     if typ == "enum":
@@ -177,6 +179,18 @@ def _decoder(sch):
 
         epoch_d = datetime.date(1970, 1, 1)
         return lambda r: epoch_d + datetime.timedelta(days=r.read_long())
+    if typ in ("bytes", "fixed") and lt == "decimal":
+        # Avro decimal: big-endian two's-complement unscaled integer
+        import decimal
+
+        scale = sch.get("scale", 0)
+        size = sch.get("size") if typ == "fixed" else None
+
+        def dec_decimal(r):
+            b = bytes(r.read_fixed(size)) if size is not None else bytes(r.read_bytes())
+            return decimal.Decimal(int.from_bytes(b, "big", signed=True)).scaleb(-scale)
+
+        return dec_decimal
     if typ in ("int", "long", "float", "double", "boolean", "bytes", "string", "null"):
         return _decoder(typ)
     if typ == "enum":
@@ -307,11 +321,15 @@ def _encoder(sch):
 
         epoch = datetime.datetime(1970, 1, 1)
 
+        epoch_utc = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
         def enc_ts(v, w):
             if hasattr(v, "value"):  # pd.Timestamp: exact nanoseconds
                 micros = int(v.value) // 1000
             elif isinstance(v, datetime.datetime):
-                td = v - epoch  # exact integer arithmetic, no float micros
+                # Arrow hands tz-aware datetimes over (session tz is pinned
+                # UTC); naive datetimes follow the same naive==UTC convention
+                td = v - (epoch_utc if v.tzinfo is not None else epoch)
                 micros = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
             else:
                 micros = int(v)
@@ -323,6 +341,24 @@ def _encoder(sch):
 
         epoch_d = datetime.date(1970, 1, 1)
         return lambda v, w: w.write(_zigzag_encode((v - epoch_d).days))
+    if typ in ("bytes", "fixed") and lt == "decimal":
+        import decimal
+
+        scale = sch.get("scale", 0)
+
+        fixed_size = sch.get("size") if typ == "fixed" else None
+
+        def enc_decimal(v, w):
+            # values carry scale <= the declared scale, so scaleb(scale)
+            # is integral by construction; int() is exact here
+            unscaled = int(decimal.Decimal(v).scaleb(scale))
+            nbytes = fixed_size or max(1, (unscaled.bit_length() + 8) // 8)
+            b = unscaled.to_bytes(nbytes, "big", signed=True)
+            if fixed_size is None:
+                w.write(_zigzag_encode(len(b)))
+            w.write(b)
+
+        return enc_decimal
     if typ in ("int", "long", "float", "double", "boolean", "bytes", "string", "null"):
         return _encoder(typ)
     if typ == "enum":
@@ -455,10 +491,20 @@ def spark_to_avro_schema(schema: T.StructType, name: str = "row") -> dict:
             return {"type": "long", "logicalType": "local-timestamp-micros"}
         if isinstance(dt, T.DateType):
             return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, T.DecimalType):
+            return {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
         if isinstance(dt, T.ArrayType):
-            return {"type": "array", "items": conv(dt.elementType)}
+            # element nullability rides the [null, X] union, like fields
+            items = conv(dt.elementType)
+            return {"type": "array", "items": ["null", items] if dt.containsNull else items}
         if isinstance(dt, T.MapType):
-            return {"type": "map", "values": conv(dt.valueType)}
+            vals = conv(dt.valueType)
+            return {"type": "map", "values": ["null", vals] if dt.valueContainsNull else vals}
         if isinstance(dt, T.StructType):
             return spark_to_avro_schema(dt, name + "_rec")
         raise ValueError(f"unsupported spark type for avro: {dt}")
@@ -470,50 +516,76 @@ def spark_to_avro_schema(schema: T.StructType, name: str = "row") -> dict:
     return {"type": "record", "name": name, "fields": fields}
 
 
+def _pylist_normalizer(dt: T.DataType):
+    """Normalize pyarrow ``to_pylist`` values into the shapes the encoder
+    expects: map scalars arrive as [(k, v), ...] tuples -> dict; arrays
+    and structs recurse.  Returns None when no conversion is needed for
+    this subtree (so scalar-only rows pay nothing)."""
+    if isinstance(dt, T.MapType):
+        inner = _pylist_normalizer(dt.valueType)
+
+        def conv_map(v):
+            if v is None:
+                return None
+            items = v.items() if isinstance(v, dict) else v
+            return {k: (inner(x) if inner else x) for k, x in items}
+
+        return conv_map
+    if isinstance(dt, T.ArrayType):
+        inner = _pylist_normalizer(dt.elementType)
+        if inner is None:
+            return None
+        return lambda v: None if v is None else [inner(x) for x in v]
+    if isinstance(dt, T.StructType):
+        convs = {f.name: _pylist_normalizer(f.dataType) for f in dt.fields}
+        if not any(convs.values()):
+            return None
+
+        def conv_rec(v):
+            if v is None:
+                return None
+            return {k: (convs[k](x) if convs.get(k) else x) for k, x in v.items()}
+
+        return conv_rec
+    return None
+
+
 def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
     """Distributed Avro OCF write: one container file per partition via
-    mapInPandas (the task writes its own file — the same per-partition
-    layout Spark's own file sinks produce)."""
+    mapInArrow (the task writes its own file — the same per-partition
+    layout Spark's own file sinks produce).
+
+    Arrow, not pandas, on purpose: the pandas bridge widens nullable
+    int/long values inside arrays and maps to float64 (silently corrupting
+    longs above 2^53 — caught by tests/test_avro_fuzz.py); RecordBatch
+    .to_pylist() hands over exact Python ints/Decimals/datetimes and real
+    None for nulls, so no NaN/NaT normalization is needed either."""
     import os
 
     os.makedirs(path, exist_ok=True)
     schema = spark_to_avro_schema(df.schema)
-    cols = [f.name for f in df.schema.fields]
+    convs = {f.name: _pylist_normalizer(f.dataType) for f in df.schema.fields}
     out_schema = T.StructType([T.StructField("n", T.LongType())])
-
-    # pandas surfaces NULLs in non-float columns as NaN/NaT: normalize
-    # those back to None so the union encoder writes the null branch.
-    # Float/double columns keep NaN as a VALUE (NaN is a valid IEEE
-    # double; pandas cannot distinguish it from null there).
-    float_cols = {
-        f.name for f in df.schema.fields if isinstance(f.dataType, (T.FloatType, T.DoubleType))
-    }
 
     def write_part(it):
         import uuid
 
-        import pandas as pd
-
-        def norm(c, v):
-            if v is None or v is pd.NaT:
-                return None
-            if c not in float_cols:
-                try:
-                    if v != v:  # NaN in a non-float column = pandas null
-                        return None
-                except (TypeError, ValueError):
-                    pass
-            return v
+        import pyarrow as pa
 
         rows = []
-        for pdf in it:
-            for tup in pdf.itertuples(index=False):
-                rows.append({c: norm(c, v) for c, v in zip(cols, tup)})
+        for batch in it:
+            for row in batch.to_pylist():
+                rows.append(
+                    {
+                        c: (convs[c](v) if convs.get(c) and v is not None else v)
+                        for c, v in row.items()
+                    }
+                )
         if rows:
             blob = encode_container(schema, rows, codec=codec)
             fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
             with open(fname, "wb") as fh:
                 fh.write(blob)
-        yield pd.DataFrame({"n": [len(rows)]})
+        yield pa.RecordBatch.from_pydict({"n": [len(rows)]})
 
-    df.mapInPandas(write_part, out_schema).collect()
+    df.mapInArrow(write_part, out_schema).collect()

@@ -133,7 +133,11 @@ def main():
     replicate_lineitem(spark, sf_dir, n, f"{base}/lineitem.parquet")
     copy_static(spark, sf_dir, base)
 
-    from incubator_flink_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from incubator_flink_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        prefix_filter_pairs,
+        simhash_pairs,
+    )
     from incubator_flink_spark.operators.export import export_shards
     from incubator_flink_spark.operators.similarity import lsh_topk, near_pairs_lsh, semantic_dedup
 
@@ -144,6 +148,12 @@ def main():
         return spark.read.parquet(d + "/embeddings.parquet") if d.startswith("/tmp") else load(spark, d, "embeddings")
 
     ops = {
+        # exact All-Pairs/PPJoin threshold join: the candidate join runs on
+        # the (1-t)-proportional prefix index, so t=0.8 should scale close
+        # to the data and t=0.5 (half the index enters the join) marks the
+        # low-t regime where the prefix approaches the full inverted index
+        "prefix_filter_t05": lambda d: prefix_filter_pairs(docs(d), threshold=0.5).write.mode("overwrite").format("noop").save(),
+        "prefix_filter_t08": lambda d: prefix_filter_pairs(docs(d), threshold=0.8).write.mode("overwrite").format("noop").save(),
         "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(docs(d)).write.mode("overwrite").format("noop").save(),
         "simhash_pairs": lambda d: simhash_pairs(docs(d)).write.mode("overwrite").format("noop").save(),
         "near_pairs_lsh": lambda d: near_pairs_lsh(embs(d), 0.35).write.mode("overwrite").format("noop").save(),
