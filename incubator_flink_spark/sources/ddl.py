@@ -348,12 +348,16 @@ _FILESYSTEM_METADATA = {
 }
 # Flink's kafka readable metadata keys (KafkaDynamicSource.ReadableMetadata)
 # → the columns Spark's ``format("kafka")`` reader produces natively.
+# 'headers' needs includeHeaders=true on a real reader and arrives as
+# array<struct<key,value>>; Flink's type is MAP<STRING, BYTES>, so the
+# mapping wraps it in map_from_entries.
 _KAFKA_METADATA = {
     "topic": "topic",
     "partition": "partition",
     "offset": "offset",
     "timestamp": "timestamp",
     "timestamp-type": "timestampType",
+    "headers": "headers",
 }
 
 
@@ -431,10 +435,64 @@ def _read_kafka_table(spark: SparkSession, t: TableDef, streaming: bool) -> Data
     # rename/cast the native metadata fields to the declared column names,
     # then restore the declared order: physical columns, then metadata
     for name, typ, key, _virtual in t.metadata_cols:
-        native = _KAFKA_METADATA[key if key is not None else name]
-        df = df.withColumn(name, F.col(native).cast(typ))
+        k = key if key is not None else name
+        native = _KAFKA_METADATA[k]
+        col = F.col(native)
+        if k == "headers":
+            col = F.map_from_entries(col)
+        df = df.withColumn(name, col.cast(typ))
     return df.select(
         *[c for c, _ in t.columns], *[n for n, _, _, _ in t.metadata_cols]
+    )
+
+
+def _read_upsert_kafka_table(spark: SparkSession, t: TableDef, streaming: bool) -> DataFrame:
+    """connector 'upsert-kafka' (UpsertKafkaDynamicTableFactory): requires
+    a PRIMARY KEY (the kafka message key); a null value is a DELETE
+    tombstone for the key, any non-null value an UPDATE_AFTER.  The
+    registered table materializes CURRENT state — tombstoned keys absent,
+    last write per key wins in per-partition offset order — i.e. the
+    ChangelogNormalize the reference plans on top of an upsert source.
+    Broker-less sandbox: frames come from 'frames-path' (see
+    _read_kafka_table)."""
+    from incubator_flink_spark.sources.kafka import parse_upsert_kafka
+    from incubator_flink_spark.streaming.changelog import changelog_normalize
+
+    if not t.primary_key:
+        raise ValueError(
+            "'upsert-kafka' requires a PRIMARY KEY (NOT ENFORCED) — the kafka "
+            "message key (reference: UpsertKafkaDynamicTableFactory"
+            ".validatePKConstraints)"
+        )
+    if "frames-path" not in t.options:
+        raise ValueError(
+            "connector 'upsert-kafka': no broker exists in this sandbox — "
+            "provide 'frames-path' pointing at kafka-shaped parquet frames"
+        )
+    if streaming:
+        raise ValueError(
+            "upsert-kafka DDL registers the materialized batch view here; the "
+            "streaming normalize path is streaming/changelog.py keep_last form"
+        )
+    frames = read_table(spark, t.options["frames-path"], "parquet")
+    phys = dict(t.columns)
+    missing = [c for c in t.primary_key if c not in phys]
+    if missing:
+        raise ValueError(f"PRIMARY KEY columns {missing} are not declared columns")
+    key_schema = ", ".join(f"{c} {phys[c]}" for c in t.primary_key)
+    value_schema = ", ".join(
+        f"{c} {ty}" for c, ty in t.columns if c not in t.primary_key
+    )
+    log = parse_upsert_kafka(
+        frames,
+        key_format=t.options.get("key.format", "json"),
+        key_schema=key_schema,
+        value_format=t.options.get("value.format", "json"),
+        value_schema=value_schema or None,
+        metadata=("offset",),
+    )
+    return changelog_normalize(log, list(t.primary_key), "offset", "offset").select(
+        *[c for c, _ in t.columns]
     )
 
 
@@ -477,6 +535,8 @@ def execute_ddl(spark: SparkSession, sql: str | None, table_def: TableDef | None
                 df = _apply_metadata_columns(df, t, _FILESYSTEM_METADATA)
     elif connector == "kafka":
         df = _read_kafka_table(spark, t, streaming)
+    elif connector == "upsert-kafka":
+        df = _read_upsert_kafka_table(spark, t, streaming)
     elif connector == "datagen":
         if t.metadata_cols:
             raise ValueError("connector 'datagen' exposes no readable metadata")

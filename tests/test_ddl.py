@@ -991,9 +991,41 @@ def test_metadata_columns_kafka_ddl(spark, tmp_path):
     # unknown metadata key on kafka
     with pytest.raises(ValueError, match="not readable"):
         env.execute_sql(f"""
-            CREATE TABLE k_bad (id BIGINT, h STRING METADATA FROM 'headers')
+            CREATE TABLE k_bad (id BIGINT, le INT METADATA FROM 'leader-epoch')
             WITH ('connector'='kafka','value.format'='json','frames-path'='{fp}')
         """)
+
+
+def test_metadata_kafka_headers(spark, tmp_path):
+    """'headers' metadata: Spark's reader (includeHeaders) produces
+    array<struct<key,value>>; Flink's readable type is MAP<STRING, BYTES>
+    — the DDL mapping wraps map_from_entries around the native column."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    frames = spark.createDataFrame(
+        [('{"id":1}', 0, [("trace", bytearray(b"abc"))])],
+        "v STRING, offset BIGINT, headers array<struct<key:string,value:binary>>",
+    ).select(
+        F.lit(None).cast("binary").alias("key"),
+        F.encode("v", "UTF-8").alias("value"),
+        F.lit("t").alias("topic"),
+        F.lit(0).alias("partition"),
+        "offset",
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+        "headers",
+    )
+    fp = str(tmp_path / "hdr_frames")
+    frames.write.parquet(fp)
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE k_hdr (
+          id BIGINT,
+          hdrs MAP<STRING, BINARY> METADATA FROM 'headers' VIRTUAL
+        ) WITH ('connector'='kafka','value.format'='json','frames-path'='{fp}')
+    """)
+    row = env.execute_sql("SELECT id, hdrs FROM k_hdr")[0]
+    assert row.id == 1 and bytes(row.hdrs["trace"]) == b"abc"
 
 
 def test_metadata_like_merge(spark, tmp_path):
@@ -1066,3 +1098,48 @@ def test_metadata_insert_rules(spark, tmp_path):
     """)
     with pytest.raises(ValueError, match="not writable"):
         env.execute_sql("INSERT INTO md_persist SELECT 8")
+
+
+def test_upsert_kafka_ddl_materializes_current_state(spark, tmp_path):
+    """connector 'upsert-kafka' through DDL (UpsertKafkaDynamicTableFactory):
+    PRIMARY KEY = message key, null value = DELETE tombstone, last write
+    per key wins in offset order — the registered view IS the
+    ChangelogNormalize materialization."""
+    frames = spark.createDataFrame(
+        [
+            ('{"id":1}', '{"v":10.0}', 0),
+            ('{"id":2}', '{"v":20.0}', 1),
+            ('{"id":1}', '{"v":11.0}', 2),   # update key 1
+            ('{"id":2}', None, 3),            # tombstone key 2
+            ('{"id":3}', '{"v":30.0}', 4),
+        ],
+        "k string, v string, offset long",
+    ).select(
+        F.encode("k", "UTF-8").alias("key"),
+        F.encode("v", "UTF-8").alias("value"),
+        F.lit("t").alias("topic"),
+        F.lit(0).alias("partition"),
+        "offset",
+    )
+    fp = str(tmp_path / "upsert_frames")
+    frames.write.parquet(fp)
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE uk_t (
+          id BIGINT,
+          v DOUBLE,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector'='upsert-kafka','topic'='t',
+                'key.format'='json','value.format'='json',
+                'frames-path'='{fp}')
+    """)
+    rows = {(r.id, r.v) for r in env.execute_sql("SELECT id, v FROM uk_t")}
+    assert rows == {(1, 11.0), (3, 30.0)}  # key 2 tombstoned, key 1 updated
+    # PRIMARY KEY is mandatory (reference validatePKConstraints)
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        env.execute_sql(f"""
+            CREATE TABLE uk_bad (id BIGINT, v DOUBLE)
+            WITH ('connector'='upsert-kafka','frames-path'='{fp}')
+        """)
