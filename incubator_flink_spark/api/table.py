@@ -1112,15 +1112,51 @@ class TableEnvironment:
                 return sorted(mine | (temp - set(self._tables) - set(self._views)))
             return sorted(mine)
         m = _re.match(
-            r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(?:PARTITION\s*\(([^)]*)\)\s+)?(.+)",
+            # [PARTITION part_spec] [column_list] select_statement
+            # (reference grammar: docs/dev/table/sql/insert.md:191); the
+            # column-list alternative only matches a bare identifier list,
+            # so a parenthesized query `(SELECT ...)` falls through to the
+            # query group
+            r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(?:PARTITION\s*\(([^)]*)\)\s+)?"
+            r"(?:\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s+)?(.+)",
             s,
             _re.I | _re.S,
         )
         if m:
             mode = "overwrite" if m.group(1).upper() == "OVERWRITE" else "append"
-            name, part_spec, query = m.group(2), m.group(3), m.group(4)
+            name, part_spec, col_list, query = m.group(2), m.group(3), m.group(4), m.group(5)
             t = self._validate_insert_target(name)
             df = self.sql_query(query).to_df()
+            if col_list:
+                # INSERT INTO T(c, b) SELECT x, y: x -> c, y -> b, every
+                # unspecified sink column -> NULL (insert.md "COLUMN LIST";
+                # static partition keys must not repeat in the list)
+                cols = [c.strip() for c in col_list.split(",")]
+                decl = dict(t.columns)
+                unknown = [c for c in cols if c not in decl]
+                if unknown:
+                    raise ValueError(f"INSERT column list names unknown column(s) {unknown}")
+                if len(set(cols)) != len(cols):
+                    raise ValueError("INSERT column list has duplicate columns")
+                static_keys = set(_re.findall(r"(\w+)\s*=", part_spec or ""))
+                clash = [c for c in cols if c in static_keys]
+                if clash:
+                    raise ValueError(
+                        f"column(s) {clash} appear in both the static PARTITION "
+                        "spec and the INSERT column list"
+                    )
+                if len(df.columns) != len(cols):
+                    raise ValueError(
+                        f"INSERT column count {len(df.columns)} != column list {len(cols)}"
+                    )
+                df = df.toDF(*cols)
+                df = df.select(
+                    *[
+                        F.col(c) if c in cols else F.lit(None).cast(ty).alias(c)
+                        for c, ty in t.columns
+                        if c not in static_keys
+                    ]
+                )
             if part_spec:
                 # static partition spec (RichSqlInsert.java:38
                 # staticPartitions): PARTITION (k='v', ...) — the SELECT

@@ -1143,3 +1143,40 @@ def test_upsert_kafka_ddl_materializes_current_state(spark, tmp_path):
             CREATE TABLE uk_bad (id BIGINT, v DOUBLE)
             WITH ('connector'='upsert-kafka','frames-path'='{fp}')
         """)
+
+
+def test_insert_column_list(spark, tmp_path):
+    """INSERT INTO T(c, b) SELECT x, y (insert.md:191 column_list): x->c,
+    y->b, unspecified columns NULL; validation errors per the reference."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    sink = str(tmp_path / "cl_sink")
+    env.execute_sql(f"""
+        CREATE TABLE cl_t (a INT, b INT, c INT)
+        WITH ('path'='{sink}')
+    """)
+    env.execute_sql("INSERT INTO cl_t (c, b) SELECT 7, 8")
+    rows = [(r.a, r.b, r.c) for r in env.execute_sql("SELECT a, b, c FROM cl_t")]
+    assert rows == [(None, 8, 7)]
+    # combined with a static partition spec
+    psink = str(tmp_path / "cl_psink")
+    env.execute_sql(f"""
+        CREATE TABLE cl_p (a INT, b INT, lang STRING)
+        PARTITIONED BY (lang) WITH ('path'='{psink}')
+    """)
+    env.execute_sql("INSERT INTO cl_p PARTITION (lang='en') (b) SELECT 5")
+    rows = [(r.a, r.b, r.lang) for r in env.execute_sql("SELECT a, b, lang FROM cl_p")]
+    assert rows == [(None, 5, "en")]
+    # errors
+    with pytest.raises(ValueError, match="unknown column"):
+        env.execute_sql("INSERT INTO cl_t (nope) SELECT 1")
+    with pytest.raises(ValueError, match="duplicate"):
+        env.execute_sql("INSERT INTO cl_t (a, a) SELECT 1, 2")
+    with pytest.raises(ValueError, match="column count"):
+        env.execute_sql("INSERT INTO cl_t (a, b) SELECT 1")
+    with pytest.raises(ValueError, match="static PARTITION"):
+        env.execute_sql("INSERT INTO cl_p PARTITION (lang='fr') (lang) SELECT 'x'")
+    # a parenthesized query is NOT a column list
+    env.execute_sql("INSERT INTO cl_t (SELECT 1, 2, 3)")
+    assert env.execute_sql("SELECT COUNT(*) AS n FROM cl_t")[0].n == 2
