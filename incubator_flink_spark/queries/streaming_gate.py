@@ -387,3 +387,106 @@ def allowed_lateness_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_start")
     )
+
+
+# --------------------------------------------------------------------------
+# (d) CountEvictor: final fires aggregate only the last N rows of the window
+# --------------------------------------------------------------------------
+
+COUNT_EVICTOR_FINAL_ORACLE = """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(to_timestamp((epoch_us(ts) // 86400000000) * 86400) AS TIMESTAMP) AS window_start,
+         CAST(to_timestamp((epoch_us(ts) // 86400000000) * 86400 + 86400) AS TIMESTAMP) AS window_end,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, epoch_us(ts) // 86400000000
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT event_type, window_start, window_end,
+       COUNT(*) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM ranked
+WHERE rn <= 4
+GROUP BY 1, 2, 3
+ORDER BY event_type, window_start
+"""
+
+
+@register("count_evictor_final", COUNT_EVICTOR_FINAL_ORACLE)
+def count_evictor_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountEvictor.of(N) semantics through the stateful streaming operator
+    (streaming/triggers.py early_firing_tumble_agg with evict_last_n;
+    reference flink-streaming-java/.../windowing/evictors/CountEvictor.java
+    — keep only the last N elements of the window buffer, so the FINAL
+    fire aggregates the last 4 rows by (ts, event_id)):
+
+    Three pinned micro-batches: the full events table, then two
+    far-future flusher rows per key (the watermark lags one batch, so the
+    second flusher batch is where every real window's final fires and the
+    flusher rows themselves are excluded by the window_start cutoff).
+    Values are integer cents so the 4-element ring sums exactly.
+
+    The oracle is the closed form: rank each window's rows descending by
+    (ts, event_id), keep rank <= 4, count + sum."""
+    from incubator_flink_spark.streaming.triggers import early_firing_tumble_agg
+
+    root = tempfile.mkdtemp(prefix="evict_")
+    src = os.path.join(root, "src")
+    events = load(spark, sf_dir, "events")
+    prep = events.select(
+        "event_id", "ts", "event_type", F.floor(F.col("value") * 100).cast("double").alias("cents")
+    )
+    kinds = [r.event_type for r in prep.select("event_type").distinct().collect()]
+    flush_ts = "2030-01-01 00:00:00"
+
+    def flusher(i: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(-(i * 1000) - j, f"{flush_ts[:3]}{i}-01-01 00:00:00", k, 0.0) for j, k in enumerate(kinds)],
+            "event_id long, ts_s string, event_type string, cents double",
+        ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "cents")
+
+    files = [prep, flusher(3), flusher(4)]  # 2033-/2034- flushers
+    for i, f in enumerate(files):
+        d = os.path.join(src, f"b{i}")
+        f.coalesce(1).write.parquet(d)
+        _bump_mtimes(d, i)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .withWatermark("ts", "1 minute")
+    )
+    fired = early_firing_tumble_agg(
+        stream,
+        ["event_type"],
+        "ts",
+        "event_id",
+        "cents",
+        size_s=86400,
+        every_n=10**9,  # no early fires: this query pins the EVICTOR
+        evict_last_n=4,
+    )
+    res = os.path.join(root, "res")
+
+    def sink(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(res)
+
+    _run_stream(fired.writeStream.foreachBatch(sink), os.path.join(root, "ckpt"))
+    out = spark.read.parquet(res)
+    return (
+        out.where(
+            (F.col("fire_kind") == "final")
+            & (F.col("window_start") < F.lit("2030-01-01").cast("timestamp"))
+        )
+        .select(
+            "event_type",
+            "window_start",
+            "window_end",
+            "cnt",
+            F.col("total").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("event_type", "window_start")
+    )
