@@ -1218,6 +1218,7 @@ class TableEnvironment:
         """Write a result through the named sink table's connector (the
         body of Flink's SinkModifyOperation translation)."""
         from incubator_flink_spark.sources.filesystem import write_table
+        from incubator_flink_spark.sources.ddl import format_options as _fmt_opts
 
         t = self._validate_insert_target(name)
         # align by the DDL's declared column order/names (Flink inserts
@@ -1254,6 +1255,7 @@ class TableEnvironment:
                     t.options.get("format", "parquet"),
                     mode=mode,
                     partition_by=t.partitioned_by,
+                    **_fmt_opts(t, for_write=True),
                 )
             finally:
                 self._spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
@@ -1264,6 +1266,7 @@ class TableEnvironment:
                 t.options.get("format", "parquet"),
                 mode=mode,
                 partition_by=t.partitioned_by or None,
+                **_fmt_opts(t, for_write=True),
             )
 
     def _refresh_after_inserts(self, names: list[str]):

@@ -376,6 +376,45 @@ def _apply_metadata_columns(df: DataFrame, t: TableDef, mapping: dict[str, str])
     return df
 
 
+# Flink format-option names (docs/connectors/table/formats/csv.md and
+# json.md: 'csv.field-delimiter', 'csv.ignore-parse-errors', ...) → the
+# Spark DataFrameReader/Writer option they configure.  Unknown keys under
+# the format prefix are forwarded verbatim (they are Spark option names —
+# header, encoding, timestampFormat, ...).
+_FLINK_FMT_OPTION_MAP = {
+    "field-delimiter": "sep",
+    "quote-character": "quote",
+    "escape-character": "escape",
+    "null-literal": "nullValue",
+    "allow-comments": "comment",  # value 'true' enables '#' comments
+}
+
+
+def format_options(t: TableDef, *, for_write: bool = False) -> dict[str, str]:
+    """Extract `<format>.<key>` options from the WITH clause and translate
+    them for Spark's reader/writer (CsvFormatFactory / JsonFormatFactory
+    option parity)."""
+    fmt = t.options.get("format", "parquet")
+    pre = fmt + "."
+    out: dict[str, str] = {}
+    for k, v in t.options.items():
+        if not k.startswith(pre):
+            continue
+        key = k[len(pre):]
+        if key == "ignore-parse-errors":
+            # read-side resilience (DROPMALFORMED); meaningless on write
+            if v == "true" and not for_write:
+                out["mode"] = "DROPMALFORMED"
+        elif key == "allow-comments":
+            if v == "true" and not for_write:
+                out["comment"] = "#"
+        elif key in _FLINK_FMT_OPTION_MAP:
+            out[_FLINK_FMT_OPTION_MAP[key]] = v
+        else:
+            out[key] = v
+    return out
+
+
 def _read_kafka_table(spark: SparkSession, t: TableDef, streaming: bool) -> DataFrame:
     """connector 'kafka': decode kafka-shaped frames into the declared
     schema (KafkaDynamicTableFactory wiring: key format + value format +
@@ -512,6 +551,7 @@ def execute_ddl(spark: SparkSession, sql: str | None, table_def: TableDef | None
                 t.options.get("format", "parquet"),
                 schema=schema or None,
                 streaming=streaming,
+                **format_options(t),
             )
         except Exception as e:  # noqa: BLE001
             # CREATE TABLE is metadata-only in the reference: a sink table's

@@ -1180,3 +1180,40 @@ def test_insert_column_list(spark, tmp_path):
     # a parenthesized query is NOT a column list
     env.execute_sql("INSERT INTO cl_t (SELECT 1, 2, 3)")
     assert env.execute_sql("SELECT COUNT(*) AS n FROM cl_t")[0].n == 2
+
+
+def test_format_options_csv(spark, tmp_path):
+    """Flink format options in WITH ('csv.field-delimiter', 'csv.null-literal',
+    'csv.ignore-parse-errors' — CsvFormatFactory names) configure the Spark
+    reader/writer on both the read and INSERT paths."""
+    import os
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    src = str(tmp_path / "fmt_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "data.csv"), "w") as fh:
+        fh.write("id;name;v\n1;alpha;1.5\n2;NULLX;2.5\nbroken_line_no_delims\n3;gamma;3.5\n")
+    env.execute_sql(f"""
+        CREATE TABLE fmt_t (id BIGINT, name STRING, v DOUBLE)
+        WITH ('path'='{src}','format'='csv',
+              'csv.field-delimiter'=';',
+              'csv.null-literal'='NULLX',
+              'csv.ignore-parse-errors'='true')
+    """)
+    rows = {(r.id, r.name, r.v) for r in env.execute_sql("SELECT id, name, v FROM fmt_t")}
+    assert rows == {(1, "alpha", 1.5), (2, None, 2.5), (3, "gamma", 3.5)}
+    # write side: INSERT through the connector honors the delimiter
+    sink = str(tmp_path / "fmt_sink")
+    env.execute_sql(f"""
+        CREATE TABLE fmt_out (id BIGINT, name STRING)
+        WITH ('path'='{sink}','format'='csv','csv.field-delimiter'='|')
+    """)
+    env.execute_sql("INSERT INTO fmt_out SELECT 9, 'zeta'")
+    written = ""
+    for f in os.listdir(sink):
+        if f.endswith(".csv"):
+            written += open(os.path.join(sink, f)).read()
+    assert "9|zeta" in written
+    assert [r.name for r in env.execute_sql("SELECT name FROM fmt_out")] == ["zeta"]
