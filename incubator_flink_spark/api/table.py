@@ -1195,9 +1195,10 @@ class TableEnvironment:
         t = self._tables.get(name)
         if t is None:
             raise ValueError(f"INSERT target {name!r} was not created via execute_sql DDL")
-        if t.options.get("connector", "filesystem") != "filesystem":
+        if t.options.get("connector", "filesystem") not in ("filesystem", "print", "blackhole"):
             raise ValueError(
-                f"INSERT INTO supports the filesystem connector, not {t.options.get('connector')!r}"
+                f"INSERT INTO supports the filesystem/print/blackhole connectors, "
+                f"not {t.options.get('connector')!r}"
             )
         if t.options.get("mode") == "streaming":
             raise ValueError("streaming INSERT goes through writeStream (streaming/sinks.py)")
@@ -1221,6 +1222,7 @@ class TableEnvironment:
         from incubator_flink_spark.sources.ddl import format_options as _fmt_opts
 
         t = self._validate_insert_target(name)
+        connector = t.options.get("connector", "filesystem")
         # align by the DDL's declared column order/names (Flink inserts
         # by position against the sink schema)
         if t.columns:
@@ -1242,6 +1244,18 @@ class TableEnvironment:
                 except Exception:  # noqa: BLE001 — Flink-only type spelling
                     casted.append(F.col(c))
             df = df.select(*casted)
+        if connector == "print":
+            # PrintTableSinkFactory: one "+I[a, b, ...]" line per row, with
+            # the optional 'print-identifier' prefix (PrintSinkFunction)
+            ident = t.options.get("print-identifier", "")
+            prefix = f"{ident}> " if ident else ""
+            for row in df.collect():
+                print(prefix + "+I[" + ", ".join(str(v) for v in row) + "]")
+            return
+        if connector == "blackhole":
+            # BlackHoleTableSinkFactory: execute the plan, discard rows
+            df.write.format("noop").mode("overwrite").save()
+            return
         if t.partitioned_by and mode == "overwrite":
             # Flink's filesystem INSERT OVERWRITE replaces only the
             # partitions receiving data; Spark's static mode would wipe

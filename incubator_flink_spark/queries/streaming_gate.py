@@ -36,9 +36,6 @@ from pyspark.sql import functions as F
 from incubator_flink_spark.catalog import load
 from incubator_flink_spark.queries.registry import register
 
-_DAY_US = 86_400_000_000
-
-
 def _bump_mtimes(root: str, seq: int) -> None:
     """Force strictly increasing file mtimes per replay step so the file
     stream source's modification-time order equals the intended batch
@@ -440,15 +437,14 @@ def count_evictor_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "event_type", F.floor(F.col("value") * 100).cast("double").alias("cents")
     )
     kinds = [r.event_type for r in prep.select("event_type").distinct().collect()]
-    flush_ts = "2030-01-01 00:00:00"
 
-    def flusher(i: int) -> DataFrame:
+    def flusher(year: int) -> DataFrame:
         return spark.createDataFrame(
-            [(-(i * 1000) - j, f"{flush_ts[:3]}{i}-01-01 00:00:00", k, 0.0) for j, k in enumerate(kinds)],
+            [(-(year * 1000) - j, f"{year}-01-01 00:00:00", k, 0.0) for j, k in enumerate(kinds)],
             "event_id long, ts_s string, event_type string, cents double",
         ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "cents")
 
-    files = [prep, flusher(3), flusher(4)]  # 2033-/2034- flushers
+    files = [prep, flusher(2033), flusher(2034)]
     for i, f in enumerate(files):
         d = os.path.join(src, f"b{i}")
         f.coalesce(1).write.parquet(d)

@@ -577,6 +577,13 @@ def execute_ddl(spark: SparkSession, sql: str | None, table_def: TableDef | None
         df = _read_kafka_table(spark, t, streaming)
     elif connector == "upsert-kafka":
         df = _read_upsert_kafka_table(spark, t, streaming)
+    elif connector in ("print", "blackhole"):
+        # sink-only connectors (PrintTableSinkFactory / BlackHoleTableSinkFactory):
+        # register an empty typed view; INSERT INTO routes through
+        # TableEnvironment._insert_into's print/noop write
+        if not t.columns:
+            raise ValueError(f"connector {connector!r}: declare the sink schema")
+        df = spark.createDataFrame([], schema)
     elif connector == "datagen":
         if t.metadata_cols:
             raise ValueError("connector 'datagen' exposes no readable metadata")

@@ -1217,3 +1217,28 @@ def test_format_options_csv(spark, tmp_path):
             written += open(os.path.join(sink, f)).read()
     assert "9|zeta" in written
     assert [r.name for r in env.execute_sql("SELECT name FROM fmt_out")] == ["zeta"]
+
+
+def test_print_and_blackhole_connectors(spark, capsys):
+    """print / blackhole sink connectors (PrintTableSinkFactory,
+    BlackHoleTableSinkFactory): INSERT executes the plan; print emits one
+    +I[...] row per record with the optional print-identifier prefix,
+    blackhole discards."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("""
+        CREATE TABLE p_out (id BIGINT, s STRING)
+        WITH ('connector'='print','print-identifier'='dbg')
+    """)
+    env.execute_sql("INSERT INTO p_out SELECT 1, 'a'")
+    out = capsys.readouterr().out
+    assert "dbg> +I[1, a]" in out
+    env.execute_sql("""
+        CREATE TABLE bh_out (id BIGINT)
+        WITH ('connector'='blackhole')
+    """)
+    env.execute_sql("INSERT INTO bh_out SELECT 42")  # executes, discards
+    # sink-only: schema required
+    with pytest.raises(ValueError, match="schema"):
+        env.execute_sql("CREATE TABLE p_bad () WITH ('connector'='print')")
