@@ -731,3 +731,41 @@ def test_session_tvf_sql_plan_keyed_window(spark):
         if "(Window" in line and "user_id" not in line:
             # operator summary lines don't carry args; detail checked above
             continue
+
+
+def test_metadata_columns_keep_pushdown_and_codegen(spark, tmp_path):
+    """Round-9 DDL paths stay scale-clean: (a) filesystem METADATA columns
+    ride the scan's hidden _metadata struct without breaking filter
+    pushdown on data columns; (b) the kafka DDL decode is pure Catalyst
+    (from_json in a Project over the frames scan) — no Python UDF node."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    p = str(tmp_path / "md_plan")
+    spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double").write.parquet(p)
+    env.execute_sql(f"""
+        CREATE TABLE md_plan (
+          id BIGINT, v DOUBLE,
+          fname STRING METADATA FROM 'file.name' VIRTUAL
+        ) WITH ('path'='{p}')
+    """)
+    df = env.sql_query("SELECT id, fname FROM md_plan WHERE id = 7").to_df()
+    rep = audit_plan(df)
+    assert rep.scans_with_pushed_filters >= 1  # id = 7 reaches the scan
+    assert "EvalPython" not in rep.raw  # no Python UDF node
+
+    frames = spark.createDataFrame([('{"id":1}', 0)], "v STRING, offset BIGINT").select(
+        F.lit(None).cast("binary").alias("key"),
+        F.encode("v", "UTF-8").alias("value"),
+        F.lit("t").alias("topic"),
+        F.lit(0).alias("partition"),
+        "offset",
+    )
+    fp = str(tmp_path / "k_plan_frames")
+    frames.write.parquet(fp)
+    env.execute_sql(f"""
+        CREATE TABLE k_plan (id BIGINT, off BIGINT METADATA FROM 'offset' VIRTUAL)
+        WITH ('connector'='kafka','value.format'='json','frames-path'='{fp}')
+    """)
+    rep2 = audit_plan(env.sql_query("SELECT id, off FROM k_plan").to_df())
+    assert "EvalPython" not in rep2.raw  # decode is from_json, not a UDF
