@@ -55,6 +55,13 @@ HEADLINE = [
 # round-1 baseline total (the driver's 2x perf gate compares
 # BENCH_r{N}.value against BASELINE's recorded value over the SAME
 # 21-query set).
+# Deliberately NOT in EXTRA: the queries/streaming_gate.py entries
+# (lookup_join_refresh, count_trigger_early_fire,
+# allowed_lateness_accounting, count_evictor_final).  Their wall time is
+# dominated by Structured Streaming micro-batch machinery startup
+# (checkpoint dirs, 2-3 availableNow query launches), not operator
+# throughput, so timing them would measure the harness rather than the
+# engine; they are correctness gates (tools/check.py covers them).
 EXTRA = [
     "semantic_dedup",
     "decontaminate_ngram",
