@@ -486,3 +486,62 @@ def count_evictor_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_start")
     )
+
+
+# --------------------------------------------------------------------------
+# (e) side outputs: OutputTag splits (multi-tag emission + __main fallback)
+# --------------------------------------------------------------------------
+
+SIDE_OUTPUTS_SPLIT_ORACLE = """
+WITH t AS (
+  SELECT event_type, value,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT tag, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM (
+  SELECT 'high_value' AS tag, cents FROM t WHERE value > 90.0
+  UNION ALL
+  SELECT 'purchases' AS tag, cents FROM t WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT '__main' AS tag, cents FROM t
+  WHERE NOT (value > 90.0) AND NOT (event_type = 'purchase')
+) s
+GROUP BY tag
+ORDER BY tag
+"""
+
+
+@register("side_outputs_split", SIDE_OUTPUTS_SPLIT_ORACLE)
+def side_outputs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side outputs (reference OutputTag / ctx.output — SURVEY §2.9) through
+    streaming/lookup.side_outputs: a row matching several tags is emitted
+    to EACH of them (the reference allows multi-tag emission); rows
+    matching none land in '__main'.  The oracle is the same predicate
+    algebra spelled as UNION ALL branches.
+
+    Scale: each tagged output is an independent narrow filter over the
+    same scan — no shuffle until the per-tag aggregate."""
+    from incubator_flink_spark.streaming.lookup import side_outputs
+
+    events = load(spark, sf_dir, "events").select(
+        "event_type", "value", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    outs = side_outputs(
+        events,
+        {
+            "high_value": F.col("value") > 90.0,
+            "purchases": F.col("event_type") == "purchase",
+        },
+    )
+    parts = [
+        df.select(F.lit(tag).alias("tag"), "cents") for tag, df in sorted(outs.items())
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return (
+        un.groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+        .orderBy("tag")
+    )
