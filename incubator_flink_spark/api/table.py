@@ -552,7 +552,51 @@ class TableEnvironment:
 
         return self._HINT_RE.sub(repl, sql)
 
+    _QUAL_RE = re.compile(r"\b(\w+)\.(\w+)\.(\w+)\b|\b(\w+)\.(\w+)\b")
+
+    def _resolve_qualified(self, sql: str) -> str:
+        """Resolve catalog-qualified identifiers (the reference's
+        ObjectIdentifier: ``catalog.db.table`` and ``db.table`` — SQL docs
+        "identifier expansion") to the session-registered names.  A 3-part
+        name whose catalog exists must resolve or it is an error; a 2-part
+        prefix that is not a database of the current catalog is left alone
+        (it is an ``alias.column`` reference).  Quoted string literals are
+        never rewritten."""
+
+        def known(tbl: str, cat: str, db: str) -> bool:
+            return (
+                self._table_cat.get(tbl) == cat and self._table_db.get(tbl) == db
+            ) or (self._view_cat.get(tbl) == cat and self._view_db.get(tbl) == db)
+
+        def repl(m: re.Match) -> str:
+            if m.group(1):
+                cat, db, tbl = m.group(1), m.group(2), m.group(3)
+                if cat not in self._catalogs:
+                    return m.group(0)
+                if db not in self._catalogs[cat]:
+                    raise ValueError(f"database {db!r} does not exist in catalog {cat!r}")
+                if known(tbl, cat, db):
+                    return tbl
+                raise ValueError(
+                    f"Table (or view) {cat}.{db}.{tbl} does not exist"
+                )
+            db, tbl = m.group(4), m.group(5)
+            if db in self._catalogs.get(self._current_cat, set()) and known(
+                tbl, self._current_cat, db
+            ):
+                return tbl
+            return m.group(0)  # alias.column or unrelated dotted token
+
+        if "." not in sql:
+            return sql
+        # rewrite only OUTSIDE single-quoted literals ('path'='/a/b.c', ...)
+        parts = sql.split("'")
+        for i in range(0, len(parts), 2):
+            parts[i] = self._QUAL_RE.sub(repl, parts[i])
+        return "'".join(parts)
+
     def sql_query(self, sql: str) -> Table:
+        sql = self._resolve_qualified(sql)
         if "/*+" in sql and "OPTIONS" in sql.upper():
             sql = self._apply_options_hints(sql)
         if "SYSTEM_TIME" in sql.upper():
@@ -582,6 +626,12 @@ class TableEnvironment:
 
         s = sql.strip().rstrip(";")
         up = s.upper()
+        if not up.startswith("CREATE"):
+            # qualified references (cat.db.t / db.t) resolve against the
+            # session catalog; CREATE is exempt — its target does not exist
+            # yet (qualified CREATE targets are not supported here)
+            s = self._resolve_qualified(s)
+            up = s.upper()
         # SET / RESET session options (SqlSet.java / SqlReset.java; the
         # FLIP-163 quoted spelling).  SET with no argument lists the
         # session config; RESET with no argument clears it.
@@ -623,6 +673,21 @@ class TableEnvironment:
                         f"LIKE source table {t.like[0]!r} was not created via execute_sql DDL"
                     )
                 t = merge_table_like(t, src)
+            # the session catalog is a flat temp-view namespace: the same
+            # bare name in TWO different (catalog, database) scopes would
+            # silently shadow the first registration — reject it loudly
+            # (documented divergence from the reference's fully-scoped
+            # ObjectIdentifier namespace)
+            if t.name in self._tables and (
+                self._table_cat.get(t.name),
+                self._table_db.get(t.name),
+            ) != (self._current_cat, self._current_db):
+                raise ValueError(
+                    f"table name {t.name!r} already exists in "
+                    f"{self._table_cat.get(t.name)}.{self._table_db.get(t.name)}; "
+                    "the session-scoped catalog does not support the same bare "
+                    "name in two catalogs/databases (documented divergence)"
+                )
             # register only after the DDL succeeds: a failed CREATE must not
             # leave a phantom entry for SHOW TABLES / INSERT INTO to find
             execute_ddl(self._spark, None, table_def=t)

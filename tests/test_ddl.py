@@ -1242,3 +1242,48 @@ def test_print_and_blackhole_connectors(spark, capsys):
     # sink-only: schema required
     with pytest.raises(ValueError, match="schema"):
         env.execute_sql("CREATE TABLE p_bad () WITH ('connector'='print')")
+
+
+def test_qualified_identifiers(spark, tmp_path):
+    """ObjectIdentifier resolution (reference identifier expansion:
+    `catalog.db.table` and `db.table` resolve against the session
+    catalog): fully- and partially-qualified references work in queries,
+    INSERT, and DESCRIBE; a 3-part name that doesn't resolve errors; an
+    `alias.column` dotted pair is untouched; a cross-catalog bare-name
+    collision on CREATE is rejected loudly."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    p = str(tmp_path / "q_t")
+    spark.createDataFrame([(1, 2.0), (2, 4.0)], "id long, v double").write.parquet(p)
+    env.execute_sql(f"CREATE TABLE q_t (id BIGINT, v DOUBLE) WITH ('path'='{p}')")
+    full = env.execute_sql(
+        "SELECT id FROM default_catalog.default_database.q_t ORDER BY id"
+    )
+    assert [r.id for r in full] == [1, 2]
+    part = env.execute_sql("SELECT id FROM default_database.q_t ORDER BY id")
+    assert [r.id for r in part] == [1, 2]
+    # alias.column stays an alias reference
+    rows = env.execute_sql("SELECT a.id FROM q_t AS a WHERE a.v > 3.0")
+    assert [r.id for r in rows] == [2]
+    # INSERT through a qualified target
+    sink = str(tmp_path / "q_sink")
+    env.execute_sql(f"CREATE TABLE q_sink (id BIGINT) WITH ('path'='{sink}')")
+    env.execute_sql("INSERT INTO default_catalog.default_database.q_sink SELECT 9")
+    assert [r.id for r in env.execute_sql("SELECT id FROM q_sink")] == [9]
+    # unresolvable 3-part name
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("SELECT * FROM default_catalog.default_database.nope")
+    # a db-qualified view resolves too
+    env.execute_sql("CREATE VIEW q_v AS SELECT id FROM q_t")
+    assert len(env.execute_sql("SELECT * FROM default_database.q_v")) == 2
+    # cross-catalog bare-name collision is rejected
+    env.execute_sql("CREATE CATALOG qc2 WITH ('type'='generic_in_memory')")
+    env.execute_sql("USE CATALOG qc2")
+    with pytest.raises(ValueError, match="documented divergence"):
+        env.execute_sql(f"CREATE TABLE q_t (id BIGINT) WITH ('path'='{p}')")
+    # qualified cross-catalog read from inside qc2
+    rows = env.execute_sql("SELECT id FROM default_catalog.default_database.q_t ORDER BY id")
+    assert [r.id for r in rows] == [1, 2]
+    env.execute_sql("USE CATALOG default_catalog")
+    env.execute_sql("DROP CATALOG qc2")
