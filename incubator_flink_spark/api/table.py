@@ -662,6 +662,26 @@ class TableEnvironment:
                 parse_create_table,
             )
 
+            # qualified CREATE target: CREATE TABLE [cat.][db.]name — the
+            # object registers under the explicit scope instead of the
+            # current one (ObjectIdentifier expansion on the DDL side)
+            tgt_cat, tgt_db = self._current_cat, self._current_db
+            qm = _re.match(
+                r"(CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?)"
+                r"(?:(\w+)\.)?(\w+)\.(\w+)\b",
+                s,
+                _re.I,
+            )
+            if qm:
+                cat = qm.group(2) or self._current_cat
+                db, name = qm.group(3), qm.group(4)
+                if cat not in self._catalogs:
+                    raise ValueError(f"catalog {cat!r} does not exist")
+                if db not in self._catalogs[cat]:
+                    raise ValueError(f"database {db!r} does not exist in catalog {cat!r}")
+                tgt_cat, tgt_db = cat, db
+                s = qm.group(1) + name + s[qm.end():]
+
             t = parse_create_table(s)
             if t.like is not None:
                 # CREATE TABLE ... LIKE (SqlTableLike.java:91): resolve the
@@ -681,7 +701,7 @@ class TableEnvironment:
             if t.name in self._tables and (
                 self._table_cat.get(t.name),
                 self._table_db.get(t.name),
-            ) != (self._current_cat, self._current_db):
+            ) != (tgt_cat, tgt_db):
                 raise ValueError(
                     f"table name {t.name!r} already exists in "
                     f"{self._table_cat.get(t.name)}.{self._table_db.get(t.name)}; "
@@ -692,8 +712,8 @@ class TableEnvironment:
             # leave a phantom entry for SHOW TABLES / INSERT INTO to find
             execute_ddl(self._spark, None, table_def=t)
             self._tables[t.name] = t
-            self._table_db[t.name] = self._current_db
-            self._table_cat[t.name] = self._current_cat
+            self._table_db[t.name] = tgt_db
+            self._table_cat[t.name] = tgt_cat
             return []
         vm = _re.fullmatch(
             r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(.+)",

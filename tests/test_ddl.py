@@ -1287,3 +1287,34 @@ def test_qualified_identifiers(spark, tmp_path):
     assert [r.id for r in rows] == [1, 2]
     env.execute_sql("USE CATALOG default_catalog")
     env.execute_sql("DROP CATALOG qc2")
+
+
+def test_qualified_create_target(spark, tmp_path):
+    """CREATE TABLE [cat.][db.]name registers under the EXPLICIT scope
+    (DDL-side ObjectIdentifier expansion), visible from SHOW TABLES only
+    in that scope and addressable by qualified reference from anywhere."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    p = str(tmp_path / "qc_t")
+    spark.createDataFrame([(5,)], "id long").write.parquet(p)
+    env.execute_sql("CREATE CATALOG qc3 WITH ('type'='generic_in_memory')")
+    # create INTO qc3.default while standing in default_catalog
+    env.execute_sql(f"CREATE TABLE qc3.default.qc_t (id BIGINT) WITH ('path'='{p}')")
+    assert "qc_t" not in env.execute_sql("SHOW TABLES")  # not in current scope
+    env.execute_sql("USE CATALOG qc3")
+    assert "qc_t" in env.execute_sql("SHOW TABLES")
+    assert [r.id for r in env.execute_sql("SELECT id FROM qc_t")] == [5]
+    env.execute_sql("USE CATALOG default_catalog")
+    # qualified read from the other scope
+    assert [r.id for r in env.execute_sql("SELECT id FROM qc3.default.qc_t")] == [5]
+    # db-qualified create in the current catalog
+    env.execute_sql("CREATE DATABASE qdb")
+    env.execute_sql(f"CREATE TABLE qdb.qdb_t (id BIGINT) WITH ('path'='{p}')")
+    assert [r.id for r in env.execute_sql("SELECT id FROM qdb.qdb_t")] == [5]
+    # unknown scope errors
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql(f"CREATE TABLE nocat.default.x (id BIGINT) WITH ('path'='{p}')")
+    env.execute_sql("USE CATALOG qc3")
+    env.execute_sql("USE CATALOG default_catalog")
+    env.execute_sql("DROP CATALOG qc3")
