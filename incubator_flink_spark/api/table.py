@@ -1280,23 +1280,35 @@ class TableEnvironment:
         t = self._tables.get(name)
         if t is None:
             raise ValueError(f"INSERT target {name!r} was not created via execute_sql DDL")
-        if t.options.get("connector", "filesystem") not in ("filesystem", "print", "blackhole"):
+        if t.options.get("connector", "filesystem") not in (
+            "filesystem",
+            "print",
+            "blackhole",
+            "kafka",
+            "upsert-kafka",
+        ):
             raise ValueError(
-                f"INSERT INTO supports the filesystem/print/blackhole connectors, "
-                f"not {t.options.get('connector')!r}"
+                f"INSERT INTO supports the filesystem/print/blackhole/kafka/"
+                f"upsert-kafka connectors, not {t.options.get('connector')!r}"
             )
         if t.options.get("mode") == "streaming":
             raise ValueError("streaming INSERT goes through writeStream (streaming/sinks.py)")
         # VIRTUAL metadata columns are excluded from INSERT schemas by
         # construction (they are not in t.columns); a PERSISTED metadata
-        # column requires writable connector metadata, which the filesystem
-        # connector does not have (reference: DynamicSinkUtils
-        # validateMetadataColumns) — reject it at the sink boundary.
-        persisted_md = [c for c, _, _, virtual in t.metadata_cols if not virtual]
-        if persisted_md:
+        # column requires writable connector metadata (reference:
+        # DynamicSinkUtils validateMetadataColumns) — kafka exposes
+        # 'timestamp' as writable, everything else is read-only here.
+        conn = t.options.get("connector", "filesystem")
+        writable = {"timestamp"} if conn in ("kafka", "upsert-kafka") else set()
+        bad_md = [
+            c
+            for c, _, key, virtual in t.metadata_cols
+            if not virtual and (key if key is not None else c) not in writable
+        ]
+        if bad_md:
             raise ValueError(
-                f"INSERT into {name!r}: metadata column(s) {persisted_md} are not "
-                "writable on the filesystem connector; declare them VIRTUAL"
+                f"INSERT into {name!r}: metadata column(s) {bad_md} are not "
+                f"writable on the {conn} connector; declare them VIRTUAL"
             )
         return t
 
@@ -1309,9 +1321,14 @@ class TableEnvironment:
         t = self._validate_insert_target(name)
         connector = t.options.get("connector", "filesystem")
         # align by the DDL's declared column order/names (Flink inserts
-        # by position against the sink schema)
-        if t.columns:
-            cols = [c for c, _ in t.columns]
+        # by position against the sink schema); PERSISTED metadata columns
+        # are part of the sink schema (after the physical ones, matching
+        # the registered view's order)
+        sink_cols = list(t.columns) + [
+            (c, ty) for c, ty, _, virtual in t.metadata_cols if not virtual
+        ]
+        if sink_cols:
+            cols = [c for c, _ in sink_cols]
             if len(df.columns) != len(cols):
                 raise ValueError(
                     f"INSERT column count {len(df.columns)} != sink schema {len(cols)}"
@@ -1323,7 +1340,7 @@ class TableEnvironment:
             # parquet file's physical type diverges from the declared
             # schema the readers use)
             casted = []
-            for c, ty in t.columns:
+            for c, ty in sink_cols:
                 try:
                     casted.append(F.col(c).cast(ty))
                 except Exception:  # noqa: BLE001 — Flink-only type spelling
@@ -1340,6 +1357,11 @@ class TableEnvironment:
         if connector == "blackhole":
             # BlackHoleTableSinkFactory: execute the plan, discard rows
             df.write.format("noop").mode("overwrite").save()
+            return
+        if connector in ("kafka", "upsert-kafka"):
+            from incubator_flink_spark.sources.ddl import write_kafka_frames
+
+            write_kafka_frames(self._spark, t, df, upsert=connector == "upsert-kafka")
             return
         if t.partitioned_by and mode == "overwrite":
             # Flink's filesystem INSERT OVERWRITE replaces only the

@@ -431,6 +431,16 @@ def _read_kafka_table(spark: SparkSession, t: TableDef, streaming: bool) -> Data
             "'frames-path' pointing at kafka-shaped parquet frames "
             "(key/value BINARY + topic/partition/offset/timestamp columns)"
         )
+    import os as _os
+
+    if not streaming and not _os.path.isdir(t.options["frames-path"]):
+        # sink-first kafka table: no frames until the first INSERT writes
+        # them (CREATE is metadata-only in the reference)
+        schema = ", ".join(f"{n} {ty}" for n, ty in t.columns)
+        df = spark.createDataFrame([], schema)
+        for name, typ, _key, _virtual in t.metadata_cols:
+            df = df.withColumn(name, F.lit(None).cast(typ))
+        return df
     frames = read_table(spark, t.options["frames-path"], "parquet", streaming=streaming)
     prefix = t.options.get("key.fields-prefix", "")
     key_fields = [c.strip() for c in t.options.get("key.fields", "").split(";") if c.strip()]
@@ -513,6 +523,11 @@ def _read_upsert_kafka_table(spark: SparkSession, t: TableDef, streaming: bool) 
             "upsert-kafka DDL registers the materialized batch view here; the "
             "streaming normalize path is streaming/changelog.py keep_last form"
         )
+    import os as _os
+
+    if not _os.path.isdir(t.options["frames-path"]):
+        # sink-first upsert table: empty until the first INSERT
+        return spark.createDataFrame([], ", ".join(f"{n} {ty}" for n, ty in t.columns))
     frames = read_table(spark, t.options["frames-path"], "parquet")
     phys = dict(t.columns)
     missing = [c for c in t.primary_key if c not in phys]
@@ -533,6 +548,75 @@ def _read_upsert_kafka_table(spark: SparkSession, t: TableDef, streaming: bool) 
     return changelog_normalize(log, list(t.primary_key), "offset", "offset").select(
         *[c for c, _ in t.columns]
     )
+
+
+def write_kafka_frames(spark: SparkSession, t: TableDef, df: DataFrame, upsert: bool) -> None:
+    """INSERT INTO a kafka/upsert-kafka table: encode rows as kafka-shaped
+    frames and append them to 'frames-path' (the broker-less counterpart
+    of KafkaDynamicSink / UpsertKafkaDynamicTableFactory's serializer —
+    against a real broker only this writer line changes).
+
+    - kafka: key = JSON of 'key.fields' (prefix-stripped names, matching
+      the deserializer), value = JSON of the remaining physical columns.
+    - upsert-kafka: key = JSON of the PRIMARY KEY, value = JSON of the
+      non-key columns; INSERTed rows are upserts (tombstones only arise
+      from changelog pipelines, as in the reference).
+    - a PERSISTED `timestamp` METADATA column is writable (the reference's
+      kafka writable metadata); other frame fields are synthesized
+      (partition 0, offsets past the current max — per-partition order
+      within one INSERT is not defined, as on a real multi-partition
+      topic).
+    """
+    import os
+
+    if "frames-path" not in t.options:
+        raise ValueError("kafka INSERT in this sandbox needs 'frames-path'")
+    path = t.options["frames-path"]
+    topic = t.options.get("topic", t.name)
+    prefix = t.options.get("key.fields-prefix", "")
+    if upsert:
+        key_fields = list(t.primary_key)
+    else:
+        key_fields = [c.strip() for c in t.options.get("key.fields", "").split(";") if c.strip()]
+    phys = [c for c, _ in t.columns]
+    value_cols = [c for c in phys if c not in key_fields]
+
+    def strip(c: str) -> str:
+        return c[len(prefix):] if prefix and c.startswith(prefix) else c
+
+    key = (
+        F.encode(
+            F.to_json(F.struct(*[F.col(c).alias(strip(c)) for c in key_fields])), "UTF-8"
+        )
+        if key_fields
+        else F.lit(None).cast("binary")
+    )
+    value = F.encode(F.to_json(F.struct(*[F.col(c) for c in value_cols])), "UTF-8")
+    ts_md = next(
+        (name for name, _, k, virtual in t.metadata_cols
+         if not virtual and (k if k is not None else name) == "timestamp"),
+        None,
+    )
+    ts = F.col(ts_md).cast("timestamp") if ts_md else F.current_timestamp()
+    exists = os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+    base_off = (
+        spark.read.parquet(path).agg(F.max("offset")).first()[0] if exists else None
+    ) or 0
+    frames = df.select(
+        key.alias("key"),
+        value.alias("value"),
+        F.lit(topic).alias("topic"),
+        F.lit(0).alias("partition"),
+        (F.lit(base_off + 1) + F.monotonically_increasing_id()).alias("offset"),
+        ts.alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    if exists:
+        # match the layout already on disk (the read side takes the first
+        # file's schema; mixed widths would be undefined)
+        have = spark.read.parquet(path).columns
+        frames = frames.select(*[c for c in frames.columns if c in have])
+    frames.write.mode("append").parquet(path)
 
 
 def execute_ddl(spark: SparkSession, sql: str | None, table_def: TableDef | None = None) -> DataFrame:

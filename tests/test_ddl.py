@@ -1318,3 +1318,63 @@ def test_qualified_create_target(spark, tmp_path):
     env.execute_sql("USE CATALOG qc3")
     env.execute_sql("USE CATALOG default_catalog")
     env.execute_sql("DROP CATALOG qc3")
+
+
+def test_kafka_insert_roundtrip(spark, tmp_path):
+    """kafka as a SINK (KafkaDynamicSink counterpart): INSERT INTO a kafka
+    DDL table encodes key/value JSON frames and appends them to
+    frames-path; reading back through the SAME table decodes them — incl.
+    a PERSISTED writable `timestamp` metadata column (the reference's
+    kafka writable metadata)."""
+    import datetime
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    fp = str(tmp_path / "k_sink_frames")  # does not exist yet: sink-first
+    env.execute_sql(f"""
+        CREATE TABLE k_rt (
+          uid BIGINT,
+          name STRING,
+          ts TIMESTAMP METADATA FROM 'timestamp'
+        ) WITH ('connector'='kafka','topic'='rt','value.format'='json',
+                'key.format'='json','key.fields'='uid',
+                'frames-path'='{fp}')
+    """)
+    assert env.execute_sql("SELECT * FROM k_rt") == []  # empty until INSERT
+    env.execute_sql(
+        "INSERT INTO k_rt SELECT 1, 'a', TIMESTAMP '2024-03-01 00:00:00'"
+    )
+    env.execute_sql(
+        "INSERT INTO k_rt SELECT 2, 'b', TIMESTAMP '2024-03-02 00:00:00'"
+    )
+    rows = sorted(
+        [(r.uid, r.name, r.ts) for r in env.execute_sql("SELECT uid, name, ts FROM k_rt")]
+    )
+    assert rows == [
+        (1, "a", datetime.datetime(2024, 3, 1)),
+        (2, "b", datetime.datetime(2024, 3, 2)),
+    ]
+
+
+def test_upsert_kafka_insert_applies_upserts(spark, tmp_path):
+    """INSERT INTO an upsert-kafka table appends upsert frames keyed by the
+    PRIMARY KEY: a later INSERT for the same key wins in the materialized
+    view (offset order across INSERT batches)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    fp = str(tmp_path / "uk_sink_frames")
+    env.execute_sql(f"""
+        CREATE TABLE uk_rt (
+          id BIGINT, v DOUBLE,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector'='upsert-kafka','topic'='u',
+                'key.format'='json','value.format'='json',
+                'frames-path'='{fp}')
+    """)
+    env.execute_sql("INSERT INTO uk_rt SELECT 1, CAST(10.0 AS DOUBLE)")
+    env.execute_sql("INSERT INTO uk_rt SELECT 2, CAST(20.0 AS DOUBLE)")
+    env.execute_sql("INSERT INTO uk_rt SELECT 1, CAST(11.0 AS DOUBLE)")  # upsert key 1
+    rows = {(r.id, r.v) for r in env.execute_sql("SELECT id, v FROM uk_rt")}
+    assert rows == {(1, 11.0), (2, 20.0)}
