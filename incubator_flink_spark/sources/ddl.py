@@ -441,7 +441,14 @@ def _read_kafka_table(spark: SparkSession, t: TableDef, streaming: bool) -> Data
         for name, typ, _key, _virtual in t.metadata_cols:
             df = df.withColumn(name, F.lit(None).cast(typ))
         return df
-    frames = read_table(spark, t.options["frames-path"], "parquet", streaming=streaming)
+    if streaming:
+        # a streaming file source needs an explicit schema: take it from
+        # the frames already on disk (same move a real kafka reader makes
+        # implicitly — its wire schema is fixed)
+        frame_schema = spark.read.parquet(t.options["frames-path"]).schema
+        frames = spark.readStream.schema(frame_schema).parquet(t.options["frames-path"])
+    else:
+        frames = read_table(spark, t.options["frames-path"], "parquet")
     prefix = t.options.get("key.fields-prefix", "")
     key_fields = [c.strip() for c in t.options.get("key.fields", "").split(";") if c.strip()]
     phys = dict(t.columns)

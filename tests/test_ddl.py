@@ -1378,3 +1378,45 @@ def test_upsert_kafka_insert_applies_upserts(spark, tmp_path):
     env.execute_sql("INSERT INTO uk_rt SELECT 1, CAST(11.0 AS DOUBLE)")  # upsert key 1
     rows = {(r.id, r.v) for r in env.execute_sql("SELECT id, v FROM uk_rt")}
     assert rows == {(1, 11.0), (2, 20.0)}
+
+
+def test_kafka_ddl_streaming_mode(spark, tmp_path):
+    """connector 'kafka' with 'mode'='streaming': the registered DataFrame
+    is a readStream over the frames (schema pinned from disk), decoding
+    through the same Catalyst expressions — streamed rows == batch rows."""
+    from incubator_flink_spark.sources.ddl import execute_ddl
+    from tests.conftest import drain_stream
+
+    frames = spark.createDataFrame(
+        [('{"id":1,"s":"a"}', 0), ('{"id":2,"s":"b"}', 1)],
+        "v STRING, offset BIGINT",
+    ).select(
+        F.lit(None).cast("binary").alias("key"),
+        F.encode("v", "UTF-8").alias("value"),
+        F.lit("t").alias("topic"),
+        F.lit(0).alias("partition"),
+        "offset",
+    )
+    fp = str(tmp_path / "stream_frames")
+    frames.write.parquet(fp)
+    df = execute_ddl(
+        spark,
+        f"""CREATE TABLE k_stream (id BIGINT, s STRING,
+             off BIGINT METADATA FROM 'offset' VIRTUAL)
+            WITH ('connector'='kafka','value.format'='json',
+                  'frames-path'='{fp}','mode'='streaming')""",
+    )
+    assert df.isStreaming
+    got = []
+
+    import tempfile
+
+    q = (
+        df.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    drain_stream(q)
+    assert sorted((r.id, r.s, r.off) for r in got) == [(1, "a", 0), (2, "b", 1)]
