@@ -163,6 +163,7 @@ EXTRA = [
     "window_session_tvf_sql",
     "cep_nested_group_sql",
     "dedup_prefix_filter",
+    "side_outputs_split",  # r9: batch-shaped §2.9 gate (OutputTag splits)
 ]
 
 
