@@ -175,6 +175,17 @@ def run(sf_dir: str, n_runs: int = 3) -> tuple[dict, list[float]]:
     # the measurement then reflects steady-state data-proportional cost.
     for name in HEADLINE:
         REGISTRY[name].fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
+    # Second, UNMEASURED warmup pass at the BENCH scale factor: the r9
+    # driver record (53.49 s vs a clean 20.05 s for identical code) showed
+    # the first sf0.1 pass pays cold page-cache / parquet-footer / scan
+    # costs that sf0.001 warmup cannot touch, and medians-of-3 only
+    # partially absorb it (run totals decayed 82.8 -> 56.1 -> 46.7 within
+    # one session).  Touching every headline plan once at the measured SF
+    # brings the inputs into the page cache so the measured runs start at
+    # steady state regardless of what the host was doing beforehand.
+    for name in HEADLINE:
+        spark.catalog.clearCache()
+        REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
     # All headline runs complete BEFORE any extra runs: the headline
     # series is the apples-to-apples comparison against the recorded
     # baseline (which predates the EXTRA set), so its measurements must
@@ -248,6 +259,9 @@ def main() -> None:
         # expose the host-noise spread behind "value"
         "runs": n_runs,
         "run_totals": run_totals,
+        # best-of-N alongside the median: under transient host load the
+        # minimum is the least-contaminated estimate of the code's cost
+        "best_run_total": min(run_totals),
         # extras were timed under SPARK_GRAFT_BENCH_FAST=1 (reduced
         # iteration counts on the heavy iterative entries; headline
         # numbers are always full-semantics)

@@ -1217,7 +1217,14 @@ class TableEnvironment:
                 # unspecified sink column -> NULL (insert.md "COLUMN LIST";
                 # static partition keys must not repeat in the list)
                 cols = [c.strip() for c in col_list.split(",")]
-                decl = dict(t.columns)
+                # the declarable sink schema includes PERSISTED metadata
+                # columns (they are part of sink_cols in _insert_into —
+                # e.g. kafka's writable `timestamp`); VIRTUAL ones are
+                # excluded by construction
+                sink_schema = list(t.columns) + [
+                    (c, ty) for c, ty, _, virtual in t.metadata_cols if not virtual
+                ]
+                decl = dict(sink_schema)
                 unknown = [c for c in cols if c not in decl]
                 if unknown:
                     raise ValueError(f"INSERT column list names unknown column(s) {unknown}")
@@ -1238,7 +1245,7 @@ class TableEnvironment:
                 df = df.select(
                     *[
                         F.col(c) if c in cols else F.lit(None).cast(ty).alias(c)
-                        for c, ty in t.columns
+                        for c, ty in sink_schema
                         if c not in static_keys
                     ]
                 )

@@ -569,10 +569,14 @@ def write_kafka_frames(spark: SparkSession, t: TableDef, df: DataFrame, upsert: 
       non-key columns; INSERTed rows are upserts (tombstones only arise
       from changelog pipelines, as in the reference).
     - a PERSISTED `timestamp` METADATA column is writable (the reference's
-      kafka writable metadata); other frame fields are synthesized
-      (partition 0, offsets past the current max — per-partition order
-      within one INSERT is not defined, as on a real multi-partition
-      topic).
+      kafka writable metadata); other frame fields are synthesized:
+      partition 0, offsets past the current max.  Offsets within one
+      INSERT are assigned DETERMINISTICALLY (a stable sort of
+      key/value/timestamp, materialized single-partition — the sink
+      declares a one-partition topic, so this mirrors a real broker where
+      a fixed key always lands on one partition and producer order is
+      preserved): the upsert winner for duplicate keys inside one INSERT
+      is reproducible across runs and partitionings.
     """
     import os
 
@@ -609,14 +613,23 @@ def write_kafka_frames(spark: SparkSession, t: TableDef, df: DataFrame, upsert: 
     base_off = (
         spark.read.parquet(path).agg(F.max("offset")).first()[0] if exists else None
     ) or 0
-    frames = df.select(
-        key.alias("key"),
-        value.alias("value"),
-        F.lit(topic).alias("topic"),
-        F.lit(0).alias("partition"),
-        (F.lit(base_off + 1) + F.monotonically_increasing_id()).alias("offset"),
-        ts.alias("timestamp"),
-        F.lit(0).alias("timestampType"),
+    frames = (
+        df.select(
+            key.alias("key"),
+            value.alias("value"),
+            F.lit(topic).alias("topic"),
+            F.lit(0).alias("partition"),
+            ts.alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+        )
+        # deterministic per-INSERT ordinals: stable sort, then a single
+        # partition (the declared one-partition topic) so
+        # monotonically_increasing_id yields consecutive 0..n-1 in sorted
+        # order regardless of the query's upstream partitioning
+        .orderBy("key", "value", "timestamp")
+        .coalesce(1)
+        .withColumn("offset", F.lit(base_off + 1) + F.monotonically_increasing_id())
+        .select("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
     )
     if exists:
         # match the layout already on disk (the read side takes the first

@@ -177,17 +177,40 @@ def session_rows_streaming(
     gap_us = gap_s * 1_000_000
 
     def _encode(pdf: pd.DataFrame) -> list[str]:
-        p = pdf[col_order].copy()
-        for c in ts_fields:
-            p[c] = p[c].astype("int64") // 1000
-        return [json.dumps(rec) for rec in p.to_dict("records")]
+        # per-record conversion (state buffers hold only OPEN-session rows,
+        # so this loop is small): NaT must become JSON null BEFORE any
+        # int64 view (NaT.astype('int64') silently yields INT64_MIN), and
+        # nullable long/int payloads — which arrive float64 through the
+        # pandas bridge (5 -> 5.0, null -> NaN) — must store exact ints /
+        # JSON null, never bare NaN.  Column-level .where(..., None) is
+        # avoided on purpose: pandas coerces the None back to NaN.
+        recs = []
+        for rec in pdf[col_order].to_dict("records"):
+            for c in ts_fields:
+                v = rec[c]
+                rec[c] = None if pd.isna(v) else pd.Timestamp(v).value // 1000
+            for c in int_fields:
+                v = rec[c]
+                rec[c] = None if pd.isna(v) else int(v)
+            recs.append(json.dumps(rec))
+        return recs
 
     def _decode(payload: list[str], w_start_us: int, w_end_us: int) -> pd.DataFrame:
         res = pd.DataFrame([json.loads(s) for s in payload], columns=col_order)
         for c in ts_fields:
-            res[c] = pd.to_datetime(res[c] * 1000, utc=False)
+            # element-wise: JSON null -> NaT (a column-level `* 1000` on a
+            # column holding None would be object-dtype and fail)
+            res[c] = pd.to_datetime(
+                pd.Series(
+                    [None if v is None else v * 1000 for v in res[c]], index=res.index
+                ),
+                utc=False,
+            )
         for c in int_fields:
-            res[c] = res[c].astype("int64")
+            # pandas nullable Int64, not numpy int64: JSON null decodes to
+            # None and a bare astype('int64') raises inside the stateful
+            # operator (the batch session path handles nulls fine — parity)
+            res[c] = pd.array(res[c], dtype="Int64")
         res["window_start"] = pd.Timestamp(w_start_us * 1000)
         res["window_end"] = pd.Timestamp(w_end_us * 1000)
         return res

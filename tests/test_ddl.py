@@ -1420,3 +1420,69 @@ def test_kafka_ddl_streaming_mode(spark, tmp_path):
     )
     drain_stream(q)
     assert sorted((r.id, r.s, r.off) for r in got) == [(1, "a", 0), (2, "b", 1)]
+
+
+def test_kafka_insert_column_list_with_metadata(spark, tmp_path):
+    """INSERT column lists must cover PERSISTED metadata columns (ADVICE
+    r9): naming kafka's writable `timestamp` in the list works, and
+    omitting it NULL-fills — mirroring sink_cols in _insert_into."""
+    import datetime
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    fp = str(tmp_path / "k_cl_frames")
+    env.execute_sql(f"""
+        CREATE TABLE k_cl (
+          uid BIGINT,
+          name STRING,
+          ts TIMESTAMP METADATA FROM 'timestamp'
+        ) WITH ('connector'='kafka','topic'='cl','value.format'='json',
+                'key.format'='json','key.fields'='uid',
+                'frames-path'='{fp}')
+    """)
+    # metadata column named in the list, out of declared order
+    env.execute_sql(
+        "INSERT INTO k_cl (ts, uid, name) "
+        "SELECT TIMESTAMP '2024-03-01 00:00:00', 1, 'a'"
+    )
+    # metadata column omitted: NULL-filled like any unspecified sink column
+    env.execute_sql("INSERT INTO k_cl (uid, name) SELECT 2, 'b'")
+    rows = {(r.uid, r.name, r.ts) for r in env.execute_sql("SELECT uid, name, ts FROM k_cl")}
+    assert rows == {
+        (1, "a", datetime.datetime(2024, 3, 1)),
+        (2, "b", None),
+    }
+
+
+def test_upsert_kafka_same_key_one_insert_deterministic(spark, tmp_path):
+    """Duplicate-key rows inside ONE INSERT must elect the same upsert
+    winner on every run (VERDICT r9: offsets were partition-scoped, so the
+    winner depended on upstream partitioning).  Two differently-partitioned
+    executions of the same logical INSERT read back identical state."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    winners = []
+    for n_parts in (1, 7):
+        env = TableEnvironment(spark)
+        fp = str(tmp_path / f"uk_det_{n_parts}")
+        env.execute_sql(f"""
+            CREATE TABLE uk_det_{n_parts} (
+              id BIGINT, v DOUBLE,
+              PRIMARY KEY (id) NOT ENFORCED
+            ) WITH ('connector'='upsert-kafka','topic'='d',
+                    'key.format'='json','value.format'='json',
+                    'frames-path'='{fp}')
+        """)
+        src = spark.createDataFrame(
+            [(1, 10.0), (1, 12.0), (1, 11.0), (2, 20.0)], "id long, v double"
+        ).repartition(n_parts)
+        src.createOrReplaceTempView(f"uk_det_src_{n_parts}")
+        env.execute_sql(
+            f"INSERT INTO uk_det_{n_parts} SELECT id, v FROM uk_det_src_{n_parts}"
+        )
+        winners.append(
+            sorted((r.id, r.v) for r in env.execute_sql(f"SELECT id, v FROM uk_det_{n_parts}"))
+        )
+    assert winners[0] == winners[1]
+    assert dict(winners[0])[2] == 20.0

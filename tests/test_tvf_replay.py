@@ -144,3 +144,59 @@ def test_session_tvf_sql_streaming_matches_batch(spark, replay_root):
         if r.ts.year < 2025
     }
     assert streamed == expected and len(expected) > 0
+
+
+def test_session_rows_streaming_nullable_payload(spark, replay_root):
+    """Nullable long and timestamp PAYLOAD columns must survive the JSON
+    state round-trip (ADVICE r9: json null -> NaN -> astype('int64')
+    crashed in-operator, and NaT silently encoded as INT64_MIN).  Nulls in
+    the payload must come back as nulls, non-nulls exactly."""
+    from incubator_flink_spark.streaming.windows import session_rows_streaming
+
+    rows = [
+        ("a", 1, "2024-01-01 00:00:00", 10, "2024-03-01 00:00:00"),
+        ("a", 2, "2024-01-01 00:05:00", None, None),
+        ("a", 3, "2024-01-01 02:00:00", None, "2024-03-02 00:00:00"),
+        ("b", 4, "2024-01-01 00:01:00", 7, None),
+        # two flusher rows per key: watermark lags one batch
+        ("a", -1, "2025-06-01 00:00:00", 0, None),
+        ("a", -2, "2025-06-02 00:00:00", 0, None),
+        ("b", -3, "2025-06-01 00:00:00", 0, None),
+        ("b", -4, "2025-06-02 00:00:00", 0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts string, val long, extra_ts string"
+    ).select(
+        "event_type",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "val",
+        F.col("extra_ts").cast("timestamp").alias("extra_ts"),
+    )
+    stream = _ordered_files(spark, df, os.path.join(replay_root, "nullable"), n_files=4)
+    out = session_rows_streaming(
+        stream.withWatermark("ts", "0 seconds"), ["event_type"], "ts", gap_s=1800
+    )
+    got = []
+
+    def collect(bdf, _bid):
+        got.extend(bdf.collect())
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    drain_stream(q)
+    real = {r.event_id: r for r in got if r.ts.year < 2025}
+    assert set(real) == {1, 2, 3, 4}
+    assert real[1].val == 10 and str(real[1].extra_ts) == "2024-03-01 00:00:00"
+    assert real[2].val is None and real[2].extra_ts is None
+    assert real[3].val is None and str(real[3].extra_ts) == "2024-03-02 00:00:00"
+    assert real[4].val == 7 and real[4].extra_ts is None
+    # rows 1+2 merged into one session (5-min gap < 30-min), row 3 alone
+    assert real[1].window_start == real[2].window_start
+    assert real[1].window_end == real[2].window_end
+    assert real[3].window_start != real[1].window_start
