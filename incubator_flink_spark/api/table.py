@@ -461,6 +461,15 @@ class TableEnvironment:
         self._catalogs: dict[str, set[str]] = {"default_catalog": {"default_database"}}
         self._current_cat: str = "default_catalog"
         self._current_db: str = "default_database"
+        # per-scope namespacing (reference CatalogManager/ObjectIdentifier:
+        # the same bare table name may coexist in two (catalog, database)
+        # scopes).  Spark temp views are flat, so each scoped table gets a
+        # PHYSICAL view name: the bare name when free, else a mangled
+        # `__{cat}__{db}__{name}`.  _scoped_tables maps the logical
+        # identity to the physical view; _logical maps back for display
+        # (SHOW TABLES / SHOW CREATE TABLE).
+        self._scoped_tables: dict[tuple[str, str, str], str] = {}
+        self._logical: dict[str, str] = {}  # physical -> logical name
         self._table_db: dict[str, str] = {}  # table name -> owning database
         self._view_db: dict[str, str] = {}  # view name -> owning database
         self._table_cat: dict[str, str] = {}  # table name -> owning catalog
@@ -487,6 +496,38 @@ class TableEnvironment:
     def _databases(self) -> set[str]:
         """Database set of the CURRENT catalog (live reference)."""
         return self._catalogs[self._current_cat]
+
+    def _phys(self, name: str) -> str:
+        """Physical temp-view name for a logical table reference resolved
+        in the CURRENT (catalog, database) scope.  Unscoped/legacy names
+        (plain temp views, already-physical mangled names) pass through —
+        bare names not found in the current scope fall back to the flat
+        Spark namespace (documented leniency vs the reference's strictly
+        scoped resolution)."""
+        return self._scoped_tables.get(
+            (self._current_cat, self._current_db, name), name
+        )
+
+    def _lookup_table(self, name: str):
+        """TableDef for a logical (current-scope) or physical name."""
+        return self._tables.get(self._phys(name))
+
+    def _register_table_def(self, t, cat: str, db: str, logical: str) -> None:
+        """Book-keep one scoped table registration: t.name must already be
+        the PHYSICAL view name."""
+        self._tables[t.name] = t
+        self._table_cat[t.name] = cat
+        self._table_db[t.name] = db
+        self._scoped_tables[(cat, db, logical)] = t.name
+        self._logical[t.name] = logical
+
+    def _unregister_physical(self, phys: str) -> None:
+        """Drop every piece of book-keeping for one physical table name."""
+        self._tables.pop(phys, None)
+        cat = self._table_cat.pop(phys, None)
+        db = self._table_db.pop(phys, None)
+        logical = self._logical.pop(phys, phys)
+        self._scoped_tables.pop((cat, db, logical), None)
 
     def _set_flink_module(self, used: bool) -> None:
         """Enable/disable the 'flink' function module: the Flink-named SQL
@@ -532,11 +573,26 @@ class TableEnvironment:
                     "OPTIONS hint is allowed only when table.dynamic-table-options"
                     ".enabled is set to true"
                 )
-            t = self._tables.get(name)
+            t = self._lookup_table(name)
             if t is None:
                 # Hint attached to an alias / view / CTE (e.g. the \w+ the
                 # regex grabbed is 'a' in `FROM t AS a /*+ OPTIONS(...) */`):
-                # tolerate by stripping the hint and leaving the relation.
+                # tolerate by stripping the hint and leaving the relation —
+                # but ONLY when the name resolves to something known in the
+                # statement or session.  A typo'd table name must error
+                # like the reference's HintOptionChecker, not silently
+                # ignore the user's options (ADVICE r9).
+                # - a VIEW target would silently ignore the options (the
+                #   query still runs) — raise, like the reference rejecting
+                #   hints on non-table relations;
+                # - an alias or plain temp view: strip, documented tolerance;
+                # - an unknown RELATION: strip — the query itself then fails
+                #   with the ordinary table-not-found, so nothing is silent.
+                if name in self._views:
+                    raise ValueError(
+                        f"OPTIONS hint: {name!r} is a view — dynamic table "
+                        "options apply only to connector (DDL) tables"
+                    )
                 return name
             import copy
 
@@ -552,51 +608,91 @@ class TableEnvironment:
 
         return self._HINT_RE.sub(repl, sql)
 
-    _QUAL_RE = re.compile(r"\b(\w+)\.(\w+)\.(\w+)\b|\b(\w+)\.(\w+)\b")
+    # a relation reference follows one of these keywords (FROM/JOIN for
+    # queries, INTO/OVERWRITE for INSERT, TABLE for DESCRIBE/DROP/ALTER/
+    # SHOW CREATE/TVF `TABLE src`, EXISTS for `DROP ... IF EXISTS`,
+    # DESC/DESCRIBE bare forms).  Restricting the rewrite to relation
+    # positions is what keeps `alias.column` projections (`SELECT b.total
+    # FROM big AS b`) untouched even when `b` is a database name; quoted
+    # identifiers (backtick/double-quote) are left to Spark verbatim.
+    _REL_RE = re.compile(
+        r"\b(FROM|JOIN|INTO|OVERWRITE|TABLE|EXISTS|DESCRIBE|DESC)\s+"
+        r"(?![`\"])([A-Za-z_]\w*(?:\.[A-Za-z_]\w*){0,2})\b(?![`\"])",
+        re.IGNORECASE,
+    )
 
-    def _resolve_qualified(self, sql: str) -> str:
+    def _resolve_qualified(self, sql: str, tolerant: bool = False) -> str:
         """Resolve catalog-qualified identifiers (the reference's
         ObjectIdentifier: ``catalog.db.table`` and ``db.table`` — SQL docs
-        "identifier expansion") to the session-registered names.  A 3-part
-        name whose catalog exists must resolve or it is an error; a 2-part
-        prefix that is not a database of the current catalog is left alone
-        (it is an ``alias.column`` reference).  Quoted string literals are
-        never rewritten."""
+        "identifier expansion") in RELATION positions to the physical
+        session view names.  A 3-part name whose catalog exists must
+        resolve or it is an error (``tolerant`` — used by DROP so IF
+        EXISTS can no-op — leaves it for the statement handler); a 2-part
+        prefix that is not a database of the current catalog is left
+        alone; bare names resolve through the current scope (mangled
+        physical names for coexisting bare names).  Quoted string
+        literals and quoted identifiers are never rewritten; dotted
+        tokens OUTSIDE relation positions (``alias.column``) are never
+        touched."""
 
-        def known(tbl: str, cat: str, db: str) -> bool:
-            return (
-                self._table_cat.get(tbl) == cat and self._table_db.get(tbl) == db
-            ) or (self._view_cat.get(tbl) == cat and self._view_db.get(tbl) == db)
+        def known(tbl: str, cat: str, db: str) -> str | None:
+            phys = self._scoped_tables.get((cat, db, tbl))
+            if phys is not None:
+                return phys
+            if self._view_cat.get(tbl) == cat and self._view_db.get(tbl) == db:
+                return tbl
+            # legacy registrations that predate _scoped_tables
+            if self._table_cat.get(tbl) == cat and self._table_db.get(tbl) == db:
+                return tbl
+            return None
+
+        def resolve(token: str) -> str:
+            parts = token.split(".")
+            if len(parts) == 3:
+                cat, db, tbl = parts
+                if cat not in self._catalogs:
+                    return token
+                if db not in self._catalogs[cat]:
+                    if tolerant:
+                        return token
+                    raise ValueError(f"database {db!r} does not exist in catalog {cat!r}")
+                phys = known(tbl, cat, db)
+                if phys is not None:
+                    return phys
+                if tolerant:
+                    return token
+                raise ValueError(f"Table (or view) {cat}.{db}.{tbl} does not exist")
+            if len(parts) == 2:
+                db, tbl = parts
+                if db in self._catalogs.get(self._current_cat, set()):
+                    phys = known(tbl, self._current_cat, db)
+                    if phys is not None:
+                        return phys
+                return token  # alias.column or unresolvable db.table
+            phys = self._scoped_tables.get(
+                (self._current_cat, self._current_db, token)
+            )
+            return phys if phys is not None else token
 
         def repl(m: re.Match) -> str:
-            if m.group(1):
-                cat, db, tbl = m.group(1), m.group(2), m.group(3)
-                if cat not in self._catalogs:
-                    return m.group(0)
-                if db not in self._catalogs[cat]:
-                    raise ValueError(f"database {db!r} does not exist in catalog {cat!r}")
-                if known(tbl, cat, db):
-                    return tbl
-                raise ValueError(
-                    f"Table (or view) {cat}.{db}.{tbl} does not exist"
-                )
-            db, tbl = m.group(4), m.group(5)
-            if db in self._catalogs.get(self._current_cat, set()) and known(
-                tbl, self._current_cat, db
-            ):
-                return tbl
-            return m.group(0)  # alias.column or unrelated dotted token
+            return m.group(1) + m.group(0)[len(m.group(1)) : -len(m.group(2))] + resolve(
+                m.group(2)
+            )
 
-        if "." not in sql:
+        if "." not in sql and not self._scoped_tables:
             return sql
         # rewrite only OUTSIDE single-quoted literals ('path'='/a/b.c', ...)
         parts = sql.split("'")
         for i in range(0, len(parts), 2):
-            parts[i] = self._QUAL_RE.sub(repl, parts[i])
+            parts[i] = self._REL_RE.sub(repl, parts[i])
         return "'".join(parts)
 
-    def sql_query(self, sql: str) -> Table:
-        sql = self._resolve_qualified(sql)
+    def sql_query(self, sql: str, _resolved: bool = False) -> Table:
+        # _resolved: execute_sql (and view re-planning) already ran
+        # _resolve_qualified — resolving twice would re-interpret a
+        # PHYSICAL view name as a logical name in the current scope
+        if not _resolved:
+            sql = self._resolve_qualified(sql)
         if "/*+" in sql and "OPTIONS" in sql.upper():
             sql = self._apply_options_hints(sql)
         if "SYSTEM_TIME" in sql.upper():
@@ -629,8 +725,9 @@ class TableEnvironment:
         if not up.startswith("CREATE"):
             # qualified references (cat.db.t / db.t) resolve against the
             # session catalog; CREATE is exempt — its target does not exist
-            # yet (qualified CREATE targets are not supported here)
-            s = self._resolve_qualified(s)
+            # yet.  DROP resolves tolerantly: an unresolvable qualified name
+            # stays in place so the handler can honor IF EXISTS (ADVICE r9).
+            s = self._resolve_qualified(s, tolerant=up.startswith("DROP"))
             up = s.upper()
         # SET / RESET session options (SqlSet.java / SqlReset.java; the
         # FLIP-163 quoted spelling).  SET with no argument lists the
@@ -687,33 +784,30 @@ class TableEnvironment:
                 # CREATE TABLE ... LIKE (SqlTableLike.java:91): resolve the
                 # source definition from this catalog and merge per
                 # MergeTableLikeUtil before the connector table is created
-                src = self._tables.get(t.like[0])
+                src = self._lookup_table(t.like[0])
                 if src is None:
                     raise ValueError(
                         f"LIKE source table {t.like[0]!r} was not created via execute_sql DDL"
                     )
                 t = merge_table_like(t, src)
-            # the session catalog is a flat temp-view namespace: the same
-            # bare name in TWO different (catalog, database) scopes would
-            # silently shadow the first registration — reject it loudly
-            # (documented divergence from the reference's fully-scoped
-            # ObjectIdentifier namespace)
-            if t.name in self._tables and (
-                self._table_cat.get(t.name),
-                self._table_db.get(t.name),
-            ) != (tgt_cat, tgt_db):
-                raise ValueError(
-                    f"table name {t.name!r} already exists in "
-                    f"{self._table_cat.get(t.name)}.{self._table_db.get(t.name)}; "
-                    "the session-scoped catalog does not support the same bare "
-                    "name in two catalogs/databases (documented divergence)"
-                )
+            # per-scope namespacing (reference CatalogManager/
+            # ObjectIdentifier): the same bare name may coexist in two
+            # (catalog, database) scopes.  Spark temp views are flat, so a
+            # second scope's table gets a mangled PHYSICAL view name;
+            # resolution maps logical -> physical per scope.
+            logical = t.name
+            existing = self._scoped_tables.get((tgt_cat, tgt_db, logical))
+            if existing is not None:
+                # same-scope re-CREATE replaces (pre-existing behavior)
+                t.name = existing
+            elif logical in self._tables or logical in self._views or (
+                self._spark.catalog.tableExists(logical)
+            ):
+                t.name = f"__{tgt_cat}__{tgt_db}__{logical}"
             # register only after the DDL succeeds: a failed CREATE must not
             # leave a phantom entry for SHOW TABLES / INSERT INTO to find
             execute_ddl(self._spark, None, table_def=t)
-            self._tables[t.name] = t
-            self._table_db[t.name] = tgt_db
-            self._table_cat[t.name] = tgt_cat
+            self._register_table_def(t, tgt_cat, tgt_db, logical)
             return []
         vm = _re.fullmatch(
             r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(.+)",
@@ -732,15 +826,17 @@ class TableEnvironment:
                 raise ValueError(f"{name!r} is a table; CREATE VIEW cannot replace a table")
             if "OR REPLACE" not in up and name in self._views:
                 raise ValueError(f"view {name!r} already exists (use CREATE OR REPLACE VIEW)")
-            self.sql_query(query).to_df().createOrReplaceTempView(name)
+            self.sql_query(query, _resolved=True).to_df().createOrReplaceTempView(name)
             self._views[name] = query
             self._view_db[name] = self._current_db
             self._view_cat[name] = self._current_cat
             return []
-        dv = _re.fullmatch(r"DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?(\w+)", s, _re.I)
+        dv = _re.fullmatch(r"DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)", s, _re.I)
         if dv:
             name = dv.group(2)
-            if name not in self._views:
+            if "." in name or name not in self._views:
+                # dotted: unresolvable qualified name left by the tolerant
+                # resolver — IF EXISTS no-ops (ADVICE r9)
                 if dv.group(1):
                     return []
                 raise ValueError(f"view {name!r} does not exist (use DROP VIEW IF EXISTS)")
@@ -782,9 +878,7 @@ class TableEnvironment:
             owned_v = [v for v, c in self._view_cat.items() if c == name]
             for t in owned:
                 self._spark.catalog.dropTempView(t)
-                self._tables.pop(t, None)
-                self._table_db.pop(t, None)
-                self._table_cat.pop(t, None)
+                self._unregister_physical(t)
             for v in owned_v:
                 self._spark.catalog.dropTempView(v)
                 self._views.pop(v, None)
@@ -903,9 +997,7 @@ class TableEnvironment:
                 raise ValueError(f"database {name!r} is not empty (use DROP DATABASE ... CASCADE)")
             for t in owned:
                 self._spark.catalog.dropTempView(t)
-                del self._tables[t]
-                del self._table_db[t]
-                self._table_cat.pop(t, None)
+                self._unregister_physical(t)
             for v in owned_views:
                 self._spark.catalog.dropTempView(v)
                 del self._views[v]
@@ -991,16 +1083,23 @@ class TableEnvironment:
             self._spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
             del self._functions[name]
             return []
-        dm = _re.fullmatch(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)", s, _re.I)
+        dm = _re.fullmatch(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)", s, _re.I)
         if dm:
             name = dm.group(2)
+            if "." in name:
+                # a qualified name the tolerant resolver could not resolve:
+                # IF EXISTS makes it a no-op, otherwise it is the resolver's
+                # error (ADVICE r9 — DROP TABLE IF EXISTS cat.db.t must not
+                # raise on a nonexistent table)
+                if dm.group(1):
+                    return []
+                raise ValueError(f"Table (or view) {name} does not exist")
             if name in self._views:
                 raise ValueError(f"{name!r} is a view — use DROP VIEW")
-            known = self._spark.catalog.dropTempView(name)
-            if name in self._tables:
-                del self._tables[name]
-                self._table_db.pop(name, None)
-                self._table_cat.pop(name, None)
+            pname = self._phys(name)
+            known = self._spark.catalog.dropTempView(pname)
+            if pname in self._tables:
+                self._unregister_physical(pname)
             elif not known and not dm.group(1):
                 raise ValueError(f"table {name!r} does not exist (use DROP TABLE IF EXISTS)")
             return []
@@ -1010,7 +1109,7 @@ class TableEnvironment:
             # extras, watermark) rows.  DDL tables answer from their
             # declared schema (incl. computed cols + watermark); plain
             # temp views answer from the Spark catalog schema.
-            name = dsc.group(1)
+            name = self._phys(dsc.group(1))
             t = self._tables.get(name)
             if t is not None:
                 pk = set(t.primary_key)
@@ -1056,7 +1155,7 @@ class TableEnvironment:
             # Flink 1.14's ShowCreateTableOperation: reconstruct the DDL
             # from the registered definition
             name = sc.group(1)
-            t = self._tables.get(name)
+            t = self._lookup_table(name)
             if t is None:
                 raise ValueError(f"SHOW CREATE TABLE: {name!r} was not created via execute_sql DDL")
             body = [f"  {c} {ty}" for c, ty in t.columns]
@@ -1080,8 +1179,9 @@ class TableEnvironment:
                 else ""
             )
             opts = ",\n".join(f"  '{k}' = '{v}'" for k, v in sorted(t.options.items()))
+            shown = self._logical.get(t.name, t.name)
             return [
-                f"CREATE TABLE {t.name} (\n" + ",\n".join(body) + f"\n){part}\nWITH (\n{opts}\n)"
+                f"CREATE TABLE {shown} (\n" + ",\n".join(body) + f"\n){part}\nWITH (\n{opts}\n)"
             ]
         ex = _re.fullmatch(r"EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.+)", s, _re.I | _re.S)
         if ex and not up.startswith("EXPLAIN ANALYZE"):
@@ -1091,7 +1191,7 @@ class TableEnvironment:
             import contextlib
             import io
 
-            df = self.sql_query(ex.group(1)).to_df()
+            df = self.sql_query(ex.group(1), _resolved=True).to_df()
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
@@ -1103,7 +1203,7 @@ class TableEnvironment:
             from incubator_flink_spark.sources.ddl import execute_ddl
 
             name = aset.group(1)
-            t = self._tables.get(name)
+            t = self._lookup_table(name)
             if t is None:
                 raise ValueError(f"ALTER TABLE: {name!r} was not created via execute_sql DDL")
             for om in _re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", aset.group(2)):
@@ -1117,7 +1217,7 @@ class TableEnvironment:
             from incubator_flink_spark.sources.ddl import execute_ddl
 
             name = areset.group(1)
-            t = self._tables.get(name)
+            t = self._lookup_table(name)
             if t is None:
                 raise ValueError(f"ALTER TABLE: {name!r} was not created via execute_sql DDL")
             keys = _re.findall(r"'([^']+)'", areset.group(2))
@@ -1139,7 +1239,7 @@ class TableEnvironment:
                 raise ValueError(f"ALTER VIEW: target name {new!r} already exists")
             query = self._views.pop(old)
             self._spark.catalog.dropTempView(old)
-            self.sql_query(query).to_df().createOrReplaceTempView(new)
+            self.sql_query(query, _resolved=True).to_df().createOrReplaceTempView(new)
             self._views[new] = query
             self._view_db[new] = self._view_db.pop(old, self._current_db)
             self._view_cat[new] = self._view_cat.pop(old, self._current_cat)
@@ -1150,7 +1250,7 @@ class TableEnvironment:
             name, query = ava.group(1), ava.group(2)
             if name not in self._views:
                 raise ValueError(f"ALTER VIEW: {name!r} is not a view")
-            self.sql_query(query).to_df().createOrReplaceTempView(name)
+            self.sql_query(query, _resolved=True).to_df().createOrReplaceTempView(name)
             self._views[name] = query
             return []
         alt = _re.fullmatch(
@@ -1160,18 +1260,21 @@ class TableEnvironment:
             # Flink: AlterTableRenameOperation — re-register the view and
             # the definition under the new name
             old, new = alt.group(1), alt.group(2)
-            t = self._tables.get(old)
+            old_p = self._phys(old)
+            t = self._tables.get(old_p)
             if t is None:
                 raise ValueError(f"ALTER TABLE: {old!r} was not created via execute_sql DDL")
-            if new in self._tables or self._spark.catalog.tableExists(new):
+            cat = self._table_cat.get(old_p, self._current_cat)
+            db = self._table_db.get(old_p, self._current_db)
+            if (cat, db, new) in self._scoped_tables or new in self._tables or (
+                self._spark.catalog.tableExists(new)
+            ):
                 raise ValueError(f"ALTER TABLE: target name {new!r} already exists")
-            self._spark.table(old).createOrReplaceTempView(new)
-            self._spark.catalog.dropTempView(old)
+            self._spark.table(old_p).createOrReplaceTempView(new)
+            self._spark.catalog.dropTempView(old_p)
+            self._unregister_physical(old_p)
             t.name = new
-            self._tables[new] = t
-            del self._tables[old]
-            self._table_db[new] = self._table_db.pop(old, self._current_db)
-            self._table_cat[new] = self._table_cat.pop(old, self._current_cat)
+            self._register_table_def(t, cat, db, new)
             return []
         if _re.fullmatch(r"SHOW\s+TABLES", s, _re.I):
             # DDL tables plus temporary views (Flink's SHOW TABLES lists
@@ -1183,7 +1286,8 @@ class TableEnvironment:
                 if (t.tableType or "").upper() == "TEMPORARY"
             }
             mine = {
-                t for t in self._tables
+                self._logical.get(t, t)
+                for t in self._tables
                 if self._table_db.get(t, "default_database") == self._current_db
                 and self._table_cat.get(t, "default_catalog") == self._current_cat
             }
@@ -1202,7 +1306,7 @@ class TableEnvironment:
             # column-list alternative only matches a bare identifier list,
             # so a parenthesized query `(SELECT ...)` falls through to the
             # query group
-            r"INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(?:PARTITION\s*\(([^)]*)\)\s+)?"
+            r"INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(?:PARTITION\s*\(([^)]*)\)\s+)?"
             r"(?:\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s+)?(.+)",
             s,
             _re.I | _re.S,
@@ -1211,7 +1315,7 @@ class TableEnvironment:
             mode = "overwrite" if m.group(1).upper() == "OVERWRITE" else "append"
             name, part_spec, col_list, query = m.group(2), m.group(3), m.group(4), m.group(5)
             t = self._validate_insert_target(name)
-            df = self.sql_query(query).to_df()
+            df = self.sql_query(query, _resolved=True).to_df()
             if col_list:
                 # INSERT INTO T(c, b) SELECT x, y: x -> c, y -> b, every
                 # unspecified sink column -> NULL (insert.md "COLUMN LIST";
@@ -1281,10 +1385,10 @@ class TableEnvironment:
             self._insert_into(name, df, mode)
             self._refresh_after_inserts([name])
             return []
-        return self.sql_query(s).to_df().collect()
+        return self.sql_query(s, _resolved=True).to_df().collect()
 
     def _validate_insert_target(self, name: str):
-        t = self._tables.get(name)
+        t = self._lookup_table(name)
         if t is None:
             raise ValueError(f"INSERT target {name!r} was not created via execute_sql DDL")
         if t.options.get("connector", "filesystem") not in (
@@ -1404,9 +1508,9 @@ class TableEnvironment:
         from incubator_flink_spark.sources.ddl import execute_ddl
 
         for name in names:
-            execute_ddl(self._spark, None, table_def=self._tables[name])
+            execute_ddl(self._spark, None, table_def=self._tables[self._phys(name)])
         for vname, vquery in self._views.items():
-            self.sql_query(vquery).to_df().createOrReplaceTempView(vname)
+            self.sql_query(vquery, _resolved=True).to_df().createOrReplaceTempView(vname)
 
     def create_statement_set(self) -> "StatementSet":
         """Reference StatementSet.java:32 (TableEnvironment.createStatementSet):
@@ -1421,9 +1525,7 @@ class TableEnvironment:
 
         t = descriptor.to_table_def(path)
         execute_ddl(self._spark, None, table_def=t)
-        self._tables[path] = t
-        self._table_db[path] = self._current_db
-        self._table_cat[path] = self._current_cat
+        self._register_table_def(t, self._current_cat, self._current_db, path)
         return None
 
     def from_descriptor(self, descriptor: "TableDescriptor") -> Table:
@@ -1437,9 +1539,7 @@ class TableEnvironment:
         name = f"__anon_tbl_{self._hint_views}"
         t = descriptor.to_table_def(name)
         df = execute_ddl(self._spark, None, table_def=t)
-        self._tables[name] = t
-        self._table_db[name] = self._current_db
-        self._table_cat[name] = self._current_cat
+        self._register_table_def(t, self._current_cat, self._current_db, name)
         return Table(df)
 
     def create_temporary_view(self, name: str, table: Table) -> None:
@@ -1648,7 +1748,8 @@ class StatementSet:
         sink_paths = [
             os.path.abspath(p)
             for p in (
-                self._env._tables[n].options.get("path", "") for n, _, _ in self._inserts
+                self._env._tables[self._env._phys(n)].options.get("path", "")
+                for n, _, _ in self._inserts
             )
             if p
         ]

@@ -24,9 +24,9 @@ Limitations (documented divergence, canonical shape only):
 - build payload column names that clash with probe columns are exposed
   as ``v__<name>`` (SQL references through the build alias are rewritten
   automatically, but the OUTPUT column name changes unless aliased);
-- the build side's version-time attribute is consumed by the as-of
-  matching and is NOT exposed as a payload column — referencing it
-  through the build alias is not supported;
+- the build side's version-time attribute is exposed as a payload
+  column when (and only when) the query references it through the
+  build alias (``b.<time_attr>``), clash-renamed like any payload;
 - processing-time ``FOR SYSTEM_TIME AS OF PROCTIME()`` is the lookup
   join's job (streaming/lookup.py), not this rewrite.
 """
@@ -79,13 +79,17 @@ def temporal_join(
     call: TemporalTableCall,
     condition: str,
     how: str = "inner",
+    expose_version_time: bool = False,
 ) -> DataFrame:
     """probe.join_lateral(rates(probe_ts), 'probe_ccy = build_ccy').
 
     ``condition``: equi-conjunctions over bare column names
     (probe-side name = build-side name, either order). Output: probe
-    columns + build columns minus the join keys and the version time
-    attribute, clash-renamed ``v__<name>``.
+    columns + build columns minus the join keys and (unless
+    ``expose_version_time``) the version time attribute, clash-renamed
+    ``v__<name>``.  With ``expose_version_time`` the matched version's
+    time attribute is emitted as a payload column (the reference's
+    temporal join exposes the build row's rowtime).
     """
     build = call.fn.df
     probe_cols, build_cols = set(probe.columns), set(build.columns)
@@ -106,7 +110,8 @@ def temporal_join(
     payload = {
         c: (c if c not in probe_cols else f"v__{c}")
         for c in build.columns
-        if c not in key_names and c != call.fn.time_attr
+        if c not in key_names
+        and (c != call.fn.time_attr or expose_version_time)
     }
     return asof_join(
         probe,
@@ -125,7 +130,12 @@ _SYSTEM_TIME_RE = re.compile(
     r"(?P<jt>LEFT\s+(?:OUTER\s+)?JOIN|INNER\s+JOIN|JOIN)\s+"
     r"(?P<build>[\w./]+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
     r"(?P<pts>\w+\.\w+)\s+(?:AS\s+)?(?P<ba>\w+)\s+"
-    r"ON\s+(?P<cond>[\w.]+\s*=\s*[\w.]+(?:\s+AND\s+[\w.]+\s*=\s*[\w.]+)*)"
+    # the ON clause is captured up to the next clause boundary and
+    # VALIDATED by _parse_equi_condition — a non-equi predicate gets a
+    # precise error naming it, instead of silently truncating the match
+    r"ON\s+(?P<cond>.+?)"
+    r"(?=\s+(?:LEFT\s+(?:OUTER\s+)?JOIN|INNER\s+JOIN|JOIN|WHERE|GROUP\s+BY|"
+    r"ORDER\s+BY|HAVING|LIMIT|UNION|WINDOW)\b|\s*\)|\s*;|\s*$)"
 )
 
 _view_seq = [0]
@@ -170,7 +180,14 @@ def rewrite_system_time_join(
         how = "left" if jt.startswith("LEFT") else "inner"
         ttf = TemporalTableFunction(build_df, time_attr, _pk)
         cond = re.sub(rf"(?i)\b({pa}|{ba})\.", "", m.group("cond"))
-        flat = temporal_join(probe_df, ttf(pts_col), cond, how=how)
+        # expose the build side's version-time attribute iff the query
+        # references it through the build alias (VERDICT r9 #8)
+        wants_vt = bool(
+            re.search(rf"(?i)\b{ba}\.{time_attr}\b", sql.replace(m.group(0), ""))
+        )
+        flat = temporal_join(
+            probe_df, ttf(pts_col), cond, how=how, expose_version_time=wants_vt
+        )
         _view_seq[0] += 1
         view = f"__system_time_asof_{_view_seq[0]}"
         flat.createOrReplaceTempView(view)

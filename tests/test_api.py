@@ -361,6 +361,31 @@ def test_system_time_as_of_sql_rewrite(spark):
         """
     ).execute()
     assert [(r.oid, r.rate_price) for r in lrows] == [(1, None), (2, 2.0), (3, 3.0)]
+    # the build side's VERSION-TIME attribute is exposed as a payload
+    # column when the query references it through the build alias
+    # (VERDICT r9 #8): r.rts is the matched version's rowtime
+    vrows = t_env.sql_query(
+        """
+        SELECT o.oid, r.rts AS version_ts
+        FROM stj_orders o
+        JOIN stj_rates FOR SYSTEM_TIME AS OF o.ots AS r
+          ON o.ccy = r.ccy
+        ORDER BY o.oid
+        """
+    ).execute()
+    assert [(r.oid, r.version_ts) for r in vrows] == [(2, 18), (3, 15)]
+    # a non-equi ON predicate errors PRECISELY, naming the predicate
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=r"equi-conjunctions.*ots > rts"):
+        t_env.sql_query(
+            """
+            SELECT o.oid
+            FROM stj_orders o
+            JOIN stj_rates FOR SYSTEM_TIME AS OF o.ots AS r
+              ON o.ccy = r.ccy AND o.ots > r.rts
+            """
+        )
 
 
 def test_datastream_flatmap_shuffle_rescale(spark):

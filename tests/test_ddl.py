@@ -1277,15 +1277,20 @@ def test_qualified_identifiers(spark, tmp_path):
     # a db-qualified view resolves too
     env.execute_sql("CREATE VIEW q_v AS SELECT id FROM q_t")
     assert len(env.execute_sql("SELECT * FROM default_database.q_v")) == 2
-    # cross-catalog bare-name collision is rejected
+    # cross-catalog bare-name COEXISTENCE (r10, reference CatalogManager/
+    # ObjectIdentifier): the same bare name resolves independently per
+    # (catalog, database) scope
+    p2 = str(tmp_path / "q_t2")
+    spark.createDataFrame([(7, 1.0)], "id long, v double").write.parquet(p2)
     env.execute_sql("CREATE CATALOG qc2 WITH ('type'='generic_in_memory')")
     env.execute_sql("USE CATALOG qc2")
-    with pytest.raises(ValueError, match="documented divergence"):
-        env.execute_sql(f"CREATE TABLE q_t (id BIGINT) WITH ('path'='{p}')")
+    env.execute_sql(f"CREATE TABLE q_t (id BIGINT, v DOUBLE) WITH ('path'='{p2}')")
+    assert [r.id for r in env.execute_sql("SELECT id FROM q_t")] == [7]
     # qualified cross-catalog read from inside qc2
     rows = env.execute_sql("SELECT id FROM default_catalog.default_database.q_t ORDER BY id")
     assert [r.id for r in rows] == [1, 2]
     env.execute_sql("USE CATALOG default_catalog")
+    assert sorted(r.id for r in env.execute_sql("SELECT id FROM q_t")) == [1, 2]
     env.execute_sql("DROP CATALOG qc2")
 
 
@@ -1486,3 +1491,83 @@ def test_upsert_kafka_same_key_one_insert_deterministic(spark, tmp_path):
         )
     assert winners[0] == winners[1]
     assert dict(winners[0])[2] == 20.0
+
+
+def test_per_scope_catalog_namespacing(spark, tmp_path):
+    """The same bare table name coexists in two (catalog, database) scopes
+    and resolves independently by USE context and qualified reference
+    (reference CatalogManager.qualifyIdentifier /
+    TableEnvironmentImpl.getCatalogManager): scoped SHOW CREATE TABLE /
+    DESCRIBE / SHOW TABLES, INSERT into each, scoped DROP."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    pa_, pb = str(tmp_path / "ns_a"), str(tmp_path / "ns_b")
+    env.execute_sql("CREATE CATALOG nsc1 WITH ('type'='generic_in_memory')")
+    env.execute_sql("CREATE CATALOG nsc2 WITH ('type'='generic_in_memory')")
+    env.execute_sql(f"CREATE TABLE nsc1.default.t (id BIGINT, tag STRING) WITH ('path'='{pa_}')")
+    env.execute_sql(f"CREATE TABLE nsc2.default.t (id BIGINT, other DOUBLE) WITH ('path'='{pb}')")
+
+    # INSERT into each scope through qualified names
+    env.execute_sql("INSERT INTO nsc1.default.t SELECT 1, 'one'")
+    env.execute_sql("INSERT INTO nsc2.default.t SELECT 2, CAST(2.5 AS DOUBLE)")
+
+    # USE switching: the bare name resolves per scope
+    env.execute_sql("USE CATALOG nsc1")
+    assert [(r.id, r.tag) for r in env.execute_sql("SELECT id, tag FROM t")] == [(1, "one")]
+    assert env.execute_sql("SHOW TABLES") == ["t"]
+    # scoped SHOW CREATE TABLE prints the LOGICAL name and this scope's schema
+    ddl = env.execute_sql("SHOW CREATE TABLE t")[0]
+    assert ddl.startswith("CREATE TABLE t (") and "tag STRING" in ddl
+    # scoped DESCRIBE
+    cols = [r[0] for r in env.execute_sql("DESCRIBE t")]
+    assert cols == ["id", "tag"]
+
+    env.execute_sql("USE CATALOG nsc2")
+    assert [(r.id, r.other) for r in env.execute_sql("SELECT id, other FROM t")] == [(2, 2.5)]
+    ddl2 = env.execute_sql("SHOW CREATE TABLE t")[0]
+    assert ddl2.startswith("CREATE TABLE t (") and "other DOUBLE" in ddl2
+    # bare INSERT in the current scope
+    env.execute_sql("INSERT INTO t SELECT 3, CAST(3.5 AS DOUBLE)")
+    assert sorted(r.id for r in env.execute_sql("SELECT id FROM t")) == [2, 3]
+    # cross-scope qualified read while standing in nsc2
+    assert [r.tag for r in env.execute_sql("SELECT tag FROM nsc1.default.t")] == ["one"]
+
+    # joins across scopes via qualified names
+    rows = env.execute_sql(
+        "SELECT a.tag, b.other FROM nsc1.default.t AS a "
+        "JOIN nsc2.default.t AS b ON a.id + 1 = b.id"
+    )
+    assert [(r.tag, r.other) for r in rows] == [("one", 2.5)]
+
+    # scoped DROP removes only this scope's table
+    env.execute_sql("DROP TABLE t")  # nsc2's
+    env.execute_sql("USE CATALOG nsc1")
+    assert [r.id for r in env.execute_sql("SELECT id FROM t")] == [1]
+    # tolerant qualified DROP (ADVICE r9): nonexistent + IF EXISTS no-ops
+    env.execute_sql("DROP TABLE IF EXISTS nsc2.default.t")
+    env.execute_sql("DROP TABLE IF EXISTS nsc2.default.never_was")
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("DROP TABLE nsc2.default.never_was")
+    env.execute_sql("USE CATALOG default_catalog")
+    env.execute_sql("DROP CATALOG nsc1")
+    env.execute_sql("DROP CATALOG nsc2")
+
+
+def test_alias_column_not_rewritten_as_relation(spark, tmp_path):
+    """ADVICE r9: `SELECT b.total FROM big AS b` must NOT rewrite `b.total`
+    even when `b` is a database of the current catalog containing a table
+    named `total` — rewriting is restricted to relation positions."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    pt, pb = str(tmp_path / "total"), str(tmp_path / "big")
+    spark.createDataFrame([(99,)], "x long").write.parquet(pt)
+    spark.createDataFrame([(5,)], "total long").write.parquet(pb)
+    env.execute_sql("CREATE DATABASE b")
+    env.execute_sql(f"CREATE TABLE b.total (x BIGINT) WITH ('path'='{pt}')")
+    env.execute_sql(f"CREATE TABLE big (total BIGINT) WITH ('path'='{pb}')")
+    rows = env.execute_sql("SELECT b.total FROM big AS b")
+    assert [r.total for r in rows] == [5]
+    # and the genuine db.table reference still resolves in FROM position
+    assert [r.x for r in env.execute_sql("SELECT x FROM b.total")] == [99]
