@@ -468,13 +468,40 @@ def _leaf_names(stages: list[Stage], include_negated: bool) -> list[str]:
     return names
 
 
-def _violates_negation(stage: Stage, events: list[dict], lo: int, hi: int, strict_pos: int | None) -> bool:
+def _violates_negation(
+    stage: Stage,
+    events: list[dict],
+    lo: int,
+    hi: int,
+    strict_pos: int | None,
+    first_ts=None,
+    within_s: float | None = None,
+    ts_key: str = "ts",
+) -> bool:
     """True if a negated stage's predicate fires in the forbidden region.
     strict (notNext): only position strict_pos matters; relaxed
-    (notFollowedBy): any position in [lo, hi)."""
+    (notFollowedBy): any position in [lo, hi).
+
+    The region is additionally bounded by the pattern WINDOW (reference:
+    NFACompiler's NOT_FOLLOW STOP states belong to the same NFA
+    computation, which dies when [first.ts, first.ts + within] expires —
+    a negated event arriving AFTER the window closed cannot stop a match
+    that was already emitted at window expiry).  first_ts None (nothing
+    captured yet) or within None leaves the region unbounded."""
+
+    def in_window(i: int) -> bool:
+        if within_s is None or first_ts is None:
+            return True
+        return (events[i][ts_key] - first_ts).total_seconds() <= within_s
+
     if stage.contiguity == STRICT:
-        return strict_pos is not None and strict_pos < len(events) and stage.accepts(events[strict_pos])
-    return any(stage.accepts(events[i]) for i in range(lo, hi))
+        return (
+            strict_pos is not None
+            and strict_pos < len(events)
+            and in_window(strict_pos)
+            and stage.accepts(events[strict_pos])
+        )
+    return any(in_window(i) and stage.accepts(events[i]) for i in range(lo, hi))
 
 
 def _enumerate(pattern: Pattern, events: list[dict], ts_key: str = "ts"):
@@ -539,8 +566,13 @@ def _enumerate(pattern: Pattern, events: list[dict], ts_key: str = "ts"):
         neg = stages[si]
         rest = si + 1
         if rest == len(stages):
-            # trailing negation: forbidden anywhere to end of stream
-            if not _violates_negation(neg, events, start_idx, len(events), start_idx):
+            # trailing negation: forbidden to end of stream, BOUNDED by the
+            # pattern window (a not-event beyond first.ts + within arrives
+            # after the reference NFA emitted the match at window expiry)
+            if not _violates_negation(
+                neg, events, start_idx, len(events), start_idx,
+                first_ts, pattern.within_s, ts_key,
+            ):
                 search(rest, start_idx, first_ts, capture, stage_idxs, last_idx, fresh)
             return
         # find each match of the remaining pattern and check the gap region
@@ -552,7 +584,11 @@ def _enumerate(pattern: Pattern, events: list[dict], ts_key: str = "ts"):
             if not all_idx:
                 continue
             region_hi = all_idx[0]
-            if _violates_negation(neg, events, start_idx, region_hi, start_idx):
+            f_ts0 = first_ts if first_ts is not None else events[all_idx[0]][ts_key]
+            if _violates_negation(
+                neg, events, start_idx, region_hi, start_idx,
+                f_ts0, pattern.within_s, ts_key,
+            ):
                 continue
             f_ts = first_ts if first_ts is not None else events[all_idx[0]][ts_key]
             cap, sidx = merge(capture, stage_idxs, tmap)

@@ -27,8 +27,16 @@ Round-2 additions mirroring the reference:
   match, discard matches starting before the first/last event mapped to
   stage ``name``.
 
-Remaining divergence (documented): contiguity NOT_NEXT/NOT_FOLLOWED_BY is
-supported as a stage-level negation lookahead.
+NOT_NEXT/NOT_FOLLOWED_BY compile as a stage-level negation lookahead that
+models the reference's STOP-state semantics (NFACompiler createMiddleStates
+NOT_FOLLOW): the forbidden region runs from the previous stage's last event
+to the next stage's first taken event (trailing negation: to end of input),
+BOUNDED by the pattern window — a negated event arriving after
+[first.ts + within] cannot stop a match the reference already emitted at
+window expiry.  Verified by a negation-dense fuzz matrix
+(tests/test_cep_negation_fuzz.py: negation × within × optional ×
+quantifiers × skip strategies, 600 cases) against an independent
+enumerator.
 """
 
 from __future__ import annotations

@@ -557,3 +557,296 @@ def side_outputs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
         .orderBy("tag")
     )
+
+
+# --------------------------------------------------------------------------
+# (f) DeltaTrigger early firing (round 10)
+# --------------------------------------------------------------------------
+
+# The trigger chain is inherently sequential (aux = the LAST TRIGGERING
+# element's value, seeded by the window's first element), so the oracle
+# walks each window's rows with a recursive CTE: step k joins row rn=k+1
+# against the chain state of rn=k.  Rows are subsampled (event_id % 3 = 0)
+# to bound the recursion depth at the bench scale factor.
+DELTA_TRIGGER_EARLY_FIRE_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         CAST(FLOOR(value * 100) AS DOUBLE) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS rn,
+         SUM(CAST(FLOOR(value * 100) AS DOUBLE)) OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_total
+  FROM events
+  WHERE event_id % 3 = 0
+),
+chain AS (
+  SELECT event_type, window_start, rn, cents AS aux, FALSE AS fired, run_total
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.window_start, o.rn,
+         CASE WHEN ABS(o.cents - c.aux) > 20000 THEN o.cents ELSE c.aux END,
+         ABS(o.cents - c.aux) > 20000,
+         o.run_total
+  FROM chain c
+  JOIN ordered o
+    ON o.event_type = c.event_type
+   AND o.window_start = c.window_start
+   AND o.rn = c.rn + 1
+)
+SELECT event_type, window_start,
+       window_start + INTERVAL 1 DAY AS window_end,
+       rn AS cnt,
+       CAST(run_total AS BIGINT) AS total_cents
+FROM chain
+WHERE fired
+ORDER BY event_type, window_start, cnt
+"""
+
+
+@register("delta_trigger_early_fire", DELTA_TRIGGER_EARLY_FIRE_ORACLE)
+def delta_trigger_early_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeltaTrigger early firing through the generalized trigger operator
+    (streaming/triggers.py tumble_agg_triggered + DeltaTrigger; reference
+    flink-streaming-java/.../windowing/triggers/DeltaTrigger.java:44 —
+    fire when delta(last_triggering_element, element) > threshold, then
+    remember the element): the subsampled events table replays as ONE
+    micro-batch (watermark at the sentinel), so the operator emits ONLY
+    the early fires — each carrying the window's running (cnt, sum)
+    prefix at the fire, in (ts, event_id) order.  The oracle replays the
+    aux chain with a recursive CTE (see above).  Values are integer cents
+    so prefix sums are exact.
+
+    Scale: state is O(open-window elements) per key (the reference's
+    evicting WindowOperator buffers the same); the recursion is oracle-
+    side only."""
+    from incubator_flink_spark.streaming.triggers import DeltaTrigger, tumble_agg_triggered
+
+    root = _workdir("delta_trig_")
+    events = load(spark, sf_dir, "events")
+    prep = events.where(F.col("event_id") % 3 == 0).select(
+        "event_id", "ts", "event_type", F.floor(F.col("value") * 100).cast("double").alias("cents")
+    )
+    stream_dir = os.path.join(root, "replay")
+    prep.coalesce(1).write.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .parquet(stream_dir)
+        .withWatermark("ts", "1 minute")
+    )
+    fired = tumble_agg_triggered(
+        stream, ["event_type"], "ts", "event_id", "cents",
+        size_s=86400, trigger=DeltaTrigger(20000.0),
+    )
+    res = os.path.join(root, "res")
+
+    def sink(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(res)
+
+    _run_stream(fired.writeStream.foreachBatch(sink), os.path.join(root, "ckpt"))
+    out = spark.read.parquet(res)
+    return (
+        out.where(F.col("fire_kind") == "early")
+        .select(
+            "event_type",
+            "window_start",
+            "window_end",
+            "cnt",
+            F.col("total").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("event_type", "window_start", "cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# (g) TimeEvictor final semantics (round 10)
+# --------------------------------------------------------------------------
+
+TIME_EVICTOR_FINAL_ORACLE = """
+WITH w AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         ts,
+         CAST(FLOOR(value * 100) AS DOUBLE) AS cents,
+         MAX(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)) AS mx
+  FROM events
+)
+SELECT event_type, window_start,
+       window_start + INTERVAL 1 DAY AS window_end,
+       COUNT(*) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM w
+WHERE ts > mx - INTERVAL 6 HOUR
+GROUP BY 1, 2
+ORDER BY event_type, window_start
+"""
+
+
+@register("time_evictor_final", TIME_EVICTOR_FINAL_ORACLE)
+def time_evictor_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeEvictor.of(6h) semantics through the generalized trigger
+    operator (streaming/triggers.py tumble_agg_triggered + TimeEvictor;
+    reference flink-streaming-java/.../windowing/evictors/TimeEvictor.java
+    — evict buffered elements older than keep_s before the buffer's max
+    timestamp, at fire time): three pinned micro-batches (events, then
+    two far-future flusher batches — the watermark lags one batch), no
+    trigger, so each window fires exactly once at watermark close and the
+    FINAL fire aggregates only the rows in the window's trailing 6 event-
+    time hours.  The oracle is the closed form: per window keep rows with
+    ts > max(ts) - 6h, count + sum of integer cents."""
+    from incubator_flink_spark.streaming.triggers import TimeEvictor, tumble_agg_triggered
+
+    root = _workdir("time_evict_")
+    src = os.path.join(root, "src")
+    events = load(spark, sf_dir, "events")
+    prep = events.select(
+        "event_id", "ts", "event_type", F.floor(F.col("value") * 100).cast("double").alias("cents")
+    )
+    kinds = [r.event_type for r in prep.select("event_type").distinct().collect()]
+
+    def flusher(year: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(-(year * 1000) - j, f"{year}-01-01 00:00:00", k, 0.0) for j, k in enumerate(kinds)],
+            "event_id long, ts_s string, event_type string, cents double",
+        ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "cents")
+
+    files = [prep, flusher(2033), flusher(2034)]
+    for i, f in enumerate(files):
+        d = os.path.join(src, f"b{i}")
+        f.coalesce(1).write.parquet(d)
+        _bump_mtimes(d, i)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .withWatermark("ts", "1 minute")
+    )
+    fired = tumble_agg_triggered(
+        stream, ["event_type"], "ts", "event_id", "cents",
+        size_s=86400, evictor=TimeEvictor(6 * 3600),
+    )
+    res = os.path.join(root, "res")
+
+    def sink(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(res)
+
+    _run_stream(fired.writeStream.foreachBatch(sink), os.path.join(root, "ckpt"))
+    out = spark.read.parquet(res)
+    return (
+        out.where(
+            (F.col("fire_kind") == "final")
+            & (F.col("window_start") < F.lit("2030-01-01").cast("timestamp"))
+        )
+        .select(
+            "event_type",
+            "window_start",
+            "window_end",
+            "cnt",
+            F.col("total").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("event_type", "window_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# (h) CEP timed-out partial matches: the timeout ledger (round 10)
+# --------------------------------------------------------------------------
+
+# A signup opens a partial funnel; it COMPLETES iff any purchase by the
+# same user follows it (in (ts, event_id) order) within 2 event-time
+# hours (within: last.ts - first.ts <= 7200s, inclusive).  Every
+# incomplete signup's window expires under the flusher-advanced
+# watermark and surfaces exactly once on the timeout side output.
+CEP_TIMEOUT_LEDGER_ORACLE = """
+SELECT s.user_id, s.event_id AS signup_id
+FROM events s
+WHERE s.event_type = 'signup'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = s.user_id
+      AND p.event_type = 'purchase'
+      AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+      AND p.ts <= s.ts + INTERVAL 2 HOUR
+  )
+ORDER BY s.user_id, signup_id
+"""
+
+
+@register("cep_timeout_ledger", CEP_TIMEOUT_LEDGER_ORACLE)
+def cep_timeout_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP timed-out partial matches as a first-class side output
+    (streaming/cep_stream.py match_pattern_stream timeout_fn; reference
+    CepOperator's TimedOutPartialMatchHandler + PatternStream.flatSelect
+    timeout variant): signup -> purchase within 2h per user over the
+    events table, replayed as (events, flusher, flusher) micro-batches.
+    The flushers push the watermark past every deadline, so each signup
+    that never completes emits exactly one timeout row through the
+    per-key event-time timers.  The oracle is the closed-form
+    non-completion predicate (NOT EXISTS purchase in the window)."""
+    from incubator_flink_spark.cep import Pattern
+    from incubator_flink_spark.streaming.cep_stream import match_pattern_stream
+
+    root = _workdir("cep_timeout_")
+    src = os.path.join(root, "src")
+    events = load(spark, sf_dir, "events")
+    prep = events.select("event_id", "ts", "user_id", "event_type")
+
+    def flusher(year: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(-(year * 1000), f"{year}-01-01 00:00:00", -1, "x")],
+            "event_id long, ts_s string, user_id long, event_type string",
+        ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type")
+
+    files = [prep, flusher(2033), flusher(2034)]
+    for i, f in enumerate(files):
+        d = os.path.join(src, f"b{i}")
+        f.coalesce(1).write.parquet(d)
+        _bump_mtimes(d, i)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .withWatermark("ts", "1 minute")
+    )
+
+    pattern = (
+        Pattern.begin("signup")
+        .where(lambda e: e["event_type"] == "signup")
+        .followed_by("purchase")
+        .where(lambda e: e["event_type"] == "purchase")
+        .within(7200)
+    )
+
+    def select(key, m):
+        return {
+            "user_id": int(key["user_id"]),
+            "signup_id": int(m["signup"][0]["event_id"]),
+            "timed_out": False,
+        }
+
+    def timeout(key, p):
+        return {
+            "user_id": int(key["user_id"]),
+            "signup_id": int(p["signup"][0]["event_id"]),
+            "timed_out": True,
+        }
+
+    matched = match_pattern_stream(
+        stream, ["user_id"], "ts", pattern, select,
+        "user_id BIGINT, signup_id BIGINT, timed_out BOOLEAN",
+        tiebreak="event_id", timeout_fn=timeout,
+    )
+    res = os.path.join(root, "res")
+
+    def sink(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(res)
+
+    _run_stream(matched.writeStream.foreachBatch(sink), os.path.join(root, "ckpt"))
+    out = spark.read.parquet(res)
+    return (
+        out.where(F.col("timed_out"))
+        .select("user_id", "signup_id")
+        .orderBy("user_id", "signup_id")
+    )

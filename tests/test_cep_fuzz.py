@@ -289,10 +289,21 @@ def ref_find_matches(pattern, events, ts_key="ts"):
             for tup, np in gen_stage(st, si, pos, first_idx, capture):
                 yield ({st.name: list(tup)}, np)
 
-    def violates(neg, lo, hi, strict_pos):
+    def violates(neg, lo, hi, strict_pos, first_idx):
+        # window-bounded (STOP states die at window expiry — see
+        # _violates_negation in cep/nfa.py); derived independently from
+        # NFACompiler's NOT_FOLLOW stop-state compilation
+        def in_w(j):
+            if within is None or first_idx is None:
+                return True
+            return (events[j][ts_key] - events[first_idx][ts_key]).total_seconds() <= within
+
         if neg.contiguity == STRICT:
-            return strict_pos is not None and strict_pos < n and neg.accepts(events[strict_pos])
-        return any(neg.accepts(events[j]) for j in range(lo, hi))
+            return (
+                strict_pos is not None and strict_pos < n
+                and in_w(strict_pos) and neg.accepts(events[strict_pos])
+            )
+        return any(in_w(j) and neg.accepts(events[j]) for j in range(lo, hi))
 
     def merge(capture, sidx, tmap):
         cap2 = dict(capture)
@@ -313,7 +324,7 @@ def ref_find_matches(pattern, events, ts_key="ts"):
         st = stages[si]
         if st.negated:
             if si + 1 == len(stages):
-                if not violates(st, pos, n, pos):
+                if not violates(st, pos, n, pos, first_idx):
                     rec(si + 1, pos, first_idx, capture, sidx, fresh)
                 return
             nxt = stages[si + 1]
@@ -321,7 +332,8 @@ def ref_find_matches(pattern, events, ts_key="ts"):
                 all_idx = sorted(i for v in tmap.values() for i in v)
                 if not all_idx:
                     continue
-                if violates(st, pos, all_idx[0], pos):
+                fi0 = first_idx if first_idx is not None else all_idx[0]
+                if violates(st, pos, all_idx[0], pos, fi0):
                     continue
                 fi = first_idx if first_idx is not None else all_idx[0]
                 cap2, s2 = merge(capture, sidx, tmap)
