@@ -850,3 +850,221 @@ def cep_timeout_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "signup_id")
         .orderBy("user_id", "signup_id")
     )
+
+
+# --------------------------------------------------------------------------
+# (i) retract-emitting streaming join: net state == batch join (round 10)
+# --------------------------------------------------------------------------
+
+RETRACT_JOIN_NET_STATE_ORACLE = """
+SELECT o.o_custkey AS k,
+       o.o_orderkey AS left_id,
+       CAST(FLOOR(o.o_totalprice * 100) AS DOUBLE) AS left_value,
+       c.c_custkey AS right_id,
+       CAST(FLOOR(c.c_acctbal * 100) AS DOUBLE) AS right_value
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 20 = 0
+  AND o.o_orderkey % 60 <> 0
+  AND c.c_custkey % 7 <> 0
+ORDER BY k, left_id
+"""
+
+
+@register("retract_join_net_state", RETRACT_JOIN_NET_STATE_ORACLE)
+def retract_join_net_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The +I/-D retract-emitting streaming join (streaming/retract_join.py
+    retracting_join_stream; reference StreamingJoinOperator.java:136-190
+    retract pseudo-code) driven over a three-batch changelog built from
+    orders x customer: batch 0 inserts all (surviving) customers and half
+    the order subset, batch 1 the other half, batch 2 DELETES a third of
+    the orders and every 7th customer — each delete retracting its live
+    matches.  Folding the emitted +I/-D stream (net count per joined
+    pair) must reproduce the batch inner join of the NET tables, which is
+    the oracle."""
+    from incubator_flink_spark.streaming.changelog import DELETE, INSERT, ROWKIND
+    from incubator_flink_spark.streaming.retract_join import retracting_join_stream
+
+    root = _workdir("rjoin_gate_")
+    src = os.path.join(root, "src")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0).select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("id"),
+        F.floor(F.col("o_totalprice") * 100).cast("double").alias("v"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_custkey").alias("id"),
+        F.floor(F.col("c_acctbal") * 100).cast("double").alias("v"),
+    )
+
+    def tag(df: DataFrame, kind: str, side: str) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias(ROWKIND), "k", F.lit(side).alias("side"), "id", "v"
+        )
+
+    files = [
+        # batch 0: ALL customers (the %7 ones are deleted again in batch
+        # 2), then half the orders
+        tag(cust, INSERT, "right").unionByName(
+            tag(orders.where(F.col("id") % 40 == 0), INSERT, "left")
+        ),
+        # batch 1: the other half of the orders
+        tag(orders.where(F.col("id") % 40 != 0), INSERT, "left"),
+        # batch 2: deletes — orders first, then customers (same batch)
+        tag(orders.where(F.col("id") % 60 == 0), DELETE, "left").unionByName(
+            tag(cust.where(F.col("k") % 7 == 0), DELETE, "right")
+        ),
+    ]
+    for i, f in enumerate(files):
+        d = os.path.join(src, f"b{i}")
+        f.coalesce(1).write.parquet(d)
+        _bump_mtimes(d, i)
+    schema = files[0].schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/b*")
+    )
+    joined = retracting_join_stream(stream, ["k"], "side", "id", "v")
+    res = os.path.join(root, "res")
+
+    def sink(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(res)
+
+    _run_stream(joined.writeStream.outputMode("update").foreachBatch(sink), os.path.join(root, "ckpt"))
+    out = spark.read.parquet(res)
+    return (
+        out.groupBy("k", "left_id", "left_value", "right_id", "right_value")
+        .agg(
+            F.sum(F.when(F.col(ROWKIND) == INSERT, 1).otherwise(-1)).alias("__net")
+        )
+        .where(F.col("__net") > 0)
+        .select("k", "left_id", "left_value", "right_id", "right_value")
+        .orderBy("k", "left_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# (j) streaming Top-N over a retracting changelog: folded state == batch
+# --------------------------------------------------------------------------
+
+STREAMING_TOPN_NET_ORACLE = """
+WITH net AS (
+  SELECT event_type,
+         event_id AS id,
+         CAST(FLOOR(value * 100) AS DOUBLE) AS cents
+  FROM events
+  WHERE (event_id % 4 = 0 AND NOT (event_id % 3 = 0)) OR event_id % 4 = 1
+),
+ranked AS (
+  SELECT event_type, id, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents DESC, id) AS rnk
+  FROM net
+)
+SELECT event_type, CAST(rnk AS INTEGER) AS rank, id, cents AS value
+FROM ranked
+WHERE rnk <= 5
+ORDER BY event_type, rank
+"""
+
+
+@register("streaming_topn_net", STREAMING_TOPN_NET_ORACLE)
+def streaming_topn_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retract-consuming streaming Top-N (streaming/stateful.streaming_topn
+    with op_col; reference RetractableTopNFunction.java — -D/-U retract
+    the exact (value, id) entry, retractions can promote entries back
+    INTO the top-N): batch 0 inserts one event subset, batch 1 retracts
+    a third of it and inserts a second subset.  The emitted delta stream
+    is folded by LAST EVENT PER (key, id) — present iff that event is
+    +I, at that event's rank — which must equal the batch Top-5 of the
+    net entries (the oracle)."""
+    from pyspark.sql import Window as W
+
+    from incubator_flink_spark.streaming.stateful import streaming_topn
+
+    root = _workdir("topn_gate_")
+    src = os.path.join(root, "src")
+    events = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").alias("id"),
+        F.floor(F.col("value") * 100).cast("double").alias("cents"),
+    )
+    ins0 = events.where(F.col("id") % 4 == 0).select(
+        F.lit("+I").alias("op"), "event_type", "id", "cents"
+    )
+    dels = events.where((F.col("id") % 4 == 0) & (F.col("id") % 3 == 0)).select(
+        F.lit("-D").alias("op"), "event_type", "id", "cents"
+    )
+    ins1 = events.where(F.col("id") % 4 == 1).select(
+        F.lit("+I").alias("op"), "event_type", "id", "cents"
+    )
+    files = [ins0, dels.unionByName(ins1)]
+    for i, f in enumerate(files):
+        d = os.path.join(src, f"b{i}")
+        f.coalesce(1).write.parquet(d)
+        _bump_mtimes(d, i)
+    stream = (
+        spark.readStream.schema(files[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    deltas = streaming_topn(stream, ["event_type"], "id", "cents", n=5, op_col="op")
+    res = os.path.join(root, "res")
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        # (bid, seq) gives per-key emission order for the fold; seq is
+        # per-partition monotonic, and one key's batch output lives in one
+        # partition, so it orders correctly where it matters
+        bdf.withColumn("bid", F.lit(bid)).withColumn(
+            "seq", F.monotonically_increasing_id()
+        ).write.mode("append").parquet(res)
+
+    _run_stream(deltas.writeStream.outputMode("update").foreachBatch(sink), os.path.join(root, "ckpt"))
+    out = spark.read.parquet(res)
+    w = W.partitionBy("event_type", "id").orderBy(F.desc("bid"), F.desc("seq"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("__rowkind") == "+I"))
+        .select("event_type", "rank", "id", "value")
+        .orderBy("event_type", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# (k) async I/O ordered enrichment == plain join (round 10)
+# --------------------------------------------------------------------------
+
+ASYNC_LOOKUP_ENRICH_ORACLE = """
+SELECT e.event_id, n.n_name AS nation_name
+FROM events e
+JOIN nation n ON e.user_id % 25 = n.n_nationkey
+ORDER BY e.event_id
+"""
+
+
+@register("async_lookup_enrich", ASYNC_LOOKUP_ENRICH_ORACLE)
+def async_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Async I/O enrichment (operators/async_io.async_map; reference
+    AsyncDataStream.orderedWait / AsyncWaitOperator.java:78): every event
+    row issues a (thread-pooled) lookup of user_id % 25 against the
+    25-row nation dimension, ORDERED mode, capacity 8 — a narrow
+    no-shuffle map pass whose result must equal the plain broadcast join
+    (the oracle).  The dimension is collected driver-side (25 rows, the
+    reference's async client state) and closed over by the lookup fn."""
+    from incubator_flink_spark.operators.async_io import async_map
+
+    nation = {
+        int(r.n_nationkey): r.n_name
+        for r in load(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    }
+
+    def lookup(row: dict) -> dict:
+        return {
+            "event_id": int(row["event_id"]),
+            "nation_name": nation[int(row["user_id"]) % 25],
+        }
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id")
+    out = async_map(
+        events, lookup, "event_id long, nation_name string", capacity=8, ordered=True
+    )
+    return out.orderBy("event_id")
