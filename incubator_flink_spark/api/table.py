@@ -1183,7 +1183,16 @@ class TableEnvironment:
             return [
                 f"CREATE TABLE {shown} (\n" + ",\n".join(body) + f"\n){part}\nWITH (\n{opts}\n)"
             ]
-        ex = _re.fullmatch(r"EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.+)", s, _re.I | _re.S)
+        ex = _re.fullmatch(
+            # EXPLAIN [detail[, detail]*] [PLAN FOR] <query> — the detail
+            # list is the reference's ExplainDetail enum (ExplainDetail.
+            # java: ESTIMATED_COST, CHANGELOG_MODE, JSON_EXECUTION_PLAN)
+            r"EXPLAIN\s+"
+            r"((?:(?:ESTIMATED_COST|CHANGELOG_MODE|JSON_EXECUTION_PLAN)"
+            r"(?:\s*,\s*)?)*)\s*(?:PLAN\s+FOR\s+)?(.+)",
+            s,
+            _re.I | _re.S,
+        )
         if ex and not up.startswith("EXPLAIN ANALYZE"):
             # Flink: EXPLAIN [PLAN FOR] <query> returns the plan text;
             # ours is the Catalyst formatted physical plan (post-rewrite,
@@ -1191,11 +1200,11 @@ class TableEnvironment:
             import contextlib
             import io
 
-            df = self.sql_query(ex.group(1), _resolved=True).to_df()
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            return [buf.getvalue()]
+            details = [d for d in _re.split(r"[\s,]+", ex.group(1).upper()) if d]
+            t = self.sql_query(ex.group(2), _resolved=True)
+            with contextlib.redirect_stdout(io.StringIO()):  # no double print
+                text = t.explain(*details)
+            return [text]
         aset = _re.fullmatch(r"ALTER\s+TABLE\s+(\w+)\s+SET\s*\((.*)\)", s, _re.I | _re.S)
         if aset:
             # SqlAlterTableOptions: merge the given options into the table's
@@ -1511,6 +1520,17 @@ class TableEnvironment:
             execute_ddl(self._spark, None, table_def=self._tables[self._phys(name)])
         for vname, vquery in self._views.items():
             self.sql_query(vquery, _resolved=True).to_df().createOrReplaceTempView(vname)
+
+    def explain_sql(self, sql: str, *details: str) -> str:
+        """Reference TableEnvironment.explainSql(String, ExplainDetail...)
+        (TableEnvironment.java:401): the plan text for a query, optionally
+        with ESTIMATED_COST / CHANGELOG_MODE / JSON_EXECUTION_PLAN detail
+        sections (see Table.explain for the Catalyst mappings)."""
+        import contextlib
+        import io
+
+        with contextlib.redirect_stdout(io.StringIO()):
+            return self.sql_query(sql).explain(*details)
 
     def create_statement_set(self) -> "StatementSet":
         """Reference StatementSet.java:32 (TableEnvironment.createStatementSet):

@@ -1571,3 +1571,37 @@ def test_alias_column_not_rewritten_as_relation(spark, tmp_path):
     assert [r.total for r in rows] == [5]
     # and the genuine db.table reference still resolves in FROM position
     assert [r.x for r in env.execute_sql("SELECT x FROM b.total")] == [99]
+
+
+def test_explain_details_sql_and_api(spark, tmp_path):
+    """EXPLAIN with the reference's ExplainDetail surface
+    (ExplainDetail.java: ESTIMATED_COST, CHANGELOG_MODE,
+    JSON_EXECUTION_PLAN) — as SQL statement detail keywords and through
+    TableEnvironment.explain_sql (TableEnvironment.java:401)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    p = str(tmp_path / "exp_t")
+    spark.createDataFrame([(1, 2.0)], "id long, v double").write.parquet(p)
+    env.execute_sql(f"CREATE TABLE exp_t (id BIGINT, v DOUBLE) WITH ('path'='{p}')")
+
+    cost = env.execute_sql("EXPLAIN ESTIMATED_COST SELECT v FROM exp_t WHERE id = 1")[0]
+    assert "Statistics" in cost and "sizeInBytes" in cost
+
+    mode = env.execute_sql("EXPLAIN CHANGELOG_MODE SELECT SUM(v) AS s FROM exp_t")[0]
+    assert "changelogMode=[I]" in mode
+
+    js = env.execute_sql(
+        "EXPLAIN CHANGELOG_MODE, JSON_EXECUTION_PLAN SELECT v FROM exp_t"
+    )[0]
+    assert "changelogMode" in js and '"class"' in js
+
+    # the plain form is unchanged
+    plain = env.execute_sql("EXPLAIN SELECT 1 AS one")[0]
+    assert "Physical Plan" in plain
+
+    # API parity
+    api_text = env.explain_sql("SELECT v FROM exp_t", "ESTIMATED_COST")
+    assert "Statistics" in api_text
+    with pytest.raises(ValueError, match="unknown ExplainDetail"):
+        env.explain_sql("SELECT 1", "NOT_A_DETAIL")
