@@ -60,3 +60,60 @@ def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# JDBC connector round trip (round 10): write -> partitioned parallel
+# scan -> aggregate, against embedded Derby
+# --------------------------------------------------------------------------
+
+JDBC_ROUNDTRIP_ORACLE = """
+SELECT c_nationkey,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@register("jdbc_roundtrip_agg", JDBC_ROUNDTRIP_ORACLE)
+def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC connector (sources/jdbc.py; reference flink-connector-jdbc
+    JdbcDynamicTableFactory scan + sink) proven end-to-end inside one
+    registry query: customer is written to an embedded Derby database
+    (the sink path), read back through a PARTITIONED parallel JDBC scan
+    (8 range partitions on c_custkey — the reference's
+    scan.partition.* options), and aggregated per nation.  The oracle
+    computes the same aggregate from the original parquet; a hash match
+    proves the sink and scan are exact inverses on every row.
+
+    Scale note: the partitioned read issues one range query per
+    partition (distributed pull), and floor-cents quantization keeps the
+    DECIMAL/DOUBLE sums engine-exact."""
+    import tempfile
+
+    from incubator_flink_spark.sources.jdbc import DERBY_DRIVER, read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='jdbc_rt_')}/db;create=true"
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    write_jdbc(cust, url, "customer", driver=DERBY_DRIVER, mode="overwrite")
+    lo, hi = cust.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    back = read_jdbc(
+        spark,
+        url,
+        "customer",
+        driver=DERBY_DRIVER,
+        partition_column="c_custkey",
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        num_partitions=8,
+    )
+    return (
+        back.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("bigint")).cast("bigint").alias("bal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
