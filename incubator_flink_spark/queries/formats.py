@@ -117,3 +117,151 @@ def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# CSV format round trip (round 10): write -> read(schema) -> aggregate
+# --------------------------------------------------------------------------
+
+CSV_ROUNDTRIP_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("csv_roundtrip_agg", CSV_ROUNDTRIP_ORACLE)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV format round trip (reference flink-formats/flink-csv
+    CsvRowDataSerDeSchema; the Flink `csv.field-delimiter` option maps to
+    Spark's `sep` — sources/ddl.format_options): orders is written as
+    pipe-delimited CSV with header, read back under an EXPLICIT declared
+    schema (no inference — the reference's CSV format is always typed by
+    the DDL schema), and aggregated.  Doubles round-trip exactly through
+    Java's shortest-round-trip decimal repr; floor-cents keeps the sums
+    engine-exact."""
+    import tempfile
+
+    from incubator_flink_spark.sources.filesystem import read_table, write_table
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    d = load(spark, sf_dir, "orders").select(*cols)
+    out = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "orders_csv")
+    write_table(d, out, "csv", mode="overwrite", sep="|")
+    back = read_table(
+        spark, out, "csv",
+        schema="o_orderkey long, o_custkey long, o_totalprice double, o_orderpriority string",
+        sep="|",
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("price_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# ORC format round trip (round 10) — timestamps included
+# --------------------------------------------------------------------------
+
+ORC_ROUNDTRIP_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS val_cents,
+       MIN(ts) AS min_ts,
+       MAX(ts) AS max_ts
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("orc_roundtrip_agg", ORC_ROUNDTRIP_ORACLE)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format round trip (reference flink-formats/flink-orc
+    OrcFileFormatFactory): events — including microsecond TIMESTAMPs —
+    written to ORC and read back must aggregate identically to the
+    original parquet (the oracle)."""
+    import tempfile
+
+    from incubator_flink_spark.sources.filesystem import read_table, write_table
+
+    d = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "events_orc")
+    write_table(d, out, "orc", mode="overwrite")
+    back = read_table(spark, out, "orc")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).cast("bigint").alias("val_cents"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join (round 10): exchange-free SMJ, value-gated
+# --------------------------------------------------------------------------
+
+BUCKETED_JOIN_AGG_ORACLE = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register("bucketed_join_agg", BUCKETED_JOIN_AGG_ORACLE)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join (sources/bucketed.py; the
+    reference DataSet optimizer's co-partition ship strategy —
+    flink-optimizer dataproperties): orders and customer are persisted
+    bucketed+sorted on the join key (8 buckets) and joined WITHOUT any
+    exchange (tests/test_bucketed.py pins the zero-Exchange SMJ plan);
+    this entry value-gates the same path — the co-located join's
+    aggregate must equal the plain join oracle."""
+    import shutil
+
+    from incubator_flink_spark.sources.bucketed import bucketed_join, create_bucketed
+
+    # a previous PROCESS may have left the managed tables' warehouse dirs
+    # behind without this session knowing the tables — saveAsTable then
+    # fails LOCATION_ALREADY_EXISTS; drop both name and location first
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "", 1)
+    for t in ("__gate_bkt_orders", "__gate_bkt_cust"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    create_bucketed(orders, "__gate_bkt_orders", "custkey", 8)
+    create_bucketed(cust, "__gate_bkt_cust", "custkey", 8)
+    joined = bucketed_join(spark, "__gate_bkt_orders", "__gate_bkt_cust", "custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("price_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
