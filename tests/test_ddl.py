@@ -1605,3 +1605,47 @@ def test_explain_details_sql_and_api(spark, tmp_path):
     assert "Statistics" in api_text
     with pytest.raises(ValueError, match="unknown ExplainDetail"):
         env.explain_sql("SELECT 1", "NOT_A_DETAIL")
+
+
+def test_qualified_resolution_edge_cases(spark, tmp_path):
+    """Relation-position resolution corner cases: INSERT column lists on
+    qualified targets, SHOW CREATE TABLE via qualified name, EXTRACT(x
+    FROM col) never treated as a relation, and window TVF texts over
+    scope-mangled tables."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql("CREATE CATALOG ec1 WITH ('type'='generic_in_memory')")
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    env.execute_sql(f"CREATE TABLE et (id BIGINT, ts TIMESTAMP, v DOUBLE) WITH ('path'='{p1}')")
+    env.execute_sql(f"CREATE TABLE ec1.default.et (id BIGINT, ts TIMESTAMP, v DOUBLE) WITH ('path'='{p2}')")
+
+    # INSERT with column list through a QUALIFIED (scope-mangled) target
+    env.execute_sql(
+        "INSERT INTO ec1.default.et (id, ts) SELECT 7, TIMESTAMP '2024-05-01 00:00:00'"
+    )
+    env.execute_sql("INSERT INTO et (id, v) SELECT 1, CAST(1.5 AS DOUBLE)")
+    rows = env.execute_sql("SELECT id, ts, v FROM ec1.default.et")
+    assert [(r.id, str(r.ts), r.v) for r in rows] == [(7, "2024-05-01 00:00:00", None)]
+    assert [(r.id, r.v) for r in env.execute_sql("SELECT id, v FROM et")] == [(1, 1.5)]
+
+    # SHOW CREATE TABLE / DESCRIBE via the qualified name print the logical name
+    ddl = env.execute_sql("SHOW CREATE TABLE ec1.default.et")[0]
+    assert ddl.startswith("CREATE TABLE et (")
+    assert [r[0] for r in env.execute_sql("DESCRIBE ec1.default.et")] == ["id", "ts", "v"]
+
+    # EXTRACT(DAY FROM ts): 'FROM ts' must NOT be resolved as a relation
+    # (ts is a column, and there is no table named ts anywhere)
+    r = env.execute_sql("SELECT EXTRACT(DAY FROM ts) AS d FROM ec1.default.et")
+    assert [x.d for x in r] == [1]
+
+    # a TUMBLE TVF text over the scope-mangled table resolves and runs
+    env.execute_sql("USE CATALOG ec1")
+    out = env.sql_query(
+        "SELECT window_start, COUNT(*) AS n "
+        "FROM TABLE(TUMBLE(TABLE et, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start"
+    ).execute()
+    assert len(out) == 1 and out[0].n == 1
+    env.execute_sql("USE CATALOG default_catalog")
+    env.execute_sql("DROP CATALOG ec1")
