@@ -265,3 +265,67 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# upsert-kafka DDL SINK round trip (round 10): INSERT with duplicate keys
+# -> deterministic last-write-wins -> read-back state
+# --------------------------------------------------------------------------
+
+# Values are fixed-width integral doubles (100000..199999 / 300000..),
+# so the sink's stable (key, value, timestamp) offset order makes the
+# within-one-INSERT upsert winner the NUMERIC max — which the oracle can
+# state in closed form.
+UPSERT_KAFKA_SINK_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey % 50 AS id,
+         100000 + (o_orderkey % 100000) AS v
+  FROM orders
+),
+w1 AS (SELECT id, MAX(v) AS v FROM src GROUP BY id)
+SELECT id,
+       CAST(CASE WHEN id % 3 = 0 THEN 300000 + id ELSE v END AS DOUBLE) AS v
+FROM w1
+ORDER BY id
+"""
+
+
+@register("upsert_kafka_ddl_sink_roundtrip", UPSERT_KAFKA_SINK_ORACLE)
+def upsert_kafka_ddl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert-kafka DDL SINK (sources/ddl.write_kafka_frames; reference
+    UpsertKafkaDynamicTableFactory serializer) under the driver gate: one
+    INSERT writes MANY rows per primary key (orders keyed by
+    o_orderkey % 50), a second INSERT upserts a third of the keys, and
+    the read-back materialized state must equal the closed-form
+    last-write-wins oracle.  This pins the round-10 deterministic offset
+    assignment end to end: with partition-scoped offsets the winner of
+    the duplicate-key INSERT would depend on upstream partitioning and
+    the hash gate would flake."""
+    import tempfile
+
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    fp = os.path.join(tempfile.mkdtemp(prefix="uk_gate_"), "frames")
+    env.execute_sql(f"""
+        CREATE TABLE uk_gate_rt (
+          id BIGINT, v DOUBLE,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector'='upsert-kafka','topic'='gate',
+                'key.format'='json','value.format'='json',
+                'frames-path'='{fp}')
+    """)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__uk_gate_orders")
+    env.execute_sql(
+        "INSERT INTO uk_gate_rt "
+        "SELECT o_orderkey % 50 AS id, "
+        "CAST(100000 + (o_orderkey % 100000) AS DOUBLE) AS v "
+        "FROM __uk_gate_orders"
+    )
+    env.execute_sql(
+        "INSERT INTO uk_gate_rt "
+        "SELECT id, CAST(300000 + id AS DOUBLE) FROM "
+        "(SELECT DISTINCT o_orderkey % 50 AS id FROM __uk_gate_orders) "
+        "WHERE id % 3 = 0"
+    )
+    return env.sql_query("SELECT id, v FROM uk_gate_rt ORDER BY id").to_df()
