@@ -18,7 +18,9 @@ driver-side.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +28,17 @@ from pyspark.sql import functions as F
 
 from incubator_flink_spark.catalog import load
 from incubator_flink_spark.queries.registry import register
+
+
+def _workdir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup: the returned DataFrames read the written
+    artifacts lazily, so the dir must outlive the query call; cleaning at
+    interpreter exit keeps /tmp stable across repeated driver/check runs
+    (same hygiene as queries/streaming_gate.py)."""
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
 
 AVRO_ROUNDTRIP_ORACLE = """
 SELECT lang,
@@ -47,7 +60,7 @@ def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_flink_spark.sources.filesystem import read_table, write_table
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
-    out = os.path.join(tempfile.mkdtemp(prefix="avro_rt_"), "documents_avro")
+    out = os.path.join(_workdir("avro_rt_"), "documents_avro")
     write_table(d, out, "avro", mode="overwrite")
     back = read_table(spark, out, "avro")
     return (
@@ -91,11 +104,10 @@ def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the partitioned read issues one range query per
     partition (distributed pull), and floor-cents quantization keeps the
     DECIMAL/DOUBLE sums engine-exact."""
-    import tempfile
 
     from incubator_flink_spark.sources.jdbc import DERBY_DRIVER, read_jdbc, write_jdbc
 
-    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='jdbc_rt_')}/db;create=true"
+    url = f"jdbc:derby:{_workdir('jdbc_rt_')}/db;create=true"
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
     write_jdbc(cust, url, "customer", driver=DERBY_DRIVER, mode="overwrite")
     lo, hi = cust.agg(F.min("c_custkey"), F.max("c_custkey")).first()
@@ -145,13 +157,12 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DDL schema), and aggregated.  Doubles round-trip exactly through
     Java's shortest-round-trip decimal repr; floor-cents keeps the sums
     engine-exact."""
-    import tempfile
 
     from incubator_flink_spark.sources.filesystem import read_table, write_table
 
     cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
     d = load(spark, sf_dir, "orders").select(*cols)
-    out = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "orders_csv")
+    out = os.path.join(_workdir("csv_rt_"), "orders_csv")
     write_table(d, out, "csv", mode="overwrite", sep="|")
     back = read_table(
         spark, out, "csv",
@@ -192,12 +203,11 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     OrcFileFormatFactory): events — including microsecond TIMESTAMPs —
     written to ORC and read back must aggregate identically to the
     original parquet (the oracle)."""
-    import tempfile
 
     from incubator_flink_spark.sources.filesystem import read_table, write_table
 
     d = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-    out = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "events_orc")
+    out = os.path.join(_workdir("orc_rt_"), "events_orc")
     write_table(d, out, "orc", mode="overwrite")
     back = read_table(spark, out, "orc")
     return (
@@ -236,8 +246,6 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange (tests/test_bucketed.py pins the zero-Exchange SMJ plan);
     this entry value-gates the same path — the co-located join's
     aggregate must equal the plain join oracle."""
-    import shutil
-
     from incubator_flink_spark.sources.bucketed import bucketed_join, create_bucketed
 
     # a previous PROCESS may have left the managed tables' warehouse dirs
@@ -301,12 +309,11 @@ def upsert_kafka_ddl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     assignment end to end: with partition-scoped offsets the winner of
     the duplicate-key INSERT would depend on upstream partitioning and
     the hash gate would flake."""
-    import tempfile
 
     from incubator_flink_spark.api.table import TableEnvironment
 
     env = TableEnvironment(spark)
-    fp = os.path.join(tempfile.mkdtemp(prefix="uk_gate_"), "frames")
+    fp = os.path.join(_workdir("uk_gate_"), "frames")
     env.execute_sql(f"""
         CREATE TABLE uk_gate_rt (
           id BIGINT, v DOUBLE,
