@@ -164,6 +164,13 @@ EXTRA = [
     "cep_nested_group_sql",
     "dedup_prefix_filter",
     "side_outputs_split",  # r9: batch-shaped §2.9 gate (OutputTag splits)
+    # round 10: batch-shaped connector/format gates with real engine
+    # throughput (the streaming_gate entries stay excluded — their wall
+    # time is micro-batch harness startup; jdbc/async are single-node
+    # I/O paths by design and are correctness gates only)
+    "bucketed_join_agg",
+    "csv_roundtrip_agg",
+    "orc_roundtrip_agg",
 ]
 
 
