@@ -200,3 +200,46 @@ def cdc_maxwell_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = o.select(F.explode(envelopes).alias("value"))
     rows = parse_maxwell(raw, "value", "id BIGINT, cust BIGINT, price DOUBLE")
     return changelog_normalize(rows, ["id"], "ts_ms", "ts_ms").drop("ts_ms").orderBy("id")
+
+
+@register("cdc_ogg_normalize", CDC_DEBEZIUM_ORACLE)
+def cdc_ogg_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogg-json ingestion under the driver gate (round 10; reference
+    flink-formats/flink-json/.../ogg/OggJsonDeserializationSchema.java):
+    before/after envelopes with op_type I/U/D and a microsecond op_ts
+    STRING — parse_ogg (which parses op_ts to a timestamp), materialize
+    ordered by op_ts, shared oracle."""
+    from incubator_flink_spark.sources.cdc import parse_ogg
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    key = F.col("o_orderkey")
+    payload = F.struct(
+        key.alias("id"), F.col("o_custkey").alias("cust"), F.col("o_totalprice").alias("price")
+    )
+    upd_payload = F.struct(
+        key.alias("id"), F.col("o_custkey").alias("cust"), (F.col("o_totalprice") * 2).alias("price")
+    )
+    null_pay = F.lit(None).cast(_PAY_T)
+
+    def ts_str(seq: int):
+        return F.date_format(F.timestamp_micros(key * 10 + seq), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+    def env(before, after, op, seq):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op).alias("op_type"),
+                ts_str(seq).alias("op_ts"),
+            )
+        )
+
+    empty = F.array().cast("array<string>")
+    envelopes = F.concat(
+        F.array(env(null_pay, payload, "I", 1)),
+        F.when(key % 5 == 0, F.array(env(payload, upd_payload, "U", 2))).otherwise(empty),
+        F.when(key % 7 == 0, F.array(env(upd_payload, null_pay, "D", 3))).otherwise(empty),
+    )
+    raw = o.select(F.explode(envelopes).alias("value"))
+    rows = parse_ogg(raw, "value", "id BIGINT, cust BIGINT, price DOUBLE")
+    return changelog_normalize(rows, ["id"], "op_ts", "op_ts").drop("op_ts").orderBy("id")
