@@ -336,3 +336,143 @@ def upsert_kafka_ddl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         "WHERE id % 3 = 0"
     )
     return env.sql_query("SELECT id, v FROM uk_gate_rt ORDER BY id").to_df()
+
+
+# --------------------------------------------------------------------------
+# JSON format round trip (round 10)
+# --------------------------------------------------------------------------
+
+JSON_ROUNDTRIP_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("json_roundtrip_agg", JSON_ROUNDTRIP_ORACLE)
+def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines format round trip (reference flink-formats/flink-json
+    JsonRowDataSerDeSchema): documents — including full free text with
+    quotes/escapes — written as JSON lines and read back under a
+    declared schema must aggregate identically to the parquet (the
+    oracle).  Escaping correctness is the point: a broken escape would
+    shift rows and break the count/min hash."""
+    from incubator_flink_spark.sources.filesystem import read_table, write_table
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    out = os.path.join(_workdir("json_rt_"), "documents_json")
+    write_table(d, out, "json", mode="overwrite")
+    back = read_table(
+        spark, out, "json", schema="doc_id long, text string, lang string, n_chars long"
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Table-aggregate function (UDTAF) — flat_aggregate under the gate
+# --------------------------------------------------------------------------
+
+UDTAF_TOP2_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(FLOOR(value * 100) AS BIGINT) DESC, event_id) AS rnk
+  FROM events
+)
+SELECT event_type, CAST(rnk AS INTEGER) AS rank, event_id, cents
+FROM ranked
+WHERE rnk <= 2
+ORDER BY event_type, rank
+"""
+
+
+@register("udtaf_top2_flat_aggregate", UDTAF_TOP2_ORACLE)
+def udtaf_top2_flat_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableAggregateFunction (UDTAF) through the Table API's
+    flat_aggregate (reference Table.flatAggregate:1292 + the docs' Top2
+    emitValue example): a per-group pandas transform emits the top-2
+    rows per event_type — the canonical UDTAF — and must equal the
+    closed-form rank oracle."""
+    import pandas as pd
+
+    from incubator_flink_spark.api.table import Table
+
+    events = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf.sort_values(["cents", "event_id"], ascending=[False, True]).head(2)
+        p = p.reset_index(drop=True)
+        p["rank"] = (p.index + 1).astype("int32")
+        return p[["event_type", "rank", "event_id", "cents"]]
+
+    t = Table(events).flat_aggregate(
+        ["event_type"], top2, "event_type string, rank int, event_id long, cents long"
+    )
+    return t.to_df().orderBy("event_type", "rank")
+
+
+# --------------------------------------------------------------------------
+# pandas GROUPED_AGG UDAF (round 10)
+# --------------------------------------------------------------------------
+
+PANDAS_UDAF_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS BIGINT) AS weighted_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("pandas_udaf_weighted_sum", PANDAS_UDAF_ORACLE)
+def pandas_udaf_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized GROUPED_AGG pandas UDAF (reference: Python
+    AggregateFunction, pyflink general user-defined aggregate functions;
+    Spark-side: Arrow-batched pandas_udf with PandasUDFType.GROUPED_AGG)
+    computing a quantity-weighted price sum per returnflag over lineitem
+    — integer-cents arithmetic keeps the UDAF bit-equal to the SQL
+    oracle."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def weighted_cents(price_cents, qty):
+        return int((price_cents * qty).sum())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def long_sum(qty):
+        # grouped-agg pandas UDFs cannot mix with non-pandas aggregates in
+        # one agg() (INVALID_PANDAS_UDF_PLACEMENT) — both columns go
+        # through the Arrow-batched path
+        return int(qty.sum())
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            weighted_cents("price_cents", "qty").alias("weighted_cents"),
+            long_sum("qty").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
