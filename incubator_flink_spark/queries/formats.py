@@ -476,3 +476,48 @@ def pandas_udaf_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# KeyedProcessFunction (DataStream API) under the gate (round 10)
+# --------------------------------------------------------------------------
+
+KEYED_PROCESS_ORACLE = """
+SELECT user_id, event_id,
+       MAX(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS run_max_cents
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+@register("keyed_process_running_max", KEYED_PROCESS_ORACLE)
+def keyed_process_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyedProcessFunction through the DataStream facade
+    (api/datastream.KeyedStream.process; reference KeyedProcessFunction /
+    ProcessFunction docs — per-key state evolved in element order): each
+    user's events are processed in (ts, event_id) order carrying a
+    running-max register; every element emits (event_id, register).  The
+    oracle is the closed-form running window MAX."""
+    import pandas as pd
+
+    from incubator_flink_spark.api.datastream import StreamExecutionEnvironment
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def running_max(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        p["run_max_cents"] = p["cents"].cummax()
+        return p[["user_id", "event_id", "run_max_cents"]]
+
+    env = StreamExecutionEnvironment(spark)
+    out = (
+        env.from_dataframe(events)
+        .key_by("user_id")
+        .process(running_max, "user_id long, event_id long, run_max_cents long")
+    )
+    return out.to_df().orderBy("user_id", "event_id")
