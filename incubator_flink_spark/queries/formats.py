@@ -521,3 +521,133 @@ def keyed_process_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         .process(running_max, "user_id long, event_id long, run_max_cents long")
     )
     return out.to_df().orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# KeyedCoProcessFunction over connected streams (round 10, cont.)
+# --------------------------------------------------------------------------
+
+COPROCESS_ORACLE = """
+WITH ctrl AS (
+  SELECT DISTINCT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS cts,
+         (day(date_trunc('day', ts)) % 5) + 1 AS mult
+  FROM events WHERE day(ts) % 3 = 0
+),
+d AS (
+  SELECT event_type, event_id, ts,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+u AS (
+  SELECT event_type, cts AS ts, CAST(NULL AS BIGINT) AS event_id,
+         CAST(NULL AS BIGINT) AS cents, mult, 0 AS prio FROM ctrl
+  UNION ALL
+  SELECT event_type, ts, event_id, cents, CAST(NULL AS BIGINT) AS mult, 1 FROM d
+),
+f AS (
+  SELECT *, LAST_VALUE(mult IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY ts, prio, event_id
+    ROWS UNBOUNDED PRECEDING) AS cur
+  FROM u
+)
+SELECT event_type, event_id,
+       CAST(cents * COALESCE(cur, 1) AS BIGINT) AS scaled_cents
+FROM f WHERE prio = 1
+ORDER BY event_type, event_id
+"""
+
+
+@register("coprocess_rate_switch", COPROCESS_ORACLE)
+def coprocess_rate_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyedCoProcessFunction through the DataStream facade
+    (api/datastream.ConnectedStreams.key_by().process(); reference
+    DataStream.connect + CoProcessFunction — two streams dispatched into
+    one keyed function that evolves shared per-key state): a sparse
+    control stream (one multiplier change per event_type on every third
+    calendar day) connects with the event stream; per key, the merged
+    rows fold in (ts, control-first, event_id) order, each data row
+    emitting its cents scaled by the multiplier register (default 1
+    before the first control).  The oracle is the closed-form as-of
+    semantics via LAST_VALUE IGNORE NULLS over the tagged union."""
+    import pandas as pd
+
+    from incubator_flink_spark.api.datastream import StreamExecutionEnvironment
+
+    events = load(spark, sf_dir, "events")
+    data = events.select(
+        "event_type", "event_id", "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ctrl = (
+        events.where(F.dayofmonth("ts") % 3 == 0)
+        .select("event_type", F.date_trunc("day", F.col("ts")).alias("ts"))
+        .distinct()
+        .withColumn("mult", (F.dayofmonth("ts") % 5 + 1).cast("bigint"))
+    )
+
+    def co_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf.copy()
+        # control rows (right side) sort before data rows at equal ts
+        p["__prio"] = (p["__side"] == "left").astype(int)
+        p = p.sort_values(["ts", "__prio", "event_id"]).reset_index(drop=True)
+        p["__cur"] = p["mult"].ffill().fillna(1)
+        out = p[p["__side"] == "left"]
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"],
+                "event_id": out["event_id"].astype("int64"),
+                "scaled_cents": (out["cents"] * out["__cur"]).astype("int64"),
+            }
+        )
+
+    env = StreamExecutionEnvironment(spark)
+    out = (
+        env.from_dataframe(data)
+        .connect(env.from_dataframe(ctrl))
+        .key_by("event_type")
+        .process(co_fold, "event_type string, event_id long, scaled_cents long")
+    )
+    return out.to_df().orderBy("event_type", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Async I/O UNORDERED mode (round 10, cont.)
+# --------------------------------------------------------------------------
+
+ASYNC_UNORDERED_ORACLE = """
+SELECT e.event_id, r.r_name AS region_name
+FROM events e
+JOIN region r ON e.user_id % 5 = r.r_regionkey
+ORDER BY e.event_id
+"""
+
+
+@register("async_unordered_enrich", ASYNC_UNORDERED_ORACLE)
+def async_unordered_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Async I/O enrichment in UNORDERED mode (operators/async_io
+    .async_map ordered=False; reference AsyncDataStream.unorderedWait /
+    AsyncWaitOperator.java:78 — completions emit as they finish, order
+    within a batch is not preserved): each event row looks up
+    user_id % 5 against the 5-row region dimension through the thread
+    pool; unordered completion is a SET guarantee, so the gate pins the
+    result with a total ORDER BY and must still equal the plain
+    broadcast-join oracle row-for-row."""
+    from incubator_flink_spark.operators.async_io import async_map
+
+    region = {
+        int(r.r_regionkey): r.r_name
+        for r in load(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
+    }
+
+    def lookup(row: dict) -> dict:
+        return {
+            "event_id": int(row["event_id"]),
+            "region_name": region[int(row["user_id"]) % 5],
+        }
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id")
+    out = async_map(
+        events, lookup, "event_id long, region_name string", capacity=8, ordered=False
+    )
+    return out.orderBy("event_id")

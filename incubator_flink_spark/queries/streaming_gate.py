@@ -1068,3 +1068,326 @@ def async_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, lookup, "event_id long, nation_name string", capacity=8, ordered=True
     )
     return out.orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# (l) ContinuousEventTimeTrigger periodic early firing (round 10, cont.)
+# --------------------------------------------------------------------------
+
+# Replay walks the watermark through the month in weekly chunks (files
+# split at fixed day boundaries), so each chunk's LAST day is still open
+# when the next batch's watermark arrives just below the boundary — that
+# window takes exactly one periodic early fire (boundaries crossed inside
+# one batch coalesce; a window closing in the same batch suppresses the
+# early).  Closed form: a window fires early iff the FIRST chunk
+# watermark >= its first 6h boundary is still before the window's end.
+CONTINUOUS_TRIGGER_ORACLE = """
+WITH d AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         ts,
+         CAST(FLOOR(value * 100) AS DOUBLE) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_type, window_start,
+         COUNT(*) AS cnt,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         CAST(to_timestamp((FLOOR(epoch(MIN(ts)) / 21600) + 1) * 21600) AS TIMESTAMP)
+           AS first_fire
+  FROM d GROUP BY 1, 2
+),
+chunk_wm AS (
+  SELECT (SELECT max(ts) FROM events WHERE ts < b.boundary)
+           - INTERVAL 60 SECOND AS wm
+  FROM (VALUES (TIMESTAMP '2024-01-08'), (TIMESTAMP '2024-01-15'),
+               (TIMESTAMP '2024-01-22'), (TIMESTAMP '2024-01-29'),
+               (TIMESTAMP '2034-01-01')) b(boundary)
+),
+early AS (
+  SELECT w.event_type, w.window_start, w.cnt, w.total_cents,
+         (SELECT min(c.wm) FROM chunk_wm c WHERE c.wm >= w.first_fire) AS wm_star
+  FROM w
+  WHERE w.first_fire < w.window_start + INTERVAL 1 DAY
+)
+SELECT event_type, window_start,
+       window_start + INTERVAL 1 DAY AS window_end,
+       cnt, total_cents, 'early' AS fire_kind
+FROM early
+WHERE wm_star IS NOT NULL AND wm_star < window_start + INTERVAL 1 DAY
+UNION ALL
+SELECT event_type, window_start,
+       window_start + INTERVAL 1 DAY AS window_end,
+       cnt, total_cents, 'final' AS fire_kind
+FROM w
+ORDER BY event_type, window_start, fire_kind
+"""
+
+
+@register("continuous_trigger_periodic", CONTINUOUS_TRIGGER_ORACLE)
+def continuous_trigger_periodic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ContinuousEventTimeTrigger(6h) through the generalized trigger
+    operator (streaming/triggers.py tumble_agg_triggered; reference
+    flink-streaming-java/.../windowing/triggers/
+    ContinuousEventTimeTrigger.java — register the first interval boundary
+    at/after the first element, fire and re-register as the watermark
+    passes it): the events table replays in FIVE chronological chunks
+    split at fixed day boundaries plus two far-future sentinel batches, so
+    the watermark walks the month week by week.  Each chunk's trailing day
+    is open when the following batch's watermark lands just below the
+    split boundary and takes exactly one coalesced periodic early fire
+    (full-day content — chunks split at day boundaries); every window also
+    fires final at close.  The oracle computes, per window, the first
+    chunk watermark at/after its first 6h boundary and keeps the early
+    fire iff that watermark precedes the window end (a window closing in
+    the same batch suppresses the early fire, exactly like the operator).
+
+    Scale: state is O(open-window elements) per key — the watermark walk
+    bounds open windows to one day per key at a time."""
+    from incubator_flink_spark.streaming.triggers import (
+        ContinuousEventTimeTrigger,
+        tumble_agg_triggered,
+    )
+
+    root = _workdir("cont_trig_")
+    src = os.path.join(root, "src")
+    events = load(spark, sf_dir, "events")
+    prep = events.select(
+        "event_id", "ts", "event_type", F.floor(F.col("value") * 100).cast("double").alias("cents")
+    )
+    bounds = ["2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29"]
+    chunks = [prep.where(F.col("ts") < bounds[0])]
+    for lo, hi in zip(bounds, bounds[1:]):
+        chunks.append(prep.where((F.col("ts") >= lo) & (F.col("ts") < hi)))
+    chunks.append(prep.where(F.col("ts") >= bounds[-1]))
+
+    def sentinel(year: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(-year, f"{year}-01-01 00:00:00", "__flush", 0.0)],
+            "event_id long, ts_s string, event_type string, cents double",
+        ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "cents")
+
+    files = [*chunks, sentinel(2033), sentinel(2034)]
+    for i, f in enumerate(files):
+        d = os.path.join(src, f"b{i}")
+        f.coalesce(1).write.parquet(d)
+        _bump_mtimes(d, i)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .withWatermark("ts", "1 minute")
+    )
+    fired = tumble_agg_triggered(
+        stream, ["event_type"], "ts", "event_id", "cents",
+        size_s=86400, trigger=ContinuousEventTimeTrigger(21600),
+    )
+    res = os.path.join(root, "res")
+
+    def sink(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(res)
+
+    _run_stream(fired.writeStream.foreachBatch(sink), os.path.join(root, "ckpt"))
+    out = spark.read.parquet(res)
+    return (
+        out.where((F.col("event_type") != "__flush") & (F.col("window_start") < "2030-01-01"))
+        .select(
+            "event_type", "window_start", "window_end", "cnt",
+            F.col("total").cast("bigint").alias("total_cents"), "fire_kind",
+        )
+        .orderBy("event_type", "window_start", "fire_kind")
+    )
+
+
+# --------------------------------------------------------------------------
+# (m) DeltaEvictor final semantics (round 10, cont.)
+# --------------------------------------------------------------------------
+
+DELTA_EVICTOR_FINAL_ORACLE = """
+WITH w AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         CAST(FLOOR(value * 100) AS DOUBLE) AS cents,
+         LAST_VALUE(CAST(FLOOR(value * 100) AS DOUBLE)) OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_cents
+  FROM events
+)
+SELECT event_type, window_start,
+       window_start + INTERVAL 1 DAY AS window_end,
+       COUNT(*) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM w
+WHERE ABS(cents - last_cents) < 15000
+GROUP BY 1, 2
+ORDER BY event_type, window_start
+"""
+
+
+@register("delta_evictor_final", DELTA_EVICTOR_FINAL_ORACLE)
+def delta_evictor_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeltaEvictor semantics through the generalized trigger operator
+    (streaming/triggers.py tumble_agg_triggered + DeltaEvictor; reference
+    flink-streaming-java/.../windowing/evictors/DeltaEvictor.java — at
+    fire time, evict every buffered element whose delta against the LAST
+    buffered element reaches the threshold): one data batch plus two
+    far-future sentinel batches, no trigger, so each daily window fires
+    exactly once at watermark close and the FINAL fire aggregates only
+    the rows within 15000 cents of the window's last element in
+    (ts, event_id) order.  The oracle is the closed form over LAST_VALUE."""
+    from incubator_flink_spark.streaming.triggers import DeltaEvictor, tumble_agg_triggered
+
+    root = _workdir("delta_evict_")
+    src = os.path.join(root, "src")
+    events = load(spark, sf_dir, "events")
+    prep = events.select(
+        "event_id", "ts", "event_type", F.floor(F.col("value") * 100).cast("double").alias("cents")
+    )
+
+    def sentinel(year: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(-year, f"{year}-01-01 00:00:00", "__flush", 0.0)],
+            "event_id long, ts_s string, event_type string, cents double",
+        ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "cents")
+
+    files = [prep, sentinel(2033), sentinel(2034)]
+    for i, f in enumerate(files):
+        d = os.path.join(src, f"b{i}")
+        f.coalesce(1).write.parquet(d)
+        _bump_mtimes(d, i)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .withWatermark("ts", "1 minute")
+    )
+    fired = tumble_agg_triggered(
+        stream, ["event_type"], "ts", "event_id", "cents",
+        size_s=86400, evictor=DeltaEvictor(15000.0),
+    )
+    res = os.path.join(root, "res")
+
+    def sink(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(res)
+
+    _run_stream(fired.writeStream.foreachBatch(sink), os.path.join(root, "ckpt"))
+    out = spark.read.parquet(res)
+    return (
+        out.where(
+            (F.col("fire_kind") == "final")
+            & (F.col("event_type") != "__flush")
+            & (F.col("window_start") < "2030-01-01")
+        )
+        .select(
+            "event_type", "window_start", "window_end", "cnt",
+            F.col("total").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("event_type", "window_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# (n) Keyed-state TTL with observable tombstones (round 10, cont.)
+# --------------------------------------------------------------------------
+
+STATE_TTL_TOMBSTONES_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         event_id,
+         CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+win AS (
+  SELECT event_type, day, event_id, ts, cents FROM (
+    SELECT e.*, ROW_NUMBER() OVER (
+      PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+g AS (
+  SELECT max(CAST(date_trunc('second', ts) AS TIMESTAMP))
+           + INTERVAL 3540 SECOND AS wm
+  FROM events
+)
+SELECT event_type, day, event_id, ts, cents FROM win
+UNION ALL
+SELECT w.event_type, w.day, CAST(-1 AS BIGINT),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT)
+FROM win w, g
+WHERE w.ts + INTERVAL 864000 SECOND <= g.wm
+ORDER BY event_type, day, event_id
+"""
+
+
+@register("state_ttl_tombstones", STATE_TTL_TOMBSTONES_ORACLE)
+def state_ttl_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-state TTL through streaming/stateful.keep_last_dedup_ttl
+    (reference StateTtlConfig + StreamExecDeduplicate state retention —
+    a key's winner state is dropped once the watermark passes
+    last_update + ttl, observable here as an emitted tombstone row with
+    tiebreak = -1): events keyed by (event_type, day) replay as one data
+    batch plus two flusher batches that advance the watermark 1h past the
+    table's max timestamp.  Every key emits its keep-last winner in the
+    data batch; keys whose last activity is more than the 10-day TTL
+    before the final watermark (max + 1h - 1min) additionally emit the
+    TTL tombstone — so late-month keys survive and early-month keys
+    expire, at every scale factor.  Timestamps are second-truncated so
+    the ms-granular timeout clock is exact on both sides."""
+    from incubator_flink_spark.streaming.stateful import keep_last_dedup_ttl
+
+    root = _workdir("state_ttl_")
+    src = os.path.join(root, "src")
+    events = load(spark, sf_dir, "events")
+    prep = events.select(
+        F.col("event_type"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("event_id"),
+        F.date_trunc("second", F.col("ts")).alias("ts"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    max_ts = prep.agg(F.max("ts")).collect()[0][0]
+
+    def flusher(offset_s: int) -> DataFrame:
+        import datetime
+
+        t = max_ts + datetime.timedelta(seconds=offset_s)
+        return spark.createDataFrame(
+            [("__flush", "2033-01-01 00:00:00", -offset_s, t.strftime("%Y-%m-%d %H:%M:%S"), 0)],
+            "event_type string, day_s string, event_id long, ts_s string, cents long",
+        ).select(
+            "event_type",
+            F.col("day_s").cast("timestamp").alias("day"),
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "cents",
+        )
+
+    files = [prep, flusher(3600), flusher(7200)]
+    for i, f in enumerate(files):
+        d = os.path.join(src, f"b{i}")
+        f.coalesce(1).write.parquet(d)
+        _bump_mtimes(d, i)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .withWatermark("ts", "1 minute")
+    )
+    deduped = keep_last_dedup_ttl(
+        stream, ["event_type", "day"], "ts", "event_id", ttl_s=864000
+    )
+    res = os.path.join(root, "res")
+
+    def sink(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(res)
+
+    _run_stream(deduped.writeStream.outputMode("update").foreachBatch(sink), os.path.join(root, "ckpt"))
+    out = spark.read.parquet(res)
+    return (
+        out.where(F.col("event_type") != "__flush")
+        .select("event_type", "day", "event_id", "ts", "cents")
+        .orderBy("event_type", "day", "event_id")
+    )
