@@ -127,3 +127,94 @@ def temporal_overlaps(
     s1, e1 = F.least(l_start, l_end), F.greatest(l_start, l_end)
     s2, e2 = F.least(r_start, r_end), F.greatest(r_start, r_end)
     return (s1 <= e2) & (s2 <= e1)
+
+
+# ---------------------------------------------------------------------------
+# SQL/JSON constructors and aggregates (FLIP-90; reference
+# BuiltInFunctionDefinitions JSON_OBJECT / JSON_ARRAY / JSON_QUERY /
+# JSON_STRING / JSON_OBJECT_AGG_* / JSON_ARRAY_AGG_* and the IS JSON
+# predicate — flink-table/flink-table-common/.../functions/
+# BuiltInFunctionDefinitions.java).  Flink's ``JSON_OBJECT(KEY k VALUE v)``
+# grammar is Calcite-specific and unparseable by Spark SQL, so the SQL
+# spellings live in functions/sqlfuncs.py where fixed-arity forms exist
+# (JSON_QUERY/JSON_STRING/IS_JSON) and the Table-API builders live here —
+# all pure Catalyst expressions, no UDFs.
+# ---------------------------------------------------------------------------
+
+
+def json_string(v: Column) -> Column:
+    """JSON_STRING(v): serialize a scalar to JSON text (RETURN NULL ON
+    NULL).  Spark's ``to_json`` only accepts containers, so the value is
+    struct-wrapped and the ``{"v":`` envelope stripped — the JSON encoder
+    (escaping included) is Spark's own."""
+    wrapped = F.to_json(F.struct(v.alias("v")), {"ignoreNullFields": "false"})
+    return F.when(v.isNotNull(), wrapped.substr(F.lit(6), F.length(wrapped) - F.lit(6)))
+
+
+def json_object(*pairs: tuple[str, Column], on_null: str = "NULL") -> Column:
+    """JSON_OBJECT('k1' VALUE v1, ...): build a JSON object with literal
+    keys.  ``on_null='NULL'`` (Flink's default) keeps null members;
+    ``'ABSENT'`` drops them — mapped onto to_json's ignoreNullFields."""
+    opts = {"ignoreNullFields": "true" if on_null == "ABSENT" else "false"}
+    return F.to_json(F.struct(*[v.alias(k) for k, v in pairs]), opts)
+
+
+def json_array(*items: Column, on_null: str = "ABSENT") -> Column:
+    """JSON_ARRAY(v1, v2, ...): build a JSON array.  Flink's default is
+    ABSENT ON NULL (null elements dropped); pass ``on_null='NULL'`` to
+    keep them.  Elements must share a Spark type (Flink casts to a common
+    JSON type at plan time; here the array() type rules apply)."""
+    arr = F.array(*items)
+    if on_null == "ABSENT":
+        arr = F.filter(arr, lambda x: x.isNotNull())
+    return F.to_json(arr)
+
+
+def json_query(j: Column, path: str) -> Column:
+    """JSON_QUERY(j, path): extract a JSON OBJECT or ARRAY at ``path``
+    (SQL/JSON: scalars return NULL under the default WITHOUT ARRAY
+    WRAPPER + NULL ON ERROR; JSON_VALUE is the scalar accessor).
+    Documented subset: Spark's ``$.a.b`` paths, lax mode only."""
+    r = F.get_json_object(j, path)
+    return F.when(F.substring(r, 1, 1).isin("{", "["), r)
+
+
+def json_objectagg(k: Column, v: Column) -> Column:
+    """JSON_OBJECTAGG(KEY k VALUE v) as an aggregate expression (NULL ON
+    NULL).  Keys are sorted for a deterministic result — the reference
+    leaves member order unspecified (JsonObjectAggFunction), so any fixed
+    order is a valid refinement; duplicate keys are last-write-wins
+    (matching the reference's internal map accumulator), deduplicated
+    with a lookahead filter so the builder works under Spark's default
+    EXCEPTION map-key policy."""
+    entries = F.array_sort(F.collect_list(F.struct(k.alias("key"), v.alias("value"))))
+    nxt = lambda i: F.try_element_at(entries, i + F.lit(2))["key"]  # noqa: E731
+    deduped = F.filter(entries, lambda x, i: nxt(i).isNull() | (nxt(i) != x["key"]))
+    return F.to_json(F.map_from_entries(deduped), {"ignoreNullFields": "false"})
+
+
+def json_arrayagg(v: Column) -> Column:
+    """JSON_ARRAYAGG(v) as an aggregate expression (ABSENT ON NULL, the
+    Flink default: collect_list already drops nulls).  Elements are
+    sorted for determinism — the reference leaves element order
+    unspecified (JsonArrayAggFunction)."""
+    return F.to_json(F.array_sort(F.collect_list(v)))
+
+
+def is_json(s: Column, kind: str = "VALUE") -> Column:
+    """``s IS JSON [VALUE|OBJECT|ARRAY|SCALAR]`` predicate (Calcite
+    SqlJsonPredicate; grammar-level in Flink, function-spelled here).
+    NULL input yields false, matching Flink's runtime behavior."""
+    valid = F.try_parse_json(s).isNotNull()
+    head = F.substring(F.ltrim(s), 1, 1)
+    if kind == "VALUE":
+        cond = valid
+    elif kind == "OBJECT":
+        cond = valid & (head == "{")
+    elif kind == "ARRAY":
+        cond = valid & (head == "[")
+    elif kind == "SCALAR":
+        cond = valid & ~head.isin("{", "[")
+    else:
+        raise ValueError(f"IS JSON kind must be VALUE/OBJECT/ARRAY/SCALAR, got {kind!r}")
+    return F.when(cond, True).otherwise(False)

@@ -68,6 +68,27 @@ _SQL_FUNCS: dict[str, tuple[str, str, str]] = {
     ),
     "JSON_VALUE": ("(j STRING, p STRING)", "STRING", "get_json_object(j, p)"),
     "JSON_EXISTS": ("(j STRING, p STRING)", "BOOLEAN", "get_json_object(j, p) IS NOT NULL"),
+    # SQL/JSON (FLIP-90): JSON_QUERY returns only OBJECT/ARRAY results
+    # (scalars -> NULL under WITHOUT ARRAY WRAPPER + NULL ON ERROR);
+    # JSON_STRING serializes a scalar through Spark's own JSON encoder
+    # (struct-wrapped, '{"v":' envelope stripped); IS_JSON is the
+    # function spelling of the `x IS JSON` predicate (Calcite grammar —
+    # unparseable by Spark, same policy as TEMPORAL_OVERLAPS).  The
+    # KEY/VALUE-syntax constructors and aggregates live in
+    # functions/compat.py (json_object/json_array/json_objectagg/...).
+    "JSON_QUERY": (
+        "(j STRING, p STRING)",
+        "STRING",
+        "CASE WHEN substring(get_json_object(j, p), 1, 1) IN ('{', '[') "
+        "THEN get_json_object(j, p) END",
+    ),
+    "JSON_STRING": (
+        "(s STRING)",
+        "STRING",
+        "CASE WHEN s IS NOT NULL THEN substring(to_json(named_struct('v', s)), 6, "
+        "length(to_json(named_struct('v', s))) - 6) END",
+    ),
+    "IS_JSON": ("(s STRING)", "BOOLEAN", "try_parse_json(s) IS NOT NULL"),
     # Flink's fixed-width SHA-2 family names (FlinkSqlOperatorTable:
     # SHA224/SHA256/SHA384/SHA512) — Spark spells them sha2(x, bits)
     "SHA224": ("(s STRING)", "STRING", "sha2(s, 224)"),

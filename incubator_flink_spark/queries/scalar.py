@@ -324,3 +324,86 @@ def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(F.lit("spark-engine"), "rk").cast("bigint").alias("pos_rk"),
         F.instr(F.col("props"), "k").cast("bigint").alias("pos_in_props"),
     ).orderBy("event_id")
+
+
+JSON_CONSTRUCT_ORACLE = """
+SELECT event_id,
+       to_json(struct_pack(id := event_id, etype := event_type)) AS obj,
+       to_json(struct_pack(m := CAST(NULL AS VARCHAR), id := event_id)) AS obj_null,
+       to_json([event_id, user_id]) AS arr,
+       to_json(event_type) AS jstr,
+       CASE WHEN substring(CAST(json_extract(props, '$') AS VARCHAR), 1, 1) IN ('{', '[')
+            THEN CAST(json_extract(props, '$') AS VARCHAR) END AS q_obj,
+       CASE WHEN substring(CAST(json_extract(props, '$.k') AS VARCHAR), 1, 1) IN ('{', '[')
+            THEN CAST(json_extract(props, '$.k') AS VARCHAR) END AS q_scalar,
+       json_valid(props) AS isj_value,
+       json_valid(props) AND substring(ltrim(props), 1, 1) = '{' AS isj_object,
+       json_valid(props) AND substring(ltrim(props), 1, 1) = '[' AS isj_array
+FROM events WHERE event_id < 300 ORDER BY event_id
+"""
+
+
+@register("json_construct_funcs", JSON_CONSTRUCT_ORACLE)
+def json_construct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL/JSON constructor surface (FLIP-90; reference
+    BuiltInFunctionDefinitions JSON_OBJECT / JSON_ARRAY / JSON_STRING /
+    JSON_QUERY and the IS JSON predicate): per-row construction through
+    functions/compat.py builders AND the SQL spellings registered by
+    functions/sqlfuncs.py (JSON_QUERY / JSON_STRING / IS_JSON run through
+    spark.sql-visible temporary functions in other tests; here the
+    Column builders keep the whole query one Catalyst plan).  The oracle
+    rebuilds each JSON text with DuckDB's native JSON functions — a hash
+    match proves the two engines' encoders agree byte-for-byte
+    (escaping, null members, minified form)."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    return e.select(
+        "event_id",
+        compat.json_object(
+            ("id", F.col("event_id")), ("etype", F.col("event_type"))
+        ).alias("obj"),
+        compat.json_object(
+            ("m", F.lit(None).cast("string")), ("id", F.col("event_id"))
+        ).alias("obj_null"),
+        compat.json_array(F.col("event_id"), F.col("user_id")).alias("arr"),
+        compat.json_string(F.col("event_type")).alias("jstr"),
+        compat.json_query(F.col("props"), "$").alias("q_obj"),
+        compat.json_query(F.col("props"), "$.k").alias("q_scalar"),
+        compat.is_json(F.col("props")).alias("isj_value"),
+        compat.is_json(F.col("props"), "OBJECT").alias("isj_object"),
+        compat.is_json(F.col("props"), "ARRAY").alias("isj_array"),
+    ).orderBy("event_id")
+
+
+JSON_AGG_ORACLE = """
+SELECT event_type,
+       '[' || string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) || ']' AS id_arr,
+       '{' || string_agg(to_json(CAST(event_id AS VARCHAR)) || ':' ||
+                         CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR),
+                         ',' ORDER BY CAST(event_id AS VARCHAR)) || '}' AS id_obj
+FROM events WHERE event_id < 400
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("json_agg_funcs", JSON_AGG_ORACLE)
+def json_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL/JSON aggregates (FLIP-90; reference JsonObjectAggFunction /
+    JsonArrayAggFunction): JSON_ARRAYAGG over event ids and
+    JSON_OBJECTAGG keyed by the id string per event_type, both through
+    the compat builders (sorted members — the reference leaves aggregate
+    member order unspecified, so a fixed order is a valid deterministic
+    refinement).  The oracle rebuilds the same JSON texts with ordered
+    string_agg; note JSON_OBJECTAGG's keys sort as STRINGS ('10' < '9'),
+    matching array_sort on the struct key."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 400)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            compat.json_arrayagg(F.col("event_id")).alias("id_arr"),
+            compat.json_objectagg(
+                F.col("event_id").cast("string"),
+                F.floor(F.col("value") * 100).cast("bigint"),
+            ).alias("id_obj"),
+        )
+        .orderBy("event_type")
+    )

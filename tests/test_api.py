@@ -498,6 +498,85 @@ def test_flink_sql_functions_register_and_inline(spark):
     assert "element_at" in plan  # the UDF body, inlined as an expression
 
 
+def test_sql_json_family(spark):
+    # FLIP-90 SQL/JSON surface: constructors, query, string, predicate,
+    # aggregates (reference BuiltInFunctionDefinitions JSON_* +
+    # JsonObjectAggFunction/JsonArrayAggFunction).
+    from incubator_flink_spark.functions import compat
+    from incubator_flink_spark.functions.sqlfuncs import register_flink_sql_functions
+
+    register_flink_sql_functions(spark)
+
+    # SQL spellings (fixed-arity): JSON_QUERY / JSON_STRING / IS_JSON
+    r = spark.sql(
+        """
+        SELECT JSON_QUERY('{"a": {"b": 7}}', '$.a') AS q_obj,
+               JSON_QUERY('{"a": [1, 2]}', '$.a') AS q_arr,
+               JSON_QUERY('{"a": 7}', '$.a') AS q_scalar,
+               JSON_STRING('he"llo') AS js,
+               JSON_STRING(CAST(NULL AS STRING)) AS js_null,
+               IS_JSON('{"a": 1}') AS ij1,
+               IS_JSON('not json') AS ij2
+        """
+    ).collect()[0]
+    assert r.q_obj == '{"b":7}'
+    assert r.q_arr == "[1,2]"
+    assert r.q_scalar is None  # scalars -> NULL (WITHOUT ARRAY WRAPPER)
+    assert r.js == '"he\\"llo"'
+    assert r.js_null is None  # RETURN NULL ON NULL
+    assert r.ij1 is True and r.ij2 is False
+
+    # Column builders: constructors with ON NULL behavior
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "a\"b", "v")], "id long, s string, n string"
+    )
+    got = df.select(
+        compat.json_object(("id", F.col("id")), ("n", F.col("n"))).alias("obj"),
+        compat.json_object(("n", F.col("n")), on_null="ABSENT").alias("obj_absent"),
+        compat.json_array(F.col("s"), F.col("n")).alias("arr_absent"),
+        compat.json_array(F.col("s"), F.col("n"), on_null="NULL").alias("arr_null"),
+        compat.json_string(F.col("s")).alias("js"),
+        compat.is_json(F.col("s")).alias("ij"),
+    ).orderBy("id").collect()
+    assert got[0].obj == '{"id":1,"n":null}'  # NULL ON NULL keeps members
+    assert got[0].obj_absent == "{}"  # ABSENT ON NULL drops them
+    assert got[0].arr_absent == '["x"]'
+    assert got[0].arr_null == '["x",null]'
+    assert got[1].js == '"a\\"b"'  # escaping is Spark's own encoder
+    assert got[0].ij is False  # 'x' alone is not valid JSON
+    # IS JSON kind dispatch
+    kinds = spark.createDataFrame(
+        [('{"a":1}',), ("[1]",), ("3",), ("bad",)], "j string"
+    ).select(
+        compat.is_json(F.col("j")).alias("v"),
+        compat.is_json(F.col("j"), "OBJECT").alias("o"),
+        compat.is_json(F.col("j"), "ARRAY").alias("a"),
+        compat.is_json(F.col("j"), "SCALAR").alias("s"),
+    ).collect()
+    assert [k.v for k in kinds] == [True, True, True, False]
+    assert [k.o for k in kinds] == [True, False, False, False]
+    assert [k.a for k in kinds] == [False, True, False, False]
+    assert [k.s for k in kinds] == [False, False, True, False]
+
+    # Aggregates: JSON_OBJECTAGG (last-write-wins on duplicate keys,
+    # string-sorted members) + JSON_ARRAYAGG (nulls absent)
+    agg = spark.createDataFrame(
+        [("b", 2, None), ("a", 1, 10), ("b", 3, 20)], "k string, v long, e int"
+    ).agg(
+        compat.json_objectagg(F.col("k"), F.col("v")).alias("obj"),
+        compat.json_arrayagg(F.col("e")).alias("arr"),
+    ).collect()[0]
+    assert agg.obj == '{"a":1,"b":3}'
+    assert agg.arr == "[10,20]"
+
+    # the whole family stays Catalyst-only (no Python eval nodes)
+    plan = (
+        df.select(compat.json_object(("id", F.col("id"))))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+
+
 def test_table_environment_registers_sql_functions(spark):
     from incubator_flink_spark.api.table import TableEnvironment
 
