@@ -651,3 +651,157 @@ def async_unordered_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, lookup, "event_id long, region_name string", capacity=8, ordered=False
     )
     return out.orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# text format round trip (round 10, cont.)
+# --------------------------------------------------------------------------
+
+TEXT_ROUNDTRIP_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("text_roundtrip_agg", TEXT_ROUNDTRIP_ORACLE)
+def text_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited text format round trip (reference
+    flink-formats/../RawFormatSerializationSchema + the filesystem
+    connector's 'raw'/'testcsv' single-column line formats): orders is
+    serialized to one pipe-joined line per row through the `text` format
+    of sources/filesystem, read back as `value: string` lines, re-parsed
+    with split(), and aggregated.  Integer cents are encoded as integers
+    in the line so the parse is exact (no double round trip through
+    decimal text)."""
+    from incubator_flink_spark.sources.filesystem import read_table, write_table
+
+    d = load(spark, sf_dir, "orders").select(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint"),
+        ).alias("value")
+    )
+    out = os.path.join(_workdir("text_rt_"), "orders_text")
+    write_table(d, out, "text", mode="overwrite")
+    back = read_table(spark, out, "text")
+    parts = F.split(F.col("value"), "\\|")
+    parsed = back.select(
+        parts.getItem(0).cast("bigint").alias("o_orderkey"),
+        parts.getItem(1).alias("o_orderstatus"),
+        parts.getItem(2).cast("bigint").alias("price_cents"),
+    )
+    return (
+        parsed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.sum("price_cents").cast("bigint").alias("price_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# DataStream bounded sources: sequence + collection (round 10, cont.)
+# --------------------------------------------------------------------------
+
+SEQUENCE_SOURCE_ORACLE = """
+SELECT v % 7 AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(v) AS BIGINT) AS total,
+       CAST(MIN(v) AS BIGINT) AS lo,
+       CAST(MAX(v) AS BIGINT) AS hi
+FROM range(1, 200001) t(v)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("datastream_sequence_agg", SEQUENCE_SOURCE_ORACLE)
+def datastream_sequence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sequence source through the DataStream facade
+    (api/datastream.StreamExecutionEnvironment.from_sequence; reference
+    StreamExecutionEnvironment.fromSequence / NumberSequenceSource):
+    generate 1..200000 distributed (spark.range — no driver-side
+    materialization), key by value % 7, reduce to count/sum/min/max.
+    The oracle regenerates the same sequence with DuckDB's range()."""
+    from incubator_flink_spark.api.datastream import StreamExecutionEnvironment
+
+    env = StreamExecutionEnvironment(spark)
+    ds = env.from_sequence(1, 200000).select(
+        F.col("value"), (F.col("value") % 7).alias("bucket")
+    )
+    return (
+        ds.key_by("bucket")
+        .reduce(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").cast("bigint").alias("total"),
+            F.min("value").cast("bigint").alias("lo"),
+            F.max("value").cast("bigint").alias("hi"),
+        )
+        .to_df()
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# DropUpdateBefore + ChangelogNormalize under the gate (round 10, cont.)
+# --------------------------------------------------------------------------
+
+DROP_UPDATE_BEFORE_ORACLE = """
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+         + CASE WHEN o_orderkey % 3 = 0 THEN 1000 ELSE 0 END AS price_cents
+FROM orders
+WHERE o_orderkey % 7 <> 0
+ORDER BY o_orderkey
+"""
+
+
+@register("drop_update_before_normalize", DROP_UPDATE_BEFORE_ORACLE)
+def drop_update_before_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DropUpdateBefore -> ChangelogNormalize materialization
+    (streaming/changelog.py; reference StreamExecDropUpdateBefore +
+    StreamExecChangelogNormalize.java:61): a synthetic changelog over
+    orders — +I for every key at seq 0; keys % 3 == 0 take a -U/+U pair
+    (price bumped 1000 cents) at seq 1/2; keys % 7 == 0 take a -D at
+    seq 3 — is normalized to current state: -U rows dropped, latest row
+    per key wins, deleted keys vanish.  The oracle is the closed-form
+    final state."""
+    from incubator_flink_spark.streaming.changelog import (
+        DELETE,
+        INSERT,
+        ROWKIND,
+        UPDATE_AFTER,
+        UPDATE_BEFORE,
+        changelog_normalize,
+    )
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents")
+    )
+    ins = base.select(
+        "o_orderkey", "price_cents", F.lit(0).alias("seq"), F.lit(INSERT).alias(ROWKIND)
+    )
+    upd = base.where(F.col("o_orderkey") % 3 == 0)
+    ub = upd.select(
+        "o_orderkey", "price_cents", F.lit(1).alias("seq"), F.lit(UPDATE_BEFORE).alias(ROWKIND)
+    )
+    ua = upd.select(
+        "o_orderkey",
+        (F.col("price_cents") + 1000).alias("price_cents"),
+        F.lit(2).alias("seq"),
+        F.lit(UPDATE_AFTER).alias(ROWKIND),
+    )
+    dels = base.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "price_cents", F.lit(3).alias("seq"), F.lit(DELETE).alias(ROWKIND)
+    )
+    changelog = ins.unionByName(ub).unionByName(ua).unionByName(dels)
+    normalized = changelog_normalize(changelog, ["o_orderkey"], ts_col="seq", tiebreak="seq")
+    return normalized.select("o_orderkey", "price_cents").orderBy("o_orderkey")
