@@ -701,9 +701,16 @@ class TableEnvironment:
             sql = rewrite_system_time_join(self._spark, sql, self._versioned)
         up = sql.upper()
         if any(k in up for k in ("TUMBLE", "HOP", "CUMULATE", "SESSION")):
-            from incubator_flink_spark.api.tvf import rewrite_window_tvf
+            from incubator_flink_spark.api.tvf import (
+                rewrite_legacy_group_windows,
+                rewrite_window_tvf,
+            )
 
             sql = rewrite_window_tvf(self._spark, sql)
+            # legacy (pre-TVF) GROUP BY TUMBLE/HOP/SESSION(...) grammar —
+            # after the TVF pass, so TABLE(TUMBLE(TABLE t, ...)) fragments
+            # are already gone and only bare group-window calls remain
+            sql = rewrite_legacy_group_windows(sql)
         if "MATCH_RECOGNIZE" in sql.upper():
             from incubator_flink_spark.api.match_sql import rewrite_match_recognize
 
@@ -1120,7 +1127,11 @@ class TableEnvironment:
                         c not in pk,
                         "PRI" if c in pk else None,
                         None,
-                        f"WATERMARK {t.watermark[1]}s"
+                        (
+                            "WATERMARK SOURCE_WATERMARK()"
+                            if t.watermark[1] is None
+                            else f"WATERMARK {t.watermark[1]}s"
+                        )
                         if t.watermark and t.watermark[0] == c
                         else None,
                     )
@@ -1168,7 +1179,9 @@ class TableEnvironment:
             ]
             if t.watermark:
                 body.append(
-                    f"  WATERMARK FOR {t.watermark[0]} AS {t.watermark[0]}"
+                    f"  WATERMARK FOR {t.watermark[0]} AS SOURCE_WATERMARK()"
+                    if t.watermark[1] is None
+                    else f"  WATERMARK FOR {t.watermark[0]} AS {t.watermark[0]}"
                     f" - INTERVAL '{t.watermark[1]}' SECOND"
                 )
             if t.primary_key:

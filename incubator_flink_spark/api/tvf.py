@@ -132,3 +132,69 @@ def rewrite_window_tvf(spark: SparkSession, sql: str) -> str:
         return view
 
     return _TVF_RE.sub(repl, sql)
+
+
+# ---------------------------------------------------------------------------
+# Legacy (pre-TVF) group-window SQL: ``GROUP BY TUMBLE(ts, INTERVAL …)``
+# with TUMBLE_START/_END/_ROWTIME/_PROCTIME auxiliaries (reference docs'
+# "group window aggregation" grammar; planner LogicalWindowAggregate /
+# FlinkSqlOperatorTable TUMBLE_OLD/HOP_OLD/SESSION_OLD + the *_ROWTIME
+# auxiliary operators).  Rewritten onto Spark's native window()/
+# session_window() grouping expressions — Catalyst-only, no views.
+# ---------------------------------------------------------------------------
+
+_LEGACY_WIN_RE = re.compile(
+    r"\b(TUMBLE|HOP|SESSION)\s*\(\s*(\w+)\s*,\s*"
+    r"(INTERVAL\s+'\d+'\s+\w+(?:\s*,\s*INTERVAL\s+'\d+'\s+\w+)?)\s*\)",
+    re.IGNORECASE,
+)
+
+_LEGACY_AUX_RE = re.compile(
+    r"\b(TUMBLE|HOP|SESSION)_(START|END|ROWTIME|PROCTIME)\s*\(\s*[^()]*?\)",
+    re.IGNORECASE,
+)
+
+
+def _dur(arg_text: str) -> list[str]:
+    return [f"{n} {unit.lower()}" for n, unit in _INTERVAL_RE.findall(arg_text)]
+
+
+def rewrite_legacy_group_windows(sql: str) -> str:
+    """Rewrite legacy group-window SQL to Spark grouping expressions:
+
+    - ``TUMBLE(ts, size)``        -> ``window(ts, 'size')``
+    - ``HOP(ts, slide, size)``    -> ``window(ts, 'size', 'slide')``
+      (Flink's legacy HOP argument order is slide, then size)
+    - ``SESSION(ts, gap)``        -> ``session_window(ts, 'gap')``
+    - ``*_START(...)`` / ``*_END(...)`` -> ``<win>.start`` / ``<win>.end``
+    - ``*_ROWTIME(...)`` -> ``<win>.end - INTERVAL 1 MILLISECOND`` (the
+      reference's rowtime attribute is window_end - 1ms); ``*_PROCTIME``
+      maps to the same value — batch/bounded execution has no separate
+      processing-time attribute (same query-constant policy as
+      compat.proctime's documented divergence).
+
+    The auxiliaries must be rewritten BEFORE the grouping calls (their
+    names contain the window-call names as prefixes)."""
+
+    def aux(m: re.Match) -> str:
+        kind, part = m.group(1).upper(), m.group(2).upper()
+        col = "session_window" if kind == "SESSION" else "window"
+        if part == "START":
+            return f"{col}.start"
+        if part == "END":
+            return f"{col}.end"
+        return f"{col}.end - INTERVAL 1 MILLISECOND"
+
+    def win(m: re.Match) -> str:
+        kind, ts_col, args = m.group(1).upper(), m.group(2), m.group(3)
+        d = _dur(args)
+        if kind == "TUMBLE":
+            (size,) = d
+            return f"window({ts_col}, '{size}')"
+        if kind == "HOP":
+            slide, size = d
+            return f"window({ts_col}, '{size}', '{slide}')"
+        (gap,) = d
+        return f"session_window({ts_col}, '{gap}')"
+
+    return _LEGACY_WIN_RE.sub(win, _LEGACY_AUX_RE.sub(aux, sql))

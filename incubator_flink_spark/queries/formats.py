@@ -805,3 +805,75 @@ def drop_update_before_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     changelog = ins.unionByName(ub).unionByName(ua).unionByName(dels)
     normalized = changelog_normalize(changelog, ["o_orderkey"], ts_col="seq", tiebreak="seq")
     return normalized.select("o_orderkey", "price_cents").orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Legacy (pre-TVF) group-window SQL grammar under the gate (round 10, cont.)
+# --------------------------------------------------------------------------
+
+LEGACY_GROUP_WINDOW_ORACLE = """
+WITH t AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT event_type,
+         CAST(to_timestamp(FLOOR(epoch(ts) / 43200) * 43200 - j.j * 43200) AS TIMESTAMP) AS ws,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events CROSS JOIN (VALUES (0), (1)) j(j)
+  GROUP BY 1, 2
+)
+SELECT 'tumble' AS kind, event_type, ws AS window_start,
+       ws + INTERVAL 1 DAY AS window_end,
+       ws + INTERVAL 1 DAY - INTERVAL 1 MILLISECOND AS rowtime,
+       n, cents
+FROM t
+UNION ALL
+SELECT 'hop', event_type, ws, ws + INTERVAL 1 DAY,
+       ws + INTERVAL 1 DAY - INTERVAL 1 MILLISECOND, n, cents
+FROM h
+ORDER BY kind, event_type, window_start
+"""
+
+
+@register("legacy_group_window_sql", LEGACY_GROUP_WINDOW_ORACLE)
+def legacy_group_window_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy (pre-TVF) group-window SQL grammar (reference docs' group
+    window aggregation; planner LogicalWindowAggregate + the TUMBLE_OLD/
+    HOP_OLD auxiliary operators in FlinkSqlOperatorTable): the verbatim
+    ``GROUP BY TUMBLE(ts, INTERVAL '1' DAY)`` and ``GROUP BY HOP(ts,
+    INTERVAL '12' HOUR, INTERVAL '1' DAY)`` texts — with TUMBLE_START/
+    _END/_ROWTIME and HOP_START auxiliaries — run through
+    TableEnvironment.sql_query (api/tvf.rewrite_legacy_group_windows maps
+    them onto Spark's native window() grouping).  Flink's rowtime
+    attribute is window_end - 1ms; the oracle reproduces both window
+    assignments in closed form (legacy HOP argument order: slide, size)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    t_env = TableEnvironment(spark)
+    load(spark, sf_dir, "events").select(
+        "event_type", "ts", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    ).createOrReplaceTempView("legacy_gw_events")
+    tumble_sql = """
+        SELECT 'tumble' AS kind, event_type,
+               TUMBLE_START(ts, INTERVAL '1' DAY) AS window_start,
+               TUMBLE_END(ts, INTERVAL '1' DAY) AS window_end,
+               TUMBLE_ROWTIME(ts, INTERVAL '1' DAY) AS rowtime,
+               COUNT(*) AS n, SUM(cents) AS cents
+        FROM legacy_gw_events
+        GROUP BY event_type, TUMBLE(ts, INTERVAL '1' DAY)
+    """
+    hop_sql = """
+        SELECT 'hop' AS kind, event_type,
+               HOP_START(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY) AS window_start,
+               HOP_END(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY) AS window_end,
+               HOP_ROWTIME(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY) AS rowtime,
+               COUNT(*) AS n, SUM(cents) AS cents
+        FROM legacy_gw_events
+        GROUP BY event_type, HOP(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY)
+    """
+    out = t_env.sql_query(tumble_sql).to_df().unionByName(t_env.sql_query(hop_sql).to_df())
+    return out.orderBy("kind", "event_type", "window_start")

@@ -1391,3 +1391,94 @@ def state_ttl_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "event_id", "ts", "cents")
         .orderBy("event_type", "day", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# (o) PurgingTrigger (FIRE_AND_PURGE) chunked fires (round 10, cont.)
+# --------------------------------------------------------------------------
+
+# PurgingTrigger(CountTrigger(5)): every 5th element fires AND purges the
+# pane, so fires aggregate DISJOINT 5-row chunks in (ts, event_id) order;
+# the watermark-close fire emits the remainder (< 5 rows) and nothing at
+# all for an empty pane.  Closed form: chunk = floor(row_index / 5); a
+# complete chunk (5 rows) is an 'early' fire, the incomplete tail chunk
+# is the 'final' fire.
+PURGING_TRIGGER_ORACLE = """
+WITH ordered AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         CAST(FLOOR(value * 100) AS DOUBLE) AS cents,
+         CAST(FLOOR((ROW_NUMBER() OVER (
+           PARTITION BY event_type, date_trunc('day', ts)
+           ORDER BY ts, event_id) - 1) / 5) AS BIGINT) AS chunk
+  FROM events
+  WHERE event_id % 3 = 0
+)
+SELECT event_type, window_start,
+       window_start + INTERVAL 1 DAY AS window_end,
+       COUNT(*) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CASE WHEN COUNT(*) = 5 THEN 'early' ELSE 'final' END AS fire_kind
+FROM ordered
+GROUP BY event_type, window_start, chunk
+ORDER BY event_type, window_start, fire_kind, total_cents
+"""
+
+
+@register("purging_trigger_chunks", PURGING_TRIGGER_ORACLE)
+def purging_trigger_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PurgingTrigger semantics through the generalized trigger operator
+    (streaming/triggers.py tumble_agg_triggered purging=True; reference
+    flink-streaming-java/.../windowing/triggers/PurgingTrigger.java —
+    wraps any trigger, turning FIRE into FIRE_AND_PURGE so the pane is
+    cleared after each fire): CountTrigger(5) over daily windows on the
+    subsampled events stream fires disjoint 5-row chunk aggregates; the
+    final watermark fire carries only the remainder rows, and exact
+    5-multiples leave an empty pane that (like the reference's null
+    contents) emits nothing at close.  The oracle groups each window's
+    rows into chunks of five in (ts, event_id) order."""
+    from incubator_flink_spark.streaming.triggers import CountTrigger, tumble_agg_triggered
+
+    root = _workdir("purging_trig_")
+    src = os.path.join(root, "src")
+    events = load(spark, sf_dir, "events")
+    prep = events.where(F.col("event_id") % 3 == 0).select(
+        "event_id", "ts", "event_type", F.floor(F.col("value") * 100).cast("double").alias("cents")
+    )
+
+    def sentinel(year: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(-year, f"{year}-01-01 00:00:00", "__flush", 0.0)],
+            "event_id long, ts_s string, event_type string, cents double",
+        ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "cents")
+
+    files = [prep, sentinel(2033), sentinel(2034)]
+    for i, f in enumerate(files):
+        d = os.path.join(src, f"b{i}")
+        f.coalesce(1).write.parquet(d)
+        _bump_mtimes(d, i)
+    stream = (
+        spark.readStream.schema(prep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .withWatermark("ts", "1 minute")
+    )
+    fired = tumble_agg_triggered(
+        stream, ["event_type"], "ts", "event_id", "cents",
+        size_s=86400, trigger=CountTrigger(5), purging=True,
+    )
+    res = os.path.join(root, "res")
+
+    def sink(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(res)
+
+    _run_stream(fired.writeStream.foreachBatch(sink), os.path.join(root, "ckpt"))
+    out = spark.read.parquet(res)
+    return (
+        out.where((F.col("event_type") != "__flush") & (F.col("window_start") < "2030-01-01"))
+        .select(
+            "event_type", "window_start", "window_end", "cnt",
+            F.col("total").cast("bigint").alias("total_cents"), "fire_kind",
+        )
+        .orderBy("event_type", "window_start", "fire_kind", "total_cents")
+    )

@@ -41,7 +41,7 @@ class TableDef:
     # schemas; persisted ones are writable only on connectors with
     # writable metadata.
     metadata_cols: list[tuple[str, str, str | None, bool]] = field(default_factory=list)
-    watermark: tuple[str, int] | None = None  # (column, delay_s)
+    watermark: tuple[str, int | None] | None = None  # (column, delay_s); None delay = SOURCE_WATERMARK()
     primary_key: list[str] = field(default_factory=list)
     partitioned_by: list[str] = field(default_factory=list)
     options: dict[str, str] = field(default_factory=dict)
@@ -78,6 +78,14 @@ _PART_RE = re.compile(r"PARTITIONED\s+BY\s*\(([^)]*)\)\s*(?=WITH)", re.IGNORECAS
 _WM_RE = re.compile(
     r"WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR)",
     re.IGNORECASE,
+)
+# WATERMARK FOR ts AS SOURCE_WATERMARK() — defer to the connector's own
+# watermark (FLIP-126 SupportsWatermarkPushDown; BuiltInFunctionDefinitions
+# SOURCE_WATERMARK).  File/kafka replay sources here have no native
+# watermark generator, so the closest strategy is strictly-ascending
+# (delay 0); stored as delay None so SHOW CREATE round-trips the spelling.
+_WM_SRC_RE = re.compile(
+    r"WATERMARK\s+FOR\s+(\w+)\s+AS\s+SOURCE_WATERMARK\s*\(\s*\)", re.IGNORECASE
 )
 _PK_RE = re.compile(r"PRIMARY\s+KEY\s*\(([^)]*)\)(\s+NOT\s+ENFORCED)?", re.IGNORECASE)
 # `name TYPE METADATA [FROM 'key'] [VIRTUAL]` (SqlTableColumn.java's
@@ -154,6 +162,10 @@ def parse_create_table(sql: str) -> TableDef:
         if wm:
             unit = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600}[wm.group(3).upper()]
             t.watermark = (wm.group(1), int(wm.group(2)) * unit)
+            continue
+        wms = _WM_SRC_RE.match(part)
+        if wms:
+            t.watermark = (wms.group(1), None)  # SOURCE_WATERMARK()
             continue
         pk = _PK_RE.match(part)
         if pk:
@@ -703,7 +715,7 @@ def execute_ddl(spark: SparkSession, sql: str | None, table_def: TableDef | None
         df = df.withColumn(name, F.expr(expr))
     if t.watermark and streaming:
         col, delay = t.watermark
-        df = df.withWatermark(col, f"{delay} seconds")
+        df = df.withWatermark(col, f"{0 if delay is None else delay} seconds")
     if not streaming:
         df.createOrReplaceTempView(t.name)
     return df

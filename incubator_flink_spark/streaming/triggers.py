@@ -425,6 +425,7 @@ def tumble_agg_triggered(
     size_s: int,
     trigger=None,
     evictor=None,
+    purging: bool = False,
 ) -> DataFrame:
     """Tumbling event-time count/sum aggregation with a pluggable trigger
     (CountTrigger / DeltaTrigger / ContinuousEventTimeTrigger /
@@ -436,6 +437,13 @@ def tumble_agg_triggered(
     windows do); the evictor runs before EVERY fire's aggregation
     (evictBefore).  Early fires are tagged 'early', the watermark-close
     fire 'final' (PurgingTrigger: the final fire purges the window).
+    ``purging=True`` wraps the trigger in the reference's PurgingTrigger
+    (PurgingTrigger.java — FIRE becomes FIRE_AND_PURGE): every early fire
+    clears the window's element buffer, so successive fires aggregate
+    DISJOINT chunks and the watermark-close fire emits only the tail
+    since the last purge (and nothing at all if the pane is empty —
+    WindowOperator skips null contents).  Trigger state (e.g. the
+    DeltaTrigger register) is NOT purged, matching the reference.
     Requires ``df.withWatermark(ts_col, ...)`` upstream."""
     key_fields = [f for f in df.schema.fields if f.name in keys]
     out_schema = _fire_schema(key_fields)
@@ -496,6 +504,9 @@ def tumble_agg_triggered(
                         fire, aux[w] = trigger.on_element(aux.get(w), len(buf[0]), v)
                         if fire:
                             out.append(agg_fire(w, buf[0], buf[1], "early"))
+                            if purging:
+                                buf[0].clear()
+                                buf[1].clear()
 
         wm_ms = state.getCurrentWatermarkMs()
         wm_us = wm_ms * 1000
@@ -504,10 +515,14 @@ def tumble_agg_triggered(
                 fire, aux[w] = trigger.on_watermark(aux.get(w) or 0.0, wm_us, w + size_us)
                 if fire and w + size_us > wm_us:
                     out.append(agg_fire(w, windows[w][0], windows[w][1], "early"))
+                    if purging:
+                        windows[w][0].clear()
+                        windows[w][1].clear()
             if w + size_us <= wm_us:
                 buf = windows.pop(w)
                 aux.pop(w, None)
-                out.append(agg_fire(w, buf[0], buf[1], "final"))
+                if buf[0] or not purging:
+                    out.append(agg_fire(w, buf[0], buf[1], "final"))
                 max_final_us = max(max_final_us, w + size_us)
 
         if windows:

@@ -1649,3 +1649,92 @@ def test_qualified_resolution_edge_cases(spark, tmp_path):
     assert len(out) == 1 and out[0].n == 1
     env.execute_sql("USE CATALOG default_catalog")
     env.execute_sql("DROP CATALOG ec1")
+
+
+def test_source_watermark_ddl(spark):
+    # WATERMARK FOR ts AS SOURCE_WATERMARK() (FLIP-126 connector-provided
+    # watermark; BuiltInFunctionDefinitions SOURCE_WATERMARK): parses,
+    # SHOW CREATE round-trips the spelling, and the streaming read applies
+    # the strictly-ascending (delay 0) strategy — the closest mapping for
+    # replay sources with no native watermark generator.
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    ddl = f"""CREATE TABLE src_wm_t (
+      event_id BIGINT,
+      ts TIMESTAMP,
+      event_type STRING,
+      WATERMARK FOR ts AS SOURCE_WATERMARK()
+    ) WITH (
+      'connector' = 'filesystem',
+      'path' = '{SF}/events.parquet',
+      'format' = 'parquet'
+    )"""
+    t = parse_create_table(ddl)
+    assert t.watermark == ("ts", None)
+
+    env = TableEnvironment(spark)
+    env.execute_sql(ddl)
+    out = env.execute_sql("SHOW CREATE TABLE src_wm_t")[0]
+    ddl_text = out[0] if not isinstance(out, str) else out
+    assert "SOURCE_WATERMARK()" in str(ddl_text)
+    # round trip: the reconstructed DDL parses back to the same watermark
+    t2 = parse_create_table(str(ddl_text))
+    assert t2.watermark == ("ts", None)
+    # batch read still works (watermark applies on streaming reads only)
+    assert env.sql_query("SELECT COUNT(*) AS n FROM src_wm_t").to_df().collect()[0].n > 0
+    env.execute_sql("DROP TABLE src_wm_t")
+
+
+def test_legacy_group_window_sql_rewrite(spark):
+    # Legacy GROUP BY TUMBLE/HOP/SESSION grammar with *_START/_END/
+    # _ROWTIME auxiliaries (pre-TVF group windows; planner
+    # LogicalWindowAggregate) — rewritten onto Spark's native window()/
+    # session_window() grouping by api/tvf.rewrite_legacy_group_windows.
+    from incubator_flink_spark.api.table import TableEnvironment
+    from incubator_flink_spark.api.tvf import rewrite_legacy_group_windows
+
+    env = TableEnvironment(spark)
+    spark.read.parquet(f"{SF}/events.parquet").createOrReplaceTempView("lgw_ev")
+
+    r = env.sql_query(
+        """
+        SELECT event_type,
+               TUMBLE_START(ts, INTERVAL '1' DAY) AS ws,
+               TUMBLE_END(ts, INTERVAL '1' DAY) AS we,
+               TUMBLE_ROWTIME(ts, INTERVAL '1' DAY) AS rt,
+               COUNT(*) AS n
+        FROM lgw_ev GROUP BY event_type, TUMBLE(ts, INTERVAL '1' DAY)
+        ORDER BY event_type, ws LIMIT 1
+        """
+    ).to_df().collect()[0]
+    assert (r.we - r.ws).total_seconds() == 86400
+    # Flink's rowtime attribute is window_end - 1ms
+    assert (r.we - r.rt).total_seconds() == 0.001
+
+    # HOP: legacy argument order is (ts, slide, size); every row lands in
+    # size/slide = 2 windows, so the hop-window counts sum to 2x the rows
+    hop = env.sql_query(
+        """
+        SELECT HOP_START(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY) AS ws, COUNT(*) AS n
+        FROM lgw_ev GROUP BY HOP(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY)
+        """
+    ).to_df()
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert hop.agg(F.sum("n")).collect()[0][0] == 2 * total
+
+    # SESSION: gap-merged windows through session_window()
+    sess = env.sql_query(
+        """
+        SELECT event_type, SESSION_START(ts, INTERVAL '2' HOUR) AS ss,
+               SESSION_END(ts, INTERVAL '2' HOUR) AS se, COUNT(*) AS n
+        FROM lgw_ev GROUP BY event_type, SESSION(ts, INTERVAL '2' HOUR)
+        """
+    ).to_df()
+    assert sess.agg(F.sum("n")).collect()[0][0] == total
+
+    # the rewrite leaves TVF fragments alone (TABLE(TUMBLE(TABLE ...)) is
+    # handled by rewrite_window_tvf first) and non-window SQL untouched
+    assert rewrite_legacy_group_windows("SELECT 1") == "SELECT 1"
+    assert "window(ts, '1 day')" in rewrite_legacy_group_windows(
+        "GROUP BY TUMBLE(ts, INTERVAL '1' DAY)"
+    )

@@ -214,6 +214,7 @@ from datetime import datetime, timedelta
 from incubator_flink_spark.streaming.triggers import (
     ContinuousEventTimeTrigger,
     CountEvictor,
+    CountTrigger,
     DeltaEvictor,
     DeltaTrigger,
     ProcessingTimeoutTrigger,
@@ -373,3 +374,35 @@ def test_processing_timeout_trigger(spark, replay_dir):
         assert truth[(r.window_start, r.window_end, r.event_type)] == (r.cnt, round(r.total, 6))
     # the processing-time timeout fires open windows between micro-batches
     assert any(r.fire_kind == "early" for r in fires)
+
+
+def test_purging_trigger_disjoint_chunks(spark, replay_dir):
+    # PurgingTrigger(CountTrigger(2)) — FIRE becomes FIRE_AND_PURGE
+    # (PurgingTrigger.java): fires aggregate DISJOINT chunks, the close
+    # fire carries only the tail, and an exact-multiple pane (empty at
+    # close) emits nothing — reference WindowOperator skips null contents.
+    rows = [
+        ("a", T0 + timedelta(seconds=0), 0, 1.0),
+        ("a", T0 + timedelta(seconds=10), 1, 2.0),
+        ("a", T0 + timedelta(seconds=20), 2, 4.0),
+        ("a", T0 + timedelta(seconds=30), 3, 8.0),
+        ("a", T0 + timedelta(seconds=40), 4, 16.0),
+        # key b: exactly 2 rows -> one early fire, empty pane at close
+        ("b", T0 + timedelta(seconds=0), 5, 3.0),
+        ("b", T0 + timedelta(seconds=10), 6, 5.0),
+    ]
+    future = [("a", T0 + timedelta(seconds=7200), 9, 0.0)]
+    stream = _replay_frames(spark, replay_dir + "/purging", [rows, future]).withWatermark(
+        "ts", "1 second"
+    )
+    out = tumble_agg_triggered(
+        stream, ["k"], "ts", "event_id", "value", 600,
+        trigger=CountTrigger(2), purging=True,
+    )
+    fires = _collect_fires(out)
+    a = [(r.fire_kind, r.cnt, round(r.total, 6)) for r in fires if r.k == "a"]
+    b = [(r.fire_kind, r.cnt, round(r.total, 6)) for r in fires if r.k == "b"]
+    # a: chunks (1+2), (4+8), tail 16 at close
+    assert sorted(a) == [("early", 2, 3.0), ("early", 2, 12.0), ("final", 1, 16.0)]
+    # b: one complete chunk, NO final fire for the purged-empty pane
+    assert b == [("early", 2, 8.0)]
