@@ -179,6 +179,19 @@ def rewrite_match_recognize(spark: SparkSession, sql: str) -> str:
             if not am:
                 raise ValueError(f"MEASURES entry needs 'expr AS name': {item!r}")
             measures[am.group(2)] = am.group(1).strip()
+        # MATCH_ROWTIME() / MATCH_PROCTIME() (FlinkSqlOperatorTable
+        # MATCH_ROWTIME/MATCH_PROCTIME): the time attribute of the match's
+        # LAST event — exactly the bare order-column reference's measure
+        # semantics here (ONE ROW: last matched row; ALL ROWS: current
+        # row, which is also the reference's ALL-ROWS behavior).  PROCTIME
+        # maps to the same value under this engine's bounded-execution
+        # time policy (same divergence note as compat.proctime).
+        _mt = re.compile(r"MATCH_(?:ROW|PROC)TIME\s*\(\s*\)", re.IGNORECASE)
+        if any(_mt.search(e) for e in measures.values()):
+            oc = order_by.split(",")[0].split()[0] if order_by else ""
+            if not oc:
+                raise ValueError("MATCH_ROWTIME() needs an ORDER BY time attribute")
+            measures = {n: _mt.sub(oc, e) for n, e in measures.items()}
         define = {}
         for item in _split_top(define_txt):
             dm = re.match(r"(\w+)\s+AS\s+(.+)$", item, re.IGNORECASE | re.DOTALL)

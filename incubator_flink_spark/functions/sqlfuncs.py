@@ -89,6 +89,13 @@ _SQL_FUNCS: dict[str, tuple[str, str, str]] = {
         "length(to_json(named_struct('v', s))) - 6) END",
     ),
     "IS_JSON": ("(s STRING)", "BOOLEAN", "try_parse_json(s) IS NOT NULL"),
+    # CURRENT_WATERMARK(rowtime) — BuiltInFunctionDefinitions
+    # CURRENT_WATERMARK: "returns NULL if no common watermark has been
+    # emitted yet".  Bounded/batch execution never emits a watermark, so
+    # NULL is the reference's own answer on this engine's batch SQL
+    # surface; inside stateful streaming operators the equivalent clock is
+    # GroupState.getCurrentWatermarkMs (streaming/triggers.py uses it).
+    "CURRENT_WATERMARK": ("(ts TIMESTAMP)", "TIMESTAMP", "CAST(NULL AS TIMESTAMP)"),
     # Flink's fixed-width SHA-2 family names (FlinkSqlOperatorTable:
     # SHA224/SHA256/SHA384/SHA512) — Spark spells them sha2(x, bits)
     "SHA224": ("(s STRING)", "STRING", "sha2(s, 224)"),

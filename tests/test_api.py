@@ -802,3 +802,16 @@ def test_table_descriptor_api(spark, tmp_path):
         .build()
     )
     assert s.watermark == ("ts", 30)
+
+
+def test_current_watermark_and_match_time_names(spark):
+    # CURRENT_WATERMARK(rowtime): NULL before any watermark — bounded
+    # execution never emits one, so NULL is the reference's own batch
+    # answer (BuiltInFunctionDefinitions CURRENT_WATERMARK).
+    from incubator_flink_spark.functions.sqlfuncs import register_flink_sql_functions
+
+    register_flink_sql_functions(spark)
+    r = spark.sql(
+        "SELECT CURRENT_WATERMARK(CAST('2024-01-01' AS TIMESTAMP)) AS wm"
+    ).collect()[0]
+    assert r.wm is None

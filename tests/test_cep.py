@@ -1377,3 +1377,51 @@ def test_group_pattern_timeout_partials():
     deepest = max(partials, key=lambda m: sum(len(v) for v in m.values()))
     assert [e["event_id"] for e in deepest["ga"]] == [0, 2]
     assert [e["event_id"] for e in deepest["gb"]] == [1]
+
+
+def test_sql_match_rowtime_measure(spark):
+    """MATCH_ROWTIME() / MATCH_PROCTIME() in MEASURES (FlinkSqlOperatorTable
+    MATCH_ROWTIME — the time attribute of the match's LAST event): maps to
+    the bare order-column reference, whose measure semantics are exactly
+    last-matched-row (ONE ROW) / current-row (ALL ROWS)."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    rows = [
+        ("ACME", 1, 12.0), ("ACME", 2, 17.0), ("ACME", 3, 13.0),
+        ("ACME", 4, 11.0), ("ACME", 5, 16.0), ("ACME", 6, 18.0),
+    ]
+    env = TableEnvironment(spark)
+    spark.createDataFrame(
+        rows, "symbol STRING, ts BIGINT, price DOUBLE"
+    ).createOrReplaceTempView("ticker_mrt")
+
+    out = env.sql_query("""
+        SELECT symbol, match_end, end_price
+        FROM ticker_mrt MATCH_RECOGNIZE (
+          PARTITION BY symbol
+          ORDER BY ts
+          MEASURES
+            MATCH_ROWTIME() AS match_end,
+            LAST(UP.price) AS end_price
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT DOWN+ UP+)
+          DEFINE
+            DOWN AS DOWN.price < PREV(DOWN.price),
+            UP AS UP.price > PREV(UP.price)
+        ) AS T
+    """).to_df().collect()
+    # the V-shape ends at ts=6 (last UP row)
+    assert [(r.symbol, r.match_end, r.end_price) for r in out] == [("ACME", 6, 18.0)]
+
+    # without an ORDER BY time attribute the function cannot resolve
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MATCH_ROWTIME"):
+        env.sql_query("""
+            SELECT * FROM ticker_mrt MATCH_RECOGNIZE (
+              PARTITION BY symbol
+              MEASURES MATCH_ROWTIME() AS m
+              PATTERN (A)
+              DEFINE A AS TRUE
+            ) AS T
+        """)
