@@ -171,6 +171,17 @@ EXTRA = [
     "bucketed_join_agg",
     "csv_roundtrip_agg",
     "orc_roundtrip_agg",
+    # round 10, continuation: batch-shaped surface added this session
+    # (JSON constructors/aggregates, text format, DataStream facade ops,
+    # changelog normalize, legacy group-window SQL, bounded datagen)
+    "json_construct_funcs",
+    "json_agg_funcs",
+    "text_roundtrip_agg",
+    "datastream_sequence_agg",
+    "drop_update_before_normalize",
+    "coprocess_rate_switch",
+    "legacy_group_window_sql",
+    "datagen_bounded_agg",
 ]
 
 

@@ -877,3 +877,41 @@ def legacy_group_window_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     out = t_env.sql_query(tumble_sql).to_df().unionByName(t_env.sql_query(hop_sql).to_df())
     return out.orderBy("kind", "event_type", "window_start")
+
+
+# --------------------------------------------------------------------------
+# datagen connector (bounded, deterministic) under the gate (round 10, cont.)
+# --------------------------------------------------------------------------
+
+DATAGEN_BOUNDED_ORACLE = """
+SELECT CAST(v % 100 AS DOUBLE) AS value,
+       COUNT(*) AS n,
+       CAST(MIN(v) AS BIGINT) AS first_id,
+       CAST(MAX(v) AS BIGINT) AS last_id,
+       CAST(to_timestamp(1704067200 + MAX(v)) AS TIMESTAMP) AS last_ts
+FROM range(0, 100000) t(v)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("datagen_bounded_agg", DATAGEN_BOUNDED_ORACLE)
+def datagen_bounded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded datagen connector (sources/util.datagen streaming=False;
+    reference flink-connectors/flink-connector-datagen DataGenTableSource
+    with sequence-kind fields — the deterministic generator form): 100k
+    generated (id, timestamp, value) rows aggregated per value bucket.
+    The oracle regenerates the same sequence arithmetic with DuckDB's
+    range() — id maps to epoch seconds from 2024-01-01, value = id % 100."""
+    from incubator_flink_spark.sources.util import datagen
+
+    d = datagen(spark, streaming=False, n_rows=100000)
+    return (
+        d.groupBy("value")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("id").cast("bigint").alias("first_id"),
+            F.max("id").cast("bigint").alias("last_id"),
+            F.max("timestamp").alias("last_ts"),
+        )
+        .orderBy("value")
+    )
