@@ -786,6 +786,38 @@ class TableEnvironment:
                 tgt_cat, tgt_db = cat, db
                 s = qm.group(1) + name + s[qm.end():]
 
+            # CTAS — CREATE TABLE t [WITH (...)] AS <query> (FLIP-218;
+            # reference CreateTableASOperation: derive the sink schema
+            # from the query, create the connector table, then insert the
+            # query result through the sink).  Flink's CTAS form carries
+            # no explicit column list, so a name followed by AS is
+            # unambiguous against plain CREATE (whose name is followed by
+            # the parenthesized schema).
+            ctas_df = None
+            cm = _re.match(
+                r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+                r"(WITH\s*\(.*?\))?\s*AS\s+(.+)$",
+                s,
+                _re.I | _re.S,
+            )
+            if cm and _re.match(r"(SELECT|VALUES|WITH\b|\()", cm.group(3).strip(), _re.I):
+                query = self._resolve_qualified(cm.group(3).strip())
+                ctas_df = self.sql_query(query, _resolved=True).to_df()
+                with_clause = cm.group(2) or ""
+                if "connector" not in with_clause:
+                    # the reference rejects CTAS without a connector
+                    # (CreateTableASOperation sinks through the table's
+                    # DynamicTableSink)
+                    raise ValueError(
+                        "CREATE TABLE AS: table options do not contain an "
+                        "option key 'connector'"
+                    )
+                cols_txt = ", ".join(
+                    f"{f.name} {f.dataType.simpleString().upper()}"
+                    for f in ctas_df.schema.fields
+                )
+                s = f"CREATE TABLE {cm.group(1)} ({cols_txt}) {with_clause}"
+
             t = parse_create_table(s)
             if t.like is not None:
                 # CREATE TABLE ... LIKE (SqlTableLike.java:91): resolve the
@@ -813,8 +845,29 @@ class TableEnvironment:
                 t.name = f"__{tgt_cat}__{tgt_db}__{logical}"
             # register only after the DDL succeeds: a failed CREATE must not
             # leave a phantom entry for SHOW TABLES / INSERT INTO to find
+            if ctas_df is not None and t.options.get("connector", "filesystem") == "filesystem":
+                # filesystem CTAS materializes BEFORE the DDL registers the
+                # table (the filesystem connector reads its path eagerly at
+                # CREATE; sink-first emptiness is a kafka-connector notion)
+                from incubator_flink_spark.sources.ddl import format_options
+                from incubator_flink_spark.sources.filesystem import write_table
+
+                write_table(
+                    ctas_df,
+                    t.options["path"],
+                    t.options.get("format", "parquet"),
+                    mode="overwrite",
+                    partition_by=t.partitioned_by or None,
+                    **format_options(t, for_write=True),
+                )
+                ctas_df = None
             execute_ddl(self._spark, None, table_def=t)
             self._register_table_def(t, tgt_cat, tgt_db, logical)
+            if ctas_df is not None:
+                # CTAS second half for sink-first connectors (kafka/
+                # upsert-kafka/print/blackhole): SinkModifyOperation
+                self._insert_into(t.name, ctas_df, "append")
+                self._refresh_after_inserts([t.name])
             return []
         vm = _re.fullmatch(
             r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(.+)",

@@ -915,3 +915,49 @@ def datagen_bounded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("value")
     )
+
+
+# --------------------------------------------------------------------------
+# CTAS (CREATE TABLE AS SELECT) under the gate (round 10, cont.)
+# --------------------------------------------------------------------------
+
+CTAS_ROUNDTRIP_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("ctas_roundtrip_agg", CTAS_ROUNDTRIP_ORACLE)
+def ctas_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS through the full executeSql lifecycle (FLIP-218; reference
+    CreateTableASOperation: derive schema from the query, create the
+    connector table, sink the result): a filtered projection of orders is
+    materialized by ``CREATE TABLE ... WITH (filesystem/parquet) AS
+    SELECT``, then aggregated from the CREATED table — proving schema
+    derivation, the connector write, and the registered read are exact
+    inverses."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ctas_gate_orders")
+    path = os.path.join(_workdir("ctas_rt_"), "t")
+    env.execute_sql(f"""
+        CREATE TABLE ctas_gate_t WITH (
+          'connector' = 'filesystem', 'path' = '{path}', 'format' = 'parquet'
+        ) AS SELECT o_orderkey, o_orderstatus,
+                    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+             FROM ctas_gate_orders WHERE o_orderkey % 2 = 0
+    """)
+    return (
+        env.sql_query("""
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   SUM(price_cents) AS price_cents
+            FROM ctas_gate_t GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """)
+        .to_df()
+    )
