@@ -1351,6 +1351,47 @@ class TableEnvironment:
             t.name = new
             self._register_table_def(t, cat, db, new)
             return []
+        sp = _re.fullmatch(
+            r"SHOW\s+PARTITIONS\s+(\w+)(?:\s+PARTITION\s*\(([^)]*)\))?", s, _re.I
+        )
+        if sp:
+            # SqlShowPartitions / ShowPartitionsOperation: list the
+            # partition specs of a PARTITIONED BY table, optionally
+            # filtered by a partial spec; output rows are the reference's
+            # 'k1=v1/k2=v2' partition-name strings in sorted order.
+            name = sp.group(1)
+            t = self._lookup_table(name)
+            if t is None:
+                raise ValueError(f"SHOW PARTITIONS: {name!r} was not created via execute_sql DDL")
+            if not t.partitioned_by:
+                raise ValueError(f"table {name!r} is not partitioned")
+            df = self._spark.table(t.name).select(*t.partitioned_by).distinct()
+            if sp.group(2):
+                for kv in sp.group(2).split(","):
+                    k, v = kv.split("=", 1)
+                    df = df.where(F.col(k.strip()) == _re.sub(r"^'(.*)'$", r"\1", v.strip()))
+            rows = df.collect()
+            return sorted(
+                "/".join(f"{c}={r[c]}" for c in t.partitioned_by) for r in rows
+            )
+        if _re.fullmatch(r"SHOW\s+JARS", s, _re.I):
+            # SqlShowJars: no ADD JAR in this engine (Python-only session;
+            # the reference lists jars added via ADD JAR) — empty list
+            return []
+        dc = _re.fullmatch(r"DESCRIBE\s+CATALOG\s+(\w+)", s, _re.I)
+        if dc:
+            # SqlDescribeCatalog: name + type rows (GenericInMemoryCatalog
+            # is the reference's default in-memory implementation)
+            if dc.group(1) not in self._catalogs:
+                raise ValueError(f"catalog {dc.group(1)!r} does not exist")
+            return [("name", dc.group(1)), ("type", "generic_in_memory")]
+        dd = _re.fullmatch(r"DESCRIBE\s+DATABASE\s+(?:(\w+)\.)?(\w+)", s, _re.I)
+        if dd:
+            cat = dd.group(1) or self._current_cat
+            db = dd.group(2)
+            if cat not in self._catalogs or db not in self._catalogs[cat]:
+                raise ValueError(f"database {db!r} does not exist in catalog {cat!r}")
+            return [("name", db), ("catalog", cat)]
         if _re.fullmatch(r"SHOW\s+TABLES", s, _re.I):
             # DDL tables plus temporary views (Flink's SHOW TABLES lists
             # both) — keeps SHOW and DROP over the same catalog: anything

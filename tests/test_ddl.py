@@ -1799,3 +1799,50 @@ def test_create_table_as_select(spark, tmp_path):
     env.execute_sql("DROP TABLE ctas_fs_t")
     env.execute_sql("DROP TABLE ctas_k_t")
     env.execute_sql("DROP TABLE ctas_plain_t")
+
+
+def test_show_partitions_jars_describe_catalog(spark, tmp_path):
+    # SqlShowPartitions / SqlShowJars / SqlDescribeCatalog /
+    # SqlDescribeDatabase (reference flink-sql-parser dql package).
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    p = str(tmp_path / "part_t")
+    spark.read.parquet(f"{SF}/nation.parquet").write.partitionBy("n_regionkey").parquet(p)
+    env.execute_sql(f"""
+        CREATE TABLE part_t (
+          n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT
+        ) PARTITIONED BY (n_regionkey) WITH (
+          'connector' = 'filesystem', 'path' = '{p}', 'format' = 'parquet'
+        )
+    """)
+    parts = env.execute_sql("SHOW PARTITIONS part_t")
+    assert parts == [f"n_regionkey={i}" for i in range(5)]
+    # partial-spec filter
+    assert env.execute_sql("SHOW PARTITIONS part_t PARTITION (n_regionkey=3)") == [
+        "n_regionkey=3"
+    ]
+    # not-partitioned -> error
+    import pytest as _pytest
+
+    p2 = str(tmp_path / "unpart")
+    spark.read.parquet(f"{SF}/region.parquet").write.parquet(p2)
+    env.execute_sql(f"""
+        CREATE TABLE unpart_t (r_regionkey BIGINT) WITH (
+          'connector' = 'filesystem', 'path' = '{p2}', 'format' = 'parquet'
+        )
+    """)
+    with _pytest.raises(ValueError, match="not partitioned"):
+        env.execute_sql("SHOW PARTITIONS unpart_t")
+
+    assert env.execute_sql("SHOW JARS") == []
+    assert ("type", "generic_in_memory") in env.execute_sql(
+        "DESCRIBE CATALOG default_catalog"
+    )
+    assert ("name", "default_database") in env.execute_sql(
+        "DESCRIBE DATABASE default_database"
+    )
+    with _pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("DESCRIBE CATALOG nope")
+    env.execute_sql("DROP TABLE part_t")
+    env.execute_sql("DROP TABLE unpart_t")
