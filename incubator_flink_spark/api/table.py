@@ -484,6 +484,9 @@ class TableEnvironment:
         # table.dynamic-table-options.enabled defaults to FALSE
         # (TableConfigOptions.java:61-67)
         self._config: dict[str, str] = {}
+        # database properties/comment (SqlCreateDatabase WITH (...) /
+        # SqlAlterDatabase SET (...)) keyed by (catalog, database)
+        self._db_props: dict[tuple[str, str], dict[str, str]] = {}
         self._hint_views = 0
         self._functions: dict[str, str] = {}  # CREATE FUNCTION name -> identifier
         # Flink-named scalar functions (SPLIT_INDEX, HASH_CODE, …) become
@@ -1016,12 +1019,34 @@ class TableEnvironment:
             return [n for n, used in self._modules.items() if used]
         if _re.fullmatch(r"SHOW\s+FULL\s+MODULES", s, _re.I):
             return list(self._modules.items())
-        cdb = _re.fullmatch(r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)", s, _re.I)
+        cdb = _re.fullmatch(
+            r"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)"
+            r"(?:\s+COMMENT\s+'([^']*)')?(?:\s+WITH\s*\((.*)\))?",
+            s,
+            _re.I | _re.S,
+        )
         if cdb:
             name = cdb.group(2)
             if name in self._databases and not cdb.group(1):
                 raise ValueError(f"database {name!r} already exists")
             self._databases.add(name)
+            # COMMENT / WITH properties (SqlCreateDatabase.java — stored in
+            # the catalog's CatalogDatabase properties)
+            props = dict(_re.findall(r"'([^']+)'\s*=\s*'([^']*)'", cdb.group(4) or ""))
+            if cdb.group(3) is not None:
+                props["comment"] = cdb.group(3)
+            if props:
+                self._db_props[(self._current_cat, name)] = props
+            return []
+        adb = _re.fullmatch(r"ALTER\s+DATABASE\s+(\w+)\s+SET\s*\((.*)\)", s, _re.I | _re.S)
+        if adb:
+            # SqlAlterDatabase: merge new properties into the database's
+            # CatalogDatabase (AlterDatabaseOperation semantics)
+            name = adb.group(1)
+            if name not in self._databases:
+                raise ValueError(f"database {name!r} does not exist")
+            props = self._db_props.setdefault((self._current_cat, name), {})
+            props.update(_re.findall(r"'([^']+)'\s*=\s*'([^']*)'", adb.group(2)))
             return []
         ddb = _re.fullmatch(
             r"DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(\w+)(\s+CASCADE|\s+RESTRICT)?", s, _re.I
@@ -1064,6 +1089,7 @@ class TableEnvironment:
                 del self._view_db[v]
                 self._view_cat.pop(v, None)
             self._databases.discard(name)
+            self._db_props.pop((self._current_cat, name), None)
             if self._current_db == name:
                 self._current_db = cat_default
             return []
@@ -1391,7 +1417,9 @@ class TableEnvironment:
             db = dd.group(2)
             if cat not in self._catalogs or db not in self._catalogs[cat]:
                 raise ValueError(f"database {db!r} does not exist in catalog {cat!r}")
-            return [("name", db), ("catalog", cat)]
+            return [("name", db), ("catalog", cat)] + sorted(
+                self._db_props.get((cat, db), {}).items()
+            )
         if _re.fullmatch(r"SHOW\s+TABLES", s, _re.I):
             # DDL tables plus temporary views (Flink's SHOW TABLES lists
             # both) — keeps SHOW and DROP over the same catalog: anything

@@ -1846,3 +1846,28 @@ def test_show_partitions_jars_describe_catalog(spark, tmp_path):
         env.execute_sql("DESCRIBE CATALOG nope")
     env.execute_sql("DROP TABLE part_t")
     env.execute_sql("DROP TABLE unpart_t")
+
+
+def test_create_alter_database_properties(spark):
+    # SqlCreateDatabase COMMENT/WITH properties + SqlAlterDatabase SET
+    # (AlterDatabaseOperation merges into the CatalogDatabase).
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql(
+        "CREATE DATABASE props_db COMMENT 'analytics scratch' "
+        "WITH ('owner' = 'data-eng', 'tier' = 'bronze')"
+    )
+    d = dict(env.execute_sql("DESCRIBE DATABASE props_db"))
+    assert d["comment"] == "analytics scratch"
+    assert d["owner"] == "data-eng" and d["tier"] == "bronze"
+    env.execute_sql("ALTER DATABASE props_db SET ('tier' = 'silver', 'pii' = 'false')")
+    d = dict(env.execute_sql("DESCRIBE DATABASE props_db"))
+    assert d["tier"] == "silver" and d["pii"] == "false" and d["owner"] == "data-eng"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("ALTER DATABASE nope SET ('a' = 'b')")
+    env.execute_sql("DROP DATABASE props_db")
+    with _pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("DESCRIBE DATABASE props_db")
