@@ -515,6 +515,27 @@ class TableEnvironment:
         """TableDef for a logical (current-scope) or physical name."""
         return self._tables.get(self._phys(name))
 
+    def _fs_partition_specs(self, t) -> list[str]:
+        """Hive-style partition directories of a filesystem table as
+        sorted 'k1=v1/k2=v2' specs (the metastore-listing analog — empty
+        directories count, matching SHOW PARTITIONS after ADD PARTITION)."""
+        import os
+
+        specs: list[str] = []
+
+        def walk(d: str, depth: int, acc: list[str]) -> None:
+            if depth == len(t.partitioned_by):
+                specs.append("/".join(acc))
+                return
+            key = t.partitioned_by[depth]
+            for e in sorted(os.listdir(d)):
+                full = os.path.join(d, e)
+                if e.startswith(f"{key}=") and os.path.isdir(full):
+                    walk(full, depth + 1, [*acc, e])
+
+        walk(t.options["path"], 0, [])
+        return specs
+
     def _register_table_def(self, t, cat: str, db: str, logical: str) -> None:
         """Book-keep one scoped table registration: t.name must already be
         the PHYSICAL view name."""
@@ -1385,21 +1406,85 @@ class TableEnvironment:
             # partition specs of a PARTITIONED BY table, optionally
             # filtered by a partial spec; output rows are the reference's
             # 'k1=v1/k2=v2' partition-name strings in sorted order.
+            # Filesystem tables list the hive-style DIRECTORIES (so empty
+            # partitions created by ADD PARTITION show up, mirroring a
+            # metastore listing); other connectors fall back to a distinct
+            # scan of the partition columns.
             name = sp.group(1)
             t = self._lookup_table(name)
             if t is None:
                 raise ValueError(f"SHOW PARTITIONS: {name!r} was not created via execute_sql DDL")
             if not t.partitioned_by:
                 raise ValueError(f"table {name!r} is not partitioned")
-            df = self._spark.table(t.name).select(*t.partitioned_by).distinct()
+            import os as _os
+
+            path = t.options.get("path")
+            if t.options.get("connector", "filesystem") == "filesystem" and path and _os.path.isdir(path):
+                specs = self._fs_partition_specs(t)
+            else:
+                rows = self._spark.table(t.name).select(*t.partitioned_by).distinct().collect()
+                specs = sorted(
+                    "/".join(f"{c}={r[c]}" for c in t.partitioned_by) for r in rows
+                )
             if sp.group(2):
+                want = set()
                 for kv in sp.group(2).split(","):
                     k, v = kv.split("=", 1)
-                    df = df.where(F.col(k.strip()) == _re.sub(r"^'(.*)'$", r"\1", v.strip()))
-            rows = df.collect()
-            return sorted(
-                "/".join(f"{c}={r[c]}" for c in t.partitioned_by) for r in rows
+                    v = v.strip()
+                    if v.startswith("'") and v.endswith("'"):
+                        v = v[1:-1]
+                    want.add(f"{k.strip()}={v}")
+                specs = [p for p in specs if want <= set(p.split("/"))]
+            return specs
+        apm = _re.fullmatch(
+            r"ALTER\s+TABLE\s+(\w+)\s+(ADD|DROP)\s+(IF\s+(?:NOT\s+)?EXISTS\s+)?"
+            r"PARTITION\s*\(([^)]*)\)",
+            s,
+            _re.I,
+        )
+        if apm:
+            # SqlAddPartitions / SqlDropPartitions (AddPartitionsOperation /
+            # DropPartitionsOperation): on the filesystem connector a
+            # partition IS a hive-style directory — ADD creates it (empty),
+            # DROP removes it and its data, then the registered view
+            # refreshes so subsequent scans drop the pruned files.
+            import os as _os
+            import shutil as _shutil
+
+            name, verb = apm.group(1), apm.group(2).upper()
+            t = self._lookup_table(name)
+            if t is None:
+                raise ValueError(f"ALTER TABLE: {name!r} was not created via execute_sql DDL")
+            if not t.partitioned_by:
+                raise ValueError(f"table {name!r} is not partitioned")
+            if t.options.get("connector", "filesystem") != "filesystem":
+                raise ValueError("ADD/DROP PARTITION supports the filesystem connector")
+            spec = {}
+            for kv in apm.group(4).split(","):
+                k, v = kv.split("=", 1)
+                spec[k.strip()] = _re.sub(r"^'(.*)'$", r"\1", v.strip())
+            if set(spec) != set(t.partitioned_by):
+                raise ValueError(
+                    f"partition spec {sorted(spec)} must name exactly the "
+                    f"partition columns {t.partitioned_by}"
+                )
+            d = _os.path.join(
+                t.options["path"], *[f"{k}={spec[k]}" for k in t.partitioned_by]
             )
+            if verb == "ADD":
+                if _os.path.isdir(d):
+                    if apm.group(3):
+                        return []
+                    raise ValueError(f"partition {d!r} already exists")
+                _os.makedirs(d)
+                return []
+            if not _os.path.isdir(d):
+                if apm.group(3):
+                    return []
+                raise ValueError(f"partition {d!r} does not exist")
+            _shutil.rmtree(d)
+            self._refresh_after_inserts([name])
+            return []
         if _re.fullmatch(r"SHOW\s+JARS", s, _re.I):
             # SqlShowJars: no ADD JAR in this engine (Python-only session;
             # the reference lists jars added via ADD JAR) — empty list

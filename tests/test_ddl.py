@@ -1871,3 +1871,42 @@ def test_create_alter_database_properties(spark):
     env.execute_sql("DROP DATABASE props_db")
     with _pytest.raises(ValueError, match="does not exist"):
         env.execute_sql("DESCRIBE DATABASE props_db")
+
+
+def test_add_drop_partition(spark, tmp_path):
+    # SqlAddPartitions / SqlDropPartitions: filesystem partitions are
+    # hive-style directories — ADD creates an empty one (visible to SHOW
+    # PARTITIONS' directory listing), DROP removes directory + data and
+    # refreshes the registered view so scans prune the deleted files.
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    p = str(tmp_path / "adp")
+    spark.read.parquet(f"{SF}/nation.parquet").write.partitionBy("n_regionkey").parquet(p)
+    env.execute_sql(f"""
+        CREATE TABLE adp_t (
+          n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT
+        ) PARTITIONED BY (n_regionkey) WITH (
+          'connector' = 'filesystem', 'path' = '{p}', 'format' = 'parquet'
+        )
+    """)
+    env.execute_sql("ALTER TABLE adp_t ADD PARTITION (n_regionkey=9)")
+    assert "n_regionkey=9" in env.execute_sql("SHOW PARTITIONS adp_t")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("ALTER TABLE adp_t ADD PARTITION (n_regionkey=9)")
+    env.execute_sql("ALTER TABLE adp_t ADD IF NOT EXISTS PARTITION (n_regionkey=9)")
+
+    env.execute_sql("ALTER TABLE adp_t DROP PARTITION (n_regionkey=3)")
+    assert "n_regionkey=3" not in env.execute_sql("SHOW PARTITIONS adp_t")
+    # data really pruned from scans
+    rows = env.execute_sql("SELECT DISTINCT n_regionkey FROM adp_t ORDER BY n_regionkey")
+    assert [r.n_regionkey for r in rows] == [0, 1, 2, 4]
+    with _pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("ALTER TABLE adp_t DROP PARTITION (n_regionkey=3)")
+    env.execute_sql("ALTER TABLE adp_t DROP IF EXISTS PARTITION (n_regionkey=3)")
+    # partial/wrong spec names must be rejected
+    with _pytest.raises(ValueError, match="partition columns"):
+        env.execute_sql("ALTER TABLE adp_t ADD PARTITION (nope=1)")
+    env.execute_sql("DROP TABLE adp_t")
