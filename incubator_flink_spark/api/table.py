@@ -1318,6 +1318,82 @@ class TableEnvironment:
             with contextlib.redirect_stdout(io.StringIO()):  # no double print
                 text = t.explain(*details)
             return [text]
+        acols = _re.fullmatch(
+            r"ALTER\s+TABLE\s+(\w+)\s+(ADD|REPLACE)\s+COLUMNS\s*\((.*)\)", s, _re.I | _re.S
+        )
+        if acols:
+            # SqlAddReplaceColumns (SqlToOperationConverter
+            # convertAlterTableAddReplaceColumn): ADD appends declared
+            # columns, REPLACE swaps the whole non-partition schema.  The
+            # refreshed view reads the files under the new declared schema
+            # — columns absent from existing files scan as typed NULLs
+            # (the reference's catalog-schema-over-data behavior).
+            name, verb = acols.group(1), acols.group(2).upper()
+            t = self._lookup_table(name)
+            if t is None:
+                raise ValueError(f"ALTER TABLE: {name!r} was not created via execute_sql DDL")
+            if not t.columns:
+                raise ValueError(f"table {name!r} has no declared schema to alter")
+            new_cols = []
+            for item in acols.group(3).split(","):
+                parts = item.strip().split(None, 1)
+                if len(parts) != 2:
+                    raise ValueError(f"ADD/REPLACE COLUMNS entry needs 'name TYPE': {item!r}")
+                new_cols.append((parts[0], parts[1].strip().upper()))
+            if verb == "ADD":
+                have = {c for c, _ in t.columns}
+                for c, _ty in new_cols:
+                    if c in have:
+                        raise ValueError(f"column {c!r} already exists in table {name!r}")
+                t.columns.extend(new_cols)
+            else:
+                missing_parts = [p for p in t.partitioned_by if p not in {c for c, _ in new_cols}]
+                if missing_parts:
+                    raise ValueError(
+                        f"REPLACE COLUMNS must keep the partition columns {missing_parts}"
+                    )
+                t.columns[:] = new_cols
+            self._refresh_after_inserts([name])
+            return []
+        achg = _re.fullmatch(
+            r"ALTER\s+TABLE\s+(\w+)\s+CHANGE\s+(?:COLUMN\s+)?(\w+)\s+(\w+)\s+(\w+(?:\([^)]*\))?)"
+            r"(?:\s+(FIRST|AFTER\s+\w+))?",
+            s,
+            _re.I,
+        )
+        if achg:
+            # SqlChangeColumn (convertChangeColumn): retype and reposition
+            # a declared column.  Renaming is a physical-layout mapping the
+            # filesystem connector cannot express (files keep the old
+            # name) — rejected with the precise reason, like the
+            # reference's unsupported-conversion errors.
+            name, old, new, ty = achg.group(1), achg.group(2), achg.group(3), achg.group(4).upper()
+            t = self._lookup_table(name)
+            if t is None:
+                raise ValueError(f"ALTER TABLE: {name!r} was not created via execute_sql DDL")
+            if old.lower() != new.lower():
+                raise ValueError(
+                    f"CHANGE COLUMN cannot rename {old!r} to {new!r}: the filesystem "
+                    "connector reads by physical column name; retype/reposition only"
+                )
+            idx = next((i for i, (c, _) in enumerate(t.columns) if c == old), None)
+            if idx is None:
+                raise ValueError(f"column {old!r} does not exist in table {name!r}")
+            entry = (t.columns[idx][0], ty)
+            t.columns.pop(idx)
+            pos = achg.group(5)
+            if pos is None:
+                t.columns.insert(idx, entry)
+            elif pos.upper() == "FIRST":
+                t.columns.insert(0, entry)
+            else:
+                anchor = pos.split()[1]
+                j = next((i for i, (c, _) in enumerate(t.columns) if c == anchor), None)
+                if j is None:
+                    raise ValueError(f"AFTER column {anchor!r} does not exist")
+                t.columns.insert(j + 1, entry)
+            self._refresh_after_inserts([name])
+            return []
         aset = _re.fullmatch(r"ALTER\s+TABLE\s+(\w+)\s+SET\s*\((.*)\)", s, _re.I | _re.S)
         if aset:
             # SqlAlterTableOptions: merge the given options into the table's

@@ -660,15 +660,34 @@ def execute_ddl(spark: SparkSession, sql: str | None, table_def: TableDef | None
     streaming = t.options.get("mode", "batch") == "streaming"
     schema = ", ".join(f"{n} {typ}" for n, typ in t.columns)
     if connector == "filesystem":
+        fmt = t.options.get("format", "parquet")
+        # self-describing formats (parquet/orc) carry physical types; the
+        # DECLARED schema is the catalog's (FLIP-273 column evolution:
+        # ALTER TABLE ADD/REPLACE/CHANGE COLUMNS retypes or extends it
+        # without rewriting files).  Read physically, then conform: absent
+        # columns scan as typed NULLs, retyped columns insert-cast.  A
+        # reader schema would instead demand physical-type equality
+        # (PARQUET_COLUMN_DATA_TYPE_MISMATCH at scan time).  Text formats
+        # (csv/json/text) still need the schema at parse time; streaming
+        # file sources require a reader schema — both keep the old path.
+        conform = bool(schema) and fmt in ("parquet", "orc") and not streaming
         try:
             df = read_table(
                 spark,
                 t.options["path"],
-                t.options.get("format", "parquet"),
-                schema=schema or None,
+                fmt,
+                schema=None if conform else (schema or None),
                 streaming=streaming,
                 **format_options(t),
             )
+            if conform:
+                have = set(df.columns)
+                df = df.select(
+                    *[
+                        (F.col(n).cast(ty) if n in have else F.lit(None).cast(ty)).alias(n)
+                        for n, ty in t.columns
+                    ]
+                )
         except Exception as e:  # noqa: BLE001
             # CREATE TABLE is metadata-only in the reference: a sink table's
             # path need not exist until the first INSERT writes it.  Register

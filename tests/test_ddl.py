@@ -1910,3 +1910,44 @@ def test_add_drop_partition(spark, tmp_path):
     with _pytest.raises(ValueError, match="partition columns"):
         env.execute_sql("ALTER TABLE adp_t ADD PARTITION (nope=1)")
     env.execute_sql("DROP TABLE adp_t")
+
+
+def test_alter_table_add_replace_change_columns(spark, tmp_path):
+    # SqlAddReplaceColumns + SqlChangeColumn (SqlToOperationConverter
+    # convertAlterTableAddReplaceColumn / convertChangeColumn): declared-
+    # schema evolution over files at rest; absent columns scan as NULLs.
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 20.5)], "id long, s string, v double"
+    ).write.parquet(p)
+    env.execute_sql(f"""
+        CREATE TABLE ev_t (id BIGINT, s STRING, v DOUBLE) WITH (
+          'connector' = 'filesystem', 'path' = '{p}', 'format' = 'parquet'
+        )
+    """)
+    env.execute_sql("ALTER TABLE ev_t ADD COLUMNS (tag STRING, score BIGINT)")
+    r = env.execute_sql("SELECT id, tag, score FROM ev_t ORDER BY id")
+    assert [(x.id, x.tag, x.score) for x in r] == [(1, None, None), (2, None, None)]
+    d = env.execute_sql("DESC ev_t")
+    assert any(row[0] == "tag" for row in d)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("ALTER TABLE ev_t ADD COLUMNS (tag STRING)")
+
+    # CHANGE: retype + reposition (no rename on files at rest)
+    env.execute_sql("ALTER TABLE ev_t CHANGE COLUMN v v DECIMAL(10,2) FIRST")
+    r2 = env.execute_sql("SELECT * FROM ev_t ORDER BY id")
+    assert r2[0].__fields__[0] == "v"
+    assert str(r2[0].v) == "10.50"
+    with _pytest.raises(ValueError, match="cannot rename"):
+        env.execute_sql("ALTER TABLE ev_t CHANGE COLUMN s renamed STRING")
+
+    # REPLACE swaps the whole declared schema
+    env.execute_sql("ALTER TABLE ev_t REPLACE COLUMNS (id BIGINT, s STRING)")
+    assert sorted(env.sql_query("SELECT * FROM ev_t").to_df().columns) == ["id", "s"]
+    env.execute_sql("DROP TABLE ev_t")
