@@ -488,6 +488,7 @@ class TableEnvironment:
         # SqlAlterDatabase SET (...)) keyed by (catalog, database)
         self._db_props: dict[tuple[str, str], dict[str, str]] = {}
         self._hint_views = 0
+        self._jars: list[str] = []  # ADD JAR registrations (SqlAddJar)
         self._functions: dict[str, str] = {}  # CREATE FUNCTION name -> identifier
         # Flink-named scalar functions (SPLIT_INDEX, HASH_CODE, …) become
         # session SQL UDFs so reference SQL text runs unmodified.
@@ -1561,10 +1562,28 @@ class TableEnvironment:
             _shutil.rmtree(d)
             self._refresh_after_inserts([name])
             return []
-        if _re.fullmatch(r"SHOW\s+JARS", s, _re.I):
-            # SqlShowJars: no ADD JAR in this engine (Python-only session;
-            # the reference lists jars added via ADD JAR) — empty list
+        aj = _re.fullmatch(r"ADD\s+JAR\s+'([^']+)'", s, _re.I)
+        if aj:
+            # SqlAddJar: session-level jar registration (the reference's
+            # ResourceManager tracks the path; classes load lazily).  A
+            # Python-only session cannot load JVM classes, so the statement
+            # validates and records the path — CREATE FUNCTION ... USING
+            # JAR still raises, and SHOW JARS lists what was added.
+            import os as _os
+
+            if not _os.path.isfile(aj.group(1)):
+                raise ValueError(f"jar file {aj.group(1)!r} does not exist")
+            self._jars.append(aj.group(1))
             return []
+        rj = _re.fullmatch(r"REMOVE\s+JAR\s+'([^']+)'", s, _re.I)
+        if rj:
+            if rj.group(1) not in self._jars:
+                raise ValueError(f"jar {rj.group(1)!r} was not added")
+            self._jars.remove(rj.group(1))
+            return []
+        if _re.fullmatch(r"SHOW\s+JARS", s, _re.I):
+            # SqlShowJars: the session's ADD JAR registrations in order
+            return list(self._jars)
         dc = _re.fullmatch(r"DESCRIBE\s+CATALOG\s+(\w+)", s, _re.I)
         if dc:
             # SqlDescribeCatalog: name + type rows (GenericInMemoryCatalog

@@ -1951,3 +1951,24 @@ def test_alter_table_add_replace_change_columns(spark, tmp_path):
     env.execute_sql("ALTER TABLE ev_t REPLACE COLUMNS (id BIGINT, s STRING)")
     assert sorted(env.sql_query("SELECT * FROM ev_t").to_df().columns) == ["id", "s"]
     env.execute_sql("DROP TABLE ev_t")
+
+
+def test_add_remove_show_jars(spark, tmp_path):
+    # SqlAddJar / SqlRemoveJar / SqlShowJars: session-level registration
+    # bookkeeping (JVM class loading is not available in a Python-only
+    # session — CREATE FUNCTION ... USING JAR still raises).
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    jar = tmp_path / "udfs.jar"
+    jar.write_bytes(b"PK\x03\x04fake")
+    env.execute_sql(f"ADD JAR '{jar}'")
+    assert env.execute_sql("SHOW JARS") == [str(jar)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("ADD JAR '/no/such.jar'")
+    env.execute_sql(f"REMOVE JAR '{jar}'")
+    assert env.execute_sql("SHOW JARS") == []
+    with _pytest.raises(ValueError, match="was not added"):
+        env.execute_sql(f"REMOVE JAR '{jar}'")
