@@ -961,3 +961,66 @@ def ctas_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """)
         .to_df()
     )
+
+
+# --------------------------------------------------------------------------
+# Declared-schema evolution (ADD/CHANGE COLUMNS) under the gate (round 10)
+# --------------------------------------------------------------------------
+
+SCHEMA_EVOLUTION_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_orderkey AS INTEGER)) AS BIGINT) AS key_sum,
+       CAST(COUNT(CASE WHEN FALSE THEN 1 END) AS BIGINT) AS n_region,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("schema_evolution_agg", SCHEMA_EVOLUTION_ORACLE)
+def schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-schema-over-data evolution (FLIP-273 ALTER TABLE column
+    DDL; reference SqlAddReplaceColumns/SqlChangeColumn via
+    SqlToOperationConverter): orders lands as parquet, the DDL table's
+    declared schema then EVOLVES — a column added after the files exist
+    (scans as typed NULLs) and o_orderkey retyped BIGINT -> INT (the
+    conform read insert-casts; a reader schema would fail with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH) — and the aggregate over the
+    evolved table must match the oracle computed from the original data
+    with the same cast.  Files at rest are never rewritten."""
+    from incubator_flink_spark.api.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    path = os.path.join(_workdir("schema_ev_"), "t")
+    load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.parquet(path)
+    env.execute_sql(f"""
+        CREATE TABLE schema_ev_t (
+          o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE
+        ) WITH (
+          'connector' = 'filesystem', 'path' = '{path}', 'format' = 'parquet'
+        )
+    """)
+    env.execute_sql("ALTER TABLE schema_ev_t ADD COLUMNS (region STRING)")
+    env.execute_sql("ALTER TABLE schema_ev_t CHANGE COLUMN o_orderkey o_orderkey INT")
+    return (
+        env.sql_query("""
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   SUM(o_orderkey) AS key_sum,
+                   COUNT(region) AS n_region,
+                   SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS price_cents
+            FROM schema_ev_t GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """)
+        .to_df()
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.col("key_sum").cast("bigint").alias("key_sum"),
+            F.col("n_region").cast("bigint").alias("n_region"),
+            F.col("price_cents").cast("bigint").alias("price_cents"),
+        )
+    )
