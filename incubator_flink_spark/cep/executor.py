@@ -1,22 +1,107 @@
 """CEP execution operator: distribute the NFA over keys with
-Arrow-batched applyInPandas (reference: CepOperator.java:81 keyed
-execution; SQL MATCH_RECOGNIZE partitioning).
+Arrow-batched partition-level processing (reference: CepOperator.java:81
+keyed execution; SQL MATCH_RECOGNIZE partitioning).
 
 Scale: one shuffle on the key columns; each key's events are sorted and
 matched locally (the same distribution the reference uses — CEP state is
 per key). Skewed keys are the caveat, as in the reference.
+
+Execution shape (r10 optimization, guide §2.4/§4): events are hash-
+repartitioned by key to cluster parallelism (an EXPLICIT partition
+count — CEP rows are tiny in bytes but heavy in Python compute, so
+AQE's byte-targeted coalescing would collapse the exchange to one task
+and serialize every key's NFA into a single straggler), sorted within
+partitions by (keys, ts, tiebreak) in the JVM, and processed by ONE
+``mapInPandas`` function per partition that walks key-group boundaries
+itself.  The previous ``groupBy().applyInPandas`` shape paid a pandas
+``sort_values`` + ``to_dict('records')`` + ``pd.DataFrame`` per key
+group — with thousands of small key groups, per-group Python/Arrow
+overhead dominated the NFA itself by ~4x.  One conversion per Arrow
+batch amortizes that to noise; match semantics are identical (the NFA
+still sees exactly one key's events, time-sorted).
 """
 
 from __future__ import annotations
 
 import math
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
 from incubator_flink_spark.cep.nfa import find_matches, find_timed_out_matches
 from incubator_flink_spark.cep.pattern import Pattern
+
+# Flush threshold for the output row buffer inside the partition walker:
+# bounds peak memory for match-dense patterns (ALL-ROWS / NO_SKIP) while
+# keeping output Arrow batches large enough to amortize the boundary.
+_OUT_FLUSH_ROWS = 50_000
+
+
+def _out_cols(output_schema: str) -> list[str]:
+    return [c.strip().split(" ")[0] for c in output_schema.split(",")]
+
+
+def run_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[str],
+    group_fn: Callable[[dict, list[dict]], list[dict]],
+    output_schema: str,
+) -> DataFrame:
+    """Run ``group_fn(first_row, events)`` once per distinct ``group_cols``
+    value over ``df``, with each group's events ordered by ``order``.
+
+    The partitioning/sort happens in the JVM (Tungsten); Python sees one
+    Arrow batch at a time, converts it to row dicts ONCE, and slices key
+    groups by walking the sorted key columns — a key group spanning
+    multiple Arrow batches (or whose rows straddle a batch boundary) is
+    carried over and processed when its last row has been seen.  Returns
+    ``group_fn``'s row dicts as a DataFrame of ``output_schema``.
+    """
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartition(n_part, *group_cols).sortWithinPartitions(*group_cols, *order)
+    out_cols = _out_cols(output_schema)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend_key: tuple | None = None
+        pend: list[dict] = []
+        out: list[dict] = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cols = list(pdf.columns)
+            rows = [dict(zip(cols, t)) for t in zip(*(pdf[c].tolist() for c in cols))]
+            for r in rows:
+                k = tuple(r[c] for c in group_cols)
+                if k != pend_key:
+                    if pend:
+                        out.extend(group_fn(pend[0], pend))
+                    pend_key, pend = k, []
+                pend.append(r)
+            if len(out) >= _OUT_FLUSH_ROWS:
+                yield pd.DataFrame(out, columns=out_cols)
+                out = []
+        if pend:
+            out.extend(group_fn(pend[0], pend))
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return part.mapInPandas(fn, output_schema)
+
+
+def _prune(
+    df: DataFrame, keys: list[str], ts_col: str, tiebreak: str | None, columns: list[str] | None
+) -> DataFrame:
+    """Optionally project to the columns the pattern actually touches
+    (guide §2.3: shuffle fewer bytes; §4.1: pass only what the function
+    needs — Spark cannot see inside the Python predicates, so without an
+    explicit select every column crosses the exchange AND the Arrow
+    boundary).  ``columns=None`` keeps all columns (safe default)."""
+    if columns is None:
+        return df
+    need = list(dict.fromkeys([*keys, ts_col, *([tiebreak] if tiebreak else []), *columns]))
+    return df.select(*need)
 
 
 def match_pattern(
@@ -27,25 +112,24 @@ def match_pattern(
     select_fn: Callable[[dict, dict[str, list[dict]]], dict],
     output_schema: str,
     tiebreak: str | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Run `pattern` per key over `df` ordered by (ts, tiebreak).
 
     ``select_fn(key_dict, match)`` maps each match (stage name → list of
     event dicts) to one output row dict — the PatternSelectFunction
-    equivalent.
+    equivalent.  ``columns`` optionally names the non-key payload columns
+    the predicates/select_fn read; when given, everything else is pruned
+    before the shuffle.
     """
+    df = _prune(df, keys, ts_col, tiebreak, columns)
     order = [ts_col] + ([tiebreak] if tiebreak else [])
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order)
-        events = pdf.to_dict("records")
-        key_dict = {k: pdf[k].iloc[0] for k in keys}
-        rows = [select_fn(key_dict, m) for m in find_matches(pattern, events, ts_key=ts_col)]
-        if not rows:
-            return pd.DataFrame(columns=[c.strip().split(" ")[0] for c in output_schema.split(",")])
-        return pd.DataFrame(rows)
+    def group_fn(first: dict, events: list[dict]) -> list[dict]:
+        key_dict = {k: first[k] for k in keys}
+        return [select_fn(key_dict, m) for m in find_matches(pattern, events, ts_key=ts_col)]
 
-    return df.groupBy(*keys).applyInPandas(fn, output_schema)
+    return run_grouped(df, keys, order, group_fn, output_schema)
 
 
 def match_pattern_with_timeouts(
@@ -57,6 +141,7 @@ def match_pattern_with_timeouts(
     timeout_fn: Callable[[dict, dict[str, list[dict]]], dict],
     output_schema: str,
     tiebreak: str | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """match_pattern plus the timeout side output (reference:
     PatternStream.select(timeoutTag, PatternTimeoutFunction,
@@ -71,22 +156,19 @@ def match_pattern_with_timeouts(
     """
     if pattern.within_s is None:
         raise ValueError("timeout output requires pattern.within(...)")
+    df = _prune(df, keys, ts_col, tiebreak, columns)
     order = [ts_col] + ([tiebreak] if tiebreak else [])
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order)
-        events = pdf.to_dict("records")
-        key_dict = {k: pdf[k].iloc[0] for k in keys}
+    def group_fn(first: dict, events: list[dict]) -> list[dict]:
+        key_dict = {k: first[k] for k in keys}
         rows = [select_fn(key_dict, m) for m in find_matches(pattern, events, ts_key=ts_col)]
         rows += [
             timeout_fn(key_dict, p)
             for p in find_timed_out_matches(pattern, events, ts_key=ts_col, now=None)
         ]
-        if not rows:
-            return pd.DataFrame(columns=[c.strip().split(" ")[0] for c in output_schema.split(",")])
-        return pd.DataFrame(rows)
+        return rows
 
-    return df.groupBy(*keys).applyInPandas(fn, output_schema)
+    return run_grouped(df, keys, order, group_fn, output_schema)
 
 
 def match_pattern_segmented(
@@ -98,6 +180,7 @@ def match_pattern_segmented(
     output_schema: str,
     tiebreak: str | None = None,
     segment_s: float | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Skew-mitigated execution of a ``within``-bounded pattern: a hot
     key holding most of the stream turns the per-key NFA into one giant
@@ -146,6 +229,7 @@ def match_pattern_segmented(
     w = float(segment_s if segment_s is not None else pattern.within_s)
     if w < float(pattern.within_s):
         raise ValueError("segment_s must be >= pattern.within_s")
+    df = _prune(df, keys, ts_col, tiebreak, columns)
     order = [ts_col] + ([tiebreak] if tiebreak else [])
     # __epoch is computed by Spark with the SAME cast that derives __seg,
     # so the Python-side first-event segment floor below agrees with the
@@ -156,23 +240,10 @@ def match_pattern_segmented(
     rep = df.withColumn("__epoch", epoch).withColumn(
         "__seg", F.explode(F.array(seg, seg - F.lit(1).cast("long")))
     )
-    # EXPLICIT partition count: CEP events are small in bytes but heavy in
-    # Python compute, so AQE's byte-targeted partition coalescing would
-    # collapse this shuffle to one task and serialize the NFA work —
-    # exactly the straggler this operator exists to break.  A
-    # user-specified numPartitions is exempt from coalescing, and
-    # groupBy on the same columns reuses the partitioning (no second
-    # exchange).
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    rep = rep.repartition(n_part, *keys, "__seg")
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order)
-        seg_val = int(pdf["__seg"].iloc[0])
-        # keep __epoch in the event dicts: predicates ignore unknown keys
-        # and the ownership test below needs the Spark-computed epoch
-        events = pdf.drop(columns=["__seg"]).to_dict("records")
-        key_dict = {k: pdf[k].iloc[0] for k in keys}
+    def group_fn(first: dict, events: list[dict]) -> list[dict]:
+        key_dict = {k: first[k] for k in keys}
+        seg_val = int(first["__seg"])
         rows = []
         for m in find_matches(pattern, events, ts_key=ts_col):
             first_epoch = min(e["__epoch"] for evs in m.values() for e in evs if evs)
@@ -181,8 +252,10 @@ def match_pattern_segmented(
             # and can disagree exactly at segment boundaries
             if math.floor(first_epoch / w) == seg_val:
                 rows.append(select_fn(key_dict, m))
-        if not rows:
-            return pd.DataFrame(columns=[c.strip().split(" ")[0] for c in output_schema.split(",")])
-        return pd.DataFrame(rows)
+        return rows
 
-    return rep.groupBy(*keys, "__seg").applyInPandas(fn, output_schema)
+    # run_grouped's explicit repartition to defaultParallelism is exactly
+    # the AQE-coalescing exemption this operator has always needed (see
+    # module docstring); grouping on (keys, __seg) parallelizes the hot
+    # key across its timeline.
+    return run_grouped(rep, [*keys, "__seg"], order, group_fn, output_schema)

@@ -269,10 +269,8 @@ def match_recognize(
     var_order = _pattern_vars(pattern)
     order = [order_by] + ([tiebreak] if tiebreak else [])
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order)
-        events = pdf.to_dict("records")
-        key_dict = {k: pdf[k].iloc[0] for k in partition_by}
+    def group_fn(first: dict, events: list[dict]) -> list[dict]:
+        key_dict = {k: first[k] for k in partition_by}
         rows = []
         for m in find_matches(p, events, ts_key=order_by):
             final = MatchAccess(m, var_order)
@@ -294,11 +292,11 @@ def match_recognize(
                             var,
                         )
                     )
-        if not rows:
-            return pd.DataFrame(columns=[c.strip().split(" ")[0] for c in output_schema.split(",")])
-        return pd.DataFrame(rows)
+        return rows
 
-    return df.groupBy(*partition_by).applyInPandas(fn, output_schema)
+    from incubator_flink_spark.cep.executor import run_grouped
+
+    return run_grouped(df, partition_by, order, group_fn, output_schema)
 
 
 def match_recognize_sql(
@@ -330,6 +328,8 @@ def match_recognize_sql(
     switches to whole-match values, bare columns read the current row,
     CLASSIFIER() is the row's variable. ``output_schema`` is the DDL for
     exactly the emitted columns."""
+    import re
+
     from incubator_flink_spark.cep.sql_expr import compile_define, compile_measure
 
     compiled_def = {v: compile_define(v, sql) for v, sql in define.items()}
@@ -337,6 +337,27 @@ def match_recognize_sql(
 
     if all_rows:
         cols = input_cols if input_cols is not None else list(df.columns)
+
+    # Prune to the columns the DEFINE/MEASURES text references (plus keys,
+    # order, tiebreak, and — under ALL ROWS — the carried input columns):
+    # the compiled predicates read row dicts by name, so Spark cannot see
+    # which columns they touch and would otherwise ship every column
+    # through the exchange and the Arrow boundary (guide §2.3/§4.1).
+    # Identifier extraction over-approximates (a name inside a string
+    # literal keeps its column) — over-inclusion is safe, it can never
+    # change a result.
+    idents: set[str] = set()
+    for sql in [*define.values(), *measures.values()]:
+        idents |= set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sql))
+    need = dict.fromkeys(
+        [*partition_by, order_by, *([tiebreak] if tiebreak else [])]
+        + ([] if not all_rows else cols)
+        + [c for c in df.columns if c in idents]
+    )
+    if len(need) < len(df.columns):
+        df = df.select(*need)
+
+    if all_rows:
 
         def measures_fn(key: dict, running: MatchAccess, final: MatchAccess, row: dict, cls: str) -> dict:
             out = {c: row.get(c) for c in cols}

@@ -77,6 +77,7 @@ def cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_pattern(
         events, ["user_id"], "ts", p, select,
         "user_id BIGINT, click_id BIGINT, purchase_id BIGINT", tiebreak="event_id",
+        columns=["event_id", "event_type"],
     ).orderBy("user_id", "click_id")
 
 
@@ -251,6 +252,7 @@ def cep_pairs_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_pattern(
         events, ["user_id"], "ts", p, select,
         "user_id BIGINT, click_id BIGINT, purchase_id BIGINT", tiebreak="event_id",
+        columns=["event_id", "event_type"],
     ).orderBy("user_id", "click_id", "purchase_id")
 
 
@@ -323,6 +325,7 @@ def cep_optional_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_pattern(
         events, ["user_id"], "ts", p, select,
         "user_id BIGINT, click_id BIGINT, purchase_id BIGINT", tiebreak="event_id",
+        columns=["event_id", "event_type"],
     ).orderBy("user_id", "click_id", "purchase_id")
 
 
@@ -358,6 +361,7 @@ def cep_pairs_any_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_pattern_segmented(
         events, ["user_id"], "ts", p, select,
         "user_id BIGINT, click_id BIGINT, purchase_id BIGINT", tiebreak="event_id",
+        columns=["event_id", "event_type"],
         # W = 8x within: any W >= within is exact; doubling from 4x halves
         # the (key, segment) group count, amortizing Arrow/Python per-group
         # overhead (~40% faster at sf0.1) while keeping several segments
@@ -450,7 +454,7 @@ def cep_group_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_pattern(
         events, ["user_id"], "ts", p, select,
         "user_id BIGINT, start_id BIGINT, n_pairs BIGINT, purchase_id BIGINT",
-        tiebreak="event_id",
+        tiebreak="event_id", columns=["event_id", "event_type"],
     ).orderBy("user_id", "start_id", "n_pairs")
 
 
