@@ -85,7 +85,9 @@ def bloom_might_contain(key: Column, words: list[int], m_bits: int) -> Column:
     """Map-side membership test: all k bit positions set in the literal
     bitmap.  Pure Catalyst — element_at on a literal array + bit shifts —
     so it rides whole-stage codegen on the corpus scan."""
-    bitmap = F.array(*[F.lit(w).cast("long") for w in words])
+    # one array literal, not m/64 chained nodes (planning cost); the cast
+    # pins array<bigint> even when every word happens to fit in int32
+    bitmap = F.lit([int(w) for w in words]).cast("array<bigint>")
     h = hash64(key)
     checks = []
     for i in range(BLOOM_K):

@@ -70,7 +70,7 @@ def hashed_features(
 def _pred(feats: DataFrame, w: list[float], id_col: str) -> DataFrame:
     """(id, pred): decimal-exact dot product of each doc's sparse
     features with the broadcast weight literal array."""
-    warr = F.array(*[F.lit(float(v)) for v in w])
+    warr = F.lit([float(v) for v in w])  # one array literal, not N nodes (planning cost)
     term = (F.col("x") * F.element_at(warr, F.col("j") + 1)).cast("decimal(38,18)")
     return (
         feats.select(F.col(id_col), term.alias("__t"))

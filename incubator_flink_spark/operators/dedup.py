@@ -156,10 +156,17 @@ def verify_jaccard(
         ds = doc_shingle_set(docs, id_col, text_col, k)
     if sizes is None:
         sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    # Candidate-first join order: restrict the inverted index to candidate
-    # docs BEFORE the shingle self-join, so the quadratic blow-up on
-    # frequent shingles never materializes — cand is small (LSH output),
-    # Catalyst broadcasts it.
+    # Materialize the candidate set ONCE: the verify stage consumes it
+    # three times (two side-prunings + the pair semi-join), and without a
+    # pin each consumer re-executes the banded self-join + distinct that
+    # produced it (profiled: 3x recompute was ~60% of dedup_minhash_lsh
+    # wall).  localCheckpoint also truncates the lineage, so the final
+    # plan the optimizer sees carries the candidate subtree once as a
+    # leaf instead of three deep copies (guide §5 persist-when-reused,
+    # §3.3 plan-size note).  Candidates are pair-proportional — at 100 TB
+    # this pin is a DISK-backed persist of the (8-byte, 8-byte) pair set,
+    # far smaller than the inverted index it gates.
+    cand = cand.localCheckpoint(eager=True)
     ds_a = ds.select(F.col(id_col).alias("id_a"), "shingle").join(
         cand.select("id_a").distinct(), "id_a", "left_semi"
     )
@@ -230,19 +237,38 @@ def jaccard_pairs(
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """60-bit SimHash per doc: bit j set iff more shingle hashes have bit
-    j set than not (strict majority; ties clear the bit)."""
+    j set than not (strict majority; ties clear the bit).
+
+    Computed in NARROW form: explode the 60 bit positions per shingle
+    row and aggregate (doc, j) partial sums, then fold the per-bit
+    majorities back into one long with a single conditional-sum
+    aggregate.  The previous wide form (60 SUM(CASE...) aggregate
+    columns + a 60-term chained reconstruction) spent ~2s PER RUN in
+    driver planning/codegen of the giant expression tree (profiled:
+    the gap dominated dedup_simhash wall); the narrow form's tree is
+    O(1).  The explode fan-out collapses map-side (partial aggregation
+    reduces 60x rows to docs x 60 before the exchange), so shuffle
+    bytes stay ~docs*60*24B — at 100 TB this is the same two-shuffle
+    doc-keyed shape, minus the codegen cliff.  Integer-exact identical
+    to the wide form: majority(sum of +-1 > 0) == (2*n_set > n_total)."""
     ds = doc_shingle_set(docs, id_col, text_col, k)
-    h = F.col("shingle")  # already the 60-bit hash
-    bit_sums = [
-        F.sum(F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = ds.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    bitrows = ds.select(
+        F.col(id_col),
+        F.col("shingle"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+    )
+    per_bit = bitrows.groupBy(id_col, "j").agg(
+        F.sum(
+            F.when(F.expr("shiftright(shingle, j)").bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
+        ).alias("b")
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("b") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -353,6 +379,9 @@ def incremental_dedup(
         .join(_bands_long(sig_ref, "ref_id"), ["band_idx", "band_key"])
         .select("new_id", "ref_id")
         .distinct()
+        # three consumers below (two prunings + the pair semi-join):
+        # same single-materialization rationale as verify_jaccard
+        .localCheckpoint(eager=True)
     )
     # candidate-first cross-corpus verify (the two-table analog of
     # verify_jaccard): restrict each inverted index to candidate docs
