@@ -70,7 +70,8 @@ def hashed_features(
 def _pred(feats: DataFrame, w: list[float], id_col: str) -> DataFrame:
     """(id, pred): decimal-exact dot product of each doc's sparse
     features with the broadcast weight literal array."""
-    warr = F.lit([float(v) for v in w])  # one array literal, not N nodes (planning cost)
+    # one JVM-parsed literal (py4j chatter — see similarity._vec_sql note)
+    warr = F.expr("array(" + ",".join(f"{float(v)!r}D" for v in w) + ")")
     term = (F.col("x") * F.element_at(warr, F.col("j") + 1)).cast("decimal(38,18)")
     return (
         feats.select(F.col(id_col), term.alias("__t"))
@@ -90,8 +91,15 @@ def train_linear_probe(
 ) -> list[float]:
     """Weights after ``iters`` full-batch GD steps from w = 0.  ``label``
     is a 0/1 (or real-valued) Column evaluated against ``docs``."""
-    feats = hashed_features(docs, id_col, text_col, n_buckets).persist()
-    y = docs.select(F.col(id_col), label.cast("double").alias("y"))
+    # Pre-partition both per-iteration join inputs by the doc id and pin
+    # them: the cached InMemoryRelation keeps its outputPartitioning, so
+    # every GD round's _pred groupBy(id), pred-vs-y join, and feats-vs-err
+    # join all reuse ONE hash partitioning instead of re-exchanging three
+    # times per round (guide §2.4 "two operations keyed the same way can
+    # share one exchange").  Values are untouched — per-doc grouping is
+    # exact and the gradient sums are order-independent decimals.
+    feats = hashed_features(docs, id_col, text_col, n_buckets).repartition(id_col).persist()
+    y = docs.select(F.col(id_col), label.cast("double").alias("y")).repartition(id_col).persist()
     n = docs.count()
     w = [0.0] * (n_buckets + 1)
     try:
@@ -112,6 +120,7 @@ def train_linear_probe(
             w = [w[j] - lr * (gmap.get(j, 0.0) / n) for j in range(n_buckets + 1)]
     finally:
         feats.unpersist()
+        y.unpersist()
     return w
 
 

@@ -232,6 +232,7 @@ def connected_components_twophase(
         )
 
     converged = False
+    prev_cnt = None
     for _ in range(max_iter):
         nb = _sym(e)
         large = (
@@ -252,19 +253,28 @@ def connected_components_twophase(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # fixpoint: canonical (undirected-normalized) edge sets equal —
-        # computed as ONE signed-count symmetric difference (a single
-        # shuffle job) instead of two exceptAll jobs per round
-        canon_old = e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
-        canon_new = small.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
-        diff = (
-            canon_old.withColumn("__s", F.lit(1))
-            .unionAll(canon_new.withColumn("__s", F.lit(-1)))
-            .groupBy("a", "b")
-            .agg(F.sum("__s").alias("__d"))
-            .where(F.col("__d") != 0)
-            .count()
-        )
+        # fixpoint: canonical (undirected-normalized) edge sets equal.
+        # Gate the exact symmetric-difference job behind a cheap
+        # directed-edge count over the two checkpointed leaves: unequal
+        # counts prove the sets differ, so the shuffle runs only on the
+        # rounds that might BE the fixpoint (typically once) instead of
+        # every round (guide §2.4 — one fewer shuffle job per round).
+        # Exactness is untouched: convergence is still declared only by
+        # the zero symmetric difference.
+        new_cnt = small.count()
+        diff = 1
+        if prev_cnt is None or new_cnt == prev_cnt:
+            canon_old = e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
+            canon_new = small.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
+            diff = (
+                canon_old.withColumn("__s", F.lit(1))
+                .unionAll(canon_new.withColumn("__s", F.lit(-1)))
+                .groupBy("a", "b")
+                .agg(F.sum("__s").alias("__d"))
+                .where(F.col("__d") != 0)
+                .count()
+            )
+        prev_cnt = new_cnt
         e = small
         if diff == 0:
             converged = True

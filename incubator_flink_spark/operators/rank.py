@@ -13,12 +13,14 @@ batch rank also builds on):
    strictly below partition p+1) + ``sortWithinPartitions``;
 2. one tiny job counts rows per partition (P rows reach the driver);
 3. the global rank of a row is its partition's cumulative offset plus
-   its local row number — assigned map-side in an Arrow-batched
-   ``mapInPandas`` pass with the P-entry offset table broadcast.
+   its local row number — assigned map-side in the JVM from
+   ``monotonically_increasing_id()``'s (partition << 33) + row-index
+   layout, with the P-entry offset table riding as one array literal
+   (an earlier Arrow ``mapInPandas`` pass computed the same thing but
+   paid a Python-worker round trip per task — pure boundary latency).
 
-No shuffle beyond the range exchange itself, no Python in any per-row
-comparison (ordering work happens in the JVM sort), and parallelism
-stays P across every step.
+No shuffle beyond the range exchange itself, no Python anywhere, and
+parallelism stays P across every step.
 
 ``ntile_exact`` reproduces SQL NTILE's bucket arithmetic bit-for-bit
 (first ``n mod B`` buckets get one extra row) so DuckDB-oracle queries
@@ -40,7 +42,6 @@ from collections.abc import Iterable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 _PID = "__rank_pid"
 
@@ -75,23 +76,27 @@ def distributed_rank(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off_b = spark.sparkContext.broadcast(offsets)
-
-    def add_rank(it):
-        seen = 0
-        for pdf in it:
-            k = len(pdf)
-            if k == 0:
-                pdf[rank_col] = []
-                yield pdf
-                continue
-            base = off_b.value.get(int(pdf[_PID].iloc[0]), 0)
-            pdf[rank_col] = range(base + seen + 1, base + seen + k + 1)
-            seen += k
-            yield pdf
-
-    schema = StructType(d.schema.fields + [StructField(rank_col, LongType())])
-    return d.mapInPandas(add_rank, schema).drop(_PID)
+    # Rank assignment stays in the JVM: the local row index of the
+    # checkpointed, sorted partition is monotonically_increasing_id()
+    # minus its partition base (pid << 33 — the documented MID layout),
+    # and the partition's global offset rides in as one array literal.
+    # The previous Arrow mapInPandas pass computed the same thing but
+    # paid a Python-worker round trip PER TASK (profiled: ~0.25s x 32
+    # tasks x 2 stages per ntile call, with ~0 CPU — pure boundary
+    # latency; guide §4.1 "eliminate the JVM<->Python boundary").
+    # Determinism: the checkpoint pins partition contents and order, so
+    # MID's (partition, row-index) decomposition is stable across
+    # re-evaluations — same ranks as the pandas form, bit for bit.
+    n_parts = max(offsets) + 1 if offsets else 0
+    if n_parts == 0:
+        return d.withColumn(rank_col, F.lit(None).cast("long")).drop(_PID)
+    off_arr = "array(" + ",".join(str(offsets.get(i, 0)) + "L" for i in range(n_parts)) + ")"
+    rank = F.expr(
+        f"CAST(element_at({off_arr}, spark_partition_id() + 1)"
+        f" + (monotonically_increasing_id() - shiftleft(CAST(spark_partition_id() AS BIGINT), 33))"
+        f" + 1 AS BIGINT)"
+    )
+    return d.withColumn(rank_col, rank).drop(_PID)
 
 
 def ntile_exact(

@@ -1689,7 +1689,13 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints: a third near-dup discipline alongside MinHash-LSH
     (probabilistic jaccard) and SimHash (hamming), with position-
     structural rather than bag-of-shingles evidence."""
-    d = load(spark, sf_dir, "documents").where(F.length("text") >= _WINNOW_K)
+    from incubator_flink_spark.catalog import spread
+
+    # spread BEFORE the per-character explode: the scan is one split, so
+    # without it the k-gram explode + md5 of every char position (~1.5M
+    # rows at sf0.1) ran in ONE task (profiled: 2.5s single-task stage,
+    # twice) — guide §2.5 input skew / the doc_shingle_set discipline
+    d = spread(load(spark, sf_dir, "documents").where(F.length("text") >= _WINNOW_K))
     pos = d.select(
         "doc_id",
         F.explode(
@@ -1719,7 +1725,12 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h") < F.col(f"rmin{_WINNOW_W - 1 - s}")
         )
         keep = cond if keep is None else (keep | cond)
-    fp = sel.where(keep).select("doc_id", "h").distinct()
+    # pin the fingerprint set: it feeds THREE consumers (df filter + both
+    # self-join sides), and without the pin each re-ran the full explode/
+    # hash/window subtree (profiled: the 2.5s stage executed twice).
+    # Fingerprints are ~2/(w+1) of positions — far smaller than the
+    # position table — so the pin is sound at scale.
+    fp = sel.where(keep).select("doc_id", "h").distinct().localCheckpoint(eager=True)
     rare = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= _WINNOW_MAX_DF
     )

@@ -62,7 +62,13 @@ def star_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     still choose broadcast at small SFs); nation/region are true dims
     and broadcast unconditionally.  The rollup itself is one fact
     shuffle (Expand → partial agg → exchange → final agg)."""
-    li = load(spark, sf_dir, "lineitem")
+    from incubator_flink_spark.catalog import spread
+
+    # spread the fact scan: single-row-group parquet reads as ONE split,
+    # serializing the broadcast-join + Expand(4x) + decimal partial-agg
+    # pipeline on one core (measured 3.5s -> 1.7s; guide §2.5 input
+    # skew).  No-op at scale (a real fact scan has thousands of splits).
+    li = spread(load(spark, sf_dir, "lineitem"))
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
@@ -1205,11 +1211,15 @@ def star_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from incubator_flink_spark.operators.rank import ntile_exact
 
     o = load(spark, sf_dir, "orders")
+    # pin the customer aggregate: the first ntile_exact's range
+    # partitioner SAMPLES its input (one job) before shuffling it
+    # (another), so without the pin the orders aggregation executed
+    # twice (guide §5 persist-when-reused)
     cust = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(30,2)").alias("monetary"),
-    )
+    ).localCheckpoint(eager=True)
     scored = cust
     for col, key in (("r", "last_order"), ("f", "frequency"), ("m", "monetary")):
         scored = ntile_exact(scored, [F.col(key).desc(), "o_custkey"], 5, col)
@@ -1471,7 +1481,12 @@ def star_channel_returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel count (in real TPC-DS each channel joins its own returns
     fact — the same plan replicated per leg); part broadcasts, and the
     rollup is one Expand→partial-agg exchange."""
-    li = load(spark, sf_dir, "lineitem")
+    from incubator_flink_spark.catalog import spread
+
+    # spread the fact scan (4 consumers: 3 channel legs + returns): the
+    # single-row-group parquet read serializes every leg's broadcast-join
+    # pipeline on one core (measured 2.6s -> 1.7s; guide §2.5)
+    li = spread(load(spark, sf_dir, "lineitem"))
     o = load(spark, sf_dir, "orders")
     p = load(spark, sf_dir, "part")
     amt = F.col("l_extendedprice").cast("decimal(18,2)") * (
