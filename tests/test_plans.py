@@ -160,13 +160,18 @@ def test_subquery_scalar_decorrelates_to_aggregate_joins(spark):
 def test_star_rollup_broadcasts_all_dims_single_fact_shuffle(spark):
     """TPC-DS-shaped star: true dims (nation/region) broadcast by hint,
     fact-proportional tables (orders/customer) left to AQE — which still
-    broadcasts them at this SF — so the fact shuffles exactly once
-    (Expand -> partial agg -> exchange -> final agg), plus the ORDER BY
-    sort."""
+    broadcasts them at this SF — so the fact shuffles exactly once for
+    the AGGREGATION (Expand -> partial agg -> exchange -> final agg),
+    plus the ORDER BY sort.  The r10 optimization round added a
+    round-robin spread of the single-row-group fact scan (parallelizes
+    the join+Expand pipeline; no-op at scale), so the plan carries one
+    extra NON-JOIN exchange — pinned here as exactly that: any FOURTH
+    exchange, or a join strategy change, still fails."""
     rep = audit_plan(REGISTRY["star_sales_rollup"].fn(spark, SF))
     assert rep.broadcast_hash_joins >= 4
     assert rep.nested_loop_joins == 0
-    assert rep.exchanges <= 2
+    assert rep.exchanges <= 3
+    assert "RoundRobinPartitioning" in rep.raw  # the spread, not a join shuffle
 
 
 def test_star_rank_window_runs_over_aggregate_not_fact(spark):
