@@ -71,7 +71,11 @@ def _pred(feats: DataFrame, w: list[float], id_col: str) -> DataFrame:
     """(id, pred): decimal-exact dot product of each doc's sparse
     features with the broadcast weight literal array."""
     # one JVM-parsed literal (py4j chatter — see similarity._vec_sql note)
-    warr = F.expr("array(" + ",".join(f"{float(v)!r}D" for v in w) + ")")
+    # _lit_d spells non-finite weights as CAST literals (diverged GD
+    # weights would otherwise be invalid SQL — ADVICE r10)
+    from incubator_flink_spark.operators.similarity import _lit_d
+
+    warr = F.expr("array(" + ",".join(_lit_d(v) for v in w) + ")")
     term = (F.col("x") * F.element_at(warr, F.col("j") + 1)).cast("decimal(38,18)")
     return (
         feats.select(F.col(id_col), term.alias("__t"))

@@ -201,6 +201,8 @@ def connected_components_twophase(
     only shrinks toward the star form, and rounds are localCheckpoint-ed
     so lineage stays O(1) deep (use a reliable checkpoint dir on a real
     cluster)."""
+    from pyspark.sql import Window as W
+
     # checkpoint the raw edge list ONCE before deriving vertices and e:
     # both are materialized eagerly below, and without this the upstream
     # lineage (often an expensive candidate-pair generation, e.g.
@@ -215,8 +217,19 @@ def connected_components_twophase(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # store edges CANONICALLY oriented (u > v).  _sym symmetrizes every
+    # round, so orientation is invisible to the star steps (the
+    # symmetric closure is identical) — but it makes the per-round
+    # directed distinct-edge count EQUAL to the canonical undirected
+    # count, which closes the old gate's edge case (directed counts
+    # could differ while canonical sets matched, delaying the fixpoint
+    # probe a round) and lets the exact-diff job skip its own
+    # least/greatest+distinct normalization passes.  Small/large-star
+    # outputs are canonical by construction (every emitted edge points
+    # from a vertex to a strictly smaller neighborhood minimum).
     e = (
         raw.where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -224,52 +237,54 @@ def connected_components_twophase(
     def _sym(df: DataFrame) -> DataFrame:
         return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
-    def _mins(nb: DataFrame) -> DataFrame:
-        return (
-            nb.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("mn", F.col("u")).alias("m"))
-        )
+    # neighborhood minimum via a window keyed on u: ONE hash(u) exchange
+    # per star step carries both the min computation and the per-edge
+    # rewiring that consumed it — the old groupBy(u).min + join pair
+    # paid the same exchange twice, plus a third for an intermediate
+    # distinct whose only effect was multiset (never set) dedup
+    # (guide §2.4 "two operations keyed the same way share one
+    # exchange").  6 exchange stages per round -> 3.
+    _m = F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
 
     converged = False
     prev_cnt = None
     for _ in range(max_iter):
-        nb = _sym(e)
+        nbm = _sym(e).select("u", "v", _m.alias("m"))
+        # large-star: rewire every larger neighbor v to the minimum.
+        # Kept as a multiset (no distinct): duplicates cannot change the
+        # window minimum in the small-star step, and the round's final
+        # distinct collapses them before the set is compared/kept.
         large = (
-            nb.join(_mins(nb), "u")
-            .where(F.col("v") > F.col("u"))
+            nbm.where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
-        nb2 = _sym(large)
-        m2 = _mins(nb2)
+        nbm2 = _sym(large).select("u", "v", _m.alias("m"))
         small = (
-            nb2.join(m2, "u")
-            .where(F.col("v") <= F.col("u"))
+            nbm2.where(F.col("v") <= F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(m2.select("u", F.col("m").alias("v")))
+            .unionAll(nbm2.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint(eager=True)
         )
         # fixpoint: canonical (undirected-normalized) edge sets equal.
-        # Gate the exact symmetric-difference job behind a cheap
-        # directed-edge count over the two checkpointed leaves: unequal
-        # counts prove the sets differ, so the shuffle runs only on the
-        # rounds that might BE the fixpoint (typically once) instead of
-        # every round (guide §2.4 — one fewer shuffle job per round).
-        # Exactness is untouched: convergence is still declared only by
-        # the zero symmetric difference.
+        # Gate the exact symmetric-difference job behind a cheap edge
+        # count over the two checkpointed leaves: unequal counts prove
+        # the sets differ, so the shuffle runs only on the rounds that
+        # might BE the fixpoint (typically once) instead of every round
+        # (guide §2.4 — one fewer shuffle job per round).  Both sides
+        # are canonically oriented, so these counts ARE the canonical
+        # undirected counts (gate exact, no delayed round).  Exactness
+        # of convergence is untouched: it is still declared only by the
+        # zero symmetric difference.
         new_cnt = small.count()
         diff = 1
         if prev_cnt is None or new_cnt == prev_cnt:
-            canon_old = e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
-            canon_new = small.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
             diff = (
-                canon_old.withColumn("__s", F.lit(1))
-                .unionAll(canon_new.withColumn("__s", F.lit(-1)))
-                .groupBy("a", "b")
+                e.withColumn("__s", F.lit(1))
+                .unionAll(small.withColumn("__s", F.lit(-1)))
+                .groupBy("u", "v")
                 .agg(F.sum("__s").alias("__d"))
                 .where(F.col("__d") != 0)
                 .count()
@@ -296,7 +311,9 @@ def connected_components_twophase(
     )
 
 
-def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst", assume_canonical: bool = False
+) -> DataFrame:
     """Distinct triangles (a, b, c) with a < b < c of the undirected graph
     (Gelly library TriangleEnumerator analog: flink-libraries/flink-gelly/
     .../library/TriangleEnumerator.java).
@@ -314,15 +331,26 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     degree aggregate and two degree-attach joins keyed on vertex id.
     After the membership join closes the wedge, the triple is re-sorted
     into original-id order — the orientation is invisible to callers and
-    oracles."""
-    e0 = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    oracles.
+
+    ``assume_canonical=True`` lets callers that already hold distinct
+    (a < b) edges (the ktruss peel maintains that invariant every round)
+    skip the re-normalization passes.  The oriented edge table is pinned
+    with ``localCheckpoint``: it feeds BOTH wedge sides and the closing
+    join, so without the pin the scan+degree+orientation subtree
+    executed three times per enumeration (guide §5 persist-when-reused —
+    the r10 verify_jaccard pattern)."""
+    if assume_canonical:
+        e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e0 = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
     deg = (
         e0.select(F.col("a").alias("vertex"))
         .union(e0.select(F.col("b").alias("vertex")))
@@ -344,6 +372,7 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
             F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
             F.when(ka < kb, kb).otherwise(ka).alias("vk"),
         )
+        .localCheckpoint(eager=True)
     )
     uv = e.select("u", "v", "vk")
     uw = e.select(F.col("u").alias("u2"), F.col("v").alias("w"), F.col("vk").alias("wk"))
@@ -362,15 +391,16 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     )
 
 
-def vertex_triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def vertex_triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst", assume_canonical: bool = False
+) -> DataFrame:
     """(vertex, n_triangles): how many triangles each vertex belongs to —
     the local clustering-coefficient numerator."""
-    t = triangles(edges, src, dst)
-    verts = (
-        t.select(F.col("a").alias("vertex"))
-        .union(t.select(F.col("b").alias("vertex")))
-        .union(t.select(F.col("c").alias("vertex")))
-    )
+    t = triangles(edges, src, dst, assume_canonical=assume_canonical)
+    # explode, not 3-way union: the union form carried the whole triangle
+    # enumeration subtree three times in the plan (re-executed per arm);
+    # explode emits the identical (a, b, c) multiset from ONE enumeration
+    verts = t.select(F.explode(F.array("a", "b", "c")).alias("vertex"))
     return verts.groupBy("vertex").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
@@ -396,7 +426,7 @@ def clustering_coefficient(edges: DataFrame, src: str = "src", dst: str = "dst")
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    tri = vertex_triangle_counts(e, "a", "b")
+    tri = vertex_triangle_counts(e, "a", "b", assume_canonical=True)
     return (
         deg.join(tri, "vertex", "left")
         .select(
@@ -697,7 +727,7 @@ def global_clustering_coefficient(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    tri = triangles(e, "a", "b").agg(F.count(F.lit(1)).alias("n_triangles"))
+    tri = triangles(e, "a", "b", assume_canonical=True).agg(F.count(F.lit(1)).alias("n_triangles"))
     wedges = (
         e.select(F.col("a").alias("vertex"))
         .union(e.select(F.col("b").alias("vertex")))
@@ -778,7 +808,10 @@ def edge_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
     same two-shuffle profile as ``vertex_metrics`` plus the edge-keyed
     orientation join; no wedge is materialized (the counts are
     closed-form in l and d)."""
-    e = _canonical_edges(edges, src, dst)
+    # pin the canonical edge set: it feeds both degree-union arms AND
+    # the orientation join below — without the pin the (often expensive)
+    # upstream edge derivation executed three times (guide §5)
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     deg = _degrees(e)
     da = deg.select(F.col("vertex").alias("a"), F.col("deg").alias("__da"))
     db = deg.select(F.col("vertex").alias("b"), F.col("deg").alias("__db"))
@@ -829,7 +862,7 @@ def triadic_census(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .cast("bigint")
         .alias("w"),
     )
-    tri = triangles(e, "a", "b").agg(F.count(F.lit(1)).alias("t"))
+    tri = triangles(e, "a", "b", assume_canonical=True).agg(F.count(F.lit(1)).alias("t"))
     n, m, w, t = F.col("n"), F.col("m"), F.col("w"), F.col("t")
     t2 = w - 3 * t
     t1 = m * (n - 2) - 2 * t2 - 3 * t
@@ -978,27 +1011,45 @@ def landmark_bfs(
     rounds matches exactly; state is (landmark, vertex, dist) — k·|V|
     rows, each round one join + min-aggregate shuffle, localCheckpoint-ed
     to keep lineage O(1).  Returns (lm, vertex, dist)."""
+    p = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Pin the symmetric edge table ALREADY HASH-PARTITIONED on the join
+    # key u (explicit partition count — exempt from AQE coalescing, so
+    # the partitioning is stable across rounds): the old persist kept
+    # the distinct's (u, v) partitioning, which the per-round join on u
+    # could not reuse, so every round re-exchanged the cached edges.
+    # The distinct itself rides the same hash(u) exchange
+    # (ClusteredDistribution(u, v) is satisfied by hash(u)) — guide §2.4.
     e = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .where(F.col("u") != F.col("v"))
-        .distinct()
+        .repartition(p, "u")
+        .dropDuplicates(["u", "v"])
         .persist()
     )
+    # degree agg reuses the pinned hash(u) partitioning: no exchange
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
     lms = deg.orderBy(F.col("degree").desc(), F.col("u").asc()).limit(k_landmarks)
     dist = lms.select(
         F.col("u").alias("lm"),
         F.col("u").alias("vertex"),
         F.lit(0).cast("bigint").alias("dist"),
-    ).localCheckpoint(eager=True)
+    ).repartition(p, "vertex").localCheckpoint(eager=True)
     try:
         for _ in range(iters):
+            # dist is hash(vertex, p)-partitioned (pinned by the
+            # checkpoint, alias-preserved through the rename), e is
+            # hash(u, p): the join needs NO exchange on either side.
+            # The round's single exchange is the repartition(vertex)
+            # below, which the (lm, vertex) min-aggregate then reuses
+            # (hash(vertex) clusters (lm, vertex)) and the NEXT round's
+            # join reuses again — 3 exchanges per round -> 1.
             relax = e.join(
                 dist.select("lm", F.col("vertex").alias("u"), "dist"), "u"
             ).select("lm", F.col("v").alias("vertex"), (F.col("dist") + 1).alias("dist"))
             dist = (
                 dist.union(relax)
+                .repartition(p, "vertex")
                 .groupBy("lm", "vertex")
                 .agg(F.min("dist").alias("dist"))
                 .localCheckpoint(eager=True)
@@ -1051,11 +1102,23 @@ def ktruss(
     )
     n_prev = -1
     for _ in range(max_rounds):
-        tri = triangles(e, "a", "b")
+        # e is canonical (a < b) and distinct every round (initial edges
+        # normalized above; kept edges are a subset), so the enumeration
+        # skips its re-normalization distinct.  The per-triangle edge
+        # fan-out is an explode, not a 3-way union — the union form
+        # re-executed the whole (pre-pin) enumeration subtree per arm.
+        tri = triangles(e, "a", "b", assume_canonical=True)
         sup = (
-            tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
-            .unionAll(tri.select(F.col("a").alias("x"), F.col("c").alias("y")))
-            .unionAll(tri.select(F.col("b").alias("x"), F.col("c").alias("y")))
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                        F.struct(F.col("a").alias("x"), F.col("c").alias("y")),
+                        F.struct(F.col("b").alias("x"), F.col("c").alias("y")),
+                    )
+                ).alias("__p")
+            )
+            .select(F.col("__p.x").alias("x"), F.col("__p.y").alias("y"))
             .groupBy("x", "y")
             .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         )

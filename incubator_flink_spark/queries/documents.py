@@ -1335,11 +1335,17 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").alias("rd"),
         )
     )
-    ds = doc_shingle_set(d)
+    # Pin the shingle set (feeds the df aggregate AND the index join) and
+    # the rare-shingle index (feeds sizes, the query slice, and the
+    # candidate join's corpus side): without the pins the explode+distinct
+    # subtree executed once per consumer (guide §5 persist-when-reused —
+    # the r10 verify_jaccard pattern).  Both are (doc, shingle)-pairs,
+    # bounded by the inverted index size.
+    ds = doc_shingle_set(d).localCheckpoint(eager=True)
     rare = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= _RRF_MAX_DF
     ).select("shingle")
-    idx = ds.join(rare, "shingle")
+    idx = ds.join(rare, "shingle").localCheckpoint(eager=True)
     sz = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     q_idx = idx.where(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("query_id"), "shingle"

@@ -670,8 +670,15 @@ def nexmark_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("price"),
         F.col("ts").alias("bts"),
     )
-    side = spark.createDataFrame(
-        [(i, f"side-{i}") for i in range(10)], "skey bigint, svalue string"
+    # Side table built in the JVM (spark.range + concat): the previous
+    # spark.createDataFrame(10 rows) parallelized a PythonRDD over 32
+    # slices, so the broadcast build paid 32 Python-worker round trips —
+    # profiled at 27.7 task-seconds late in the bench sequence (the r10
+    # q13 regression).  Guide §4.1: no Python boundary for 10 constant
+    # rows.  Identical values/schema (skey bigint, svalue string).
+    side = spark.range(10).select(
+        F.col("id").alias("skey"),
+        F.concat(F.lit("side-"), F.col("id").cast("string")).alias("svalue"),
     )
     return (
         b.join(F.broadcast(side), (F.col("auction") % 10) == F.col("skey"))

@@ -259,10 +259,15 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(load(spark, sf_dir, "documents"))
+    # Pin the term-frequency table: it feeds the vocabulary aggregate AND
+    # the scored join, and without the pin each consumer re-executed the
+    # tokenize+explode+aggregate subtree (guide §5 persist-when-reused).
+    # tf is (doc, term)-proportional, far smaller than the corpus text.
     tf = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_tbl = d.agg(F.count(F.lit(1)).cast("double").alias("__n"))
@@ -340,10 +345,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(load(spark, sf_dir, "documents"))
+    # Pin the term-frequency table: FOUR consumers (vocabulary df, doc
+    # lengths, corpus total, scored join) re-executed the tokenize+
+    # explode+aggregate subtree without it (guide §5 persist-when-reused).
     tf = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))

@@ -40,8 +40,22 @@ def _local_dir() -> str | None:
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if env:
         return env
+    # tmpfs only when it actually has headroom: shuffle files competing
+    # with a nearly-full (or tiny, container-capped) /dev/shm would fail
+    # with ENOSPC mid-job (ADVICE r10).  8 GiB free is orders of
+    # magnitude above this harness's MB-scale shuffle volume; hosts
+    # below it fall back to Spark's default scratch.  (r11 A/B, same
+    # code same day: tmpfs headline 20.6s vs root-fs 23.8s, extras 145
+    # vs 167 — the r10 "suspect" flag is resolved; the coincident q13
+    # regression was the side-table PythonRDD broadcast, fixed in
+    # queries/nexmark.py.)
     if os.path.isdir("/dev/shm"):
-        return "/dev/shm/spark_graft_local"
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 8 * 1024**3:
+                return "/dev/shm/spark_graft_local"
+        except OSError:
+            pass
     return None
 
 

@@ -1,5 +1,6 @@
 import os
 import sys
+import tempfile
 
 import pytest
 
@@ -9,10 +10,30 @@ from incubator_flink_spark import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# Test scratch (streaming checkpoints, replay fixture dirs, format
+# round-trip outputs) on tmpfs when it has headroom: every micro-batch
+# pays walCommit/commitOffsets/state-store fsyncs into these dirs, and
+# the suite runs hundreds of micro-batches — the same media choice
+# session.py makes for shuffle scratch.  Purely a test-harness location;
+# no operator behavior changes.
+if os.path.isdir("/dev/shm"):
+    try:
+        _st = os.statvfs("/dev/shm")
+        if _st.f_bavail * _st.f_frsize >= 8 * 1024**3:
+            _shm_tmp = "/dev/shm/spark_graft_tests"
+            os.makedirs(_shm_tmp, exist_ok=True)
+            tempfile.tempdir = _shm_tmp
+    except OSError:
+        pass
+
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", shuffle_partitions="8")
+    # 2 shuffle/state partitions: the suite's inputs are sf0.001-sized
+    # (hundreds of rows), so partition count only multiplies per-batch
+    # state-store and task overheads; operators that need a specific
+    # parallelism pass num_partitions explicitly.
+    s = get_spark("tests", shuffle_partitions="2")
     yield s
 
 

