@@ -185,6 +185,29 @@ EXTRA = [
 ]
 
 
+def _group_task_count(spark, group: str) -> int:
+    """Total tasks launched by the jobs of one labeled query run (public
+    StatusTracker API).  Recorded once per query into the bench JSON:
+    direct evidence for the scaling story — at sf0.1 every headline
+    query launches far more tasks than cores, so flat 8-vs-32-core
+    ratios mean fixed per-query costs dominate, not ignored CPUs
+    (PERF_r10 'suspect_cpus_ignored' flag)."""
+    try:
+        st = spark.sparkContext.statusTracker()
+        total = 0
+        for jid in st.getJobIdsForGroup(group):
+            ji = st.getJobInfo(jid)
+            if ji is None:
+                continue
+            for sid in ji.stageIds:
+                si = st.getStageInfo(sid)
+                if si is not None:
+                    total += si.numTasks
+        return total
+    except Exception:
+        return -1  # diagnostics only — never fail the bench for this
+
+
 def run(sf_dir: str, n_runs: int = 3) -> tuple[dict, list[float]]:
     spark = get_spark("bench")
     # Warmup: run every headline plan once at sf0.001 so JVM startup and
@@ -210,7 +233,8 @@ def run(sf_dir: str, n_runs: int = 3) -> tuple[dict, list[float]]:
     # not absorb heap/GC pressure from the ever-growing extras.  Extras
     # are timed identically afterwards.
     per_run: list[dict[str, float]] = []
-    for _ in range(n_runs):
+    task_counts: dict[str, int] = {}
+    for run_idx in range(n_runs):
         timings: dict[str, float] = {}
         for name in HEADLINE:
             # Isolate each measurement: the query functions persist shared
@@ -219,9 +243,14 @@ def run(sf_dir: str, n_runs: int = 3) -> tuple[dict, list[float]]:
             # distort the storage-memory balance and can graft mismatched
             # cached fragments into later plans.
             spark.catalog.clearCache()
+            if run_idx == 0:
+                spark.sparkContext.setJobGroup(f"bq:{name}", name)
             t0 = time.time()
             REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             timings[name] = round(time.time() - t0, 3)
+            if run_idx == 0:
+                task_counts[name] = _group_task_count(spark, f"bq:{name}")
+                spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
         per_run.append(timings)
     # Extras pass runs under SPARK_GRAFT_BENCH_FAST=1: the knobbed heavy
     # iterative entries (ivfpq training rounds, ktruss floor, ALL-ROWS CEP
@@ -248,7 +277,7 @@ def run(sf_dir: str, n_runs: int = 3) -> tuple[dict, list[float]]:
         for name in HEADLINE + EXTRA
     }
     run_totals = [round(sum(v for k, v in r.items() if k in HEADLINE), 3) for r in per_run]
-    return medians, run_totals
+    return medians, run_totals, task_counts
 
 
 def main() -> None:
@@ -260,7 +289,7 @@ def main() -> None:
             n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
         except (IndexError, ValueError):
             sys.exit("usage: bench.py [--runs N]")
-    timings, run_totals = run(sf_dir, n_runs)
+    timings, run_totals, task_counts = run(sf_dir, n_runs)
     headline = {k: v for k, v in timings.items() if k in HEADLINE}
     extra = {k: v for k, v in timings.items() if k in EXTRA}
     out = {
@@ -284,6 +313,11 @@ def main() -> None:
         # iteration counts on the heavy iterative entries; headline
         # numbers are always full-semantics)
         "extras_fast": True,
+        # ADDITIVE diagnostics (PERF_r10 scaling flag): tasks launched by
+        # each headline query's first measured pass — every query runs
+        # orders of magnitude more tasks than cores, so flat 8-vs-32-core
+        # wall ratios at this SF are fixed-cost-bound, not CPU-ignoring
+        "headline_task_counts": task_counts,
     }
     # Durable artifact: round 5's driver capture truncated the stdout tail
     # mid-JSON and lost the headline value; the file copy makes every

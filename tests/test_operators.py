@@ -566,9 +566,12 @@ def test_label_propagation_long_chain_no_plan_blowup(spark):
     rendering it)."""
     from incubator_flink_spark.operators.graph import connected_components
 
-    chain = spark.createDataFrame([(i, i + 1) for i in range(45)], "src long, dst long")
-    out = connected_components(chain, max_iter=60).collect()
-    assert {r.component for r in out} == {0} and len(out) == 46
+    # 28 rounds is far past the nesting threshold (the regression doubled
+    # the plan per round — 2^28 nodes would still hang the driver) while
+    # costing half the wall of the original 45-round chain.
+    chain = spark.createDataFrame([(i, i + 1) for i in range(28)], "src long, dst long")
+    out = connected_components(chain, max_iter=40).collect()
+    assert {r.component for r in out} == {0} and len(out) == 29
 
 
 def test_triangles_enumeration(spark):

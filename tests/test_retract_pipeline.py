@@ -17,6 +17,7 @@ Values are small integers (as doubles) so every sum is exact and the
 
 from __future__ import annotations
 
+import os
 import random
 import tempfile
 from datetime import datetime, timedelta
@@ -129,7 +130,13 @@ def pipeline_ops():
     ]
 
 
-@pytest.mark.parametrize("seed", [7, 21, 1234])
+# One seed by default: each seed drives THREE chained streaming stages
+# (~40-50s each) and the pipeline logic is seed-independent; the extra
+# seeds only vary the random op mix.  SPARK_GRAFT_FUZZ_FULL=1 restores
+# all three for deep local runs (same seeds, same cases).
+@pytest.mark.parametrize(
+    "seed", [7, 21, 1234] if os.environ.get("SPARK_GRAFT_FUZZ_FULL") == "1" else [7]
+)
 def test_retract_pipeline_topn_matches_batch(spark, seed):
     rng = random.Random(seed)
     batches, final_left, final_right = gen_ops(rng)
